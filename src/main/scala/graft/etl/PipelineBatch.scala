@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Batch entry for the playlist ETL: landed JSON page(s) in → the 3-table
+  * star schema out as CSV-with-header (the reference's output contract,
+  * `spotifytransform.py:102-130`: header, UTF-8, overwrite).
+  *
+  * Output layout mirrors the reference's per-table dirs
+  * (`raw/transformed_data/{song,album,artist}_data/`), with a `run=<id>`
+  * subdirectory in place of its timestamp-suffixed file names — which makes
+  * runs idempotent (SaveMode.Overwrite per run dir) and gives downstream
+  * readers partition pruning on run id for free.
+  */
+object PipelineBatch {
+
+  /** Read every landed playlist JSON in `inDir` (pretty-printed multi-line
+    * documents, as the reference lands them with `indent=2`,
+    * `spotifyextract.py:100`).
+    */
+  def readLanding(spark: SparkSession, inDir: String): DataFrame =
+    spark.read
+      .schema(Schemas.PlaylistSchema)
+      .option("multiLine", value = true)
+      .json(inDir)
+
+  /** Transform and write the three tables. Returns the output row counts
+    * (songs, artists, albums) so callers can assert/log.
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String, runId: String): (Long, Long, Long) = {
+    val raw = readLanding(spark, inDir)
+    val (songs, artists, albums) = SpotifyTransform(raw)
+
+    def write(df: DataFrame, table: String): Long = {
+      df.write
+        .mode(SaveMode.Overwrite)
+        .option("header", value = true)
+        .csv(s"$outDir/${table}_data/run=$runId")
+      df.count()
+    }
+
+    (write(songs, "song"), write(artists, "artist"), write(albums, "album"))
+  }
+}
