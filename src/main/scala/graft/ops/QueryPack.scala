@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.DecimalType
+
+/** One named engine query: a Spark implementation plus (when expressible) an
+  * equivalent ANSI/DuckDB SQL oracle over the same parquet tables. The driver
+  * hash-compares the two at sf0.01 (SURVEY.md §5.2).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Load one driver test table (TESTDATA.md layout).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via the
+    * `spark.sql.legacy.parquet.nanosAsLong` flag (set in every session this
+    * engine builds). The loader converts it back to a microsecond timestamp
+    * with floor division — the same truncation DuckDB applies when it reads
+    * nanos — so both engines see identical values.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact-decimal staging for aggregated doubles.
+    *
+    * Summing doubles is order-dependent, so a Spark partial-agg sum and a
+    * DuckDB sequential sum can disagree in the last bits — enough to break
+    * the driver's hash compare. Casting each addend to DECIMAL first makes
+    * the sum exact and order-independent; casting the exact sum back to
+    * DOUBLE is deterministic. Both engines then produce bit-identical
+    * doubles. Oracles mirror with CAST(sum(CAST(x AS DECIMAL(p,s))) AS DOUBLE).
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** SQL fragment: exact sum of `expr` returned as DOUBLE. */
+  def sumDec(expr: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Exact-decimal discounted price: cast each FACTOR to decimal before
+    * multiplying (decimal × decimal is exact), never cast the double
+    * product — engines may fuse double multiply chains (FMA) differently,
+    * which breaks cross-engine bit-parity on 3-factor products.
+    */
+  def discPrice: Column =
+    Q.c("l_extendedprice").cast(DecimalType(12, 2)) *
+      (org.apache.spark.sql.functions.lit(1) - Q.c("l_discount")).cast(DecimalType(4, 2))
+
+  def chargePrice: Column =
+    discPrice * (org.apache.spark.sql.functions.lit(1) + Q.c("l_tax")).cast(DecimalType(4, 2))
+
+  val sqlDiscPrice: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))"
+  val sqlChargePrice: String =
+    s"$sqlDiscPrice * CAST(1+l_tax AS DECIMAL(4,2))"
+
+  private def c(name: String): Column = org.apache.spark.sql.functions.col(name)
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet dump produced by `graft.Verify`,
+runs the matching SQL from <verifyOutDir>/oracle_sql.json against DuckDB
+views over <sfDir>/*.parquet, sorts columns by name and rows by all columns,
+and compares cell-by-cell. Dev tool only — the engine itself is pure Scala.
+"""
+import json, math, sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    failures = 0
+    for name in sorted(oracle):
+        qdir = Path(out_dir) / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark result dir")
+            failures += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchdf()
+        want = con.execute(oracle[name]).fetchdf()
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns differ spark={gc} oracle={wc}")
+            failures += 1
+            continue
+        g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+        w = want[wc].sort_values(by=wc, kind="mergesort").reset_index(drop=True)
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(w)}")
+            failures += 1
+            continue
+        diff_cells = []
+        for c in gc:
+            for i, (a, b) in enumerate(zip(g[c], w[c])):
+                if norm(a) != norm(b):
+                    diff_cells.append((c, i, a, b))
+                    if len(diff_cells) >= 5:
+                        break
+            if len(diff_cells) >= 5:
+                break
+        if diff_cells:
+            print(f"FAIL {name}: {len(diff_cells)}+ diff cells, first: {diff_cells[:3]}")
+            failures += 1
+        else:
+            print(f"PASS {name}: {len(g)} rows x {len(gc)} cols")
+    for name in sorted(p.name for p in Path(out_dir).iterdir()
+                       if p.is_dir() and p.name not in oracle):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchone()[0]
+        print(f"INFO {name}: no oracle (rows-only check), {n} rows")
+    print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
