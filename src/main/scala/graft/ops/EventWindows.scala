@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.streaming.EventTransforms
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Event-time window operators exercised in batch mode (the driver's oracle
+  * can only check batch results); the SAME transforms run streaming in
+  * [[graft.streaming.EventTransforms]] — see EventStreamSpec for the
+  * streaming-mode coverage with watermarks and late data.
+  */
+object EventWindows {
+
+  def pack: Seq[Q] = Seq(q23Tumbling, q24Sliding, q25Sessions)
+
+  /** Tumbling 1-hour windows per event type. */
+  val q23Tumbling: Q = Q(
+    "q23_tumbling_window",
+    (s, dir) => EventTransforms.tumbling(t(s, dir, "events"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some(s"""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        count(*) AS n, ${Q.sumDec("value")} AS total_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in 2 windows.
+    * The oracle replicates Spark's epoch-aligned window assignment by
+    * unnesting the slide offsets.
+    */
+  val q24Sliding: Q = Q(
+    "q24_sliding_window",
+    (s, dir) => EventTransforms.sliding(t(s, dir, "events"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some(s"""
+      SELECT ws AS window_start, event_type,
+        count(*) AS n, ${Q.sumDec("value")} AS total_value
+      FROM (
+        SELECT e.*,
+          time_bucket(INTERVAL '30 minutes', e.ts) - ks.k * INTERVAL '30 minutes' AS ws
+        FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks) t
+      WHERE ts < ws + INTERVAL '1 hour'
+      GROUP BY ws, event_type ORDER BY ws, event_type"""))
+
+  /** Session windows (30-minute gap) per user. The oracle derives sessions
+    * with the classic gaps-and-islands window idiom; a new session starts
+    * when the gap is >= the threshold (session_window's end is exclusive).
+    */
+  val q25Sessions: Q = Q(
+    "q25_session_window",
+    (s, dir) => EventTransforms.sessions(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some(s"""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT min(ts) AS session_start,
+        max(ts) + INTERVAL '30 minutes' AS session_end,
+        user_id, count(*) AS n_events, ${Q.sumDec("value")} AS total_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Q.dec2
+
+/** Event-time window transforms, written once and applied to BOTH batch and
+  * streaming frames (the Structured Streaming contract: a streaming query is
+  * the same declarative plan as its batch equivalent). In batch mode
+  * `withWatermark` is a no-op; in streaming it bounds state.
+  *
+  * Scale posture: all of these shuffle once on (window, key) with partial
+  * aggregation map-side; state per group is O(1). Watermarks bound streaming
+  * state so a 100 TB/day stream holds only the open windows.
+  */
+object EventTransforms {
+
+  /** Tumbling event-time windows per event_type. */
+  def tumbling(events: DataFrame, size: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows: each event lands in size/slide windows. */
+  def sliding(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows per user: a session extends while consecutive events
+    * are less than `gap` apart; the window closes gap after the last event.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Exactly-once-per-id dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state older than the
+    * watermark is evicted. (The reference dedups only within one file —
+    * this is the cross-batch superset, SURVEY.md §7.4.)
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-mode coverage for the event transforms: windows emit on
+  * watermark advance, late events are dropped, duplicate ids are dropped
+  * within the watermark, and the custom stateful sessionizer closes
+  * sessions via event-time timeout.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Event =
+    Event(id, ts(t), user, typ, value)
+
+  private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("tumbling windows emit on watermark advance and drop late events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.tumbling(ms.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "10:05"), ev(2, "10:50", value = 2.0))
+      drain(q)
+      // watermark still at 10:20 — the 10:00 window is open, nothing emitted
+      assert(spark.table("tumbling_out").count() === 0)
+
+      ms.addData(ev(3, "12:00"))
+      drain(q)
+      // watermark 11:30 closes [10:00,11:00)
+      val closed = spark.table("tumbling_out")
+        .where("window_start = timestamp'2024-01-01 10:00:00'").collect()
+      assert(closed.length === 1)
+      assert(closed.head.getAs[Long]("n") === 2)
+      assert(closed.head.getAs[Double]("total_value") === 3.0)
+
+      // a late event for the closed window must be dropped
+      ms.addData(ev(4, "10:10", value = 99.0))
+      ms.addData(ev(5, "14:00"))
+      drain(q)
+      val after = spark.table("tumbling_out")
+        .where("window_start = timestamp'2024-01-01 10:00:00'").collect()
+      assert(after.length === 1 && after.head.getAs[Double]("total_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops cross-batch duplicate ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.dedupWithinWatermark(ms.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "10:00"))
+      drain(q)
+      ms.addData(ev(1, "10:05", value = 42.0)) // same id, later batch
+      ms.addData(ev(2, "10:06"))
+      drain(q)
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L))
+      // the first occurrence won
+      assert(rows.find(_.getAs[Long]("event_id") == 1L).get.getAs[Double]("value") === 1.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions inline on gap and via timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val sessions = StatefulSessions.sessionize(
+      ms.toDS(), gapMs = 30 * 60 * 1000, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 11:30 (gap 80min)
+      ms.addData(ev(1, "10:00"), ev(2, "10:10"), ev(3, "11:30"))
+      drain(q)
+      // first session closed inline when the 11:30 event arrived
+      val s1 = spark.table("sessions_out").collect()
+      assert(s1.length === 1)
+      assert(s1.head.getAs[Long]("n_events") === 2)
+      assert(s1.head.getAs[Timestamp]("session_start") === ts("10:00"))
+      assert(s1.head.getAs[Timestamp]("session_end") === ts("10:40"))
+
+      // advance the watermark past 11:30+gap → timeout closes session 2
+      ms.addData(ev(9, "13:00", user = 2))
+      drain(q)
+      ms.addData(ev(10, "13:30", user = 2))
+      drain(q)
+      val all = spark.table("sessions_out")
+        .where("user_id = 1").orderBy("session_start").collect()
+      assert(all.length === 2)
+      assert(all(1).getAs[Long]("n_events") === 1)
+      assert(all(1).getAs[Timestamp]("session_start") === ts("11:30"))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling agree on the same data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = Seq(ev(1, "10:05"), ev(2, "10:50", value = 2.0), ev(3, "12:00"))
+    val batch = EventTransforms.tumbling(events.toDF(), "1 hour", "30 minutes")
+      .orderBy("window_start")
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.tumbling(ms.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(events: _*)
+      drain(q)
+      val streamRows = spark.table("parity_out").orderBy("window_start").collect()
+      assert(streamRows.toSeq === batch.collect().toSeq)
+    } finally q.stop()
+  }
+}
