@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{EventWindows, Q, Relational}
+import graft.ops.{Dedup, EventWindows, Multimodal, Q, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,9 @@ import graft.ops.{EventWindows, Q, Relational}
   */
 object SparkEntry {
 
-  private def packs: Seq[Q] = Relational.pack ++ EventWindows.pack
+  private def packs: Seq[Q] =
+    Relational.pack ++ EventWindows.pack ++ TextAnalysis.pack ++
+      Dedup.pack ++ Similarity.pack ++ Multimodal.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Deduplication operators for LLM training-data pipelines, from cheap to
+  * fuzzy: exact (hash-group), shingle-Jaccard (exact near-dup), MinHash+LSH
+  * (scalable near-dup candidates), SimHash (bit-sketch near-dup).
+  *
+  * Scale design: nothing here ever compares all O(n²) document pairs. Exact
+  * dedup shuffles on a 128-bit fingerprint; Jaccard joins only docs sharing
+  * a shingle; MinHash-LSH shuffles on (band, band-hash) buckets and
+  * verifies only in-bucket candidates; SimHash buckets on 16-bit chunks
+  * (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ one chunk equal).
+  */
+object Dedup {
+
+  def pack: Seq[Q] = Seq(d40DedupExact, d41ShingleJaccard, d42MinhashLsh, d43Simhash)
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of a text column (default 3-grams). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exact dedup: keep the lowest doc_id per identical text. */
+  val d40DedupExact: Q = Q(
+    "d40_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_copies"))
+        .select(col("keep_doc"), col("n_copies"))
+        .orderBy(col("keep_doc")),
+    Some("""
+      SELECT min(doc_id) AS keep_doc, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_doc"""))
+
+  /** Exact n-gram-Jaccard near-dup pairs: candidate pairs = docs sharing at
+    * least one 3-gram shingle (an inverted-index join, never n²); Jaccard
+    * from shared/total distinct shingle counts; report pairs ≥ 0.2.
+    */
+  val d41ShingleJaccard: Q = Q(
+    "d41_shingle_jaccard",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          (col("shared").cast("double") /
+            (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+            THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1)]
+            ELSE [text] END)) AS s
+        FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM documents) w),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2,
+        CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) AS jaccard
+      FROM shared
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.2
+      ORDER BY d1, d2"""))
+
+  // ------------------------------------------------------------ MinHash+LSH
+
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** 32-element MinHash signature over the shingle set: sig[i] = min over
+    * shingles of xxhash64(i, shingle). Computed per-row with nested
+    * higher-order functions — narrow, no shuffle.
+    */
+  def minhashSignature(shingleArr: Column): Column =
+    transform(
+      sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(shingleArr, sCol => xxhash64(i, sCol))))
+
+  /** The full MinHash+LSH near-dup pipeline as a reusable transform:
+    * shingle → signature → band buckets → in-bucket candidate pairs →
+    * verify with exact Jaccard over the shingle arrays. The only wide ops
+    * are the bucket join (on band hash) and the candidate dedup.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        b => struct(
+          b.as("band"),
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val withSets = candidates
+      .join(sigs.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("sig").as("sig2")), "d2")
+    withSets.select(
+      col("d1"), col("d2"),
+      (aggregate(zip_with(col("sig1"), col("sig2"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        .cast("double") / NumHashes).as("est_jaccard"),
+      (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash-LSH near-dups over the documents table. No SQL oracle (hash
+    * functions are engine-specific); DedupSpec verifies recall against the
+    * exact d41 pipeline on planted near-duplicates.
+    */
+  val d42MinhashLsh: Q = Q(
+    "d42_minhash_lsh",
+    (s, dir) => minhashNearDups(t(s, dir, "documents"), threshold = 0.2),
+    None)
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: hash each token to 64 bits; each output bit is
+    * the sign of the per-bit vote sum. One explode + one groupBy shuffle.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val voted = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    voted.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ 3, found by chunk
+    * bucketing: split the 64-bit hash into 4×16-bit chunks; any pair within
+    * distance 3 shares at least one chunk (pigeonhole), so the join is on
+    * (chunk index, chunk value) — never all-pairs.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = simhash(docs)
+    val chunked = hashed.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("j"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash near-dups over documents. Rows-only (engine-specific hashing);
+    * DedupSpec pins behavior on planted duplicates.
+    */
+  val d43Simhash: Q = Q(
+    "d43_simhash",
+    (s, dir) => simhashNearDups(t(s, dir, "documents")),
+    None)
+}

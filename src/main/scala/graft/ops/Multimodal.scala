@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Typed media metadata carried alongside opaque content bytes. */
+case class MediaMeta(width: Int, height: Int, sampleRateHz: Int, durationMs: Long)
+
+/** One multimodal row: image/audio/video as an opaque binary column plus
+  * typed metadata — the schema pattern for mixed-modality training data.
+  */
+case class MediaRow(media_id: Long, modality: String, content: Array[Byte], meta: MediaMeta)
+
+/** Output of the (stubbed) decode+featurize stage. */
+case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int, features: Array[Float])
+
+/** Multimodal-column plumbing: binary content + typed metadata, partition-
+  * batched decode/feature-extraction, frame sampling. The actual codecs are
+  * STUBS (no image/audio libraries in this container) — the Spark-side
+  * shape (schema, encoders, mapPartitions batching, shuffle-free narrow
+  * execution) is real and tested in MultimodalSpec.
+  */
+object Multimodal {
+
+  def pack: Seq[Q] = Seq(d60MultimodalMeta)
+
+  implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** Decode + featurize, batched per partition (the shape a real codec
+    * needs: amortize per-partition init — model load, codec context —
+    * across rows, never per-row).
+    */
+  def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
+    ds.mapPartitions { rows =>
+      // per-partition init would go here (codec context, model handle)
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.modality, r.content.length,
+          stubDecode(r.content, dim))
+      }
+    }
+
+  /** STUB decoder — stands in for image decode / audio spectrogram / video
+    * embedding, which need native libraries not present in this container.
+    * Deterministic by construction (pure function of the bytes) so the
+    * pipeline around it is fully testable.
+    */
+  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31 + bytes(i)
+      out(i % dim) += (h % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampler — stands in for video keyframe extraction: returns
+    * `nFrames` evenly-spaced byte slices of the content.
+    */
+  def frameSample(content: Array[Byte], nFrames: Int): Seq[Array[Byte]] = {
+    require(nFrames > 0, "nFrames must be positive")
+    if (content.isEmpty) Seq.fill(nFrames)(Array.emptyByteArray)
+    else {
+      val step = math.max(1, content.length / nFrames)
+      (0 until nFrames).map { i =>
+        val from = math.min(i * step, content.length - 1)
+        content.slice(from, math.min(from + step, content.length))
+      }
+    }
+  }
+
+  /** Opaque-binary metadata pass: treat text bytes as content, compute
+    * byte length + content hash — the manifest/integrity scan a multimodal
+    * pipeline runs before decode. (The test corpus has no binary media, so
+    * text bytes stand in; the operators are type-agnostic over binary.)
+    */
+  val d60MultimodalMeta: Q = Q(
+    "d60_multimodal_meta",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id").as("media_id"),
+          lit("text").as("modality"),
+          col("text").cast("binary").as("content"))
+        .select(
+          col("media_id"), col("modality"),
+          length(col("content")).cast("long").as("n_bytes"),
+          sha2(col("content"), 256).as("content_sha"))
+        .orderBy(col("media_id")),
+    Some("""
+      SELECT doc_id AS media_id, 'text' AS modality,
+        octet_length(encode(text)) AS n_bytes,
+        sha256(text) AS content_sha
+      FROM documents ORDER BY media_id"""))
+}

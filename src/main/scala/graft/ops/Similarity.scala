@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q.t
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
+  * variant as the scale path.
+  *
+  * Scale design: the query set is broadcast, candidates stay distributed, so
+  * brute force is a single narrow pass over the corpus (map-side top-k via
+  * the rank window on qid — #queries × corpus rows, no shuffle of the
+  * corpus). The LSH variant cuts the per-query work to one bucket.
+  */
+object Similarity {
+
+  def pack: Seq[Q] = Seq(e50CosineTopK, e51AnnLsh)
+
+  /** Exact decimal dot product of two float vectors, returned as DOUBLE.
+    * Each product is widened to double (exact) then cast to decimal so the
+    * sum is order-independent — bit-identical across engines, which keeps
+    * ranking deterministic for the oracle compare (see Q.dec2 notes).
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast(DecimalType(20, 15))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(20, 15)),
+      (acc, v) => (acc + v).cast(DecimalType(20, 15)))
+      .cast("double")
+
+  def l2Norm(v: Column): Column = sqrt(dotExact(v, v))
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
+    * rest of the corpus.
+    */
+  val e50CosineTopK: Q = Q(
+    "e50_cosine_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("qnorm", l2Norm(col("qv")))
+      val c = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .withColumn("cnorm", l2Norm(col("cv")))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          (dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      // rank on full precision; report cos at 6dp — decimal→double conversion
+      // rounds differently across engines in the last ulp
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      qn AS (
+        SELECT qid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS qnorm
+        FROM (SELECT qid, unnest(qv) AS x FROM q) t GROUP BY qid),
+      cn AS (
+        SELECT cid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS cnorm
+        FROM (SELECT cid, unnest(cv) AS x FROM c) t GROUP BY cid),
+      dots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx
+              FROM q CROSS JOIN c) t
+        GROUP BY qid, cid)
+      SELECT qid, cid, round(cos, 6) AS cos, rank FROM (
+        SELECT d.qid, d.cid, d.dot/(qn.qnorm*cn.cnorm) AS cos,
+          CAST(row_number() OVER (PARTITION BY d.qid
+                             ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS INT) AS rank
+        FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  // ------------------------------------------------------- LSH-bucketed ANN
+
+  val NumTables = 4
+  val PlanesPerTable = 8
+
+  /** Deterministic random hyperplanes (seeded), shared by index and query
+    * sides: NumTables independent tables of PlanesPerTable planes each.
+    */
+  private lazy val planeTables: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(64)(rnd.nextGaussian())))
+  }
+
+  /** Per-table sign-buckets of a vector: element t = the PlanesPerTable-bit
+    * bucket of table t (bit p = v · plane_p > 0). Narrow per-row.
+    */
+  def lshBuckets(v: Column): Column =
+    array(planeTables.zipWithIndex.map { case (tbl, ti) =>
+      val bits = tbl.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(
+          zip_with(v, typedlit(p), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, d) => acc + d)
+        when(dot > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      }
+      // tag the bucket with its table index so tables never cross-match
+      bits.reduce(_ + _) + lit(ti.toLong * (1L << PlanesPerTable))
+    }: _*)
+
+  /** ANN top-k via multi-table hyperplane LSH: a candidate is any corpus
+    * vector sharing at least one table-bucket with the query; exact cosine
+    * re-ranks candidates. Multiple independent tables trade one bucket's
+    * miss-rate for a union of buckets — recall rises as 1-(1-r)^T while the
+    * probed fraction of the corpus stays tiny, which is the 100 TB path
+    * where scanning the corpus per query is off the table.
+    * SimilaritySpec pins recall on planted near-identical vectors.
+    * Rows-only: bucketing is seed-specific, so no SQL oracle.
+    */
+  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(lshBuckets(col("embedding"))).as("bucket"))
+      .withColumn("qnorm", l2Norm(col("qv")))
+    val c = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        explode(lshBuckets(col("embedding"))).as("bucket"))
+      .withColumn("cnorm", l2Norm(col("cv")))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("qid"), col("cid"),
+        (dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).as("cos"))
+      .groupBy(col("qid"), col("cid")) // a pair can match in several tables
+      .agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val e51AnnLsh: Q = Q(
+    "e51_ann_lsh",
+    (s, dir) => annTopK(t(s, dir, "embeddings")),
+    None)
+}

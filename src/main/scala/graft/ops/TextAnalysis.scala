@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All per-row,
+  * narrow, whole-stage-codegen'd — zero shuffle besides the output sort, so
+  * throughput is scan-bound at any scale.
+  */
+object TextAnalysis {
+
+  def pack: Seq[Q] = Seq(d30TextStats, d31LangId, d32Fingerprint)
+
+  /** Shared tokenizer: whitespace split (the `documents` corpus is
+    * single-spaced word text).
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Token counts, punctuation/stopword ratios, and a deterministic
+    * composite quality score — the heuristics used to gate documents before
+    * expensive downstream processing.
+    */
+  val d30TextStats: Q = Q(
+    "d30_text_stats",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nTokens = size(toks)
+      val nChars = length(col("text"))
+      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      val stops = size(filter(toks, x => x.isin(stopwords: _*)))
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        nChars.cast("int").as("n_chars_calc"),
+        nTokens.cast("int").as("n_tokens"),
+        stops.cast("int").as("n_stopwords"),
+        (punct.cast("double") / nChars).as("punct_ratio"),
+        (stops.cast("double") / nTokens).as("stopword_ratio"),
+        ((nChars - nTokens + 1).cast("double") / nTokens).as("avg_token_len"),
+        // quality: length saturation × low punctuation × stopword presence.
+        // Only +,-,*,/ and least() — IEEE-exact ops, so the oracle matches
+        // bit-for-bit (transcendentals like ln differ by 1 ulp across libms).
+        (least(nTokens.cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - punct.cast("double") / nChars) *
+          (lit(0.5) + stops.cast("double") / nTokens)).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang,
+        CAST(length(text) AS INT) AS n_chars_calc,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','and','to','in'))) AS INT) AS n_stopwords,
+        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+          (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text)) *
+          (0.5 + CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / len(string_split(text, ' '))) AS quality_score
+      FROM documents ORDER BY doc_id"""))
+
+  /** Stopword-lexicon language ID (n-gram-heuristic family): score each
+    * candidate language by marker-token hits, argmax with alphabetical
+    * tie-break. Pure per-row higher-order functions — no join, no shuffle.
+    */
+  val d31LangId: Q = Q(
+    "d31_lang_id",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      def score(words: Seq[String]): Column =
+        size(filter(toks, x => x.isin(words: _*))).cast("int")
+      val de = score(Seq("der", "die", "das", "und", "ist"))
+      val en = score(Seq("the", "and", "of", "to", "in"))
+      val es = score(Seq("el", "los", "las", "es", "y"))
+      val fr = score(Seq("le", "les", "et", "est", "une"))
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        de.as("score_de"), en.as("score_en"), es.as("score_es"), fr.as("score_fr"),
+        when(de >= en && de >= es && de >= fr, "de")
+          .when(en >= es && en >= fr, "en")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang AS labeled_lang,
+        score_de, score_en, score_es, score_fr,
+        CASE
+          WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+          WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+          WHEN score_es >= score_fr THEN 'es'
+          ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS INT) AS score_de,
+          CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','to','in'))) AS INT) AS score_en,
+          CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','es','y'))) AS INT) AS score_es,
+          CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','les','et','est','une'))) AS INT) AS score_fr
+        FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** Canonical-text fingerprint: normalize (lowercase, strip punctuation,
+    * collapse whitespace) then md5 — the cheap exact-dup key for content
+    * that differs only in formatting. Groups by fingerprint to count dupes.
+    */
+  val d32Fingerprint: Q = Q(
+    "d32_fingerprint",
+    (s, dir) => {
+      val normalized = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(normalized).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("fingerprint"))
+    },
+    Some("""
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM documents
+      GROUP BY 1 ORDER BY fingerprint"""))
+}

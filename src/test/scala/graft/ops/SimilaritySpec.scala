@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the LSH-bucketed ANN on planted geometry: a near-identical vector
+  * must be retrieved at rank 1; retrieved candidates must carry correct
+  * exact cosine scores.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val rows =
+      Seq((0L, base)) ++                       // query
+        (5L until 25L).map(i => (i, vec())) ++ // random candidates
+        Seq((25L, nearDup))                    // planted neighbor
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("ANN returns the planted near-duplicate at rank 1") {
+    val top = Similarity.annTopK(emb, nQueries = 1, k = 5).collect()
+    assert(top.nonEmpty, "ANN returned no candidates")
+    val r1 = top.find(r => r.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("cid") === 25L)
+    assert(r1.getAs[Double]("cos") > 0.99)
+  }
+
+  test("ANN scores agree with the exact cosine of the brute-force path") {
+    import org.apache.spark.sql.functions._
+    val ann = Similarity.annTopK(emb, nQueries = 1, k = 5)
+      .select(col("cid"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute-force exact cosine for the same query over all candidates
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"), Similarity.l2Norm(col("embedding")).as("qn"))
+    val brute = emb.filter(col("vec_id") >= 5L)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(Similarity.dotExact(col("qv"), col("embedding")) /
+          (col("qn") * Similarity.l2Norm(col("embedding"))), 6).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { case (cid, cos) =>
+      assert(math.abs(brute(cid) - cos) < 1e-9, s"cid=$cid ann=$cos brute=${brute(cid)}")
+    }
+  }
+}
