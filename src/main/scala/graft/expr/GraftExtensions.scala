@@ -1,0 +1,39 @@
+package graft.expr
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's native expressions with a SparkSession, making
+  * them available to SQL and to `call_function`.
+  *
+  * Two registration paths:
+  *   - `spark.sql.extensions=graft.expr.GraftExtensions` at session build
+  *     (the production path — survives session cloning), or
+  *   - `GraftFunctions.register(spark)` on an existing session (the
+  *     harness/test path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.cosineSimDescriptor)
+  }
+}
+
+object GraftFunctions {
+
+  private[expr] val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
+      CosineSimilarity(exprs.head, exprs(1))
+    })
+
+  /** Imperative registration for an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.expr.{GraftFunctions, Scored, TopKAggregator}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Queries exercising the engine's custom Catalyst surface: the native
+  * codegen `cosine_sim` expression and the typed top-k Aggregator UDAF.
+  */
+object CustomExprQueries {
+
+  def pack: Seq[Q] = Seq(e52CosineExpr, q26TopKUdaf)
+
+  /** e50's top-k re-run through the native expression — the throughput
+    * path. Scores match the HOF/decimal variant to ~1e-15; output rounds to
+    * 6dp so the oracle compare is unaffected by summation-order ulps.
+    */
+  val e52CosineExpr: Q = Q(
+    "e52_cosine_expr",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          call_function("cosine_sim", col("qv"), col("cv")).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      dots AS (
+        SELECT qid, cid,
+          sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+          sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qq,
+          sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cc
+        FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx
+              FROM q CROSS JOIN c) t
+        GROUP BY qid, cid)
+      SELECT qid, cid, round(cos, 6) AS cos, rank FROM (
+        SELECT qid, cid, dot/(sqrt(qq)*sqrt(cc)) AS cos,
+          CAST(row_number() OVER (PARTITION BY qid
+                             ORDER BY dot/(sqrt(qq)*sqrt(cc)) DESC, cid) AS INT) AS rank
+        FROM dots) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** Exact top-3 orders per market segment via the typed Aggregator — the
+    * shuffle carries only k rows per group (vs the window form, which
+    * shuffles every row). The UDAF output array is ordered, so posexplode
+    * yields the rank directly.
+    */
+  val q26TopKUdaf: Q = Q(
+    "q26_topk_udaf",
+    (s, dir) => {
+      val topk = udaf(new TopKAggregator(3))
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      customer.join(orders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(
+          col("c_mktsegment"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("s.id").as("o_orderkey"),
+          col("s.score").as("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM customer JOIN orders ON c_custkey = o_custkey) t
+      WHERE rn <= 3 ORDER BY c_mktsegment, rank"""))
+}
