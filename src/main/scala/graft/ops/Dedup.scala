@@ -20,13 +20,17 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles of a text column (default 3-grams). */
+  /** Distinct word n-gram shingles of a text column (default 3-grams).
+    * Built with per-position element_at (O(1) each) rather than slice
+    * (O(n) array copy per shingle) — higher-order functions run
+    * interpreted, so constant factors here are real.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array(concat_ws(" ", toks)))
   }
 
@@ -50,8 +54,11 @@ object Dedup {
   val d41ShingleJaccard: Q = Q(
     "d41_shingle_jaccard",
     (s, dir) => {
-      val sh = t(s, dir, "documents")
+      // referenced 3x (sizes + both join sides): materialize the shingle
+      // relation once instead of re-running the interpreted HOF per branch
+      val sh = Q.spread(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val shared = sh.as("a")
         .join(sh.as("b"),
@@ -94,32 +101,68 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** 32-element MinHash signature over the shingle set: sig[i] = min over
-    * shingles of xxhash64(i, shingle). Computed per-row with nested
-    * higher-order functions — narrow, no shuffle.
+  /** Carter-Wegman universal-hash family for re-hashing a base shingle
+    * hash: h_i(x) = (A(i)·x + B(i)) mod P, P = 2³¹-1. One string hash per
+    * shingle, then 32 cheap modular ops — instead of 32 string hashes — and
+    * the min-aggregation runs codegen'd after an explode, which is also the
+    * shape that scales horizontally (no giant per-row arrays through
+    * interpreted higher-order functions). Products stay < 2⁶², so the
+    * arithmetic never overflows under ANSI mode.
     */
-  def minhashSignature(shingleArr: Column): Column =
-    transform(
-      sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(shingleArr, sCol => xxhash64(i, sCol))))
+  private val MersenneP = 2147483647L // 2^31 - 1
+  private val hashFamily: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(13)
+    IndexedSeq.fill(NumHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc_id → distinct shingles (narrow per row; input spread so the
+    * interpreted shingling runs on all cores, not one file-partition).
+    */
+  private def shingled(docs: DataFrame): DataFrame =
+    Q.spread(docs, "doc_id").select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** doc_id → 32-element MinHash signature, via explode + one codegen'd
+    * min-aggregate per hash function (one shuffle on doc_id).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingled(shingled(docs))
+
+  private def signaturesFromShingled(base: DataFrame): DataFrame = {
+    val hashed = base
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
+    val aggs = hashFamily.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** The full MinHash+LSH near-dup pipeline as a reusable transform:
-    * shingle → signature → band buckets → in-bucket candidate pairs →
+    * shingle-hash → signature → band buckets → in-bucket candidate pairs →
     * verify with exact Jaccard over the shingle arrays. The only wide ops
-    * are the bucket join (on band hash) and the candidate dedup.
+    * are the signature groupBy, the bucket join (on band hash), and the
+    * candidate dedup.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
+    // Both intermediates are referenced 2-3x downstream (banding, estimate
+    // join, verify join); Spark re-executes shared subplans per reference,
+    // so materialize them once. O(docs) rows each — at warehouse scale this
+    // is the "write the signature table" step of a dedup pipeline.
+    val base = shingled(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFromShingled(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
-      explode(transform(
-        sequence(lit(0), lit(Bands - 1)),
-        b => struct(
-          b.as("band"),
-          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bh"))))
-        .as("bb"))
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bh"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -128,8 +171,10 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val withSets = candidates
-      .join(sigs.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("sig").as("sig1")), "d1")
-      .join(sigs.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("sig").as("sig2")), "d2")
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
     withSets.select(
       col("d1"), col("d2"),
       (aggregate(zip_with(col("sig1"), col("sig2"),
@@ -160,7 +205,7 @@ object Dedup {
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$b")
     }
-    val voted = docs
+    val voted = Q.spread(docs, "doc_id")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))

@@ -46,6 +46,20 @@ object Q {
   def sumDec(expr: String, scale: Int = 2): String =
     s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
 
+  /** Hash-spread a table across the session's full parallelism.
+    *
+    * Small single-file tables scan as ONE partition, which silently
+    * single-threads every narrow op downstream of the scan (the expensive
+    * per-row pipelines: shingling, hashing, vector math). One keyed
+    * repartition restores parallelism; at warehouse scale the same keyed
+    * spread is what balances a skewed file layout.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, org.apache.spark.sql.functions.col(key))
+  }
+
   /** Exact-decimal discounted price: cast each FACTOR to decimal before
     * multiplying (decimal × decimal is exact), never cast the double
     * product — engines may fuse double multiply chains (FMA) differently,

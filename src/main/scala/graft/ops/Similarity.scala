@@ -44,7 +44,7 @@ object Similarity {
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .withColumn("qnorm", l2Norm(col("qv")))
-      val c = emb.filter(col("vec_id") >= 5)
+      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         .withColumn("cnorm", l2Norm(col("cv")))
       val scored = c.crossJoin(broadcast(q))
@@ -124,7 +124,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         explode(lshBuckets(col("embedding"))).as("bucket"))
       .withColumn("qnorm", l2Norm(col("qv")))
-    val c = emb.filter(col("vec_id") >= nQueries)
+    val c = Q.spread(emb.filter(col("vec_id") >= nQueries), "vec_id")
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         explode(lshBuckets(col("embedding"))).as("bucket"))
       .withColumn("cnorm", l2Norm(col("cv")))
