@@ -72,6 +72,27 @@ object Multimodal {
     }
   }
 
+  /** Ingest a directory of media files as binary rows via Spark's
+    * `binaryFile` source: one row per file with (path, modificationTime,
+    * length, content). This is the real ingestion path for image/audio
+    * dirs — partitioned by file, columnar metadata, lazily-read content —
+    * mapped into the engine's MediaRow shape (modality from the extension).
+    */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*"): org.apache.spark.sql.DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        abs(xxhash64(col("path"))).as("media_id"),
+        when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp)$"), "image")
+          .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(col("path").rlike("(?i)\\.(mp4|mkv|webm|avi)$"), "video")
+          .otherwise("binary").as("modality"),
+        col("path"),
+        col("length").as("n_bytes"),
+        col("content"))
+
   /** Opaque-binary metadata pass: treat text bytes as content, compute
     * byte length + content hash — the manifest/integrity scan a multimodal
     * pipeline runs before decode. (The test corpus has no binary media, so

@@ -22,7 +22,8 @@ object Relational {
     q08WindowAnalytics, q09Rollup, q10Cube, q11GroupingSets, q12DistinctAgg,
     q12bApproxDistinct, q13SetOps, q14StringFns, q15DateAgg, q16JsonProps,
     q17AsOfJoin, q18RangeJoin, q19HavingAgg, q20MultiFormatDate,
-    q21ExplodeTokens, q22KeepFirstDedup)
+    q21ExplodeTokens, q22KeepFirstDedup, q27MathFns, q28OuterJoins,
+    q29RangeFrames)
 
   /** TPC-H Q1-style pricing summary: full-scan partial+final hash agg on a
     * low-cardinality key — map-side combine means the shuffle carries only
@@ -631,6 +632,127 @@ object Relational {
       SELECT token, count(*) AS n FROM (
         SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
       GROUP BY token ORDER BY n DESC, token LIMIT 100"""))
+
+  /** Scalar math functions — restricted to IEEE-exact ops (abs, sqrt,
+    * floor/ceil, mod, sign, greatest/least) so both engines agree
+    * bit-for-bit; transcendentals are deliberately excluded from
+    * oracle-compared output (they differ by 1 ulp across libms).
+    */
+  val q27MathFns: Q = Q(
+    "q27_math_fns",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - lit(50000.0)).as("abs_from_mid"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          floor(col("l_extendedprice")).cast("long").as("floor_price"),
+          ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+          pmod(col("l_orderkey"), lit(7L)).as("key_mod7"),
+          signum(col("l_discount") - 0.05).as("disc_sign"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"),
+          least(col("l_tax"), col("l_discount")).as("least_v"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        abs(l_extendedprice - 50000.0) AS abs_from_mid,
+        sqrt(l_quantity) AS sqrt_qty,
+        CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        l_orderkey % 7 AS key_mod7,
+        CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+             WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign,
+        greatest(l_quantity, l_discount * 100) AS greatest_v,
+        least(l_tax, l_discount) AS least_v
+      FROM lineitem WHERE l_orderkey % 100 = 0
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Full- and right-outer joins, reduced to match/miss counts. */
+  val q28OuterJoins: Q = Q(
+    "q28_outer_joins",
+    (s, dir) => {
+      val customer = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      val full = customer
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "full")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("c_custkey")).as("n_with_cust"),
+          count(col("o_orderkey")).as("n_with_order"))
+        .select(lit("full").as("join_type"), col("n_rows"),
+          col("n_with_cust"), col("n_with_order"))
+      val right = bigOrders
+        .join(customer, col("o_custkey") === col("c_custkey"), "right")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("c_custkey")).as("n_with_cust"),
+          count(col("o_orderkey")).as("n_with_order"))
+        .select(lit("right").as("join_type"), col("n_rows"),
+          col("n_with_cust"), col("n_with_order"))
+      full.unionByName(right).orderBy(col("join_type"))
+    },
+    Some("""
+      SELECT 'full' AS join_type, count(*) AS n_rows,
+        count(c_custkey) AS n_with_cust, count(o_orderkey) AS n_with_order
+      FROM customer FULL JOIN
+        (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        ON c_custkey = o_custkey
+      UNION ALL
+      SELECT 'right', count(*), count(c_custkey), count(o_orderkey)
+      FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        RIGHT JOIN customer ON o_custkey = c_custkey
+      ORDER BY join_type"""))
+
+  /** RANGE-frame windows (value-based frames, peers included) plus
+    * first/last over a ROWS frame: 90-day trailing spend per customer.
+    */
+  val q29RangeFrames: Q = Q(
+    "q29_range_frames",
+    (s, dir) => {
+      val orders = t(s, dir, "orders").filter(col("o_custkey") <= 50)
+        .withColumn("day_num",
+          datediff(col("o_orderdate"), lit("1990-01-01").cast("date")))
+      val byDay = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      val seq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice")))
+          .over(byDay.rangeBetween(-90, Window.currentRow))
+          .cast("double").as("trailing_90d_spend"),
+        count(lit(1))
+          .over(byDay.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("orders_to_date"),
+        first(col("o_totalprice"))
+          .over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_order_price"),
+        last(col("o_totalprice"))
+          .over(seq.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("last_order_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY day_num
+                   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS trailing_90d_spend,
+        count(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS orders_to_date,
+        first_value(o_totalprice)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS first_order_price,
+        last_value(o_totalprice)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS last_order_price
+      FROM (SELECT *, date_diff('day', TIMESTAMP '1990-01-01 00:00:00', o_orderdate) AS day_num
+            FROM orders WHERE o_custkey <= 50) t
+      ORDER BY o_custkey, o_orderkey"""))
 
   /** The reference's keep-first dedup (T8/T9) generalized to testdata:
     * first doc (lowest id) per (lang, source).
