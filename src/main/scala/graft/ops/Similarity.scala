@@ -17,7 +17,7 @@ import Q.t
   */
 object Similarity {
 
-  def pack: Seq[Q] = Seq(e50CosineTopK, e51AnnLsh)
+  def pack: Seq[Q] = Seq(e50CosineTopK, e51AnnLsh, e53AnnIvf)
 
   /** Exact decimal dot product of two float vectors, returned as DOUBLE.
     * Each product is widened to double (exact) then cast to decimal so the
@@ -143,5 +143,58 @@ object Similarity {
   val e51AnnLsh: Q = Q(
     "e51_ann_lsh",
     (s, dir) => annTopK(t(s, dir, "embeddings")),
+    None)
+
+  // ---------------------------------------------------------------- IVF ANN
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every 37th vector is
+    * a "centroid") partitions the corpus into inverted lists; a query
+    * probes only its `nprobe` nearest lists and re-ranks exactly inside
+    * them. Centroid assignment is one broadcast join + argmin; the probe
+    * is a bucket-equi join. This is the IVF index shape (coarse quantize →
+    * inverted lists → probe few lists) with the k-means training step
+    * replaced by deterministic sampling — training is a separate offline
+    * concern; the serving-path dataflow is what must scale.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    import graft.expr.GraftFunctions
+    GraftFunctions.register(emb.sparkSession)
+    val cos = (a: Column, b: Column) => call_function("cosine_sim", a, b)
+    val centroids = broadcast(
+      emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("centroid_id"))
+      df.join(centroids)
+        .select(col(idCol), col(vCol), col("centroid_id"),
+          cos(col(vCol), col("centroid")).as("sim"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("sim", "crank")
+    }
+    val corpus = assign(
+      Q.spread(emb.filter(col("vec_id") >= nQueries), "vec_id")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      "cid", "cv", keep = 1)
+    val queries = assign(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", keep = nprobe)
+    val scored = corpus.join(broadcast(queries), "centroid_id")
+      .select(col("qid"), col("cid"), cos(col("qv"), col("cv")).as("cos"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val e53AnnIvf: Q = Q(
+    "e53_ann_ivf",
+    (s, dir) => ivfTopK(t(s, dir, "embeddings")),
     None)
 }

@@ -11,7 +11,7 @@ import Q.t
   */
 object TextAnalysis {
 
-  def pack: Seq[Q] = Seq(d30TextStats, d31LangId, d32Fingerprint)
+  def pack: Seq[Q] = Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -108,6 +108,56 @@ object TextAnalysis {
           CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','les','et','est','une'))) AS INT) AS score_fr
         FROM documents) t
       ORDER BY doc_id"""))
+
+  /** Winnowing fingerprints (rolling-hash family, Schleimer et al. 2003):
+    * hash every char k-gram, then keep the minimum hash of each sliding
+    * window of w consecutive k-gram hashes. Guarantees any shared substring
+    * of length ≥ w+k-1 yields a shared fingerprint — the plagiarism/
+    * near-dup primitive that, unlike MinHash, localizes WHERE the overlap
+    * is. Per-row narrow compute; output is the (doc, fingerprint) posting
+    * list a pair-join consumes.
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 20, w: Int = 8): org.apache.spark.sql.DataFrame = {
+    val n = length(col("text"))
+    Q.spread(docs, "doc_id")
+      .select(col("doc_id"), col("text"))
+      .withColumn("gh", transform(
+        sequence(lit(1), greatest(n - (k - 1), lit(1))),
+        i => xxhash64(col("text").substr(i, lit(k)))))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
+          j => array_min(slice(col("gh"), j + 1, lit(w)))))).as("fingerprint"))
+  }
+
+  /** Winnowing near-dup pairs over documents: docs sharing ≥ 20
+    * fingerprints. Fingerprints occurring in more than `maxPostings` docs
+    * are dropped first (stop-fingerprint pruning) — they carry no signal
+    * and their posting lists would join quadratically; this is the same
+    * guard a plagiarism index needs at corpus scale. Rows-only
+    * (hash-based); WinnowSpec pins planted overlap.
+    */
+  val d33Winnow: Q = Q(
+    "d33_winnow",
+    (s, dir) => {
+      val fp = winnowFingerprints(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = fp.groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50)
+        .select(col("fingerprint"))
+      val pruned = fp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+      pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.fingerprint") === col("b.fingerprint") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(countDistinct(col("a.fingerprint")).as("shared_fps"))
+        .filter(col("shared_fps") >= 20)
+        .orderBy(col("d1"), col("d2"))
+    },
+    None)
 
   /** Canonical-text fingerprint: normalize (lowercase, strip punctuation,
     * collapse whitespace) then md5 — the cheap exact-dup key for content

@@ -16,16 +16,25 @@ class SimilaritySpec extends SparkSpec {
     val nearDup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
     val rows =
       Seq((0L, base)) ++                       // query
-        (5L until 25L).map(i => (i, vec())) ++ // random candidates
-        Seq((25L, nearDup))                    // planted neighbor
+        (5L until 80L).map(i => (i, vec())) ++ // random candidates
+        Seq((80L, nearDup))                    // planted neighbor
     rows.toDF("vec_id", "embedding")
   }
 
-  test("ANN returns the planted near-duplicate at rank 1") {
+  test("LSH ANN returns the planted near-duplicate at rank 1") {
     val top = Similarity.annTopK(emb, nQueries = 1, k = 5).collect()
     assert(top.nonEmpty, "ANN returned no candidates")
     val r1 = top.find(r => r.getAs[Int]("rank") == 1).get
-    assert(r1.getAs[Long]("cid") === 25L)
+    assert(r1.getAs[Long]("cid") === 80L)
+    assert(r1.getAs[Double]("cos") > 0.99)
+  }
+
+  test("IVF ANN returns the planted near-duplicate at rank 1") {
+    // centroids = vec_id % 37 == 0 → {0, 37, 74}: a real multi-list index
+    val top = Similarity.ivfTopK(emb, nQueries = 1, k = 5).collect()
+    assert(top.nonEmpty, "IVF returned no candidates")
+    val r1 = top.find(r => r.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("cid") === 80L)
     assert(r1.getAs[Double]("cos") > 0.99)
   }
 
