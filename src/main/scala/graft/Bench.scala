@@ -16,10 +16,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (classloading, codegen, parquet reader paths) outside the
     // timed region so per-query numbers measure the queries, not first-touch
-    // JIT. sf0.001 keeps the warmup itself cheap.
-    try SparkEntry.queries.values
-      .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
-    catch { case _: Throwable => () }
+    // JIT. sf0.001 keeps the warmup itself cheap; the catch is per-query so
+    // one failing query cannot skip warmup for the rest.
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

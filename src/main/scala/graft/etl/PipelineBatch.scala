@@ -31,12 +31,18 @@ object PipelineBatch {
     val raw = readLanding(spark, inDir)
     val (songs, artists, albums) = SpotifyTransform(raw)
 
+    // persist around write+count so each table's transform (and the input
+    // JSON parse) runs once, not once per action; counts then agree with
+    // exactly what was written even if the landing dir changes mid-run
     def write(df: DataFrame, table: String): Long = {
-      df.write
-        .mode(SaveMode.Overwrite)
-        .option("header", value = true)
-        .csv(s"$outDir/${table}_data/run=$runId")
-      df.count()
+      df.persist()
+      try {
+        df.write
+          .mode(SaveMode.Overwrite)
+          .option("header", value = true)
+          .csv(s"$outDir/${table}_data/run=$runId")
+        df.count()
+      } finally df.unpersist()
     }
 
     (write(songs, "song"), write(artists, "artist"), write(albums, "album"))

@@ -42,16 +42,18 @@ object SpotifyTransform {
     col("item.track.popularity").as("popularity"),
     to_timestamp(col("item.added_at")).as("added_date"),
     col("item.track.album.id").as("album_id"),
-    element_at(col("item.track.artists"), 1).getField("id").as("artist_id"))
+    // try_element_at: an empty artists array (local/removed track) must
+    // yield null, not an ANSI INVALID_ARRAY_INDEX error killing the batch
+    try_element_at(col("item.track.artists"), lit(1)).getField("id").as("artist_id"))
 
   /** Artist dim: primary artist of each item, deduped keep-first. */
   def artists(ex: DataFrame): DataFrame =
     keepFirst(
       ex.select(
         col("pos"),
-        element_at(col("item.track.artists"), 1).getField("id").as("artist_id"),
-        element_at(col("item.track.artists"), 1).getField("name").as("name"),
-        element_at(col("item.track.artists"), 1).getField("external_urls")
+        try_element_at(col("item.track.artists"), lit(1)).getField("id").as("artist_id"),
+        try_element_at(col("item.track.artists"), lit(1)).getField("name").as("name"),
+        try_element_at(col("item.track.artists"), lit(1)).getField("external_urls")
           .getField("spotify").as("url")),
       key = "artist_id")
 

@@ -64,20 +64,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: two cosine_sim calls can be inlined into one codegen
+      // scope (non-nullable children are emitted un-braced), so raw locals
+      // would collide and fail Janino compilation
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, nx = 0.0, ny = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double xi = $a.getFloat(i);
-         |    double yi = $b.getFloat(i);
-         |    dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getFloat($i);
+         |    double $yi = $b.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
-         |  if (denom == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = dot / denom; }
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
        """.stripMargin
     })

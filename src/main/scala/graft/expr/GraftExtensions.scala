@@ -30,10 +30,11 @@ object GraftFunctions {
       CosineSimilarity(exprs.head, exprs(1))
     })
 
-  /** Imperative registration for an already-built session. */
+  /** Imperative registration for an already-built session. Reuses the
+    * descriptor's builder so wrong arity fails with a clear message rather
+    * than an IndexOutOfBoundsException from inside analysis.
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "built-in")
+      "cosine_sim", cosineSimDescriptor._3, "built-in")
 }

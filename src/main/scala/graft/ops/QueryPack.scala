@@ -26,7 +26,9 @@ object Q {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // floor division (not `div`, which truncates toward zero): pre-epoch
+      // nanos must round down to match DuckDB's ns→µs conversion
+      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else df
   }
 

@@ -87,19 +87,26 @@ object Similarity {
   val NumTables = 4
   val PlanesPerTable = 8
 
-  /** Deterministic random hyperplanes (seeded), shared by index and query
-    * sides: NumTables independent tables of PlanesPerTable planes each.
+  /** Deterministic random hyperplanes (seeded per dimension), shared by
+    * index and query sides: NumTables independent tables of PlanesPerTable
+    * planes each. Memoized per embedding width — the planes must match the
+    * vector dimension or the dot products silently null out (zip_with pads
+    * the shorter side).
     */
-  private lazy val planeTables: Seq[Seq[Seq[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(64)(rnd.nextGaussian())))
-  }
+  private val planeCache =
+    new scala.collection.concurrent.TrieMap[Int, Seq[Seq[Seq[Double]]]]()
+
+  private def planeTables(dim: Int): Seq[Seq[Seq[Double]]] =
+    planeCache.getOrElseUpdate(dim, {
+      val rnd = new scala.util.Random(42L + dim)
+      Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+    })
 
   /** Per-table sign-buckets of a vector: element t = the PlanesPerTable-bit
     * bucket of table t (bit p = v · plane_p > 0). Narrow per-row.
     */
-  def lshBuckets(v: Column): Column =
-    array(planeTables.zipWithIndex.map { case (tbl, ti) =>
+  def lshBuckets(v: Column, dim: Int): Column =
+    array(planeTables(dim).zipWithIndex.map { case (tbl, ti) =>
       val bits = tbl.zipWithIndex.map { case (p, i) =>
         val dot = aggregate(
           zip_with(v, typedlit(p), (x, w) => x.cast("double") * w),
@@ -119,20 +126,26 @@ object Similarity {
     * SimilaritySpec pins recall on planted near-identical vectors.
     * Rows-only: bucketing is seed-specific, so no SQL oracle.
     */
-  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        explode(lshBuckets(col("embedding"))).as("bucket"))
-      .withColumn("qnorm", l2Norm(col("qv")))
-    val c = Q.spread(emb.filter(col("vec_id") >= nQueries), "vec_id")
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        explode(lshBuckets(col("embedding"))).as("bucket"))
-      .withColumn("cnorm", l2Norm(col("cv")))
-    val scored = c.join(broadcast(q), "bucket")
+  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val corpus = Q.spread(emb.filter(col("vec_id") >= nQueries), "vec_id")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // candidate pairs first (cheap bucket columns only), dedup across
+    // tables, THEN score each surviving pair exactly once — a pair matching
+    // in all 4 tables must not pay the exact-cosine cost 4 times
+    val qb = queries.select(col("qid"),
+      explode(lshBuckets(col("qv"), dim)).as("bucket"))
+    val cb = corpus.select(col("cid"),
+      explode(lshBuckets(col("cv"), dim)).as("bucket"))
+    val candidates = cb.join(broadcast(qb), "bucket")
+      .select(col("qid"), col("cid")).distinct()
+    val scored = candidates
+      .join(corpus, "cid")
+      .join(broadcast(queries.withColumn("qnorm", l2Norm(col("qv")))), "qid")
       .select(col("qid"), col("cid"),
-        (dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).as("cos"))
-      .groupBy(col("qid"), col("cid")) // a pair can match in several tables
-      .agg(first(col("cos")).as("cos"))
+        (dotExact(col("qv"), col("cv")) / (col("qnorm") * l2Norm(col("cv")))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -58,9 +58,34 @@ class SpotifyTransformSpec extends SparkSpec {
     assert(byId("al3").getDate(2) === Date.valueOf("1981-01-01"))
   }
 
+  test("transform outputs match the declared star-schema StructTypes") {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(songs.schema) === shape(Schemas.SongSchema))
+    assert(shape(artists.schema) === shape(Schemas.ArtistSchema))
+    assert(shape(albums.schema) === shape(Schemas.AlbumSchema))
+  }
+
   test("star schema is FK-consistent within the batch (anti-joins empty)") {
     assert(songs.join(artists, Seq("artist_id"), "left_anti").count() === 0)
     assert(songs.join(albums, Seq("album_id"), "left_anti").count() === 0)
+  }
+
+  test("empty artists array yields null artist_id instead of an ANSI error") {
+    import spark.implicits._
+    val json =
+      """{"items":[{"added_at":"2023-01-01T00:00:00Z","track":{"id":"tx",
+        |"name":"X","duration_ms":1,"popularity":1,
+        |"external_urls":{"spotify":"u"},
+        |"album":{"id":"alx","name":"AX","release_date":"2020",
+        |"total_tracks":1,"external_urls":{"spotify":"u"}},
+        |"artists":[]}}]}""".stripMargin.replace("\n", "")
+    val raw = spark.read.schema(Schemas.PlaylistSchema).json(Seq(json).toDS())
+    val (s, a, _) = SpotifyTransform(raw)
+    val row = s.collect().head
+    assert(row.getAs[String]("song_id") === "tx")
+    assert(row.getAs[String]("artist_id") === null)
+    assert(a.count() === 1) // one null-keyed dim row, no crash
   }
 
   test("dedup is idempotent") {

@@ -60,6 +60,26 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("two cosine_sim calls inline into one codegen scope without collision") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      // non-nullable literal children are emitted un-braced into the same
+      // generated scope — regression guard for duplicate Java locals
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val row = spark.sql(
+        """SELECT
+          |  cosine_sim(array(cast(1.0 as float)), array(cast(1.0 as float))) AS c1,
+          |  cosine_sim(array(cast(2.0 as float)), array(cast(3.0 as float))) AS c2
+          |""".stripMargin).collect().head
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("TopKAggregator keeps k best with deterministic tie-break") {
     val agg = new TopKAggregator(3)
     val items = Seq(
