@@ -16,7 +16,8 @@ import Q.t
   */
 object Dedup {
 
-  def pack: Seq[Q] = Seq(d40DedupExact, d41ShingleJaccard, d42MinhashLsh, d43Simhash)
+  def pack: Seq[Q] =
+    Seq(d40DedupExact, d41ShingleJaccard, d42MinhashLsh, d43Simhash, d44EmbeddingNearDup)
 
   // ---------------------------------------------------------------- shingles
 
@@ -194,6 +195,54 @@ object Dedup {
     "d42_minhash_lsh",
     (s, dir) => minhashNearDups(t(s, dir, "documents"), threshold = 0.2),
     None)
+
+  // ------------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding-cosine near-duplicate pairs, blocked by the `label` metadata
+    * column: only same-label vectors are compared (metadata blocking is the
+    * first-line candidate cut in embedding dedup — at corpus scale the
+    * block join replaces the all-pairs product; swap in LSH buckets when no
+    * blocking key exists). Exact-decimal cosine keeps the oracle compare
+    * bit-stable; pairs at or above the threshold survive.
+    */
+  val d44EmbeddingNearDup: Q = Q(
+    "d44_embedding_neardup",
+    (s, dir) => {
+      val emb = Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("norm", graft.ops.Similarity.l2Norm(col("embedding")))
+      val a = emb.select(col("label"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("norm").as("n1"))
+      val b = emb.select(col("label"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("norm").as("n2"))
+      a.join(b, Seq("label"))
+        .filter(col("v1") < col("v2"))
+        .select(col("label"), col("v1"), col("v2"),
+          (graft.ops.Similarity.dotExact(col("e1"), col("e2")) /
+            (col("n1") * col("n2"))).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select(col("label"), col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("v1"), col("v2"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+          sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS norm
+        FROM (SELECT vec_id, label, embedding, unnest(embedding) AS x FROM embeddings) t
+        GROUP BY vec_id, label, embedding),
+      pairs AS (
+        SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+          a.embedding AS e1, b.embedding AS e2, a.norm AS n1, b.norm AS n2
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT label, v1, v2, n1, n2,
+          CAST(sum(CAST(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT label, v1, v2, n1, n2, unnest(e1) AS x1, unnest(e2) AS x2
+              FROM pairs) t
+        GROUP BY label, v1, v2, n1, n2)
+      SELECT label, v1, v2, round(dot/(n1*n2), 6) AS cos
+      FROM dots WHERE dot/(n1*n2) >= 0.3
+      ORDER BY v1, v2"""))
 
   // ---------------------------------------------------------------- SimHash
 
