@@ -11,7 +11,7 @@ import Q.t
   */
 object EventWindows {
 
-  def pack: Seq[Q] = Seq(q23Tumbling, q24Sliding, q25Sessions)
+  def pack: Seq[Q] = Seq(q23Tumbling, q24Sliding, q25Sessions, q37ClickAttribution)
 
   /** Tumbling 1-hour windows per event type. */
   val q23Tumbling: Q = Q(
@@ -41,6 +41,25 @@ object EventWindows {
         FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks) t
       WHERE ts < ws + INTERVAL '1 hour'
       GROUP BY ws, event_type ORDER BY ws, event_type"""))
+
+  /** The stream-stream join transform run in batch mode: each purchase
+    * attributed to the same user's clicks within the preceding 30 minutes
+    * (see EventStreamSpec for the streaming run with watermark-bounded
+    * state).
+    */
+  val q37ClickAttribution: Q = Q(
+    "q37_click_attribution",
+    (s, dir) => EventTransforms.clickToPurchase(t(s, dir, "events"))
+      .orderBy(col("click_id"), col("purchase_id")),
+    Some("""
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts > c.ts
+       AND p.ts <= c.ts + INTERVAL '30 minutes'
+      ORDER BY click_id, purchase_id"""))
 
   /** Session windows (30-minute gap) per user. The oracle derives sessions
     * with the classic gaps-and-islands window idiom; a new session starts

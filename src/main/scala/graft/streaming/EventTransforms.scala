@@ -57,6 +57,30 @@ object EventTransforms {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Watermarked stream-stream join: attribute each purchase to the same
+    * user's clicks in the preceding `within` window. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so each
+    * side's state is evicted once the other side's watermark passes — the
+    * only join shape that holds state O(window), not O(stream). Works
+    * identically in batch (cf. the q18 range join).
+    */
+  def clickToPurchase(events: DataFrame, within: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", within)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", within)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Exactly-once-per-id dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state older than the
     * watermark is evicted. (The reference dedups only within one file —

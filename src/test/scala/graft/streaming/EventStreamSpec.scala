@@ -106,6 +106,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to in-window clicks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.clickToPurchase(ms.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "10:00", user = 1, typ = "click"),
+        ev(2, "10:10", user = 1, typ = "purchase"), // within 30m of click 1
+        ev(3, "09:00", user = 2, typ = "click"),
+        ev(4, "10:10", user = 2, typ = "purchase"), // 70m later: out of window
+        ev(5, "10:05", user = 3, typ = "purchase")) // no click at all
+      drain(q)
+      val rows = spark.table("attrib_out")
+        .select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agree on the same data") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
