@@ -11,7 +11,8 @@ import Q.t
   */
 object TextAnalysis {
 
-  def pack: Seq[Q] = Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow)
+  def pack: Seq[Q] =
+    Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow, d34HashSplit, d35Bigrams)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -108,6 +109,60 @@ object TextAnalysis {
           CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','les','et','est','une'))) AS INT) AS score_fr
         FROM documents) t
       ORDER BY doc_id"""))
+
+  /** Deterministic train/val/test split by multiplicative hash of the
+    * document id: reproducible across runs, engines, and cluster sizes —
+    * the property `rand()`-based sampling lacks. 80/10/10 by Knuth hash
+    * bucket; both engines compute the identical integer arithmetic (ids
+    * are far below overflow range).
+    */
+  val d34HashSplit: Q = Q(
+    "d34_hash_split",
+    (s, dir) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""
+      SELECT split, lang, count(*) AS n_docs FROM (
+        SELECT doc_id, lang,
+          CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+               WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents) t
+      GROUP BY split, lang ORDER BY split, lang"""))
+
+  /** Word-bigram extraction + top-k: the n-gram counting primitive behind
+    * language-model data statistics. Explode once, aggregate, rank with a
+    * total tie-break.
+    */
+  val d35Bigrams: Q = Q(
+    "d35_bigrams",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val bigrams = transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      t(s, dir, "documents")
+        .filter(size(toks) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+    Some("""
+      SELECT bigram, count(*) AS n FROM (
+        SELECT unnest([words[i] || ' ' || words[i+1]
+                       for i in range(1, len(words))]) AS bigram
+        FROM (SELECT string_split(text, ' ') AS words FROM documents) w
+        WHERE len(words) >= 2) t
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"""))
 
   /** Winnowing fingerprints (rolling-hash family, Schleimer et al. 2003):
     * hash every char k-gram, then keep the minimum hash of each sliding
