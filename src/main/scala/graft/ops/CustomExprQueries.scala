@@ -25,14 +25,11 @@ object CustomExprQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val c = emb.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val scored = c.crossJoin(broadcast(q))
-        .select(col("qid"), col("cid"),
-          call_function("cosine_sim", col("qv"), col("cv")).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
+      Similarity.rankTopK(
+        c.crossJoin(broadcast(q))
+          .select(col("qid"), col("cid"),
+            call_function("cosine_sim", col("qv"), col("cv")).as("cos")),
+        k = 10)
     },
     Some("""
       WITH q AS (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
 import org.apache.spark.sql.types.DecimalType
 
 /** One named engine query: a Spark implementation plus (when expressible) an
@@ -59,7 +59,7 @@ object Q {
   def spread(df: DataFrame, key: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df
-    else df.repartition(p, org.apache.spark.sql.functions.col(key))
+    else df.repartition(p, col(key))
   }
 
   /** Exact-decimal discounted price: cast each FACTOR to decimal before
@@ -68,16 +68,14 @@ object Q {
     * which breaks cross-engine bit-parity on 3-factor products.
     */
   def discPrice: Column =
-    Q.c("l_extendedprice").cast(DecimalType(12, 2)) *
-      (org.apache.spark.sql.functions.lit(1) - Q.c("l_discount")).cast(DecimalType(4, 2))
+    col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount")).cast(DecimalType(4, 2))
 
   def chargePrice: Column =
-    discPrice * (org.apache.spark.sql.functions.lit(1) + Q.c("l_tax")).cast(DecimalType(4, 2))
+    discPrice * (lit(1) + col("l_tax")).cast(DecimalType(4, 2))
 
   val sqlDiscPrice: String =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))"
   val sqlChargePrice: String =
     s"$sqlDiscPrice * CAST(1+l_tax AS DECIMAL(4,2))"
-
-  private def c(name: String): Column = org.apache.spark.sql.functions.col(name)
 }

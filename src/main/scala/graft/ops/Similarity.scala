@@ -34,6 +34,17 @@ object Similarity {
 
   def l2Norm(v: Column): Column = sqrt(dotExact(v, v))
 
+  /** Shared top-k tail: rank scored (qid, cid, cos) pairs per query on full
+    * precision, keep k, report cos at 6dp (see dotExact on why), ordered.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
     * rest of the corpus.
     */
@@ -47,16 +58,11 @@ object Similarity {
       val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         .withColumn("cnorm", l2Norm(col("cv")))
-      val scored = c.crossJoin(broadcast(q))
-        .select(col("qid"), col("cid"),
-          (dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      // rank on full precision; report cos at 6dp — decimal→double conversion
-      // rounds differently across engines in the last ulp
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
+      rankTopK(
+        c.crossJoin(broadcast(q))
+          .select(col("qid"), col("cid"),
+            (dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).as("cos")),
+        k = 10)
     },
     Some("""
       WITH q AS (
@@ -141,16 +147,13 @@ object Similarity {
       explode(lshBuckets(col("cv"), dim)).as("bucket"))
     val candidates = cb.join(broadcast(qb), "bucket")
       .select(col("qid"), col("cid")).distinct()
-    val scored = candidates
-      .join(corpus, "cid")
-      .join(broadcast(queries.withColumn("qnorm", l2Norm(col("qv")))), "qid")
-      .select(col("qid"), col("cid"),
-        (dotExact(col("qv"), col("cv")) / (col("qnorm") * l2Norm(col("cv")))).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(
+      candidates
+        .join(corpus, "cid")
+        .join(broadcast(queries.withColumn("qnorm", l2Norm(col("qv")))), "qid")
+        .select(col("qid"), col("cid"),
+          (dotExact(col("qv"), col("cv")) / (col("qnorm") * l2Norm(col("cv")))).as("cos")),
+      k)
   }
 
   val e51AnnLsh: Q = Q(
@@ -195,15 +198,12 @@ object Similarity {
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
       "qid", "qv", keep = nprobe)
-    val scored = corpus.join(broadcast(queries), "centroid_id")
-      .select(col("qid"), col("cid"), cos(col("qv"), col("cv")).as("cos"))
-      .groupBy(col("qid"), col("cid"))
-      .agg(first(col("cos")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(
+      corpus.join(broadcast(queries), "centroid_id")
+        .select(col("qid"), col("cid"), cos(col("qv"), col("cv")).as("cos"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(first(col("cos")).as("cos")),
+      k)
   }
 
   val e53AnnIvf: Q = Q(

@@ -66,6 +66,16 @@ class SpotifyTransformSpec extends SparkSpec {
     assert(shape(albums.schema) === shape(Schemas.AlbumSchema))
   }
 
+  test("outputs round-trip through the typed Dataset surface") {
+    import spark.implicits._
+    // the typed core (Dataset[Song] etc., SURVEY §1.1) must stay encodable
+    assert(songs.as[Song].collect().map(_.song_id).sorted.toSeq ===
+      Seq("t1", "t2", "t3", "t4", "t5"))
+    assert(artists.as[Artist].collect().map(_.artist_id).sorted.toSeq ===
+      Seq("ar1", "ar2", "ar3"))
+    assert(albums.as[Album].collect().map(_.album_id).sorted.length === 4)
+  }
+
   test("star schema is FK-consistent within the batch (anti-joins empty)") {
     assert(songs.join(artists, Seq("artist_id"), "left_anti").count() === 0)
     assert(songs.join(albums, Seq("album_id"), "left_anti").count() === 0)
