@@ -42,6 +42,27 @@ class PipelineSpec extends SparkSpec {
       .csv(s"$out/song_data/run=test").count() === 5)
   }
 
+  test("CSV output quotes commas, quotes, and newlines in track names") {
+    import spark.implicits._
+    val nasty = "Track, with \"quotes\" and\nnewline"
+    val json =
+      ("""{"items":[{"added_at":"2023-01-01T00:00:00Z","track":{"id":"tq",
+         |"name":""" + "\"Track, with \\\"quotes\\\" and\\nnewline\"" + ""","duration_ms":1,"popularity":1,
+         |"external_urls":{"spotify":"u"},
+         |"album":{"id":"alq","name":"A","release_date":"2020","total_tracks":1,
+         |"external_urls":{"spotify":"u"}},
+         |"artists":[{"id":"arq","name":"N","external_urls":{"spotify":"u"}}]}}]}""").stripMargin
+        .replace("\n|", "").replace("|", "")
+    val in = tmpDir("graft-csvq")
+    val out = tmpDir("graft-csvq-out")
+    Files.writeString(in.resolve("nasty.json"), json)
+    PipelineBatch.run(spark, in.toString, out.toString, runId = "q")
+    // a round-trip read must reconstruct the exact name, newline included
+    val got = spark.read.option("header", true).option("multiLine", true)
+      .csv(s"$out/song_data/run=q").collect().head.getAs[String]("name")
+    assert(got === nasty)
+  }
+
   test("streaming pipeline processes inbox files and archives the source") {
     val inbox = tmpDir("graft-inbox")
     val out = tmpDir("graft-sout")
