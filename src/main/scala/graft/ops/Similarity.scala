@@ -174,18 +174,21 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       nprobe: Int = 4): DataFrame = {
-    import graft.expr.GraftFunctions
-    GraftFunctions.register(emb.sparkSession)
-    val cos = (a: Column, b: Column) => call_function("cosine_sim", a, b)
+    // exact-decimal cosine throughout so centroid assignment and ranking
+    // are engine-independent — this keeps the whole IVF dataflow
+    // oracle-checkable (near-tie assignments would otherwise flip)
     val centroids = broadcast(
       emb.filter(col("vec_id") % 37 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        .withColumn("centroid_norm", l2Norm(col("centroid"))))
     def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("sim").desc, col("centroid_id"))
-      df.join(centroids)
+      df.withColumn("vnorm", l2Norm(col(vCol)))
+        .join(centroids)
         .select(col(idCol), col(vCol), col("centroid_id"),
-          cos(col(vCol), col("centroid")).as("sim"))
+          (dotExact(col(vCol), col("centroid")) /
+            (col("vnorm") * col("centroid_norm"))).as("sim"))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
         .drop("sim", "crank")
@@ -198,16 +201,68 @@ object Similarity {
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
       "qid", "qv", keep = nprobe)
+    val candidates = corpus.select(col("cid"), col("centroid_id"))
+      .join(broadcast(queries.select(col("qid"), col("centroid_id"))), "centroid_id")
+      .select(col("qid"), col("cid")).distinct()
     rankTopK(
-      corpus.join(broadcast(queries), "centroid_id")
-        .select(col("qid"), col("cid"), cos(col("qv"), col("cv")).as("cos"))
-        .groupBy(col("qid"), col("cid"))
-        .agg(first(col("cos")).as("cos")),
+      candidates
+        .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
+        .join(broadcast(emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .withColumn("qnorm", l2Norm(col("qv")))), "qid")
+        .select(col("qid"), col("cid"),
+          (dotExact(col("qv"), col("cv")) / (col("qnorm") * l2Norm(col("cv")))).as("cos")),
       k)
   }
 
   val e53AnnIvf: Q = Q(
     "e53_ann_ivf",
     (s, dir) => ivfTopK(t(s, dir, "embeddings")),
-    None)
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id % 37 = 0),
+      norms AS (
+        SELECT vec_id,
+          sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+        GROUP BY vec_id),
+      vc AS (
+        SELECT vec_id, centroid_id,
+          CAST(sum(CAST(CAST(vx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT e.vec_id, c.centroid_id,
+                unnest(e.embedding) AS vx, unnest(c.centroid) AS cx
+              FROM embeddings e CROSS JOIN cents c) p
+        GROUP BY vec_id, centroid_id),
+      sims AS (
+        SELECT vc.vec_id, vc.centroid_id, vc.dot/(nv.nrm*nc.nrm) AS sim
+        FROM vc JOIN norms nv ON vc.vec_id = nv.vec_id
+                JOIN norms nc ON vc.centroid_id = nc.vec_id),
+      assign_c AS (
+        SELECT vec_id AS cid, centroid_id FROM (
+          SELECT vec_id, centroid_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM sims WHERE vec_id >= 5) t WHERE rn = 1),
+      assign_q AS (
+        SELECT vec_id AS qid, centroid_id FROM (
+          SELECT vec_id, centroid_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM sims WHERE vec_id < 5) t WHERE rn <= 4),
+      cand AS (
+        SELECT DISTINCT q.qid, a.cid
+        FROM assign_q q JOIN assign_c a USING (centroid_id)),
+      dots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT cand.qid, cand.cid,
+                unnest(eq.embedding) AS qx, unnest(ec.embedding) AS cx
+              FROM cand JOIN embeddings eq ON eq.vec_id = cand.qid
+                        JOIN embeddings ec ON ec.vec_id = cand.cid) p
+        GROUP BY qid, cid)
+      SELECT qid, cid, round(cos, 6) AS cos, rank FROM (
+        SELECT d.qid, d.cid, d.dot/(nq.nrm*nc.nrm) AS cos,
+          CAST(row_number() OVER (PARTITION BY d.qid
+                 ORDER BY d.dot/(nq.nrm*nc.nrm) DESC, d.cid) AS INT) AS rank
+        FROM dots d JOIN norms nq ON d.qid = nq.vec_id
+                    JOIN norms nc ON d.cid = nc.vec_id) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
 }
