@@ -9,7 +9,8 @@ import Q.{sumDec, t}
   */
 object Relational2 {
 
-  def pack: Seq[Q] = Seq(q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql)
+  def pack: Seq[Q] = Seq(q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql,
+    q38MapFns, q39NullSafeArith)
 
   /** Correlated scalar-subquery semantics: orders above their customer's
     * average order value. Expressed as window-average + filter (the
@@ -83,6 +84,71 @@ object Relational2 {
         round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         count(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Map-typed columns: build a map from aggregated entries, then consume
+    * it with element_at / map_keys / size. Output is flat columns (map
+    * column ordering is not canonical across engines, so the map itself
+    * never leaves the query).
+    */
+  val q38MapFns: Q = Q(
+    "q38_map_fns",
+    (s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .groupBy(col("yr"))
+        .agg(map_from_entries(collect_list(struct(col("o_orderstatus"), col("n"))))
+          .as("status_map"))
+        .select(
+          col("yr"),
+          size(col("status_map")).as("n_statuses"),
+          coalesce(element_at(col("status_map"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("status_map"), "O"), lit(0L)).as("n_o"),
+          // flatten the key list to a string: array-typed output columns
+          // sort/hash differently across compare harnesses
+          concat_ws(",", array_sort(map_keys(col("status_map")))).as("statuses"))
+        .orderBy(col("yr"))
+    },
+    Some("""
+      SELECT yr, CAST(len(status_list) AS INT) AS n_statuses,
+        coalesce(n_f, 0) AS n_f, coalesce(n_o, 0) AS n_o,
+        array_to_string(status_list, ',') AS statuses
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+          list_sort(list(DISTINCT o_orderstatus)) AS status_list,
+          count(*) FILTER (o_orderstatus = 'F') AS n_f,
+          count(*) FILTER (o_orderstatus = 'O') AS n_o
+        FROM orders GROUP BY 1) t
+      ORDER BY yr"""))
+
+  /** Null-safe arithmetic: try_divide and friends return NULL where ANSI
+    * would throw — the engine's stance on dirty data (same reason the date
+    * parser uses try_to_date).
+    */
+  val q39NullSafeArith: Q = Q(
+    "q39_nullsafe_arith",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+          try_divide(col("l_quantity"), col("l_quantity") - col("l_quantity"))
+            .as("div_by_zero"),
+          (col("l_extendedprice") <=> lit(null)).as("nullsafe_eq"),
+          nvl2(col("l_returnflag"), lit("flagged"), lit("none")).as("nvl2_demo"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_discount = 0 THEN NULL
+             ELSE l_extendedprice / l_discount END AS price_per_disc,
+        CAST(NULL AS DOUBLE) AS div_by_zero,
+        l_extendedprice IS NOT DISTINCT FROM NULL AS nullsafe_eq,
+        CASE WHEN l_returnflag IS NOT NULL THEN 'flagged' ELSE 'none' END AS nvl2_demo
+      FROM lineitem WHERE l_orderkey % 500 = 0
+      ORDER BY l_orderkey, l_linenumber"""))
 
   /** The SQL surface end-to-end: CTEs, a join, a window, and HAVING through
     * spark.sql — the oracle is nearly the same text, which is the point.

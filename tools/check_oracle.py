@@ -47,6 +47,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns differ spark={gc} oracle={wc}")
             failures += 1
             continue
+        # array/list cells are unhashable for pandas sorting — stringify
+        for df in (got, want):
+            for c in gc:
+                if df[c].dtype == object and df[c].map(
+                        lambda v: not isinstance(v, (str, bytes, type(None)))
+                        and hasattr(v, "__len__")).any():
+                    df[c] = df[c].map(str)
         g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
         w = want[wc].sort_values(by=wc, kind="mergesort").reset_index(drop=True)
         if len(g) != len(w):
