@@ -32,9 +32,14 @@ object GraftFunctions {
 
   /** Imperative registration for an already-built session. Reuses the
     * descriptor's builder so wrong arity fails with a clear message rather
-    * than an IndexOutOfBoundsException from inside analysis.
+    * than an IndexOutOfBoundsException from inside analysis. Idempotent:
+    * re-registering every query would log a "function replaced" WARN per
+    * call and pollute harness output (the round-1 bench JSON drowned in it).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", cosineSimDescriptor._3, "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", cosineSimDescriptor._3, "built-in")
+  }
 }

@@ -202,24 +202,34 @@ object Dedup {
     * column: only same-label vectors are compared (metadata blocking is the
     * first-line candidate cut in embedding dedup — at corpus scale the
     * block join replaces the all-pairs product; swap in LSH buckets when no
-    * blocking key exists). Exact-decimal cosine keeps the oracle compare
-    * bit-stable; pairs at or above the threshold survive.
+    * blocking key exists).
+    *
+    * Two-pass scoring: the codegen'd native `cosine_sim` filters every
+    * in-block pair at (threshold − ε) IN THE SAME STAGE as the block join
+    * (no extra shuffle), then the exact order-independent decimal cosine —
+    * which keeps the oracle compare bit-stable — re-scores only the ~0.1%
+    * of pairs that survive. Native double and exact decimal agree to
+    * ~1e-12, so the ε = 1e-6 margin makes the prefilter lossless; the
+    * final exact `>= threshold` filter reproduces the all-decimal result
+    * bit-for-bit (round-1 profile: 21.8 s → the interpreted decimal now
+    * touches only survivors).
     */
   val d44EmbeddingNearDup: Q = Q(
     "d44_embedding_neardup",
     (s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val S = graft.ops.Similarity
       val emb = Q.spread(t(s, dir, "embeddings"), "vec_id")
         .select(col("vec_id"), col("label"), col("embedding"))
-        .withColumn("norm", graft.ops.Similarity.l2Norm(col("embedding")))
       val a = emb.select(col("label"), col("vec_id").as("v1"),
-        col("embedding").as("e1"), col("norm").as("n1"))
+        col("embedding").as("e1"))
       val b = emb.select(col("label"), col("vec_id").as("v2"),
-        col("embedding").as("e2"), col("norm").as("n2"))
+        col("embedding").as("e2"))
       a.join(b, Seq("label"))
         .filter(col("v1") < col("v2"))
+        .filter(S.cosNative(col("e1"), col("e2")) >= 0.3 - S.Eps)
         .select(col("label"), col("v1"), col("v2"),
-          (graft.ops.Similarity.dotExact(col("e1"), col("e2")) /
-            (col("n1") * col("n2"))).as("cos"))
+          S.cosExact(col("e1"), col("e2")).as("cos"))
         .filter(col("cos") >= 0.3)
         .select(col("label"), col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
         .orderBy(col("v1"), col("v2"))

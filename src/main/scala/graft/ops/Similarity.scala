@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.expr.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,15 +15,31 @@ import Q.t
   * brute force is a single narrow pass over the corpus (map-side top-k via
   * the rank window on qid — #queries × corpus rows, no shuffle of the
   * corpus). The LSH variant cuts the per-query work to one bucket.
+  *
+  * All scorers are TWO-PASS: the codegen'd native `cosine_sim` expression
+  * (graft.expr.CosineSimilarity) scores every candidate, and the exact
+  * order-independent decimal form re-scores only the survivors near the
+  * rank/threshold boundary. Native double and exact decimal agree to
+  * ~1e-12 on unit-scale 64-dim vectors, so an `Eps = 1e-6` margin around
+  * the boundary guarantees the survivor set is a superset of the exact
+  * answer — the output stays bit-identical to the all-decimal form while
+  * the interpreted-decimal work drops from O(candidates) to O(k).
   */
 object Similarity {
 
   def pack: Seq[Q] = Seq(e50CosineTopK, e51AnnLsh, e53AnnIvf)
 
+  /** Native-vs-exact disagreement margin (see object doc). Must exceed
+    * 2× the true |native − exact| error (~1e-12) by a wide factor.
+    */
+  val Eps = 1e-6
+
   /** Exact decimal dot product of two float vectors, returned as DOUBLE.
     * Each product is widened to double (exact) then cast to decimal so the
     * sum is order-independent — bit-identical across engines, which keeps
     * ranking deterministic for the oracle compare (see Q.dec2 notes).
+    * Runs INTERPRETED (higher-order functions have no codegen): use only on
+    * boundary survivors of a native prefilter, never as the bulk scorer.
     */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
@@ -33,6 +50,16 @@ object Similarity {
       .cast("double")
 
   def l2Norm(v: Column): Column = sqrt(dotExact(v, v))
+
+  /** Exact-decimal cosine — the oracle-parity scorer for boundary rows. */
+  def cosExact(a: Column, b: Column): Column =
+    dotExact(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Native codegen'd cosine (graft.expr.CosineSimilarity) — the bulk
+    * scorer. Callers must GraftFunctions.register the session first.
+    */
+  def cosNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Shared top-k tail: rank scored (qid, cid, cos) pairs per query on full
     * precision, keep k, report cos at 6dp (see dotExact on why), ordered.
@@ -45,24 +72,45 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Two-pass top-k: `fast` is natively scored pairs (qid, cid, cosf).
+    * Keep the native top-k plus everything within Eps of the k-th native
+    * score (a guaranteed superset of the exact top-k), then re-score just
+    * those rows with exact decimal against the (qid→qv) / (cid→cv) lookup
+    * sides and rank. The window shuffle carries only narrow
+    * (qid, cid, cosf) rows — vectors rejoin after the cut.
+    */
+  def exactRerank(fast: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val wOrd = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("cid"))
+    val wAll = Window.partitionBy(col("qid"))
+    val surv = fast
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("kth", max(when(col("rk") === k, col("cosf"))).over(wAll))
+      // kth is null when a query has < k candidates; rk <= k then keeps all
+      .filter(col("rk") <= k || col("cosf") >= col("kth") - Eps)
+      .select(col("qid"), col("cid"))
+    rankTopK(
+      surv.join(corpus, "cid").join(broadcast(queries), "qid")
+        .select(col("qid"), col("cid"), cosExact(col("qv"), col("cv")).as("cos")),
+      k)
+  }
+
   /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
-    * rest of the corpus.
+    * rest of the corpus: one narrow native-scored pass over the corpus,
+    * exact-decimal re-rank of ~k rows per query.
     */
   val e50CosineTopK: Q = Q(
     "e50_cosine_topk",
     (s, dir) => {
+      GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .withColumn("qnorm", l2Norm(col("qv")))
       val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        .withColumn("cnorm", l2Norm(col("cv")))
-      rankTopK(
-        c.crossJoin(broadcast(q))
-          .select(col("qid"), col("cid"),
-            (dotExact(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).as("cos")),
-        k = 10)
+      val fast = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"), cosNative(col("qv"), col("cv")).as("cosf"))
+      exactRerank(fast, q, c, k = 10)
     },
     Some("""
       WITH q AS (
@@ -97,63 +145,67 @@ object Similarity {
     * index and query sides: NumTables independent tables of PlanesPerTable
     * planes each. Memoized per embedding width — the planes must match the
     * vector dimension or the dot products silently null out (zip_with pads
-    * the shorter side).
+    * the shorter side). Stored as floats so the sign test can run through
+    * the native codegen'd cosine (sign(cos) == sign(dot): norms are
+    * positive, so bucketing by cosine sign is bucketing by dot sign).
     */
   private val planeCache =
-    new scala.collection.concurrent.TrieMap[Int, Seq[Seq[Seq[Double]]]]()
+    new scala.collection.concurrent.TrieMap[Int, Seq[Seq[Float]]]()
 
-  private def planeTables(dim: Int): Seq[Seq[Seq[Double]]] =
+  private def planeTables(dim: Int): Seq[Seq[Float]] =
     planeCache.getOrElseUpdate(dim, {
       val rnd = new scala.util.Random(42L + dim)
-      Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+      Seq.fill(NumTables * PlanesPerTable)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
     })
 
   /** Per-table sign-buckets of a vector: element t = the PlanesPerTable-bit
-    * bucket of table t (bit p = v · plane_p > 0). Narrow per-row.
+    * bucket of table t (bit p = v · plane_p > 0). Narrow per-row, fully
+    * codegen'd — 32 native cosine evaluations per vector instead of 32
+    * interpreted HOF dot products (the round-1 hot spot).
     */
-  def lshBuckets(v: Column, dim: Int): Column =
-    array(planeTables(dim).zipWithIndex.map { case (tbl, ti) =>
-      val bits = tbl.zipWithIndex.map { case (p, i) =>
-        val dot = aggregate(
-          zip_with(v, typedlit(p), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, d) => acc + d)
-        when(dot > 0, shiftleft(lit(1L), i)).otherwise(0L)
+  def lshBuckets(v: Column, dim: Int): Column = {
+    val planes = planeTables(dim)
+    array((0 until NumTables).map { ti =>
+      val bits = (0 until PlanesPerTable).map { i =>
+        val p = planes(ti * PlanesPerTable + i)
+        when(cosNative(v, typedlit(p)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
       }
       // tag the bucket with its table index so tables never cross-match
       bits.reduce(_ + _) + lit(ti.toLong * (1L << PlanesPerTable))
     }: _*)
+  }
 
   /** ANN top-k via multi-table hyperplane LSH: a candidate is any corpus
-    * vector sharing at least one table-bucket with the query; exact cosine
-    * re-ranks candidates. Multiple independent tables trade one bucket's
-    * miss-rate for a union of buckets — recall rises as 1-(1-r)^T while the
-    * probed fraction of the corpus stays tiny, which is the 100 TB path
-    * where scanning the corpus per query is off the table.
+    * vector sharing at least one table-bucket with the query; native cosine
+    * scores candidates and exact decimal re-ranks the boundary. Multiple
+    * independent tables trade one bucket's miss-rate for a union of buckets
+    * — recall rises as 1-(1-r)^T while the probed fraction of the corpus
+    * stays tiny, which is the 100 TB path where scanning the corpus per
+    * query is off the table.
     * SimilaritySpec pins recall on planted near-identical vectors.
     * Rows-only: bucketing is seed-specific, so no SQL oracle.
     */
   def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       dim: Int = 64): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val corpus = Q.spread(emb.filter(col("vec_id") >= nQueries), "vec_id")
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // candidate pairs first (cheap bucket columns only), dedup across
     // tables, THEN score each surviving pair exactly once — a pair matching
-    // in all 4 tables must not pay the exact-cosine cost 4 times
+    // in all 4 tables must not pay the scoring cost 4 times
     val qb = queries.select(col("qid"),
       explode(lshBuckets(col("qv"), dim)).as("bucket"))
     val cb = corpus.select(col("cid"),
       explode(lshBuckets(col("cv"), dim)).as("bucket"))
     val candidates = cb.join(broadcast(qb), "bucket")
       .select(col("qid"), col("cid")).distinct()
-    rankTopK(
-      candidates
-        .join(corpus, "cid")
-        .join(broadcast(queries.withColumn("qnorm", l2Norm(col("qv")))), "qid")
-        .select(col("qid"), col("cid"),
-          (dotExact(col("qv"), col("cv")) / (col("qnorm") * l2Norm(col("cv")))).as("cos")),
-      k)
+    val fast = candidates
+      .join(corpus, "cid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("cid"), cosNative(col("qv"), col("cv")).as("cosf"))
+    exactRerank(fast, queries, corpus, k)
   }
 
   val e51AnnLsh: Q = Q(
@@ -171,24 +223,36 @@ object Similarity {
     * inverted lists → probe few lists) with the k-means training step
     * replaced by deterministic sampling — training is a separate offline
     * concern; the serving-path dataflow is what must scale.
+    *
+    * Assignment and final ranking are both two-pass (see object doc): the
+    * whole dataflow still matches the all-decimal oracle bit-for-bit, but
+    * only ~keep rows per vector ever pay the interpreted-decimal cost.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       nprobe: Int = 4): DataFrame = {
-    // exact-decimal cosine throughout so centroid assignment and ranking
-    // are engine-independent — this keeps the whole IVF dataflow
-    // oracle-checkable (near-tie assignments would otherwise flip)
+    GraftFunctions.register(emb.sparkSession)
     val centroids = broadcast(
       emb.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
         .withColumn("centroid_norm", l2Norm(col("centroid"))))
     def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("sim").desc, col("centroid_id"))
-      df.withColumn("vnorm", l2Norm(col(vCol)))
-        .join(centroids)
+      // pass 1: native cosine vs every centroid; narrow window rows
+      val wf = Window.partitionBy(col(idCol)).orderBy(col("simf").desc, col("centroid_id"))
+      val wAll = Window.partitionBy(col(idCol))
+      val surv = df.join(centroids)
+        .select(col(idCol), col("centroid_id"),
+          cosNative(col(vCol), col("centroid")).as("simf"))
+        .withColumn("rk", row_number().over(wf))
+        .withColumn("kth", max(when(col("rk") === keep, col("simf"))).over(wAll))
+        .filter(col("rk") <= keep || col("simf") >= col("kth") - Eps)
+        .select(col(idCol), col("centroid_id"))
+      // pass 2: exact decimal re-rank of the ~keep survivors per vector
+      val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
+      surv.join(df, idCol)
+        .join(centroids, "centroid_id")
         .select(col(idCol), col(vCol), col("centroid_id"),
           (dotExact(col(vCol), col("centroid")) /
-            (col("vnorm") * col("centroid_norm"))).as("sim"))
+            (l2Norm(col(vCol)) * col("centroid_norm"))).as("sim"))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
         .drop("sim", "crank")
@@ -204,14 +268,14 @@ object Similarity {
     val candidates = corpus.select(col("cid"), col("centroid_id"))
       .join(broadcast(queries.select(col("qid"), col("centroid_id"))), "centroid_id")
       .select(col("qid"), col("cid")).distinct()
-    rankTopK(
-      candidates
-        .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
-        .join(broadcast(emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .withColumn("qnorm", l2Norm(col("qv")))), "qid")
-        .select(col("qid"), col("cid"),
-          (dotExact(col("qv"), col("cv")) / (col("qnorm") * l2Norm(col("cv")))).as("cos")),
-      k)
+    val corpusAll = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val queriesAll = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val fast = candidates
+      .join(corpusAll, "cid")
+      .join(broadcast(queriesAll), "qid")
+      .select(col("qid"), col("cid"), cosNative(col("qv"), col("cv")).as("cosf"))
+    exactRerank(fast, queriesAll, corpusAll, k)
   }
 
   val e53AnnIvf: Q = Q(
