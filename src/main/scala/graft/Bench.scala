@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,6 +15,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.register(spark)
     // Warm the JVM (classloading, codegen, parquet reader paths) outside the
     // timed region so per-query numbers measure the queries, not first-touch
     // JIT. sf0.001 keeps the warmup itself cheap; the catch is per-query so
@@ -30,7 +32,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON must survive log-wrapped stdout: round 1's driver failed to
+    // parse it out of sbt's [info] noise. Persist it to a file (path
+    // overridable via SPARK_GRAFT_BENCH_OUT) AND print it as the process's
+    // last stdout line (build.sbt forks run with StdoutOutput, so the line
+    // arrives unprefixed).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.writeString(Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+    println(json)
   }
 }

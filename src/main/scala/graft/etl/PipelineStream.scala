@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   (`spotifytransform.py:150-153`).
   * - Cross-file dim duplicates are still emitted per-batch (faithful to the
   *   reference, which dedups only within one file); bounded cross-batch dedup
-  *   is available separately via `ops.StreamingOps.dedupWithinWatermark`.
+  *   is available separately via `graft.streaming.EventTransforms.dedupWithinWatermark`.
   */
 object PipelineStream {
 

@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object SpotifyTransform {
 
-  /** Explode the playlist page once; `pos` is the 0-based playlist position
-    * that makes keep-first dedup deterministic. All three output tables
-    * derive from this single Generate.
+  /** Explode the playlist page once; (`src`, `pos`) is the deterministic
+    * playlist order that makes keep-first dedup reproducible: `pos` is the
+    * 0-based position WITHIN one landed page and restarts per file, so the
+    * source file name disambiguates across pages of a multi-page batch
+    * (empty string for non-file sources — then `pos` alone decides, as
+    * before). All three output tables derive from this single Generate.
     */
   def exploded(raw: DataFrame): DataFrame =
-    raw.select(posexplode(col("items")).as(Seq("pos", "item")))
+    raw.select(input_file_name().as("src"),
+      posexplode(col("items")).as(Seq("pos", "item")))
 
   /** Fact table: one row per playlist item, carrying FK's `album_id`,
     * `artist_id` (primary artist).
@@ -50,7 +54,7 @@ object SpotifyTransform {
   def artists(ex: DataFrame): DataFrame =
     keepFirst(
       ex.select(
-        col("pos"),
+        col("src"), col("pos"),
         try_element_at(col("item.track.artists"), lit(1)).getField("id").as("artist_id"),
         try_element_at(col("item.track.artists"), lit(1)).getField("name").as("name"),
         try_element_at(col("item.track.artists"), lit(1)).getField("external_urls")
@@ -61,7 +65,7 @@ object SpotifyTransform {
   def albums(ex: DataFrame): DataFrame =
     keepFirst(
       ex.select(
-        col("pos"),
+        col("src"), col("pos"),
         col("item.track.album.id").as("album_id"),
         col("item.track.album.name").as("name"),
         Dates.parseReleaseDate(col("item.track.album.release_date")).as("release_date"),
@@ -70,14 +74,20 @@ object SpotifyTransform {
       key = "album_id")
 
   /** Deterministic keep-first-occurrence dedup: the distributed equivalent of
-    * pandas `drop_duplicates(keep='first')` on a frame that has a `pos`
-    * ordering column. Shuffles by `key` only; no global sort.
+    * pandas `drop_duplicates(keep='first')` on a frame that has (`src`,
+    * `pos`) ordering columns. Ordering by `pos` alone would tie across
+    * pages (it restarts per landed file) and let `row_number` pick an
+    * arbitrary winner; the file discriminator keeps the choice stable
+    * across runs. Shuffles by `key` only; no global sort.
     */
   def keepFirst(df: DataFrame, key: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col("pos"))
+    val ord =
+      if (df.columns.contains("src")) Seq(col("src"), col("pos"))
+      else Seq(col("pos")) // caller-supplied frames with a total `pos` order
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "pos")
+      .drop("__rn", "src", "pos")
   }
 
   /** Run the full transform: raw playlist page(s) → (songs, artists, albums). */

@@ -32,7 +32,10 @@ object Dedup {
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array(concat_ws(" ", toks)))
+      // short-text fallback is the RAW text (mirrors the oracle's ELSE
+      // [text]); re-joining tokens would collapse runs of spaces and
+      // diverge from the oracle on texts with irregular whitespace
+      .otherwise(array(text))
   }
 
   /** Exact dedup: keep the lowest doc_id per identical text. */
@@ -48,9 +51,24 @@ object Dedup {
       SELECT min(doc_id) AS keep_doc, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY keep_doc"""))
 
+  /** Max docs a shingle may appear in before it is dropped from the d41
+    * posting lists (stop-shingle pruning, mirrored in the oracle SQL).
+    */
+  val MaxShinglePostings = 50
+
   /** Exact n-gram-Jaccard near-dup pairs: candidate pairs = docs sharing at
     * least one 3-gram shingle (an inverted-index join, never n²); Jaccard
     * from shared/total distinct shingle counts; report pairs ≥ 0.2.
+    *
+    * Stop-shingle pruning: a shingle appearing in more than
+    * [[MaxShinglePostings]] docs is dropped from the posting lists before
+    * the pair join — a B-doc posting list yields B² candidate pairs, so one
+    * boilerplate shingle would otherwise quadratically dominate the join at
+    * corpus scale (same guard as d33's winnowing index). Set sizes stay
+    * unpruned, so Jaccard for surviving pairs counts shared NON-hot
+    * shingles over TRUE set sizes; a pair overlapping only in hot shingles
+    * is reported as no near-dup — the documented trade, mirrored exactly in
+    * the oracle.
     */
   val d41ShingleJaccard: Q = Q(
     "d41_shingle_jaccard",
@@ -61,8 +79,13 @@ object Dedup {
         .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val shared = sh.as("a")
-        .join(sh.as("b"),
+      val hot = sh.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShinglePostings)
+        .select(col("s"))
+      val pruned = sh.join(broadcast(hot), Seq("s"), "left_anti")
+      val shared = pruned.as("a")
+        .join(pruned.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("shared"))
@@ -84,9 +107,12 @@ object Dedup {
             ELSE [text] END)) AS s
         FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM documents) w),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pruned AS (
+        SELECT * FROM sh
+        WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 50)),
       shared AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT d1, d2,
         CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) AS jaccard

@@ -58,8 +58,13 @@ object Q {
     */
   def spread(df: DataFrame, key: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df
-    else df.repartition(p, col(key))
+    // inputFiles only lists the relation's files — unlike an `.rdd`
+    // partition probe it does not force physical planning (plus a
+    // deserializing RDD lineage) once per call. Callers sit ahead of heavy
+    // per-row pipelines, where an unneeded extra shuffle of a many-file
+    // table is far cheaper than single-threading a one-file scan.
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files >= p) df else df.repartition(p, col(key))
   }
 
   /** Exact-decimal discounted price: cast each FACTOR to decimal before

@@ -13,8 +13,13 @@ case class Event(
     event_type: String,
     value: Double)
 
-/** Mutable-between-batches session accumulator kept in GroupState. */
+/** One not-yet-final session fragment. */
 case class SessionAcc(startMs: Long, lastMs: Long, nEvents: Long, total: Double)
+
+/** GroupState payload: every session of the user that the watermark has not
+  * yet sealed, disjoint and kept sorted by start.
+  */
+case class SessionBuf(sessions: Seq[SessionAcc])
 
 /** A closed user session (end = last event + gap, mirroring session_window). */
 case class UserSession(
@@ -26,59 +31,82 @@ case class UserSession(
 
 /** Custom session logic via `flatMapGroupsWithState` — the "hard streaming
   * item" from SURVEY.md §7.4. Unlike the declarative `session_window`, this
-  * keeps arbitrary per-user state, emits a session the moment the event-time
-  * watermark passes its gap (EventTimeTimeout), and evicts state
-  * deterministically — the pattern to extend when session logic outgrows
-  * SQL (e.g. value caps, max-duration splits).
+  * keeps arbitrary per-user state and evicts it deterministically — the
+  * pattern to extend when session logic outgrows SQL (e.g. value caps,
+  * max-duration splits).
   *
-  * State size: one `SessionAcc` per active user — bounded by watermark, not
-  * by history, so it holds at 100 TB/day.
+  * Correctness under late/out-of-order data (`session_window` parity): a
+  * session is only EMITTED once the event-time watermark has passed its
+  * close (lastMs + gap) — never inline the moment a later in-batch event
+  * opens a gap. Until then every still-mergeable session stays buffered in
+  * state, so a late event landing in a gap MERGES its neighbours (both
+  * sides: `session_start` is pulled back with min, the end pushed with max)
+  * instead of producing a spurious split. Events at or below the watermark
+  * are dropped, exactly as the built-in stateful operators do.
+  *
+  * State size: the watermark seals sessions as it advances, so state holds
+  * only sessions within one watermark-delay of the stream head per user —
+  * bounded by watermark, not by history, so it holds at 100 TB/day.
   */
 object StatefulSessions {
 
   def sessionize(events: Dataset[Event], gapMs: Long,
       watermark: String = "30 minutes"): Dataset[UserSession] = {
-    implicit val accEnc = Encoders.product[SessionAcc]
+    implicit val bufEnc = Encoders.product[SessionBuf]
     implicit val outEnc = Encoders.product[UserSession]
     implicit val longEnc = Encoders.scalaLong
+
+    // In batch there is no watermark and timeouts never fire: every session
+    // is final after the single pass, so treat the watermark as +inf and
+    // emit everything inline (= session_window batch semantics).
+    val streaming = events.isStreaming
 
     def toSession(userId: Long, a: SessionAcc): UserSession =
       UserSession(userId, new Timestamp(a.startMs),
         new Timestamp(a.lastMs + gapMs), a.nEvents, a.total)
 
     def update(userId: Long, it: Iterator[Event],
-        state: GroupState[SessionAcc]): Iterator[UserSession] = {
+        state: GroupState[SessionBuf]): Iterator[UserSession] = {
+      val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
       if (state.hasTimedOut) {
-        val closed = toSession(userId, state.get)
-        state.remove()
-        Iterator.single(closed)
+        // watermark passed at least one session's close: seal exactly those
+        val (ripe, live) = state.get.sessions.partition(_.lastMs + gapMs <= wm)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(SessionBuf(live))
+          state.setTimeoutTimestamp(live.map(_.lastMs + gapMs).min)
+        }
+        ripe.sortBy(_.startMs).map(toSession(userId, _)).iterator
       } else {
-        val sorted = it.toSeq.sortBy(_.ts.getTime)
-        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-        var acc = state.getOption
-        for (e <- sorted) {
+        var ss = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+        val fresh = it.filter(e => !streaming || e.ts.getTime >= wm).toSeq
+        for (e <- fresh.sortBy(_.ts.getTime)) {
           val ms = e.ts.getTime
-          acc = acc match {
-            case Some(a) if ms - a.lastMs < gapMs =>
-              Some(a.copy(lastMs = math.max(a.lastMs, ms),
-                nEvents = a.nEvents + 1, total = a.total + e.value))
-            case Some(a) => // gap >= gapMs: close and restart
-              out += toSession(userId, a)
-              Some(SessionAcc(ms, ms, 1L, e.value))
-            case None =>
-              Some(SessionAcc(ms, ms, 1L, e.value))
+          // the event's own window [ms, ms+gap) may bridge SEVERAL buffered
+          // sessions — merge every overlapping one (end-exclusive, matching
+          // session_window), min-ing the start and max-ing the end
+          val (near, far) = ss.partition(a =>
+            ms < a.lastMs + gapMs && a.startMs < ms + gapMs)
+          val merged = near.foldLeft(SessionAcc(ms, ms, 1L, e.value)) { (m, a) =>
+            SessionAcc(math.min(m.startMs, a.startMs), math.max(m.lastMs, a.lastMs),
+              m.nEvents + a.nEvents, m.total + a.total)
           }
+          ss = merged :: far
         }
-        acc.foreach { a =>
-          state.update(a)
-          state.setTimeoutTimestamp(a.lastMs + gapMs)
-        }
-        out.iterator
+        // a session already behind the watermark can receive no further
+        // merge (those events would be late-dropped) — emit it now; its
+        // timeout could not be registered anyway (must be > watermark)
+        val (ripe, live) = ss.partition(_.lastMs + gapMs <= wm)
+        if (live.nonEmpty) {
+          state.update(SessionBuf(live.sortBy(_.startMs)))
+          state.setTimeoutTimestamp(live.map(_.lastMs + gapMs).min)
+        } else if (state.exists) state.remove()
+        ripe.sortBy(_.startMs).map(toSession(userId, _)).iterator
       }
     }
 
     val withWm =
-      if (events.isStreaming) events.withWatermark("ts", watermark).as(events.encoder)
+      if (streaming) events.withWatermark("ts", watermark).as(events.encoder)
       else events
     withWm
       .groupByKey(_.user_id)

@@ -74,28 +74,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful sessionizer closes sessions inline on gap and via timeout") {
+  test("stateful sessionizer emits only once the watermark seals a session") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
     val sessions = StatefulSessions.sessionize(
-      ms.toDS(), gapMs = 30 * 60 * 1000, watermark = "0 seconds")
+      ms.toDS(), gapMs = 30 * 60 * 1000, watermark = "1 hour")
     val q = sessions.writeStream.format("memory").queryName("sessions_out")
       .outputMode("append").start()
     try {
       // user 1: two events 10 min apart (one session), then 11:30 (gap 80min)
       ms.addData(ev(1, "10:00"), ev(2, "10:10"), ev(3, "11:30"))
       drain(q)
-      // first session closed inline when the 11:30 event arrived
-      val s1 = spark.table("sessions_out").collect()
+      // NOTHING emits yet: the watermark (11:30 − 1h = 10:30) has not
+      // passed the first session's close (10:40), so even the gapped-out
+      // first session must wait — a late event could still merge into it
+      assert(spark.table("sessions_out").count() === 0)
+
+      // watermark 11:50 − 1h = 10:50 > 10:40 → timeout seals session 1 only
+      ms.addData(ev(9, "11:50", user = 2))
+      drain(q)
+      val s1 = spark.table("sessions_out").where("user_id = 1").collect()
       assert(s1.length === 1)
       assert(s1.head.getAs[Long]("n_events") === 2)
       assert(s1.head.getAs[Timestamp]("session_start") === ts("10:00"))
       assert(s1.head.getAs[Timestamp]("session_end") === ts("10:40"))
 
-      // advance the watermark past 11:30+gap → timeout closes session 2
-      ms.addData(ev(9, "13:00", user = 2))
-      drain(q)
+      // watermark 13:30 − 1h = 12:30 > 12:00 → timeout seals session 2
       ms.addData(ev(10, "13:30", user = 2))
       drain(q)
       val all = spark.table("sessions_out")
@@ -103,6 +108,39 @@ class EventStreamSpec extends SparkSpec {
       assert(all.length === 2)
       assert(all(1).getAs[Long]("n_events") === 1)
       assert(all(1).getAs[Timestamp]("session_start") === ts("11:30"))
+      assert(all(1).getAs[Timestamp]("session_end") === ts("12:00"))
+    } finally q.stop()
+  }
+
+  test("sessionizer merges late in-watermark events instead of splitting") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val sessions = StatefulSessions.sessionize(
+      ms.toDS(), gapMs = 30 * 60 * 1000, watermark = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("merge_out")
+      .outputMode("append").start()
+    try {
+      // 10:00 and 10:50 are 50 min apart: two provisional sessions
+      ms.addData(ev(1, "10:00"), ev(2, "10:50"))
+      drain(q)
+      assert(spark.table("merge_out").count() === 0)
+
+      // both arrive late but inside the 2h watermark: 10:25 BRIDGES the two
+      // provisional sessions; 09:45 pulls session_start back before 10:00
+      ms.addData(ev(3, "10:25"), ev(4, "09:45"))
+      drain(q)
+
+      // advance the watermark past 11:20 to seal the merged session
+      ms.addData(ev(5, "14:00", user = 2))
+      drain(q)
+      ms.addData(ev(6, "16:30", user = 2))
+      drain(q)
+      val rows = spark.table("merge_out").where("user_id = 1").collect()
+      assert(rows.length === 1, "late bridging event must merge, not split")
+      assert(rows.head.getAs[Long]("n_events") === 4)
+      assert(rows.head.getAs[Timestamp]("session_start") === ts("09:45"))
+      assert(rows.head.getAs[Timestamp]("session_end") === ts("11:20"))
     } finally q.stop()
   }
 
