@@ -17,7 +17,8 @@ import Q.t
 object Dedup {
 
   def pack: Seq[Q] =
-    Seq(d40DedupExact, d41ShingleJaccard, d42MinhashLsh, d43Simhash, d44EmbeddingNearDup)
+    Seq(d40DedupExact, d41ShingleJaccard, d42MinhashLsh, d43Simhash,
+      d44EmbeddingNearDup, d45EmbeddingNearDupLsh)
 
   // ---------------------------------------------------------------- shingles
 
@@ -278,6 +279,137 @@ object Dedup {
         GROUP BY label, v1, v2, n1, n2)
       SELECT label, v1, v2, round(dot/(n1*n2), 6) AS cos
       FROM dots WHERE dot/(n1*n2) >= 0.3
+      ORDER BY v1, v2"""))
+
+  // ------------------------------------- LSH-gated embedding near-dup (d45)
+
+  /** Sub-block geometry: 32 sign-planes grouped into 4 chunks of 8 bits.
+    * Each plane is a SPARSE ±1 projection over [[SubPlaneCoords]] of the 64
+    * embedding dims (very-sparse random projections, Achlioptas/Li family).
+    * ±1 weights + exact-decimal summation make the sign BIT-STABLE across
+    * engines, so the bucketing — unlike Gaussian-double hyperplanes — can
+    * be mirrored verbatim in the DuckDB oracle.
+    */
+  val SubPlanes = 32
+  val ChunkBits = 8
+  val NumChunks: Int = SubPlanes / ChunkBits
+  val SubPlaneCoords = 8
+
+  /** plane → Seq[(0-based dim index, ±1 weight)], seeded deterministic. */
+  private[ops] val subPlaneTable: IndexedSeq[Seq[(Int, Int)]] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(SubPlanes)(
+      rnd.shuffle((0 until 64).toList).take(SubPlaneCoords).sorted
+        .map(i => (i, if (rnd.nextBoolean()) 1 else -1)))
+  }
+
+  /** Exact-decimal sign bit of one sparse projection — a flat codegen'd
+    * expression (element_at + decimal adds), no interpreted HOF.
+    */
+  private def signBit(v: Column, plane: Seq[(Int, Int)]): Column =
+    plane.map { case (i, w) =>
+      (lit(w.toDouble) * element_at(v, i + 1).cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 15))
+    }.reduce(_ + _) > 0
+
+  /** 4 (chunk index, 8-bit chunk value) rows per vector — the sub-block
+    * join key.
+    */
+  private def chunkStructs(v: Column): Column =
+    explode(array((0 until NumChunks).map { j =>
+      struct(lit(j).as("j"),
+        (0 until ChunkBits).map { b =>
+          when(signBit(v, subPlaneTable(j * ChunkBits + b)), lit(1L << b))
+            .otherwise(0L)
+        }.reduce(_ + _).as("chunk"))
+    }: _*))
+
+  /** The oracle-side mirror of [[subPlaneTable]]: VALUES rows (p, i, wt)
+    * with i 0-based.
+    */
+  private def subPlaneValuesSql: String =
+    subPlaneTable.zipWithIndex.flatMap { case (plane, p) =>
+      plane.map { case (i, w) => s"($p,$i,$w)" }
+    }.mkString(",")
+
+  /** Embedding near-dup with an LSH sub-block INSIDE each label block —
+    * the hot-label guard d44 deliberately omits: d44 compares all O(B²)
+    * same-label pairs (exact semantics), so one degenerate label with B
+    * vectors costs B² native scores. Here a candidate pair must also share
+    * one of 4 8-bit sign-chunk buckets, so the join key is
+    * (label, chunk_j, chunk_value) and a hot label fans out into ~256
+    * sub-buckets per chunk table — pairs drop ~64× while sign-sketch
+    * locality keeps high-cosine pairs co-bucketed. Recall < 1 by design
+    * (standard LSH trade); the bucketing is deterministic ±1/exact-decimal
+    * arithmetic, so the oracle reproduces the candidate set bit-for-bit
+    * and the compare stays exact. Scoring is the same two-pass
+    * native-prefilter + exact-decimal re-rank as d44.
+    */
+  val d45EmbeddingNearDupLsh: Q = Q(
+    "d45_embedding_neardup_lsh",
+    (s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val S = graft.ops.Similarity
+      val emb = Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      // both sides of the self-join read the sketch: materialize it once
+      // (at warehouse scale this is the "write the sketch table" step)
+      val chunked = emb
+        .select(col("vec_id"), col("label"), chunkStructs(col("embedding")).as("c"))
+        .select(col("vec_id"), col("label"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = chunked.as("a")
+        .join(chunked.as("b"),
+          col("a.label") === col("b.label") && col("a.j") === col("b.j") &&
+            col("a.chunk") === col("b.chunk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .distinct() // a pair may co-bucket in up to 4 chunks; score it once
+      pairs
+        .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+        .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+        .filter(S.cosNative(col("e1"), col("e2")) >= 0.3 - S.Eps)
+        .select(col("label"), col("v1"), col("v2"),
+          S.cosExact(col("e1"), col("e2")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select(col("label"), col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("v1"), col("v2"))
+    },
+    Some(s"""
+      WITH w(p, i, wt) AS (VALUES $subPlaneValuesSql),
+      bits AS (
+        SELECT e.vec_id, w.p,
+          CASE WHEN sum(CAST(CAST(w.wt AS DOUBLE) * CAST(e.embedding[w.i + 1] AS DOUBLE)
+                             AS DECIMAL(20,15))) > 0
+               THEN 1 ELSE 0 END AS b
+        FROM embeddings e CROSS JOIN w
+        GROUP BY e.vec_id, w.p),
+      chunks AS (
+        SELECT vec_id, p // 8 AS j, sum(b * (1 << (p % 8))) AS chunk
+        FROM bits GROUP BY vec_id, p // 8),
+      cand AS (
+        SELECT DISTINCT ea.label, ca.vec_id AS v1, cb.vec_id AS v2
+        FROM chunks ca
+          JOIN embeddings ea ON ca.vec_id = ea.vec_id
+          JOIN chunks cb ON ca.j = cb.j AND ca.chunk = cb.chunk
+                        AND ca.vec_id < cb.vec_id
+          JOIN embeddings eb ON cb.vec_id = eb.vec_id AND eb.label = ea.label),
+      norms AS (
+        SELECT vec_id,
+          sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+        GROUP BY vec_id),
+      dots AS (
+        SELECT label, v1, v2,
+          CAST(sum(CAST(CAST(x1 AS DOUBLE)*CAST(x2 AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT c.label, c.v1, c.v2, unnest(e1.embedding) AS x1, unnest(e2.embedding) AS x2
+              FROM cand c JOIN embeddings e1 ON e1.vec_id = c.v1
+                          JOIN embeddings e2 ON e2.vec_id = c.v2) t
+        GROUP BY label, v1, v2)
+      SELECT d.label, d.v1, d.v2, round(d.dot/(n1.nrm*n2.nrm), 6) AS cos
+      FROM dots d JOIN norms n1 ON d.v1 = n1.vec_id
+                  JOIN norms n2 ON d.v2 = n2.vec_id
+      WHERE d.dot/(n1.nrm*n2.nrm) >= 0.3
       ORDER BY v1, v2"""))
 
   // ---------------------------------------------------------------- SimHash

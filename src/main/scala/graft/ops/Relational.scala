@@ -20,7 +20,7 @@ object Relational {
     q01PricingSummary, q02FilterScan, q03RegionalRevenue, q04OrderPriority,
     q05CustOrderHistogram, q06DormantCustomers, q07TopKPerBrand,
     q08WindowAnalytics, q09Rollup, q10Cube, q11GroupingSets, q12DistinctAgg,
-    q12bApproxDistinct, q13SetOps, q14StringFns, q15DateAgg, q16JsonProps,
+    q12bApproxDistinct, q13SetOps, q13bSetOpsAll, q14StringFns, q15DateAgg, q16JsonProps,
     q17AsOfJoin, q18RangeJoin, q19HavingAgg, q20MultiFormatDate,
     q21ExplodeTokens, q22KeepFirstDedup, q27MathFns, q28OuterJoins,
     q29RangeFrames)
@@ -418,6 +418,49 @@ object Relational {
         SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
         UNION
         SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996) t
+      ORDER BY op"""))
+
+  /** Set operations with bag (ALL) semantics: UNION ALL / INTERSECT ALL /
+    * EXCEPT ALL over per-customer order rows, reduced to counts. Spark's
+    * `union` is already bag-semantic; `intersectAll`/`exceptAll` keep
+    * per-row multiplicity (min / left-minus-right of the multiplicities) —
+    * physically a count-aggregated join rather than a distinct, so the
+    * shuffle carries one row per distinct key, not per duplicate.
+    */
+  val q13bSetOpsAll: Q = Q(
+    "q13b_setops_all",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      // month-of-order keys repeat per customer → real multiplicities
+      def keys(yr: Int) = orders
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"), month(col("o_orderdate")).as("m"))
+      val k95 = keys(1995)
+      val k96 = keys(1996)
+      val counted = Seq(
+        ("union_all", k95.union(k96)),
+        ("intersect_all", k95.intersectAll(k96)),
+        ("except_all", k95.exceptAll(k96)))
+        .map { case (tag, df) =>
+          df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+        }
+      counted.reduce(_.unionByName(_)).orderBy(col("op"))
+    },
+    Some("""
+      SELECT 'union_all' AS op, count(*) AS n FROM (
+        SELECT o_custkey, month(o_orderdate) AS m FROM orders WHERE year(o_orderdate)=1995
+        UNION ALL
+        SELECT o_custkey, month(o_orderdate) FROM orders WHERE year(o_orderdate)=1996) t
+      UNION ALL
+      SELECT 'intersect_all', count(*) FROM (
+        SELECT o_custkey, month(o_orderdate) AS m FROM orders WHERE year(o_orderdate)=1995
+        INTERSECT ALL
+        SELECT o_custkey, month(o_orderdate) FROM orders WHERE year(o_orderdate)=1996) t
+      UNION ALL
+      SELECT 'except_all', count(*) FROM (
+        SELECT o_custkey, month(o_orderdate) AS m FROM orders WHERE year(o_orderdate)=1995
+        EXCEPT ALL
+        SELECT o_custkey, month(o_orderdate) FROM orders WHERE year(o_orderdate)=1996) t
       ORDER BY op"""))
 
   /** Scalar string functions — all codegen'd builtins, zero shuffle beyond
