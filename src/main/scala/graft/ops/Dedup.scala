@@ -74,10 +74,24 @@ object Dedup {
   val d41ShingleJaccard: Q = Q(
     "d41_shingle_jaccard",
     (s, dir) => {
-      // referenced 3x (sizes + both join sides): materialize the shingle
-      // relation once instead of re-running the interpreted HOF per branch
-      val sh = Q.spread(t(s, dir, "documents"), "doc_id")
-        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      // Shingle posting lists on the codegen path: posexplode tokens + two
+      // leads over (doc, pos) + distinct — the `shingles()` HOF runs
+      // interpreted and was the query's hot spot. Short docs (<3 tokens)
+      // contribute their raw text as the single shingle, like the oracle's
+      // ELSE branch. Referenced 3x (sizes + both join sides): materialize
+      // the relation once instead of re-running shingling per branch.
+      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tri = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("t2", lead(col("tok"), 1).over(w))
+        .withColumn("t3", lead(col("tok"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
+      val short = docs.filter(size(split(col("text"), " ")) < 3)
+        .select(col("doc_id"), col("text").as("s"))
+      val sh = tri.union(short).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val hot = sh.groupBy(col("s"))
@@ -416,19 +430,35 @@ object Dedup {
 
   /** 64-bit SimHash per doc: hash each token to 64 bits; each output bit is
     * the sign of the per-bit vote sum. One explode + one groupBy shuffle.
+    *
+    * The per-bit one-counts are SIMD-packed three to a long (21-bit lanes),
+    * so the shuffle/agg state is 22 longs per doc instead of 64 and each
+    * input row folds with 22 adds instead of 64 conditional sums. The sign
+    * test `votes_b > 0` ⟺ `2·count_b > n`, so the output bits are
+    * identical to the naive form (pinned by DedupSpec). Lane arithmetic is
+    * exact for up to 2²⁰ distinct tokens per document — beyond any sane
+    * document; a larger doc should be chunked upstream anyway.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b")
+    val LaneBits = 21
+    val LanesPerPack = 3
+    val packs = (0 until 64).grouped(LanesPerPack).toSeq.zipWithIndex.map {
+      case (bs, g) =>
+        sum(bs.zipWithIndex.map { case (b, j) =>
+          shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(1L << (LaneBits * j))
+        }.reduce(_ + _)).as(s"p$g")
     }
     val voted = Q.spread(docs, "doc_id")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+      .agg(count(lit(1)).as("n"), packs: _*)
     val bits = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      val g = b / LanesPerPack
+      val j = b % LanesPerPack
+      val cnt = shiftright(col(s"p$g"), LaneBits * j)
+        .bitwiseAND(lit((1L << LaneBits) - 1))
+      when(cnt * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(0L)
     }
     voted.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
