@@ -11,7 +11,9 @@ import Q.t
   */
 object EventWindows {
 
-  def pack: Seq[Q] = Seq(q23Tumbling, q24Sliding, q25Sessions, q37ClickAttribution)
+  def pack: Seq[Q] =
+    Seq(q23Tumbling, q24Sliding, q25Sessions, q36StatefulSessions,
+      q37ClickAttribution)
 
   /** Tumbling 1-hour windows per event type. */
   val q23Tumbling: Q = Q(
@@ -85,6 +87,47 @@ object EventWindows {
       SELECT min(ts) AS session_start,
         max(ts) + INTERVAL '30 minutes' AS session_end,
         user_id, count(*) AS n_events, ${Q.sumDec("value")} AS total_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  /** The CUSTOM-STATE sessionizer (`streaming/StatefulSessions.scala`,
+    * flatMapGroupsWithState) run in batch mode against the same
+    * gaps-and-islands oracle as q25 — an end-to-end correctness gate for
+    * the arbitrary-state code path, not just the declarative
+    * `session_window`. Counts only: the accumulator sums `value` in
+    * event-time order (a Double fold), which is not order-independent
+    * across engines, so the money column stays out of the compared output.
+    */
+  val q36StatefulSessions: Q = Q(
+    "q36_stateful_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .as[graft.streaming.Event]
+      graft.streaming.StatefulSessions.sessionize(ev, gapMs = 30 * 60 * 1000)
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL '30 minutes' AS session_end,
+        count(*) AS n_events
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 }

@@ -13,7 +13,8 @@ import Q.t
 object TextAnalysis {
 
   def pack: Seq[Q] =
-    Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow, d34HashSplit, d35Bigrams)
+    Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow, d34HashSplit,
+      d35Bigrams, d36Tfidf)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -167,6 +168,55 @@ object TextAnalysis {
         FROM (SELECT string_split(text, ' ') AS words FROM documents) w
         WHERE len(words) >= 2) t
       GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"""))
+
+  /** TF-IDF top-terms per document — the distinctive-vocabulary primitive
+    * behind corpus exploration and quality filters. IDF is kept as the
+    * EXACT integer ratio N/df folded into the score `tf·N/df` (integer
+    * products are exact in double far past this scale and IEEE division is
+    * engine-identical), not `ln(N/df)` — transcendentals differ by 1 ulp
+    * across libms and would break the bit-exact oracle compare; the
+    * monotone transform changes no ranking. Two hash-agg shuffles (term
+    * stats) + a broadcast of the one-row corpus count; output limited to
+    * doc_id < 50, but tf/df are corpus-wide as they must be.
+    */
+  val d36Tfidf: Q = Q(
+    "d36_tfidf",
+    (s, dir) => {
+      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(idf, "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+        .filter(col("doc_id") < 50)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        GROUP BY doc_id, term),
+      idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, term, tf, df, score, rank FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+          CAST(tf.tf * n.n_docs AS DOUBLE)/idf.df AS score,
+          CAST(row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)/idf.df DESC, tf.term)
+               AS INT) AS rank
+        FROM tf JOIN idf USING (term) CROSS JOIN n
+        WHERE tf.doc_id < 50) t
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
   /** Winnowing fingerprints (rolling-hash family, Schleimer et al. 2003):
     * hash every char k-gram, then keep the minimum hash of each sliding

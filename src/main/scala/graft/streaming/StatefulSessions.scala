@@ -13,8 +13,11 @@ case class Event(
     event_type: String,
     value: Double)
 
-/** One not-yet-final session fragment. */
-case class SessionAcc(startMs: Long, lastMs: Long, nEvents: Long, total: Double)
+/** One not-yet-final session fragment (times in MICROseconds — Spark
+  * timestamps are µs-resolution and the driver data has sub-ms components,
+  * so ms-granularity state would corrupt session bounds).
+  */
+case class SessionAcc(startUs: Long, lastUs: Long, nEvents: Long, total: Double)
 
 /** GroupState payload: every session of the user that the watermark has not
   * yet sealed, disjoint and kept sorted by start.
@@ -48,7 +51,21 @@ case class UserSession(
   * only sessions within one watermark-delay of the stream head per user —
   * bounded by watermark, not by history, so it holds at 100 TB/day.
   */
-object StatefulSessions {
+// Serializable: the update closure calls tsToUs/usToTs on this object, so
+// the object itself ships inside the task closure (it is stateless).
+object StatefulSessions extends Serializable {
+
+  /** java.sql.Timestamp → epoch micros (getTime already includes whole ms;
+    * only the sub-ms tail of nanos is added back).
+    */
+  private[streaming] def tsToUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  private[streaming] def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   def sessionize(events: Dataset[Event], gapMs: Long,
       watermark: String = "30 minutes"): Dataset[UserSession] = {
@@ -56,39 +73,48 @@ object StatefulSessions {
     implicit val outEnc = Encoders.product[UserSession]
     implicit val longEnc = Encoders.scalaLong
 
+    val gapUs = gapMs * 1000L
+
     // In batch there is no watermark and timeouts never fire: every session
     // is final after the single pass, so treat the watermark as +inf and
     // emit everything inline (= session_window batch semantics).
     val streaming = events.isStreaming
 
     def toSession(userId: Long, a: SessionAcc): UserSession =
-      UserSession(userId, new Timestamp(a.startMs),
-        new Timestamp(a.lastMs + gapMs), a.nEvents, a.total)
+      UserSession(userId, usToTs(a.startUs), usToTs(a.lastUs + gapUs),
+        a.nEvents, a.total)
+
+    // GroupState timeouts are ms-granular; ceil so a timeout never fires
+    // before its session's µs close has actually passed the watermark
+    def timeoutMsFor(live: Seq[SessionAcc]): Long =
+      Math.floorDiv(live.map(_.lastUs + gapUs).min + 999L, 1000L)
 
     def update(userId: Long, it: Iterator[Event],
         state: GroupState[SessionBuf]): Iterator[UserSession] = {
-      val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+      val wmUs =
+        if (!streaming) Long.MaxValue
+        else state.getCurrentWatermarkMs() * 1000L
       if (state.hasTimedOut) {
         // watermark passed at least one session's close: seal exactly those
-        val (ripe, live) = state.get.sessions.partition(_.lastMs + gapMs <= wm)
+        val (ripe, live) = state.get.sessions.partition(_.lastUs + gapUs <= wmUs)
         if (live.isEmpty) state.remove()
         else {
           state.update(SessionBuf(live))
-          state.setTimeoutTimestamp(live.map(_.lastMs + gapMs).min)
+          state.setTimeoutTimestamp(timeoutMsFor(live))
         }
-        ripe.sortBy(_.startMs).map(toSession(userId, _)).iterator
+        ripe.sortBy(_.startUs).map(toSession(userId, _)).iterator
       } else {
         var ss = state.getOption.map(_.sessions.toList).getOrElse(Nil)
-        val fresh = it.filter(e => !streaming || e.ts.getTime >= wm).toSeq
-        for (e <- fresh.sortBy(_.ts.getTime)) {
-          val ms = e.ts.getTime
-          // the event's own window [ms, ms+gap) may bridge SEVERAL buffered
+        val fresh = it.filter(e => !streaming || tsToUs(e.ts) >= wmUs).toSeq
+        for (e <- fresh.sortBy(e => tsToUs(e.ts))) {
+          val us = tsToUs(e.ts)
+          // the event's own window [us, us+gap) may bridge SEVERAL buffered
           // sessions — merge every overlapping one (end-exclusive, matching
           // session_window), min-ing the start and max-ing the end
           val (near, far) = ss.partition(a =>
-            ms < a.lastMs + gapMs && a.startMs < ms + gapMs)
-          val merged = near.foldLeft(SessionAcc(ms, ms, 1L, e.value)) { (m, a) =>
-            SessionAcc(math.min(m.startMs, a.startMs), math.max(m.lastMs, a.lastMs),
+            us < a.lastUs + gapUs && a.startUs < us + gapUs)
+          val merged = near.foldLeft(SessionAcc(us, us, 1L, e.value)) { (m, a) =>
+            SessionAcc(math.min(m.startUs, a.startUs), math.max(m.lastUs, a.lastUs),
               m.nEvents + a.nEvents, m.total + a.total)
           }
           ss = merged :: far
@@ -96,12 +122,12 @@ object StatefulSessions {
         // a session already behind the watermark can receive no further
         // merge (those events would be late-dropped) — emit it now; its
         // timeout could not be registered anyway (must be > watermark)
-        val (ripe, live) = ss.partition(_.lastMs + gapMs <= wm)
+        val (ripe, live) = ss.partition(_.lastUs + gapUs <= wmUs)
         if (live.nonEmpty) {
-          state.update(SessionBuf(live.sortBy(_.startMs)))
-          state.setTimeoutTimestamp(live.map(_.lastMs + gapMs).min)
+          state.update(SessionBuf(live.sortBy(_.startUs)))
+          state.setTimeoutTimestamp(timeoutMsFor(live))
         } else if (state.exists) state.remove()
-        ripe.sortBy(_.startMs).map(toSession(userId, _)).iterator
+        ripe.sortBy(_.startUs).map(toSession(userId, _)).iterator
       }
     }
 
