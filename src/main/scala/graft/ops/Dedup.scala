@@ -22,21 +22,28 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles of a text column (default 3-grams).
-    * Built with per-position element_at (O(1) each) rather than slice
-    * (O(n) array copy per shingle) — higher-order functions run
-    * interpreted, so constant factors here are real.
+  /** Distinct word 3-gram shingle posting lists (doc_id, s), entirely on
+    * the codegen path: posexplode tokens + two leads over (doc, pos) +
+    * distinct. (A `transform(sequence(...))` HOF builds the same shingles
+    * per-row but runs INTERPRETED — it was the round-1 hot spot of every
+    * shingle consumer.) Docs with fewer than 3 tokens contribute their RAW
+    * text as the single shingle — the raw column, not re-joined tokens,
+    * which would collapse runs of spaces and diverge from the d41 oracle's
+    * ELSE [text] branch.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      // short-text fallback is the RAW text (mirrors the oracle's ELSE
-      // [text]); re-joining tokens would collapse runs of spaces and
-      // diverge from the oracle on texts with irregular whitespace
-      .otherwise(array(text))
+  def shinglePostings(docs: DataFrame): DataFrame = {
+    val spreadDocs = Q.spread(docs, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = spreadDocs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
+    val short = spreadDocs.filter(size(split(col("text"), " ")) < 3)
+      .select(col("doc_id"), col("text").as("s"))
+    tri.union(short).distinct()
   }
 
   /** Exact dedup: keep the lowest doc_id per identical text. */
@@ -74,24 +81,9 @@ object Dedup {
   val d41ShingleJaccard: Q = Q(
     "d41_shingle_jaccard",
     (s, dir) => {
-      // Shingle posting lists on the codegen path: posexplode tokens + two
-      // leads over (doc, pos) + distinct — the `shingles()` HOF runs
-      // interpreted and was the query's hot spot. Short docs (<3 tokens)
-      // contribute their raw text as the single shingle, like the oracle's
-      // ELSE branch. Referenced 3x (sizes + both join sides): materialize
-      // the relation once instead of re-running shingling per branch.
-      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val tri = docs
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("t2", lead(col("tok"), 1).over(w))
-        .withColumn("t3", lead(col("tok"), 2).over(w))
-        .filter(col("t3").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
-      val short = docs.filter(size(split(col("text"), " ")) < 3)
-        .select(col("doc_id"), col("text").as("s"))
-      val sh = tri.union(short).distinct()
+      // Referenced 3x (sizes + both join sides): materialize the posting
+      // lists once instead of re-running shingling per branch.
+      val sh = shinglePostings(t(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val hot = sh.groupBy(col("s"))
@@ -159,21 +151,15 @@ object Dedup {
         rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** doc_id → distinct shingles (narrow per row; input spread so the
-    * interpreted shingling runs on all cores, not one file-partition).
-    */
-  private def shingled(docs: DataFrame): DataFrame =
-    Q.spread(docs, "doc_id").select(col("doc_id"), shingles(col("text")).as("sh"))
-
-  /** doc_id → 32-element MinHash signature, via explode + one codegen'd
-    * min-aggregate per hash function (one shuffle on doc_id).
+  /** doc_id → 32-element MinHash signature, via the codegen posting lists
+    * + one codegen'd min-aggregate per hash function (one shuffle on
+    * doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    signaturesFromShingled(shingled(docs))
+    signaturesFromPostings(shinglePostings(docs))
 
-  private def signaturesFromShingled(base: DataFrame): DataFrame = {
-    val hashed = base
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+  private def signaturesFromPostings(sh: DataFrame): DataFrame = {
+    val hashed = sh
       .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
     val aggs = hashFamily.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
@@ -185,19 +171,22 @@ object Dedup {
   }
 
   /** The full MinHash+LSH near-dup pipeline as a reusable transform:
-    * shingle-hash → signature → band buckets → in-bucket candidate pairs →
-    * verify with exact Jaccard over the shingle arrays. The only wide ops
-    * are the signature groupBy, the bucket join (on band hash), and the
-    * candidate dedup.
+    * shingle posting lists → signature → band buckets → in-bucket candidate
+    * pairs → verify with exact Jaccard, computed by joining the candidate
+    * pairs back onto the posting lists (shared-shingle counts over true set
+    * sizes) — no per-row shingle ARRAYS anywhere, so every stage stays on
+    * the codegen path. The only wide ops are the signature groupBy, the
+    * bucket join (on band hash), the candidate dedup, and the verify join.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     // Both intermediates are referenced 2-3x downstream (banding, estimate
     // join, verify join); Spark re-executes shared subplans per reference,
-    // so materialize them once. O(docs) rows each — at warehouse scale this
-    // is the "write the signature table" step of a dedup pipeline.
-    val base = shingled(docs)
+    // so materialize them once. O(docs·shingles) / O(docs) rows — at
+    // warehouse scale this is the "write the signature table" step of a
+    // dedup pipeline.
+    val sh = shinglePostings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = signaturesFromShingled(base)
+    val sigs = signaturesFromPostings(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
@@ -212,18 +201,29 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val withSets = candidates
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // shared-shingle count PER CANDIDATE PAIR only (never the full inverted
+    // self-join — that is d41's exact mode; here the LSH buckets already
+    // bounded the pair set)
+    val shared = candidates
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("shared"))
+    candidates
+      .join(shared, Seq("d1", "d2"), "left") // zero-overlap pairs → shared 0
+      .na.fill(0L, Seq("shared"))
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
-      .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-    withSets.select(
-      col("d1"), col("d2"),
-      (aggregate(zip_with(col("sig1"), col("sig2"),
-        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-        .cast("double") / NumHashes).as("est_jaccard"),
-      (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(
+        col("d1"), col("d2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / NumHashes).as("est_jaccard"),
+        (col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
   }
@@ -327,16 +327,25 @@ object Dedup {
     }.reduce(_ + _) > 0
 
   /** 4 (chunk index, 8-bit chunk value) rows per vector — the sub-block
-    * join key.
+    * join key. Two steps ON PURPOSE: the 32 sign bits materialize as plain
+    * projection columns first (whole-stage codegen splits wide projections
+    * into helper methods), and only the cheap bit-packing rides inside the
+    * Generate — one fused expression tree overflowed Janino's method limit
+    * and silently dropped the stage to interpreted execution.
     */
-  private def chunkStructs(v: Column): Column =
-    explode(array((0 until NumChunks).map { j =>
-      struct(lit(j).as("j"),
-        (0 until ChunkBits).map { b =>
-          when(signBit(v, subPlaneTable(j * ChunkBits + b)), lit(1L << b))
-            .otherwise(0L)
-        }.reduce(_ + _).as("chunk"))
-    }: _*))
+  private def withChunks(df: DataFrame, v: String): DataFrame = {
+    val bits = (0 until SubPlanes).map(p =>
+      signBit(col(v), subPlaneTable(p)).as(s"__b$p"))
+    df.select(df.columns.map(col) ++ bits: _*)
+      .select(col("vec_id"), col("label"),
+        explode(array((0 until NumChunks).map { j =>
+          struct(lit(j).as("j"),
+            (0 until ChunkBits).map { b =>
+              when(col(s"__b${j * ChunkBits + b}"), lit(1L << b)).otherwise(0L)
+            }.reduce(_ + _).as("chunk"))
+        }: _*)).as("c"))
+      .select(col("vec_id"), col("label"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+  }
 
   /** The oracle-side mirror of [[subPlaneTable]]: VALUES rows (p, i, wt)
     * with i 0-based.
@@ -368,9 +377,7 @@ object Dedup {
         .select(col("vec_id"), col("label"), col("embedding"))
       // both sides of the self-join read the sketch: materialize it once
       // (at warehouse scale this is the "write the sketch table" step)
-      val chunked = emb
-        .select(col("vec_id"), col("label"), chunkStructs(col("embedding")).as("c"))
-        .select(col("vec_id"), col("label"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+      val chunked = withChunks(emb, "embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = chunked.as("a")
         .join(chunked.as("b"),
