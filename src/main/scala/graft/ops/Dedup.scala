@@ -32,18 +32,28 @@ object Dedup {
     * ELSE [text] branch.
     */
   def shinglePostings(docs: DataFrame): DataFrame = {
-    val spreadDocs = Q.spread(docs, "doc_id")
+    val short = Q.spread(docs, "doc_id")
+      .filter(size(split(col("text"), " ")) < 3)
+      .select(col("doc_id"), col("text").as("s"))
+    nGramPostings(docs, 3).union(short).distinct()
+  }
+
+  /** Distinct word n-gram posting lists (doc_id, g) on the codegen path
+    * (posexplode + n−1 leads + distinct). Docs with fewer than n tokens
+    * contribute nothing — callers add their own fallback if they need one
+    * (shinglePostings does; decontamination deliberately does not).
+    */
+  def nGramPostings(docs: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tri = spreadDocs
+    val leads = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
+    Q.spread(docs, "doc_id")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead(col("tok"), 1).over(w))
-      .withColumn("t3", lead(col("tok"), 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
-    val short = spreadDocs.filter(size(split(col("text"), " ")) < 3)
-      .select(col("doc_id"), col("text").as("s"))
-    tri.union(short).distinct()
+      .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*).as("s"))
+      .distinct()
   }
 
   /** Exact dedup: keep the lowest doc_id per identical text. */

@@ -27,7 +27,7 @@ import Q.t
   */
 object Similarity {
 
-  def pack: Seq[Q] = Seq(e50CosineTopK, e51AnnLsh, e53AnnIvf)
+  def pack: Seq[Q] = Seq(e50CosineTopK, e51AnnLsh, e53AnnIvf, e54Quantize)
 
   /** Native-vs-exact disagreement margin (see object doc). Must exceed
     * 2× the true |native − exact| error (~1e-12) by a wide factor.
@@ -135,6 +135,55 @@ object Similarity {
                              ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS INT) AS rank
         FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
       WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** Symmetric int8 quantization quality report per embedding: per-vector
+    * scale = max|x|/127, elements round-clamped to [-127, 127], and the
+    * reconstruction error (MSE + max abs) of the dequantized vector — the
+    * compression-loss audit run before shipping a quantized ANN index.
+    * Every step is IEEE-exact or decimal-staged (max, /, round-half-up,
+    * −, ×; squared errors sum through DECIMAL(20,15)), so the doubles
+    * compare bit-exact against the oracle with no output rounding.
+    * Per-row narrow HOF work, no shuffle beyond the output sort.
+    */
+  val e54Quantize: Q = Q(
+    "e54_embedding_quantize",
+    (s, dir) =>
+      Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127)
+        .filter(col("scale") > 0) // an all-zero vector has nothing to quantize
+        .withColumn("err", transform(col("embedding"), x => {
+          val xd = x.cast("double")
+          val q = least(greatest(round(xd / col("scale")), lit(-127.0)), lit(127.0))
+          xd - q * col("scale")
+        }))
+        .select(
+          col("vec_id"), col("scale"),
+          (aggregate(
+            transform(col("err"), e => (e * e).cast(DecimalType(20, 15))),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(20, 15)),
+            (acc, v) => (acc + v).cast(DecimalType(20, 15))).cast("double") /
+            size(col("err"))).as("mse"),
+          array_max(transform(col("err"), e => abs(e))).as("max_err"))
+        .orderBy(col("vec_id")),
+    Some("""
+      WITH s AS (
+        SELECT vec_id, max(abs(CAST(x AS DOUBLE)))/127 AS scale
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+        GROUP BY vec_id),
+      e AS (
+        SELECT t.vec_id, s.scale,
+          CAST(x AS DOUBLE)
+            - least(greatest(round(CAST(x AS DOUBLE)/s.scale), -127), 127) * s.scale
+            AS err
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+        JOIN s ON t.vec_id = s.vec_id
+        WHERE s.scale > 0)
+      SELECT vec_id, scale,
+        CAST(sum(CAST(err*err AS DECIMAL(20,15))) AS DOUBLE)/count(*) AS mse,
+        max(abs(err)) AS max_err
+      FROM e GROUP BY vec_id, scale ORDER BY vec_id"""))
 
   // ------------------------------------------------------- LSH-bucketed ANN
 

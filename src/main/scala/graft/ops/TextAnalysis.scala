@@ -14,7 +14,7 @@ object TextAnalysis {
 
   def pack: Seq[Q] =
     Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow, d34HashSplit,
-      d35Bigrams, d36Tfidf)
+      d35Bigrams, d36Tfidf, d38Contamination)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -217,6 +217,44 @@ object TextAnalysis {
         FROM tf JOIN idf USING (term) CROSS JOIN n
         WHERE tf.doc_id < 50) t
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Eval-set decontamination: find training documents sharing any word
+    * 8-gram with a held-out eval document (doc_id < 20 stands in for the
+    * eval split) — the standard benchmark-contamination sweep a training
+    * corpus runs before release. Posting lists ride the shared codegen
+    * n-gram generator; the overlap is an inverted-index equi-join on the
+    * gram (never eval×train), then a count per (eval, train) pair. Docs
+    * shorter than the gram width contribute nothing, the usual decontam
+    * minimum-length rule. At 100 TB the eval side is tiny — Spark
+    * broadcasts it — and the corpus-side posting list is the only big
+    * relation, scanned once.
+    */
+  val d38Contamination: Q = Q(
+    "d38_contamination",
+    (s, dir) => {
+      val grams = Dedup.nGramPostings(t(s, dir, "documents"), n = 8)
+      val eval_ = grams.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("eval_doc"), col("s"))
+      val train = grams.filter(col("doc_id") >= 20)
+        .select(col("doc_id").as("train_doc"), col("s"))
+      train.join(broadcast(eval_), "s")
+        .groupBy(col("eval_doc"), col("train_doc"))
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .orderBy(col("eval_doc"), col("train_doc"))
+    },
+    Some("""
+      WITH grams AS (
+        SELECT DISTINCT doc_id,
+          unnest([words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]
+                  ||' '||words[i+4]||' '||words[i+5]||' '||words[i+6]||' '||words[i+7]
+                  for i in range(1, len(words)-6)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        WHERE len(words) >= 8)
+      SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+        count(*) AS shared_ngrams
+      FROM grams e JOIN grams t ON e.g = t.g
+      WHERE e.doc_id < 20 AND t.doc_id >= 20
+      GROUP BY 1, 2 ORDER BY eval_doc, train_doc"""))
 
   /** Winnowing fingerprints (rolling-hash family, Schleimer et al. 2003):
     * hash every char k-gram, then keep the minimum hash of each sliding
