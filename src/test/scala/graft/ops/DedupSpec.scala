@@ -57,4 +57,33 @@ class DedupSpec extends SparkSpec {
     val twice = Dedup.minhashNearDups(docs, threshold = 0.5).count()
     assert(once === twice)
   }
+
+  test("connected components cluster a chain and elect the min representative") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated pair (10, 11): two components
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val labels = Clustering.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("d45 sub-blocking always co-buckets identical same-label vectors") {
+    import spark.implicits._
+    // identical embeddings share every sign bit, hence every chunk bucket:
+    // the LSH gate can never separate exact duplicates
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val u = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val emb = Seq(
+      (0L, "a", v), (1L, "a", v),              // planted exact dup, same label
+      (2L, "a", u),                            // same label, different vector
+      (3L, "b", v))                            // same vector, different label
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_d45").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.d45EmbeddingNearDupLsh.run(spark, dir)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact same-label duplicate must survive the LSH gate")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "labels must block")
+  }
 }
