@@ -28,30 +28,38 @@ object Clustering {
     * one materialization; superseded rounds unpersist eagerly.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    // materialize the (possibly expensive) edge input ONCE — the two union
+    // branches of sym would otherwise re-execute its whole lineage twice
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(e.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
+    // cur always points at the round's PERSISTED frame so exactly one
+    // superseded materialization unpersists per round
+    var cur = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val next = sym
+      val labels = cur.select(col("node"), col("lbl"))
+      // carry each node's previous label through the same aggregate
+      // (max over the self-tagged row) so convergence needs no extra join
+      val prop = sym
         .join(labels.select(col("node").as("src"), col("lbl")), "src")
-        .select(col("dst").as("node"), col("lbl"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"), lit(null).cast("long").as("own"))
+        .union(labels.select(col("node"), col("lbl"), col("lbl").as("own")))
+      val next = prop.groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("node"), col("lbl").as("old")), "node")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("own")).count()
+      cur.unpersist()
+      cur = next
       iter += 1
     }
     sym.unpersist()
-    labels
+    e.unpersist()
+    cur.select(col("node"), col("lbl"))
   }
 
   /** Cluster the d41 near-dup pairs (same edge semantics, stop-shingle cap
