@@ -49,6 +49,10 @@ object Clustering {
         .join(labels.select(col("node").as("src"), col("lbl")), "src")
         .select(col("dst").as("node"), col("lbl"), lit(null).cast("long").as("own"))
         .union(labels.select(col("node"), col("lbl"), col("lbl").as("own")))
+      // no pointer jumping on purpose: near-dup graphs are clique-like
+      // (one round converges; measured 2 rounds on the driver corpus), so
+      // a label-of-label self-join per round costs more than it saves —
+      // revisit only if edge semantics ever produce long chains
       val next = prop.groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
         .persist(StorageLevel.MEMORY_AND_DISK)
