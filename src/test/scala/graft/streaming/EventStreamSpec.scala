@@ -144,6 +144,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer streaming matches batch on real driver events, up to the final watermark") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    val typed = graft.ops.Q.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[Event]
+    val events = typed.collect().toSeq
+    val batch = StatefulSessions.sessionize(typed, gapMs).collect()
+
+    val ms = MemoryStream[Event]
+    val q = StatefulSessions.sessionize(ms.toDS(), gapMs, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      drain(q)
+      val streamed = spark.table("parity_sessions").as[UserSession].collect()
+      // the stream can only have sealed sessions whose close is at or below
+      // the final watermark (= max event time in ms, delay 0); batch seals
+      // everything — restrict batch to the same horizon and compare exactly
+      val wmUs = events.map(e => StatefulSessions.tsToUs(e.ts)).max / 1000L * 1000L
+      val sealedUpToWm = batch.filter(s => StatefulSessions.tsToUs(s.session_end) <= wmUs)
+      assert(streamed.nonEmpty && streamed.length < batch.length)
+      assert(streamed.map(s => (s.user_id, s.session_start, s.session_end,
+        s.n_events, s.total_value)).toSet ===
+        sealedUpToWm.map(s => (s.user_id, s.session_start, s.session_end,
+          s.n_events, s.total_value)).toSet)
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to in-window clicks") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
