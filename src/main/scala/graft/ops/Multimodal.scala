@@ -23,7 +23,7 @@ case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int, feature
   */
 object Multimodal {
 
-  def pack: Seq[Q] = Seq(d60MultimodalMeta)
+  def pack: Seq[Q] = Seq(d60MultimodalMeta, d61MediaIngest)
 
   implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
@@ -92,6 +92,46 @@ object Multimodal {
         col("path"),
         col("length").as("n_bytes"),
         col("content"))
+
+  /** Real binaryFile-source ingestion, end-to-end in the harness: a
+    * deterministic on-disk media fixture (tiny png/wav/bin files, bytes
+    * fixed by construction) is generated once per JVM, ingested through
+    * `readMediaDir`, pushed through the partition-batched decode, and
+    * reduced to one stable row per modality. Rows-only (DuckDB has no
+    * binary-dir source to mirror); the per-file features are additionally
+    * byte-exact-asserted in MultimodalSpec.
+    */
+  val d61MediaIngest: Q = Q(
+    "d61_media_ingest",
+    (s, _) => {
+      import org.apache.spark.sql.functions.{round => fnRound}
+      val dir = fixtureDir()
+      val ds = readMediaDir(s, dir)
+        .select(col("media_id"), col("modality"), col("content"),
+          struct(lit(0).as("width"), lit(0).as("height"),
+            lit(0).as("sampleRateHz"), lit(0L).as("durationMs")).as("meta"))
+        .as[MediaRow](Encoders.product[MediaRow])
+      decodeFeatures(ds, dim = 8).toDF()
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          fnRound(sum(element_at(col("features"), 1)), 3).as("feat0_sum"))
+        .orderBy(col("modality"))
+    },
+    None)
+
+  /** One deterministic fixture per JVM: 3 files whose bytes are fixed by
+    * construction, so d61's output is identical across runs and machines.
+    */
+  private lazy val fixtureDir: () => String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_fixture")
+    def write(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    write("a.png", Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ (0 until 64).map(_.toByte))
+    write("b.wav", "RIFF".getBytes("UTF-8") ++ (0 until 128).map(i => (i * 3).toByte))
+    write("c.bin", (0 until 32).map(i => (i * 7).toByte).toArray)
+    () => dir.toString
+  }
 
   /** Opaque-binary metadata pass: treat text bytes as content, compute
     * byte length + content hash — the manifest/integrity scan a multimodal
