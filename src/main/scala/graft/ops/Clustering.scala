@@ -34,11 +34,15 @@ object Clustering {
     val sym = e.select(col("d1").as("src"), col("d2").as("dst"))
       .union(e.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // cur always points at the round's PERSISTED frame so exactly one
-    // superseded materialization unpersists per round
+    // Loop state is EAGERLY localCheckpoint'ed, not just persisted: each
+    // round's plan references the previous round's, so an iterative
+    // DataFrame's lineage (and analysis/planning cost) grows per round —
+    // checkpointing truncates it, keeping every round's plan flat. On a
+    // real cluster swap in `checkpoint()` over durable storage for
+    // fault-tolerant lineage cuts.
     var cur = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -55,9 +59,8 @@ object Clustering {
       // revisit only if edge semantics ever produce long chains
       val next = prop.groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("own")).count()
-      cur.unpersist()
       cur = next
       iter += 1
     }

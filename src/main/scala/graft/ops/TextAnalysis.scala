@@ -188,6 +188,8 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // deliberate 1-row broadcast cross join (plans as BNLJ over a single
+      // broadcast row — the correct shape for attaching a corpus scalar)
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))

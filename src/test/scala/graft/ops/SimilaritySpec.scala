@@ -56,4 +56,36 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(brute(cid) - cos) < 1e-9, s"cid=$cid ann=$cos brute=${brute(cid)}")
     }
   }
+
+  test("two-pass (native prefilter + exact re-rank) equals full exact top-k") {
+    import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.register(spark)
+    import spark.implicits._
+    // fresh random geometry, intentionally different from the planted set;
+    // includes near-ties (clustered directions) to stress the Eps boundary
+    val rnd = new scala.util.Random(99)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val anchor = vec()
+    def nearAnchor(): Seq[Float] =
+      anchor.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows = (0L until 3L).map(i => (i, vec())) ++        // queries
+      (3L until 40L).map(i => (i, if (i % 2 == 0) nearAnchor() else vec()))
+    val emb2 = rows.toDF("vec_id", "embedding")
+    val q = emb2.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb2.filter(col("vec_id") >= 3)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // full exact: every pair through the interpreted decimal scorer
+    val full = Similarity.rankTopK(
+      c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          Similarity.cosExact(col("qv"), col("cv")).as("cos")),
+      k = 10).collect().toSeq
+    // two-pass: native bulk scoring, exact only near the boundary
+    val fast = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        Similarity.cosNative(col("qv"), col("cv")).as("cosf"))
+    val twoPass = Similarity.exactRerank(fast, q, c, k = 10).collect().toSeq
+    assert(twoPass === full)
+  }
 }
