@@ -14,7 +14,7 @@ object TextAnalysis {
 
   def pack: Seq[Q] =
     Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow, d34HashSplit,
-      d35Bigrams, d36Tfidf, d38Contamination)
+      d35Bigrams, d36Tfidf, d37QualityFunnel, d38Contamination, d39CorpusMix)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -219,6 +219,76 @@ object TextAnalysis {
         FROM tf JOIN idf USING (term) CROSS JOIN n
         WHERE tf.doc_id < 50) t
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Quality-filter funnel: apply the standard pre-training gates (too
+    * short, too long, over-punctuated, stopword-free) in a FIXED order and
+    * report how many documents each gate rejects plus the survivor count —
+    * the funnel report that tells a data curator which rule is eating the
+    * corpus. One pass, one tiny aggregate; the verdict is a single CASE so
+    * each doc counts toward exactly its FIRST failing gate.
+    */
+  val d37QualityFunnel: Q = Q(
+    "d37_quality_funnel",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nTokens = size(toks)
+      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      val stops = size(filter(toks, x => x.isin(stopwords: _*)))
+      t(s, dir, "documents")
+        .select(
+          when(nTokens < 5, "reject_too_short")
+            .when(nTokens > 5000, "reject_too_long")
+            .when(punct.cast("double") / length(col("text")) > 0.1, "reject_punct")
+            .when(stops === 0, "reject_no_stopwords")
+            .otherwise("keep").as("verdict"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("verdict"))
+    },
+    Some("""
+      SELECT verdict, count(*) AS n_docs FROM (
+        SELECT CASE
+          WHEN len(string_split(text,' ')) < 5 THEN 'reject_too_short'
+          WHEN len(string_split(text,' ')) > 5000 THEN 'reject_too_long'
+          WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) > 0.1 THEN 'reject_punct'
+          WHEN len(list_filter(string_split(text,' '),
+               x -> x IN ('the','a','of','and','to','in'))) = 0
+            THEN 'reject_no_stopwords'
+          ELSE 'keep' END AS verdict
+        FROM documents) t
+      GROUP BY verdict ORDER BY verdict"""))
+
+  /** Deterministic corpus mixing: sample each language at its own rate
+    * (the data-mixture knob of LLM pre-training — upsample rare
+    * languages, downsample dominant ones) by multiplicative doc_id hash,
+    * so the mix is reproducible across runs, engines, and cluster sizes
+    * and composes with [[d34HashSplit]]'s splits. Reports per-language
+    * kept/total; the per-doc decision is pure integer arithmetic both
+    * engines compute identically.
+    */
+  val d39CorpusMix: Q = Q(
+    "d39_corpus_mix",
+    (s, dir) => {
+      val rates = Map("en" -> 50, "de" -> 80, "es" -> 100, "fr" -> 25)
+      val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(17L), lit(100L))
+      val rate = rates.foldLeft(lit(0)) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, r).otherwise(acc)
+      }
+      t(s, dir, "documents")
+        .select(col("lang"), (bucket < rate).as("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_total,
+        sum(CASE WHEN (doc_id * 2654435761 + 17) % 100 <
+              CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80
+                        WHEN 'es' THEN 100 WHEN 'fr' THEN 25 ELSE 0 END
+            THEN 1 ELSE 0 END) AS n_kept
+      FROM documents GROUP BY lang ORDER BY lang"""))
 
   /** Eval-set decontamination: find training documents sharing any word
     * 8-gram with a held-out eval document (doc_id < 20 stands in for the
