@@ -13,8 +13,9 @@ import Q.t
 object TextAnalysis {
 
   def pack: Seq[Q] =
-    Seq(d30TextStats, d31LangId, d32Fingerprint, d33Winnow, d34HashSplit,
-      d35Bigrams, d36Tfidf, d37QualityFunnel, d38Contamination, d39CorpusMix)
+    Seq(d30TextStats, d30bRegexTokens, d31LangId, d32Fingerprint, d33Winnow,
+      d34HashSplit, d35Bigrams, d36Tfidf, d37QualityFunnel, d38Contamination,
+      d39CorpusMix)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -70,6 +71,31 @@ object TextAnalysis {
           (0.5 + CAST(len(list_filter(string_split(text, ' '),
                  x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
                  / len(string_split(text, ' '))) AS quality_score
+      FROM documents ORDER BY doc_id"""))
+
+  /** BPE-style token counting: a GPT-2-pretokenizer-shaped regex (letter
+    * runs, digit runs, punctuation runs, each with an optional leading
+    * space) alongside the whitespace count — the pair of token budgets a
+    * data pipeline tracks (whitespace for quick stats, BPE-ish for actual
+    * LLM token-cost estimates). The pattern avoids regex-dialect edge
+    * cases so Java regex (Spark) and RE2 (DuckDB) agree token-for-token.
+    */
+  val d30bRegexTokens: Q = Q(
+    "d30b_regex_tokens",
+    (s, dir) => {
+      val bpeish = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("int").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+          .cast("int").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+             AS INT) AS bpe_tokens
       FROM documents ORDER BY doc_id"""))
 
   /** Stopword-lexicon language ID (n-gram-heuristic family): score each
