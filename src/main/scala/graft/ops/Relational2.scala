@@ -9,8 +9,101 @@ import Q.{sumDec, t}
   */
 object Relational2 {
 
-  def pack: Seq[Q] = Seq(q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql,
+  def pack: Seq[Q] = Seq(q08bWindowAnalytics2, q14bStringFns2, q15bDateArith,
+    q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql,
     q38MapFns, q39NullSafeArith)
+
+  /** Distribution-analytic window functions: percent_rank / cume_dist /
+    * nth_value over each customer's orders. Ratios are exact integer
+    * divisions in double, so the compare needs no rounding; nth_value gets
+    * an explicit full frame on both engines (default frames differ by
+    * dialect history).
+    */
+  val q08bWindowAnalytics2: Q = Q(
+    "q08b_window_analytics2",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd,
+        nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** String surface part 2: padding, character translation, edit distance,
+    * repetition, reversal, code points — all integer/string-exact on both
+    * engines.
+    */
+  val q14bStringFns2: Q = Q(
+    "q14b_string_fns2",
+    (s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+          rpad(col("p_type"), 20, ".").as("type_rpad"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev"),
+          repeat(col("p_size").cast("string"), 2).as("size2"),
+          reverse(col("p_name")).as("name_rev"),
+          ascii(col("p_name")).as("name_ascii"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey,
+        lpad(p_brand, 12, '*') AS brand_lpad,
+        rpad(p_type, 20, '.') AS type_rpad,
+        translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        levenshtein(p_brand, p_type) AS lev,
+        repeat(CAST(p_size AS VARCHAR), 2) AS size2,
+        reverse(p_name) AS name_rev,
+        ascii(p_name) AS name_ascii
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""))
+
+  /** Date arithmetic surface: day/month offsets, month boundaries, day-of-
+    * week, quarters, day differences — all integer/date-exact. Spark's
+    * dayofweek is 1-based Sunday, DuckDB's 0-based Sunday; the oracle
+    * mirrors with +1.
+    */
+  val q15bDateArith: Q = Q(
+    "q15b_date_arith",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("due_30d"),
+          add_months(col("o_orderdate"), 3).as("q_later"),
+          last_day(col("o_orderdate")).as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"),
+          datediff(lit(java.sql.Date.valueOf("1999-01-01")), col("o_orderdate"))
+            .as("days_to_1999"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_30d,
+        CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS q_later,
+        last_day(o_orderdate) AS month_end,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        CAST(quarter(o_orderdate) AS INT) AS qtr,
+        CAST(date_diff('day', o_orderdate, DATE '1999-01-01') AS INT) AS days_to_1999
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""))
 
   /** Correlated scalar-subquery semantics: orders above their customer's
     * average order value. Expressed as window-average + filter (the
