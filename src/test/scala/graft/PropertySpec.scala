@@ -37,6 +37,59 @@ class PropertySpec extends SparkSpec {
     assert(got === cases.map(_._2))
   }
 
+  test("codegen shingle posting lists match a reference implementation") {
+    import spark.implicits._
+    // hostile texts: runs of spaces, leading/trailing spaces, empty and
+    // short docs — exactly the cases where token re-joining diverges
+    val word = Gen.oneOf("fox", "the", "a", "", "jumps", "dog9", "!")
+    val textGen = for {
+      n <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ")
+    } yield ws.mkString(sep)
+    val texts = sample(textGen, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def reference(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(text)
+    }
+    val got = graft.ops.Dedup.shinglePostings(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) === reference(text),
+        s"doc $id text='$text'")
+    }
+  }
+
+  test("lane-packed simhash equals a per-bit reference vote") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2", "z")
+    val textGen = for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val texts = sample(textGen, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val packed = graft.ops.Dedup.simhash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: xxhash64 per distinct token via Spark (same hash), then a
+    // plain Scala majority vote per bit
+    val tokenHashes = df
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    texts.foreach { case (id, _) =>
+      val hs = tokenHashes(id)
+      val expected = (0 until 64).map { b =>
+        val ones = hs.count(h => ((h >> b) & 1L) == 1L)
+        if (2 * ones > hs.length) 1L << b else 0L
+      }.sum
+      assert(packed(id) === expected, s"doc $id")
+    }
+  }
+
   test("parseReleaseDate yields null only for garbage") {
     import spark.implicits._
     val junk = Seq("not-a-date", "13-13", "", "20231315").toDF("raw")
