@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Clustering, CustomExprQueries, Dedup, EventWindows, Multimodal, Q, Relational, Relational2, ScalePatterns, Similarity, TextAnalysis}
+import graft.ops.{Clustering, CustomExprQueries, Dedup, EventWindows, Multimodal, Profiling, Q, Relational, Relational2, ScalePatterns, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.pack ++ Relational2.pack ++ EventWindows.pack ++
       TextAnalysis.pack ++ Dedup.pack ++ Similarity.pack ++
       Multimodal.pack ++ CustomExprQueries.pack ++ ScalePatterns.pack ++
-      Clustering.pack
+      Clustering.pack ++ Profiling.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -57,6 +57,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-pass queries keep the native scorer in their plans") {
+    // guards the round-2 perf property: if a future edit drops the
+    // codegen'd cosine_sim bulk scorer, these queries silently fall back
+    // to interpreted decimal scoring (a ~10x regression the oracle compare
+    // cannot see)
+    Seq("e50_cosine_topk", "e53_ann_ivf", "d44_embedding_neardup",
+      "d45_embedding_neardup_lsh").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("cosine_sim"),
+        s"$name lost the native cosine_sim scorer")
+    }
+  }
+
   test("two-pass (native prefilter + exact re-rank) equals full exact top-k") {
     import org.apache.spark.sql.functions._
     graft.expr.GraftFunctions.register(spark)
