@@ -24,15 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object SpotifyTransform {
 
-  /** Explode the playlist page once; (`src`, `pos`) is the deterministic
+  /** Explode the playlist page once; (`__src`, `pos`) is the deterministic
     * playlist order that makes keep-first dedup reproducible: `pos` is the
     * 0-based position WITHIN one landed page and restarts per file, so the
-    * source file name disambiguates across pages of a multi-page batch
+    * source file path disambiguates across pages of a multi-page batch
     * (empty string for non-file sources — then `pos` alone decides, as
-    * before). All three output tables derive from this single Generate.
+    * before). Pages order LEXICOGRAPHICALLY by path: landing writers must
+    * zero-pad page numbers (page_09 < page_10) for lexicographic order to
+    * equal fetch order — with non-padded names the choice is still
+    * deterministic, just not fetch-ordered. The dunder name keeps the
+    * bookkeeping column from colliding with payload columns. All three
+    * output tables derive from this single Generate.
     */
   def exploded(raw: DataFrame): DataFrame =
-    raw.select(input_file_name().as("src"),
+    raw.select(input_file_name().as("__src"),
       posexplode(col("items")).as(Seq("pos", "item")))
 
   /** Fact table: one row per playlist item, carrying FK's `album_id`,
@@ -54,7 +59,7 @@ object SpotifyTransform {
   def artists(ex: DataFrame): DataFrame =
     keepFirst(
       ex.select(
-        col("src"), col("pos"),
+        col("__src"), col("pos"),
         try_element_at(col("item.track.artists"), lit(1)).getField("id").as("artist_id"),
         try_element_at(col("item.track.artists"), lit(1)).getField("name").as("name"),
         try_element_at(col("item.track.artists"), lit(1)).getField("external_urls")
@@ -65,7 +70,7 @@ object SpotifyTransform {
   def albums(ex: DataFrame): DataFrame =
     keepFirst(
       ex.select(
-        col("src"), col("pos"),
+        col("__src"), col("pos"),
         col("item.track.album.id").as("album_id"),
         col("item.track.album.name").as("name"),
         Dates.parseReleaseDate(col("item.track.album.release_date")).as("release_date"),
@@ -74,20 +79,21 @@ object SpotifyTransform {
       key = "album_id")
 
   /** Deterministic keep-first-occurrence dedup: the distributed equivalent of
-    * pandas `drop_duplicates(keep='first')` on a frame that has (`src`,
+    * pandas `drop_duplicates(keep='first')` on a frame that has (`__src`,
     * `pos`) ordering columns. Ordering by `pos` alone would tie across
     * pages (it restarts per landed file) and let `row_number` pick an
     * arbitrary winner; the file discriminator keeps the choice stable
-    * across runs. Shuffles by `key` only; no global sort.
+    * across runs (see [[exploded]] for the ordering contract). Shuffles by
+    * `key` only; no global sort.
     */
   def keepFirst(df: DataFrame, key: String): DataFrame = {
     val ord =
-      if (df.columns.contains("src")) Seq(col("src"), col("pos"))
+      if (df.columns.contains("__src")) Seq(col("__src"), col("pos"))
       else Seq(col("pos")) // caller-supplied frames with a total `pos` order
     val w = Window.partitionBy(col(key)).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "src", "pos")
+      .drop("__rn", "__src", "pos")
   }
 
   /** Run the full transform: raw playlist page(s) → (songs, artists, albums). */

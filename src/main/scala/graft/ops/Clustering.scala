@@ -25,7 +25,9 @@ object Clustering {
     * the cluster — each round is one shuffle join (edges ⋈ labels) + one
     * min-aggregate, the same shape GraphX/GraphFrames CC lowers to. Each
     * round's labels persist so round N+1 and the convergence count reuse
-    * one materialization; superseded rounds unpersist eagerly.
+    * one materialization; superseded rounds unpersist eagerly, and the
+    * returned table is a single flat localCheckpoint (on a real cluster
+    * swap in `checkpoint()` over durable storage).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // materialize the (possibly expensive) edge input ONCE — the two union
@@ -34,15 +36,9 @@ object Clustering {
     val sym = e.select(col("d1").as("src"), col("d2").as("dst"))
       .union(e.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Loop state is EAGERLY localCheckpoint'ed, not just persisted: each
-    // round's plan references the previous round's, so an iterative
-    // DataFrame's lineage (and analysis/planning cost) grows per round —
-    // checkpointing truncates it, keeping every round's plan flat. On a
-    // real cluster swap in `checkpoint()` over durable storage for
-    // fault-tolerant lineage cuts.
     var cur = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -59,14 +55,27 @@ object Clustering {
       // revisit only if edge semantics ever produce long chains
       val next = prop.groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("lbl") =!= col("own")).count()
+      cur.unpersist()
       cur = next
       iter += 1
     }
+    // silent non-convergence would return WRONG labels (and diverge from
+    // the recursive-CTE oracle) — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters for graphs of " +
+        "this diameter")
     sym.unpersist()
     e.unpersist()
-    cur.select(col("node"), col("lbl"))
+    // hand consumers ONE flat checkpointed table instead of the nested
+    // round-over-round lineage (round-2 audit: the final plan had grown to
+    // thousands of exchange nodes); this single small materialization is
+    // the only block that outlives the call
+    val out = cur.select(col("node"), col("lbl")).localCheckpoint(true)
+    cur.unpersist()
+    out
   }
 
   /** Cluster the d41 near-dup pairs (same edge semantics, stop-shingle cap

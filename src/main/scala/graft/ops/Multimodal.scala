@@ -105,7 +105,7 @@ object Multimodal {
     "d61_media_ingest",
     (s, _) => {
       import org.apache.spark.sql.functions.{round => fnRound}
-      val dir = fixtureDir()
+      val dir = fixtureDir
       val ds = readMediaDir(s, dir)
         .select(col("media_id"), col("modality"), col("content"),
           struct(lit(0).as("width"), lit(0).as("height"),
@@ -122,15 +122,21 @@ object Multimodal {
 
   /** One deterministic fixture per JVM: 3 files whose bytes are fixed by
     * construction, so d61's output is identical across runs and machines.
+    * Best-effort cleanup on JVM exit (files registered after the dir so
+    * deleteOnExit's LIFO order removes them first).
     */
-  private lazy val fixtureDir: () => String = {
+  private lazy val fixtureDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_fixture")
-    def write(name: String, bytes: Array[Byte]): Unit =
-      java.nio.file.Files.write(dir.resolve(name), bytes)
+    dir.toFile.deleteOnExit()
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, bytes)
+      f.toFile.deleteOnExit()
+    }
     write("a.png", Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ (0 until 64).map(_.toByte))
     write("b.wav", "RIFF".getBytes("UTF-8") ++ (0 until 128).map(i => (i * 3).toByte))
     write("c.bin", (0 until 32).map(i => (i * 7).toByte).toArray)
-    () => dir.toString
+    dir.toString
   }
 
   /** Opaque-binary metadata pass: treat text bytes as content, compute

@@ -57,14 +57,30 @@ object Q {
     * spread is what balances a skewed file layout.
     */
   def spread(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
     // inputFiles only lists the relation's files — unlike an `.rdd`
     // partition probe it does not force physical planning (plus a
     // deserializing RDD lineage) once per call. Callers sit ahead of heavy
     // per-row pipelines, where an unneeded extra shuffle of a many-file
     // table is far cheaper than single-threading a one-file scan.
-    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (files >= p) df else df.repartition(p, col(key))
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.length >= p) df
+    else {
+      // few files can still scan wide: splittable formats split every
+      // maxPartitionBytes, so one big parquet file does NOT single-thread
+      // — estimate scan partitions from total bytes before paying a shuffle
+      val estSplits = try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+        files.map { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(conf).getFileStatus(path).getLen
+        }.sum / maxPart
+      } catch { case _: Throwable => 0L }
+      if (files.nonEmpty && estSplits >= p) df
+      else df.repartition(p, col(key))
+    }
   }
 
   /** Exact-decimal discounted price: cast each FACTOR to decimal before

@@ -147,7 +147,11 @@ object TextAnalysis {
   val d34HashSplit: Q = Q(
     "d34_hash_split",
     (s, dir) => {
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      // pre-mod keeps the product < 2^62: a raw doc_id * 2654435761 would
+      // overflow Long (ANSI error) for doc_id >= ~3.5e9 — ids a 100 TB
+      // corpus absolutely reaches. Identity for ids below the prime.
+      val bucket = pmod(
+        pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L))
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           when(bucket < 80, "train").when(bucket < 90, "val")
@@ -159,8 +163,8 @@ object TextAnalysis {
     Some("""
       SELECT split, lang, count(*) AS n_docs FROM (
         SELECT doc_id, lang,
-          CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-               WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+          CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+               WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
                ELSE 'test' END AS split
         FROM documents) t
       GROUP BY split, lang ORDER BY split, lang"""))
@@ -297,7 +301,10 @@ object TextAnalysis {
     "d39_corpus_mix",
     (s, dir) => {
       val rates = Map("en" -> 50, "de" -> 80, "es" -> 100, "fr" -> 25)
-      val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(17L), lit(100L))
+      // pre-mod before the multiply: see d34 on Long-overflow at scale
+      val bucket = pmod(
+        pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L) + lit(17L),
+        lit(100L))
       val rate = rates.foldLeft(lit(0)) { case (acc, (lang, r)) =>
         when(col("lang") === lang, r).otherwise(acc)
       }
@@ -310,7 +317,7 @@ object TextAnalysis {
     },
     Some("""
       SELECT lang, count(*) AS n_total,
-        sum(CASE WHEN (doc_id * 2654435761 + 17) % 100 <
+        sum(CASE WHEN ((doc_id % 1000000007) * 2654435761 + 17) % 100 <
               CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80
                         WHEN 'es' THEN 100 WHEN 'fr' THEN 25 ELSE 0 END
             THEN 1 ELSE 0 END) AS n_kept

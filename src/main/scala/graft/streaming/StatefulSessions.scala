@@ -44,8 +44,9 @@ case class UserSession(
   * opens a gap. Until then every still-mergeable session stays buffered in
   * state, so a late event landing in a gap MERGES its neighbours (both
   * sides: `session_start` is pulled back with min, the end pushed with max)
-  * instead of producing a spurious split. Events at or below the watermark
-  * are dropped, exactly as the built-in stateful operators do.
+  * instead of producing a spurious split. Events strictly below the
+  * watermark are dropped (at-watermark events are kept), exactly as the
+  * built-in stateful operators do.
   *
   * State size: the watermark seals sessions as it advances, so state holds
   * only sessions within one watermark-delay of the stream head per user —
