@@ -11,7 +11,7 @@ object Relational2 {
 
   def pack: Seq[Q] = Seq(q08bWindowAnalytics2, q14bStringFns2, q15bDateArith,
     q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql,
-    q38MapFns, q39NullSafeArith)
+    q38MapFns, q39NullSafeArith, q44SubqueriesSql)
 
   /** Distribution-analytic window functions: percent_rank / cume_dist /
     * nth_value over each customer's orders. Ratios are exact integer
@@ -284,4 +284,32 @@ object Relational2 {
              total_spend, n_orders
       FROM ranked WHERE rn <= 5
       ORDER BY c_mktsegment, rank"""))
+
+  /** Correlated subquery surface in literal SQL: EXISTS (correlated),
+    * NOT IN (uncorrelated, null-free key), and a correlated scalar
+    * subquery in the projection — Catalyst decorrelates all three into
+    * joins (semi / anti / aggregate-join). ONE ANSI string serves as both
+    * the Spark query and the DuckDB oracle, so the surfaces cannot drift.
+    */
+  private val q44Sql: String = """
+      SELECT c.c_custkey, c.c_mktsegment,
+        CAST((SELECT count(*) FROM orders o2
+              WHERE o2.o_custkey = c.c_custkey
+                AND o2.o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000)
+        AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'P')
+      ORDER BY c.c_custkey"""
+
+  val q44SubqueriesSql: Q = Q(
+    "q44_subqueries_sql",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(q44Sql)
+    },
+    Some(q44Sql))
 }
