@@ -11,7 +11,7 @@ object Relational2 {
 
   def pack: Seq[Q] = Seq(q08bWindowAnalytics2, q14bStringFns2, q15bDateArith,
     q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql,
-    q38MapFns, q39NullSafeArith, q44SubqueriesSql)
+    q34bApproxPercentiles, q38MapFns, q39NullSafeArith, q44SubqueriesSql)
 
   /** Distribution-analytic window functions: percent_rank / cume_dist /
     * nth_value over each customer's orders. Ratios are exact integer
@@ -177,6 +177,25 @@ object Relational2 {
         round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         count(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Sketch-based percentiles — the 100 TB path: `percentile_approx`
+    * (Greenwald-Khanna) needs one pass and O(accuracy) state per group
+    * where the exact form materializes and sorts every group's values.
+    * Rows-only (the sketch is engine-specific); ApproxPercentileSpec pins
+    * the estimates against the exact q34 values within rank-error bounds.
+    */
+  val q34bApproxPercentiles: Q = Q(
+    "q34b_approx_percentiles",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("median_est"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_est"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    None)
 
   /** Map-typed columns: build a map from aggregated entries, then consume
     * it with element_at / map_keys / size. Output is flat columns (map
