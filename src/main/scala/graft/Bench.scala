@@ -5,6 +5,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,33 +17,51 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.GraftFunctions.register(spark)
+    // Exhaust the plan through the built-in noop sink: unlike .count(),
+    // every column is produced and shipped through the physical plan, so a
+    // pure-projection query cannot collapse into a count-only scan.
+    def exhaust(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
     // Warm the JVM (classloading, codegen, parquet reader paths) outside the
     // timed region so per-query numbers measure the queries, not first-touch
     // JIT. sf0.001 keeps the warmup itself cheap; the catch is per-query so
     // one failing query cannot skip warmup for the rest.
-    SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      exhaust(name, fn, "/root/testdata/sf0.001")
     }
+    // Min over `runs` repeats: the shared-machine noise the driver observed
+    // in round 2 (uniform 5-6x inflation on unchanged scan-bound queries) is
+    // additive contention, so min-of-N is the robust estimator of the plan's
+    // cost. Queries unpersist their own intermediates, so repeats are honest
+    // re-executions, not cache hits; clearCache() backstops that.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to runs).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        exhaust(name, fn, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The JSON must survive log-wrapped stdout: round 1's driver failed to
-    // parse it out of sbt's [info] noise. Persist it to a file (path
-    // overridable via SPARK_GRAFT_BENCH_OUT) AND print it as the process's
-    // last stdout line (build.sbt forks run with StdoutOutput, so the line
-    // arrives unprefixed).
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query JSON goes to the file; stdout's LAST line is a COMPACT
+    // summary (total + counts + 5 slowest) — round 2's driver sliced the
+    // ~4 KB full line mid-JSON in its 2000-char tail window, so the printed
+    // line must stay well under that.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), json + "\n")
+    try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    val slow5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f".toDouble }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$slow5,"queries_file":"$out","sf":"$sfDir"}"""
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

@@ -88,6 +88,10 @@ object Clustering {
   val d46DedupClusters: Q = Q(
     "d46_dedup_clusters",
     (s, dir) => {
+      // d41 returns an eagerly MATERIALIZED pair table (Q.materialized), so
+      // the clustering loop consumes a flat tiny edge list — round 2
+      // re-executed the whole shingle-join lineage through every union
+      // branch and propagation round
       val pairs = Dedup.d41ShingleJaccard.run(s, dir).select(col("d1"), col("d2"))
       connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("lbl").as("cluster"),

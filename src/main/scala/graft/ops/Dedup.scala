@@ -38,6 +38,18 @@ object Dedup {
     nGramPostings(docs, 3).union(short).distinct()
   }
 
+  /** Posting lists with each shingle replaced by its xxhash64 — (doc_id,
+    * hs) longs, PERSISTED (callers release via [[Q.materialized]]). Every
+    * wide consumer (self-joins, document-frequency and set-size groupBys)
+    * only ever needs shingle EQUALITY, so shuffling/caching 8-byte hashes
+    * instead of shingle strings cuts the join payload ~5-10x; a 64-bit
+    * collision across the distinct shingles of one corpus is negligible.
+    */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    shinglePostings(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Distinct word n-gram posting lists (doc_id, g) on the codegen path
     * (posexplode + n−1 leads + distinct). Docs with fewer than n tokens
     * contribute nothing — callers add their own fallback if they need one
@@ -92,21 +104,25 @@ object Dedup {
     "d41_shingle_jaccard",
     (s, dir) => {
       // Referenced 3x (sizes + both join sides): materialize the posting
-      // lists once instead of re-running shingling per branch.
-      val sh = shinglePostings(t(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lists once instead of re-running shingling per branch. Shingle
+      // STRINGS are replaced by their xxhash64 before anything wide runs —
+      // the self-join and both groupBys then shuffle 8-byte longs instead
+      // of full shingle text (~5-10x smaller shuffle payload, smaller cache
+      // too). 64-bit collisions are negligible at any realistic distinct-
+      // shingle cardinality; the oracle keeps exact strings.
+      val sh = hashedShingles(t(s, dir, "documents"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val hot = sh.groupBy(col("s"))
+      val hot = sh.groupBy(col("hs"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShinglePostings)
-        .select(col("s"))
-      val pruned = sh.join(broadcast(hot), Seq("s"), "left_anti")
+        .select(col("hs"))
+      val pruned = sh.join(broadcast(hot), Seq("hs"), "left_anti")
       val shared = pruned.as("a")
         .join(pruned.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("shared"))
-      shared
+      val res = shared
         .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
@@ -114,6 +130,10 @@ object Dedup {
             (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
         .filter(col("jaccard") >= 0.2)
         .orderBy(col("d1"), col("d2"))
+      // the pair table is tiny: materialize it and drop the posting-list
+      // cache — d46's clustering loop then consumes the flat pairs instead
+      // of re-executing this whole lineage per round
+      Q.materialized(res, sh)
     },
     Some("""
       WITH sh AS (
@@ -166,11 +186,13 @@ object Dedup {
     * doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    signaturesFromPostings(shinglePostings(docs))
+    signaturesFromPostings(
+      shinglePostings(docs).select(col("doc_id"), xxhash64(col("s")).as("hs")))
 
+  /** Signatures from (doc_id, hs) hashed posting lists. */
   private def signaturesFromPostings(sh: DataFrame): DataFrame = {
     val hashed = sh
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
+      .select(col("doc_id"), pmod(col("hs"), lit(MersenneP)).as("h"))
     val aggs = hashFamily.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
     }
@@ -191,11 +213,11 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     // Both intermediates are referenced 2-3x downstream (banding, estimate
     // join, verify join); Spark re-executes shared subplans per reference,
-    // so materialize them once. O(docs·shingles) / O(docs) rows — at
+    // so materialize them once (and release them at the end — the result
+    // is a tiny pair table). O(docs·shingles) / O(docs) rows — at
     // warehouse scale this is the "write the signature table" step of a
-    // dedup pipeline.
-    val sh = shinglePostings(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dedup pipeline. Postings carry xxhash64'd shingles, never strings.
+    val sh = hashedShingles(docs)
     val sigs = signaturesFromPostings(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
@@ -205,22 +227,41 @@ object Dedup {
           xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // referenced 3x (doc cut, shared count, final assembly) and tiny (it
+    // IS the LSH output): materialize the pair table once — three lazy
+    // references would re-run the band self-join each time
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      .localCheckpoint(true)
+    // The verify join touches only candidate DOCS, so cut the posting lists
+    // down first with a semi-join against the (tiny, broadcast) candidate
+    // doc set — round 2's form expanded candidates × ALL shingles of d1
+    // before the (d2, hs) probe ever pruned anything.
+    val candDocs = candidates.select(col("d1").as("doc_id"))
+      .union(candidates.select(col("d2").as("doc_id")))
+      .distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // shared-shingle count PER CANDIDATE PAIR only (never the full inverted
     // self-join — that is d41's exact mode; here the LSH buckets already
     // bounded the pair set)
     val shared = candidates
-      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .join(shCand.select(col("doc_id").as("d1"), col("hs")), "d1")
+      .join(shCand.select(col("doc_id").as("d2"), col("hs")), Seq("d2", "hs"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("shared"))
-    candidates
+    // flat 32-term codegen sum, NOT aggregate(zip_with(...)): the
+    // interpreted HOF pair dragged the whole final projection off
+    // whole-stage codegen
+    val sigMatches = (0 until NumHashes).map { i =>
+      when(element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1),
+        1).otherwise(0)
+    }.reduce(_ + _)
+    val res = candidates
       .join(shared, Seq("d1", "d2"), "left") // zero-overlap pairs → shared 0
       .na.fill(0L, Seq("shared"))
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
@@ -229,13 +270,12 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .select(
         col("d1"), col("d2"),
-        (aggregate(zip_with(col("sig1"), col("sig2"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / NumHashes).as("est_jaccard"),
+        (sigMatches.cast("double") / NumHashes).as("est_jaccard"),
         (col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
+    Q.materialized(res, sh, sigs)
   }
 
   /** MinHash-LSH near-dups over the documents table. No SQL oracle (hash
@@ -378,33 +418,44 @@ object Dedup {
     * and the compare stays exact. Scoring is the same two-pass
     * native-prefilter + exact-decimal re-rank as d44.
     */
+  /** The lazy d45 pipeline: (result, persisted sketch). Exposed so specs
+    * can audit the pre-materialization physical plan (the Q entry wraps it
+    * in [[Q.materialized]], whose RDD scan hides the executed operators);
+    * callers must release the returned sketch.
+    */
+  def embeddingNearDupsLsh(emb: DataFrame): (DataFrame, DataFrame) = {
+    val S = graft.ops.Similarity
+    // both sides of the self-join read the sketch: materialize it once
+    // (at warehouse scale this is the "write the sketch table" step)
+    val chunked = withChunks(emb, "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.label") === col("b.label") && col("a.j") === col("b.j") &&
+          col("a.chunk") === col("b.chunk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct() // a pair may co-bucket in up to 4 chunks; score it once
+    val res = pairs
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+      .filter(S.cosNative(col("e1"), col("e2")) >= 0.3 - S.Eps)
+      .select(col("label"), col("v1"), col("v2"),
+        S.cosExact(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("label"), col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("v1"), col("v2"))
+    (res, chunked)
+  }
+
   val d45EmbeddingNearDupLsh: Q = Q(
     "d45_embedding_neardup_lsh",
     (s, dir) => {
       graft.expr.GraftFunctions.register(s)
-      val S = graft.ops.Similarity
       val emb = Q.spread(t(s, dir, "embeddings"), "vec_id")
         .select(col("vec_id"), col("label"), col("embedding"))
-      // both sides of the self-join read the sketch: materialize it once
-      // (at warehouse scale this is the "write the sketch table" step)
-      val chunked = withChunks(emb, "embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = chunked.as("a")
-        .join(chunked.as("b"),
-          col("a.label") === col("b.label") && col("a.j") === col("b.j") &&
-            col("a.chunk") === col("b.chunk") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.label").as("label"),
-          col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-        .distinct() // a pair may co-bucket in up to 4 chunks; score it once
-      pairs
-        .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
-        .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
-        .filter(S.cosNative(col("e1"), col("e2")) >= 0.3 - S.Eps)
-        .select(col("label"), col("v1"), col("v2"),
-          S.cosExact(col("e1"), col("e2")).as("cos"))
-        .filter(col("cos") >= 0.3)
-        .select(col("label"), col("v1"), col("v2"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("v1"), col("v2"))
+      val (res, chunked) = embeddingNearDupsLsh(emb)
+      Q.materialized(res, chunked)
     },
     Some(s"""
       WITH w(p, i, wt) AS (VALUES $subPlaneValuesSql),

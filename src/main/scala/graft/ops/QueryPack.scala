@@ -64,9 +64,17 @@ object Q {
     // deserializing RDD lineage) once per call. Callers sit ahead of heavy
     // per-row pipelines, where an unneeded extra shuffle of a many-file
     // table is far cheaper than single-threading a one-file scan.
-    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    import scala.util.control.NonFatal
+    val files = try df.inputFiles catch { case NonFatal(_) => Array.empty[String] }
     if (files.length >= p) df
-    else {
+    else if (files.isEmpty) {
+      // not file-backed (in-memory frame, post-shuffle/view input): probe
+      // the physical partition count instead of blindly paying a shuffle —
+      // such inputs are usually already parallel
+      val parts = try df.queryExecution.toRdd.getNumPartitions
+      catch { case NonFatal(_) => 0 }
+      if (parts >= p) df else df.repartition(p, col(key))
+    } else {
       // few files can still scan wide: splittable formats split every
       // maxPartitionBytes, so one big parquet file does NOT single-thread
       // — estimate scan partitions from total bytes before paying a shuffle
@@ -77,10 +85,32 @@ object Q {
           val path = new org.apache.hadoop.fs.Path(f)
           path.getFileSystem(conf).getFileStatus(path).getLen
         }.sum / maxPart
-      } catch { case _: Throwable => 0L }
-      if (files.nonEmpty && estSplits >= p) df
+      } catch { case NonFatal(_) => 0L }
+      if (estSplits >= p) df
       else df.repartition(p, col(key))
     }
+  }
+
+  /** Eagerly materialize a SMALL final result, then release the persisted
+    * intermediates that built it.
+    *
+    * Queries that persist shared subplans (posting lists, signatures,
+    * sketches) would otherwise leak those caches for the rest of the
+    * session — across a 73-query bench run the leaked blocks stack up into
+    * real memory pressure. The eager localCheckpoint executes the whole
+    * pipeline here (so bench timing still charges the query for it) and
+    * cuts the lineage; the intermediates are then dead and safe to drop.
+    * Downstream consumers (d46's clustering loop, the verify sink) read the
+    * flat materialized table instead of re-running the lineage per branch.
+    *
+    * Only for results small enough to cache on the executors — pair and
+    * cluster tables here. A large result should stream straight to its
+    * sink and unpersist in a try/finally around the sink action instead.
+    */
+  def materialized(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    intermediates.foreach(_.unpersist(false))
+    out
   }
 
   /** Exact-decimal discounted price: cast each FACTOR to decimal before

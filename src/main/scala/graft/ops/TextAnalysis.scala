@@ -317,10 +317,10 @@ object TextAnalysis {
     },
     Some("""
       SELECT lang, count(*) AS n_total,
-        sum(CASE WHEN ((doc_id % 1000000007) * 2654435761 + 17) % 100 <
+        CAST(sum(CASE WHEN ((doc_id % 1000000007) * 2654435761 + 17) % 100 <
               CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80
                         WHEN 'es' THEN 100 WHEN 'fr' THEN 25 ELSE 0 END
-            THEN 1 ELSE 0 END) AS n_kept
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY lang ORDER BY lang"""))
 
   /** Eval-set decontamination: find training documents sharing any word

@@ -62,13 +62,24 @@ class SimilaritySpec extends SparkSpec {
     // codegen'd cosine_sim bulk scorer, these queries silently fall back
     // to interpreted decimal scoring (a ~10x regression the oracle compare
     // cannot see)
-    Seq("e50_cosine_topk", "e53_ann_ivf", "d44_embedding_neardup",
-      "d45_embedding_neardup_lsh").foreach { name =>
-      val plan = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("cosine_sim"),
-        s"$name lost the native cosine_sim scorer")
+    Seq("e50_cosine_topk", "e53_ann_ivf", "d44_embedding_neardup").foreach {
+      name =>
+        val plan = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("cosine_sim"),
+          s"$name lost the native cosine_sim scorer")
     }
+    // d45's Q entry eagerly materializes (its executed plan is an RDD
+    // scan), so audit the lazy pipeline builder directly
+    graft.expr.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val emb45 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val (res45, sketch45) = Dedup.embeddingNearDupsLsh(emb45)
+    try assert(res45.queryExecution.executedPlan.toString.contains("cosine_sim"),
+      "d45_embedding_neardup_lsh lost the native cosine_sim scorer")
+    finally sketch45.unpersist()
   }
 
   test("two-pass (native prefilter + exact re-rank) equals full exact top-k") {

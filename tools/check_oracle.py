@@ -47,6 +47,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns differ spark={gc} oracle={wc}")
             failures += 1
             continue
+        # the driver's compare is type-sensitive (it hashes typed values):
+        # 92 (int64) vs 92.0 (float64) must FAIL here too, before any
+        # cell-level == that would mask it. Width differences (int32 vs
+        # int64) DO hash equal driver-side (q08 passed r02 with rank()
+        # int32 vs DuckDB int64), so compare dtype KIND, not exact dtype.
+        dt_diff = [(c, str(got[c].dtype), str(want[c].dtype))
+                   for c in gc if got[c].dtype.kind != want[c].dtype.kind]
+        if dt_diff:
+            print(f"FAIL {name}: dtypes differ (spark,oracle): {dt_diff}")
+            failures += 1
+            continue
         # array/list cells are unhashable for pandas sorting — stringify
         for df in (got, want):
             for c in gc:
