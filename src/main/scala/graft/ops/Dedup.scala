@@ -17,8 +17,9 @@ import Q.t
 object Dedup {
 
   def pack: Seq[Q] =
-    Seq(d40DedupExact, d41ShingleJaccard, d42MinhashLsh, d43Simhash,
-      d44EmbeddingNearDup, d45EmbeddingNearDupLsh)
+    Seq(d40DedupExact, d41ShingleJaccard, d42MinhashLsh, d42bMinhashRecall,
+      d43Simhash, d43bSimhashFidelity, d44EmbeddingNearDup,
+      d45EmbeddingNearDupLsh)
 
   // ---------------------------------------------------------------- shingles
 
@@ -280,11 +281,43 @@ object Dedup {
 
   /** MinHash-LSH near-dups over the documents table. No SQL oracle (hash
     * functions are engine-specific); DedupSpec verifies recall against the
-    * exact d41 pipeline on planted near-duplicates.
+    * exact d41 pipeline on planted near-duplicates, and [[d42bMinhashRecall]]
+    * SELF-REPORTS the corpus-wide recall in its dumped output.
     */
   val d42MinhashLsh: Q = Q(
     "d42_minhash_lsh",
     (s, dir) => minhashNearDups(t(s, dir, "documents"), threshold = 0.2),
+    None)
+
+  /** Self-reporting accuracy audit for the MinHash-LSH sketch: joins the
+    * LSH pair set against the exact d41 inverted-index pair set IN-QUERY
+    * and emits one row of counts + recall/precision — so the driver's
+    * rows-only check on the sketch family still pins ACCURACY, not just
+    * shape (the dumped parquet carries the recall). Semantics note: d41
+    * prunes stop-shingles from candidate generation while the LSH verify
+    * scores unpruned Jaccard over its own candidates, so the two sets can
+    * legitimately differ beyond sketch error; recall is measured against
+    * d41's output as the declared exact baseline. Both inputs are the tiny
+    * MATERIALIZED pair tables, so the audit costs two broadcast-size joins
+    * — it never re-runs the heavy lineages.
+    */
+  val d42bMinhashRecall: Q = Q(
+    "d42b_minhash_recall",
+    (s, dir) => {
+      val exact = d41ShingleJaccard.run(s, dir).select(col("d1"), col("d2"))
+      val lsh = minhashNearDups(t(s, dir, "documents"), threshold = 0.2)
+        .select(col("d1"), col("d2"))
+      exact.withColumn("in_exact", lit(1))
+        .join(lsh.withColumn("in_lsh", lit(1)), Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_exact"), lit(0))).cast("long").as("n_exact"),
+          sum(coalesce(col("in_lsh"), lit(0))).cast("long").as("n_lsh"),
+          sum(when(col("in_exact") === 1 && col("in_lsh") === 1, 1)
+            .otherwise(0)).cast("long").as("n_both"))
+        .select(col("n_exact"), col("n_lsh"), col("n_both"),
+          (col("n_both").cast("double") / col("n_exact")).as("recall"),
+          (col("n_both").cast("double") / col("n_lsh")).as("precision"))
+    },
     None)
 
   // ------------------------------------------------- embedding-cosine near-dup
@@ -557,10 +590,42 @@ object Dedup {
   }
 
   /** SimHash near-dups over documents. Rows-only (engine-specific hashing);
-    * DedupSpec pins behavior on planted duplicates.
+    * DedupSpec pins behavior on planted duplicates, and
+    * [[d43bSimhashFidelity]] self-reports sketch fidelity vs the exact d41
+    * pairs in its dumped output.
     */
   val d43Simhash: Q = Q(
     "d43_simhash",
     (s, dir) => simhashNearDups(t(s, dir, "documents")),
+    None)
+
+  /** Self-reporting fidelity audit for the SimHash sketch. The chunked
+    * candidate join of [[simhashNearDups]] is COMPLETE by pigeonhole (its
+    * own recall is exactly 1), so the meaningful audit is how faithfully
+    * the 64-bit sketch tracks true textual similarity: take the exact d41
+    * near-dup pairs (Jaccard ≥ 0.2) and report their SimHash hamming
+    * distances — count, mean, and the share within 16 bits (the DedupSpec
+    * "near" band). One row; the d41 side is the tiny materialized pair
+    * table and simhash is one extra pass over the corpus.
+    */
+  val d43bSimhashFidelity: Q = Q(
+    "d43b_simhash_fidelity",
+    (s, dir) => {
+      val pairs = d41ShingleJaccard.run(s, dir).select(col("d1"), col("d2"))
+      // referenced twice (d1 and d2 sides) and tiny (doc_id, long): compute
+      // the sketch once
+      val hs = simhash(t(s, dir, "documents")).localCheckpoint(true)
+      pairs
+        .join(hs.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+        .join(hs.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
+        .select(bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+        .agg(count(lit(1)).cast("long").as("n_exact_pairs"),
+          avg(col("hamming")).as("mean_hamming"),
+          sum(when(col("hamming") <= 16, 1).otherwise(0)).cast("long")
+            .as("n_within_16"))
+        .select(col("n_exact_pairs"), col("mean_hamming"), col("n_within_16"),
+          (col("n_within_16").cast("double") / col("n_exact_pairs"))
+            .as("share_within_16"))
+    },
     None)
 }

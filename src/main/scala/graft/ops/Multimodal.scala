@@ -12,14 +12,19 @@ case class MediaMeta(width: Int, height: Int, sampleRateHz: Int, durationMs: Lon
   */
 case class MediaRow(media_id: Long, modality: String, content: Array[Byte], meta: MediaMeta)
 
-/** Output of the (stubbed) decode+featurize stage. */
-case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int, features: Array[Float])
+/** Output of the decode+featurize stage. `width`/`height` are real decoded
+  * dimensions for images, 0 for other modalities / undecodable bytes.
+  */
+case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int,
+    width: Int, height: Int, features: Array[Float])
 
 /** Multimodal-column plumbing: binary content + typed metadata, partition-
-  * batched decode/feature-extraction, frame sampling. The actual codecs are
-  * STUBS (no image/audio libraries in this container) — the Spark-side
-  * shape (schema, encoders, mapPartitions batching, shuffle-free narrow
-  * execution) is real and tested in MultimodalSpec.
+  * batched decode/feature-extraction, frame sampling. IMAGE decode is REAL
+  * (javax.imageio is pure-JVM: PNG/GIF/BMP/JPEG, no native libs needed);
+  * audio/video codecs are STUBS (their libraries are not in this
+  * container). The Spark-side shape (schema, encoders, mapPartitions
+  * batching, shuffle-free narrow execution) is real and tested in
+  * MultimodalSpec either way.
   */
 object Multimodal {
 
@@ -29,21 +34,64 @@ object Multimodal {
 
   /** Decode + featurize, batched per partition (the shape a real codec
     * needs: amortize per-partition init — model load, codec context —
-    * across rows, never per-row).
+    * across rows, never per-row). Images go through the real imageio
+    * decode; undecodable image bytes and every other modality fall back to
+    * the deterministic stub with zero dimensions.
     */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
     ds.mapPartitions { rows =>
-      // per-partition init would go here (codec context, model handle)
+      // per-partition init would go here (audio/video codec context)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.modality, r.content.length,
-          stubDecode(r.content, dim))
+        val decoded =
+          if (r.modality == "image") decodeImage(r.content, dim) else None
+        decoded match {
+          case Some((w, h, f)) =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, w, h, f)
+          case None =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0,
+              stubDecode(r.content, dim))
+        }
       }
     }
 
-  /** STUB decoder — stands in for image decode / audio spectrogram / video
-    * embedding, which need native libraries not present in this container.
-    * Deterministic by construction (pure function of the bytes) so the
-    * pipeline around it is fully testable.
+  /** REAL image decode: width/height plus `dim` horizontal-strip mean
+    * luminances as the feature vector. Pure JVM (javax.imageio), pure
+    * function of the pixel content — byte-level PNG encoding differences
+    * cannot change it. None when the bytes are not a decodable image.
+    */
+  def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Float](dim)
+        val cnt = new Array[Int](dim)
+        var y = 0
+        while (y < h) {
+          val strip = math.min(dim - 1, y * dim / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(strip) +=
+              (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0f
+            cnt(strip) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < dim) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
+        Some((w, h, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decoder — stands in for audio spectrogram / video embedding,
+    * which need native libraries not present in this container (and the
+    * fallback for undecodable image bytes). Deterministic by construction
+    * (pure function of the bytes) so the pipeline around it is fully
+    * testable.
     */
   def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -115,6 +163,8 @@ object Multimodal {
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n_files"),
           sum(col("n_bytes")).cast("long").as("total_bytes"),
+          max(col("width")).as("max_width"),   // real decoded dims for image
+          max(col("height")).as("max_height"), // 0 for audio/binary (stub)
           fnRound(sum(element_at(col("features"), 1)), 3).as("feat0_sum"))
         .orderBy(col("modality"))
     },
@@ -133,7 +183,18 @@ object Multimodal {
       java.nio.file.Files.write(f, bytes)
       f.toFile.deleteOnExit()
     }
-    write("a.png", Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ (0 until 64).map(_.toByte))
+    // a REAL 8x6 PNG with a deterministic pixel pattern: d61's image row
+    // exercises the true imageio decode path end-to-end (dims 8x6 in the
+    // output; features from actual pixels, not the stub)
+    write("a.png", {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, ((x * 30 + y * 9) << 16) | ((y * 30) << 8) | (x * 20 + 5))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    })
     write("b.wav", "RIFF".getBytes("UTF-8") ++ (0 until 128).map(i => (i * 3).toByte))
     write("c.bin", (0 until 32).map(i => (i * 7).toByte).toArray)
     dir.toString

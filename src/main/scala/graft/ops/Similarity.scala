@@ -27,7 +27,8 @@ import Q.t
   */
 object Similarity {
 
-  def pack: Seq[Q] = Seq(e50CosineTopK, e51AnnLsh, e53AnnIvf, e54Quantize)
+  def pack: Seq[Q] =
+    Seq(e50CosineTopK, e51AnnLsh, e51bAnnRecall, e53AnnIvf, e54Quantize)
 
   /** Native-vs-exact disagreement margin (see object doc). Must exceed
     * 2× the true |native − exact| error (~1e-12) by a wide factor.
@@ -231,6 +232,14 @@ object Similarity {
     * — recall rises as 1-(1-r)^T while the probed fraction of the corpus
     * stays tiny, which is the 100 TB path where scanning the corpus per
     * query is off the table.
+    *
+    * The QUERY side multi-probes: besides its own bucket it probes the
+    * PlanesPerTable single-bit-flip neighbor buckets of each table (the
+    * standard multi-probe LSH recall knob — a near neighbor that disagrees
+    * on exactly one plane still gets found). Probe fan-out rides only the
+    * tiny broadcast query side — the corpus index is bucketed ONCE and
+    * untouched, which is exactly how the knob stays cheap at warehouse
+    * scale. e51b measures the resulting recall in-query.
     * SimilaritySpec pins recall on planted near-identical vectors.
     * Rows-only: bucketing is seed-specific, so no SQL oracle.
     */
@@ -244,8 +253,14 @@ object Similarity {
     // candidate pairs first (cheap bucket columns only), dedup across
     // tables, THEN score each surviving pair exactly once — a pair matching
     // in all 4 tables must not pay the scoring cost 4 times
-    val qb = queries.select(col("qid"),
-      explode(lshBuckets(col("qv"), dim)).as("bucket"))
+    val qb = queries
+      .select(col("qid"), explode(lshBuckets(col("qv"), dim)).as("b0"))
+      // multi-probe: the bucket itself + its single-bit-flip neighbors
+      // (bit flips stay inside the low PlanesPerTable bits, so the table
+      // tag in the high bits is preserved and tables never cross-match)
+      .select(col("qid"), explode(array(
+        col("b0") +: (0 until PlanesPerTable).map(i =>
+          col("b0").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
     val cb = corpus.select(col("cid"),
       explode(lshBuckets(col("cv"), dim)).as("bucket"))
     val candidates = cb.join(broadcast(qb), "bucket")
@@ -260,6 +275,42 @@ object Similarity {
   val e51AnnLsh: Q = Q(
     "e51_ann_lsh",
     (s, dir) => annTopK(t(s, dir, "embeddings")),
+    None)
+
+  /** Self-reporting accuracy audit for the hyperplane-LSH ANN: per query,
+    * recall@10 of [[annTopK]] against the brute-force exact top-10 (e50's
+    * pipeline), computed in-query — the driver's rows-only check on the
+    * seed-specific ANN then pins ACCURACY in the dumped parquet, not just
+    * row shape. The exact side is one narrow native-scored pass (the e50
+    * cost), the ANN side its usual bucket probe; the compare itself is a
+    * join of two ≤ nQueries·k row sets.
+    */
+  val e51bAnnRecall: Q = Q(
+    "e51b_ann_recall",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val ann = annTopK(emb).select(col("qid"), col("cid"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val fast = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"), cosNative(col("qv"), col("cv")).as("cosf"))
+      val exact = exactRerank(fast, q, c, k = 10)
+        .select(col("qid"), col("cid"), col("rank"))
+      exact
+        .join(ann.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+          max(when(col("rank") === 1 && col("hit") === 1, 1).otherwise(0))
+            .cast("long").as("hit_at_1"))
+        .select(col("qid"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall_at_10"),
+          col("hit_at_1"))
+        .orderBy(col("qid"))
+    },
     None)
 
   // ---------------------------------------------------------------- IVF ANN

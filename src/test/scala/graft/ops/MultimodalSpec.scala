@@ -61,8 +61,44 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.features.length === 4))
     val img = feats.find(_.modality == "image").get
     assert(img.n_bytes === 7)
-    // content arrived byte-exact: features equal a direct stubDecode of them
+    // NOT a decodable PNG (just magic bytes): must fall back to the stub
+    // with zero dimensions, and content arrived byte-exact — features
+    // equal a direct stubDecode of the same bytes
+    assert(img.width === 0 && img.height === 0)
     assert(img.features.toSeq === Multimodal.stubDecode(pngBytes, 4).toSeq)
+  }
+
+  test("real PNG bytes decode to true dimensions and pixel-derived features") {
+    import spark.implicits._
+    // deterministic 8x6 RGB pattern, PNG-encoded in-memory
+    val bimg = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      bimg.setRGB(x, y, ((x * 30 + y * 9) << 16) | ((y * 30) << 8) | (x * 20 + 5))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bimg, "png", baos)
+    val bytes = baos.toByteArray
+
+    val (w, h, feats) = Multimodal.decodeImage(bytes, 3).get
+    assert(w === 8 && h === 6)
+    // strip means recomputed directly from the source image: strips are
+    // y-ranges [0,1], [2,3], [4,5] for dim=3 over h=6
+    val expect = (0 until 3).map { strip =>
+      val ys = (0 until 6).filter(y => math.min(2, y * 3 / 6) == strip)
+      val lums = for (y <- ys; x <- 0 until 8) yield {
+        val rgb = bimg.getRGB(x, y)
+        (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0f
+      }
+      lums.sum / lums.size
+    }
+    feats.toSeq.zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-3, s"strip mean $a vs $b")
+    }
+    // and through the full Dataset decode path: real dims ride the row
+    val ds = Seq(MediaRow(9L, "image", bytes, MediaMeta(0, 0, 0, 0L))).toDS()
+    val f = Multimodal.decodeFeatures(ds, dim = 3).collect().head
+    assert(f.width === 8 && f.height === 6)
+    assert(f.features.toSeq === feats.toSeq)
   }
 
   test("frameSample slices evenly and handles empty content") {
