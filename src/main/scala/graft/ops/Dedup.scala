@@ -51,22 +51,25 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Distinct word n-gram posting lists (doc_id, g) on the codegen path
-    * (posexplode + n−1 leads + distinct). Docs with fewer than n tokens
-    * contribute nothing — callers add their own fallback if they need one
-    * (shinglePostings does; decontamination deliberately does not).
+  /** Word n-gram posting lists (doc_id, g) on the codegen path
+    * (posexplode + n−1 leads; distinct per doc unless `distinctPerDoc` is
+    * false — repetition scoring needs the raw multiset). Docs with fewer
+    * than n tokens contribute nothing — callers add their own fallback if
+    * they need one (shinglePostings does; decontamination deliberately
+    * does not).
     */
-  def nGramPostings(docs: DataFrame, n: Int): DataFrame = {
+  def nGramPostings(docs: DataFrame, n: Int,
+      distinctPerDoc: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
-    Q.spread(docs, "doc_id")
+    val grams = Q.spread(docs, "doc_id")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*).as("s"))
-      .distinct()
+    if (distinctPerDoc) grams.distinct() else grams
   }
 
   /** Exact dedup: keep the lowest doc_id per identical text. */

@@ -28,7 +28,8 @@ import Q.t
 object Similarity {
 
   def pack: Seq[Q] =
-    Seq(e50CosineTopK, e51AnnLsh, e51bAnnRecall, e53AnnIvf, e54Quantize)
+    Seq(e50CosineTopK, e51AnnLsh, e51bAnnRecall, e53AnnIvf, e54Quantize,
+      e55MipsTopK, e56KmeansStep)
 
   /** Native-vs-exact disagreement margin (see object doc). Must exceed
     * 2× the true |native − exact| error (~1e-12) by a wide factor.
@@ -74,25 +75,28 @@ object Similarity {
   }
 
   /** Two-pass top-k: `fast` is natively scored pairs (qid, cid, cosf).
-    * Keep the native top-k plus everything within Eps of the k-th native
+    * Keep the native top-k plus everything within `eps` of the k-th native
     * score (a guaranteed superset of the exact top-k), then re-score just
-    * those rows with exact decimal against the (qid→qv) / (cid→cv) lookup
-    * sides and rank. The window shuffle carries only narrow
-    * (qid, cid, cosf) rows — vectors rejoin after the cut.
+    * those rows with the exact-decimal `scorer` against the (qid→qv) /
+    * (cid→cv) lookup sides and rank. The window shuffle carries only
+    * narrow (qid, cid, cosf) rows — vectors rejoin after the cut.
+    * `scorer` defaults to exact cosine; MIPS passes exact dot (whose
+    * larger magnitude needs a correspondingly larger eps).
     */
   def exactRerank(fast: DataFrame, queries: DataFrame, corpus: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, scorer: (Column, Column) => Column = cosExact,
+      eps: Double = Eps): DataFrame = {
     val wOrd = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("cid"))
     val wAll = Window.partitionBy(col("qid"))
     val surv = fast
       .withColumn("rk", row_number().over(wOrd))
       .withColumn("kth", max(when(col("rk") === k, col("cosf"))).over(wAll))
       // kth is null when a query has < k candidates; rk <= k then keeps all
-      .filter(col("rk") <= k || col("cosf") >= col("kth") - Eps)
+      .filter(col("rk") <= k || col("cosf") >= col("kth") - eps)
       .select(col("qid"), col("cid"))
     rankTopK(
       surv.join(corpus, "cid").join(broadcast(queries), "qid")
-        .select(col("qid"), col("cid"), cosExact(col("qv"), col("cv")).as("cos")),
+        .select(col("qid"), col("cid"), scorer(col("qv"), col("cv")).as("cos")),
       k)
   }
 
@@ -185,6 +189,143 @@ object Similarity {
         CAST(sum(CAST(err*err AS DECIMAL(20,15))) AS DOUBLE)/count(*) AS mse,
         max(abs(err)) AS max_err
       FROM e GROUP BY vec_id, scale ORDER BY vec_id"""))
+
+  /** Flat codegen'd L2 norm (element_at squares, no interpreted HOF) —
+    * the FAST-pass norm; exact-decimal [[l2Norm]] re-scores boundaries.
+    */
+  private def normFast(v: Column, dim: Int): Column =
+    sqrt((0 until dim).map { i =>
+      val x = element_at(v, i + 1).cast("double"); x * x
+    }.reduce(_ + _))
+
+  /** Maximum-inner-product top-k (MIPS — the retrieval objective when
+    * embeddings are trained un-normalized, e.g. recommendation towers):
+    * rank candidates by raw dot product, not cosine. The fast pass
+    * reconstructs the dot from the native cosine times the two flat-
+    * codegen norms (dot = cos·|q|·|c|; all three factors codegen'd, no
+    * interpreted HOF touches the bulk), and the exact-decimal dot re-ranks
+    * only the boundary — [[exactRerank]] with the dot scorer and an eps
+    * sized for dot magnitudes. Corpus stays distributed; queries
+    * broadcast. Oracle: all-decimal dots ranked in DuckDB.
+    */
+  val e55MipsTopK: Q = Q(
+    "e55_mips_topk",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val fast = c.withColumn("cnf", normFast(col("cv"), 64))
+        .crossJoin(broadcast(q.withColumn("qnf", normFast(col("qv"), 64))))
+        .select(col("qid"), col("cid"),
+          (cosNative(col("qv"), col("cv")) * col("qnf") * col("cnf")).as("cosf"))
+      exactRerank(fast, q, c, k = 10, scorer = dotExact, eps = 1e-4)
+        .withColumnRenamed("cos", "dot")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      dots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx
+              FROM q CROSS JOIN c) t
+        GROUP BY qid, cid)
+      SELECT qid, cid, round(dot, 6) AS dot, rank FROM (
+        SELECT qid, cid, dot,
+          CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, cid) AS INT) AS rank
+        FROM dots) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** One Lloyd iteration of k-means over the embedding corpus (the
+    * training step the IVF index doc defers to offline): assign every
+    * vector to its nearest centroid by exact cosine (two-pass: native
+    * prefilter, decimal re-rank — e53's assignment shape with keep=1),
+    * then emit the updated centroid as per-dimension exact-decimal means,
+    * one row per (centroid, dim). The assignment is a broadcast join (the
+    * centroid set is tiny by construction); the update is one shuffle on
+    * (centroid, dim) with partial aggregation — the canonical distributed
+    * k-means dataflow, fully oracle-checked.
+    */
+  val e56KmeansStep: Q = Q(
+    "e56_kmeans_step",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      val centroids = broadcast(
+        emb.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+          .withColumn("centroid_norm", l2Norm(col("centroid"))))
+      val wf = Window.partitionBy(col("vec_id"))
+        .orderBy(col("simf").desc, col("centroid_id"))
+      val wAll = Window.partitionBy(col("vec_id"))
+      val surv = emb.join(centroids)
+        .select(col("vec_id"), col("centroid_id"),
+          cosNative(col("embedding"), col("centroid")).as("simf"))
+        .withColumn("rk", row_number().over(wf))
+        .withColumn("kth", max(when(col("rk") === 1, col("simf"))).over(wAll))
+        .filter(col("rk") === 1 || col("simf") >= col("kth") - Eps)
+        .select(col("vec_id"), col("centroid_id"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("centroid_id"))
+      val assigned = surv.join(emb, "vec_id").join(centroids, "centroid_id")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          (dotExact(col("embedding"), col("centroid")) /
+            (l2Norm(col("embedding")) * col("centroid_norm"))).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      assigned
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          // 6dp output rounding, the repo-wide parity pattern (see e50):
+          // the double→decimal cast accumulates ~1e-15 engine-specific ulp
+          // noise over a few hundred addends, far below 6dp
+          round(sum(col("x").cast("double").cast(DecimalType(20, 15)))
+            .cast("double") / count(lit(1)), 6).as("mean_val"))
+        .orderBy(col("centroid_id"), col("dim"))
+    },
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id % 37 = 0),
+      norms AS (
+        SELECT vec_id,
+          sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+        GROUP BY vec_id),
+      vc AS (
+        SELECT vec_id, centroid_id,
+          CAST(sum(CAST(CAST(vx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT e.vec_id, c.centroid_id,
+                unnest(e.embedding) AS vx, unnest(c.centroid) AS cx
+              FROM embeddings e CROSS JOIN cents c) p
+        GROUP BY vec_id, centroid_id),
+      assign AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT vc.vec_id, vc.centroid_id,
+            row_number() OVER (PARTITION BY vc.vec_id
+              ORDER BY vc.dot/(nv.nrm*nc.nrm) DESC, vc.centroid_id) AS rn
+          FROM vc JOIN norms nv ON vc.vec_id = nv.vec_id
+                  JOIN norms nc ON vc.centroid_id = nc.vec_id) t
+        WHERE rn = 1)
+      SELECT a.centroid_id, CAST(r.i AS INT) AS dim,
+        CAST(count(*) AS BIGINT) AS n_members,
+        round(CAST(sum(CAST(CAST(e.embedding[r.i + 1] AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)
+          / count(*), 6) AS mean_val
+      FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        CROSS JOIN range(0, 64) r(i)
+      GROUP BY a.centroid_id, r.i
+      ORDER BY centroid_id, dim"""))
 
   // ------------------------------------------------------- LSH-bucketed ANN
 

@@ -15,7 +15,7 @@ object TextAnalysis {
   def pack: Seq[Q] =
     Seq(d30TextStats, d30bRegexTokens, d31LangId, d32Fingerprint, d33Winnow,
       d34HashSplit, d35Bigrams, d36Tfidf, d37QualityFunnel, d38Contamination,
-      d39CorpusMix)
+      d39CorpusMix, d47Repetition, d48RepeatedSpans)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -322,6 +322,90 @@ object TextAnalysis {
                         WHEN 'es' THEN 100 WHEN 'fr' THEN 25 ELSE 0 END
             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Intra-document repetition score (the Gopher-family quality rule: a
+    * document that keeps repeating the same phrases is boilerplate or
+    * degenerate generation, not prose): per doc, the 3-gram multiset size,
+    * its distinct count, the top gram's frequency, and the derived
+    * duplicate fraction / top-gram share. Per-doc narrow aggregation over
+    * the shared codegen n-gram generator (non-distinct mode) — two
+    * keyed shuffles, both on doc-bounded groups, so it scales scan-bound.
+    * Docs with fewer than 3 tokens have no 3-grams and drop out, both
+    * engines alike.
+    */
+  val d47Repetition: Q = Q(
+    "d47_repetition",
+    (s, dir) => {
+      val grams =
+        Dedup.nGramPostings(t(s, dir, "documents"), n = 3, distinctPerDoc = false)
+      grams.groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_grams"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          max(col("c")).cast("long").as("top_freq"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("top_freq"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+            .as("dup_frac"),
+          (col("top_freq").cast("double") / col("n_grams")).as("top_share"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+          unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1)]) AS s
+        FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents) w
+        WHERE len(words) >= 3),
+      pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY doc_id, s)
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_grams,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(max(c) AS BIGINT) AS top_freq,
+        1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
+        CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+      FROM pc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Cross-document repeated-span statistics (the C4-style cleanup signal:
+    * a span occurring verbatim in more than one document is boilerplate —
+    * headers, license blurbs, templates — and the usual policy is to drop
+    * its repeats corpus-wide): per doc, its distinct 8-gram span count,
+    * how many of those spans also occur in at least one other document,
+    * and the shared fraction. The dataflow is the inverted-index shape:
+    * span document-frequency once (group on the span's xxhash64 — strings
+    * never shuffle, same trade as d41), joined back to the posting lists.
+    * At 100 TB both sides are big but the join key is the 8-byte hash and
+    * the df table carries two longs per distinct span.
+    */
+  val d48RepeatedSpans: Q = Q(
+    "d48_repeated_spans",
+    (s, dir) => {
+      val grams = Dedup.nGramPostings(t(s, dir, "documents"), n = 8)
+        .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      val df_ = grams.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      grams.join(df_, "hs")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_shared"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_spans")).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT DISTINCT doc_id,
+          unnest([words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]
+                  ||' '||words[i+4]||' '||words[i+5]||' '||words[i+6]||' '||words[i+7]
+                  for i in range(1, len(words)-6)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        WHERE len(words) >= 8),
+      df AS (SELECT s, count(*) AS df FROM g GROUP BY s)
+      SELECT g.doc_id,
+        CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          AS shared_frac
+      FROM g JOIN df USING (s)
+      GROUP BY g.doc_id ORDER BY g.doc_id"""))
 
   /** Eval-set decontamination: find training documents sharing any word
     * 8-gram with a held-out eval document (doc_id < 20 stands in for the
