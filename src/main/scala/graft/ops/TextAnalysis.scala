@@ -379,16 +379,20 @@ object TextAnalysis {
   val d48RepeatedSpans: Q = Q(
     "d48_repeated_spans",
     (s, dir) => {
+      // referenced twice (df side + join side): persist the hashed posting
+      // list once, release it after the tiny per-doc result materializes
       val grams = Dedup.nGramPostings(t(s, dir, "documents"), n = 8)
         .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df_ = grams.groupBy(col("hs")).agg(count(lit(1)).as("df"))
-      grams.join(df_, "hs")
+      val res = grams.join(df_, "hs")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_spans"),
           sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_shared"))
         .select(col("doc_id"), col("n_spans"), col("n_shared"),
           (col("n_shared").cast("double") / col("n_spans")).as("shared_frac"))
         .orderBy(col("doc_id"))
+      Q.materialized(res, grams)
     },
     Some("""
       WITH g AS (
