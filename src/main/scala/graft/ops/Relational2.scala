@@ -11,7 +11,8 @@ object Relational2 {
 
   def pack: Seq[Q] = Seq(q08bWindowAnalytics2, q14bStringFns2, q15bDateArith,
     q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql,
-    q34bApproxPercentiles, q38MapFns, q39NullSafeArith, q44SubqueriesSql)
+    q34bApproxPercentiles, q38MapFns, q39NullSafeArith, q44SubqueriesSql,
+    q45UpsertApply, q46LateralSql)
 
   /** Distribution-analytic window functions: percent_rank / cume_dist /
     * nth_value over each customer's orders. Ratios are exact integer
@@ -331,4 +332,85 @@ object Relational2 {
       s.sql(q44Sql)
     },
     Some(q44Sql))
+
+  /** CDC upsert apply (the batch MERGE a lakehouse table maintenance job
+    * runs): events are a change stream keyed by user_id; reduce to
+    * LAST-WRITE-WINS per key (ts desc, event_id desc as the deterministic
+    * tiebreak — CDC logs can carry equal timestamps), then FULL-OUTER
+    * apply onto the customer base table: matched keys get the update's
+    * value folded into the balance, unmatched base rows pass through, and
+    * update keys absent from the base become inserts. At scale this is one
+    * window over the (much smaller) change set + one key-partitioned
+    * full-outer join — the standard merge dataflow; nothing touches rows
+    * outside the change keys' partitions when the base is key-bucketed.
+    */
+  val q45UpsertApply: Q = Q(
+    "q45_upsert_apply",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val updates = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("key"), col("event_type").as("last_type"),
+          col("value").as("upd_value"), col("ts").as("upd_ts"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name"), col("c_acctbal"))
+      base.join(updates, Seq("key"), "full_outer")
+        .select(col("key"),
+          col("c_name"), // null for pure inserts, as MERGE would leave it
+          // single IEEE add — bit-exact across engines, no staging needed
+          when(col("upd_value").isNotNull,
+            coalesce(col("c_acctbal"), lit(0.0)) + col("upd_value"))
+            .otherwise(col("c_acctbal")).as("balance"),
+          col("last_type"), col("upd_ts"))
+        .orderBy(col("key"))
+    },
+    Some("""
+      WITH updates AS (
+        SELECT user_id AS key, event_type AS last_type,
+               value AS upd_value, ts AS upd_ts
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) e
+        WHERE rn = 1),
+      base AS (
+        SELECT c_custkey AS key, c_name, c_acctbal FROM customer)
+      SELECT COALESCE(b.key, u.key) AS key, b.c_name,
+        CASE WHEN u.upd_value IS NOT NULL
+             THEN COALESCE(b.c_acctbal, 0.0) + u.upd_value
+             ELSE b.c_acctbal END AS balance,
+        u.last_type, u.upd_ts
+      FROM base b FULL OUTER JOIN updates u ON b.key = u.key
+      ORDER BY key"""))
+
+  private val q46Sql: String = """
+      SELECT tok, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents
+      LATERAL VIEW explode(split(text, ' ')) tk AS tok
+      WHERE doc_id < 50
+      GROUP BY tok
+      HAVING count(*) >= 100
+      ORDER BY n DESC, tok"""
+
+  /** LATERAL VIEW surface: the HiveQL-lineage table-generating-function
+    * syntax Spark SQL supports (same plan as the DataFrame explode in
+    * q21 — this pins the literal-SQL spelling works too). The oracle is
+    * the ANSI/DuckDB unnest spelling of the same query.
+    */
+  val q46LateralSql: Q = Q(
+    "q46_lateral_sql",
+    (s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(q46Sql)
+    },
+    Some("""
+      SELECT tok, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 50) t
+      GROUP BY tok
+      HAVING count(*) >= 100
+      ORDER BY n DESC, tok"""))
 }

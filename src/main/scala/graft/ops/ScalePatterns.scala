@@ -9,7 +9,7 @@ import Q.t
   */
 object ScalePatterns {
 
-  def pack: Seq[Q] = Seq(q30SaltedAgg)
+  def pack: Seq[Q] = Seq(q30SaltedAgg, q32SaltedJoin)
 
   /** Skew-resistant aggregation: two-phase salted groupBy. A hot key (here
     * event_type, 5 values total — pathological at 100 TB) is split across
@@ -40,4 +40,53 @@ object ScalePatterns {
     Some(s"""
       SELECT event_type, count(*) AS n, ${Q.sumDec("value")} AS total_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** The weighting dim for q32 — 5 rows, one per event type. In-code AND
+    * mirrored verbatim into the oracle's VALUES list.
+    */
+  private val TypeFactors = Seq(
+    ("click", "1.50"), ("error", "0.25"), ("purchase", "3.00"),
+    ("signup", "2.00"), ("view", "0.75"))
+
+  /** Skew-resistant JOIN: the fact side's join key has 5 values across
+    * ~all rows (the classic hot-key join that sends 20 % of a 100 TB table
+    * through one reducer). Salting: the fact takes a deterministic salt in
+    * [0, SaltBuckets); the dim is exploded ×SaltBuckets; the join key
+    * becomes (type, salt), spreading every hot key over SaltBuckets
+    * reducers. Like q30, the oracle is the PLAIN join — salting must be a
+    * pure execution-plan change. (Spark would normally BROADCAST a 5-row
+    * dim and no skew exists at all — the salted shuffle join is forced
+    * here with a broadcast hint disabled via salt explosion + shuffle hint
+    * to demonstrate the pattern for dims too big to broadcast.)
+    */
+  val q32SaltedJoin: Q = Q(
+    "q32_salted_join",
+    (s, dir) => {
+      val events = t(s, dir, "events")
+      val dim = s.createDataFrame(TypeFactors.map { case (ty, f) =>
+        (ty, new java.math.BigDecimal(f))
+      }).toDF("event_type", "factor")
+        .withColumn("factor",
+          col("factor").cast(org.apache.spark.sql.types.DecimalType(4, 2)))
+      val saltedDim = dim.select(col("event_type"), col("factor"),
+        explode(array((0 until SaltBuckets).map(lit(_)): _*)).as("salt"))
+      val saltedFact = events.withColumn(
+        "salt", pmod(xxhash64(col("event_id")), lit(SaltBuckets)).cast("int"))
+      saltedFact.hint("shuffle_hash")
+        .join(saltedDim.hint("shuffle_hash"), Seq("event_type", "salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(Q.dec2(col("value")) * col("factor")).cast("double")
+            .as("weighted_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH dim(event_type, factor) AS (VALUES
+        ${TypeFactors.map { case (t, f) => s"('$t', CAST($f AS DECIMAL(4,2)))" }
+          .mkString(", ")})
+      SELECT e.event_type, count(*) AS n,
+        CAST(sum(CAST(e.value AS DECIMAL(18,2)) * d.factor) AS DOUBLE)
+          AS weighted_value
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY e.event_type ORDER BY e.event_type"""))
 }

@@ -22,6 +22,15 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # NaT (missing timestamp) and None: pandas NaT != NaT, so normalize all
+    # scalar missing values to one token (the driver's hash treats null as
+    # null); guard with a try since pd.isna on list-likes returns arrays
+    try:
+        import pandas as pd
+        if v is None or (not hasattr(v, "__len__") and pd.isna(v)):
+            return "NaN"
+    except (TypeError, ValueError):
+        pass
     return v
 
 
