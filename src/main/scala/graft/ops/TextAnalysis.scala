@@ -15,7 +15,7 @@ object TextAnalysis {
   def pack: Seq[Q] =
     Seq(d30TextStats, d30bRegexTokens, d31LangId, d32Fingerprint, d33Winnow,
       d34HashSplit, d35Bigrams, d36Tfidf, d37QualityFunnel, d38Contamination,
-      d39CorpusMix, d47Repetition, d48RepeatedSpans)
+      d39CorpusMix, d47Repetition, d48RepeatedSpans, d49CorpusClean)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -322,6 +322,105 @@ object TextAnalysis {
                         WHEN 'es' THEN 100 WHEN 'fr' THEN 25 ELSE 0 END
             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** The corpus-production CAPSTONE: compose the pipeline a training run
+    * actually ships — exact dedup (keep lowest doc_id per identical text)
+    * → near-dup clustering (d41 pairs → connected components, drop every
+    * non-representative) → quality gate (d37's keep conditions) →
+    * deterministic hash split (d34's buckets) — and report per (split,
+    * lang) document and token counts of the SURVIVING corpus. Each stage
+    * reuses the same building block its standalone query gates, so the
+    * oracle (one CTE chain ending in the recursive-CTE clustering) checks
+    * that the operators COMPOSE, not just that they work alone. Dataflow
+    * at scale: one text-keyed shuffle (exact), the d41 inverted index +
+    * the tiny CC loop, then two semi/anti joins on doc_id and one final
+    * partial+final aggregation — no stage touches more than the posting
+    * lists d41 already builds.
+    */
+  val d49CorpusClean: Q = Q(
+    "d49_corpus_clean",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactKeep = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val pairs = Dedup.d41ShingleJaccard.run(s, dir)
+        .select(col("d1"), col("d2"))
+      val dropNearDup = Clustering.connectedComponents(pairs)
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      val toks = tokens(col("text"))
+      val nTokens = size(toks)
+      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      val stops = size(filter(toks, x => x.isin(stopwords: _*)))
+      val bucket = pmod(
+        pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L))
+      docs
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(dropNearDup, Seq("doc_id"), "left_anti")
+        .filter(nTokens >= 5 && nTokens <= 5000 &&
+          punct.cast("double") / length(col("text")) <= 0.1 && stops > 0)
+        .select(
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"),
+          col("lang"), nTokens.as("n_toks"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""
+      WITH RECURSIVE exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+            THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1)]
+            ELSE [text] END)) AS s
+        FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM documents) w),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pruned AS (
+        SELECT * FROM sh
+        WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 50)),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT d1, d2 FROM shared
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.2),
+      edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+      drop_near AS (
+        SELECT node AS doc_id FROM walk GROUP BY node
+        HAVING node <> min(lbl)),
+      kept AS (
+        SELECT d.doc_id, d.lang, d.text,
+          len(string_split(d.text,' ')) AS n_toks
+        FROM documents d
+        JOIN exact_keep k ON d.doc_id = k.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+          AND len(string_split(d.text,' ')) BETWEEN 5 AND 5000
+          AND CAST(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / length(d.text) <= 0.1
+          AND len(list_filter(string_split(d.text,' '),
+               x -> x IN ('the','a','of','and','to','in'))) > 0)
+      SELECT split, lang, count(*) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT lang, n_toks,
+          CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+               WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM kept) t
+      GROUP BY split, lang ORDER BY split, lang"""))
 
   /** Intra-document repetition score (the Gopher-family quality rule: a
     * document that keeps repeating the same phrases is boilerplate or
