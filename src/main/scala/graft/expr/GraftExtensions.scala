@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
+    e.injectFunction(GraftFunctions.dotProductDescriptor)
   }
 }
 
@@ -30,6 +31,15 @@ object GraftFunctions {
       CosineSimilarity(exprs.head, exprs(1))
     })
 
+  private[expr] val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"dot_product expects 2 arguments, got ${exprs.length}")
+      DotProduct(exprs.head, exprs(1))
+    })
+
   /** Imperative registration for an already-built session. Reuses the
     * descriptor's builder so wrong arity fails with a clear message rather
     * than an IndexOutOfBoundsException from inside analysis. Idempotent:
@@ -41,5 +51,8 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
       reg.createOrReplaceTempFunction(
         "cosine_sim", cosineSimDescriptor._3, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("dot_product")))
+      reg.createOrReplaceTempFunction(
+        "dot_product", dotProductDescriptor._3, "built-in")
   }
 }

@@ -63,6 +63,12 @@ object Similarity {
   def cosNative(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Native codegen'd inner product (graft.expr.DotProduct) — the MIPS
+    * bulk scorer; one fused array walk, no normalization.
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
   /** Shared top-k tail: rank scored (qid, cid, cos) pairs per query on full
     * precision, keep k, report cos at 6dp (see dotExact on why), ordered.
     */
@@ -190,23 +196,14 @@ object Similarity {
         max(abs(err)) AS max_err
       FROM e GROUP BY vec_id, scale ORDER BY vec_id"""))
 
-  /** Flat codegen'd L2 norm (element_at squares, no interpreted HOF) —
-    * the FAST-pass norm; exact-decimal [[l2Norm]] re-scores boundaries.
-    */
-  private def normFast(v: Column, dim: Int): Column =
-    sqrt((0 until dim).map { i =>
-      val x = element_at(v, i + 1).cast("double"); x * x
-    }.reduce(_ + _))
-
   /** Maximum-inner-product top-k (MIPS — the retrieval objective when
     * embeddings are trained un-normalized, e.g. recommendation towers):
-    * rank candidates by raw dot product, not cosine. The fast pass
-    * reconstructs the dot from the native cosine times the two flat-
-    * codegen norms (dot = cos·|q|·|c|; all three factors codegen'd, no
-    * interpreted HOF touches the bulk), and the exact-decimal dot re-ranks
-    * only the boundary — [[exactRerank]] with the dot scorer and an eps
-    * sized for dot magnitudes. Corpus stays distributed; queries
-    * broadcast. Oracle: all-decimal dots ranked in DuckDB.
+    * rank candidates by raw dot product, not cosine. The fast pass is the
+    * native `dot_product` expression (graft.expr.DotProduct — one fused
+    * codegen loop per pair), and the exact-decimal dot re-ranks only the
+    * boundary — [[exactRerank]] with the dot scorer and an eps sized for
+    * dot magnitudes. Corpus stays distributed; queries broadcast. Oracle:
+    * all-decimal dots ranked in DuckDB.
     */
   val e55MipsTopK: Q = Q(
     "e55_mips_topk",
@@ -217,10 +214,9 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val fast = c.withColumn("cnf", normFast(col("cv"), 64))
-        .crossJoin(broadcast(q.withColumn("qnf", normFast(col("qv"), 64))))
+      val fast = c.crossJoin(broadcast(q))
         .select(col("qid"), col("cid"),
-          (cosNative(col("qv"), col("cv")) * col("qnf") * col("cnf")).as("cosf"))
+          dotNative(col("qv"), col("cv")).as("cosf"))
       exactRerank(fast, q, c, k = 10, scorer = dotExact, eps = 1e-4)
         .withColumnRenamed("cos", "dot")
     },

@@ -32,6 +32,42 @@ class ExprSpec extends SparkSpec {
         |                  array(cast(1.0 as float), cast(2.0 as float)))""".stripMargin) === null)
   }
 
+  test("dot_product computes raw inner product with lenient edge semantics") {
+    val v = sql1(
+      """SELECT dot_product(
+        |  array(cast(1.5 as float), cast(2.0 as float)),
+        |  array(cast(2.0 as float), cast(-0.5 as float)))""".stripMargin)
+      .asInstanceOf[Double]
+    assert(math.abs(v - 2.0) < 1e-7)
+    // zero vector dots to 0 (NOT null — no denominator, unlike cosine)
+    assert(sql1(
+      """SELECT dot_product(array(cast(0.0 as float)), array(cast(1.0 as float)))""") === 0.0)
+    assert(sql1("SELECT dot_product(NULL, array(cast(1.0 as float)))") === null)
+    assert(sql1(
+      """SELECT dot_product(array(cast(1.0 as float)),
+        |                   array(cast(1.0 as float), cast(2.0 as float)))""".stripMargin) === null)
+  }
+
+  test("dot_product codegen matches interpreted eval") {
+    GraftFunctions.register(spark)
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pair = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(call_function("dot_product", col("a.embedding"), col("b.embedding")).as("dot"))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = pair.collect().head.getDouble(0)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = pair.collect().head.getDouble(0)
+      assert(gen === interp)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("cosine_sim rejects wrong input types at analysis time") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -60,8 +60,7 @@ class RepetitionSpec extends SparkSpec {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val fast = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
-        (Similarity.cosNative(col("qv"), col("cv")) * lit(1.0) *
-          sqrt(Similarity.dotExact(col("cv"), col("cv")))).as("cosf"))
+        Similarity.dotNative(col("qv"), col("cv")).as("cosf"))
     val top = Similarity.exactRerank(fast, q, c, k = 2,
       scorer = Similarity.dotExact, eps = 1e-4).collect()
     assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("cid") === 10L)

@@ -69,6 +69,9 @@ class SimilaritySpec extends SparkSpec {
         assert(plan.contains("cosine_sim"),
           s"$name lost the native cosine_sim scorer")
     }
+    assert(graft.SparkEntry.queries("e55_mips_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString.contains("dot_product"),
+      "e55_mips_topk lost the native dot_product scorer")
     // d45's Q entry eagerly materializes (its executed plan is an RDD
     // scan), so audit the lazy pipeline builder directly
     graft.expr.GraftFunctions.register(spark)
