@@ -13,7 +13,57 @@ object EventWindows {
 
   def pack: Seq[Q] =
     Seq(q23Tumbling, q24Sliding, q25Sessions, q36StatefulSessions,
-      q37ClickAttribution)
+      q37ClickAttribution, q47GapFill)
+
+  /** Time-series resample with gap filling (the densification step before
+    * any per-entity time-series model: a day with no events must appear as
+    * an explicit zero row, not be silently absent): build the full
+    * user × calendar-day grid from the corpus' date bounds via
+    * `sequence()` + explode, left-join the per-day aggregates, and
+    * zero-fill the holes. The calendar is one scalar-aggregate row
+    * exploded to #days — broadcast-sized at ANY corpus scale (a century
+    * is 36 525 rows) — so the only real shuffle is the per-(user, day)
+    * aggregation; user_id < 20 bounds the demo grid.
+    */
+  val q47GapFill: Q = Q(
+    "q47_gap_fill",
+    (s, dir) => {
+      val events = t(s, dir, "events").filter(col("user_id") < 20)
+      val daily = events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(Q.dec2(col("value"))).as("v"))
+      val cal = events
+        .agg(min(to_date(col("ts"))).as("dmin"), max(to_date(col("ts"))).as("dmax"))
+        .select(explode(expr("sequence(dmin, dmax, interval 1 day)")).as("day"))
+      val users = events.select(col("user_id")).distinct()
+      users.crossJoin(broadcast(cal))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+          coalesce(col("v").cast("double"), lit(0.0)).as("total_value"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+      daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM ev GROUP BY 1, 2),
+      bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+        FROM ev),
+      cal AS (
+        SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      grid AS (
+        SELECT u.user_id, c.day
+        FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN cal c)
+      SELECT g.user_id, g.day,
+        CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+        COALESCE(d.v, 0.0) AS total_value
+      FROM grid g LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.day = d.day
+      ORDER BY g.user_id, g.day"""))
 
   /** Tumbling 1-hour windows per event type. */
   val q23Tumbling: Q = Q(
