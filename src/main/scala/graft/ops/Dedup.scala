@@ -185,15 +185,10 @@ object Dedup {
         rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** doc_id → 32-element MinHash signature, via the codegen posting lists
-    * + one codegen'd min-aggregate per hash function (one shuffle on
-    * doc_id).
+  /** doc_id → 32-element MinHash signature from (doc_id, hs) hashed
+    * posting lists: one codegen'd min-aggregate per hash function (one
+    * shuffle on doc_id).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    signaturesFromPostings(
-      shinglePostings(docs).select(col("doc_id"), xxhash64(col("s")).as("hs")))
-
-  /** Signatures from (doc_id, hs) hashed posting lists. */
   private def signaturesFromPostings(sh: DataFrame): DataFrame = {
     val hashed = sh
       .select(col("doc_id"), pmod(col("hs"), lit(MersenneP)).as("h"))

@@ -170,10 +170,27 @@ object Multimodal {
     },
     None)
 
-  /** One deterministic fixture per JVM: 3 files whose bytes are fixed by
-    * construction, so d61's output is identical across runs and machines.
-    * Best-effort cleanup on JVM exit (files registered after the dir so
-    * deleteOnExit's LIFO order removes them first).
+  /** The real 8×6 test PNG with a deterministic pixel pattern — ONE
+    * definition shared with MultimodalSpec, so the spec always validates
+    * the exact image d61 ingests. The PIXELS (and therefore the decoded
+    * dims + features) are fixed by construction; the encoded BYTE LENGTH
+    * depends on the JRE's PNG encoder, so d61's total_bytes for the image
+    * row is stable per JRE, not across JRE vendors/versions.
+    */
+  private[ops] lazy val fixturePngBytes: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 30 + y * 9) << 16) | ((y * 30) << 8) | (x * 20 + 5))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** One deterministic fixture per JVM: wav/bin bytes fixed by
+    * construction; the png's pixels fixed (see [[fixturePngBytes]] on byte
+    * stability). Best-effort cleanup on JVM exit (files registered after
+    * the dir so deleteOnExit's LIFO order removes them first).
     */
   private lazy val fixtureDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_fixture")
@@ -183,18 +200,9 @@ object Multimodal {
       java.nio.file.Files.write(f, bytes)
       f.toFile.deleteOnExit()
     }
-    // a REAL 8x6 PNG with a deterministic pixel pattern: d61's image row
-    // exercises the true imageio decode path end-to-end (dims 8x6 in the
-    // output; features from actual pixels, not the stub)
-    write("a.png", {
-      val img = new java.awt.image.BufferedImage(
-        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 6; x <- 0 until 8)
-        img.setRGB(x, y, ((x * 30 + y * 9) << 16) | ((y * 30) << 8) | (x * 20 + 5))
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
-      baos.toByteArray
-    })
+    // a REAL PNG: d61's image row exercises the true imageio decode path
+    // end-to-end (dims 8x6 in the output; features from actual pixels)
+    write("a.png", fixturePngBytes)
     write("b.wav", "RIFF".getBytes("UTF-8") ++ (0 until 128).map(i => (i * 3).toByte))
     write("c.bin", (0 until 32).map(i => (i * 7).toByte).toArray)
     dir.toString

@@ -69,9 +69,13 @@ object Q {
     if (files.length >= p) df
     else if (files.isEmpty) {
       // not file-backed (in-memory frame, post-shuffle/view input): probe
-      // the physical partition count instead of blindly paying a shuffle —
-      // such inputs are usually already parallel
-      val parts = try df.queryExecution.toRdd.getNumPartitions
+      // the partition count instead of blindly paying a shuffle — such
+      // inputs are usually already parallel. Probe the NON-adaptive
+      // sparkPlan: `toRdd` wraps AdaptiveSparkPlanExec, whose execute()
+      // eagerly materializes every upstream shuffle stage just to answer
+      // getNumPartitions, and that work is thrown away on the repartition
+      // path. sparkPlan.execute() only builds the lazy RDD DAG.
+      val parts = try df.queryExecution.sparkPlan.execute().getNumPartitions
       catch { case NonFatal(_) => 0 }
       if (parts >= p) df else df.repartition(p, col(key))
     } else {

@@ -254,29 +254,10 @@ object Similarity {
       GraftFunctions.register(s)
       val emb = Q.spread(t(s, dir, "embeddings"), "vec_id")
         .select(col("vec_id"), col("embedding"))
-      val centroids = broadcast(
-        emb.filter(col("vec_id") % 37 === 0)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-          .withColumn("centroid_norm", l2Norm(col("centroid"))))
-      val wf = Window.partitionBy(col("vec_id"))
-        .orderBy(col("simf").desc, col("centroid_id"))
-      val wAll = Window.partitionBy(col("vec_id"))
-      val surv = emb.join(centroids)
-        .select(col("vec_id"), col("centroid_id"),
-          cosNative(col("embedding"), col("centroid")).as("simf"))
-        .withColumn("rk", row_number().over(wf))
-        .withColumn("kth", max(when(col("rk") === 1, col("simf"))).over(wAll))
-        .filter(col("rk") === 1 || col("simf") >= col("kth") - Eps)
-        .select(col("vec_id"), col("centroid_id"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("centroid_id"))
-      val assigned = surv.join(emb, "vec_id").join(centroids, "centroid_id")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"),
-          (dotExact(col("embedding"), col("centroid")) /
-            (l2Norm(col("embedding")) * col("centroid_norm"))).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      // the SAME two-pass assignment the IVF index uses (keep=1) — one
+      // definition, so an eps/tiebreak change cannot diverge them
+      val assigned =
+        assignToCentroids(emb, modCentroids(emb), "vec_id", "embedding", keep = 1)
       assigned
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -465,43 +446,57 @@ object Similarity {
     * whole dataflow still matches the all-decimal oracle bit-for-bit, but
     * only ~keep rows per vector ever pay the interpreted-decimal cost.
     */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
-    val centroids = broadcast(
+  /** Deterministic coarse centroids (every 37th vector), broadcast with
+    * precomputed exact norms — shared by the IVF index and the k-means
+    * step so they quantize against the identical codebook.
+    */
+  private def modCentroids(emb: DataFrame): DataFrame =
+    broadcast(
       emb.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
         .withColumn("centroid_norm", l2Norm(col("centroid"))))
-    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
-      // pass 1: native cosine vs every centroid; narrow window rows
-      val wf = Window.partitionBy(col(idCol)).orderBy(col("simf").desc, col("centroid_id"))
-      val wAll = Window.partitionBy(col(idCol))
-      val surv = df.join(centroids)
-        .select(col(idCol), col("centroid_id"),
-          cosNative(col(vCol), col("centroid")).as("simf"))
-        .withColumn("rk", row_number().over(wf))
-        .withColumn("kth", max(when(col("rk") === keep, col("simf"))).over(wAll))
-        .filter(col("rk") <= keep || col("simf") >= col("kth") - Eps)
-        .select(col(idCol), col("centroid_id"))
-      // pass 2: exact decimal re-rank of the ~keep survivors per vector
-      val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
-      surv.join(df, idCol)
-        .join(centroids, "centroid_id")
-        .select(col(idCol), col(vCol), col("centroid_id"),
-          (dotExact(col(vCol), col("centroid")) /
-            (l2Norm(col(vCol)) * col("centroid_norm"))).as("sim"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("sim", "crank")
-    }
-    val corpus = assign(
+
+  /** Two-pass nearest-centroid assignment, ONE definition shared by the
+    * IVF index (corpus keep=1, queries keep=nprobe) and the k-means Lloyd
+    * step (keep=1) — an eps or tiebreak change cannot silently diverge
+    * them. Pass 1: native cosine vs every (broadcast) centroid, keep the
+    * top `keep` plus the Eps boundary; pass 2: exact-decimal re-rank of
+    * the survivors. Returns (idCol, vCol, centroid_id).
+    */
+  private def assignToCentroids(df: DataFrame, centroids: DataFrame,
+      idCol: String, vCol: String, keep: Int): DataFrame = {
+    val wf = Window.partitionBy(col(idCol)).orderBy(col("simf").desc, col("centroid_id"))
+    val wAll = Window.partitionBy(col(idCol))
+    val surv = df.join(centroids)
+      .select(col(idCol), col("centroid_id"),
+        cosNative(col(vCol), col("centroid")).as("simf"))
+      .withColumn("rk", row_number().over(wf))
+      .withColumn("kth", max(when(col("rk") === keep, col("simf"))).over(wAll))
+      .filter(col("rk") <= keep || col("simf") >= col("kth") - Eps)
+      .select(col(idCol), col("centroid_id"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
+    surv.join(df, idCol)
+      .join(centroids, "centroid_id")
+      .select(col(idCol), col(vCol), col("centroid_id"),
+        (dotExact(col(vCol), col("centroid")) /
+          (l2Norm(col(vCol)) * col("centroid_norm"))).as("sim"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .drop("sim", "crank")
+  }
+
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = modCentroids(emb)
+    val corpus = assignToCentroids(
       Q.spread(emb.filter(col("vec_id") >= nQueries), "vec_id")
         .select(col("vec_id").as("cid"), col("embedding").as("cv")),
-      "cid", "cv", keep = 1)
-    val queries = assign(
+      centroids, "cid", "cv", keep = 1)
+    val queries = assignToCentroids(
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-      "qid", "qv", keep = nprobe)
+      centroids, "qid", "qv", keep = nprobe)
     val candidates = corpus.select(col("cid"), col("centroid_id"))
       .join(broadcast(queries.select(col("qid"), col("centroid_id"))), "centroid_id")
       .select(col("qid"), col("cid")).distinct()

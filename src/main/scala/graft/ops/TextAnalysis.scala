@@ -24,6 +24,35 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** d34's deterministic multiplicative-hash split bucket in [0, 100) —
+    * ONE definition shared by d34 and the d49 capstone, so a formula
+    * change cannot silently decouple them. (d39's mixing hash adds +17 on
+    * purpose — different stream, deliberately not this expression.)
+    * Pre-mod before the multiply: see d34 on Long overflow at 1e9+ ids.
+    */
+  private def splitBucket: Column = pmod(
+    pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L))
+
+  /** The 80/10/10 split name derived from [[splitBucket]]. */
+  private def splitName: Column =
+    when(splitBucket < 80, "train").when(splitBucket < 90, "val")
+      .otherwise("test")
+
+  /** d37's first-failing-gate quality verdict — ONE definition shared by
+    * d37 (funnel counts per verdict) and d49 (keep-only filter).
+    */
+  private def qualityVerdict: Column = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val stops = size(filter(toks, x => x.isin(stopwords: _*)))
+    when(nTokens < 5, "reject_too_short")
+      .when(nTokens > 5000, "reject_too_long")
+      .when(punct.cast("double") / length(col("text")) > 0.1, "reject_punct")
+      .when(stops === 0, "reject_no_stopwords")
+      .otherwise("keep")
+  }
+
   /** Token counts, punctuation/stopword ratios, and a deterministic
     * composite quality score — the heuristics used to gate documents before
     * expensive downstream processing.
@@ -147,15 +176,8 @@ object TextAnalysis {
   val d34HashSplit: Q = Q(
     "d34_hash_split",
     (s, dir) => {
-      // pre-mod keeps the product < 2^62: a raw doc_id * 2654435761 would
-      // overflow Long (ANSI error) for doc_id >= ~3.5e9 — ids a 100 TB
-      // corpus absolutely reaches. Identity for ids below the prime.
-      val bucket = pmod(
-        pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L))
       t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          when(bucket < 80, "train").when(bucket < 90, "val")
-            .otherwise("test").as("split"))
+        .select(col("doc_id"), col("lang"), splitName.as("split"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("split"), col("lang"))
@@ -260,17 +282,8 @@ object TextAnalysis {
   val d37QualityFunnel: Q = Q(
     "d37_quality_funnel",
     (s, dir) => {
-      val toks = tokens(col("text"))
-      val nTokens = size(toks)
-      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-      val stops = size(filter(toks, x => x.isin(stopwords: _*)))
       t(s, dir, "documents")
-        .select(
-          when(nTokens < 5, "reject_too_short")
-            .when(nTokens > 5000, "reject_too_long")
-            .when(punct.cast("double") / length(col("text")) > 0.1, "reject_punct")
-            .when(stops === 0, "reject_no_stopwords")
-            .otherwise("keep").as("verdict"))
+        .select(qualityVerdict.as("verdict"))
         .groupBy(col("verdict"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("verdict"))
@@ -348,21 +361,12 @@ object TextAnalysis {
       val dropNearDup = Clustering.connectedComponents(pairs)
         .filter(col("node") =!= col("lbl"))
         .select(col("node").as("doc_id"))
-      val toks = tokens(col("text"))
-      val nTokens = size(toks)
-      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-      val stops = size(filter(toks, x => x.isin(stopwords: _*)))
-      val bucket = pmod(
-        pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L))
       docs
         .join(exactKeep, Seq("doc_id"), "left_semi")
         .join(dropNearDup, Seq("doc_id"), "left_anti")
-        .filter(nTokens >= 5 && nTokens <= 5000 &&
-          punct.cast("double") / length(col("text")) <= 0.1 && stops > 0)
-        .select(
-          when(bucket < 80, "train").when(bucket < 90, "val")
-            .otherwise("test").as("split"),
-          col("lang"), nTokens.as("n_toks"))
+        .filter(qualityVerdict === "keep") // d37's gate, the shared expr
+        .select(splitName.as("split"),     // d34's split, the shared expr
+          col("lang"), size(tokens(col("text"))).as("n_toks"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).cast("long").as("n_tokens"))

@@ -70,14 +70,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("real PNG bytes decode to true dimensions and pixel-derived features") {
     import spark.implicits._
-    // deterministic 8x6 RGB pattern, PNG-encoded in-memory
-    val bimg = new java.awt.image.BufferedImage(
-      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 6; x <- 0 until 8)
-      bimg.setRGB(x, y, ((x * 30 + y * 9) << 16) | ((y * 30) << 8) | (x * 20 + 5))
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(bimg, "png", baos)
-    val bytes = baos.toByteArray
+    // the SAME image d61 ingests (shared builder — a drifted copy here
+    // would validate a different image than the fixture)
+    val bytes = Multimodal.fixturePngBytes
+    val bimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
 
     val (w, h, feats) = Multimodal.decodeImage(bytes, 3).get
     assert(w === 8 && h === 6)
