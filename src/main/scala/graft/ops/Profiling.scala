@@ -10,7 +10,52 @@ import Q.t
   */
 object Profiling {
 
-  def pack: Seq[Q] = Seq(q41Outliers, q42Histogram, q43Profile)
+  def pack: Seq[Q] = Seq(q41Outliers, q42Histogram, q43Profile, q49CovarCorr)
+
+  /** Cross-column second moments: population covariance and Pearson
+    * correlation of (event value, hour-of-day) per event type — the
+    * feature-correlation scan a dataset audit runs. The engines' own
+    * covar_pop/corr are double accumulations whose order differs across
+    * partitionings, so both sides compute from exact-decimal Σx, Σy, Σxy,
+    * Σx², Σy² (hour is an exact small int, value exact at 2dp) and then
+    * apply the IDENTICAL double expression tree — one partial+final
+    * shuffle, bit-stable output, the same trick as q41's variance.
+    */
+  val q49CovarCorr: Q = Q(
+    "q49_covar_corr",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.hour
+      val x = Q.dec2(col("value"))
+      val y = hour(col("ts")).cast(org.apache.spark.sql.types.DecimalType(4, 0))
+      val agg = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val covar = d("sxy") / n - (d("sx") / n) * (d("sy") / n)
+      val varx = d("sxx") / n - (d("sx") / n) * (d("sx") / n)
+      val vary = d("syy") / n - (d("sy") / n) * (d("sy") / n)
+      agg.select(col("event_type"), col("n").cast("long").as("n"),
+        covar.as("covar_pop"),
+        (covar / (sqrt(varx) * sqrt(vary))).as("corr"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(hour(ts) AS DECIMAL(4,0))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(hour(ts) AS DECIMAL(4,0))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(hour(ts) AS DECIMAL(4,0)) * CAST(hour(ts) AS DECIMAL(4,0))) AS DOUBLE) AS syy
+        FROM events GROUP BY event_type)
+      SELECT event_type, n,
+        sxy/n - (sx/n)*(sy/n) AS covar_pop,
+        (sxy/n - (sx/n)*(sy/n)) /
+          (sqrt(sxx/n - (sx/n)*(sx/n)) * sqrt(syy/n - (sy/n)*(sy/n))) AS corr
+      FROM m ORDER BY event_type"""))
 
   /** Statistical outliers: order totals more than 1.5σ above their
     * priority-group mean (totals are near-uniform, so a 3σ band would be

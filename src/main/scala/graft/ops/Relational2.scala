@@ -12,7 +12,7 @@ object Relational2 {
   def pack: Seq[Q] = Seq(q08bWindowAnalytics2, q14bStringFns2, q15bDateArith,
     q31ScalarSubquery, q33Pivot, q34Percentiles, q35CteSql,
     q34bApproxPercentiles, q38MapFns, q39NullSafeArith, q44SubqueriesSql,
-    q45UpsertApply, q46LateralSql)
+    q45UpsertApply, q46LateralSql, q48ArrayFns)
 
   /** Distribution-analytic window functions: percent_rank / cume_dist /
     * nth_value over each customer's orders. Ratios are exact integer
@@ -383,6 +383,38 @@ object Relational2 {
         u.last_type, u.upd_ts
       FROM base b FULL OUTER JOIN updates u ON b.key = u.key
       ORDER BY key"""))
+
+  /** Array-function surface over the token arrays: sort, slice, distinct
+    * cardinality, membership, element access — the list-manipulation
+    * toolkit (per-row narrow, fully codegen'd; the only shuffle is the
+    * output sort). Token strings are lowercase ASCII, so Spark's binary
+    * UTF-8 sort and DuckDB's default collation order identically.
+    */
+  val q48ArrayFns: Q = Q(
+    "q48_array_fns",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          concat_ws("-", slice(array_sort(toks), 1, 3)).as("first3_sorted"),
+          size(array_distinct(toks)).cast("long").as("n_distinct_toks"),
+          array_contains(toks, "the").as("has_the"),
+          element_at(toks, -1).as("last_tok"),
+          reverse(array_sort(toks))(0).as("max_tok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        array_to_string(list_sort(words)[1:3], '-') AS first3_sorted,
+        CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_toks,
+        list_contains(words, 'the') AS has_the,
+        words[-1] AS last_tok,
+        list_reverse_sort(words)[1] AS max_tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE doc_id < 100
+      ORDER BY doc_id"""))
 
   private val q46Sql: String = """
       SELECT tok, CAST(count(*) AS BIGINT) AS n,
