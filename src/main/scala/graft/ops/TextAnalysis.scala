@@ -15,7 +15,8 @@ object TextAnalysis {
   def pack: Seq[Q] =
     Seq(d30TextStats, d30bRegexTokens, d31LangId, d32Fingerprint, d33Winnow,
       d34HashSplit, d35Bigrams, d36Tfidf, d37QualityFunnel, d38Contamination,
-      d39CorpusMix, d47Repetition, d48RepeatedSpans, d49CorpusClean)
+      d39CorpusMix, d47Repetition, d48RepeatedSpans, d49CorpusClean,
+      d50SequencePacking, d51Redaction)
 
   /** Shared tokenizer: whitespace split (the `documents` corpus is
     * single-spaced word text).
@@ -425,6 +426,87 @@ object TextAnalysis {
                ELSE 'test' END AS split
         FROM kept) t
       GROUP BY split, lang ORDER BY split, lang"""))
+
+  /** Deterministic sequence packing (the batch-assembly step before
+    * training: concatenate the token stream in doc_id order and chunk it
+    * into fixed `SeqLen`-token sequences): each document's bin is its
+    * running token offset divided by the bin capacity — the contiguous
+    * concat-then-chunk layout, reproducible on any cluster because the
+    * order key is explicit.
+    *
+    * The global running offset is the classic TWO-PHASE distributed
+    * prefix sum, never a global-order window (which would funnel the
+    * whole corpus through one partition): phase 1 cumsums WITHIN each
+    * doc_id-range shard (a partitioned window), phase 2 turns per-shard
+    * totals into shard prefix offsets — #shards rows, broadcast back —
+    * and the global offset is shard_prefix + local_cumsum. Equivalent to
+    * the oracle's single global cumsum because shard order follows
+    * doc_id order. Reports per-bin document counts and fill (only the
+    * tail bin may be under-full).
+    */
+  val d50SequencePacking: Q = Q(
+    "d50_sequence_packing",
+    (s, dir) => {
+      val SeqLen = 2048L
+      val ShardSize = 1000L
+      val local = t(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"),
+          expr(s"doc_id div $ShardSize").as("shard")) // integer div, not double
+        .withColumn("local_end",
+          sum(col("n_toks")).over(Window.partitionBy(col("shard"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // per-shard totals → exclusive prefix offsets: #shards rows, so this
+      // one global-order window is broadcast-sized at any corpus scale
+      val prefixes = local.groupBy(col("shard"))
+        .agg(sum(col("n_toks")).as("tot"))
+        .withColumn("prefix",
+          coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("prefix"))
+      local.join(broadcast(prefixes), "shard")
+        .select(col("doc_id"), col("n_toks"),
+          ((col("prefix") + col("local_end") - col("n_toks")) / SeqLen)
+            .cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, n_toks,
+          CAST((sum(n_toks) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_toks) // 2048 AS BIGINT) AS bin
+        FROM (SELECT doc_id, len(string_split(text,' ')) AS n_toks
+              FROM documents) t) b
+      GROUP BY bin ORDER BY bin"""))
+
+  /** PII-style redaction audit: mask every digit run to '#', report the
+    * redaction count and a fingerprint of the scrubbed text — the masking
+    * sweep a corpus runs before release, shipped as an audit table
+    * (doc_id, n_redactions, scrubbed_sha) rather than mutated text so the
+    * original stays immutable. Pure per-row regex + hash, scan-bound; the
+    * digit-run pattern means the same thing in Java regex and RE2.
+    */
+  val d51Redaction: Q = Q(
+    "d51_redaction",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "[0-9]+")).minus(1).cast("long")
+            .as("n_redactions"),
+          sha2(regexp_replace(col("text"), "[0-9]+", "#").cast("binary"), 256)
+            .as("scrubbed_sha"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split_regex(text, '[0-9]+')) - 1 AS BIGINT)
+          AS n_redactions,
+        sha256(regexp_replace(text, '[0-9]+', '#', 'g')) AS scrubbed_sha
+      FROM documents ORDER BY doc_id"""))
 
   /** Intra-document repetition score (the Gopher-family quality rule: a
     * document that keeps repeating the same phrases is boilerplate or
