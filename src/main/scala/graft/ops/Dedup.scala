@@ -104,40 +104,47 @@ object Dedup {
     * is reported as no near-dup — the documented trade, mirrored exactly in
     * the oracle.
     */
+  /** The exact shingle-Jaccard pair pipeline from (doc_id, hs) hashed
+    * posting lists — shared by d41 and the d42b audit (which compares it
+    * against the LSH pipeline over the SAME posting-list base).
+    */
+  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hot = sh.groupBy(col("hs"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShinglePostings)
+      .select(col("hs"))
+    val pruned = sh.join(broadcast(hot), Seq("hs"), "left_anti")
+    val shared = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("shared").cast("double") /
+          (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val d41ShingleJaccard: Q = Q(
     "d41_shingle_jaccard",
     (s, dir) => {
-      // Referenced 3x (sizes + both join sides): materialize the posting
-      // lists once instead of re-running shingling per branch. Shingle
-      // STRINGS are replaced by their xxhash64 before anything wide runs —
-      // the self-join and both groupBys then shuffle 8-byte longs instead
-      // of full shingle text (~5-10x smaller shuffle payload, smaller cache
-      // too). 64-bit collisions are negligible at any realistic distinct-
-      // shingle cardinality; the oracle keeps exact strings.
+      // Posting lists are referenced 3x (sizes + both join sides):
+      // materialize them once instead of re-running shingling per branch.
+      // Shingle STRINGS are replaced by their xxhash64 before anything
+      // wide runs — the self-join and both groupBys then shuffle 8-byte
+      // longs instead of full shingle text (~5-10x smaller shuffle
+      // payload, smaller cache too). 64-bit collisions are negligible at
+      // any realistic distinct-shingle cardinality; the oracle keeps
+      // exact strings. The tiny pair table materializes and the cache is
+      // dropped — d46's clustering loop then consumes flat pairs instead
+      // of re-executing this whole lineage per round.
       val sh = hashedShingles(t(s, dir, "documents"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val hot = sh.groupBy(col("hs"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxShinglePostings)
-        .select(col("hs"))
-      val pruned = sh.join(broadcast(hot), Seq("hs"), "left_anti")
-      val shared = pruned.as("a")
-        .join(pruned.as("b"),
-          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("shared"))
-      val res = shared
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"),
-          (col("shared").cast("double") /
-            (col("s1.n") + col("s2.n") - col("shared"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-        .orderBy(col("d1"), col("d2"))
-      // the pair table is tiny: materialize it and drop the posting-list
-      // cache — d46's clustering loop then consumes the flat pairs instead
-      // of re-executing this whole lineage per round
-      Q.materialized(res, sh)
+      Q.materialized(jaccardPairsFrom(sh), sh)
     },
     Some("""
       WITH sh AS (
@@ -210,13 +217,21 @@ object Dedup {
     * bucket join (on band hash), the candidate dedup, and the verify join.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    // Both intermediates are referenced 2-3x downstream (banding, estimate
-    // join, verify join); Spark re-executes shared subplans per reference,
-    // so materialize them once (and release them at the end — the result
-    // is a tiny pair table). O(docs·shingles) / O(docs) rows — at
-    // warehouse scale this is the "write the signature table" step of a
-    // dedup pipeline. Postings carry xxhash64'd shingles, never strings.
     val sh = hashedShingles(docs)
+    val (res, sigs) = minhashPairsFrom(sh, threshold)
+    Q.materialized(res, sh, sigs)
+  }
+
+  /** The LSH pair pipeline from (doc_id, hs) hashed posting lists; returns
+    * (result, persisted signature table — caller releases). Shared by d42
+    * and the d42b audit.
+    */
+  private def minhashPairsFrom(sh: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
+    // The signature table is referenced 3x downstream (banding + two
+    // estimate joins); Spark re-executes shared subplans per reference,
+    // so materialize it once. O(docs) rows — at warehouse scale this is
+    // the "write the signature table" step of a dedup pipeline.
     val sigs = signaturesFromPostings(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
@@ -274,7 +289,7 @@ object Dedup {
           (col("n1") + col("n2") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
-    Q.materialized(res, sh, sigs)
+    (res, sigs)
   }
 
   /** MinHash-LSH near-dups over the documents table. No SQL oracle (hash
@@ -295,17 +310,19 @@ object Dedup {
     * prunes stop-shingles from candidate generation while the LSH verify
     * scores unpruned Jaccard over its own candidates, so the two sets can
     * legitimately differ beyond sketch error; recall is measured against
-    * d41's output as the declared exact baseline. Both inputs are the tiny
-    * MATERIALIZED pair tables, so the audit costs two broadcast-size joins
-    * — it never re-runs the heavy lineages.
+    * d41's output as the declared exact baseline. Both pipelines run off
+    * ONE shared persisted posting-list base (shingling is their common
+    * dominant cost — no point paying it twice in an audit of the same
+    * corpus), released after the one-row result materializes.
     */
   val d42bMinhashRecall: Q = Q(
     "d42b_minhash_recall",
     (s, dir) => {
-      val exact = d41ShingleJaccard.run(s, dir).select(col("d1"), col("d2"))
-      val lsh = minhashNearDups(t(s, dir, "documents"), threshold = 0.2)
-        .select(col("d1"), col("d2"))
-      exact.withColumn("in_exact", lit(1))
+      val sh = hashedShingles(t(s, dir, "documents"))
+      val exact = jaccardPairsFrom(sh).select(col("d1"), col("d2"))
+      val (lshRes, sigs) = minhashPairsFrom(sh, threshold = 0.2)
+      val lsh = lshRes.select(col("d1"), col("d2"))
+      val cmp = exact.withColumn("in_exact", lit(1))
         .join(lsh.withColumn("in_lsh", lit(1)), Seq("d1", "d2"), "full_outer")
         .agg(
           sum(coalesce(col("in_exact"), lit(0))).cast("long").as("n_exact"),
@@ -315,6 +332,7 @@ object Dedup {
         .select(col("n_exact"), col("n_lsh"), col("n_both"),
           (col("n_both").cast("double") / col("n_exact")).as("recall"),
           (col("n_both").cast("double") / col("n_lsh")).as("precision"))
+      Q.materialized(cmp, sh, sigs)
     },
     None)
 
