@@ -68,16 +68,15 @@ object Q {
     val files = try df.inputFiles catch { case NonFatal(_) => Array.empty[String] }
     if (files.length >= p) df
     else if (files.isEmpty) {
-      // not file-backed (in-memory frame, post-shuffle/view input): probe
-      // the partition count instead of blindly paying a shuffle — such
-      // inputs are usually already parallel. Probe the NON-adaptive
-      // sparkPlan: `toRdd` wraps AdaptiveSparkPlanExec, whose execute()
-      // eagerly materializes every upstream shuffle stage just to answer
-      // getNumPartitions, and that work is thrown away on the repartition
-      // path. sparkPlan.execute() only builds the lazy RDD DAG.
-      val parts = try df.queryExecution.sparkPlan.execute().getNumPartitions
-      catch { case NonFatal(_) => 0 }
-      if (parts >= p) df else df.repartition(p, col(key))
+      // not file-backed (in-memory frame, post-shuffle/view input): no
+      // RELIABLE cheap probe exists — `toRdd` wraps AdaptiveSparkPlanExec
+      // whose execute() eagerly materializes upstream stages, while the
+      // pre-preparation sparkPlan has no exchanges yet (its partition
+      // count lies about the real output, and broadcast-shaped plans
+      // throw). Callers sit ahead of heavy per-row pipelines where
+      // silent single-threading is the catastrophic case and one hash
+      // shuffle of in-memory data is cheap insurance, so just pay it.
+      df.repartition(p, col(key))
     } else {
       // few files can still scan wide: splittable formats split every
       // maxPartitionBytes, so one big parquet file does NOT single-thread

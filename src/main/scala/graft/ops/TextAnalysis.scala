@@ -449,6 +449,9 @@ object TextAnalysis {
     (s, dir) => {
       val SeqLen = 2048L
       val ShardSize = 1000L
+      // referenced twice (shard totals + final join): persist the tokenized
+      // cumsum'd frame so the scan + split(text) run once, release after
+      // the tiny per-bin result materializes
       val local = t(s, dir, "documents")
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"),
           expr(s"doc_id div $ShardSize").as("shard")) // integer div, not double
@@ -456,6 +459,7 @@ object TextAnalysis {
           sum(col("n_toks")).over(Window.partitionBy(col("shard"))
             .orderBy(col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-shard totals → exclusive prefix offsets: #shards rows, so this
       // one global-order window is broadcast-sized at any corpus scale
       val prefixes = local.groupBy(col("shard"))
@@ -464,7 +468,7 @@ object TextAnalysis {
           coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("shard"), col("prefix"))
-      local.join(broadcast(prefixes), "shard")
+      val res = local.join(broadcast(prefixes), "shard")
         .select(col("doc_id"), col("n_toks"),
           ((col("prefix") + col("local_end") - col("n_toks")) / SeqLen)
             .cast("long").as("bin"))
@@ -472,6 +476,7 @@ object TextAnalysis {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_toks")).cast("long").as("n_tokens"))
         .orderBy(col("bin"))
+      Q.materialized(res, local)
     },
     Some("""
       SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
