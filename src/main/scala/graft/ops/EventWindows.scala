@@ -13,7 +13,39 @@ object EventWindows {
 
   def pack: Seq[Q] =
     Seq(q23Tumbling, q24Sliding, q25Sessions, q36StatefulSessions,
-      q37ClickAttribution, q47GapFill)
+      q37ClickAttribution, q47GapFill, q50ForwardFill)
+
+  /** Forward fill / last-observation-carried-forward (q47's companion:
+    * gap fill densifies the GRID, LOCF densifies the VALUES): treat
+    * error-type events as missing readings and carry each user's last
+    * non-null value forward in (ts, event_id) order — `last(...,
+    * ignoreNulls)` over an unbounded-preceding frame, the canonical LOCF
+    * window. No arithmetic touches the carried doubles, so the compare
+    * is bit-exact without decimal staging. One partitioned window
+    * shuffle; scales like any keyed window.
+    */
+  val q50ForwardFill: Q = Q(
+    "q50_forward_fill",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val v = when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"), v.as("v"),
+          last(v, ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v_filled
+      FROM (SELECT user_id, event_id, ts,
+              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events WHERE user_id < 10) t
+      ORDER BY user_id, event_id"""))
 
   /** Time-series resample with gap filling (the densification step before
     * any per-entity time-series model: a day with no events must appear as
