@@ -20,9 +20,9 @@ object Bench {
     // Exhaust the plan through the built-in noop sink: unlike .count(),
     // every column is produced and shipped through the physical plan, so a
     // pure-projection query cannot collapse into a count-only scan.
-    def exhaust(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    def exhaust(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Boolean =
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
     // Warm the JVM (classloading, codegen, parquet reader paths) outside the
     // timed region so per-query numbers measure the queries, not first-touch
     // JIT. sf0.001 keeps the warmup itself cheap; the catch is per-query so
@@ -36,19 +36,28 @@ object Bench {
     // cost. Queries unpersist their own intermediates, so repeats are honest
     // re-executions, not cache hits; clearCache() backstops that.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val best = (1 to runs).map { _ =>
-        spark.catalog.clearCache()
+        // sweep ALL persisted blocks (checkpointed results included —
+        // clearCache alone misses them) so repeats and later queries are
+        // honest re-executions against a clean store
+        graft.ops.Q.releaseAll(spark)
         val t0 = System.nanoTime()
-        exhaust(name, fn, sfDir)
+        ok &= exhaust(name, fn, sfDir)
         (System.nanoTime() - t0) / 1e9
       }.min
-      name -> best
+      (name, best, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    graft.ops.Q.releaseAll(spark)
+    // a throwing query is still listed with its (meaningless) time, but the
+    // `failed` array marks it so a broken query can never read as a perf win
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query JSON goes to the file; stdout's LAST line is a COMPACT
     // summary (total + counts + 5 slowest) — round 2's driver sliced the
     // ~4 KB full line mid-JSON in its 2000-char tail window, so the printed
@@ -60,10 +69,10 @@ object Bench {
     // under comma-decimal locales and .toDouble would then throw AFTER the
     // whole timed run, losing the line the driver parses
     val slow5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .map { case (k, v, _) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$slow5,"queries_file":"$out","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failed,"queries":$slow5,"queries_file":"$out","sf":"$sfDir"}"""
     spark.stop()
     println(compact)
   }

@@ -40,9 +40,10 @@ object Clustering {
     // it back) and truncates the lineage, so every round's plan stays
     // flat — persist() alone left round N's plan nesting round N-1's and
     // measured 2× slower per round. Superseded round checkpoints are
-    // reclaimed by the ContextCleaner once unreferenced (bounded by
-    // maxIters tiny label tables until then). On a real cluster swap in
-    // `checkpoint()` over durable storage for fault-tolerant cuts.
+    // released explicitly once the next round lands (round N+1 reads only
+    // round N's blocks), so the loop holds at most two label tables, not
+    // maxIters of them. On a real cluster swap in `checkpoint()` over
+    // durable storage for fault-tolerant cuts.
     var cur = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
@@ -64,6 +65,7 @@ object Clustering {
         .agg(min(col("lbl")).as("lbl"), max(col("own")).as("own"))
         .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("own")).count()
+      Q.releaseBlocks(cur) // round N's blocks are dead once N+1 landed
       cur = next
       iter += 1
     }
@@ -93,8 +95,11 @@ object Clustering {
       // re-executed the whole shingle-join lineage through every union
       // branch and propagation round
       val pairs = Dedup.d41ShingleJaccard.run(s, dir).select(col("d1"), col("d2"))
-      connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("lbl").as("cluster"),
+      val cc = connectedComponents(pairs)
+      // the loop has converged (it is eager), so the labels are flat
+      // checkpointed blocks and the edge input is dead — release it
+      Q.releaseBlocks(pairs)
+      cc.select(col("node").as("doc_id"), col("lbl").as("cluster"),
           (col("node") === col("lbl")).as("is_kept"))
         .orderBy(col("doc_id"))
     },

@@ -45,6 +45,10 @@ object Dedup {
     * only ever needs shingle EQUALITY, so shuffling/caching 8-byte hashes
     * instead of shingle strings cuts the join payload ~5-10x; a 64-bit
     * collision across the distinct shingles of one corpus is negligible.
+    * Debugging note: the DuckDB oracles (d41/d46/d48/d49) compare exact
+    * shingle STRINGS, so if a collision ever did occur it would surface as
+    * an oracle hash-compare failure on those queries — check this
+    * asymmetry first before suspecting the join logic.
     */
   def hashedShingles(docs: DataFrame): DataFrame =
     shinglePostings(docs)
@@ -218,16 +222,16 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = hashedShingles(docs)
-    val (res, sigs) = minhashPairsFrom(sh, threshold)
-    Q.materialized(res, sh, sigs)
+    val (res, sigs, cand) = minhashPairsFrom(sh, threshold)
+    Q.materialized(res, sh, sigs, cand)
   }
 
   /** The LSH pair pipeline from (doc_id, hs) hashed posting lists; returns
-    * (result, persisted signature table — caller releases). Shared by d42
-    * and the d42b audit.
+    * (result, persisted signature table, checkpointed candidate table —
+    * caller releases both). Shared by d42 and the d42b audit.
     */
   private def minhashPairsFrom(sh: DataFrame,
-      threshold: Double): (DataFrame, DataFrame) = {
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     // The signature table is referenced 3x downstream (banding + two
     // estimate joins); Spark re-executes shared subplans per reference,
     // so materialize it once. O(docs) rows — at warehouse scale this is
@@ -289,7 +293,7 @@ object Dedup {
           (col("n1") + col("n2") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
-    (res, sigs)
+    (res, sigs, candidates)
   }
 
   /** MinHash-LSH near-dups over the documents table. No SQL oracle (hash
@@ -320,7 +324,7 @@ object Dedup {
     (s, dir) => {
       val sh = hashedShingles(t(s, dir, "documents"))
       val exact = jaccardPairsFrom(sh).select(col("d1"), col("d2"))
-      val (lshRes, sigs) = minhashPairsFrom(sh, threshold = 0.2)
+      val (lshRes, sigs, cand) = minhashPairsFrom(sh, threshold = 0.2)
       val lsh = lshRes.select(col("d1"), col("d2"))
       val cmp = exact.withColumn("in_exact", lit(1))
         .join(lsh.withColumn("in_lsh", lit(1)), Seq("d1", "d2"), "full_outer")
@@ -332,7 +336,7 @@ object Dedup {
         .select(col("n_exact"), col("n_lsh"), col("n_both"),
           (col("n_both").cast("double") / col("n_exact")).as("recall"),
           (col("n_both").cast("double") / col("n_lsh")).as("precision"))
-      Q.materialized(cmp, sh, sigs)
+      Q.materialized(cmp, sh, sigs, cand)
     },
     None)
 
@@ -631,7 +635,7 @@ object Dedup {
       // referenced twice (d1 and d2 sides) and tiny (doc_id, long): compute
       // the sketch once
       val hs = simhash(t(s, dir, "documents")).localCheckpoint(true)
-      pairs
+      val res = pairs
         .join(hs.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
         .join(hs.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
         .select(bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
@@ -642,6 +646,9 @@ object Dedup {
         .select(col("n_exact_pairs"), col("mean_hamming"), col("n_within_16"),
           (col("n_within_16").cast("double") / col("n_exact_pairs"))
             .as("share_within_16"))
+      // one-row result; release the sketch table and d41's materialized
+      // pair table once it lands
+      Q.materialized(res, hs, pairs)
     },
     None)
 }

@@ -172,19 +172,16 @@ object Multimodal {
 
   /** The real 8×6 test PNG with a deterministic pixel pattern — ONE
     * definition shared with MultimodalSpec, so the spec always validates
-    * the exact image d61 ingests. The PIXELS (and therefore the decoded
-    * dims + features) are fixed by construction; the encoded BYTE LENGTH
-    * depends on the JRE's PNG encoder, so d61's total_bytes for the image
-    * row is stable per JRE, not across JRE vendors/versions.
+    * the exact image d61 ingests. The ENCODED BYTES are a committed
+    * classpath resource (pixel (x,y) = RGB(x·30+y·9, y·30, x·20+5),
+    * encoded once at build-fixture time), so d61's total_bytes no longer
+    * depends on which JRE's PNG encoder runs the query — re-encoding at
+    * runtime made the byte length stable per JRE but not across vendors.
     */
   private[ops] lazy val fixturePngBytes: Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 6; x <- 0 until 8)
-      img.setRGB(x, y, ((x * 30 + y * 9) << 16) | ((y * 30) << 8) | (x * 20 + 5))
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    val in = getClass.getResourceAsStream("/graft/fixtures/img_8x6.png")
+    require(in != null, "fixture resource /graft/fixtures/img_8x6.png missing")
+    try in.readAllBytes() finally in.close()
   }
 
   /** One deterministic fixture per JVM: wav/bin bytes fixed by

@@ -112,8 +112,43 @@ object Q {
     */
   def materialized(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
-    intermediates.foreach(_.unpersist(false))
+    intermediates.foreach { df =>
+      df.unpersist(false) // catalog-cached (`persist()`) frames
+      releaseBlocks(df)   // `localCheckpoint`ed frames (unpersist is a no-op)
+    }
     out
+  }
+
+  /** Release the storage blocks behind a `localCheckpoint`ed frame.
+    *
+    * `Dataset.unpersist` only clears catalog-cached plans; a local
+    * checkpoint's blocks belong to a plain persisted RDD inside the plan,
+    * which otherwise lingers until the ContextCleaner collects it —
+    * across a 90-query bench session that is a slow executor-storage leak.
+    * Walking the (checkpoint-truncated, so tiny) RDD lineage finds that
+    * persisted ancestor directly. The frame is UNUSABLE afterwards — only
+    * call once every consumer has materialized.
+    */
+  def releaseBlocks(df: DataFrame): Unit = {
+    import scala.util.control.NonFatal
+    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit =
+      if (depth < 8) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          r.unpersist(false)
+        r.dependencies.foreach(d => walk(d.rdd, depth + 1))
+      }
+    try walk(df.queryExecution.toRdd, 0) catch { case NonFatal(_) => () }
+  }
+
+  /** Drop EVERY persisted RDD block in the session — the between-queries
+    * sweep for harness mains (Bench/Verify). Individual queries release
+    * their own intermediates ([[materialized]]); this backstop also frees
+    * the materialized RESULTS themselves once the harness has consumed
+    * them, so no query's blocks survive into the next query's run.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    spark.catalog.clearCache()
   }
 
   /** Exact-decimal discounted price: cast each FACTOR to decimal before

@@ -15,10 +15,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (foreachBatch is at-least-once after a restart) are therefore
   * IDEMPOTENT: replaying a batch reapplies winners that already won.
   *
-  * Plain parquet has no transactional overwrite, so each merge
-  * materializes the merged state (localCheckpoint — the read must complete
-  * before the overwrite truncates the directory) and rewrites the table;
-  * a lakehouse table format would make that rewrite transactional and
+  * Plain parquet has no transactional overwrite, so each merge writes the
+  * merged state to a TEMP directory, swaps the previous generation aside,
+  * and renames the temp into place — a crash at any point leaves either
+  * the table or its `__old` generation on disk (the read path recovers
+  * from `__old` when the table dir is missing), never a truncated half
+  * table. A lakehouse table format would make the swap transactional and
   * partition-local, and this is exactly the dataflow its MERGE executes.
   * State scales as O(table) per batch here — the demo trade; with a
   * key-partitioned table layout only the partitions containing batch keys
@@ -26,8 +28,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingUpsert {
 
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Schema: (key long, ts timestamp, change_id long, value double). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hfs = fs(spark, tablePath)
+    val tbl = new Path(tablePath)
+    val old = new Path(tablePath + "__old")
+    val tmp = new Path(tablePath + "__tmp")
+    // recover from a crash that swapped the table aside but never renamed
+    // the (possibly incomplete, so discarded) temp into place
+    if (!hfs.exists(tbl) && hfs.exists(old)) hfs.rename(old, tbl)
     val existing =
       try spark.read.parquet(tablePath)
       catch { case _: org.apache.spark.sql.AnalysisException =>
@@ -39,8 +53,13 @@ object StreamingUpsert {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .localCheckpoint(true) // materialize BEFORE overwriting the source dir
-    merged.write.mode("overwrite").parquet(tablePath)
+    // write reads `tbl` while producing `tmp` — distinct dirs, so no
+    // materialization barrier is needed before the swap below
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    hfs.delete(old, true)
+    if (hfs.exists(tbl)) hfs.rename(tbl, old)
+    hfs.rename(tmp, tbl) // the commit point: table now IS the new generation
+    hfs.delete(old, true)
   }
 
   def start(changes: DataFrame, tablePath: String,
