@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q.t
+
+/** Corpus-statistics operators for training-data curation, round 4:
+  * token-distribution diversity (entropy), containment-based near-dup
+  * (the asymmetric companion to d41's Jaccard), corpus-level unigram-LM
+  * scoring, and incremental batch-vs-corpus dedup (the shape every
+  * ingest-new-crawl pipeline runs). All distributed as explode → keyed
+  * aggregation/join — no per-row arrays through interpreted HOFs, no
+  * driver-side state.
+  */
+object Corpus {
+
+  def pack: Seq[Q] =
+    Seq(d52TokenEntropy, d53Containment, d54UnigramLogprob,
+      d55IncrementalDedup)
+
+  /** ln(2) as a shared literal: both engines divide by the same double
+    * instead of each computing log(2) through its own libm.
+    */
+  private val Ln2 = "0.6931471805599453"
+
+  /** One row per token INSTANCE (doc_id, tok) — the shared explode feeding
+    * d52 and d54. Spread first: the per-row split+explode is the narrow
+    * heavy part and the test layout scans one row group.
+    */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    Q.spread(docs, "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** d52: per-document token-distribution stats — type/token ratio and
+    * Shannon entropy (bits). Low entropy ⇒ repetitive/templated text; the
+    * Gopher-family diversity signal complementing d47's n-gram repetition.
+    *
+    * Parity notes: entropy uses ln only on INTEGER counts and the
+    * n·ln(n)−Σc·ln(c) rearrangement, every ln term is decimal-staged so
+    * the sum is order-independent, both engines divide by the same ln(2)
+    * literal, and the output rounds to 6dp (libm ulp + decimal-cast
+    * divergence both sit far below 1e-6 — see the parity playbook).
+    */
+  /** The d52 transform over any (doc_id, text) frame — exposed for
+    * planted-corpus specs.
+    */
+  def entropyStats(docs: DataFrame): DataFrame = {
+    val cnt = tokenRows(docs)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast(DecimalType(18, 12))).as("s"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        round((log(col("n_tokens").cast("double")) -
+          col("s").cast("double") / col("n_tokens").cast("double")) /
+          lit(Ln2.toDouble), 6).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d52TokenEntropy: Q = Q(
+    "d52_token_entropy",
+    (s, dir) => entropyStats(t(s, dir, "documents")),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      cnt AS (
+        SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_distinct,
+        round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        round((ln(CAST(sum(c) AS DOUBLE)) -
+               CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                 AS DECIMAL(18,12))) AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+              / $Ln2, 6) AS entropy_bits
+      FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** d53: containment near-dup — |S(A)∩S(B)| / min(|S(A)|, |S(B)|) over
+    * the same pruned shingle posting lists as d41. Containment catches the
+    * snippet-inside-a-bigger-page duplicates Jaccard under-scores when the
+    * two documents differ a lot in length (union-normalized vs
+    * min-normalized). Reuses [[Dedup.hashedShingles]]' persisted hashed
+    * postings and d41's stop-shingle cap; the extra output column says
+    * WHICH side is the contained (smaller) document — the one a
+    * containment-dedup policy would drop.
+    */
+  /** The lazy d53 pipeline from a persisted hashed-postings table —
+    * exposed (like `Dedup.embeddingNearDupsLsh`) so specs can audit the
+    * plan/results without the eager materialization in the Q entry.
+    */
+  def containmentPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hot = sh.groupBy(col("hs"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.MaxShinglePostings)
+      .select(col("hs"))
+    val pruned = sh.join(broadcast(hot), Seq("hs"), "left_anti")
+    val shared = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("shared").cast("double") /
+          least(col("s1.n"), col("s2.n"))).as("containment"),
+        // tie (equal sizes) → d1, matching the oracle's CASE order
+        when(col("s1.n") <= col("s2.n"), col("d1")).otherwise(col("d2"))
+          .as("contained_doc"))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), round(col("containment"), 6)
+        .as("containment"), col("contained_doc"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val d53Containment: Q = Q(
+    "d53_containment",
+    (s, dir) => {
+      val sh = Dedup.hashedShingles(t(s, dir, "documents"))
+      Q.materialized(containmentPairs(sh, 0.8), sh)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+            THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1)]
+            ELSE [text] END)) AS s
+        FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM documents) w),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pruned AS (
+        SELECT * FROM sh
+        WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 50)),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2,
+        round(CAST(shared AS DOUBLE)/least(s1.n, s2.n), 6) AS containment,
+        CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained_doc
+      FROM shared
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE)/least(s1.n, s2.n) >= 0.8
+      ORDER BY d1, d2"""))
+
+  /** d54: corpus-unigram-LM document scoring — train a unigram language
+    * model over the whole corpus (token → count), then score every
+    * document by its mean token log-probability. The cheap stand-in for
+    * perplexity filtering: documents far below the corpus's typical
+    * logprob are gibberish/outliers, far above are boilerplate-common.
+    *
+    * Scale shape: the "model" is a token-keyed count table — the doc⋈vocab
+    * join is key-partitioned (never broadcast: a web-scale vocab is
+    * millions of rows), the per-doc mean is one keyed aggregation. The
+    * grand total rides a one-row broadcast.
+    */
+  /** The d54 transform over any (doc_id, text) frame — exposed for
+    * planted-corpus specs.
+    */
+  def unigramScores(docs: DataFrame): DataFrame = {
+    val toks = tokenRows(docs)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("c").cast("double") / col("total").cast("double"))
+          .cast(DecimalType(18, 12)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d54UnigramLogprob: Q = Q(
+    "d54_unigram_logprob",
+    (s, dir) => unigramScores(t(s, dir, "documents")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT count(*) AS total FROM tok)
+      SELECT t.doc_id, count(*) AS n_tokens,
+        round(CAST(sum(CAST(ln(CAST(v.c AS DOUBLE) / CAST(tot.total AS DOUBLE))
+            AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6) AS mean_logprob
+      FROM tok t JOIN vocab v USING (tok) CROSS JOIN tot
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** d55: incremental dedup — dedup a NEW batch against an EXISTING corpus
+    * plus within itself, the exact shape of an ingest-new-crawl step (the
+    * corpus side is only ever probed, never rewritten). Split here by
+    * doc_id parity (corpus=even, batch=odd) purely to stage the scenario
+    * on one table. Verdict per batch doc: `dup_of_corpus` (fingerprint
+    * already in the corpus), else `dup_in_batch` (an earlier batch doc has
+    * it), else `kept`. The corpus probe is a key-partitioned left join on
+    * the fingerprint — at 100 TB the corpus fingerprint set is far beyond
+    * broadcast range, and this join shape is exactly a shuffled semi-probe.
+    */
+  /** The d55 verdict transform over explicit corpus/batch frames (each
+    * (doc_id, text)) — exposed for planted-corpus specs; the Q entry
+    * stages the two sides by doc_id parity.
+    */
+  def incrementalDedup(corpusDocs: DataFrame, batchDocs: DataFrame): DataFrame = {
+    val corpus = corpusDocs.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val batch = batchDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.join(corpus, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("in_corpus") === 1, "dup_of_corpus")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("kept").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d55IncrementalDedup: Q = Q(
+    "d55_incremental_dedup",
+    (s, dir) => {
+      // corpus text is already normalized lowercase words (see d32 for the
+      // normalizing variant); the raw-text hash is the fingerprint here
+      val docs = t(s, dir, "documents")
+      incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    },
+    Some("""
+      WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1)
+      SELECT doc_id,
+        CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+             WHEN row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1
+               THEN 'dup_in_batch'
+             ELSE 'kept' END AS verdict
+      FROM batch b LEFT JOIN corpus c USING (fp)
+      ORDER BY doc_id"""))
+}

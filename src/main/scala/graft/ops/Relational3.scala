@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Q.{dec2, dec4, sumDec, t}
+
+/** Relational surface additions, round 4: wide→long reshaping (UNPIVOT)
+  * and ordered-sequence funnel analysis over the event stream.
+  */
+object Relational3 {
+
+  def pack: Seq[Q] = Seq(q51Unpivot, q52Funnel)
+
+  /** q51: UNPIVOT/melt — the inverse of q33's pivot. A wide per-flag
+    * metric table reshapes into (key, metric, value) rows via
+    * `Dataset.unpivot` (Spark's native EXPAND-based melt — one narrow
+    * local expansion, no shuffle beyond the source aggregation). The
+    * oracle mirrors with the portable UNION ALL form. Sums are
+    * decimal-staged so the unpivoted doubles compare exactly.
+    */
+  val q51Unpivot: Q = Q(
+    "q51_unpivot",
+    (s, dir) => {
+      val wide = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+          sum(dec4(col("l_discount"))).cast("double").as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some(s"""
+      WITH wide AS (
+        SELECT l_returnflag,
+          ${sumDec("l_quantity")} AS sum_qty,
+          ${sumDec("l_extendedprice")} AS sum_price,
+          ${sumDec("l_discount", 4)} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+      ORDER BY l_returnflag, metric"""))
+
+  /** q52: strict-order funnel — per user, the FIRST view, then the first
+    * click strictly after it, then the first purchase strictly after
+    * that; only completed funnels survive. The sequence-detection shape
+    * (MATCH_RECOGNIZE's bread-and-butter) expressed as three
+    * filter→keyed-min stages chained by (user, anchor-ts) joins — every
+    * stage is a key-partitioned aggregation on user_id, so the whole
+    * funnel is shuffle-bounded by the (small) per-stage survivor sets,
+    * never a corpus-wide window sort.
+    */
+  val q52Funnel: Q = Q(
+    "q52_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("view_ts"))
+        .groupBy(col("user_id"), col("view_ts"))
+        .agg(min(col("ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("click_ts"))
+        .groupBy(col("user_id"), col("view_ts"), col("click_ts"))
+        .agg(min(col("ts")).as("purchase_ts"))
+      p.select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+            .as("funnel_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, v.view_ts, min(e.ts) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id, v.view_ts),
+      p AS (
+        SELECT e.user_id, c.view_ts, c.click_ts, min(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id, c.view_ts, c.click_ts)
+      SELECT user_id, view_ts, click_ts, purchase_ts,
+        CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS funnel_us
+      FROM p ORDER BY user_id"""))
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.expr.GraftFunctions
+import org.apache.spark.sql.DataFrame
+
+/** Planted-corpus invariants for the round-4 curation operators (d52-d55,
+  * e57-e58): hand-computable inputs whose expected outputs follow from the
+  * operator definitions, independent of the driver corpus.
+  */
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("d52: entropy is 0 for a constant doc and log2(n) for all-distinct") {
+    val out = Corpus.entropyStats(docs(
+      1L -> "a a a a",            // one type, 4 tokens → H = 0
+      2L -> "a b c d e f g h"))   // 8 distinct → H = 3 bits
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("ttr"),
+          r.getAs[Double]("entropy_bits"))).toMap
+    assert(out(1L) === ((4L, 0.25, 0.0)))
+    assert(out(2L) === ((8L, 1.0, 3.0)))
+  }
+
+  test("d53: a doc fully inside a bigger doc scores containment 1.0") {
+    val d = docs(
+      1L -> "one two three four five",                 // 3 shingles
+      2L -> "zero one two three four five six seven",  // superset: 6 shingles
+      3L -> "entirely unrelated words here")
+    val sh = Dedup.hashedShingles(d)
+    val rows = Corpus.containmentPairs(sh, 0.8).collect()
+    sh.unpersist()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("d1") === 1L && r.getAs[Long]("d2") === 2L)
+    assert(r.getAs[Double]("containment") === 1.0)
+    assert(r.getAs[Long]("contained_doc") === 1L) // the smaller side
+  }
+
+  test("d54: common-token docs score a higher mean logprob than rare-token docs") {
+    // corpus: "a" appears 9x, each rare token once → 12 total
+    val out = Corpus.unigramScores(docs(
+      1L -> "a a a a a a a a a", // all common: lp = ln(9/12)
+      2L -> "x y z"))           // all rare:   lp = ln(1/12)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_logprob")).toMap
+    assert(math.abs(out(1L) - math.log(9.0 / 12)) < 1e-6)
+    assert(math.abs(out(2L) - math.log(1.0 / 12)) < 1e-6)
+    assert(out(1L) > out(2L))
+  }
+
+  test("d55: corpus dup beats batch dup beats kept, in doc_id order") {
+    val corpus = docs(0L -> "seen before", 2L -> "other corpus text")
+    val batch = docs(
+      1L -> "seen before",   // in corpus → dup_of_corpus
+      3L -> "fresh text",    // first of its fp → kept
+      5L -> "fresh text",    // later same fp  → dup_in_batch
+      7L -> "only once")     // unique         → kept
+    val out = Corpus.incrementalDedup(corpus, batch)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("verdict")).toMap
+    assert(out === Map(1L -> "dup_of_corpus", 3L -> "kept",
+      5L -> "dup_in_batch", 7L -> "kept"))
+  }
+
+  test("e57: codebook vectors encode to themselves with zero error") {
+    val rows = Similarity2.pqCodes(
+        Q.t(spark, sf0001, "embeddings"))
+      .collect()
+    assert(rows.length === 500)
+    rows.filter(_.getAs[Long]("vec_id") < 16).foreach { r =>
+      val id = r.getAs[Long]("vec_id").toInt
+      (0 until 8).foreach(m => assert(r.getAs[Int](s"code$m") === id,
+        s"codebook vec $id did not self-code in subspace $m"))
+      assert(r.getAs[Double]("mse") === 0.0)
+    }
+    // every code in range, every mse a non-negative exact multiple of 2^-24
+    rows.foreach { r =>
+      (0 until 8).foreach { m =>
+        val c = r.getAs[Int](s"code$m"); assert(c >= 0 && c < 16)
+      }
+      val mse = r.getAs[Double]("mse")
+      assert(mse >= 0.0 && (mse * 64 * 512 * 512) == math.rint(mse * 64 * 512 * 512))
+    }
+  }
+
+  test("e58: recall@10 is 1.0 when the truncated prefix determines the vector") {
+    GraftFunctions.register(spark)
+    // 64-dim vectors whose FIRST dim already separates them: cosine ranking
+    // by the 16-dim prefix equals the full ranking → perfect recall.
+    // Query 0 plus 15 corpus vectors on distinct rays in the (d0,d1) plane,
+    // zero elsewhere — both full and truncated cosines see the same angles.
+    val emb = (0 until 16).map { i =>
+      val angle = i * 0.09
+      val v = Array.fill(64)(0f)
+      v(0) = math.cos(angle).toFloat
+      v(1) = math.sin(angle).toFloat
+      // vec_id < 5 are queries in the e50 split; use 0 as the only query
+      // whose neighbors we assert (ids 5..15 form the corpus)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity2.matryoshkaRecall(emb, truncDim = 16)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Double]("recall_at_10"), r.getAs[Boolean]("top1_match"))).toMap
+    assert(out(0L) === ((1.0, true)))
+  }
+
+  test("e58: driver-corpus audit stays well-formed (honest weak recall)") {
+    GraftFunctions.register(spark)
+    val rows = Similarity2.matryoshkaRecall(
+      Q.t(spark, sf0001, "embeddings"), truncDim = 16).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0 && n <= 10)
+      assert(r.getAs[Double]("recall_at_10") === n / 10.0)
+    }
+  }
+}
