@@ -18,7 +18,7 @@ object Corpus {
 
   def pack: Seq[Q] =
     Seq(d52TokenEntropy, d53Containment, d54UnigramLogprob,
-      d55IncrementalDedup)
+      d55IncrementalDedup, d56BigramLm)
 
   /** ln(2) as a shared literal: both engines divide by the same double
     * instead of each computing log(2) through its own libm.
@@ -250,4 +250,56 @@ object Corpus {
              ELSE 'kept' END AS verdict
       FROM batch b LEFT JOIN corpus c USING (fp)
       ORDER BY doc_id"""))
+
+  /** The d56 transform over any (doc_id, text) frame — exposed for
+    * planted-corpus specs.
+    */
+  def bigramScores(docs: DataFrame): DataFrame = {
+    // non-distinct bigram multiset per doc, on the shared codegen
+    // posexplode+lead generator (g = "w1 w2"); docs with <2 tokens emit
+    // nothing and drop out of the output in both engines
+    val bg = Dedup.nGramPostings(docs, 2, distinctPerDoc = false)
+      .select(col("doc_id"), col("s").as("g"),
+        split(col("s"), " ").getItem(0).as("w1"))
+    val c12 = bg.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c12, "g").join(c1, "w1")
+      .select(col("doc_id"),
+        log(col("c12").cast("double") / col("c1").cast("double"))
+          .cast(DecimalType(18, 12)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d56: bigram-LM document scoring — the conditional-probability step up
+    * from d54's unigram model: score each document by the mean
+    * ln P(w₂|w₁) = ln(c(w₁w₂)/c(w₁·)) under corpus-wide bigram MLE counts.
+    * Documents whose transitions are corpus-atypical (scrambled or
+    * machine-mangled text) score low even when their unigram mix looks
+    * normal — the cheap proxy for LM-perplexity filtering. Same scale
+    * shape as d54 with the model table keyed by bigram: counts are keyed
+    * aggregations, scoring is a key-partitioned join, nothing broadcast
+    * except nothing.
+    */
+  val d56BigramLm: Q = Q(
+    "d56_bigram_lm",
+    (s, dir) => bigramScores(t(s, dir, "documents")),
+    Some("""
+      WITH bg AS (
+        SELECT doc_id, unnest([words[i] || ' ' || words[i+1]
+                               for i in range(1, len(words))]) AS g,
+          unnest([words[i] for i in range(1, len(words))]) AS w1
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        WHERE len(words) >= 2),
+      c12 AS (SELECT g, count(*) AS c12 FROM bg GROUP BY g),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(CAST(sum(CAST(ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+            AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6) AS mean_logprob
+      FROM bg JOIN c12 USING (g) JOIN c1 USING (w1)
+      GROUP BY doc_id ORDER BY doc_id"""))
 }

@@ -1,16 +1,17 @@
 package graft.ops
 
-import graft.expr.{GraftFunctions, Scored, TopKAggregator}
+import graft.expr.{CountMinAggregator, GraftFunctions, Scored, TopKAggregator}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q.t
 
 /** Queries exercising the engine's custom Catalyst surface: the native
-  * codegen `cosine_sim` expression and the typed top-k Aggregator UDAF.
+  * codegen `cosine_sim` expression and the typed Aggregator UDAFs
+  * (exact top-k, count-min sketch).
   */
 object CustomExprQueries {
 
-  def pack: Seq[Q] = Seq(e52CosineExpr, q26TopKUdaf)
+  def pack: Seq[Q] = Seq(e52CosineExpr, q26TopKUdaf, q53CmsHeavyHitters)
 
   /** e50's top-k re-run through the native expression — the throughput
     * path. Scores match the HOF/decimal variant to ~1e-15; output rounds to
@@ -80,4 +81,38 @@ object CustomExprQueries {
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM customer JOIN orders ON c_custkey = o_custkey) t
       WHERE rn <= 3 ORDER BY c_mktsegment, rank"""))
+
+  /** q53: count-min-sketch heavy hitters with an IN-QUERY exact audit.
+    * One pass builds the constant-size sketch ([[CountMinAggregator]]:
+    * partial sketches merge element-wise, so the shuffle ships one
+    * depth×width array per partition no matter the input size); the exact
+    * top-10 keys then read their point estimates back out of the sketch
+    * and the output carries est − exact, so the dumped parquet PINS the
+    * sketch's one-sided error like the d42b/e51b audits. The lookup UDF
+    * runs on 10 rows against the broadcast one-row sketch — never on the
+    * data path — and shares [[CountMinAggregator.bucket]] with the update
+    * path so the two hashes cannot drift. No oracle (sketch internals are
+    * engine-specific); `CmsSpec` enforces the never-undercount invariant
+    * and the εN over-count envelope.
+    */
+  val q53CmsHeavyHitters: Q = Q(
+    "q53_cms_heavy_hitters",
+    (s, dir) => {
+      val depth = 5
+      val width = 8192
+      val cms = udaf(new CountMinAggregator(depth, width))
+      val ev = Q.spread(t(s, dir, "events"), "event_id")
+        .select(col("user_id"))
+      val sketch = ev.agg(cms(col("user_id")).as("sk"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      val est = udf((sk: Seq[Long], key: Long) =>
+        CountMinAggregator.estimate(sk.toArray, depth, width, key))
+      exact.crossJoin(broadcast(sketch))
+        .select(col("user_id"), col("n_exact"),
+          est(col("sk"), col("user_id")).as("n_est"))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    },
+    None)
 }

@@ -9,7 +9,7 @@ import Q.t
   */
 object ScalePatterns {
 
-  def pack: Seq[Q] = Seq(q30SaltedAgg, q32SaltedJoin)
+  def pack: Seq[Q] = Seq(q30SaltedAgg, q32SaltedJoin, q54Zorder)
 
   /** Skew-resistant aggregation: two-phase salted groupBy. A hot key (here
     * event_type, 5 values total — pathological at 100 TB) is split across
@@ -89,4 +89,41 @@ object ScalePatterns {
           AS weighted_value
       FROM events e JOIN dim d ON e.event_type = d.event_type
       GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  /** q54: Z-order (Morton) layout key — interleave the bits of two scan
+    * dimensions so sorting by the single derived key co-locates rows that
+    * are close in BOTH. At warehouse scale this is the data-LAYOUT
+    * optimization: files written in z-order carry tight min/max ranges on
+    * both source columns, so scans filtered on either dimension prune
+    * files (the same reason lakehouse OPTIMIZE ZORDER exists). Here the
+    * curve key for (user_id, time-of-day-minute) is computed as a flat
+    * 32-term codegen shift/mask sum — pure integer ops, bit-exact in any
+    * engine — and the output is the layout ordering itself.
+    */
+  val q54Zorder: Q = Q(
+    "q54_zorder",
+    (s, dir) => {
+      val x = pmod(col("user_id"), lit(65536L))
+      // minute of day (integer µs arithmetic end-to-end — no double epoch)
+      val y = pmod(expr("unix_micros(ts) div 60000000"), lit(1440L))
+      val z = (0 until 16).map { j =>
+        (shiftright(col("x"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))) +
+          (shiftright(col("y"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
+      }.reduce(_ + _)
+      t(s, dir, "events")
+        .select(col("event_id"), x.as("x"), y.as("y"))
+        .select(col("event_id"), col("x"), col("y"), z.as("zval"))
+        .orderBy(col("zval"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, x, y,
+        CAST((""" + (0 until 16).map { j =>
+          s"((x >> $j) & 1) * ${1L << (2 * j)} + ((y >> $j) & 1) * ${1L << (2 * j + 1)}"
+        }.mkString(" + ") + """) AS BIGINT) AS zval
+      FROM (
+        SELECT event_id,
+          user_id % 65536 AS x,
+          (epoch_us(ts) // 60000000) % 1440 AS y
+        FROM events) t
+      ORDER BY zval, event_id"""))
 }

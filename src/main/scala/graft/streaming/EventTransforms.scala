@@ -91,4 +91,17 @@ object EventTransforms {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: join each micro-batch against a STATIC
+    * dimension (no watermark, no state — the static side is just re-read
+    * per batch, so a dim table updated in place is picked up on the next
+    * trigger). Broadcast because event-type dims are small by nature;
+    * a big static side would flip to a shuffled stream-static join with
+    * the same semantics. Left join: stream rows NEVER block on missing
+    * dim rows (an inner stream-static join silently drops them — the
+    * classic enrichment footgun).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"), "left")
 }

@@ -109,6 +109,36 @@ class CorpusSpec extends SparkSpec {
     assert(out(0L) === ((1.0, true)))
   }
 
+  test("d56: in-corpus-typical transitions outscore atypical ones") {
+    // bigrams: "a b" ×3 and "a c" ×1 → P(b|a)=0.75, P(c|a)=0.25
+    val out = Corpus.bigramScores(docs(
+      1L -> "a b", 2L -> "a b", 3L -> "a b", 4L -> "a c"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_logprob")).toMap
+    assert(math.abs(out(1L) - math.log(0.75)) < 1e-6)
+    assert(math.abs(out(4L) - math.log(0.25)) < 1e-6)
+    assert(out(1L) > out(4L))
+  }
+
+  test("q54: z-values interleave bits and preserve 2-D locality order") {
+    // hand-checked Morton codes: (x=1,y=0)→1, (x=0,y=1)→2, (x=3,y=5)→39
+    assert(morton(1, 0) === 1L)
+    assert(morton(0, 1) === 2L)
+    assert(morton(3, 5) === 39L)
+    val rows = ScalePatterns.q54Zorder.run(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("zval") ===
+        morton(r.getAs[Long]("x"), r.getAs[Long]("y")))
+    }
+    // output is the layout ordering itself
+    assert(rows.map(_.getAs[Long]("zval")).toSeq ===
+      rows.map(_.getAs[Long]("zval")).sorted.toSeq)
+  }
+
+  private def morton(x: Long, y: Long): Long =
+    (0 until 16).map(j =>
+      (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1))).sum
+
   test("e58: driver-corpus audit stays well-formed (honest weak recall)") {
     GraftFunctions.register(spark)
     val rows = Similarity2.matryoshkaRecall(

@@ -216,4 +216,23 @@ class EventStreamSpec extends SparkSpec {
       assert(streamRows.toSeq === batch.collect().toSeq)
     } finally q.stop()
   }
+
+  test("stream-static enrich joins every batch against the dim, left-open") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.enrichWithDim(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "10:05", typ = "click"),
+        ev(2, "10:06", typ = "purchase")) // no dim row — must survive as null
+      drain(q)
+      val rows = spark.table("enrich_out").orderBy("event_id").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Double]("weight") === 2.0)
+      assert(rows(1).isNullAt(rows(1).fieldIndex("weight")))
+    } finally q.stop()
+  }
 }
