@@ -18,7 +18,7 @@ object Corpus {
 
   def pack: Seq[Q] =
     Seq(d52TokenEntropy, d53Containment, d54UnigramLogprob,
-      d55IncrementalDedup, d56BigramLm)
+      d55IncrementalDedup, d56BigramLm, d58SourceReport)
 
   /** ln(2) as a shared literal: both engines divide by the same double
     * instead of each computing log(2) through its own libm.
@@ -170,10 +170,13 @@ object Corpus {
     * planted-corpus specs.
     */
   def unigramScores(docs: DataFrame): DataFrame = {
+    // referenced 3x (model counts, grand total, scoring join): pay the
+    // explode once — the plan otherwise re-runs it per branch
     val toks = tokenRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("total"))
-    toks.join(vocab, "tok")
+    val res = toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         log(col("c").cast("double") / col("total").cast("double"))
@@ -185,6 +188,7 @@ object Corpus {
         round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
           .as("mean_logprob"))
       .orderBy(col("doc_id"))
+    Q.materialized(res, toks)
   }
 
   val d54UnigramLogprob: Q = Q(
@@ -257,13 +261,15 @@ object Corpus {
   def bigramScores(docs: DataFrame): DataFrame = {
     // non-distinct bigram multiset per doc, on the shared codegen
     // posexplode+lead generator (g = "w1 w2"); docs with <2 tokens emit
-    // nothing and drop out of the output in both engines
+    // nothing and drop out of the output in both engines. Referenced 3x
+    // (both model tables + the scoring join): pay the window pass once.
     val bg = Dedup.nGramPostings(docs, 2, distinctPerDoc = false)
       .select(col("doc_id"), col("s").as("g"),
         split(col("s"), " ").getItem(0).as("w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c12 = bg.groupBy(col("g")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(c12, "g").join(c1, "w1")
+    val res = bg.join(c12, "g").join(c1, "w1")
       .select(col("doc_id"),
         log(col("c12").cast("double") / col("c1").cast("double"))
           .cast(DecimalType(18, 12)).as("lp"))
@@ -273,6 +279,7 @@ object Corpus {
         round(col("s").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("mean_logprob"))
       .orderBy(col("doc_id"))
+    Q.materialized(res, bg)
   }
 
   /** d56: bigram-LM document scoring — the conditional-probability step up
@@ -302,4 +309,50 @@ object Corpus {
             AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6) AS mean_logprob
       FROM bg JOIN c12 USING (g) JOIN c1 USING (w1)
       GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** d58: per-(source, lang) corpus report card — document counts, exact
+    * duplicate rate, mean length, and the d37 quality-gate pass rate,
+    * grouped by the provenance metadata columns. The first thing a data
+    * lead asks of a new crawl ("which sources are worth keeping?") and a
+    * pure two-key aggregation: one shuffle on the (source, lang) pair,
+    * partial aggs map-side, output O(sources × langs).
+    */
+  val d58SourceReport: Q = Q(
+    "d58_source_report",
+    (s, dir) =>
+      Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("source"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          when(TextAnalysis.qualityVerdict === "keep", 1L).otherwise(0L)
+            .as("keep"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique"),
+          sum(col("n_toks")).as("tot_toks"),
+          sum(col("keep")).cast("long").as("n_keep"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_unique"),
+          round(lit(1.0) - col("n_unique").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"),
+          round(col("tot_toks").cast("double") /
+            col("n_docs").cast("double"), 6).as("mean_tokens"),
+          round(col("n_keep").cast("double") /
+            col("n_docs").cast("double"), 6).as("keep_rate"))
+        .orderBy(col("source"), col("lang")),
+    Some("""
+      SELECT source, lang, count(*) AS n_docs,
+        count(DISTINCT text) AS n_unique,
+        round(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+          AS dup_rate,
+        round(CAST(sum(len(string_split(text,' '))) AS DOUBLE)
+          / count(*), 6) AS mean_tokens,
+        round(CAST(sum(CASE
+          WHEN len(string_split(text,' ')) < 5 THEN 0
+          WHEN len(string_split(text,' ')) > 5000 THEN 0
+          WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) > 0.1 THEN 0
+          WHEN len(list_filter(string_split(text,' '),
+               x -> x IN ('the','a','of','and','to','in'))) = 0 THEN 0
+          ELSE 1 END) AS DOUBLE) / count(*), 6) AS keep_rate
+      FROM documents
+      GROUP BY source, lang ORDER BY source, lang"""))
 }

@@ -8,7 +8,7 @@ import Q.{dec2, dec4, sumDec, t}
   */
 object Relational3 {
 
-  def pack: Seq[Q] = Seq(q51Unpivot, q52Funnel)
+  def pack: Seq[Q] = Seq(q51Unpivot, q52Funnel, q55Scd2)
 
   /** q51: UNPIVOT/melt — the inverse of q33's pivot. A wide per-flag
     * metric table reshapes into (key, metric, value) rows via
@@ -92,4 +92,39 @@ object Relational3 {
       SELECT user_id, view_ts, click_ts, purchase_ts,
         CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS funnel_us
       FROM p ORDER BY user_id"""))
+
+  /** q55: SCD type-2 history build — turn a change stream into versioned
+    * validity intervals per key: version number, valid_from = the change's
+    * timestamp, valid_to = the NEXT change's timestamp (null while
+    * current), is_current flag. The dimension-history companion to q45's
+    * MERGE (which keeps only final state): one window pass per key,
+    * shuffle keyed on user_id, deterministic under timestamp ties via the
+    * event_id tiebreak. Purchases stand in for the change stream.
+    */
+  val q55Scd2: Q = Q(
+    "q55_scd2",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version").cast("int").as("version"),
+          col("ts").as("valid_from"), col("valid_to"), col("value"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""
+      SELECT user_id,
+        CAST(row_number() OVER w AS INT) AS version,
+        ts AS valid_from,
+        lead(ts, 1) OVER w AS valid_to,
+        value,
+        lead(ts, 1) OVER w IS NULL AS is_current
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
 }

@@ -40,9 +40,10 @@ object TextAnalysis {
       .otherwise("test")
 
   /** d37's first-failing-gate quality verdict — ONE definition shared by
-    * d37 (funnel counts per verdict) and d49 (keep-only filter).
+    * d37 (funnel counts per verdict), d49 (keep-only filter) and d58's
+    * per-source report.
     */
-  private def qualityVerdict: Column = {
+  private[ops] def qualityVerdict: Column = {
     val toks = tokens(col("text"))
     val nTokens = size(toks)
     val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
