@@ -71,8 +71,12 @@ object Bench {
     val slow5 = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
+    // compact line carries only the failure COUNT — the full name array
+    // (in the file/full JSON) could alone overflow the driver's 2000-char
+    // tail window if a broken build fails every query
+    val nFailed = results.count(!_._3)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"failed":$failed,"queries":$slow5,"queries_file":"$out","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"queries":$slow5,"queries_file":"$out","sf":"$sfDir"}"""
     spark.stop()
     println(compact)
   }

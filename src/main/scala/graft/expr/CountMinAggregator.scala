@@ -21,6 +21,9 @@ import org.apache.spark.sql.expressions.Aggregator
 class CountMinAggregator(depth: Int, width: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   require(depth > 0 && width > 0, "depth and width must be positive")
+  require(depth <= CountMinAggregator.MaxDepth,
+    s"depth $depth exceeds the ${CountMinAggregator.MaxDepth}-entry hash " +
+      "family — fail here, not per-row inside an executor")
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
@@ -55,9 +58,10 @@ object CountMinAggregator {
     * ([[graft.ops.CustomExprQueries]]), so the two cannot drift.
     */
   private val P = 2147483647L
+  val MaxDepth = 8
   private val coefs: IndexedSeq[(Long, Long)] = {
     val rnd = new scala.util.Random(47)
-    IndexedSeq.fill(8)(
+    IndexedSeq.fill(MaxDepth)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
         rnd.nextInt(Int.MaxValue).toLong))
   }

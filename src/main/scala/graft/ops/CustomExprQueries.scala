@@ -101,18 +101,22 @@ object CustomExprQueries {
       val depth = 5
       val width = 8192
       val cms = udaf(new CountMinAggregator(depth, width))
+      // referenced twice (sketch + exact audit side): pay the scan and the
+      // spread shuffle once
       val ev = Q.spread(t(s, dir, "events"), "event_id")
         .select(col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sketch = ev.agg(cms(col("user_id")).as("sk"))
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("user_id")).limit(10)
       val est = udf((sk: Seq[Long], key: Long) =>
         CountMinAggregator.estimate(sk.toArray, depth, width, key))
-      exact.crossJoin(broadcast(sketch))
+      val res = exact.crossJoin(broadcast(sketch))
         .select(col("user_id"), col("n_exact"),
           est(col("sk"), col("user_id")).as("n_est"))
         .withColumn("overcount", col("n_est") - col("n_exact"))
         .orderBy(col("n_exact").desc, col("user_id"))
+      Q.materialized(res, ev)
     },
     None)
 }

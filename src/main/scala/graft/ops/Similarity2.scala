@@ -139,12 +139,16 @@ object Similarity2 {
         .filter(col("rf") <= 10 || col("rt") <= 10)
         .groupBy(col("qid"))
         .agg(
+          // rows with rf ≤ 10 count least(10, corpus size) exactly — the
+          // honest recall denominator when the corpus is smaller than k
+          sum(when(col("rf") <= 10, 1).otherwise(0)).cast("long").as("n_topk"),
           sum(when(col("rf") <= 10 && col("rt") <= 10, 1).otherwise(0))
             .cast("long").as("n_overlap"),
           max(when(col("rf") === 1, col("cid"))).as("top1_full"),
           max(when(col("rt") === 1, col("cid"))).as("top1_trunc"))
-        .select(col("qid"), col("n_overlap"),
-          (col("n_overlap").cast("double") / 10.0).as("recall_at_10"),
+        .select(col("qid"), col("n_topk"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_topk").cast("double"))
+            .as("recall_at_10"),
           (col("top1_full") === col("top1_trunc")).as("top1_match"))
         .orderBy(col("qid"))
   }

@@ -39,9 +39,15 @@ object StreamingUpsert {
     val tbl = new Path(tablePath)
     val old = new Path(tablePath + "__old")
     val tmp = new Path(tablePath + "__tmp")
+    // Hadoop FileSystem signals failure by RETURNING false, not throwing —
+    // an unchecked rename would silently nest one generation inside the
+    // other and double every key on the next read
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"StreamingUpsert: $what failed")
     // recover from a crash that swapped the table aside but never renamed
     // the (possibly incomplete, so discarded) temp into place
-    if (!hfs.exists(tbl) && hfs.exists(old)) hfs.rename(old, tbl)
+    if (!hfs.exists(tbl) && hfs.exists(old))
+      must(hfs.rename(old, tbl), s"recovery rename $old -> $tbl")
     val existing =
       try spark.read.parquet(tablePath)
       catch { case _: org.apache.spark.sql.AnalysisException =>
@@ -56,10 +62,11 @@ object StreamingUpsert {
     // write reads `tbl` while producing `tmp` — distinct dirs, so no
     // materialization barrier is needed before the swap below
     merged.write.mode("overwrite").parquet(tmp.toString)
-    hfs.delete(old, true)
-    if (hfs.exists(tbl)) hfs.rename(tbl, old)
-    hfs.rename(tmp, tbl) // the commit point: table now IS the new generation
-    hfs.delete(old, true)
+    if (hfs.exists(old)) must(hfs.delete(old, true), s"delete stale $old")
+    if (hfs.exists(tbl)) must(hfs.rename(tbl, old), s"swap-aside $tbl -> $old")
+    // the commit point: table now IS the new generation
+    must(hfs.rename(tmp, tbl), s"commit rename $tmp -> $tbl")
+    hfs.delete(old, true) // best-effort: a leftover __old is reclaimed next merge
   }
 
   def start(changes: DataFrame, tablePath: String,

@@ -146,8 +146,10 @@ class CorpusSpec extends SparkSpec {
     assert(rows.length === 5)
     rows.foreach { r =>
       val n = r.getAs[Long]("n_overlap")
-      assert(n >= 0 && n <= 10)
-      assert(r.getAs[Double]("recall_at_10") === n / 10.0)
+      val k = r.getAs[Long]("n_topk")
+      assert(k === 10L) // corpus ≥ 10 here, so the denominator caps at k
+      assert(n >= 0 && n <= k)
+      assert(r.getAs[Double]("recall_at_10") === n.toDouble / k)
     }
   }
 }
