@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2: a deterministic synthetic corpus generator —
+  * `spark.read.format("graft-synth").option("rows", n).load()` — for
+  * dry-running pipelines at ANY scale with zero storage: the 100 TB
+  * rehearsal a real cluster runs before touching production data.
+  *
+  * Spark-native behaviors implemented (not just a row iterator):
+  *   - partition PLANNING: `partitions` splits of contiguous id ranges,
+  *     so parallelism is declared to the scheduler, not discovered;
+  *   - column PRUNING (`SupportsPushDownRequiredColumns`): unselected
+  *     columns are never GENERATED — a projection of doc_id skips the
+  *     text synthesis entirely (visible in the scan's readSchema);
+  *   - LIMIT pushdown (`SupportsPushDownLimit`): `df.limit(n)` caps the
+  *     ids each partition generates instead of generating-then-dropping.
+  *
+  * Rows are pure functions of (seed, doc_id) — xorshift-mixed — so any
+  * two reads, any cluster size, any partition count produce identical
+  * tables: the property that makes a synthetic rehearsal debuggable.
+  * Schema mirrors the driver's `documents` table.
+  */
+class SyntheticSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-synth"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticTable(
+      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
+      seed = Option(properties.get("seed")).map(_.toLong).getOrElse(42L))
+}
+
+object SyntheticSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  private val langs = Array("en", "de", "es", "fr", "zh")
+  private val words = Array("data", "table", "query", "join", "scan",
+    "filter", "agg", "window", "sort", "merge", "batch", "stream", "key",
+    "value", "row", "column", "hash", "spark", "fast", "small")
+
+  /** xorshift64* mix — deterministic per (seed, id, salt), full-period. */
+  private def mix(seed: Long, id: Long, salt: Long): Long = {
+    var x = seed ^ (id * 0x9E3779B97F4A7C15L) ^ (salt * 0xC2B2AE3D27D4EB4FL)
+    x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+    x * 0x2545F4914F6CDD1DL
+  }
+
+  private def pos(h: Long, n: Int): Int = (((h % n) + n) % n).toInt
+
+  def textFor(seed: Long, id: Long): String = {
+    val n = 20 + pos(mix(seed, id, 1), 60)
+    val sb = new java.lang.StringBuilder(n * 6)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(words(pos(mix(seed, id, 2 + i), words.length)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def langFor(seed: Long, id: Long): String =
+    langs(pos(mix(seed, id, 0), langs.length))
+
+  def sourceFor(seed: Long, id: Long): String =
+    "crawl-" + pos(mix(seed, id, 99), 20)
+}
+
+private class SyntheticTable(rows: Long, parts: Int, seed: Long)
+    extends Table with SupportsRead {
+  require(rows >= 0 && parts > 0, "rows must be >= 0 and partitions > 0")
+
+  override def name(): String = s"graft_synth(rows=$rows, seed=$seed)"
+  override def schema(): StructType = SyntheticSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, parts, seed)
+}
+
+private class SyntheticScanBuilder(rows: Long, parts: Int, seed: Long)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = SyntheticSource.schema
+  private var limit: Long = Long.MaxValue
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
+  // rows stream in doc_id order within each partition but partitions are
+  // unordered — the limit cap is per-partition (correct, just not "the
+  // first n globally"), so report it as non-exact and Spark keeps its own
+  // GlobalLimit on top
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan =
+    new SyntheticScan(rows, parts, seed, required, limit)
+}
+
+private class SyntheticScan(rows: Long, parts: Int, seed: Long,
+    required: StructType, limit: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth rows=$rows parts=$parts readSchema=${required.simpleString}" +
+      (if (limit != Long.MaxValue) s" pushedLimit=$limit" else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + parts - 1) / parts
+    (0 until parts).iterator
+      .map { p =>
+        val start = p * per
+        val end = math.min(start + per, rows)
+        // pushed limit caps what each partition generates (guard the
+        // no-limit sentinel: start + MaxValue overflows); Spark's own
+        // GlobalLimit on top trims across partitions
+        val capped =
+          if (limit == Long.MaxValue) end else math.min(end, start + limit)
+        SyntheticPartition(start, capped)
+      }
+      .filter(ip => ip.end > ip.start)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(seed, required)
+}
+
+private case class SyntheticPartition(start: Long, end: Long)
+    extends InputPartition
+
+private class SyntheticReaderFactory(seed: Long, required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SyntheticPartition]
+    // resolve the generator per REQUIRED column once, outside the row loop;
+    // pruned-away columns are never synthesized
+    val gens: Array[Long => Any] = required.fields.map { f =>
+      f.name match {
+        case "doc_id" => (id: Long) => id
+        case "text" =>
+          (id: Long) => UTF8String.fromString(SyntheticSource.textFor(seed, id))
+        case "lang" =>
+          (id: Long) => UTF8String.fromString(SyntheticSource.langFor(seed, id))
+        case "source" =>
+          (id: Long) => UTF8String.fromString(SyntheticSource.sourceFor(seed, id))
+        case "n_chars" =>
+          (id: Long) => SyntheticSource.textFor(seed, id).length.toLong
+        case other => sys.error(s"graft-synth: unknown column $other")
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var id = sp.start - 1
+      override def next(): Boolean = { id += 1; id < sp.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.map(g => g(id)).toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
