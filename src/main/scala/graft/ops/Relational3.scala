@@ -8,7 +8,7 @@ import Q.{dec2, dec4, sumDec, t}
   */
 object Relational3 {
 
-  def pack: Seq[Q] = Seq(q51Unpivot, q52Funnel, q55Scd2)
+  def pack: Seq[Q] = Seq(q51Unpivot, q52Funnel, q55Scd2, q56IncrementalAgg)
 
   /** q51: UNPIVOT/melt — the inverse of q33's pivot. A wide per-flag
     * metric table reshapes into (key, metric, value) rows via
@@ -127,4 +127,45 @@ object Relational3 {
       WHERE event_type = 'purchase'
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, version"""))
+
+  /** q56: incremental aggregate maintenance — merge yesterday's
+    * aggregate STATE with today's delta instead of recomputing over the
+    * full history: counts/sums add, mins/maxes combine, and because the
+    * sum state is exact decimal the merged figures are BIT-identical to
+    * the full recompute. That equality IS the oracle (which aggregates
+    * the whole table directly): it proves the merge is lossless, the
+    * property that lets a 100 TB nightly rollup touch only the new
+    * partition. Halves are staged by l_orderkey parity.
+    */
+  val q56IncrementalAgg: Q = Q(
+    "q56_incremental_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+      def state(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as(s"n$tag"),
+          sum(dec2(col("l_quantity"))).as(s"sq$tag"), // DECIMAL state: exact merge
+          min(col("l_shipdate")).as(s"mn$tag"),
+          max(col("l_shipdate")).as(s"mx$tag"))
+      val zero = lit(0).cast(DecimalType(28, 2))
+      state(li.filter(col("l_orderkey") % 2 === 0), "1")
+        .join(state(li.filter(col("l_orderkey") % 2 === 1), "2"),
+          Seq("l_returnflag"), "full_outer") // a key may exist in one side only
+        .select(col("l_returnflag"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("sq1"), zero) + coalesce(col("sq2"), zero))
+            .cast("double").as("sum_qty"),
+          least(col("mn1"), col("mn2")).as("first_ship"), // least/greatest skip nulls
+          greatest(col("mx1"), col("mx2")).as("last_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n_rows,
+        ${sumDec("l_quantity")} AS sum_qty,
+        min(l_shipdate) AS first_ship,
+        max(l_shipdate) AS last_ship
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
 }

@@ -100,19 +100,27 @@ object ScalePatterns {
     * 32-term codegen shift/mask sum — pure integer ops, bit-exact in any
     * engine — and the output is the layout ordering itself.
     */
+  /** 16-bit × 16-bit Morton interleave as a flat codegen shift/mask sum —
+    * shared by q54 and the file-compaction rewriter
+    * ([[graft.ops.Compaction]]). Inputs must already sit in [0, 2¹⁶).
+    */
+  def mortonKey(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { j =>
+      (shiftright(x, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))) +
+        (shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
+    }.reduce(_ + _)
+
   val q54Zorder: Q = Q(
     "q54_zorder",
     (s, dir) => {
       val x = pmod(col("user_id"), lit(65536L))
       // minute of day (integer µs arithmetic end-to-end — no double epoch)
       val y = pmod(expr("unix_micros(ts) div 60000000"), lit(1440L))
-      val z = (0 until 16).map { j =>
-        (shiftright(col("x"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))) +
-          (shiftright(col("y"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
-      }.reduce(_ + _)
       t(s, dir, "events")
         .select(col("event_id"), x.as("x"), y.as("y"))
-        .select(col("event_id"), col("x"), col("y"), z.as("zval"))
+        .select(col("event_id"), col("x"), col("y"),
+          mortonKey(col("x"), col("y")).as("zval"))
         .orderBy(col("zval"), col("event_id"))
     },
     Some("""

@@ -28,26 +28,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingUpsert {
 
-  private def fs(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Schema: (key long, ts timestamp, change_id long, value double). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val hfs = fs(spark, tablePath)
-    val tbl = new Path(tablePath)
-    val old = new Path(tablePath + "__old")
-    val tmp = new Path(tablePath + "__tmp")
-    // Hadoop FileSystem signals failure by RETURNING false, not throwing —
-    // an unchecked rename would silently nest one generation inside the
-    // other and double every key on the next read
-    def must(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"StreamingUpsert: $what failed")
-    // recover from a crash that swapped the table aside but never renamed
-    // the (possibly incomplete, so discarded) temp into place
-    if (!hfs.exists(tbl) && hfs.exists(old))
-      must(hfs.rename(old, tbl), s"recovery rename $old -> $tbl")
+    // crash recovery + checked-rename swap live in AtomicDirSwap (shared
+    // with the file compactor)
+    graft.ops.AtomicDirSwap.recover(spark, tablePath)
     val existing =
       try spark.read.parquet(tablePath)
       catch { case _: org.apache.spark.sql.AnalysisException =>
@@ -59,14 +44,11 @@ object StreamingUpsert {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    // write reads `tbl` while producing `tmp` — distinct dirs, so no
-    // materialization barrier is needed before the swap below
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (hfs.exists(old)) must(hfs.delete(old, true), s"delete stale $old")
-    if (hfs.exists(tbl)) must(hfs.rename(tbl, old), s"swap-aside $tbl -> $old")
-    // the commit point: table now IS the new generation
-    must(hfs.rename(tmp, tbl), s"commit rename $tmp -> $tbl")
-    hfs.delete(old, true) // best-effort: a leftover __old is reclaimed next merge
+    // write reads the live dir while producing the temp — distinct dirs,
+    // so no materialization barrier is needed before the swap
+    merged.write.mode("overwrite")
+      .parquet(graft.ops.AtomicDirSwap.tmpPath(tablePath))
+    graft.ops.AtomicDirSwap.commit(spark, tablePath)
   }
 
   def start(changes: DataFrame, tablePath: String,
