@@ -90,16 +90,6 @@ object ScalePatterns {
       FROM events e JOIN dim d ON e.event_type = d.event_type
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
-  /** q54: Z-order (Morton) layout key — interleave the bits of two scan
-    * dimensions so sorting by the single derived key co-locates rows that
-    * are close in BOTH. At warehouse scale this is the data-LAYOUT
-    * optimization: files written in z-order carry tight min/max ranges on
-    * both source columns, so scans filtered on either dimension prune
-    * files (the same reason lakehouse OPTIMIZE ZORDER exists). Here the
-    * curve key for (user_id, time-of-day-minute) is computed as a flat
-    * 32-term codegen shift/mask sum — pure integer ops, bit-exact in any
-    * engine — and the output is the layout ordering itself.
-    */
   /** 16-bit × 16-bit Morton interleave as a flat codegen shift/mask sum —
     * shared by q54 and the file-compaction rewriter
     * ([[graft.ops.Compaction]]). Inputs must already sit in [0, 2¹⁶).
@@ -111,6 +101,16 @@ object ScalePatterns {
         (shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1)))
     }.reduce(_ + _)
 
+  /** q54: Z-order (Morton) layout key — interleave the bits of two scan
+    * dimensions so sorting by the single derived key co-locates rows that
+    * are close in BOTH. At warehouse scale this is the data-LAYOUT
+    * optimization: files written in z-order carry tight min/max ranges on
+    * both source columns, so scans filtered on either dimension prune
+    * files (the same reason lakehouse OPTIMIZE ZORDER exists). Here the
+    * curve key for (user_id, time-of-day-minute) is computed as a flat
+    * 32-term codegen shift/mask sum — pure integer ops, bit-exact in any
+    * engine — and the output is the layout ordering itself.
+    */
   val q54Zorder: Q = Q(
     "q54_zorder",
     (s, dir) => {

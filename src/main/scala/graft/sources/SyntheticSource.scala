@@ -130,17 +130,20 @@ private class SyntheticScan(rows: Long, parts: Int, seed: Long,
       (if (limit != Long.MaxValue) s" pushedLimit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + parts - 1) / parts
+    // quotient/remainder split — no `rows + parts` style additions, which
+    // overflow (and silently plan ZERO partitions) for rows near
+    // Long.MaxValue on a source that advertises any-scale rehearsal
+    val per = rows / parts
+    val rem = rows % parts
     (0 until parts).iterator
       .map { p =>
-        val start = p * per
-        val end = math.min(start + per, rows)
-        // pushed limit caps what each partition generates (guard the
-        // no-limit sentinel: start + MaxValue overflows); Spark's own
-        // GlobalLimit on top trims across partitions
-        val capped =
-          if (limit == Long.MaxValue) end else math.min(end, start + limit)
-        SyntheticPartition(start, capped)
+        val start = p * per + math.min(p.toLong, rem)
+        val len = per + (if (p < rem) 1L else 0L)
+        // pushed limit caps what each partition generates; compare against
+        // the length (no start+limit addition — same overflow hazard);
+        // Spark's own GlobalLimit on top trims across partitions
+        val cappedLen = math.min(len, limit)
+        SyntheticPartition(start, start + cappedLen)
       }
       .filter(ip => ip.end > ip.start)
       .toArray[InputPartition]
@@ -158,27 +161,42 @@ private class SyntheticReaderFactory(seed: Long, required: StructType)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SyntheticPartition]
-    // resolve the generator per REQUIRED column once, outside the row loop;
-    // pruned-away columns are never synthesized
-    val gens: Array[Long => Any] = required.fields.map { f =>
-      f.name match {
-        case "doc_id" => (id: Long) => id
-        case "text" =>
-          (id: Long) => UTF8String.fromString(SyntheticSource.textFor(seed, id))
-        case "lang" =>
-          (id: Long) => UTF8String.fromString(SyntheticSource.langFor(seed, id))
-        case "source" =>
-          (id: Long) => UTF8String.fromString(SyntheticSource.sourceFor(seed, id))
-        case "n_chars" =>
-          (id: Long) => SyntheticSource.textFor(seed, id).length.toLong
-        case other => sys.error(s"graft-synth: unknown column $other")
-      }
+    val names = required.fieldNames
+    names.foreach { n =>
+      require(SyntheticSource.schema.fieldNames.contains(n),
+        s"graft-synth: unknown column $n")
     }
+    // text and n_chars derive from ONE synthesis per row (not one per
+    // column), and only when the projection needs either — pruned-away
+    // columns are never generated
+    val needsText = names.contains("text") || names.contains("n_chars")
     new PartitionReader[InternalRow] {
       private var id = sp.start - 1
+      // row-based DSv2 output is projected to UnsafeRow per row before any
+      // buffering, so the row buffer is safe to reuse — no per-row
+      // collection allocations in the innermost loop of a scale-rehearsal
+      // source
+      private val values = new Array[Any](names.length)
+      private val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(values)
       override def next(): Boolean = { id += 1; id < sp.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(gens.map(g => g(id)).toIndexedSeq)
+      override def get(): InternalRow = {
+        val text = if (needsText) SyntheticSource.textFor(seed, id) else null
+        var i = 0
+        while (i < names.length) {
+          values(i) = names(i) match {
+            case "doc_id" => id
+            case "text" => UTF8String.fromString(text)
+            case "lang" =>
+              UTF8String.fromString(SyntheticSource.langFor(seed, id))
+            case "source" =>
+              UTF8String.fromString(SyntheticSource.sourceFor(seed, id))
+            case "n_chars" => text.length.toLong
+          }
+          i += 1
+        }
+        row
+      }
       override def close(): Unit = ()
     }
   }
