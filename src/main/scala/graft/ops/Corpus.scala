@@ -18,7 +18,8 @@ object Corpus {
 
   def pack: Seq[Q] =
     Seq(d52TokenEntropy, d53Containment, d54UnigramLogprob,
-      d55IncrementalDedup, d56BigramLm, d58SourceReport)
+      d55IncrementalDedup, d56BigramLm, d58SourceReport, d59Chunking,
+      d62TokenBudget)
 
   /** ln(2) as a shared literal: both engines divide by the same double
     * instead of each computing log(2) through its own libm.
@@ -355,4 +356,97 @@ object Corpus {
           ELSE 1 END) AS DOUBLE) / count(*), 6) AS keep_rate
       FROM documents
       GROUP BY source, lang ORDER BY source, lang"""))
+
+  /** d59: sliding-window chunking — split each document into fixed-size
+    * token windows with overlap (the tokenize-and-chunk step feeding a
+    * pretraining or retrieval pipeline; d50 packs WHOLE docs into bins,
+    * this cuts WITHIN docs). Window starts step by `Stride` from 0 while
+    * inside the doc; the final window is allowed to run short. Entirely
+    * per-row: split once, explode the start sequence, slice — no shuffle
+    * at all until the output sort, which a real pipeline wouldn't have.
+    * Chunk text is reported as md5 + length (the downstream contract is
+    * usually "hash + span", and it keeps the compare payload narrow).
+    */
+  val ChunkSize = 32
+  val Stride = 24
+
+  /** The d59 transform over any (doc_id, text) frame. */
+  def chunks(docs: DataFrame): DataFrame =
+    Q.spread(docs, "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      // generator in its own projection: a lateral alias (`n` defined and
+      // consumed in one select) under explode trips an analyzer internal
+      // error in Spark 4.1
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(Stride))).as("s"))
+      .select(col("doc_id"), (col("s") / Stride).cast("int").as("chunk_id"),
+        array_join(slice(col("toks"), col("s") + 1, lit(ChunkSize)), " ")
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val d59Chunking: Q = Q(
+    "d59_chunking",
+    (s, dir) => chunks(t(s, dir, "documents")),
+    Some(s"""
+      SELECT doc_id, CAST(s // $Stride AS INT) AS chunk_id,
+        CAST(len(chunk) AS BIGINT) AS n_tokens,
+        md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM (
+        SELECT doc_id, s, words[s+1 : least(s+$ChunkSize, n)] AS chunk
+        FROM (
+          SELECT doc_id, string_split(text, ' ') AS words,
+            len(string_split(text, ' ')) AS n,
+            unnest(range(0, len(string_split(text, ' ')), $Stride)) AS s
+          FROM documents) t)
+      ORDER BY doc_id, chunk_id"""))
+
+  /** d62: token-budget sampling — cap each language at a fixed token
+    * BUDGET (not a doc rate, which is d39's mixing knob): order each
+    * language's documents by a deterministic multiplicative doc_id hash
+    * (the d34/d39 family, own salt), run a keyed cumulative token sum,
+    * and keep documents while the running total stays within budget.
+    * This is how pre-training data is actually provisioned ("20B tokens
+    * of fr"), and the whole gate is one keyed window cumsum — state
+    * O(1) per language, reproducible on any engine or cluster size.
+    */
+  val TokenBudget = 3000L
+
+  /** The d62 transform over any (doc_id, lang, text) frame. */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    // full-resolution ordering hash (not the mod-100 bucket): product of
+    // pre-modded factors stays < 2^62, see d34 on the overflow discipline
+    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Q.spread(docs, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d62TokenBudget: Q = Q(
+    "d62_token_budget",
+    (s, dir) => tokenBudget(t(s, dir, "documents"), TokenBudget),
+    Some(s"""
+      SELECT doc_id, lang, n_tokens,
+        CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        sum(n_tokens) OVER w <= $TokenBudget AS kept
+      FROM (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          (doc_id % 1000000007) * 2654435761 % 1000000007 AS h
+        FROM documents) t
+      WINDOW w AS (PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY doc_id"""))
 }

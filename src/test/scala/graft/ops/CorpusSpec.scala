@@ -139,6 +139,37 @@ class CorpusSpec extends SparkSpec {
     (0 until 16).map(j =>
       (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1))).sum
 
+  test("d59: sliding windows step by the stride and the tail runs short") {
+    // 80 tokens, size 32, stride 24 → starts 0/24/48/72, sizes 32/32/32/8
+    val text = (1 to 80).map("t" + _).mkString(" ")
+    val out = Corpus.chunks(docs(1L -> text)).collect()
+    assert(out.map(r => (r.getAs[Int]("chunk_id"), r.getAs[Long]("n_tokens")))
+      .toSeq === Seq((0, 32L), (1, 32L), (2, 32L), (3, 8L)))
+    // overlap: chunk 1 starts at token 25 (stride 24), not token 33
+    val expected1 = (25 to 56).map("t" + _).mkString(" ")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getAs[String]("chunk_md5") === md5)
+  }
+
+  test("d62: the budget gate keeps hash-ordered docs until tokens run out") {
+    val d = Seq(
+      (1L, "en", "a b c"),       // 3 tokens
+      (2L, "en", "d e f g"),     // 4 tokens
+      (3L, "en", "h i"),         // 2 tokens
+      (4L, "fr", "x y z w"))     // other partition
+      .toDF("doc_id", "lang", "text")
+    def h(id: Long) = ((id % 1000000007L) * 2654435761L) % 1000000007L
+    val order = Seq(1L, 2L, 3L).sortBy(id => (h(id), id))
+    val toks = Map(1L -> 3L, 2L -> 4L, 3L -> 2L)
+    // budget admits exactly the first two docs in hash order
+    val budget = toks(order(0)) + toks(order(1))
+    val out = Corpus.tokenBudget(d, budget).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out(order(0)) && out(order(1)) && !out(order(2)))
+    assert(out(4L)) // fr's own budget is untouched by en's consumption
+  }
+
   test("e58: driver-corpus audit stays well-formed (honest weak recall)") {
     GraftFunctions.register(spark)
     val rows = Similarity2.matryoshkaRecall(
