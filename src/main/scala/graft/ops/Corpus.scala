@@ -378,13 +378,16 @@ object Corpus {
       // generator in its own projection: a lateral alias (`n` defined and
       // consumed in one select) under explode trips an analyzer internal
       // error in Spark 4.1
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(Stride))).as("s"))
       .select(col("doc_id"), (col("s") / Stride).cast("int").as("chunk_id"),
+        // the window length is arithmetic on columns already in hand — no
+        // re-splitting of the joined chunk string just to count it
+        least(lit(ChunkSize.toLong), (col("n") - col("s")).cast("long"))
+          .as("n_tokens"),
         array_join(slice(col("toks"), col("s") + 1, lit(ChunkSize)), " ")
           .as("chunk"))
-      .select(col("doc_id"), col("chunk_id"),
-        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
@@ -407,31 +410,58 @@ object Corpus {
   /** d62: token-budget sampling — cap each language at a fixed token
     * BUDGET (not a doc rate, which is d39's mixing knob): order each
     * language's documents by a deterministic multiplicative doc_id hash
-    * (the d34/d39 family, own salt), run a keyed cumulative token sum,
-    * and keep documents while the running total stays within budget.
-    * This is how pre-training data is actually provisioned ("20B tokens
-    * of fr"), and the whole gate is one keyed window cumsum — state
-    * O(1) per language, reproducible on any engine or cluster size.
+    * (the d34/d39 family with its own additive salt, so the budget
+    * ordering is independent of the split/mix streams), run a cumulative
+    * token sum in that order, and keep documents while the running total
+    * stays within budget. This is how pre-training data is provisioned
+    * ("20B tokens of fr") — and because a language is a LOW-cardinality
+    * partition key, the cumsum is the d50 TWO-PHASE distributed prefix
+    * sum, never a per-language global window (which would funnel one
+    * language's billions of rows through a single task): phase 1 cumsums
+    * within (lang, h-range shard); phase 2 turns per-shard totals into
+    * shard prefix offsets — langs × shards rows, broadcast back. Shards
+    * are h-RANGE buckets, so shard order follows the hash order and the
+    * result equals the oracle's single window exactly.
     */
   val TokenBudget = 3000L
+  private val BudgetSalt = 29L
+  private val HashP = 1000000007L
+  private val BudgetShards = 64L
+  private val ShardWidth = HashP / BudgetShards + 1
 
   /** The d62 transform over any (doc_id, lang, text) frame. */
   def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
     // full-resolution ordering hash (not the mod-100 bucket): product of
     // pre-modded factors stays < 2^62, see d34 on the overflow discipline
-    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
-      lit(1000000007L))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Q.spread(docs, "doc_id")
+    val h = pmod(
+      pmod(col("doc_id"), lit(HashP)) * lit(2654435761L) + lit(BudgetSalt),
+      lit(HashP))
+    val local = Q.spread(docs, "doc_id")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         h.as("h"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr(s"h div $ShardWidth"))
+      .withColumn("local_cum",
+        sum(col("n_tokens")).over(Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(lang, shard) totals → exclusive prefix offsets: langs × shards
+    // rows, so this per-lang ordered window is broadcast-sized at any scale
+    val prefixes = local.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("prefix",
+        coalesce(sum(col("tot")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("shard"), col("prefix"))
+    val res = local.join(broadcast(prefixes), Seq("lang", "shard"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("prefix") + col("local_cum")).as("cum_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budget).as("kept"))
       .orderBy(col("doc_id"))
+    Q.materialized(res, local)
   }
 
   val d62TokenBudget: Q = Q(
@@ -444,7 +474,7 @@ object Corpus {
       FROM (
         SELECT doc_id, lang,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          (doc_id % 1000000007) * 2654435761 % 1000000007 AS h
+          ((doc_id % $HashP) * 2654435761 + $BudgetSalt) % $HashP AS h
         FROM documents) t
       WINDOW w AS (PARTITION BY lang ORDER BY h, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

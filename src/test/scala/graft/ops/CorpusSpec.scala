@@ -159,7 +159,7 @@ class CorpusSpec extends SparkSpec {
       (3L, "en", "h i"),         // 2 tokens
       (4L, "fr", "x y z w"))     // other partition
       .toDF("doc_id", "lang", "text")
-    def h(id: Long) = ((id % 1000000007L) * 2654435761L) % 1000000007L
+    def h(id: Long) = ((id % 1000000007L) * 2654435761L + 29L) % 1000000007L
     val order = Seq(1L, 2L, 3L).sortBy(id => (h(id), id))
     val toks = Map(1L -> 3L, 2L -> 4L, 3L -> 2L)
     // budget admits exactly the first two docs in hash order
