@@ -8,7 +8,8 @@ import Q.{dec2, dec4, sumDec, t}
   */
 object Relational3 {
 
-  def pack: Seq[Q] = Seq(q51Unpivot, q52Funnel, q55Scd2, q56IncrementalAgg)
+  def pack: Seq[Q] =
+    Seq(q51Unpivot, q52Funnel, q55Scd2, q56IncrementalAgg, q57RecursiveCte)
 
   /** q51: UNPIVOT/melt — the inverse of q33's pivot. A wide per-flag
     * metric table reshapes into (key, metric, value) rows via
@@ -168,4 +169,31 @@ object Relational3 {
         max(l_shipdate) AS last_ship
       FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** q57: recursive CTE through Spark SQL (supported natively since
+    * Spark 4) — walk each user up the implicit binary referral tree
+    * (parent = floor(id/2)) to the root and report chain length and
+    * ancestor-id sum. ONE portable ANSI string is both the Spark query
+    * and the DuckDB oracle (the q44 pattern — the strongest equivalence
+    * form), so it uses floor(x/2) instead of the engines' differing
+    * integer-division spellings. Recursion depth is O(log max-id); each
+    * round is one self-join-free projection of the frontier.
+    */
+  private val recursiveSql = """
+      WITH RECURSIVE walk(user_id, anc) AS (
+        SELECT DISTINCT user_id, user_id FROM events
+        UNION ALL
+        SELECT user_id, CAST(floor(anc / 2) AS BIGINT) FROM walk WHERE anc > 0
+      )
+      SELECT user_id, count(*) AS chain_len,
+        CAST(sum(anc) AS BIGINT) AS anc_sum
+      FROM walk GROUP BY user_id ORDER BY user_id"""
+
+  val q57RecursiveCte: Q = Q(
+    "q57_recursive_cte",
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(recursiveSql)
+    },
+    Some(recursiveSql))
 }
