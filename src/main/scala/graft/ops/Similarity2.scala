@@ -12,7 +12,8 @@ import Q.t
   */
 object Similarity2 {
 
-  def pack: Seq[Q] = Seq(e57PqCodes, e58MatryoshkaRecall)
+  def pack: Seq[Q] =
+    Seq(e57PqCodes, e58MatryoshkaRecall, e59HammingTopK, e59bHammingRecall)
 
   /** Integer grid step for PQ: 512 = 2⁹, so float×512 is an EXACT double
     * product and reconstruction divides by the exact power-of-two 2²⁴ —
@@ -160,4 +161,171 @@ object Similarity2 {
       matryoshkaRecall(t(s, dir, "embeddings"), truncDim = 16)
     },
     None)
+
+  /** Sign-bit binary quantization of the 64-dim embedding: two 32-bit
+    * halves packed into BIGINTs (never bit 63 — a set sign bit would make
+    * the packed word negative and its SUM overflow-prone; two halves keep
+    * every intermediate comfortably positive in both engines). The pack is
+    * a flat 64-term codegen sum — no HOF, no shuffle, one narrow pass.
+    */
+  private val HalfBits = 32
+
+  /** (id, w0, w1) sign-bit words for any (idCol named `id`, `embedding`)
+    * projection.
+    */
+  def signWords(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def half(offset: Int) = (0 until HalfBits)
+      .map(i => when(element_at(col("embedding"), offset + i + 1) >= 0,
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    emb.select(col("vec_id"), half(0).as("w0"), half(HalfBits).as("w1"))
+  }
+
+  private def sqlSignWords(alias: String): String = {
+    def half(offset: Int) = (0 until HalfBits)
+      .map(i => s"CASE WHEN embedding[${offset + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"SELECT vec_id, CAST(${half(0)} AS BIGINT) AS w0, " +
+      s"CAST(${half(HalfBits)} AS BIGINT) AS w1 FROM $alias"
+  }
+
+  /** Spark-side Hamming distance between two packed (w0, w1) pairs. */
+  private def hamming(a0: org.apache.spark.sql.Column, a1: org.apache.spark.sql.Column,
+      b0: org.apache.spark.sql.Column, b1: org.apache.spark.sql.Column) =
+    (bit_count(a0.bitwiseXOR(b0)) + bit_count(a1.bitwiseXOR(b1))).cast("int")
+
+  /** e59: binary-quantized (sign-bit) Hamming top-k — the 64×-compression
+    * ANN path every billion-vector index ships as its first-stage filter:
+    * a 64-dim float vector becomes 64 BITS, and candidate scoring is two
+    * XOR+popcount instructions. Queries are vec_id < 5 (mirroring e50), the
+    * corpus is everything else; ties break on candidate id. Everything is
+    * integer, so the oracle compare is exact with zero float surface.
+    *
+    * Scale shape: the packed corpus is a narrow (id, 16 bytes) table — the
+    * index for 10⁹ vectors fits in ~16 GB where the float corpus is 256 GB;
+    * queries broadcast, the corpus never shuffles, and the per-query scan
+    * is map-side top-k through the rank window exactly like e50.
+    */
+  /** The e59 transform over any (vec_id, embedding) frame (queries =
+    * vec_id < 5, corpus = rest, like e50) — exposed for planted-corpus
+    * specs.
+    */
+  def hammingTopK(emb: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val bits = signWords(Q.spread(emb, "vec_id"))
+    val q = bits.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val c = bits.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("w0").as("cw0"), col("w1").as("cw1"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        hamming(col("qw0"), col("qw1"), col("cw0"), col("cw1")).as("hamming"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val e59HammingTopK: Q = Q(
+    "e59_hamming_topk",
+    (s, dir) => hammingTopK(t(s, dir, "embeddings"), k = 10),
+    Some(s"""
+      WITH bits AS (${sqlSignWords("embeddings")}),
+      q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM bits WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, w0 AS cw0, w1 AS cw1 FROM bits WHERE vec_id >= 5)
+      SELECT qid, cid, hamming, rank FROM (
+        SELECT qid, cid,
+          CAST(bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)) AS INT)
+            AS hamming,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)), cid)
+            AS INT) AS rank
+        FROM c CROSS JOIN q) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** e59b: Hamming-vs-exact recall@10, FULLY ORACLED — unlike the sketch
+    * recall audits (d42b/d43b/e51b/e58, rows-only because their sketches
+    * are seed-native), both sides here are cross-engine deterministic: the
+    * Hamming ranking is pure integer and the exact side is e50's
+    * decimal-staged cosine, so the driver hash-pins the ACCURACY claim
+    * itself, not just the output shape. One corpus pass scores both
+    * rankings; the window shuffles only narrow (qid, cid, score) rows.
+    */
+  val e59bHammingRecall: Q = Q(
+    "e59b_hamming_recall",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val fast = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          Similarity.cosNative(col("qv"), col("cv")).as("cosf"))
+      val exact = Similarity.exactRerank(fast, q, c, k = 10)
+        .select(col("qid"), col("cid"))
+      val bits = signWords(emb)
+      val qb = bits.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+      val cb = bits.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cid"), col("w0").as("cw0"), col("w1").as("cw1"))
+      val wH = Window.partitionBy(col("qid"))
+        .orderBy(col("hamming"), col("cid"))
+      val ham = cb.crossJoin(broadcast(qb))
+        .select(col("qid"), col("cid"),
+          hamming(col("qw0"), col("qw1"), col("cw0"), col("cw1")).as("hamming"))
+        .withColumn("rank", row_number().over(wH))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
+      exact.join(ham, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .select(col("qid"), col("n_exact"), col("n_overlap"),
+          round(col("n_overlap").cast("double") /
+            col("n_exact").cast("double"), 6).as("recall_at_10"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      qn AS (
+        SELECT qid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS qnorm
+        FROM (SELECT qid, unnest(qv) AS x FROM q) t GROUP BY qid),
+      cn AS (
+        SELECT cid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS cnorm
+        FROM (SELECT cid, unnest(cv) AS x FROM c) t GROUP BY cid),
+      dots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx
+              FROM q CROSS JOIN c) t
+        GROUP BY qid, cid),
+      exact AS (
+        SELECT qid, cid FROM (
+          SELECT d.qid, d.cid,
+            row_number() OVER (PARTITION BY d.qid
+              ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS rank
+          FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
+        WHERE rank <= 10),
+      bits AS (${sqlSignWords("embeddings")}),
+      qb AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM bits WHERE vec_id < 5),
+      cb AS (SELECT vec_id AS cid, w0 AS cw0, w1 AS cw1 FROM bits WHERE vec_id >= 5),
+      ham AS (
+        SELECT qid, cid, 1 AS hit FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)), cid)
+              AS rank
+          FROM cb CROSS JOIN qb) t
+        WHERE rank <= 10)
+      SELECT e.qid, count(*) AS n_exact,
+        CAST(sum(coalesce(h.hit, 0)) AS BIGINT) AS n_overlap,
+        round(CAST(sum(coalesce(h.hit, 0)) AS DOUBLE) / count(*), 6)
+          AS recall_at_10
+      FROM exact e LEFT JOIN ham h ON e.qid = h.qid AND e.cid = h.cid
+      GROUP BY e.qid ORDER BY e.qid"""))
 }

@@ -88,6 +88,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("e59: sign-bit packing and Hamming ranking on planted sign patterns") {
+    // query 0 alternates sign (+ at even dims); id 5 copies its signs with
+    // different magnitudes, id 6 flips exactly dims {0, 32, 63}, id 7 flips
+    // every sign — known distances 0, 3, 64 in that rank order
+    def v(sign: Int => Boolean, scale: Float): Array[Float] =
+      Array.tabulate(64)(i => if (sign(i)) scale else -scale)
+    val even = (i: Int) => i % 2 == 0
+    val emb = Seq(
+      (0L, v(even, 1f)),
+      (5L, v(even, 2.5f)),
+      (6L, v(i => if (i == 0 || i == 32 || i == 63) !even(i) else even(i), 1f)),
+      (7L, v(i => !even(i), 1f))
+    ).toDF("vec_id", "embedding")
+    // packing: an all-positive vector sets all 32 bits of each half
+    val allPos = Similarity2.signWords(
+        Seq((1L, Array.fill(64)(1f))).toDF("vec_id", "embedding"))
+      .collect().head
+    assert(allPos.getAs[Long]("w0") === 0xFFFFFFFFL)
+    assert(allPos.getAs[Long]("w1") === 0xFFFFFFFFL)
+    val out = Similarity2.hammingTopK(emb, k = 3)
+      .collect().map(r => (r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Int]("hamming")))
+    assert(out.toSeq === Seq((1, 5L, 0), (2, 6L, 3), (3, 7L, 64)))
+  }
+
   test("e58: recall@10 is 1.0 when the truncated prefix determines the vector") {
     GraftFunctions.register(spark)
     // 64-dim vectors whose FIRST dim already separates them: cosine ranking
