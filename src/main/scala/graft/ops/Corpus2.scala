@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Corpus-curation operators, round 5: cross-document repeated-block
+  * removal (the CCNet/C4 "drop duplicated paragraphs" step — documents
+  * here have no newlines, so the paragraph unit is a fixed 8-token block)
+  * and first-seen n-gram source attribution (the marginal-novelty signal
+  * behind data-mixing decisions). Both ride one shared block explode —
+  * narrow per-row work, one keyed aggregation each, the boilerplate set
+  * broadcast back (small by definition: boilerplate is FEW distinct
+  * blocks referenced MANY times).
+  */
+object Corpus2 {
+
+  def pack: Seq[Q] = Seq(d63BlockDedup, d64SourceNovelty)
+
+  /** Paragraph stand-in: non-overlapping 8-token blocks (d59 chunks WITH
+    * overlap for retrieval; dedup wants a partition of the text so a
+    * dropped block removes each token exactly once).
+    */
+  val BlockSize = 8
+
+  /** A block is boilerplate when it appears in at least this many distinct
+    * documents (CCNet drops at 2 — any cross-document repetition of a
+    * whole paragraph is template/boilerplate, not content).
+    */
+  val MinDf = 2
+
+  /** One row per (doc_id, idx, block): the non-overlapping block partition
+    * of each document, with the block's token count (final block may run
+    * short). Entirely per-row: split once, explode the start offsets,
+    * slice — the same generator-in-its-own-projection shape as d59.
+    */
+  def blockRows(docs: DataFrame): DataFrame =
+    Q.spread(docs, "doc_id")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("n"))
+      .select(col("doc_id"), col("source"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(BlockSize))).as("s"))
+      .select(col("doc_id"), col("source"),
+        (col("s") / BlockSize).cast("int").as("idx"),
+        least(lit(BlockSize.toLong), (col("n") - col("s")).cast("long"))
+          .as("blk_tokens"),
+        array_join(slice(col("toks"), col("s") + 1, lit(BlockSize)), " ")
+          .as("block"))
+
+  private val sqlBlockRows = s"""
+        SELECT doc_id, source, CAST(s // $BlockSize AS INT) AS idx,
+          CAST(least(s + $BlockSize, n) - s AS BIGINT) AS blk_tokens,
+          array_to_string(words[s+1 : least(s + $BlockSize, n)], ' ') AS block
+        FROM (
+          SELECT doc_id, source, string_split(text, ' ') AS words,
+            len(string_split(text, ' ')) AS n,
+            unnest(range(0, len(string_split(text, ' ')), $BlockSize)) AS s
+          FROM documents) t"""
+
+  /** The d63 transform over any (doc_id, source, text) frame — exposed for
+    * planted-corpus specs.
+    */
+  def blockDedup(docs: DataFrame): DataFrame = {
+    // three consumers (df count, mark join, per-doc agg): pay the explode once
+    val blocks = blockRows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = blocks.groupBy(col("block"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= MinDf)
+      .select(col("block"), lit(1).as("hot"))
+    val marked = blocks.join(broadcast(common), Seq("block"), "left")
+    val res = marked.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("hot") === 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("hot").isNull, col("blk_tokens")).otherwise(0L))
+          .as("n_tokens_kept"),
+        // kept blocks in document order; all-dropped docs hash the empty
+        // string (collect_list skips the nulls the `when` emits; idx is
+        // unique per doc so the sort is total and the hash deterministic)
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("hot").isNull, struct(col("idx"), col("block"))))),
+            b => b.getField("block")),
+          " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+    Q.materialized(res, blocks)
+  }
+
+  /** d63: cross-document repeated-block removal — the CCNet/C4 boilerplate
+    * dedup step: any 8-token block appearing verbatim in ≥ MinDf distinct
+    * documents is template text (headers, footers, license banners) and is
+    * dropped from EVERY document; per-document output reports the block
+    * counts plus the md5 of the cleaned text, so the compare pins the
+    * reconstruction, not just the counts.
+    *
+    * Scale shape: the explode is narrow; the df count shuffles (block,
+    * doc_id) pairs once; the boilerplate SET is broadcast back (small by
+    * definition — few distinct blocks, many references); the per-doc
+    * rebuild is one keyed aggregation. Nothing is all-pairs, and the big
+    * side (the corpus) shuffles only on doc_id.
+    */
+  val d63BlockDedup: Q = Q(
+    "d63_block_dedup",
+    (s, dir) => blockDedup(t(s, dir, "documents")),
+    Some(s"""
+      WITH b AS ($sqlBlockRows),
+      hot AS (
+        SELECT block FROM b GROUP BY block
+        HAVING count(DISTINCT doc_id) >= $MinDf),
+      m AS (
+        SELECT b.doc_id, b.idx, b.blk_tokens, b.block,
+          h.block IS NOT NULL AS hot
+        FROM b LEFT JOIN hot h ON b.block = h.block)
+      SELECT doc_id, count(*) AS n_blocks,
+        CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(sum(CASE WHEN hot THEN 0 ELSE blk_tokens END) AS BIGINT)
+          AS n_tokens_kept,
+        md5(coalesce(
+          array_to_string(list(block ORDER BY idx) FILTER (WHERE NOT hot),
+            ' '), '')) AS clean_md5
+      FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** d64: first-seen block attribution per source — for every distinct
+    * 8-token block, the source that contributed it FIRST (lowest doc_id);
+    * per source, the share of the corpus's distinct blocks it introduced
+    * vs the share it merely repeats. The marginal-novelty report a data
+    * lead reads before weighting sources in a training mix: a source can
+    * be large yet contribute nothing new.
+    *
+    * Scale shape: one explode, one (block)-keyed min_by aggregation, one
+    * (source)-keyed rollup — the attribution table is O(distinct blocks)
+    * and never joined back against the corpus.
+    */
+  val d64SourceNovelty: Q = Q(
+    "d64_source_novelty",
+    (s, dir) => {
+      val blocks = blockRows(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val refs = blocks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_block_refs"))
+      // doc_id is unique per document, so min_by is deterministic (a block
+      // repeated within the min doc resolves to that same doc's source)
+      val firstSeen = blocks.groupBy(col("block"))
+        .agg(min_by(col("source"), col("doc_id")).as("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_first"))
+      val tot = firstSeen.agg(sum(col("n_first")).as("n_distinct_blocks"))
+      val res = refs.join(firstSeen, Seq("source"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_block_refs"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          round(coalesce(col("n_first"), lit(0L)).cast("double") /
+            col("n_distinct_blocks").cast("double"), 6).as("novelty_share"))
+        .orderBy(col("source"))
+      Q.materialized(res, blocks)
+    },
+    Some(s"""
+      WITH b AS ($sqlBlockRows),
+      refs AS (SELECT source, count(*) AS n_block_refs FROM b GROUP BY source),
+      first_seen AS (
+        SELECT arg_min(source, doc_id) AS source FROM b GROUP BY block),
+      fs AS (SELECT source, count(*) AS n_first FROM first_seen GROUP BY source),
+      tot AS (SELECT CAST(sum(n_first) AS BIGINT) AS n_distinct_blocks FROM fs)
+      SELECT r.source, r.n_block_refs,
+        CAST(coalesce(fs.n_first, 0) AS BIGINT) AS n_first,
+        round(CAST(coalesce(fs.n_first, 0) AS DOUBLE) / n_distinct_blocks, 6)
+          AS novelty_share
+      FROM refs r LEFT JOIN fs ON r.source = fs.source CROSS JOIN tot
+      ORDER BY r.source"""))
+}

@@ -88,6 +88,48 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("d63: cross-doc repeated blocks drop, unique blocks survive") {
+    val common = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = Seq(
+      (1L, "s1", s"$common a1 a2 a3"),          // identical to doc 2
+      (2L, "s1", s"$common a1 a2 a3"),          // → both blocks df=2, all drop
+      (3L, "s2", s"$common x1 x2 x3 x4 x5 x6 x7 x8"), // shares only block 0
+      (4L, "s3", "c1 c2 c3 c4 c5 c6 c7 c8 c9")  // fully unique
+    ).toDF("doc_id", "source", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = Corpus2.blockDedup(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_tokens_kept"), r.getAs[String]("clean_md5"))).toMap
+    assert(out(1L) === ((2L, 2L, 0L, md5hex(""))))
+    assert(out(2L) === ((2L, 2L, 0L, md5hex(""))))
+    assert(out(3L) === ((2L, 1L, 8L, md5hex("x1 x2 x3 x4 x5 x6 x7 x8"))))
+    assert(out(4L) === ((2L, 0L, 9L, md5hex("c1 c2 c3 c4 c5 c6 c7 c8 c9"))))
+  }
+
+  test("d64: first-seen attribution goes to the lowest doc_id's source") {
+    val common = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = Seq(
+      (1L, "s1", s"$common a1 a2 a3"),
+      (2L, "s1", s"$common a1 a2 a3"),
+      (3L, "s2", s"$common x1 x2 x3 x4 x5 x6 x7 x8"),
+      (4L, "s3", "c1 c2 c3 c4 c5 c6 c7 c8 c9")
+    ).toDF("doc_id", "source", "text")
+    // 5 distinct blocks: common+"a1 a2 a3" first in doc1 (s1), the x-block
+    // first in doc3 (s2), doc4's two blocks (s3)
+    val blocks = Corpus2.blockRows(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.functions.{col, min_by, count, lit}
+    val first = blocks.groupBy(col("block"))
+      .agg(min_by(col("source"), col("doc_id")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("n")).toMap
+    blocks.unpersist()
+    assert(first === Map("s1" -> 2L, "s2" -> 1L, "s3" -> 2L))
+  }
+
   test("e59: sign-bit packing and Hamming ranking on planted sign patterns") {
     // query 0 alternates sign (+ at even dims); id 5 copies its signs with
     // different magnitudes, id 6 flips exactly dims {0, 32, 63}, id 7 flips
