@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Clustering, Corpus, Corpus2, CustomExprQueries, Dedup, EventWindows, Multimodal, Profiling, Q, Relational, Relational2, Relational3, ScalePatterns, Similarity, Similarity2, TextAnalysis}
+import graft.ops.{Clustering, Corpus, Corpus2, CustomExprQueries, Dedup, EventWindows, Graph, Multimodal, Profiling, Q, Relational, Relational2, Relational3, ScalePatterns, Similarity, Similarity2, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       EventWindows.pack ++ TextAnalysis.pack ++ Dedup.pack ++
       Corpus.pack ++ Corpus2.pack ++ Similarity.pack ++ Similarity2.pack ++
       Multimodal.pack ++ CustomExprQueries.pack ++ ScalePatterns.pack ++
-      Clustering.pack ++ Profiling.pack
+      Clustering.pack ++ Graph.pack ++ Profiling.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
