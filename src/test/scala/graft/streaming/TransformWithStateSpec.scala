@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** transformWithState running stats: state carries across micro-batches,
+  * multiple in-batch rows fold in event-time order, and the ListState
+  * rolling tail stays capped at RecentN.
+  */
+class TransformWithStateSpec extends SparkSpec {
+
+  private def ev(id: Long, mm: Int, user: Long, value: Double): Event =
+    Event(id, Timestamp.valueOf(f"2024-01-01 10:$mm%02d:00"), user, "click", value)
+
+  test("running stats accumulate across batches with a capped rolling tail") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = TransformWithStateOps.runningStats(ms.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        ms.addData(ev(1, 1, 1L, 1.0), ev(2, 2, 1L, 2.0), ev(3, 1, 2L, 10.0))
+        q.processAllAvailable()
+        val b1 = spark.table("tws_out").collect()
+          .map(r => r.getAs[Long]("user_id") ->
+            (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+              r.getAs[Double]("recent_avg"))).toMap
+        assert(b1(1L) === ((2L, 3.0, 1.5)))
+        assert(b1(2L) === ((1L, 10.0, 10.0)))
+
+        // batch 2: user 1 gains one event (tail 1,2,3); user 2 gains three
+        // (tail caps to the LAST three: 20,30,40)
+        ms.addData(ev(4, 3, 1L, 3.0),
+          ev(5, 4, 2L, 20.0), ev(6, 5, 2L, 30.0), ev(7, 6, 2L, 40.0))
+        q.processAllAvailable()
+        val b2 = spark.table("tws_out").collect()
+          .groupBy(_.getAs[Long]("user_id"))
+          .map { case (u, rows) =>
+            u -> rows.maxBy(_.getAs[Long]("n_events")) }
+          .map { case (u, r) =>
+            u -> ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+              r.getAs[Double]("recent_avg"))) }
+        assert(b2(1L) === ((3L, 6.0, 2.0)))
+        assert(b2(2L) === ((4L, 100.0, 30.0)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
