@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import Q.t
+
+/** e60: the COMPLETE IVF-PQ search dataflow — the index layout behind
+  * every billion-vector ANN deployment (FAISS `IVFx,PQy`): a coarse
+  * quantizer routes each vector to an inverted list, product quantization
+  * compresses the RESIDUAL (vector − its coarse centroid), and a query
+  * scans only `NProbe` lists, scoring candidates against the reconstructed
+  * residuals. Composes e53 (IVF routing alone, float cosine) and e57 (PQ
+  * on raw vectors): here PQ encodes residuals, which is what makes the
+  * combination accurate enough to ship.
+  *
+  * Everything runs on the e57 1/512 integer grid, so coarse assignment,
+  * residuals, codebook argmins and the final ADC distances are ALL BIGINT
+  * arithmetic — the whole index build + search hash-matches the DuckDB
+  * oracle bit-for-bit with zero float surface. (A real deployment computes
+  * the per-query subspace lookup tables once and scans codes; the scored
+  * VALUE is identical — Σ_m ‖(q−c)_m − cb[m][code_m]‖² — and that
+  * table-scan micro-layout is a kernel concern below the dataflow level.)
+  *
+  * Scale shape: the coarse codebook (1 row per list) and PQ codebook
+  * (M×K rows) broadcast; corpus assignment and encode are narrow
+  * cross-products against those broadcasts with map-side packed argmins
+  * (e57's `min(dist·K + id)` trick, so ties break to the lowest id in
+  * both engines); the search touches only the probed lists' code rows —
+  * the corpus itself is never re-read at query time, exactly the
+  * inverted-list contract. Codes are 8 small ints per vector: the 100 TB
+  * float corpus becomes a ~1 TB code table.
+  */
+object IvfPq {
+
+  def pack: Seq[Q] = Seq(e60IvfPqSearch)
+
+  private val Grid = 512L
+  private val Dim = 64
+  private val M = 8
+  private val SubDim = 8
+  private val K = 16
+  private val NQueries = 5
+  private val NProbe = 2
+  private val TopK = 10
+  private val CentMod = 37
+  /** Coarse-argmin pack factor: must exceed every list id; 2²⁰ keeps
+    * dist·Pack ≤ ~2⁶⁰ for the ≤2³⁰ grid L2² distances.
+    */
+  private val Pack = 1L << 20
+
+  /** Flat 64-term integer L2² between two grid arrays — pure codegen. */
+  private def l2(a: String, b: String): Column =
+    (0 until Dim).map { i =>
+      val d = element_at(col(a), i + 1) - element_at(col(b), i + 1)
+      d * d
+    }.reduce(_ + _)
+
+  private def sqlL2(a: String, b: String): String =
+    (1 to Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString("+")
+
+  /** The e60 transform over any (vec_id, embedding) frame — exposed for
+    * planted-corpus specs. Queries are vec_id < NQueries; corpus ids must
+    * be contiguous from NQueries (the PQ codebook trains on the first K
+    * corpus residuals, selected as `cid < NQueries + K` to avoid a global
+    * ordering pass — at warehouse scale codebook training is a sampled
+    * offline step anyway, see e56 for the Lloyd iteration).
+    */
+  def ivfPqSearch(emb: DataFrame): DataFrame = {
+    val gridT = Q.spread(emb, "vec_id")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * Grid).cast("long")).as("gv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val coarse = gridT.filter(col("vec_id") % CentMod === 0)
+      .select(col("vec_id").as("list_id"), col("gv").as("cv"))
+    val corpusG = gridT.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cid"), col("gv"))
+
+    // coarse routing: packed integer argmin over the broadcast centroids
+    val assign = corpusG.crossJoin(broadcast(coarse))
+      .groupBy(col("cid"))
+      .agg(min(l2("gv", "cv") * lit(Pack) + col("list_id")).as("p"))
+      .select(col("cid"), expr(s"p % $Pack").as("list_id"))
+    val corpusRows = corpusG.join(assign, "cid")
+      .join(broadcast(coarse), "list_id")
+
+    // residual PQ codebook: the first K corpus vectors' residuals
+    // (interpreted zip_with is fine on K=16 rows, never the corpus)
+    val cb16 = corpusRows.filter(col("cid") < NQueries + K)
+      .select((col("cid") - NQueries).as("k"),
+        zip_with(col("gv"), col("cv"), (a, b) => a - b).as("rcb"))
+
+    // encode: per-subspace packed argmin of ‖residual_m − cb[m][k]‖²
+    val subDists = (0 until M).map { m =>
+      val d = (0 until SubDim).map { j =>
+        val i = m * SubDim + j + 1
+        val term = element_at(col("gv"), i) - element_at(col("cv"), i) -
+          element_at(col("rcb"), i)
+        term * term
+      }.reduce(_ + _)
+      min(d * lit(K.toLong) + col("k")).as(s"p$m")
+    }
+    val codes = corpusRows.crossJoin(broadcast(cb16))
+      .groupBy(col("cid"), col("list_id"))
+      .agg(subDists.head, subDists.tail: _*)
+
+    // reconstruction: attach each subspace's chosen codebook row
+    var rec = codes
+    for (m <- 0 until M)
+      rec = rec.join(
+        broadcast(cb16.select(col("k").as(s"k$m"), col("rcb").as(s"a$m"))),
+        expr(s"p$m % $K") === col(s"k$m"))
+
+    val queriesG = gridT.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("gv").as("qv"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("list_id"))
+    val probes = queriesG.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("list_id"), l2("qv", "cv").as("pd"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("list_id"))
+
+    // ADC scan over the probed lists only
+    val adcDist = (0 until M).map { m =>
+      (0 until SubDim).map { j =>
+        val i = m * SubDim + j + 1
+        val term = element_at(col("qv"), i) - element_at(col("cv"), i) -
+          element_at(col(s"a$m"), i)
+        term * term
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dist"), col("cid"))
+    val res = rec.join(broadcast(probes), "list_id")
+      .join(broadcast(queriesG), "qid")
+      .join(broadcast(coarse), "list_id")
+      .select(col("qid"), col("cid"), adcDist.as("approx_dist"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+    Q.materialized(res, gridT)
+  }
+
+  val e60IvfPqSearch: Q = Q(
+    "e60_ivfpq_search",
+    (s, dir) => ivfPqSearch(t(s, dir, "embeddings")),
+    Some {
+      val subDistSql = (0 until M).map { m =>
+        val terms = (0 until SubDim).map { j =>
+          val i = m * SubDim + j + 1
+          s"(r.gv[$i]-r.cv[$i]-b.rcb[$i])*(r.gv[$i]-r.cv[$i]-b.rcb[$i])"
+        }.mkString("+")
+        s"($terms) AS d$m"
+      }.mkString(",\n            ")
+      val packMins = (0 until M).map(m => s"min(d$m*$K+k) AS p$m").mkString(", ")
+      val cbJoins = (0 until M)
+        .map(m => s"JOIN cb cb$m ON cb$m.k = s.p$m % $K").mkString("\n          ")
+      val adcSql = (0 until M).map { m =>
+        (0 until SubDim).map { j =>
+          val i = m * SubDim + j + 1
+          s"(q.qv[$i]-co.cv[$i]-cb$m.rcb[$i])*(q.qv[$i]-co.cv[$i]-cb$m.rcb[$i])"
+        }.mkString("+")
+      }.mkString("\n            + ")
+      s"""
+      WITH grid AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS gv
+        FROM embeddings),
+      coarse AS (
+        SELECT vec_id AS list_id, gv AS cv FROM grid
+        WHERE vec_id % $CentMod = 0),
+      corpus AS (SELECT vec_id AS cid, gv FROM grid WHERE vec_id >= $NQueries),
+      assign AS (
+        SELECT cid, CAST(min(d * $Pack + list_id) % $Pack AS BIGINT) AS list_id
+        FROM (
+          SELECT c.cid, co.list_id, ${sqlL2("c.gv", "co.cv")} AS d
+          FROM corpus c CROSS JOIN coarse co) t
+        GROUP BY cid),
+      crows AS (
+        SELECT c.cid, a.list_id, c.gv, co.cv
+        FROM corpus c JOIN assign a USING (cid) JOIN coarse co USING (list_id)),
+      cb AS (
+        SELECT cid - $NQueries AS k,
+          [gv[i] - cv[i] for i in range(1, ${Dim + 1})] AS rcb
+        FROM crows WHERE cid < ${NQueries + K}),
+      codes AS (
+        SELECT cid, list_id, $packMins
+        FROM (
+          SELECT r.cid, r.list_id, b.k,
+            $subDistSql
+          FROM crows r CROSS JOIN cb b) t
+        GROUP BY cid, list_id),
+      queries AS (SELECT vec_id AS qid, gv AS qv FROM grid WHERE vec_id < $NQueries),
+      probes AS (
+        SELECT qid, list_id FROM (
+          SELECT q.qid, co.list_id,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${sqlL2("q.qv", "co.cv")}, co.list_id) AS pr
+          FROM queries q CROSS JOIN coarse co) t
+        WHERE pr <= $NProbe),
+      scored AS (
+        SELECT p.qid, s.cid,
+          $adcSql
+            AS approx_dist
+        FROM codes s JOIN probes p USING (list_id)
+          JOIN queries q ON q.qid = p.qid
+          JOIN coarse co ON co.list_id = s.list_id
+          $cbJoins)
+      SELECT qid, cid, approx_dist, rank FROM (
+        SELECT qid, cid, approx_dist,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY approx_dist, cid) AS INT) AS rank
+        FROM scored) t
+      WHERE rank <= $TopK ORDER BY qid, rank"""
+    })
+}

@@ -155,6 +155,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 5L, 0), (2, 6L, 3), (3, 7L, 64)))
   }
 
+  test("e60: a codebook-trained twin reconstructs to approx_dist 0 at rank 1") {
+    // query 0 is an exact copy of corpus vector 5; 5 is codebook-trained
+    // (cid < 21), so its residual reconstructs EXACTLY and the ADC distance
+    // to the twin is 0 — the self-coding invariant of residual PQ
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val twin = vec()
+    val emb = (Seq((0L, twin), (5L, twin)) ++
+      (6L to 80L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    val out = IvfPq.ivfPqSearch(emb).collect()
+    val q0 = out.filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(q0.head.getAs[Long]("cid") === 5L)
+    assert(q0.head.getAs[Long]("approx_dist") === 0L)
+    // distances are non-negative and non-decreasing in rank
+    q0.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("approx_dist") <= b.getAs[Long]("approx_dist"))
+    }
+    assert(out.forall(_.getAs[Long]("approx_dist") >= 0L))
+  }
+
   test("e58: recall@10 is 1.0 when the truncated prefix determines the vector") {
     GraftFunctions.register(spark)
     // 64-dim vectors whose FIRST dim already separates them: cosine ranking
