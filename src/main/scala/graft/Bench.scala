@@ -6,6 +6,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // dev-only name-prefix filter (the driver never sets it): per-query
+    // perf iteration without paying the whole suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.startsWith) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +32,7 @@ object Bench {
     // timed region so per-query numbers measure the queries, not first-touch
     // JIT. sf0.001 keeps the warmup itself cheap; the catch is per-query so
     // one failing query cannot skip warmup for the rest.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       exhaust(name, fn, "/root/testdata/sf0.001")
     }
     // Min over `runs` repeats: the shared-machine noise the driver observed
@@ -35,7 +40,7 @@ object Bench {
     // additive contention, so min-of-N is the robust estimator of the plan's
     // cost. Queries unpersist their own intermediates, so repeats are honest
     // re-executions, not cache hits; clearCache() backstops that.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       var ok = true
       val best = (1 to runs).map { _ =>
         // sweep ALL persisted blocks (checkpointed results included —

@@ -83,14 +83,22 @@ object IvfPq {
       .groupBy(col("cid"))
       .agg(min(l2("gv", "cv") * lit(Pack) + col("list_id")).as("p"))
       .select(col("cid"), expr(s"p % $Pack").as("list_id"))
+    // the assignment aggregation (the corpus × centroids cross product) is
+    // the expensive stage and feeds BOTH the encode and the codebook — and
+    // the codebook is re-broadcast once per subspace with per-subspace
+    // aliases, which defeats exchange reuse (ReusedExchange requires
+    // identical plans). Persist the assigned rows so the cross product
+    // runs once, and checkpoint the 16-row codebook flat.
     val corpusRows = corpusG.join(assign, "cid")
       .join(broadcast(coarse), "list_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // residual PQ codebook: the first K corpus vectors' residuals
     // (interpreted zip_with is fine on K=16 rows, never the corpus)
     val cb16 = corpusRows.filter(col("cid") < NQueries + K)
       .select((col("cid") - NQueries).as("k"),
         zip_with(col("gv"), col("cv"), (a, b) => a - b).as("rcb"))
+      .localCheckpoint(true)
 
     // encode: per-subspace packed argmin of ‖residual_m − cb[m][k]‖²
     val subDists = (0 until M).map { m =>
@@ -140,7 +148,7 @@ object IvfPq {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= TopK)
       .orderBy(col("qid"), col("rank"))
-    Q.materialized(res, gridT)
+    Q.materialized(res, gridT, corpusRows, cb16)
   }
 
   val e60IvfPqSearch: Q = Q(
