@@ -50,11 +50,17 @@ object Graph {
       .select(col("src").as("node"), expr(s"$Scale div n").as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src")
+      // ranks is O(nodes) — broadcast it so the edge table (O(edges), the
+      // big side at any scale) is never shuffled inside the loop; the
+      // checkpointed plan carries no stats, so without the hint Spark
+      // sort-merge-joins and re-shuffles every round. At true
+      // beyond-broadcast node counts, pre-hash-partition ew and ranks on
+      // src once instead and the join stays exchange-free.
+      val contribs = ew.join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"), expr("((85 * r) div 100) div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = deg.crossJoin(broadcast(ncnt))
-        .join(contribs, col("src") === col("dst"), "left")
+        .join(broadcast(contribs), col("src") === col("dst"), "left")
         .select(col("src").as("node"),
           (expr(s"((15 * $Scale) div 100) div n") +
             coalesce(col("s"), lit(0L))).as("r"))
