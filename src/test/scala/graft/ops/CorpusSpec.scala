@@ -130,6 +130,19 @@ class CorpusSpec extends SparkSpec {
     assert(first === Map("s1" -> 2L, "s2" -> 1L, "s3" -> 2L))
   }
 
+  test("d65: one-token edits match with exact distance; two-token rewrites don't") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delt",   // one char dropped inside one token
+      3L -> "alpha beta gamma delta",  // identical title
+      4L -> "alpha XXXX gamma YYYY")   // two tokens rewritten — outside the
+                                       // deletion-neighborhood envelope
+    val out = Corpus2.fuzzyMatches(d).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Int]("dist")).toMap
+    assert(out === Map((1L, 2L) -> 1, (1L, 3L) -> 0, (2L, 3L) -> 1))
+  }
+
   test("e59: sign-bit packing and Hamming ranking on planted sign patterns") {
     // query 0 alternates sign (+ at even dims); id 5 copies its signs with
     // different magnitudes, id 6 flips exactly dims {0, 32, 63}, id 7 flips
