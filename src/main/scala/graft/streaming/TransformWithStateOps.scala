@@ -61,6 +61,59 @@ class RunningStatsProcessor extends StatefulProcessor[Long, Event, UserRunning] 
   }
 }
 
+/** Last-seen state for the inactivity detector. */
+case class LastSeen(lastUs: Long, n_events: Long)
+
+/** One "user went quiet" alert: emitted when the event-time watermark
+  * passes `last_seen + gap` with no further activity.
+  */
+case class InactivityAlert(user_id: Long, last_seen: java.sql.Timestamp,
+    n_events: Long)
+
+/** Event-time TIMERS through the transformWithState handle — the API
+  * surface the old flatMapGroupsWithState timeout couldn't express: a key
+  * may hold MANY independent timers, registered/deleted individually.
+  * Each input re-arms the key's single inactivity timer (delete + register
+  * — timers are identified by their expiry timestamp, so re-arming must
+  * delete the stale one); when the watermark passes it, handleExpiredTimer
+  * emits the alert and clears state, so an idle key costs nothing after
+  * its alert fires. State is O(1) per live key and timers are
+  * watermark-driven — both bounded, both 100 TB/day-safe.
+  */
+class InactivityProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Event, InactivityAlert] {
+
+  @transient private var last: ValueState[LastSeen] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[LastSeen](
+      "last", Encoders.product[LastSeen], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[InactivityAlert] = {
+    val prev = if (last.exists()) Some(last.get()) else None
+    val seen = rows.map(e => StatefulSessions.tsToUs(e.ts)).toSeq
+    if (seen.isEmpty) Iterator.empty
+    else {
+      val lastUs = math.max(prev.map(_.lastUs).getOrElse(Long.MinValue), seen.max)
+      last.update(LastSeen(lastUs, prev.map(_.n_events).getOrElse(0L) + seen.size))
+      // re-arm: timers are keyed by expiry ms, so drop the stale one first
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // ceil to ms so the timer can never fire before the µs deadline
+      getHandle.registerTimer(Math.floorDiv(lastUs + gapMs * 1000L + 999L, 1000L))
+      Iterator.empty
+    }
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[InactivityAlert] = {
+    val s = last.get()
+    last.clear()
+    Iterator.single(InactivityAlert(
+      key, StatefulSessions.usToTs(s.lastUs), s.n_events))
+  }
+}
+
 object TransformWithStateOps {
 
   /** Rolling-tail length for `recent_avg`. */
@@ -77,5 +130,18 @@ object TransformWithStateOps {
     events.groupByKey(_.user_id)
       .transformWithState(
         new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Inactivity alerts via event-time timers (see [[InactivityProcessor]]);
+    * same RocksDB-provider requirement as [[runningStats]].
+    */
+  def inactivityAlerts(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[InactivityAlert] = {
+    implicit val outEnc = Encoders.product[InactivityAlert]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark).as(events.encoder)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new InactivityProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -12,7 +12,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 class TransformWithStateSpec extends SparkSpec {
 
   private def ev(id: Long, mm: Int, user: Long, value: Double): Event =
-    Event(id, Timestamp.valueOf(f"2024-01-01 10:$mm%02d:00"), user, "click", value)
+    Event(id, Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 10, 0).plusMinutes(mm)),
+      user, "click", value)
 
   test("running stats accumulate across batches with a capped rolling tail") {
     import spark.implicits._
@@ -48,6 +50,48 @@ class TransformWithStateSpec extends SparkSpec {
               r.getAs[Double]("recent_avg"))) }
         assert(b2(1L) === ((3L, 6.0, 2.0)))
         assert(b2(2L) === ((4L, 100.0, 30.0)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("inactivity timer fires once the watermark passes last_seen + gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      // gap 30 min, watermark delay 10 min
+      val q = TransformWithStateOps.inactivityAlerts(ms.toDS(), 30 * 60 * 1000L)
+        .writeStream.format("memory").queryName("tws_alerts")
+        .outputMode("append").start()
+      try {
+        ms.addData(ev(1, 0, 1L, 1.0), ev(2, 5, 1L, 1.0))
+        q.processAllAvailable()
+        // watermark is 09:55 — no alert yet
+        assert(spark.table("tws_alerts").count() === 0)
+
+        // user 2 keeps the stream moving; wm = 10:50 < 10:05+30min
+        ms.addData(ev(3, 30, 2L, 1.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_alerts").count() === 0)
+
+        // event at 11:30 → wm 11:20 ≥ 10:35 → user 1's timer fires (user
+        // 2's deadline 12:00 is still ahead)
+        ms.addData(ev(4, 90, 2L, 1.0))
+        q.processAllAvailable()
+        val alerts = spark.table("tws_alerts").collect()
+        assert(alerts.length === 1)
+        assert(alerts.head.getAs[Long]("user_id") === 1L)
+        assert(alerts.head.getAs[Timestamp]("last_seen") ===
+          Timestamp.valueOf("2024-01-01 10:05:00"))
+        assert(alerts.head.getAs[Long]("n_events") === 2L)
+
+        // a re-appearing user re-arms cleanly after its alert
+        ms.addData(ev(5, 95, 1L, 1.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_alerts").count() === 1)
       } finally q.stop()
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
