@@ -42,7 +42,9 @@ class SyntheticSource extends TableProvider with DataSourceRegister {
     new SyntheticTable(
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4),
-      seed = Option(properties.get("seed")).map(_.toLong).getOrElse(42L))
+      seed = Option(properties.get("seed")).map(_.toLong).getOrElse(42L),
+      rowsPerBatch = Option(properties.get("rowsPerBatch")).map(_.toLong)
+        .getOrElse(100L))
 }
 
 object SyntheticSource {
@@ -86,20 +88,23 @@ object SyntheticSource {
     "crawl-" + pos(mix(seed, id, 99), 20)
 }
 
-private class SyntheticTable(rows: Long, parts: Int, seed: Long)
+private class SyntheticTable(rows: Long, parts: Int, seed: Long,
+    rowsPerBatch: Long)
     extends Table with SupportsRead {
-  require(rows >= 0 && parts > 0, "rows must be >= 0 and partitions > 0")
+  require(rows >= 0 && parts > 0 && rowsPerBatch > 0,
+    "rows must be >= 0, partitions > 0, rowsPerBatch > 0")
 
   override def name(): String = s"graft_synth(rows=$rows, seed=$seed)"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, parts, seed)
+    new SyntheticScanBuilder(rows, parts, seed, rowsPerBatch)
 }
 
-private class SyntheticScanBuilder(rows: Long, parts: Int, seed: Long)
+private class SyntheticScanBuilder(rows: Long, parts: Int, seed: Long,
+    rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -117,14 +122,18 @@ private class SyntheticScanBuilder(rows: Long, parts: Int, seed: Long)
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan =
-    new SyntheticScan(rows, parts, seed, required, limit)
+    new SyntheticScan(rows, parts, seed, required, limit, rowsPerBatch)
 }
 
 private class SyntheticScan(rows: Long, parts: Int, seed: Long,
-    required: StructType, limit: Long) extends Scan with Batch {
+    required: StructType, limit: Long, rowsPerBatch: Long)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SyntheticMicroBatchStream(rows, parts, seed, rowsPerBatch, required)
   override def description(): String =
     s"graft-synth rows=$rows parts=$parts readSchema=${required.simpleString}" +
       (if (limit != Long.MaxValue) s" pushedLimit=$limit" else "")
@@ -155,6 +164,77 @@ private class SyntheticScan(rows: Long, parts: Int, seed: Long,
 
 private case class SyntheticPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Streaming read path: the same deterministic id-range generation served
+  * as micro-batches of `rowsPerBatch` ids per trigger until `rows` ids
+  * have been emitted. Offsets are plain row counts (json = the number),
+  * so checkpoint recovery replays EXACTLY the ids of the uncommitted
+  * range — the rate-source shape, but bounded and bit-reproducible: the
+  * streaming rehearsal twin of the batch scan (stream-read rows equal the
+  * batch table row-for-row).
+  */
+private class SyntheticMicroBatchStream(rows: Long, parts: Int, seed: Long,
+    rowsPerBatch: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  private case class SynthOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def initialOffset(): Offset = SynthOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  /** Admission-controlled advance: serve at most the read limit past the
+    * committed start, never past `rows`. Subtraction-form bound — a
+    * `start + cap` comparison overflows for rows near Long.MaxValue (the
+    * same hazard as the batch planner's quotient/remainder split).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].n
+    val cap = limit match {
+      case m: ReadMaxRows => math.min(m.maxRows(), rowsPerBatch)
+      case _ => rowsPerBatch
+    }
+    SynthOffset(if (rows - s <= cap) rows else s + cap)
+  }
+
+  override def reportLatestOffset(): Offset = SynthOffset(rows)
+
+  // the engine uses the admission-controlled overload when
+  // SupportsAdmissionControl is implemented (the rate source does the same)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-synth uses latestOffset(Offset, ReadLimit)")
+
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].n
+    val e = end.asInstanceOf[SynthOffset].n
+    val len = math.max(0L, e - s)
+    val per = len / parts
+    val rem = len % parts
+    (0 until parts).iterator
+      .map { p =>
+        val off = p * per + math.min(p.toLong, rem)
+        val plen = per + (if (p < rem) 1L else 0L)
+        SyntheticPartition(s + off, s + off + plen)
+      }
+      .filter(ip => ip.end > ip.start)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(seed, required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class SyntheticReaderFactory(seed: Long, required: StructType)
     extends PartitionReaderFactory {

@@ -61,4 +61,41 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(out.length === 300)
     assert(out.forall(_.getAs[Double]("entropy_bits") > 0.0))
   }
+
+  test("streaming read: admission-controlled batches, bit-equal to batch") {
+    import org.apache.spark.sql.functions.col
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 250).option("rowsPerBatch", 100).option("partitions", 3)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, df.count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // 250 rows served as 100/100/50 (the read limit), nothing replayed
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes.filter(_ > 0) === Seq(100L, 100L, 50L))
+  }
+
+  test("streaming read equals the batch table row-for-row") {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 120).option("rowsPerBatch", 50).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          got.add(r.getAs[Long]("doc_id") -> r.getAs[String]("text"))); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = got.asScala.toSeq.sortBy(_._1)
+    val batch = synth(120).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .sortBy(_._1).toSeq
+    assert(streamed === batch)
+  }
 }
