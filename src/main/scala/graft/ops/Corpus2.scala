@@ -15,7 +15,8 @@ import Q.t
   */
 object Corpus2 {
 
-  def pack: Seq[Q] = Seq(d63BlockDedup, d64SourceNovelty, d65FuzzyMatch)
+  def pack: Seq[Q] = Seq(d63BlockDedup, d64SourceNovelty, d65FuzzyMatch,
+    d66DsirSelect)
 
   /** Paragraph stand-in: non-overlapping 8-token blocks (d59 chunks WITH
     * overlap for retrieval; dedup wants a partition of the text so a
@@ -255,4 +256,109 @@ object Corpus2 {
         JOIN t t2 ON t2.doc_id = d2
       WHERE levenshtein(t1.title, t2.title) <= $MaxEditDist
       ORDER BY d1, d2"""))
+
+  /** DSIR target slice and selection quota (top quarter by score). */
+  val TargetLang = "en"
+  val SelectDenom = 4
+
+  /** The d66 transform over any (doc_id, lang, text) frame — exposed for
+    * planted-corpus specs.
+    */
+  def dsirSelect(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // four consumers (raw counts, target counts, grand totals, scoring
+    // join): pay the explode once
+    val toks = Q.spread(docs, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = toks.groupBy(col("tok")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === TargetLang)
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("tr"),
+      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("tt"))
+    val vsize = raw.agg(count(lit(1)).as("v"))
+    val quota = docs.agg(expr(s"count(1) div $SelectDenom").as("quota"))
+    // per-token-instance log-likelihood ratio, add-one smoothed over the
+    // raw vocab: ln((ct+1)/(tt+v)) − ln(cr/tr), expanded so every ln
+    // argument is an integer-valued double (cross-engine-exact input) and
+    // every term is decimal-staged (order-independent sum)
+    val scored = toks.join(raw, "tok").join(tgt, Seq("tok"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vsize))
+      .select(col("doc_id"),
+        ((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")) -
+          log((col("tt") + col("v")).cast("double")))
+          .cast(DecimalType(18, 12)) +
+          (log(col("tr").cast("double")) - log(col("cr").cast("double")))
+            .cast(DecimalType(18, 12))).as("llr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dsir_score"))
+    // rank on the ROUNDED score (identical across engines) with doc_id
+    // tie-break — the selection set is then deterministic on both sides
+    val w = Window.orderBy(col("dsir_score").desc, col("doc_id"))
+    val res = scored.crossJoin(broadcast(quota))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score"),
+        when(row_number().over(w) <= col("quota"), 1).otherwise(0)
+          .as("selected"))
+      .orderBy(col("doc_id"))
+    Q.materialized(res, toks)
+  }
+
+  /** d66: DSIR-style importance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — score
+    * every document by the mean per-token log-likelihood ratio between a
+    * TARGET unigram LM (here the `lang = 'en'` slice standing in for the
+    * high-quality target distribution) and the RAW-corpus unigram LM, then
+    * keep the top quarter. The importance weight says "this document looks
+    * more like the target than like the average crawl" — the
+    * distribution-matching selection step that runs after dedup/quality
+    * gates in a pretraining data pipeline.
+    *
+    * Scale shape: identical to d54 — the two LMs are token-keyed count
+    * tables built from one shared explode (key-partitioned joins, never
+    * broadcast at web-scale vocab); only the one-row totals broadcast. The
+    * global top-quota rank is the one intentionally-global step (a
+    * single-reducer window over O(docs) scored rows, each 3 columns); at
+    * true corpus scale swap it for an `approx_percentile` score threshold
+    * — the selection semantics is a cutoff either way.
+    *
+    * Parity: every ln argument is an integer-valued double, every term
+    * decimal-staged (see the parity playbook), ranking happens on the
+    * 6dp-ROUNDED score with doc_id tie-break.
+    */
+  val d66DsirSelect: Q = Q(
+    "d66_dsir_select",
+    (s, dir) => dsirSelect(t(s, dir, "documents")),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      raw AS (SELECT tok, count(*) AS cr FROM tok GROUP BY tok),
+      tgt AS (
+        SELECT tok, count(*) AS ct FROM tok
+        WHERE lang = '$TargetLang' GROUP BY tok),
+      consts AS (
+        SELECT (SELECT count(*) FROM tok) AS tr,
+          (SELECT count(*) FROM tok WHERE lang = '$TargetLang') AS tt,
+          (SELECT count(*) FROM raw) AS v),
+      scored AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+          round(CAST(sum(
+              CAST(ln(CAST(coalesce(g.ct, 0) + 1 AS DOUBLE)) -
+                   ln(CAST(c.tt + c.v AS DOUBLE)) AS DECIMAL(18,12)) +
+              CAST(ln(CAST(c.tr AS DOUBLE)) -
+                   ln(CAST(r.cr AS DOUBLE)) AS DECIMAL(18,12)))
+            AS DOUBLE) / count(*), 6) AS dsir_score
+        FROM tok t JOIN raw r USING (tok) LEFT JOIN tgt g USING (tok)
+        CROSS JOIN consts c
+        GROUP BY t.doc_id)
+      SELECT doc_id, n_tokens, dsir_score,
+        CASE WHEN row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+          <= (SELECT count(*) // $SelectDenom FROM documents)
+        THEN 1 ELSE 0 END AS selected
+      FROM scored ORDER BY doc_id"""))
 }
