@@ -262,10 +262,28 @@ object Corpus2 {
   val TargetLang = "en"
   val SelectDenom = 4
 
+  /** Score-bucket width for the two-phase rank: 1/50 = 0.02 score units
+    * per shard. Mean-per-token LLR scores live in a bounded band (a few
+    * tens either side of zero — each term is a log of count ratios), so
+    * this yields at most a few thousand shards regardless of corpus size;
+    * `floor(-score·scale)` is weakly monotone in descending score, which
+    * is what makes per-shard rank + shard prefix equal the global rank.
+    */
+  val ScoreShardScale = 50
+
   /** The d66 transform over any (doc_id, lang, text) frame — exposed for
-    * planted-corpus specs.
+    * planted-corpus specs. Eager ([[Q.materialized]]); plan audits use
+    * [[dsirSelectPlan]].
     */
   def dsirSelect(docs: DataFrame): DataFrame = {
+    val (res, inter) = dsirSelectPlan(docs)
+    Q.materialized(res, inter: _*)
+  }
+
+  /** The LAZY d66 plan (result, intermediates-to-release) — the shape
+    * plan-audit specs inspect before anything executes.
+    */
+  def dsirSelectPlan(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.types.DecimalType
     // four consumers (raw counts, target counts, grand totals, scoring
     // join): pay the explode once
@@ -299,14 +317,35 @@ object Corpus2 {
         round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
           .as("dsir_score"))
     // rank on the ROUNDED score (identical across engines) with doc_id
-    // tie-break — the selection set is then deterministic on both sides
-    val w = Window.orderBy(col("dsir_score").desc, col("doc_id"))
-    val res = scored.crossJoin(broadcast(quota))
+    // tie-break — the selection set is then deterministic on both sides.
+    // The rank itself is the d50/d62 TWO-PHASE form, never a global
+    // window: shard by a score-range bucket that is monotone in the sort
+    // order (higher score → lower-or-equal shard; equal rounded scores
+    // always share a shard, so the doc_id tie-break stays in-shard),
+    // row_number within each shard, then add broadcast per-shard prefix
+    // counts. Phase-2's ordered window runs over ONE ROW PER SHARD —
+    // broadcast-sized at any corpus size — so no O(docs) data ever
+    // funnels through a single task, and the result still equals the
+    // oracle's single global row_number exactly.
+    val sharded = scored
+      .withColumn("shard", floor(-col("dsir_score") * ScoreShardScale))
+    val local = sharded
+      .withColumn("local_rank", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("dsir_score").desc, col("doc_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixes = local.groupBy(col("shard")).agg(count(lit(1)).as("tot"))
+      .withColumn("prefix",
+        coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("prefix"))
+    val res = local.join(broadcast(prefixes), "shard")
+      .crossJoin(broadcast(quota))
       .select(col("doc_id"), col("n_tokens"), col("dsir_score"),
-        when(row_number().over(w) <= col("quota"), 1).otherwise(0)
-          .as("selected"))
+        when(col("prefix") + col("local_rank") <= col("quota"), 1)
+          .otherwise(0).as("selected"))
       .orderBy(col("doc_id"))
-    Q.materialized(res, toks)
+    (res, Seq(toks, local))
   }
 
   /** d66: DSIR-style importance selection (Xie et al. 2023, "Data
@@ -322,10 +361,10 @@ object Corpus2 {
     * Scale shape: identical to d54 — the two LMs are token-keyed count
     * tables built from one shared explode (key-partitioned joins, never
     * broadcast at web-scale vocab); only the one-row totals broadcast. The
-    * global top-quota rank is the one intentionally-global step (a
-    * single-reducer window over O(docs) scored rows, each 3 columns); at
-    * true corpus scale swap it for an `approx_percentile` score threshold
-    * — the selection semantics is a cutoff either way.
+    * top-quota rank is the d50/d62 two-phase form over score-range shards
+    * (see [[dsirSelect]]): per-shard row_number + broadcast shard
+    * prefixes, so the selection cutoff is exact with no single-task
+    * global sort anywhere in the plan.
     *
     * Parity: every ln argument is an integer-valued double, every term
     * decimal-staged (see the parity playbook), ranking happens on the

@@ -143,6 +143,57 @@ class CorpusSpec extends SparkSpec {
     assert(out === Map((1L, 2L) -> 1, (1L, 3L) -> 0, (2L, 3L) -> 1))
   }
 
+  test("d66: two-phase shard rank equals the global selection through a tie") {
+    // 8 docs → quota 2. The three byte-identical en docs share one exact
+    // score (the target slice, so they rank top) and the quota cuts
+    // through that tie group — the doc_id tie-break is load-bearing.
+    val d = Seq(
+      (10L, "en", "alpha beta alpha"), (7L, "en", "alpha beta alpha"),
+      (3L, "en", "alpha beta alpha"), (4L, "fr", "zeta eta theta"),
+      (5L, "fr", "zeta eta theta"), (6L, "fr", "iota kappa"),
+      (8L, "de", "mu nu xi"), (9L, "de", "omicron pi"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Corpus2.dsirSelect(d).collect()
+    assert(rows.length === 8)
+    val quota = 8 / Corpus2.SelectDenom
+    assert(rows.map(_.getAs[Int]("selected")).sum === quota)
+    // the distributed two-phase rank must equal a plain local sort
+    val globalOrder = rows
+      .sortBy(r => (-r.getAs[Double]("dsir_score"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id"))
+    val selected = rows.filter(_.getAs[Int]("selected") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(selected === globalOrder.take(quota).toSet)
+    // the en docs do tie exactly, and the cut lands inside the tie group:
+    // doc 3 and 7 in, doc 10 out
+    val scores = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    assert(scores(3L) === scores(7L) && scores(7L) === scores(10L))
+    assert(selected === Set(3L, 7L))
+  }
+
+  test("d66 plan: the only unpartitioned window ranks shard totals, not docs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val (res, inter) = Corpus2.dsirSelectPlan(
+      Seq((1L, "en", "a b"), (2L, "fr", "c d")).toDF("doc_id", "lang", "text"))
+    try {
+      val wins = res.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty)
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      assert(global.nonEmpty) // the shard-prefix window is deliberately global
+      global.foreach { w =>
+        // …but only over one-row-per-shard aggregates: anything else is
+        // the single-task O(docs) sort this operator must never contain
+        val overShardTotals = w.child.collect {
+          case a: Aggregate if a.groupingExpressions
+            .exists(_.references.exists(_.name == "shard")) => a
+        }
+        assert(overShardTotals.nonEmpty,
+          s"unpartitioned window over doc-level rows:\n$w")
+      }
+    } finally inter.foreach(_.unpersist())
+  }
+
   test("e59: sign-bit packing and Hamming ranking on planted sign patterns") {
     // query 0 alternates sign (+ at even dims); id 5 copies its signs with
     // different magnitudes, id 6 flips exactly dims {0, 32, 63}, id 7 flips
