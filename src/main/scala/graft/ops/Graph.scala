@@ -32,39 +32,27 @@ object Graph {
     * every node has out-degree ≥ 1 and no dangling-mass term is needed.
     *
     * Scale design: degrees are joined to the edge list ONCE outside the
-    * loop; each round is one shuffle join (edges ⋈ ranks on src) + one
-    * keyed sum — the power-iteration shape GraphX lowers to. Round state
+    * loop, and that cached edge table is ALREADY hash-partitioned on
+    * `src` (its build join shuffled it there) — so each round's
+    * edges ⋈ ranks is a shuffled-hash join that moves ONLY the O(nodes)
+    * rank table to the edges, never the O(edges) big side and never a
+    * per-round O(nodes) broadcast (which OOMs executors once the node
+    * set outgrows broadcast size). The `shuffle_hash` hints also keep the
+    * cached edge partitions from being re-sorted every round. Round state
     * is eagerly localCheckpoint'ed (flat plans, see [[Clustering]]) and
     * superseded rounds are released, so the loop holds ≤ 2 rank tables.
-    * The only broadcast is the one-row node count; a FIXED iteration count
-    * means no per-round driver action beyond the checkpoint itself. On a
-    * real cluster swap `checkpoint()` for durable lineage cuts.
+    * The only broadcast anywhere is the one-row node count; a FIXED
+    * iteration count means no per-round driver action beyond the
+    * checkpoint itself. On a real cluster swap `checkpoint()` for durable
+    * lineage cuts.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val ncnt = deg.agg(count(lit(1)).as("n"))
+    val (e, deg, ew, ncnt) = edgeState(edges)
     var ranks = deg.crossJoin(broadcast(ncnt))
       .select(col("src").as("node"), expr(s"$Scale div n").as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // ranks is O(nodes) — broadcast it so the edge table (O(edges), the
-      // big side at any scale) is never shuffled inside the loop; the
-      // checkpointed plan carries no stats, so without the hint Spark
-      // sort-merge-joins and re-shuffles every round. At true
-      // beyond-broadcast node counts, pre-hash-partition ew and ranks on
-      // src once instead and the join stays exchange-free.
-      val contribs = ew.join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst"), expr("((85 * r) div 100) div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = deg.crossJoin(broadcast(ncnt))
-        .join(broadcast(contribs), col("src") === col("dst"), "left")
-        .select(col("src").as("node"),
-          (expr(s"((15 * $Scale) div 100) div n") +
-            coalesce(col("s"), lit(0L))).as("r"))
-        .localCheckpoint(true)
+      val next = round(ew, deg, ncnt, ranks).localCheckpoint(true)
       Q.releaseBlocks(ranks)
       ranks = next
     }
@@ -72,6 +60,44 @@ object Graph {
     deg.unpersist()
     e.unpersist()
     ranks
+  }
+
+  /** Immutable loop state shared by [[pageRank]] and the plan-audit spec:
+    * cached edges, cached out-degrees, the degree-joined edge table
+    * EXPLICITLY hash-partitioned on `src` before caching (its build join
+    * may broadcast the degree side, which would otherwise leave the cache
+    * with the raw input's partitioning and force a per-round exchange of
+    * the O(edges) side), and the one-row node count.
+    */
+  def edgeState(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ew = e.join(deg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ncnt = deg.agg(count(lit(1)).as("n"))
+    (e, deg, ew, ncnt)
+  }
+
+  /** One LAZY power-iteration round over the prepared loop state —
+    * exposed so [[graft.ops]] specs can assert the per-round plan shape:
+    * the cached `ew` feeds its join with no exchange above it, and the
+    * only broadcast in the round is the one-row node count.
+    */
+  def round(ew: DataFrame, deg: DataFrame, ncnt: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    // build the hash map on the rank side (O(nodes) rows of (key, long));
+    // the stream side is the cached hash(src)-partitioned edge table
+    val contribs = ew
+      .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      .select(col("dst"), expr("((85 * r) div 100) div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    deg.crossJoin(broadcast(ncnt))
+      .join(contribs.hint("shuffle_hash"), col("src") === col("dst"), "left")
+      .select(col("src").as("node"),
+        (expr(s"((15 * $Scale) div 100) div n") +
+          coalesce(col("s"), lit(0L))).as("r"))
   }
 
   private def iterSql(i: Int): String = s"""

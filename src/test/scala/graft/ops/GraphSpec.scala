@@ -25,6 +25,53 @@ class GraphSpec extends SparkSpec {
     assert(pr(1L) === pr(2L) && pr(2L) === pr(3L))
   }
 
+  test("g60 plan: round streams cached edges — no rank broadcast, no edge re-shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val (e, deg, ew, ncnt) =
+      Graph.edgeState(sym((0L, 1L), (0L, 2L), (1L, 2L)))
+    try {
+      ew.count() // pin the cache so its hash(src) partitioning is in force
+      val ranks = deg.crossJoin(broadcast(ncnt))
+        .select(col("src").as("node"), expr(s"${Graph.Scale} div n").as("r"))
+        .localCheckpoint(true)
+      val plan = Graph.round(ew, deg, ncnt, ranks).queryExecution.executedPlan
+      // the only broadcast allowed anywhere in a round is the 1-row count
+      plan.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+        assert(b.output.map(_.name) === Seq("n"),
+          s"O(nodes) state broadcast inside the loop:\n$plan")
+      }
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"rank state must shuffle to the edges, not broadcast:\n$plan")
+      // the cached edge table joins with NO exchange between scan and join
+      def ewScans(p: SparkPlan) = p.collect {
+        case s: InMemoryTableScanExec
+          if Seq("src", "dst", "deg").forall(n => s.output.exists(_.name == n)) => s
+      }
+      val ewJoins = plan.collect {
+        case j: BaseJoinExec if ewScans(j).nonEmpty => j }
+      assert(ewJoins.nonEmpty, s"edge join not found:\n$plan")
+      val j = ewJoins.minBy(_.collectLeaves().size) // innermost: edges ⋈ ranks
+      Seq(j.left, j.right).filter(c => ewScans(c).nonEmpty).foreach { c =>
+        val bad = c.collect {
+          case s: ShuffleExchangeExec if ewScans(s).nonEmpty => s }
+        assert(bad.isEmpty, s"O(edges) side re-shuffled every round:\n$plan")
+      }
+    } finally {
+      saved match {
+        case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+        case None => conf.unset("spark.sql.adaptive.enabled")
+      }
+      ew.unpersist(); deg.unpersist(); e.unpersist()
+    }
+  }
+
   test("g60: a regular graph is a uniform fixed point across 5 iterations") {
     // 4-cycle, deg 2 everywhere: r' = base + 2·((85·(S/4)÷100)÷2) = S/4
     val pr = Graph.pageRank(
