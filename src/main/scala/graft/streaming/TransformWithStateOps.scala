@@ -97,8 +97,10 @@ class InactivityProcessor(gapMs: Long)
     else {
       val lastUs = math.max(prev.map(_.lastUs).getOrElse(Long.MinValue), seen.max)
       last.update(LastSeen(lastUs, prev.map(_.n_events).getOrElse(0L) + seen.size))
-      // re-arm: timers are keyed by expiry ms, so drop the stale one first
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // re-arm: timers are keyed by expiry ms, so drop the stale one
+      // first — MATERIALIZED before deleting, never mutating the store
+      // under the live listTimers() iterator
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
       // ceil to ms so the timer can never fire before the µs deadline
       getHandle.registerTimer(Math.floorDiv(lastUs + gapMs * 1000L + 999L, 1000L))
       Iterator.empty
