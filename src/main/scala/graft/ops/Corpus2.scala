@@ -183,13 +183,22 @@ object Corpus2 {
   def fuzzyMatches(docs: DataFrame): DataFrame = {
     val titles = Q.spread(docs, "doc_id")
       .select(col("doc_id"),
-        slice(split(col("text"), " "), 1, TitleTokens).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        array_join(col("toks"), " ").as("title"))
+        array_join(slice(split(col("text"), " "), 1, TitleTokens), " ")
+          .as("title"))
+    // HOT-BLOCK GUARD: collapse byte-identical titles to one representative
+    // (min doc_id) + a dup count BEFORE any blocking. N mirrored pages
+    // would otherwise collide on every deletion key and emit N²/2
+    // candidate pairs; after the collapse a block holds at most one row
+    // per DISTINCT title, so duplicates cost O(N) total. Exact-duplicate
+    // pairs are d40's output, not re-emitted here.
+    val reps = titles.groupBy(col("title"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("title"),
+        split(col("title"), " ").as("toks"), col("n_dups"))
     // deletion-neighborhood keys: the title itself (del = -1) plus every
     // drop-one-token variant; Spark's filter() lambda index is 0-BASED
     // (DuckDB's list_filter is 1-based — the oracle offsets del by one)
-    val keys = titles
+    val keys = reps
       .select(col("doc_id"),
         explode(sequence(lit(-1), size(col("toks")) - 1)).as("del"),
         col("toks"))
@@ -203,44 +212,58 @@ object Corpus2 {
       .distinct()
     // candidates are near-matches only, so joining the titles back touches
     // a tiny broadcast-able side; the threshold form of levenshtein
-    // early-exits at MaxEditDist+ (returns -1, filtered out)
+    // early-exits at MaxEditDist+ (returns -1, filtered out). Distinct
+    // titles make dist ≥ 1 by construction.
     pairs
-      .join(titles.select(col("doc_id").as("d1"), col("title").as("t1")), "d1")
-      .join(titles.select(col("doc_id").as("d2"), col("title").as("t2")), "d2")
+      .join(reps.select(col("doc_id").as("d1"), col("title").as("t1"),
+        col("n_dups").as("n1")), "d1")
+      .join(reps.select(col("doc_id").as("d2"), col("title").as("t2"),
+        col("n_dups").as("n2")), "d2")
       .select(col("d1"), col("d2"),
-        levenshtein(col("t1"), col("t2"), MaxEditDist).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= MaxEditDist)
+        levenshtein(col("t1"), col("t2"), MaxEditDist).as("dist"),
+        col("n1"), col("n2"))
+      .filter(col("dist") >= 1 && col("dist") <= MaxEditDist)
       .orderBy(col("d1"), col("d2"))
   }
 
   /** d65: fuzzy (edit-distance) near-match — the entity-resolution /
     * fuzzy-dedup step character-level edits need and the token-set family
     * (d41/d42) cannot see. Matching unit: the first `TitleTokens`-token
-    * "title"; pairs within `MaxEditDist` character edits are emitted with
-    * their exact distance.
+    * "title"; pairs of DISTINCT titles within `MaxEditDist` character
+    * edits are emitted with their exact distance plus each side's
+    * exact-duplicate multiplicity (`n1`/`n2`) — byte-identical titles are
+    * collapsed to their min-doc_id representative up front (exact pairs
+    * are d40's output).
     *
     * Scale design: naive blocking on a hot key (first token) degenerates —
     * measured 1.5M candidate pairs at sf0.1 with a small vocab. Instead
-    * each title emits its DELETION NEIGHBORHOOD (the SymSpell trick): md5
-    * of the title with each single token dropped. Two titles collide only
-    * when they agree on all-but-one token, so blocks hold true near-matches
-    * (255 candidates at sf0.1, precision 1.0 at this corpus), keys are
-    * O(corpus × L) narrow (doc_id, 16-byte hash) rows, and the quadratic
-    * blow-up of value-based blocking never happens. Verification runs
-    * levenshtein ONLY on survivors, with the early-exit threshold form.
-    * Recall envelope (documented, mirrored in the oracle): catches pairs
-    * whose edits confine to one token — multi-token rewrites belong to
-    * d41's Jaccard family.
+    * each DISTINCT title emits its DELETION NEIGHBORHOOD (the SymSpell
+    * trick): md5 of the title with each single token dropped. Two titles
+    * collide only when they agree on all-but-one token, so blocks hold
+    * true near-matches (255 candidates at sf0.1, precision 1.0 at this
+    * corpus), keys are O(corpus × L) narrow (doc_id, 16-byte hash) rows,
+    * and the quadratic blow-up of value-based blocking never happens. The
+    * up-front exact collapse is the hot-block guard: mirrored pages (N
+    * byte-identical titles, the common real-corpus hot key) share every
+    * deletion key and would otherwise emit N²/2 candidates; collapsed,
+    * they cost one row. Verification runs levenshtein ONLY on survivors,
+    * with the early-exit threshold form. Recall envelope (documented,
+    * mirrored in the oracle): catches pairs whose edits confine to one
+    * token — multi-token rewrites belong to d41's Jaccard family.
     */
   val d65FuzzyMatch: Q = Q(
     "d65_fuzzy_match",
     (s, dir) => fuzzyMatches(t(s, dir, "documents")),
     Some(s"""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ')[1:$TitleTokens] AS toks,
+      WITH t0 AS (
+        SELECT doc_id,
           array_to_string(string_split(text, ' ')[1:$TitleTokens], ' ')
             AS title
         FROM documents),
+      t AS (
+        SELECT min(doc_id) AS doc_id, title,
+          string_split(title, ' ') AS toks, count(*) AS n_dups
+        FROM t0 GROUP BY title),
       keys AS (
         SELECT doc_id,
           md5(array_to_string(
@@ -251,11 +274,12 @@ object Corpus2 {
       cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id)
-      SELECT d1, d2, CAST(levenshtein(t1.title, t2.title) AS INT) AS dist
+      SELECT d1, d2, CAST(levenshtein(t1.title, t2.title) AS INT) AS dist,
+        t1.n_dups AS n1, t2.n_dups AS n2
       FROM cand
         JOIN t t1 ON t1.doc_id = d1
         JOIN t t2 ON t2.doc_id = d2
-      WHERE levenshtein(t1.title, t2.title) <= $MaxEditDist
+      WHERE levenshtein(t1.title, t2.title) BETWEEN 1 AND $MaxEditDist
       ORDER BY d1, d2"""))
 
   /** DSIR target slice and selection quota (top quarter by score). */

@@ -134,13 +134,29 @@ class CorpusSpec extends SparkSpec {
     val d = docs(
       1L -> "alpha beta gamma delta",
       2L -> "alpha beta gamma delt",   // one char dropped inside one token
-      3L -> "alpha beta gamma delta",  // identical title
+      3L -> "alpha beta gamma delta",  // identical title → collapses into 1
       4L -> "alpha XXXX gamma YYYY")   // two tokens rewritten — outside the
                                        // deletion-neighborhood envelope
     val out = Corpus2.fuzzyMatches(d).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
-        r.getAs[Int]("dist")).toMap
-    assert(out === Map((1L, 2L) -> 1, (1L, 3L) -> 0, (2L, 3L) -> 1))
+        ((r.getAs[Int]("dist"), r.getAs[Long]("n1"), r.getAs[Long]("n2"))))
+      .toMap
+    // the identical pair (1,3) is exact-dedup's (d40) output, not d65's;
+    // its multiplicity surfaces as n1 = 2 on the representative's matches
+    assert(out === Map((1L, 2L) -> ((1, 2L, 1L))))
+  }
+
+  test("d65: 1k byte-identical titles cost one representative, not N²/2 pairs") {
+    val mirrored = (1L to 1000L).map(_ -> "alpha beta gamma delta")
+    val d = docs(mirrored :+ (2000L -> "alpha beta gamma delt"): _*)
+    val out = Corpus2.fuzzyMatches(d).collect()
+    // N²/2 would be 499_500 exact pairs; the guard collapses the mirror
+    // group before blocking, so the only emitted row is the near-match
+    // against the representative, carrying the group's multiplicity
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("dist"),
+      r.getAs[Long]("n1"), r.getAs[Long]("n2")) === ((1L, 2000L, 1, 1000L, 1L)))
   }
 
   test("d66: two-phase shard rank equals the global selection through a tie") {
