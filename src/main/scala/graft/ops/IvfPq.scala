@@ -46,7 +46,12 @@ object IvfPq {
   private val TopK = 10
   private val CentMod = 37
   /** Coarse-argmin pack factor: must exceed every list id; 2²⁰ keeps
-    * dist·Pack ≤ ~2⁶⁰ for the ≤2³⁰ grid L2² distances.
+    * dist·Pack ≤ ~2⁶⁰ for the ≤2³⁰ grid L2² distances. List ids are
+    * DENSE (`vec_id div CentMod`, not raw vec_ids), so the bound is on
+    * the NUMBER of inverted lists — and 2²⁰ lists is far beyond any IVF
+    * deployment (FAISS guidance is L ≈ √corpus: a trillion vectors wants
+    * ~1M lists). The assignment still fails LOUDLY (`raise_error`) rather
+    * than silently corrupting if a caller ever exceeds it.
     */
   private val Pack = 1L << 20
 
@@ -68,13 +73,22 @@ object IvfPq {
     * offline step anyway, see e56 for the Lloyd iteration).
     */
   def ivfPqSearch(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     val gridT = Q.spread(emb, "vec_id")
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * Grid).cast("long")).as("gv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val coarse = gridT.filter(col("vec_id") % CentMod === 0)
-      .select(col("vec_id").as("list_id"), col("gv").as("cv"))
+      .select(
+        // dense list ids (the centroids are exactly the CentMod
+        // multiples) + the packed-argmin contract enforced in-plan
+        when(expr(s"vec_id div $CentMod") < Pack,
+          expr(s"vec_id div $CentMod"))
+          .otherwise(raise_error(concat(
+            lit("IVF list id overflows the argmin pack factor: "),
+            col("vec_id").cast("string")))).as("list_id"),
+        col("gv").as("cv"))
     val corpusG = gridT.filter(col("vec_id") >= NQueries)
       .select(col("vec_id").as("cid"), col("gv"))
 
@@ -114,23 +128,61 @@ object IvfPq {
       .groupBy(col("cid"), col("list_id"))
       .agg(subDists.head, subDists.tail: _*)
 
-    // reconstruction: attach each subspace's chosen codebook row
-    var rec = codes
-    for (m <- 0 until M)
-      rec = rec.join(
-        broadcast(cb16.select(col("k").as(s"k$m"), col("rcb").as(s"a$m"))),
-        expr(s"p$m % $K") === col(s"k$m"))
+    // AT-REST INVERTED-LIST LAYOUT: persist the code table PARTITIONED BY
+    // list_id — the storage form of "search touches only the probed
+    // lists". Reading it back and broadcast-joining the probe set on the
+    // partition column makes Spark insert a dynamic-partition-pruning
+    // filter on the scan, so non-probed lists are skipped at FILE level
+    // (never deserialized), not merely dropped by a join. At 100 TB the
+    // code table is the ~1 TB artifact that outlives the build job; a
+    // query reads NProbe/L of it.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_codes").toString
+    // cluster rows by list before the dynamic-partition write: one file
+    // per list, not (tasks × lists) shards of tiny files
+    codes.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val codeFields = org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType) +:
+      ((0 until M).map(m => org.apache.spark.sql.types.StructField(s"p$m",
+        org.apache.spark.sql.types.LongType)) :+
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.LongType))
+    val codesAtRest = spark.read
+      .schema(org.apache.spark.sql.types.StructType(codeFields))
+      .parquet(dir)
 
     val queriesG = gridT.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("gv").as("qv"))
+    val res = searchCodes(codesAtRest, cb16, coarse, queriesG)
+    val out = Q.materialized(res, gridT, corpusRows, cb16)
+    // the checkpointed result no longer reads the scratch index — drop it
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  /** The LAZY probe-side search over an at-rest `list_id`-partitioned code
+    * table — exposed so specs can assert the scan carries a
+    * dynamic-partition-pruning filter (probed lists only, at file level).
+    */
+  def searchCodes(codesAtRest: DataFrame, cb16: DataFrame, coarse: DataFrame,
+      queriesG: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("list_id"))
     val probes = queriesG.crossJoin(broadcast(coarse))
       .select(col("qid"), col("list_id"), l2("qv", "cv").as("pd"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= NProbe)
       .select(col("qid"), col("list_id"))
-
-    // ADC scan over the probed lists only
+    // the probe join lands DIRECTLY on the partitioned scan → DPP
+    var rec = codesAtRest.join(broadcast(probes), "list_id")
+    // reconstruction: attach each subspace's chosen codebook row
+    for (m <- 0 until M)
+      rec = rec.join(
+        broadcast(cb16.select(col("k").as(s"k$m"), col("rcb").as(s"a$m"))),
+        expr(s"p$m % $K") === col(s"k$m"))
+    // ADC scoring over the probed lists only
     val adcDist = (0 until M).map { m =>
       (0 until SubDim).map { j =>
         val i = m * SubDim + j + 1
@@ -141,14 +193,13 @@ object IvfPq {
     }.reduce(_ + _)
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("approx_dist"), col("cid"))
-    val res = rec.join(broadcast(probes), "list_id")
+    rec
       .join(broadcast(queriesG), "qid")
       .join(broadcast(coarse), "list_id")
       .select(col("qid"), col("cid"), adcDist.as("approx_dist"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= TopK)
       .orderBy(col("qid"), col("rank"))
-    Q.materialized(res, gridT, corpusRows, cb16)
   }
 
   val e60IvfPqSearch: Q = Q(
@@ -178,7 +229,7 @@ object IvfPq {
             x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS gv
         FROM embeddings),
       coarse AS (
-        SELECT vec_id AS list_id, gv AS cv FROM grid
+        SELECT vec_id // $CentMod AS list_id, gv AS cv FROM grid
         WHERE vec_id % $CentMod = 0),
       corpus AS (SELECT vec_id AS cid, gv FROM grid WHERE vec_id >= $NQueries),
       assign AS (

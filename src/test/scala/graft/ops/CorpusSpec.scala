@@ -256,6 +256,28 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("approx_dist") >= 0L))
   }
 
+  test("e60 plan: probe scan prunes non-probed lists at file level (DPP)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_e60_spec").toString
+    val pcols = (0 until 8).map(m => s"p$m")
+    val codes = (0L until 40L)
+      .map(i => (i + 100L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, i % 4))
+      .toDF(("cid" +: pcols :+ "list_id"): _*)
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val schema = StructType(StructField("cid", LongType) +:
+      (pcols.map(StructField(_, LongType)) :+ StructField("list_id", LongType)))
+    val atRest = spark.read.schema(schema).parquet(dir)
+    val arr = (1 to 64).map(_.toLong).toArray
+    val cb16 = (0L until 16L).map(k => (k, arr)).toDF("k", "rcb")
+    val coarse = (0L until 4L).map(l => (l, arr)).toDF("list_id", "cv")
+    val queriesG = Seq((0L, arr), (1L, arr)).toDF("qid", "qv")
+    val search = IvfPq.searchCodes(atRest, cb16, coarse, queriesG)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"probe scan reads all lists — no DPP filter in:\n$plan")
+    assert(search.collect().nonEmpty) // and the pruned search still runs
+  }
+
   test("e58: recall@10 is 1.0 when the truncated prefix determines the vector") {
     GraftFunctions.register(spark)
     // 64-dim vectors whose FIRST dim already separates them: cosine ranking
