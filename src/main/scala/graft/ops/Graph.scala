@@ -13,7 +13,7 @@ import Q.t
   */
 object Graph {
 
-  def pack: Seq[Q] = Seq(g60PageRank)
+  def pack: Seq[Q] = Seq(g60PageRank, g61CcStar)
 
   /** Fixed-point scale for integer PageRank: every rank is a BIGINT in
     * units of 10⁻¹², and every step (damping multiply, out-degree divide)
@@ -152,4 +152,105 @@ object Graph {
           AS kind,
         node // 2 AS key, r AS rank_scaled
       FROM r$Iters ORDER BY kind, key"""))
+
+  // ------------------------------------------- star-contraction components
+
+  /** Connected components by ALTERNATING STAR CONTRACTION — the two-phase
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC 2014). Where [[Clustering]]'s
+    * min-label propagation (d46) needs O(diameter) rounds and carries a
+    * separate O(nodes) label table through every round, star contraction
+    * rewrites the EDGE SET ITSELF and converges in O(log n) rounds on any
+    * topology — long chains included — with per-round state that only
+    * shrinks. Each round is two keyed aggregates + two keyed joins; no
+    * broadcasts, no global structures, nothing proportional to a component.
+    * That is the 100 TB CC shape: a trillion-edge graph never holds more
+    * than the (monotonically collapsing) edge list, hash-partitioned.
+    *
+    *  - large-star(u): m = min(Γ(u) ∪ u); connect every neighbor v > u
+    *    to m. (Big neighbors hop toward the local minimum.)
+    *  - small-star(u): over edges kept as canonical (big=a, small=b)
+    *    pairs, per node a: m = min of its smaller neighbors; connect a and
+    *    each of those neighbors to m.
+    *
+    * Fixpoints are exactly star forests (every node linked directly to its
+    * component minimum), so the converged edge set IS the answer. Returns
+    * (labels, rounds); labels = (node, lbl=component min) for every node
+    * that appears in any input pair.
+    */
+  def ccStarContraction(pairs: DataFrame, maxIters: Int = 30)
+      : (DataFrame, Int) = {
+    var cur = pairs
+      .select(greatest(col("d1"), col("d2")).as("a"),
+        least(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var curCount = cur.count()
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIters) {
+      // large-star over the symmetric view; v > u ≥ m, so (v, m) is
+      // already canonical (bigger first)
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")).distinct()
+        .localCheckpoint(true)
+      // small-star on the canonical (a > b) large-star output: per a,
+      // m = min(smaller neighbors); re-link a and each smaller neighbor
+      // to m. b = m self-links drop; (b, m) needs re-canonicalizing
+      // (two smaller neighbors are not ordered relative to each other).
+      val minsS = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = ls.join(minsS, "a")
+        .select(col("b").as("n"), col("m"))
+        .unionAll(minsS.select(col("a").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("a"),
+          least(col("n"), col("m")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      // set equality: both sides are distinct, so equal counts + empty
+      // one-way except ⇒ identical edge sets (two narrow keyed passes;
+      // at warehouse scale swap in a count + order-free checksum compare)
+      val nextCount = next.count()
+      stable = nextCount == curCount && next.except(cur).isEmpty
+      Q.releaseBlocks(cur)
+      Q.releaseBlocks(ls)
+      cur = next
+      curCount = nextCount
+      iter += 1
+    }
+    require(stable,
+      s"star contraction did not converge within $maxIters rounds — " +
+        "raise maxIters (expected O(log n) rounds)")
+    // converged star forest: children label with their root; roots (never
+    // on the big side) label themselves
+    val childLabels = cur.groupBy(col("a")).agg(min(col("b")).as("lbl"))
+      .select(col("a").as("node"), col("lbl"))
+    val rootLabels = cur.select(col("b")).except(cur.select(col("a")))
+      .select(col("b").as("node"), col("b").as("lbl"))
+    (childLabels.unionAll(rootLabels), iter)
+  }
+
+  /** g61: the d46 clustering deliverable — near-dup pairs → components →
+    * min-id representative election — recomputed through star contraction
+    * instead of label propagation. Same edge semantics (the d41 shingle
+    * pairs) and same output contract, so the d46 recursive-CTE oracle pins
+    * this algorithm's correctness too: two independent distributed CC
+    * implementations against one engine-independent fixpoint definition.
+    */
+  val g61CcStar: Q = Q(
+    "g61_cc_starcontract",
+    (s, dir) => {
+      val pairs = Dedup.d41ShingleJaccard.run(s, dir)
+        .select(col("d1"), col("d2"))
+      val (cc, _) = ccStarContraction(pairs)
+      Q.releaseBlocks(pairs)
+      cc.select(col("node").as("doc_id"), col("lbl").as("cluster"),
+          (col("node") === col("lbl")).as("is_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Clustering.d46DedupClusters.oracle)
 }

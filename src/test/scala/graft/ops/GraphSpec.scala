@@ -79,4 +79,33 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("r")).distinct
     assert(pr.toSeq === Seq(Graph.Scale / 4))
   }
+
+  private def pairsDF(pairs: (Long, Long)*) = pairs.toDF("d1", "d2")
+
+  test("g61: a 64-node chain collapses in O(log n) rounds, all labeled 0") {
+    // diameter-63 path — label propagation's worst case (one step/round);
+    // star contraction must finish in ~log² n rounds, not 63
+    val chain = pairsDF((0L until 63L).map(i => (i, i + 1)): _*)
+    val (cc, rounds) = Graph.ccStarContraction(chain)
+    val labels = cc.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    assert(labels.size === 64)
+    assert(labels.values.toSet === Set(0L), s"non-root labels: $labels")
+    assert(rounds <= 12, s"chain took $rounds rounds — not O(log n)")
+  }
+
+  test("g61: components match d46's label propagation on a mixed graph") {
+    // two cliques + a chain + an isolated pair, shuffled ids
+    val pairs = pairsDF(
+      (10L, 3L), (3L, 7L), (10L, 7L),          // triangle {3,7,10}
+      (20L, 21L), (21L, 22L), (22L, 20L),      // triangle {20,21,22}
+      (30L, 31L), (31L, 32L), (32L, 33L),      // chain {30..33}
+      (40L, 41L))                              // pair {40,41}
+    val (star, _) = Graph.ccStarContraction(pairs)
+    val prop = Clustering.connectedComponents(
+      pairs.select($"d1", $"d2"))
+    val a = star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = prop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
 }
