@@ -34,7 +34,7 @@ import Q.t
   */
 object IvfPq {
 
-  def pack: Seq[Q] = Seq(e60IvfPqSearch)
+  def pack: Seq[Q] = Seq(e60IvfPqSearch, e62IvfPqRerank)
 
   private val Grid = 512L
   private val Dim = 64
@@ -72,7 +72,14 @@ object IvfPq {
     * ordering pass — at warehouse scale codebook training is a sampled
     * offline step anyway, see e56 for the Lloyd iteration).
     */
-  def ivfPqSearch(emb: DataFrame): DataFrame = {
+  def ivfPqSearch(emb: DataFrame): DataFrame = ivfPqSearch(emb, rerank = false)
+
+  /** Shortlist size for the two-stage e62 path: ADC keeps 3×TopK
+    * candidates, the exact stage re-ranks them to TopK.
+    */
+  private val Shortlist = 30
+
+  def ivfPqSearch(emb: DataFrame, rerank: Boolean): DataFrame = {
     val spark = emb.sparkSession
     val gridT = Q.spread(emb, "vec_id")
       .select(col("vec_id"),
@@ -154,7 +161,26 @@ object IvfPq {
 
     val queriesG = gridT.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("gv").as("qv"))
-    val res = searchCodes(codesAtRest, cb16, coarse, queriesG)
+    val res =
+      if (!rerank) searchCodes(codesAtRest, cb16, coarse, queriesG)
+      else {
+        // stage 2: the ADC shortlist (3×TopK ids per query) fetches its
+        // ORIGINAL grid vectors by key — NProbe·|list| code rows scanned,
+        // only Shortlist full vectors per query ever touched — and the
+        // exact integer L2 re-ranks to TopK. This is the accuracy knob of
+        // every production IVF-PQ deployment: ADC error only has to keep
+        // the true neighbor inside the shortlist, not rank it correctly.
+        val short = searchCodes(codesAtRest, cb16, coarse, queriesG,
+          k = Shortlist).select(col("qid"), col("cid"))
+        val wR = Window.partitionBy(col("qid"))
+          .orderBy(col("exact_dist"), col("cid"))
+        short.join(corpusG, "cid")
+          .join(broadcast(queriesG), "qid")
+          .select(col("qid"), col("cid"), l2("qv", "gv").as("exact_dist"))
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= TopK)
+          .orderBy(col("qid"), col("rank"))
+      }
     val out = Q.materialized(res, gridT, corpusRows, cb16)
     // the checkpointed result no longer reads the scratch index — drop it
     val root = java.nio.file.Paths.get(dir)
@@ -168,7 +194,7 @@ object IvfPq {
     * dynamic-partition-pruning filter (probed lists only, at file level).
     */
   def searchCodes(codesAtRest: DataFrame, cb16: DataFrame, coarse: DataFrame,
-      queriesG: DataFrame): DataFrame = {
+      queriesG: DataFrame, k: Int = TopK): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("pd"), col("list_id"))
     val probes = queriesG.crossJoin(broadcast(coarse))
       .select(col("qid"), col("list_id"), l2("qv", "cv").as("pd"))
@@ -198,14 +224,15 @@ object IvfPq {
       .join(broadcast(coarse), "list_id")
       .select(col("qid"), col("cid"), adcDist.as("approx_dist"))
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }
 
-  val e60IvfPqSearch: Q = Q(
-    "e60_ivfpq_search",
-    (s, dir) => ivfPqSearch(t(s, dir, "embeddings")),
-    Some {
+  /** Shared oracle prefix: every CTE through `scored` (the per-candidate
+    * ADC distances over the probed lists) — e60 ranks it directly, e62
+    * shortlists it and exact-re-ranks.
+    */
+  private lazy val sqlThroughScored: String = {
       val subDistSql = (0 until M).map { m =>
         val terms = (0 until SubDim).map { j =>
           val i = m * SubDim + j + 1
@@ -267,12 +294,48 @@ object IvfPq {
         FROM codes s JOIN probes p USING (list_id)
           JOIN queries q ON q.qid = p.qid
           JOIN coarse co ON co.list_id = s.list_id
-          $cbJoins)
+          $cbJoins)"""
+  }
+
+  val e60IvfPqSearch: Q = Q(
+    "e60_ivfpq_search",
+    (s, dir) => ivfPqSearch(t(s, dir, "embeddings")),
+    Some(s"""
+      $sqlThroughScored
       SELECT qid, cid, approx_dist, rank FROM (
         SELECT qid, cid, approx_dist,
           CAST(row_number() OVER (PARTITION BY qid
             ORDER BY approx_dist, cid) AS INT) AS rank
         FROM scored) t
-      WHERE rank <= $TopK ORDER BY qid, rank"""
-    })
+      WHERE rank <= $TopK ORDER BY qid, rank"""))
+
+  /** e62: two-stage IVF-PQ search — the e60 ADC pass keeps a 3×TopK
+    * shortlist per query, then the exact integer L2 over the shortlist's
+    * ORIGINAL vectors produces the final TopK. The shape every production
+    * deployment ships: compressed codes bound the scan, the exact stage
+    * touches only Shortlist full vectors per query (keyed point lookups,
+    * not a corpus pass), and ADC quantization error only has to keep true
+    * neighbors inside the shortlist rather than rank them exactly. Fully
+    * integer end-to-end — hash-oracled like e60.
+    */
+  val e62IvfPqRerank: Q = Q(
+    "e62_ivfpq_rerank",
+    (s, dir) => ivfPqSearch(t(s, dir, "embeddings"), rerank = true),
+    Some(s"""
+      $sqlThroughScored,
+      short AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY approx_dist, cid) AS r
+          FROM scored) t
+        WHERE r <= $Shortlist),
+      rr AS (
+        SELECT s.qid, s.cid, ${sqlL2("q.qv", "c.gv")} AS exact_dist
+        FROM short s JOIN queries q USING (qid) JOIN corpus c USING (cid))
+      SELECT qid, cid, exact_dist, rank FROM (
+        SELECT qid, cid, exact_dist,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY exact_dist, cid) AS INT) AS rank
+        FROM rr) t
+      WHERE rank <= $TopK ORDER BY qid, rank"""))
 }
