@@ -17,7 +17,7 @@ import Q.t
 object Corpus2 {
 
   def pack: Seq[Q] = Seq(d63BlockDedup, d64SourceNovelty, d65FuzzyMatch,
-    d66DsirSelect)
+    d66DsirSelect, d67StratifiedSample)
 
   /** Paragraph stand-in: non-overlapping 8-token blocks (d59 chunks WITH
     * overlap for retrieval; dedup wants a partition of the text so a
@@ -425,4 +425,84 @@ object Corpus2 {
           <= (SELECT count(*) // $SelectDenom FROM documents)
         THEN 1 ELSE 0 END AS selected
       FROM scored ORDER BY doc_id"""))
+
+  // ------------------------------------------------ stratified sampling
+
+  /** d67 keeps exactly ⌈n/SampleDenom⌉ documents per stratum. */
+  val SampleDenom = 4
+
+  /** Hash-shard count for the per-stratum two-phase rank: skey div 2²⁴
+    * spreads each stratum's rows over 256 shards of the 2³² key domain.
+    */
+  private val SkeyShard = 1L << 24
+
+  /** The d67 transform — exposed eager for planted-corpus specs. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val (res, inter) = stratifiedSamplePlan(docs)
+    Q.materialized(res, inter: _*)
+  }
+
+  /** The LAZY d67 plan (result, intermediates-to-release) for plan audits.
+    *
+    * The shuffle key is the Knuth multiplicative hash of doc_id (pure
+    * BIGINT arithmetic, so both engines compute the identical permutation;
+    * d34/d39 use the same family) — a deterministic stand-in for a random
+    * draw that makes "exactly ⌈25%⌉ of every stratum, uniformly at random"
+    * reproducible and oracle-checkable. Selection is by rank within the
+    * stratum, NEVER a global sort: row_number within (source, skey-shard)
+    * + broadcast per-shard prefix counts — the d50/d62/d66 two-phase form
+    * applied per stratum, so at 100 TB a 5 TB stratum is 256 bounded tasks,
+    * and the only ordered windows run over one-row-per-shard aggregates.
+    */
+  def stratifiedSamplePlan(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+        lit(1L << 32)).as("skey"))
+    val local = keyed
+      .withColumn("shard", expr(s"skey div $SkeyShard"))
+      .withColumn("local_rank", row_number().over(
+        Window.partitionBy(col("source"), col("shard"))
+          .orderBy(col("skey"), col("doc_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixes = local.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("tot"))
+      .withColumn("prefix", coalesce(sum(col("tot")).over(
+        Window.partitionBy(col("source")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("shard"), col("prefix"))
+    val quotas = local.groupBy(col("source"))
+      .agg(expr(s"(count(1) + ${SampleDenom - 1}) div $SampleDenom")
+        .as("quota"))
+    val res = local.join(broadcast(prefixes), Seq("source", "shard"))
+      .join(broadcast(quotas), "source")
+      .select(col("doc_id"), col("source"), col("skey"),
+        when(col("prefix") + col("local_rank") <= col("quota"), 1)
+          .otherwise(0).as("selected"))
+      .orderBy(col("doc_id"))
+    (res, Seq(local))
+  }
+
+  /** d67: EXACT-QUOTA stratified sampling — the data-mixing primitive that
+    * downsamples every stratum (here: `source`) to exactly ⌈25%⌉ of its
+    * documents, uniformly by a deterministic hash permutation. d39's
+    * Bernoulli mixing hits its rates only in expectation; recipe-driven
+    * pretraining mixes ("2 parts web, 1 part code…") need exact counts,
+    * which demands a rank, and rank is where naive implementations put a
+    * global sort. This one never does — see [[stratifiedSamplePlan]].
+    */
+  val d67StratifiedSample: Q = Q(
+    "d67_stratified_sample",
+    (s, dir) => stratifiedSample(t(s, dir, "documents")),
+    Some(s"""
+      WITH keyed AS (
+        SELECT doc_id, source,
+          ((doc_id % 1000000007) * 2654435761) % ${1L << 32} AS skey
+        FROM documents)
+      SELECT doc_id, source, skey,
+        CASE WHEN row_number() OVER (PARTITION BY source
+            ORDER BY skey, doc_id)
+          <= (count(*) OVER (PARTITION BY source) + ${SampleDenom - 1})
+             // $SampleDenom
+        THEN 1 ELSE 0 END AS selected
+      FROM keyed ORDER BY doc_id"""))
 }

@@ -210,6 +210,39 @@ class CorpusSpec extends SparkSpec {
     } finally inter.foreach(_.unpersist())
   }
 
+  test("d67: exact ceil quotas per stratum, two-phase rank = global sort") {
+    // strata of size 5, 4, 1: quotas ⌈5/4⌉=2, ⌈4/4⌉=1, ⌈1/4⌉=1
+    val d = ((1L to 5L).map(i => (i, "a")) ++ (6L to 9L).map(i => (i, "b")) ++
+      Seq((10L, "c"))).toDF("doc_id", "source")
+    val rows = Corpus2.stratifiedSample(d).collect()
+    assert(rows.length === 10)
+    val picked = rows.filter(_.getAs[Int]("selected") == 1)
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(picked === Map("a" -> 2, "b" -> 1, "c" -> 1))
+    // the distributed two-phase rank must equal a per-stratum local sort
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val quota = (rs.length + 3) / 4
+      val expect = rs.sortBy(r => (r.getAs[Long]("skey"),
+        r.getAs[Long]("doc_id"))).take(quota)
+        .map(_.getAs[Long]("doc_id")).toSet
+      val got = rs.filter(_.getAs[Int]("selected") == 1)
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got === expect)
+    }
+  }
+
+  test("d67 plan: every window is partitioned — no global sort anywhere") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val (res, inter) = Corpus2.stratifiedSamplePlan(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source"))
+    try {
+      val wins = res.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty)
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in the d67 plan:\n$w"))
+    } finally inter.foreach(_.unpersist())
+  }
+
   test("e59: sign-bit packing and Hamming ranking on planted sign patterns") {
     // query 0 alternates sign (+ at even dims); id 5 copies its signs with
     // different magnitudes, id 6 flips exactly dims {0, 32, 63}, id 7 flips
