@@ -13,7 +13,7 @@ import Q.t
   */
 object Graph {
 
-  def pack: Seq[Q] = Seq(g60PageRank, g61CcStar)
+  def pack: Seq[Q] = Seq(g60PageRank, g61CcStar, g62Triangles)
 
   /** Fixed-point scale for integer PageRank: every rank is a BIGINT in
     * units of 10⁻¹², and every step (damping multiply, out-degree divide)
@@ -253,4 +253,114 @@ object Graph {
         .orderBy(col("doc_id"))
     },
     Clustering.d46DedupClusters.oracle)
+
+  // ------------------------------------------------------ triangle counting
+
+  /** g62: triangle counting by DEGREE-ORDERED ORIENTATION — each undirected
+    * edge points from its lower-(degree, id) endpoint to the higher, wedges
+    * are generated only between a node's ORIENTED out-neighbors, and a
+    * wedge closes iff its (v, w) leg is itself an oriented edge. The
+    * orientation is the whole scale story: out-degree is bounded by O(√m)
+    * on any graph (the arboricity argument behind every MapReduce/GraphX
+    * triangle counter), so the wedge self-join fans out per node by the
+    * SQUARE of a bounded quantity instead of the square of a hub's raw
+    * degree — a celebrity node with 10⁸ followers contributes zero wedges
+    * from its own adjacency. Three keyed joins + keyed aggregates; nothing
+    * broadcast, nothing global.
+    *
+    * Graph: parts that co-occur in at least MinSupport=2 DISTINCT orders
+    * ("bought-together") — the association-rule support threshold, which
+    * is also what keeps a co-occurrence graph sparse enough to mean
+    * anything (one shared basket is noise; the raw ≥1 graph at sf0.1 is
+    * 1.2M edges of it, the ≥2 graph is 3.6k edges of signal).
+    * Output: one row — edges, wedge count Σd(d−1)/2, triangles, and the
+    * global clustering coefficient 3T/W (6dp-rounded; T, W exact BIGINTs).
+    *
+    * The (deg, id) total order packs into one BIGINT `deg·2³² + id` so the
+    * orientation predicate is a single integer compare in both engines
+    * (ids must stay below 2³² — `raise_error` guards the pack, the e60
+    * pattern).
+    */
+  /** The g62 core over any canonical (x < y) edge frame — exposed for
+    * planted-graph specs. Eager ([[Q.materialized]] over the cached
+    * oriented edge table).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // the edge input feeds FOUR consumers (degrees, the orientation join,
+    // the edge count, and — through `oriented` — the wedge join): pay its
+    // possibly-expensive lineage once
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.select(col("x").as("n")).unionAll(e0.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val okey = when(col("n") < (1L << 32),
+        col("d") * lit(1L << 32) + col("n"))
+      .otherwise(raise_error(concat(
+        lit("node id overflows the orientation pack: "),
+        col("n").cast("string"))))
+    val keyed = deg.select(col("n"), okey.as("k"))
+    val oriented = e0
+      .join(keyed.select(col("n").as("x"), col("k").as("kx")), "x")
+      .join(keyed.select(col("n").as("y"), col("k").as("ky")), "y")
+      .select(
+        when(col("kx") < col("ky"), col("kx")).otherwise(col("ky")).as("ks"),
+        when(col("kx") < col("ky"), col("ky")).otherwise(col("kx")).as("kd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("w1").join(oriented.as("w2"),
+        col("w1.ks") === col("w2.ks") && col("w1.kd") < col("w2.kd"))
+      .select(col("w1.kd").as("ks"), col("w2.kd").as("kd"))
+    val tri = wedges.join(oriented, Seq("ks", "kd"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = e0.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(
+      deg.agg(expr("sum(d * (d - 1) div 2)").as("n_wedges"))))
+    val res = stats.crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        org.apache.spark.sql.functions
+          .round(lit(3L) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+    Q.materialized(res, oriented, e0)
+  }
+
+  val g62Triangles: Q = Q(
+    "g62_triangles",
+    (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("x"), col("y"))
+      triangleStats(e0)
+    },
+    Some(s"""
+      WITH lp AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      e0 AS (
+        SELECT a.p AS x, b.p AS y
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (
+        SELECT n, count(*) AS d FROM (
+          SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0) t GROUP BY n),
+      keyed AS (SELECT n, d * ${1L << 32} + n AS k FROM deg),
+      oriented AS (
+        SELECT CASE WHEN kx.k < ky.k THEN kx.k ELSE ky.k END AS ks,
+               CASE WHEN kx.k < ky.k THEN ky.k ELSE kx.k END AS kd
+        FROM e0 JOIN keyed kx ON e0.x = kx.n JOIN keyed ky ON e0.y = ky.n),
+      tri AS (
+        SELECT count(*) AS n_triangles FROM (
+          SELECT w1.kd AS ks, w2.kd AS kd
+          FROM oriented w1 JOIN oriented w2
+            ON w1.ks = w2.ks AND w1.kd < w2.kd) w
+        WHERE EXISTS (
+          SELECT 1 FROM oriented o WHERE o.ks = w.ks AND o.kd = w.kd))
+      SELECT (SELECT count(*) FROM e0) AS n_edges,
+        (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        n_triangles,
+        round(3 * n_triangles /
+          (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg), 6)
+          AS clustering_coeff
+      FROM tri"""))
 }

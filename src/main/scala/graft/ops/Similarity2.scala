@@ -13,7 +13,8 @@ import Q.t
 object Similarity2 {
 
   def pack: Seq[Q] =
-    Seq(e57PqCodes, e58MatryoshkaRecall, e59HammingTopK, e59bHammingRecall)
+    Seq(e57PqCodes, e58MatryoshkaRecall, e59HammingTopK, e59bHammingRecall,
+      e63MatryoshkaGrid)
 
   /** Integer grid step for PQ: 512 = 2⁹, so float×512 is an EXACT double
     * product and reconstruction divides by the exact power-of-two 2²⁴ —
@@ -161,6 +162,88 @@ object Similarity2 {
       matryoshkaRecall(t(s, dir, "embeddings"), truncDim = 16)
     },
     None)
+
+  /** e63: the e58 Matryoshka truncation audit made HASH-ORACLED — both
+    * rankings run on the 1/512 integer grid (full-width integer L2 vs
+    * first-16-dims integer L2), so the per-query overlap and top-1
+    * survival are pure-integer claims the driver pins bit-exact, where e58
+    * (engine-native double cosine) is rows-only. The e59b pattern applied
+    * to the dimension-truncation family: the ACCURACY of the cheap prefix
+    * index is what the oracle checks. One broadcast-queries corpus pass
+    * scores both widths; the windows shuffle only (qid, cid, two BIGINTs).
+    */
+  val e63MatryoshkaGrid: Q = {
+    val truncDim = 16
+    def l2(n: Int) = (1 to n).map { i =>
+      val d = element_at(col("qv"), i) - element_at(col("cv"), i)
+      d * d
+    }.reduce(_ + _)
+    def sqlL2(n: Int) =
+      (1 to n).map(i => s"(q.qv[$i]-c.cv[$i])*(q.qv[$i]-c.cv[$i])").mkString("+")
+    Q(
+      "e63_matryoshka_grid",
+      (s, dir) => {
+        val gv = Q.spread(t(s, dir, "embeddings"), "vec_id")
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * Grid).cast("long")).as("gv"))
+        val q = gv.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("gv").as("qv"))
+        val c = gv.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("gv").as("cv"))
+        val scored = c.crossJoin(broadcast(q))
+          .select(col("qid"), col("cid"),
+            l2(64).as("df"), l2(truncDim).as("dt"))
+        val wF = Window.partitionBy(col("qid")).orderBy(col("df"), col("cid"))
+        val wT = Window.partitionBy(col("qid")).orderBy(col("dt"), col("cid"))
+        scored
+          .withColumn("rf", row_number().over(wF))
+          .withColumn("rt", row_number().over(wT))
+          .filter(col("rf") <= 10 || col("rt") <= 10)
+          .groupBy(col("qid"))
+          .agg(
+            sum(when(col("rf") <= 10, 1).otherwise(0)).cast("long").as("n_topk"),
+            sum(when(col("rf") <= 10 && col("rt") <= 10, 1).otherwise(0))
+              .cast("long").as("n_overlap"),
+            max(when(col("rf") === 1, col("cid"))).as("top1_full"),
+            max(when(col("rt") === 1, col("cid"))).as("top1_trunc"))
+          .select(col("qid"), col("n_topk"), col("n_overlap"),
+            round(col("n_overlap").cast("double") /
+              col("n_topk").cast("double"), 6).as("recall_at_10"),
+            col("top1_full"), col("top1_trunc"),
+            (col("top1_full") === col("top1_trunc")).as("top1_match"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+      WITH gv AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS gv
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, gv AS qv FROM gv WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, gv AS cv FROM gv WHERE vec_id >= 5),
+      scored AS (
+        SELECT qid, cid, ${sqlL2(64)} AS df, ${sqlL2(truncDim)} AS dt
+        FROM c CROSS JOIN q),
+      ranked AS (
+        SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY df, cid) AS rf,
+          row_number() OVER (PARTITION BY qid ORDER BY dt, cid) AS rt
+        FROM scored)
+      SELECT qid,
+        CAST(sum(CASE WHEN rf <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_topk,
+        CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_overlap,
+        round(CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+            AS DOUBLE) / sum(CASE WHEN rf <= 10 THEN 1 ELSE 0 END), 6)
+          AS recall_at_10,
+        max(CASE WHEN rf = 1 THEN cid END) AS top1_full,
+        max(CASE WHEN rt = 1 THEN cid END) AS top1_trunc,
+        max(CASE WHEN rf = 1 THEN cid END) = max(CASE WHEN rt = 1 THEN cid END)
+          AS top1_match
+      FROM ranked WHERE rf <= 10 OR rt <= 10
+      GROUP BY qid ORDER BY qid"""))
+  }
 
   /** Sign-bit binary quantization of the 64-dim embedding: two 32-bit
     * halves packed into BIGINTs (never bit 63 — a set sign bit would make

@@ -94,6 +94,19 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= 12, s"chain took $rounds rounds — not O(log n)")
   }
 
+  test("g62: K4 + a path — hand-countable triangles and coefficient") {
+    // K4 on {1,2,3,4}: 6 edges, 4 triangles, every wedge closed at the K4;
+    // path 10-11-12 adds 2 edges, 1 open wedge and no triangles.
+    // W = Σd(d-1)/2 = 4·3 (K4) + 1 (node 11) = 13; coeff = 12/13.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("x", "y")
+    val r = Graph.triangleStats(e).collect().head
+    assert(r.getAs[Long]("n_edges") === 8L)
+    assert(r.getAs[Long]("n_wedges") === 13L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("clustering_coeff") === math.rint(12.0 / 13 * 1e6) / 1e6)
+  }
+
   test("g61: components match d46's label propagation on a mixed graph") {
     // two cliques + a chain + an isolated pair, shuffled ids
     val pairs = pairsDF(
