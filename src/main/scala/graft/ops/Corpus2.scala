@@ -17,7 +17,7 @@ import Q.t
 object Corpus2 {
 
   def pack: Seq[Q] = Seq(d63BlockDedup, d64SourceNovelty, d65FuzzyMatch,
-    d66DsirSelect, d67StratifiedSample)
+    d66DsirSelect, d67StratifiedSample, d68SemDedup)
 
   /** Paragraph stand-in: non-overlapping 8-token blocks (d59 chunks WITH
     * overlap for retrieval; dedup wants a partition of the text so a
@@ -505,4 +505,94 @@ object Corpus2 {
              // $SampleDenom
         THEN 1 ELSE 0 END AS selected
       FROM keyed ORDER BY doc_id"""))
+
+  // ------------------------------------------------------ semantic dedup
+
+  /** d68 drops a vector when some LOWER-ID vector in its cluster has
+    * cosine ≥ CosNum/CosDen = 0.3 with it (the d44/d45 near-dup regime on
+    * this corpus).
+    */
+  private val CosNum = 3
+  private val CosDen = 10
+
+  /** The d68 transform over any (vec_id, label, embedding) frame —
+    * exposed eager for planted-corpus specs.
+    */
+  def semDedup(emb: DataFrame): DataFrame = {
+    val n2 = (1 to 64).map { i =>
+      element_at(col("gv"), i) * element_at(col("gv"), i)
+    }.reduce(_ + _)
+    val gv = Q.spread(emb, "vec_id")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 512).cast("long")).as("gv"))
+      .withColumn("n2", n2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = gv.select(col("label"), col("vec_id").as("va"),
+      col("gv").as("ga"), col("n2").as("na"))
+    val b = gv.select(col("label"), col("vec_id").as("vb"),
+      col("gv").as("gb"), col("n2").as("nb"))
+    val dot = (1 to 64).map { i =>
+      element_at(col("ga"), i) * element_at(col("gb"), i)
+    }.reduce(_ + _)
+    // cos(a,b) ≥ τ on integers: dot > 0 ∧ den²·dot² ≥ num²·|a|²·|b|² —
+    // no division, no sqrt, no float anywhere (dot ≤ 64·512² keeps every
+    // product far inside BIGINT)
+    val dups = a.join(b, Seq("label"))
+      .filter(col("va") < col("vb"))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit((CosDen * CosDen).toLong) >=
+          lit((CosNum * CosNum).toLong) * col("na") * col("nb"))
+      .select(col("vb").as("vec_id")).distinct()
+    val res = gv
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        not(coalesce(col("dup"), lit(false))).as("is_kept"))
+      .orderBy(col("vec_id"))
+    Q.materialized(res, gv)
+  }
+
+  /** d68: SEMANTIC deduplication — SemDeDup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space, compare pairs ONLY
+    * within a cluster, and keep one representative (lowest vec_id) of
+    * every cosine-≥-τ group. Catches what d40/d41 cannot — rephrasings
+    * and near-copies that share no n-grams — and is the third member of
+    * the dedup ladder (exact → lexical near-dup → semantic near-dup).
+    *
+    * The `label` column is the precomputed cluster assignment (the paper
+    * runs k-means first; e56 is that training step). Scale shape is the
+    * paper's own argument: all-pairs is O(N²), but N/k-sized clusters make
+    * the in-cluster join Σ(N/k)² — choosing k ∝ N holds per-cluster cost
+    * constant; the join is (label)-keyed, nothing broadcasts but the
+    * one-row constants, and the cosine test is division-free integer
+    * arithmetic on the 1/512 grid (τ² cross-multiplied), so the kept-set
+    * is oracle-pinned bit-exact.
+    */
+  val d68SemDedup: Q = Q(
+    "d68_semdedup",
+    (s, dir) => semDedup(t(s, dir, "embeddings")),
+    Some {
+      def sqlN2(al: String) =
+        (1 to 64).map(i => s"$al.gv[$i]*$al.gv[$i]").mkString("+")
+      val sqlDot =
+        (1 to 64).map(i => s"a.gv[$i]*b.gv[$i]").mkString("+")
+      s"""
+      WITH gv AS (
+        SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*512) AS BIGINT)) AS gv
+        FROM embeddings),
+      nrm AS (SELECT g.vec_id, g.label, g.gv, ${sqlN2("g")} AS n2 FROM gv g),
+      pairs AS (
+        SELECT b.vec_id AS vb, $sqlDot AS dot, a.n2 AS na, b.n2 AS nb
+        FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id),
+      dups AS (
+        SELECT DISTINCT vb AS vec_id FROM pairs
+        WHERE dot > 0 AND dot*dot*${CosDen * CosDen} >= ${CosNum * CosNum}*na*nb)
+      SELECT g.vec_id, g.label, d.vec_id IS NULL AS is_kept
+      FROM gv g LEFT JOIN dups d ON g.vec_id = d.vec_id
+      ORDER BY g.vec_id"""
+    })
 }

@@ -243,6 +243,22 @@ class CorpusSpec extends SparkSpec {
     } finally inter.foreach(_.unpersist())
   }
 
+  test("d68: keep-first semantic dedup inside clusters, blind across them") {
+    // cluster 1: ids 5 and 9 are parallel vectors (cos = 1) → 9 drops,
+    // 5 stays; id 7 is orthogonal → stays. cluster 2: id 6 duplicates
+    // id 5's DIRECTION but sits in another cluster → must survive
+    // (SemDeDup only compares within a cluster). All on exact grid points.
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val ortho = Array.tabulate(64)(i => if (i < 32) 0.5f else 0.5f)
+    val rows = Seq(
+      (5L, 1, base.toSeq), (9L, 1, base.map(_ * 0.5f).toSeq),
+      (7L, 1, ortho.toSeq), (6L, 2, base.toSeq))
+      .toDF("vec_id", "label", "embedding")
+    val kept = Corpus2.semDedup(rows).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept")).toMap
+    assert(kept === Map(5L -> true, 9L -> false, 7L -> true, 6L -> true))
+  }
+
   test("e59: sign-bit packing and Hamming ranking on planted sign patterns") {
     // query 0 alternates sign (+ at even dims); id 5 copies its signs with
     // different magnitudes, id 6 flips exactly dims {0, 32, 63}, id 7 flips
