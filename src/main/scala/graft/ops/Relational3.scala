@@ -9,7 +9,8 @@ import Q.{dec2, dec4, sumDec, t}
 object Relational3 {
 
   def pack: Seq[Q] =
-    Seq(q51Unpivot, q52Funnel, q55Scd2, q56IncrementalAgg, q57RecursiveCte)
+    Seq(q51Unpivot, q52Funnel, q55Scd2, q56IncrementalAgg, q57RecursiveCte,
+      q58MarketBasket)
 
   /** q51: UNPIVOT/melt — the inverse of q33's pivot. A wide per-flag
     * metric table reshapes into (key, metric, value) rows via
@@ -196,4 +197,65 @@ object Relational3 {
       s.sql(recursiveSql)
     },
     Some(recursiveSql))
+
+  /** q58: market-basket association rules — the top-20 bought-together
+    * part pairs by support, with confidence and lift. The co-occurrence
+    * counting is g62's pair stage (per-order self-join, keyed aggregate);
+    * per-item counts join back by key. Lift and confidence are ratios of
+    * exact integers, so the doubles divide identically in both engines;
+    * ranking is on the integer support with a (x, y) tie-break, so the
+    * top-20 cut is deterministic. Scale shape: everything is keyed joins
+    * over (order, part) and (pair) keys — the only broadcast is the
+    * one-row basket count; the global top-20 goes through orderBy+limit
+    * (TakeOrderedAndProject: per-partition heaps merged at the driver,
+    * k rows each), NEVER a global rank window.
+    */
+  val q58MarketBasket: Q = Q(
+    "q58_market_basket",
+    (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nOrders = lp.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val item = lp.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+      val pairs = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+        .agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 2)
+      val res = pairs
+        .join(item.select(col("p").as("x"), col("cnt").as("cx")), "x")
+        .join(item.select(col("p").as("y"), col("cnt").as("cy")), "y")
+        .crossJoin(broadcast(nOrders))
+        .orderBy(col("cxy").desc, col("x"), col("y"))
+        .limit(20)
+        .select(col("x"), col("y"), col("cxy").as("support_cnt"),
+          round(col("cxy") / col("cx"), 6).as("confidence"),
+          round(col("cxy") * col("n_orders") / (col("cx") * col("cy")), 6)
+            .as("lift"))
+        .orderBy(col("support_cnt").desc, col("x"), col("y"))
+      Q.materialized(res, lp)
+    },
+    Some("""
+      WITH lp AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      n AS (SELECT count(DISTINCT ok) AS n_orders FROM lp),
+      item AS (SELECT p, count(*) AS cnt FROM lp GROUP BY p),
+      pairs AS (
+        SELECT a.p AS x, b.p AS y, count(*) AS cxy
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      ranked AS (
+        SELECT x, y, cxy, ix.cnt AS cx, iy.cnt AS cy,
+          row_number() OVER (ORDER BY cxy DESC, x, y) AS rk
+        FROM pairs JOIN item ix ON pairs.x = ix.p
+          JOIN item iy ON pairs.y = iy.p)
+      SELECT x, y, cxy AS support_cnt,
+        round(CAST(cxy AS DOUBLE) / cx, 6) AS confidence,
+        round(CAST(cxy AS DOUBLE) * (SELECT n_orders FROM n) / (cx * cy), 6)
+          AS lift
+      FROM ranked WHERE rk <= 20
+      ORDER BY support_cnt DESC, x, y"""))
 }
