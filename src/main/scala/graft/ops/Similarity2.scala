@@ -14,7 +14,7 @@ object Similarity2 {
 
   def pack: Seq[Q] =
     Seq(e57PqCodes, e58MatryoshkaRecall, e59HammingTopK, e59bHammingRecall,
-      e63MatryoshkaGrid)
+      e63MatryoshkaGrid, e64AsymmetricTopK)
 
   /** Integer grid step for PQ: 512 = 2⁹, so float×512 is an EXACT double
     * product and reconstruction divides by the exact power-of-two 2²⁴ —
@@ -325,6 +325,67 @@ object Similarity2 {
             AS INT) AS rank
         FROM c CROSS JOIN q) t
       WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** e64: ASYMMETRIC binary search over the e59 sign-bit index — the
+    * corpus stays 64 bits/vector (two packed BIGINT words, 16 bytes), but
+    * the QUERY keeps full precision and scores against each candidate's
+    * ±1 sign pattern: score = Σᵢ qᵢ·(2·bitᵢ−1), unpacked per-bit by
+    * shift/mask straight from the stored words. Asymmetric distance
+    * computation is the standard recall-per-byte upgrade over symmetric
+    * Hamming (quantizing only ONE side halves the quantization error —
+    * the same argument ADC makes for PQ in e60): e59 collapses query
+    * magnitudes to signs, e64 weights each agreeing/disagreeing dimension
+    * by how much the query actually cares. Grid queries × integer signs →
+    * all-BIGINT scores, hash-oracled; same narrow scale shape as e59 (the
+    * 16-byte index scans, queries broadcast, map-side top-k).
+    */
+  val e64AsymmetricTopK: Q = {
+    def score(w: String) = (0 until 2 * HalfBits).map { i =>
+      val (word, j) = if (i < HalfBits) (s"${w}0", i) else (s"${w}1", i - HalfBits)
+      element_at(col("qv"), i + 1) *
+        (shiftright(col(word), j).bitwiseAND(lit(1L)) * 2 - 1)
+    }.reduce(_ + _)
+    def sqlScore(w: String) = (0 until 2 * HalfBits).map { i =>
+      val (word, j) = if (i < HalfBits) (s"${w}0", i) else (s"${w}1", i - HalfBits)
+      s"qv[${i + 1}]*(((($word >> $j) & 1) * 2) - 1)"
+    }.mkString(" + ")
+    Q(
+      "e64_asymmetric_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Q.spread(emb.filter(col("vec_id") < 5), "vec_id")
+          .select(col("vec_id").as("qid"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * Grid).cast("long")).as("qv"))
+        val cb = signWords(Q.spread(emb.filter(col("vec_id") >= 5), "vec_id"))
+          .select(col("vec_id").as("cid"), col("w0").as("cw0"), col("w1").as("cw1"))
+        val scored = cb.crossJoin(broadcast(q))
+          .select(col("qid"), col("cid"), score("cw").as("score"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("cid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+      WITH bits AS (${sqlSignWords("embeddings")}),
+      q AS (
+        SELECT vec_id AS qid,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, w0 AS cw0, w1 AS cw1 FROM bits
+            WHERE vec_id >= 5),
+      scored AS (
+        SELECT qid, cid, ${sqlScore("cw")} AS score
+        FROM c CROSS JOIN q)
+      SELECT qid, cid, score, rank FROM (
+        SELECT qid, cid, score,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, cid) AS INT) AS rank
+        FROM scored) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+  }
 
   /** e59b: Hamming-vs-exact recall@10, FULLY ORACLED — unlike the sketch
     * recall audits (d42b/d43b/e51b/e58, rows-only because their sketches
