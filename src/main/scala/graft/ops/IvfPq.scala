@@ -34,7 +34,7 @@ import Q.t
   */
 object IvfPq {
 
-  def pack: Seq[Q] = Seq(e60IvfPqSearch, e62IvfPqRerank)
+  def pack: Seq[Q] = Seq(e60IvfPqSearch, e62IvfPqRerank, e65IvfPqRecall)
 
   private val Grid = 512L
   private val Dim = 64
@@ -338,4 +338,75 @@ object IvfPq {
             ORDER BY exact_dist, cid) AS INT) AS rank
         FROM rr) t
       WHERE rank <= $TopK ORDER BY qid, rank"""))
+
+  /** e65: the whole-index accuracy claim, ORACLE-PINNED — recall@10 of
+    * the e62 two-stage IVF-PQ search against the exhaustive integer-L2
+    * ranking. The e59b/e61b/e63 pattern applied to the CAPSTONE: coarse
+    * routing error (a true neighbor living in a non-probed list) and ADC
+    * shortlist error are both folded into one per-query number the driver
+    * hash-compares, so an index regression anywhere in the e60/e62
+    * dataflow fails correctness, not just vibes. Exact side is one
+    * full-scan pass; the compare joins two ≤ NQueries·TopK row sets.
+    */
+  val e65IvfPqRecall: Q = Q(
+    "e65_ivfpq_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val gridT = Q.spread(emb, "vec_id")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * Grid).cast("long")).as("gv"))
+      val q = gridT.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("gv").as("qv"))
+      val c = gridT.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("gv").as("cv"))
+      val wE = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cid"))
+      val exact = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"), l2("qv", "cv").as("dist"))
+        .withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("cid"))
+      val ann = ivfPqSearch(emb, rerank = true)
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
+      exact.join(ann, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .select(col("qid"), col("n_exact"), col("n_overlap"),
+          org.apache.spark.sql.functions.round(
+            col("n_overlap").cast("double") / col("n_exact").cast("double"),
+            6).as("recall_at_10"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      $sqlThroughScored,
+      short AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY approx_dist, cid) AS r
+          FROM scored) t
+        WHERE r <= $Shortlist),
+      rr AS (
+        SELECT s.qid, s.cid, ${sqlL2("q.qv", "c.gv")} AS exact_dist
+        FROM short s JOIN queries q USING (qid) JOIN corpus c USING (cid)),
+      ann AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY exact_dist, cid) AS rank
+          FROM rr) t
+        WHERE rank <= $TopK),
+      exact AS (
+        SELECT qid, cid FROM (
+          SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${sqlL2("q.qv", "c.gv")}, c.cid) AS rank
+          FROM corpus c CROSS JOIN queries q) t
+        WHERE rank <= $TopK)
+      SELECT e.qid, count(*) AS n_exact,
+        CAST(sum(CASE WHEN a.cid IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_overlap,
+        round(CAST(sum(CASE WHEN a.cid IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          / count(*), 6) AS recall_at_10
+      FROM exact e LEFT JOIN ann a ON e.qid = a.qid AND e.cid = a.cid
+      GROUP BY e.qid ORDER BY e.qid"""))
 }
