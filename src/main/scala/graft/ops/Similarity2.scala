@@ -14,7 +14,7 @@ object Similarity2 {
 
   def pack: Seq[Q] =
     Seq(e57PqCodes, e58MatryoshkaRecall, e59HammingTopK, e59bHammingRecall,
-      e63MatryoshkaGrid, e64AsymmetricTopK)
+      e63MatryoshkaGrid, e64AsymmetricTopK, e66FilteredTopK)
 
   /** Integer grid step for PQ: 512 = 2⁹, so float×512 is an EXACT double
     * product and reconstruction divides by the exact power-of-two 2²⁴ —
@@ -243,6 +243,66 @@ object Similarity2 {
           AS top1_match
       FROM ranked WHERE rf <= 10 OR rt <= 10
       GROUP BY qid ORDER BY qid"""))
+  }
+
+  /** e66: FILTERED vector search — top-k nearest neighbors constrained to
+    * candidates sharing the query's `label` (the attribute-constrained
+    * search every vector store ships: "nearest items in MY category").
+    * The constraint is PRE-FILTER, pushed into candidate generation: the
+    * corpus joins the broadcast query set ON the attribute, so scoring
+    * touches only the label's slice — a query never pays the unfiltered
+    * corpus and recall within the slice is exact, where post-filtering a
+    * global top-k would return fewer than k (or miss entirely) for rare
+    * labels. Integer-grid L2 end to end, hash-oracled; `GridLshSpec`
+    * asserts the plan is a hash join on label, not a filtered cross join.
+    */
+  val e66FilteredTopK: Q = {
+    def sqlL2 =
+      (1 to 64).map(i => s"(q.qv[$i]-c.cv[$i])*(q.qv[$i]-c.cv[$i])").mkString("+")
+    Q(
+      "e66_filtered_topk",
+      (s, dir) => filteredTopK(t(s, dir, "embeddings"), k = 10),
+      Some(s"""
+      WITH gv AS (
+        SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS gv
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, label, gv AS qv FROM gv WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, label, gv AS cv FROM gv WHERE vec_id >= 5),
+      scored AS (
+        SELECT q.qid, q.label, c.cid, $sqlL2 AS dist
+        FROM c JOIN q ON c.label = q.label)
+      SELECT qid, label, cid, dist, rank FROM (
+        SELECT qid, label, cid, dist,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY dist, cid) AS INT) AS rank
+        FROM scored) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+  }
+
+  /** The e66 transform over any (vec_id, label, embedding) frame —
+    * exposed LAZY for the plan-audit spec.
+    */
+  def filteredTopK(emb: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val gv = Q.spread(emb, "vec_id")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * Grid).cast("long")).as("gv"))
+    val q = gv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label"), col("gv").as("qv"))
+    val c = gv.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("label"), col("gv").as("cv"))
+    val dist = (1 to 64).map { i =>
+      val d = element_at(col("qv"), i) - element_at(col("cv"), i)
+      d * d
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    c.join(broadcast(q), "label")
+      .select(col("qid"), col("label"), col("cid"), dist.as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Sign-bit binary quantization of the 64-dim embedding: two 32-bit

@@ -47,4 +47,17 @@ class GridLshSpec extends SparkSpec {
     assert(nCand < nCorpus,
       s"bucket join degenerated to all-pairs: $nCand of $nCorpus")
   }
+
+  test("e66 plan: the attribute filter is a hash join, not a cross join") {
+    import spark.implicits._
+    val labeled = emb.withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val plan = Similarity2.filteredTopK(labeled, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"label constraint not pushed into candidate generation:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join on label:\n$plan")
+  }
 }
