@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import Q.t
@@ -13,7 +13,8 @@ import Q.t
   */
 object Graph {
 
-  def pack: Seq[Q] = Seq(g60PageRank, g61CcStar, g62Triangles)
+  def pack: Seq[Q] = Seq(g60PageRank, g61CcStar, g62Triangles,
+    g63PersonalizedPr)
 
   /** Fixed-point scale for integer PageRank: every rank is a BIGINT in
     * units of 10⁻¹², and every step (damping multiply, out-degree divide)
@@ -152,6 +153,101 @@ object Graph {
           AS kind,
         node // 2 AS key, r AS rank_scaled
       FROM r$Iters ORDER BY kind, key"""))
+
+  // --------------------------------------------------- personalized PageRank
+
+  /** g63: PERSONALIZED PageRank — the restart mass returns to a SEED SET
+    * instead of spreading uniformly, so the converged ranks measure
+    * proximity to the seeds ("parts related to what this customer cohort
+    * buys" — the random-walk-with-restart behind every graph recsys).
+    * Same integer fixed-point arithmetic and the same g60 loop shape:
+    * rank state shuffles to the hash(src)-partitioned cached edges each
+    * round, only one-row counts broadcast, ≤2 round states held. Seeds
+    * here: the customer nodes with custkey ≡ 1 (mod 100) — a deterministic
+    * cohort, so the whole recurrence unrolls into the oracle's CTEs.
+    * Non-seed nodes start at rank 0 and receive mass only through edges;
+    * every rank stays an exact BIGINT in 10⁻¹² units.
+    */
+  def personalizedPageRank(edges: DataFrame, isSeed: Column => Column,
+      iters: Int): DataFrame = {
+    val (e, deg, ew, ncnt) = edgeState(edges)
+    val seedCnt = deg.filter(isSeed(col("src")))
+      .agg(count(lit(1)).as("ns"))
+    var ranks = deg.crossJoin(broadcast(seedCnt))
+      .select(col("src").as("node"),
+        when(isSeed(col("src")), expr(s"$Scale div ns"))
+          .otherwise(lit(0L)).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
+        .select(col("dst"), expr("((85 * r) div 100) div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = deg.crossJoin(broadcast(seedCnt))
+        .join(contribs.hint("shuffle_hash"), col("src") === col("dst"), "left")
+        .select(col("src").as("node"),
+          (when(isSeed(col("src")),
+            expr(s"((15 * $Scale) div 100) div ns")).otherwise(lit(0L)) +
+            coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(ranks)
+      ranks = next
+    }
+    ew.unpersist(); deg.unpersist(); e.unpersist()
+    ranks
+  }
+
+  private def pprIterSql(i: Int): String = s"""
+      p$i AS (
+        SELECT d.src AS node,
+          CASE WHEN d.src % 200 = 2
+            THEN ((15 * $Scale) // 100) // (SELECT ns FROM s) ELSE 0 END +
+            coalesce(CAST(c.s AS BIGINT), 0) AS r
+        FROM deg d LEFT JOIN (
+          SELECT e.dst, sum(((85 * p.r) // 100) // dg.deg) AS s
+          FROM edges e JOIN p${i - 1} p ON e.src = p.node
+            JOIN deg dg ON e.src = dg.src
+          GROUP BY e.dst) c ON d.src = c.dst)"""
+
+  val g63PersonalizedPr: Q = Q(
+    "g63_personalized_pr",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      personalizedPageRank(edges, n => n % 200 === 2, Iters)
+        .select(
+          when(col("node") % 2 === 0, "customer").otherwise("supplier")
+            .as("kind"),
+          expr("node div 2").as("key"),
+          (col("node") % 200 === 2).as("is_seed"),
+          col("r").as("rank_scaled"))
+        .orderBy(col("kind"), col("key"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s, c FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      s AS (SELECT count(*) AS ns FROM deg WHERE src % 200 = 2),
+      p0 AS (
+        SELECT src AS node,
+          CASE WHEN src % 200 = 2
+            THEN $Scale // (SELECT ns FROM s) ELSE 0 END AS r
+        FROM deg),
+      ${(1 to Iters).map(pprIterSql).mkString(",")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+          AS kind,
+        node // 2 AS key, node % 200 = 2 AS is_seed, r AS rank_scaled
+      FROM p$Iters ORDER BY kind, key"""))
 
   // ------------------------------------------- star-contraction components
 

@@ -80,6 +80,18 @@ class GraphSpec extends SparkSpec {
     assert(pr.toSeq === Seq(Graph.Scale / 4))
   }
 
+  test("g63: one seeded iteration on an edge matches the hand recurrence") {
+    // nodes {2, 3}, one undirected edge, seed = 2 (ns = 1):
+    // r0 = (S, 0); r1(2) = 15%·S + 0 = 1.5e11,
+    // r1(3) = 0 + (85·S÷100)÷1 = 8.5e11
+    import org.apache.spark.sql.functions.lit
+    val pr = Graph.personalizedPageRank(
+      sym((2L, 3L)), n => n === lit(2L), iters = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("r")).toMap
+    assert(pr(2L) === 150000000000L)
+    assert(pr(3L) === 850000000000L)
+  }
+
   private def pairsDF(pairs: (Long, Long)*) = pairs.toDF("d1", "d2")
 
   test("g61: a 64-node chain collapses in O(log n) rounds, all labeled 0") {
