@@ -105,6 +105,46 @@ class PropertySpec extends SparkSpec {
       arrays.map(_.size.toLong).sum)
   }
 
+  test("star-contraction CC ≡ label-propagation CC ≡ local union-find " +
+      "on random graphs") {
+    import spark.implicits._
+    // three independent implementations of one fixpoint: the two
+    // distributed algorithms (different loop structures, different state)
+    // and a driver-local union-find reference
+    val graphGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m,
+        for { a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong) }
+          yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+    sample(graphGen, 3).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("d1", "d2")
+      val (star, _) = graft.ops.Graph.ccStarContraction(df)
+      val prop = graft.ops.Clustering.connectedComponents(df)
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonicalize all three to node → min(component) maps
+      val ref = nodes.map { n =>
+        val root = find(n)
+        n -> nodes.filter(m => find(m) == root).min
+      }.toMap
+      val a = star.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val b = prop.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(a === ref, s"star contraction diverged on $edges")
+      assert(b === ref, s"label propagation diverged on $edges")
+    }
+  }
+
   test("keepFirst is idempotent and keeps the minimum position per key") {
     import spark.implicits._
     val rows = sample(
