@@ -10,7 +10,7 @@ object Relational3 {
 
   def pack: Seq[Q] =
     Seq(q51Unpivot, q52Funnel, q55Scd2, q56IncrementalAgg, q57RecursiveCte,
-      q58MarketBasket)
+      q58MarketBasket, q59SkewReport)
 
   /** q51: UNPIVOT/melt — the inverse of q33's pivot. A wide per-flag
     * metric table reshapes into (key, metric, value) rows via
@@ -258,4 +258,56 @@ object Relational3 {
           AS lift
       FROM ranked WHERE rk <= 20
       ORDER BY support_cnt DESC, x, y"""))
+
+  /** q59: join-key SKEW REPORT — per candidate join column of the fact
+    * table: row count, distinct keys, the heaviest key's count and share,
+    * and the max/mean ratio (the number that decides whether q30/q32's
+    * salting or AQE skew-join is needed BEFORE a 100 TB join hangs on one
+    * straggler task). One keyed count per column + one tiny aggregate —
+    * the report costs what a group-by costs, and the max/mean ratio is
+    * the exact integer expression max_cnt·n_keys/n_rows (both engines
+    * divide the same BIGINTs into the same double). The heaviest key id
+    * itself is reported via the packed integer argmax `max(cnt·2³² + key)`
+    * (e57's tie-break trick, highest count then highest key — exact in
+    * both engines; key ids are far below 2³²).
+    */
+  val q59SkewReport: Q = Q(
+    "q59_skew_report",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reports = Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("cnt")).as("max_cnt"),
+            expr(s"max(cnt * ${1L << 32} + $c)").as("packed"))
+          .select(lit(c).as("join_col"), col("n_rows"), col("n_keys"),
+            col("max_cnt"),
+            expr(s"packed % ${1L << 32}").as("heaviest_key"),
+            round(col("max_cnt") / col("n_rows"), 6).as("max_share"),
+            round(col("max_cnt") * col("n_keys") / col("n_rows"), 6)
+              .as("skew_ratio"))
+      }
+      val res = reports.reduce(_ unionAll _).orderBy(col("join_col"))
+      Q.materialized(res, li)
+    },
+    Some {
+      def one(c: String) = s"""
+        SELECT '$c' AS join_col,
+          CAST(sum(cnt) AS BIGINT) AS n_rows,
+          count(*) AS n_keys,
+          max(cnt) AS max_cnt,
+          CAST(max(cnt * ${1L << 32} + $c) % ${1L << 32} AS BIGINT)
+            AS heaviest_key,
+          round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 6)
+            AS max_share,
+          round(CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT),
+            6) AS skew_ratio
+        FROM (SELECT $c, count(*) AS cnt FROM lineitem GROUP BY $c) t"""
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+        .mkString("", "\n        UNION ALL", "\n        ORDER BY join_col")
+    })
 }
