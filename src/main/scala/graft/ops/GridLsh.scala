@@ -16,7 +16,7 @@ import Q.t
   *   - the projection directions are SPARSE TERNARY planes (entries in
   *     {-1, 0, +1} with density 1/3 — Achlioptas' database-friendly random
   *     projection, which preserves the sign-LSH guarantee while making each
-  *     dot product a short ± sum of vector elements). The 32 planes are
+  *     dot product a short ± sum of vector elements). The 64 planes are
   *     generated once from a fixed seed and EMBEDDED AS CONSTANTS in both
   *     the Spark plan and the generated oracle SQL, so the two engines
   *     bucket identically by construction.
@@ -26,9 +26,9 @@ import Q.t
   * side multi-probes its single-bit-flip neighbor buckets. Scoring is
   * integer L2² on the grid, ties to the lowest cid.
   *
-  * Scale shape: the corpus is bucketed ONCE (4 narrow (cid, bucket) rows per
+  * Scale shape: the corpus is bucketed ONCE (NumTables narrow (cid, bucket) rows per
   * vector — a map-side projection, no shuffle); query probes broadcast
-  * (nQueries × 36 rows); candidates come from the bucket semi-join, never
+  * (nQueries × NumTables·(1+PlanesPerTable) rows); candidates come from the bucket semi-join, never
   * all-pairs; only the surviving pairs pay the 64-term distance. At 10⁹
   * vectors the bucket index is a ~32 GB narrow table and a query touches
   * ~NumTables·(1+PlanesPerTable)/2^PlanesPerTable of it.
@@ -84,7 +84,7 @@ object GridLsh {
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", s" + ${tbl.toLong * (1L << PlanesPerTable)})")
 
-  /** The nonzero plane entries as a 1,365-row broadcast relation
+  /** The nonzero plane entries as a ~1.4k-row broadcast relation
     * (plane, pos, sign). The Spark side computes sign dots DATAFLOW-style —
     * posexplode the grid vector, broadcast-join this table on position,
     * two keyed partial aggregates — rather than as 64 inlined ±21-term
@@ -132,9 +132,9 @@ object GridLsh {
 
   /** Candidate (qid, cid) pairs from the bucket semi-join with single-bit
     * multi-probe on the query side, over an already-gridded frame. The
-    * 1,300-term bucket projection is the expensive per-row stage — callers
-    * hand in ONE (ideally persisted) grid table so it runs exactly once per
-    * side per query.
+    * bucket dataflow (explode → plane join → two aggregates) is the
+    * expensive per-row stage — callers hand in ONE (ideally persisted)
+    * grid table so it runs exactly once per side per query.
     */
   private def candidatesFromGrid(gv: DataFrame): DataFrame = {
     val cb = buckets(gv.filter(col("vec_id") >= NQueries))
