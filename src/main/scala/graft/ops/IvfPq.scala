@@ -135,34 +135,41 @@ object IvfPq {
       .groupBy(col("cid"), col("list_id"))
       .agg(subDists.head, subDists.tail: _*)
 
-    // AT-REST INVERTED-LIST LAYOUT: persist the code table PARTITIONED BY
-    // list_id — the storage form of "search touches only the probed
-    // lists". Reading it back and broadcast-joining the probe set on the
-    // partition column makes Spark insert a dynamic-partition-pruning
-    // filter on the scan, so non-probed lists are skipped at FILE level
-    // (never deserialized), not merely dropped by a join. At 100 TB the
-    // code table is the ~1 TB artifact that outlives the build job; a
-    // query reads NProbe/L of it.
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivfpq_codes").toString
-    // cluster rows by list before the dynamic-partition write: one file
-    // per list, not (tasks × lists) shards of tiny files
-    codes.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
-    val codeFields = org.apache.spark.sql.types.StructField("cid",
-      org.apache.spark.sql.types.LongType) +:
-      ((0 until M).map(m => org.apache.spark.sql.types.StructField(s"p$m",
-        org.apache.spark.sql.types.LongType)) :+
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.LongType))
-    val codesAtRest = spark.read
-      .schema(org.apache.spark.sql.types.StructType(codeFields))
-      .parquet(dir)
+    // AT-REST INVERTED-LIST LAYOUT (e60 only): persist the code table
+    // PARTITIONED BY list_id — the storage form of "search touches only
+    // the probed lists". Reading it back and broadcast-joining the probe
+    // set on the partition column makes Spark insert a dynamic-partition-
+    // pruning filter on the scan, so non-probed lists are skipped at FILE
+    // level (never deserialized), not merely dropped by a join. At 100 TB
+    // the code table is the ~1 TB artifact that outlives the build job; a
+    // query reads NProbe/L of it. The rerank variants (e62/e65) exercise
+    // the SEARCH dataflow, not the storage layout — they probe the
+    // in-memory codes and skip the scratch write (the DPP property is
+    // already spec-pinned on e60's path).
+    val dir = if (rerank) None else Some(java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_codes").toString)
+    val codesForSearch = dir match {
+      case None => codes
+      case Some(d) =>
+        // cluster rows by list before the dynamic-partition write: one
+        // file per list, not (tasks × lists) shards of tiny files
+        codes.repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(d)
+        val codeFields = org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType) +:
+          ((0 until M).map(m => org.apache.spark.sql.types.StructField(s"p$m",
+            org.apache.spark.sql.types.LongType)) :+
+            org.apache.spark.sql.types.StructField("list_id",
+              org.apache.spark.sql.types.LongType))
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(codeFields))
+          .parquet(d)
+    }
 
     val queriesG = gridT.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("gv").as("qv"))
     val res =
-      if (!rerank) searchCodes(codesAtRest, cb16, coarse, queriesG)
+      if (!rerank) searchCodes(codesForSearch, cb16, coarse, queriesG)
       else {
         // stage 2: the ADC shortlist (3×TopK ids per query) fetches its
         // ORIGINAL grid vectors by key — NProbe·|list| code rows scanned,
@@ -170,7 +177,7 @@ object IvfPq {
         // exact integer L2 re-ranks to TopK. This is the accuracy knob of
         // every production IVF-PQ deployment: ADC error only has to keep
         // the true neighbor inside the shortlist, not rank it correctly.
-        val short = searchCodes(codesAtRest, cb16, coarse, queriesG,
+        val short = searchCodes(codesForSearch, cb16, coarse, queriesG,
           k = Shortlist).select(col("qid"), col("cid"))
         val wR = Window.partitionBy(col("qid"))
           .orderBy(col("exact_dist"), col("cid"))
@@ -183,9 +190,12 @@ object IvfPq {
       }
     val out = Q.materialized(res, gridT, corpusRows, cb16)
     // the checkpointed result no longer reads the scratch index — drop it
-    val root = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    dir.foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     out
   }
 
