@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Corpus-curation additions, round 6 (continuation): classifier-based
+  * quality filtering (the fastText-style linear scorer gating web corpora
+  * in GPT-3/LLaMA-class pipelines) and the pair-counting step of BPE
+  * tokenizer training (Sennrich et al. 2016).
+  */
+object Corpus3 {
+
+  def pack: Seq[Q] = Seq(d69ClassifierQuality, d70BpePairCounts)
+
+  /** Deterministic integer token weight in [−50, 50] — the stand-in for a
+    * LEARNED lexicon weight (a real pipeline loads these from training;
+    * the arithmetic stand-in keeps the whole dataflow oracle-checkable).
+    * Everything downstream of the weight table — the broadcast lexicon
+    * join, the per-document occurrence-weighted sum, the threshold verdict
+    * — is exactly the production shape.
+    */
+  private val weightSql =
+    "((ascii(tok) * 131 + length(tok) * 37) * 2654435761 % 1000003) % 101 - 50"
+
+  /** d69: CLASSIFIER-BASED QUALITY FILTERING — score every document with a
+    * linear text classifier (Σ over token OCCURRENCES of the token's
+    * lexicon weight) and gate on the sign, the fastText-style quality
+    * filter used to select "reference-like" web documents. The lexicon is
+    * built once (distinct tokens → weight) and BROADCAST to the
+    * occurrence stream: the join is per-occurrence but moves only the
+    * bounded vocabulary, never the corpus — at 100 TB the vocabulary is
+    * millions of rows while the corpus is billions, so dim-side broadcast
+    * (or a shuffled join keyed on token for an outsized vocab) keeps the
+    * fact side narrow. Mean score is integer-scaled (×100, integer div) —
+    * no float surface anywhere.
+    */
+  val d69ClassifierQuality: Q = Q(
+    "d69_classifier_quality",
+    (s, dir) => {
+      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
+      val occ = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val lexicon = occ.select(col("tok")).distinct()
+        .withColumn("w", expr(weightSql))
+      occ.join(broadcast(lexicon), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          expr("score * 100 div n_tokens").as("mean_score_x100"),
+          when(col("score") > 0, "keep").otherwise("drop").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH occ AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      lexicon AS (
+        SELECT tok, $weightSql AS w FROM (SELECT DISTINCT tok FROM occ)),
+      scored AS (
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(w) AS BIGINT) AS score
+        FROM occ JOIN lexicon USING (tok) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, score,
+        score * 100 // n_tokens AS mean_score_x100,
+        CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict
+      FROM scored ORDER BY doc_id"""))
+
+  /** The d70 core over any (doc_id, text) frame — exposed for the planted
+    * known-counts spec.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val occ = docs.select(
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    // adjacent symbol pairs = the 2-char substrings; single-char tokens
+    // have none (guarded: Spark's sequence(1,0) would run DESCENDING)
+    val pairs = occ.filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** d70: BPE TOKENIZER TRAINING, the pair-counting iteration — count
+    * every adjacent symbol pair across the corpus (initial vocabulary =
+    * characters, so pairs are the 2-char substrings of each token
+    * occurrence) and emit the top-k merge candidates; the argmax pair IS
+    * the merge BPE learns next (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units").
+    *
+    * Scale shape: one narrow per-row expansion (length−1 pairs per token,
+    * codegen'd transform+explode — no shuffle), one keyed count whose
+    * key space is bounded by the SYMBOL-PAIR vocabulary (≤ |alphabet|²
+    * initially), and a global top-k via orderBy+limit, which Spark plans
+    * as TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows) — never a global sort. (count DESC, pair) is a total order, so
+    * the k-boundary is deterministic in both engines.
+    */
+  val d70BpePairCounts: Q = Q(
+    "d70_bpe_pair_counts",
+    (s, dir) => bpePairCounts(Q.spread(t(s, dir, "documents"), "doc_id"), 20),
+    Some("""
+      WITH occ AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      pairs AS (
+        SELECT substring(tok, i, 2) AS pair
+        FROM occ, unnest(range(1, length(tok))) AS u(i)
+        WHERE length(tok) >= 2)
+      SELECT pair, count(*) AS cnt FROM pairs
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
+}

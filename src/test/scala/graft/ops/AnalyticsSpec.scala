@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins for the round-6 analytics additions: q60 cohort retention, q61
+  * interval-sweep peak concurrency (two-phase prefix sum), q62 Bloom
+  * pre-join (runtime-filter semi-join reduction).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q60: retention cells are consistent and month-0 is the full cohort") {
+    val rows = Relational4.q60CohortRetention.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val active = r.getAs[Long]("active_customers")
+      val size = r.getAs[Long]("cohort_size")
+      assert(active >= 1 && active <= size)
+      assert(r.getAs[Long]("retention_bp") === active * 10000 / size)
+      // months_since = 0 row exists per cohort and counts the whole cohort
+      if (r.getAs[Int]("months_since") == 0) assert(active === size)
+    }
+    // every cohort has its month-0 row
+    val cohorts = rows.map(_.getAs[java.sql.Date]("cohort_month")).distinct
+    val m0 = rows.filter(_.getAs[Int]("months_since") == 0)
+      .map(_.getAs[java.sql.Date]("cohort_month"))
+    assert(m0.toSet === cohorts.toSet)
+  }
+
+  test("q61: planted intervals produce the known peak and first-peak time") {
+    // [0,100) [50,150) [140,240): peak 2 first reached at t=50;
+    // a fourth interval [60, 80) pushes the peak to 3 at t=60
+    val ev = Seq((0L, 100L), (50L, 100L), (140L, 100L), (60L, 20L))
+      .toDF("t0", "dur")
+    val r = Relational4.peakConcurrency(ev).collect().head
+    assert(r.getAs[Long]("peak_concurrency") === 3L)
+    assert(r.getAs[java.sql.Timestamp]("first_peak_at").getTime === 0L ||
+      // 60 µs after epoch — getTime is ms, so compare via the µs column
+      true)
+    val t = r.getAs[java.sql.Timestamp]("first_peak_at")
+    assert(t.toInstant.getNano / 1000 + t.toInstant.getEpochSecond * 1000000
+      === 60L)
+  }
+
+  test("q61: back-to-back endpoints — end applies before start (half-open)") {
+    // [0,10) and [10,20): never concurrent, peak must be 1
+    val ev = Seq((0L, 10L), (10L, 10L)).toDF("t0", "dur")
+    val r = Relational4.peakConcurrency(ev).collect().head
+    assert(r.getAs[Long]("peak_concurrency") === 1L)
+  }
+
+  test("q61 plan: only shard-level aggregates see an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val res = Relational4.q61PeakConcurrency.run(spark, sf0001)
+    val wins = res.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overShardTotals = w.child.collect {
+        case a: Aggregate if a.groupingExpressions
+          .exists(_.references.exists(_.name == "shard")) => a
+      }
+      assert(overShardTotals.nonEmpty,
+        s"unpartitioned window over event-level rows:\n$w")
+    }
+  }
+
+  test("q62: planted keys — zero false negatives, counts reconcile") {
+    val dim = Seq(3L, 17L, 923L).toDF("k")
+    val fact = (1L to 1000L).map(i => (i, i.toDouble / 100))
+      .toDF("k", "l_extendedprice")
+    val r = Relational4.bloomPrejoin(dim, fact).collect().head
+    assert(r.getAs[Long]("n_fact") === 1000L)
+    assert(r.getAs[Long]("n_true") === 3L) // all three dim keys in range
+    // Bloom guarantee: every true match survives the probe
+    assert(r.getAs[Long]("n_bloom_pass") >=  r.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("n_bloom_pass") ===
+      r.getAs[Long]("n_true") + r.getAs[Long]("n_false_pos"))
+    assert(r.getAs[Double]("matched_revenue") ===
+      (3.0 + 17.0 + 923.0) / 100)
+  }
+
+  test("q62 plan: the bloom-word probe joins broadcast (constant-size build)") {
+    val res = Relational4.q62BloomPrejoin.run(spark, sf0001)
+    res.collect() // finalize AQE
+    val plan = res.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast probes, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no probe may shuffle the fact side:\n$plan")
+  }
+}

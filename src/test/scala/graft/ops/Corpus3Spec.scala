@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins for the round-6 corpus additions: d69 classifier-based quality
+  * filtering, d70 BPE pair-count training step.
+  */
+class Corpus3Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** The d69 lexicon weight, recomputed independently in Scala. */
+  private def w(tok: String): Long =
+    ((tok.head.toLong * 131 + tok.length * 37) * 2654435761L % 1000003L) % 101 - 50
+
+  test("d69: occurrence-weighted scores match a hand computation") {
+    val rows = Corpus3.d69ClassifierQuality.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getAs[Long]("score")
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("mean_score_x100") === {
+        // Spark `div` is truncating integer division (toward zero)
+        score * 100 / n
+      })
+      assert(r.getAs[String]("verdict") === (if (score > 0) "keep" else "drop"))
+    }
+    // independent recompute on one real document
+    val doc = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" === rows.head.getAs[Long]("doc_id"))
+      .select($"text").as[String].head()
+    val toks = doc.split(" ")
+    assert(rows.head.getAs[Long]("score") === toks.map(w).sum)
+    assert(rows.head.getAs[Long]("n_tokens") === toks.length.toLong)
+  }
+
+  test("d70: planted corpus yields exact pair counts in (cnt desc, pair) order") {
+    val docs = Seq((1L, "abc ab x"), (2L, "bcd")).toDF("doc_id", "text")
+    // pairs: abc→ab,bc; ab→ab; bcd→bc,cd; x→(none)
+    val got = Corpus3.bpePairCounts(docs, 10).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toList
+    assert(got === List(("ab", 2L), ("bc", 2L), ("cd", 1L)))
+  }
+
+  test("d70: k-boundary ties break on pair order deterministically") {
+    val docs = Seq((1L, "zz yy xx")).toDF("doc_id", "text")
+    val got = Corpus3.bpePairCounts(docs, 2).collect()
+      .map(_.getAs[String]("pair")).toList
+    assert(got === List("xx", "yy")) // all cnt=1; lexicographic wins
+  }
+}
