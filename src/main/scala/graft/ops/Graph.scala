@@ -14,7 +14,7 @@ import Q.t
 object Graph {
 
   def pack: Seq[Q] = Seq(g60PageRank, g61CcStar, g62Triangles,
-    g63PersonalizedPr)
+    g63PersonalizedPr, g64BfsHops)
 
   /** Fixed-point scale for integer PageRank: every rank is a BIGINT in
     * units of 10⁻¹², and every step (damping multiply, out-degree divide)
@@ -248,6 +248,95 @@ object Graph {
           AS kind,
         node // 2 AS key, node % 200 = 2 AS is_seed, r AS rank_scaled
       FROM p$Iters ORDER BY kind, key"""))
+
+  // ----------------------------------------------------- multi-source BFS
+
+  /** Multi-source BFS: hop distance from a seed cohort, FRONTIER-style —
+    * each round expands only the nodes DISCOVERED last round, so an edge
+    * is traversed once when its endpoint first enters the tree, not once
+    * per round (the textbook distributed-BFS shape; expanding the full
+    * distance table every round re-sends settled nodes forever). The
+    * frontier joins the hash(src)-partitioned cached edge table each
+    * round (g60's loop discipline: state shuffles to the cached big side,
+    * nothing broadcasts, ≤2 round states live). Returns (node, d) for
+    * every node reached within `iters` hops. Unreached nodes are absent —
+    * the caller left-joins if it wants NULL-distance rows.
+    */
+  def bfsHops(edges: DataFrame, isSeed: Column => Column, iters: Int)
+      : DataFrame = {
+    val e = edges.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetric edge list ⇒ the src column enumerates every node
+    var dist = e.select(col("src")).distinct().filter(isSeed(col("src")))
+      .select(col("src").as("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (i <- 1 to iters) {
+      val reached = e
+        .join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("d"))
+        .localCheckpoint(true)
+      val next = dist.unionAll(fresh).localCheckpoint(true)
+      Q.releaseBlocks(dist)
+      if (frontier ne dist) Q.releaseBlocks(frontier)
+      dist = next
+      frontier = fresh
+    }
+    e.unpersist()
+    dist
+  }
+
+  private def bfsIterSql(i: Int): String = s"""
+      f$i AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f${i - 1} f ON e.src = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} p WHERE p.node = e.dst)),
+      d$i AS (
+        SELECT * FROM d${i - 1}
+        UNION ALL SELECT node, $i AS d FROM f$i)"""
+
+  /** g64: hop distance from the g63 seed cohort (custkey ≡ 1 mod 100)
+    * over the customer↔supplier trade graph — "how many trade hops from
+    * our pilot cohort is each participant", the reachability/blast-radius
+    * query behind supply-chain and fraud-propagation analyses. The oracle
+    * replays the identical frontier recurrence through unrolled CTEs.
+    */
+  val g64BfsHops: Q = Q(
+    "g64_bfs_hops",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      bfsHops(edges, n => n % 200 === 2, Iters)
+        .select(
+          when(col("node") % 2 === 0, "customer").otherwise("supplier")
+            .as("kind"),
+          expr("node div 2").as("key"),
+          col("d").as("hops"))
+        .orderBy(col("kind"), col("key"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s, c FROM pairs),
+      d0 AS (
+        SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src % 200 = 2),
+      f0 AS (SELECT node FROM d0),
+      ${(1 to Iters).map(bfsIterSql).mkString(",")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+          AS kind,
+        node // 2 AS key, CAST(d AS BIGINT) AS hops
+      FROM d$Iters ORDER BY kind, key"""))
 
   // ------------------------------------------- star-contraction components
 

@@ -133,4 +133,25 @@ class GraphSpec extends SparkSpec {
     val b = prop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
   }
+
+  test("g64: chain BFS — exact hop distances, horizon cut, unreached absent") {
+    // chain 2-1-3-5-7, island {100,101}; seed = node 2 (n % 200 == 2)
+    val edges = sym((2L, 1L), (1L, 3L), (3L, 5L), (5L, 7L), (100L, 101L))
+    val d3 = Graph.bfsHops(edges, n => n % 200 === 2, iters = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(d3 === Map(2L -> 0L, 1L -> 1L, 3L -> 2L, 5L -> 3L))
+    // one more round reaches 7; the island is never reached
+    val d4 = Graph.bfsHops(edges, n => n % 200 === 2, iters = 4)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(d4 === d3 + (7L -> 4L))
+  }
+
+  test("g64: frontier is incremental — settled nodes never re-enter") {
+    // triangle: both 1 and 3 discovered at hop 1 stay at 1 despite the
+    // 1-3 edge offering a hop-2 path
+    val edges = sym((2L, 1L), (2L, 3L), (1L, 3L))
+    val d = Graph.bfsHops(edges, n => n === 2, iters = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(d === Map(2L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
 }
