@@ -14,7 +14,7 @@ object Similarity2 {
 
   def pack: Seq[Q] =
     Seq(e57PqCodes, e58MatryoshkaRecall, e59HammingTopK, e59bHammingRecall,
-      e63MatryoshkaGrid, e64AsymmetricTopK, e66FilteredTopK)
+      e63MatryoshkaGrid, e64AsymmetricTopK, e66FilteredTopK, e67RrfFusion)
 
   /** Integer grid step for PQ: 512 = 2⁹, so float×512 is an EXACT double
     * product and reconstruction divides by the exact power-of-two 2²⁴ —
@@ -316,13 +316,13 @@ object Similarity2 {
   /** (id, w0, w1) sign-bit words for any (idCol named `id`, `embedding`)
     * projection.
     */
-  def signWords(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def half(offset: Int) = (0 until HalfBits)
-      .map(i => when(element_at(col("embedding"), offset + i + 1) >= 0,
-        lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    emb.select(col("vec_id"), half(0).as("w0"), half(HalfBits).as("w1"))
-  }
+  private def signHalf(offset: Int) = (0 until HalfBits)
+    .map(i => when(element_at(col("embedding"), offset + i + 1) >= 0,
+      lit(1L << i)).otherwise(lit(0L)))
+    .reduce(_ + _)
+
+  def signWords(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), signHalf(0).as("w0"), signHalf(HalfBits).as("w1"))
 
   private def sqlSignWords(alias: String): String = {
     def half(offset: Int) = (0 until HalfBits)
@@ -455,6 +455,121 @@ object Similarity2 {
     * itself, not just the output shape. One corpus pass scores both
     * rankings; the window shuffles only narrow (qid, cid, score) rows.
     */
+  /** e67: RECIPROCAL RANK FUSION — the hybrid-search combiner (Cormack et
+    * al. SIGIR'09; what every lexical+vector "hybrid" endpoint runs):
+    * two independent rankings of the same corpus — the 16-byte Hamming
+    * index (e59) and exact integer-grid L2 — fuse per candidate as
+    * Σ 1/(60+rank) over the lists that shortlisted it, and the fused
+    * order is the answer. Ranks are integers and the fusion is computed
+    * as 10⁹ div (60+rank), so the WHOLE hybrid pipeline — both rankings,
+    * the shortlist cut, the fused scores, the final order — hash-matches
+    * DuckDB with zero float surface.
+    *
+    * Scale shape: one broadcast-queries corpus pass computes both scores
+    * (the 64-term L2 and the 2-word Hamming share the row), the rank
+    * windows shuffle only narrow (qid, cid, 2×BIGINT) rows, and the
+    * shortlist cut (rank ≤ L per list) bounds the fusion input to
+    * O(queries·L) regardless of corpus size — the fused re-rank never
+    * sees the corpus.
+    */
+  private val RrfL = 50           // per-list shortlist depth
+  private val RrfK = 60           // the standard RRF damping constant
+  private val RrfS = 1000000000L  // integer fusion scale
+
+  /** The e67 dataflow over any (vec_id, embedding) frame (queries =
+    * vec_id < 5, corpus = rest) — exposed for planted-disagreement specs.
+    */
+  def rrfFusion(emb: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def l2 = (1 to 2 * HalfBits).map { i =>
+      val d = element_at(col("qv"), i) - element_at(col("cv"), i)
+      d * d
+    }.reduce(_ + _)
+    val packed = Q.spread(emb, "vec_id")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * Grid).cast("long")).as("gv"),
+        signHalf(0).as("w0"), signHalf(HalfBits).as("w1"))
+    val q = packed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("gv").as("qv"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val c = packed.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("gv").as("cv"),
+        col("w0").as("cw0"), col("w1").as("cw1"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        hamming(col("qw0"), col("qw1"), col("cw0"), col("cw1")).as("ham"),
+        l2.as("dl2"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("cid"))
+    val wL = Window.partitionBy(col("qid")).orderBy(col("dl2"), col("cid"))
+    val fused = scored
+      .withColumn("hamming_rank", row_number().over(wH))
+      .withColumn("l2_rank", row_number().over(wL))
+      .filter(col("hamming_rank") <= RrfL || col("l2_rank") <= RrfL)
+      .withColumn("rrf_scaled",
+        when(col("hamming_rank") <= RrfL,
+          expr(s"$RrfS div ($RrfK + hamming_rank)")).otherwise(0L) +
+        when(col("l2_rank") <= RrfL,
+          expr(s"$RrfS div ($RrfK + l2_rank)")).otherwise(0L))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_scaled").desc, col("cid"))
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("hamming_rank"), col("l2_rank"),
+        col("rrf_scaled"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val e67RrfFusion: Q = {
+    val L = RrfL
+    val S = RrfS
+    def sqlL2 =
+      (1 to 2 * HalfBits)
+        .map(i => s"(q.qv[$i]-c.cv[$i])*(q.qv[$i]-c.cv[$i])").mkString("+")
+    Q(
+      "e67_rrf_fusion",
+      (s, dir) => rrfFusion(t(s, dir, "embeddings"), k = 10),
+      Some(s"""
+      WITH packed AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS gv,
+          ${(0 until HalfBits).map(i =>
+            s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+            .mkString("CAST(", " + ", " AS BIGINT) AS w0")},
+          ${(0 until HalfBits).map(i =>
+            s"CASE WHEN embedding[${HalfBits + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+            .mkString("CAST(", " + ", " AS BIGINT) AS w1")}
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, gv AS qv, w0 AS qw0, w1 AS qw1
+            FROM packed WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, gv AS cv, w0 AS cw0, w1 AS cw1
+            FROM packed WHERE vec_id >= 5),
+      scored AS (
+        SELECT qid, cid,
+          bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)) AS ham,
+          $sqlL2 AS dl2
+        FROM c CROSS JOIN q),
+      ranked AS (
+        SELECT qid, cid,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY ham, cid)
+            AS INT) AS hamming_rank,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY dl2, cid)
+            AS INT) AS l2_rank
+        FROM scored),
+      fused AS (
+        SELECT qid, cid, hamming_rank, l2_rank,
+          CAST(CASE WHEN hamming_rank <= $L
+              THEN $S // ($RrfK + hamming_rank) ELSE 0 END
+            + CASE WHEN l2_rank <= $L
+              THEN $S // ($RrfK + l2_rank) ELSE 0 END AS BIGINT) AS rrf_scaled
+        FROM ranked WHERE hamming_rank <= $L OR l2_rank <= $L)
+      SELECT qid, cid, hamming_rank, l2_rank, rrf_scaled, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY rrf_scaled DESC, cid) AS INT) AS rank FROM fused) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+  }
+
   val e59bHammingRecall: Q = Q(
     "e59b_hamming_recall",
     (s, dir) => {
