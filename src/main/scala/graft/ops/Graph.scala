@@ -14,7 +14,7 @@ import Q.t
 object Graph {
 
   def pack: Seq[Q] = Seq(g60PageRank, g61CcStar, g62Triangles,
-    g63PersonalizedPr, g64BfsHops)
+    g63PersonalizedPr, g64BfsHops, g65KCore)
 
   /** Fixed-point scale for integer PageRank: every rank is a BIGINT in
     * units of 10⁻¹², and every step (damping multiply, out-degree divide)
@@ -438,6 +438,108 @@ object Graph {
         .orderBy(col("doc_id"))
     },
     Clustering.d46DedupClusters.oracle)
+
+  // ------------------------------------------------------------------ k-core
+
+  /** K-CORE DECOMPOSITION by iterative peeling: repeatedly drop every node
+    * whose degree fell below k until the survivors all have degree ≥ k —
+    * the maximal subgraph where everyone keeps k neighbors, the standard
+    * "dense cohesive region" extractor (community cores, fraud rings,
+    * spam farms). Each round is one keyed degree count + two semi-joins
+    * that shrink the edge set MONOTONICALLY; nothing broadcasts, no state
+    * beyond the current (hash-partitioned) edge list — the same
+    * only-the-edges discipline as [[ccStarContraction]].
+    *
+    * Runs a FIXED `rounds` count so the recurrence unrolls into the
+    * oracle's CTEs (a production fixpoint loop stops on a per-round
+    * removed==0 check — one driver count, same plan shape); the emitted
+    * `converged` flag — computed distributed, no driver action — reports
+    * whether the fixed horizon actually reached the fixpoint, so the
+    * result is self-certifying either way. Returns (node, core_degree,
+    * converged) for survivors of the symmetric `edges`.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("n"))
+      val next = e
+        .join(keep.withColumnRenamed("n", "src").hint("shuffle_hash"),
+          Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("n", "dst").hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(e)
+      e = next
+    }
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+    val conv = deg.agg((sum(when(col("core_degree") < k, 1L).otherwise(0L))
+      === 0L).as("converged"))
+    deg.crossJoin(broadcast(conv))
+      .select(col("src").as("node"), col("core_degree"), col("converged"))
+  }
+
+  // MATERIALIZED is load-bearing: each round references the previous edge
+  // CTE twice (degree count + filter) and the keep CTE twice, so DuckDB's
+  // default CTE INLINING re-expands the base self-join 3^rounds times —
+  // the 6-round 3-core would inline it ~729×. Materializing makes the
+  // oracle evaluate each round once, like the engine does.
+  private def kcoreIterSql(i: Int, k: Int): String = s"""
+      k$i AS MATERIALIZED (
+        SELECT src AS n FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+      e$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e${i - 1} e
+          JOIN k$i a ON e.src = a.n JOIN k$i b ON e.dst = b.n)"""
+
+  /** g65: the 3-core of the bought-together part graph (g62's support≥2
+    * co-purchase edges) — parts that stay after everything with fewer
+    * than 3 co-purchase partners is recursively peeled away: the stable
+    * cross-sell backbone, as opposed to pairs that co-occurred twice by
+    * chance. 6 peeling rounds, unrolled into the oracle's CTEs.
+    */
+  val g65KCore: Q = {
+    val K = 3
+    val Rounds = 6
+    Q(
+      "g65_kcore",
+      (s, dir) => {
+        val lp = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val e0 = lp.as("a").join(lp.as("b"),
+            col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("x"), col("y"))
+        val sym = e0.select(col("x").as("src"), col("y").as("dst"))
+          .unionAll(e0.select(col("y").as("src"), col("x").as("dst")))
+        kCore(sym, K, Rounds)
+          .select(col("node").as("partkey"), col("core_degree"),
+            col("converged"))
+          .orderBy(col("partkey"))
+      },
+      Some(s"""
+      WITH lp AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      eu AS (
+        SELECT a.p AS x, b.p AS y
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      e0 AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM eu
+        UNION ALL SELECT y, x FROM eu),
+      ${(1 to Rounds).map(kcoreIterSql(_, K)).mkString(",")},
+      deg AS (
+        SELECT src, count(*) AS core_degree FROM e$Rounds GROUP BY src),
+      conv AS (
+        SELECT CAST(sum(CASE WHEN core_degree < $K THEN 1 ELSE 0 END) AS BIGINT)
+          = 0 AS converged FROM deg)
+      SELECT src AS partkey, core_degree, (SELECT converged FROM conv)
+          AS converged
+      FROM deg ORDER BY partkey"""))
+  }
 
   // ------------------------------------------------------ triangle counting
 

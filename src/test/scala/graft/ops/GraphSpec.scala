@@ -146,6 +146,30 @@ class GraphSpec extends SparkSpec {
     assert(d4 === d3 + (7L -> 4L))
   }
 
+  test("g65: pendant chain peels away, the K4 core survives with converged=true") {
+    // K4 on {1,2,3,4} + chain 4-10-11: 2-core peeling strips 11 then 10;
+    // survivors all keep degree 3
+    val edges = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 10L), (10L, 11L))
+    val rows = Graph.kCore(edges, k = 2, rounds = 4).collect()
+    val deg = rows.map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("core_degree")).toMap
+    assert(deg === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(rows.forall(_.getAs[Boolean]("converged")))
+  }
+
+  test("g65: a too-short horizon reports converged=false honestly") {
+    // chain 1-2-3-4-5 under k=2: every round only strips the endpoints;
+    // one round leaves 2-3-4 whose new endpoints still have degree 1
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val rows = Graph.kCore(edges, k = 2, rounds = 1).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.getAs[Boolean]("converged")))
+    // two more rounds empty it (the 2-core of a path is empty): vacuously
+    // converged with zero rows
+    assert(Graph.kCore(edges, k = 2, rounds = 3).collect().isEmpty)
+  }
+
   test("g64: frontier is incremental — settled nodes never re-enter") {
     // triangle: both 1 and 3 discovered at hop 1 stay at 1 despite the
     // 1-3 edge offering a hop-2 path
