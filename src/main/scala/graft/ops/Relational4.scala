@@ -13,7 +13,7 @@ import Q.t
 object Relational4 {
 
   def pack: Seq[Q] = Seq(q60CohortRetention, q61PeakConcurrency,
-    q62BloomPrejoin)
+    q62BloomPrejoin, q63ExactDeciles)
 
   /** q60: monthly COHORT RETENTION over `orders` — the warehouse query
     * behind every retention curve. cohort(c) = first active month of
@@ -244,4 +244,58 @@ object Relational4 {
           THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
           AS matched_revenue
       FROM flagged"""))
+
+  /** q63: EXACT GLOBAL DECILES without a global sort — the order-statistics
+    * problem every profiler hits at scale. Naive exact quantiles sort the
+    * whole column through one task; approximate (q34b) trades exactness.
+    * This stays exact AND distributed by switching from row order to VALUE
+    * order: collapse the column to a (value, count) histogram (keyed agg —
+    * the only pass over the data), then run the d50 two-phase prefix sum
+    * over the value axis — per-value-shard window cumsum in parallel plus
+    * a broadcast of per-shard totals (shards = price÷1000 buckets, bounded
+    * by the price DOMAIN, not the row count). Decile k's boundary is the
+    * least value whose cumulative count reaches ⌈k·N/10⌉ — integer
+    * arithmetic, exact at any scale, and every window in the plan is
+    * either partitioned or ranks one-row-per-shard aggregates.
+    */
+  val q63ExactDeciles: Q = Q(
+    "q63_exact_deciles",
+    (s, dir) => {
+      val li = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .select(col("l_extendedprice").as("v"))
+      val h = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("shard", floor(col("v") / 1000).cast("long"))
+      val local = h.withColumn("run_local",
+        sum(col("c")).over(Window.partitionBy(col("shard")).orderBy(col("v"))))
+      val prefixes = h.groupBy(col("shard")).agg(sum(col("c")).as("tot"))
+        .withColumn("prefix",
+          coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("prefix"))
+      val cum = local.join(broadcast(prefixes), "shard")
+        .select(col("v"), (col("run_local") + col("prefix")).as("cum"))
+      val n = li.agg(count(lit(1)).as("n"))
+      val targets = s.range(1, 10).toDF("decile")
+        .crossJoin(broadcast(n))
+        .select(col("decile"), expr("(decile * n + 9) div 10").as("target_count"))
+      cum.join(broadcast(targets), col("cum") >= col("target_count"))
+        .groupBy(col("decile"))
+        .agg(min(col("v")).as("boundary_price"),
+          min(col("cum")).as("cum_count"),
+          min(col("target_count")).as("target_count"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1),
+      cum AS (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+      n AS (SELECT count(*) AS n FROM lineitem),
+      t AS (
+        SELECT k AS decile, (k * (SELECT n FROM n) + 9) // 10 AS target_count
+        FROM (SELECT unnest(range(1, 10)) AS k))
+      SELECT decile, min(v) AS boundary_price, min(cum) AS cum_count,
+        min(target_count) AS target_count
+      FROM cum JOIN t ON cum.cum >= t.target_count
+      GROUP BY decile ORDER BY decile"""))
 }

@@ -79,6 +79,37 @@ class AnalyticsSpec extends SparkSpec {
       (3.0 + 17.0 + 923.0) / 100)
   }
 
+  test("q63: boundaries are the least values reaching their exact targets") {
+    val rows = Relational4.q63ExactDeciles.run(spark, sf0001).collect()
+    assert(rows.length === 9)
+    val n = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    val prices = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_extendedprice").as[Double].collect().sorted
+    rows.foreach { r =>
+      val k = r.getAs[Long]("decile")
+      val target = (k * n + 9) / 10
+      assert(r.getAs[Long]("target_count") === target)
+      // the driver-side recompute: target-th smallest value (1-based)
+      assert(r.getAs[Double]("boundary_price") === prices(target.toInt - 1))
+      assert(r.getAs[Long]("cum_count") >= target)
+    }
+  }
+
+  test("q63 plan: only shard-level aggregates see an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val res = Relational4.q63ExactDeciles.run(spark, sf0001)
+    val wins = res.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overShardTotals = w.child.collect {
+        case a: Aggregate if a.groupingExpressions
+          .exists(_.references.exists(_.name == "shard")) => a
+      }
+      assert(overShardTotals.nonEmpty,
+        s"unpartitioned window over value-level rows:\n$w")
+    }
+  }
+
   test("q62 plan: the bloom-word probe joins broadcast (constant-size build)") {
     val res = Relational4.q62BloomPrejoin.run(spark, sf0001)
     res.collect() // finalize AQE
