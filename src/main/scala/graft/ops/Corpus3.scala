@@ -11,7 +11,8 @@ import Q.t
   */
 object Corpus3 {
 
-  def pack: Seq[Q] = Seq(d69ClassifierQuality, d70BpePairCounts)
+  def pack: Seq[Q] = Seq(d69ClassifierQuality, d70BpePairCounts,
+    d71BpeMergeRound)
 
   /** Deterministic integer token weight in [−50, 50] — the stand-in for a
     * LEARNED lexicon weight (a real pipeline loads these from training;
@@ -110,4 +111,63 @@ object Corpus3 {
         WHERE length(tok) >= 2)
       SELECT pair, count(*) AS cnt FROM pairs
       GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
+
+  /** The merged-symbol marker: one char NOT in the lowercase-ASCII corpus
+    * alphabet, so replacing the winning 2-char pair with it keeps the
+    * 1-symbol = 1-char invariant the pair extraction relies on.
+    */
+  private val MergeMark = "Æ"
+
+  /** The d71 core over any (doc_id, text) frame — exposed for specs:
+    * returns (merged_pair, pair, cnt) — the applied merge and the NEXT
+    * round's top-k candidates.
+    */
+  def bpeMergeRound(docs: DataFrame, k: Int): DataFrame = {
+    val occ = docs.select(
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    def pairsOf(o: DataFrame) = o.filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    val top1 = pairsOf(occ)
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("merged_pair"))
+    val merged = occ.crossJoin(broadcast(top1))
+      .select(expr(s"replace(tok, merged_pair, '$MergeMark')").as("tok"),
+        col("merged_pair"))
+    pairsOf(merged.select(col("tok")))
+      .crossJoin(broadcast(top1))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+      .select(col("merged_pair"), col("pair"), col("cnt"))
+  }
+
+  /** d71: one COMPLETE BPE training round — count pairs, pick the argmax
+    * merge (d70's winner), APPLY it corpus-wide (non-overlapping
+    * left-to-right literal replace, the BPE greedy-merge semantics both
+    * engines implement identically), and emit the next round's top-k
+    * candidates. d70 pins the counting; this pins the count→argmax→apply
+    * →recount composition that the full tokenizer-training loop iterates.
+    * The merge application is a narrow per-row pass (the 1-row winner is
+    * broadcast); everything else is d70's shape.
+    */
+  val d71BpeMergeRound: Q = Q(
+    "d71_bpe_merge_round",
+    (s, dir) => bpeMergeRound(Q.spread(t(s, dir, "documents"), "doc_id"), 20),
+    Some(s"""
+      WITH occ AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      pc AS (
+        SELECT substring(tok, i, 2) AS pair, count(*) AS cnt
+        FROM occ, unnest(range(1, length(tok))) AS u(i)
+        GROUP BY 1),
+      top1 AS (SELECT pair FROM pc ORDER BY cnt DESC, pair LIMIT 1),
+      merged AS (
+        SELECT replace(tok, (SELECT pair FROM top1), '$MergeMark') AS tok
+        FROM occ)
+      SELECT (SELECT pair FROM top1) AS merged_pair,
+        substring(tok, i, 2) AS pair, count(*) AS cnt
+      FROM merged, unnest(range(1, length(tok))) AS u(i)
+      GROUP BY 1, 2 ORDER BY cnt DESC, pair LIMIT 20"""))
 }

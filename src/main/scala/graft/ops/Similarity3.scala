@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Vector-training additions, round 6 (continuation): the multi-iteration
+  * k-means TRAINING LOOP (e56 is one Lloyd step; a real IVF/PQ codebook
+  * runs Lloyd to a horizon) — on the 1/512 integer grid so every round,
+  * and therefore the converged codebook itself, is hash-oracle-checkable.
+  */
+object Similarity3 {
+
+  def pack: Seq[Q] = Seq(e68KmeansTrain)
+
+  private val Grid = 512L
+  private val KCents = 16
+  private val Iters = 3
+  /** Grid values are shifted +512 into [0, 1024] for the WHOLE loop:
+    * centroid updates divide sums by counts, and the two engines disagree
+    * on negative integer division (Spark `div` truncates toward zero,
+    * DuckDB `//` floors) — on a non-negative domain they agree exactly.
+    * Outputs unshift at the end.
+    */
+  private val Shift = 512L
+
+  /** The e68 loop over any (vec_id, embedding) frame — exposed for specs.
+    * Long-format dataflow throughout: vectors and centroids live as
+    * (id, dim, val) rows, the per-round distance is a dim-keyed join +
+    * keyed sum (narrow shuffles, no 64-term codegen expressions to trip
+    * the width cliff), the argmin is the e57 packed `min(d·K + cid)`, and
+    * the centroid update is an integer mean on the shifted grid. Each
+    * round's centroid table is O(K·dim) rows; superseded rounds are
+    * released (≤2 live). Returns the final centroids long-format:
+    * (cid, dim, center_val, n_members).
+    */
+  def kmeansTrain(emb: DataFrame, iters: Int): DataFrame = {
+    val vecs = Q.spread(emb, "vec_id")
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        (round(col("x").cast("double") * Grid).cast("long") + Shift).as("w"))
+      .localCheckpoint(true)
+    var cents = vecs.filter(col("vec_id") < KCents)
+      .select(col("vec_id").as("cid"), col("dim"), col("w").as("c"))
+      .localCheckpoint(true)
+    var assignN: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dist = vecs.join(broadcast(cents), "dim")
+        .select(col("vec_id"), col("cid"),
+          ((col("w") - col("c")) * (col("w") - col("c"))).as("d2"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("d2")).as("d"))
+      val assign = dist.groupBy(col("vec_id"))
+        .agg(min(col("d") * KCents + col("cid")).as("pk"))
+        .select(col("vec_id"), pmod(col("pk"), lit(KCents.toLong)).as("cid"))
+      val next = vecs.join(assign.hint("shuffle_hash"), "vec_id")
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr("sum(w) div count(1)").as("c"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(cents)
+      cents = next.select(col("cid"), col("dim"), col("c"))
+      assignN = next
+    }
+    val out = assignN
+      .select(col("cid"), col("dim"), (col("c") - Shift).as("center_val"),
+        col("n").as("n_members"))
+      .orderBy(col("cid"), col("dim"))
+      .localCheckpoint(true)
+    Q.releaseBlocks(vecs)
+    Q.releaseBlocks(assignN)
+    out
+  }
+
+  private def iterSql(i: Int): String = s"""
+      dist$i AS MATERIALIZED (
+        SELECT v.vec_id, c.cid,
+          CAST(sum((v.w - c.c) * (v.w - c.c)) AS BIGINT) AS d
+        FROM vecs v JOIN cents${i - 1} c ON v.dim = c.dim
+        GROUP BY v.vec_id, c.cid),
+      assign$i AS MATERIALIZED (
+        SELECT vec_id, CAST(min(d * $KCents + cid) % $KCents AS BIGINT) AS cid
+        FROM dist$i GROUP BY vec_id),
+      cents$i AS MATERIALIZED (
+        SELECT a.cid, v.dim, CAST(sum(v.w) AS BIGINT) // count(*) AS c,
+          count(*) AS n
+        FROM vecs v JOIN assign$i a ON v.vec_id = a.vec_id
+        GROUP BY a.cid, v.dim)"""
+
+  /** e68: K-MEANS TRAINING to a fixed horizon — `Iters` full Lloyd rounds
+    * (assign to nearest centroid by integer L2, recompute centroid means)
+    * over the grid-quantized embeddings, initial centroids = the first
+    * K vectors. This is the codebook-training loop behind e53's IVF lists
+    * and e57/e60's PQ codebooks; e56 pins a single float-path step, this
+    * pins the LOOP — every intermediate assignment and the final
+    * codebook are integer, so the oracle replays all three rounds
+    * bit-exact through unrolled (materialized) CTEs.
+    */
+  val e68KmeansTrain: Q = Q(
+    "e68_kmeans_train",
+    (s, dir) => kmeansTrain(t(s, dir, "embeddings"), Iters),
+    Some(s"""
+      WITH vecs AS MATERIALIZED (
+        SELECT vec_id, CAST(u.i AS INT) AS dim,
+          CAST(round(CAST(embedding[u.i + 1] AS DOUBLE) * $Grid) AS BIGINT)
+            + $Shift AS w
+        FROM embeddings, range(0, 64) u(i)),
+      cents0 AS MATERIALIZED (
+        SELECT vec_id AS cid, dim, w AS c FROM vecs WHERE vec_id < $KCents),
+      ${(1 to Iters).map(iterSql).mkString(",")}
+      SELECT cid, dim, c - $Shift AS center_val, CAST(n AS BIGINT)
+          AS n_members
+      FROM cents$Iters ORDER BY cid, dim"""))
+}

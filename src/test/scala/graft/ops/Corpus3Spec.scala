@@ -47,4 +47,21 @@ class Corpus3Spec extends SparkSpec {
       .map(_.getAs[String]("pair")).toList
     assert(got === List("xx", "yy")) // all cnt=1; lexicographic wins
   }
+
+  test("d71: the argmax merge applies and the recount reflects it") {
+    // pairs before: ab×3, bc×1 → merge 'ab'; tokens become Æ Æ Æc
+    val docs = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val got = Corpus3.bpeMergeRound(docs, 5).collect()
+    assert(got.forall(_.getAs[String]("merged_pair") === "ab"))
+    assert(got.map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+      .toList === List(("Æc", 1L)))
+  }
+
+  test("d71: merge application is left-to-right non-overlapping") {
+    // 'aaa aa': pairs aa×3 → merge 'aa'; 'aaa'→'Æa' (not 'aÆ'), 'aa'→'Æ'
+    val docs = Seq((1L, "aaa aa")).toDF("doc_id", "text")
+    val got = Corpus3.bpeMergeRound(docs, 5).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toList
+    assert(got === List(("Æa", 1L)))
+  }
 }

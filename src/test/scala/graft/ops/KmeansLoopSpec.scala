@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Planted pins for e68's k-means training loop: exact-duplicate corpora
+  * have a closed-form fixpoint (every centroid stays at its seed vector,
+  * membership = itself + its duplicates), so three Lloyd rounds must
+  * reproduce it exactly on the integer grid.
+  */
+class KmeansLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("e68: duplicate-of-seed corpus converges to the seeds with exact counts") {
+    // 16 well-separated seeds (vec i: +0.5 at dim i, -0.5/(i+2) elsewhere);
+    // ids 16-18 duplicate seed 3, id 19 duplicates seed 7
+    def seed(i: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) 0.5f else -0.5f / (i + 2))
+    val emb = ((0 until 16).map(i => (i.toLong, seed(i))) ++
+      Seq((16L, seed(3)), (17L, seed(3)), (18L, seed(3)), (19L, seed(7))))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity3.kmeansTrain(emb, iters = 3).collect()
+    assert(rows.length === 16 * 64)
+    val members = rows.groupBy(_.getAs[Long]("cid"))
+      .view.mapValues(_.map(_.getAs[Long]("n_members")).distinct.toList).toMap
+    (0L until 16L).foreach { c =>
+      val expect = c match { case 3L => 4L; case 7L => 2L; case _ => 1L }
+      assert(members(c) === List(expect), s"cid $c")
+    }
+    // centroids sit exactly on their seed's grid points
+    val grid = (i: Long, d: Int) =>
+      math.round((if (d == i) 0.5f else -0.5f / (i + 2)).toDouble * 512)
+    rows.foreach { r =>
+      val (c, d) = (r.getAs[Long]("cid"), r.getAs[Int]("dim"))
+      assert(r.getAs[Long]("center_val") === grid(c, d), s"cid $c dim $d")
+    }
+  }
+}
