@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Warehouse-operations additions, round 6 (continuation): referential-
+  * integrity auditing and snapshot reconciliation (table diff) — the two
+  * checks every pipeline runs between ingest and publish.
+  */
+object Relational5 {
+
+  def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff)
+
+  /** The q64 core for one relationship — exposed for planted-orphan specs:
+    * child rows whose FK has no parent (LEFT ANTI join, the relational
+    * spelling of "orphan"), reported as total/orphan/distinct-key counts.
+    */
+  def fkAudit(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+      relName: String): DataFrame = {
+    val orphans = child.select(col(fk).as("k"))
+      .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+    child.agg(count(lit(1)).as("child_rows"))
+      .crossJoin(broadcast(orphans.agg(
+        count(lit(1)).as("orphan_rows"),
+        countDistinct(col("k")).as("orphan_keys"))))
+      .select(lit(relName).as("relationship"), col("child_rows"),
+        col("orphan_rows"), col("orphan_keys"))
+  }
+
+  /** q64: REFERENTIAL-INTEGRITY AUDIT over the whole star — for every FK
+    * edge, how many child rows point at a missing parent. Each edge is
+    * one anti-join keyed on the FK (dim side broadcast when small, keyed
+    * shuffle otherwise — Spark's threshold decides); the report is one
+    * row per relationship however large the facts are. On the driver's
+    * FK-consistent data all zeros IS the assertion — the spec plants
+    * orphans to prove the detector fires.
+    */
+  val q64FkOrphans: Q = Q(
+    "q64_fk_orphans",
+    (s, dir) => {
+      val li = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+      val o = t(s, dir, "orders")
+      Seq(
+        fkAudit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        fkAudit(li, "l_partkey", t(s, dir, "part"), "p_partkey",
+          "lineitem->part"),
+        fkAudit(li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey",
+          "lineitem->supplier"),
+        fkAudit(o, "o_custkey", t(s, dir, "customer"), "c_custkey",
+          "orders->customer"),
+        fkAudit(t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"),
+          "n_nationkey", "customer->nation"),
+        fkAudit(t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"),
+          "r_regionkey", "nation->region"))
+        .reduce(_ unionAll _)
+        .orderBy(col("relationship"))
+    },
+    Some("""
+      WITH edges(rel, child_rows, orphan_rows, orphan_keys) AS (
+        SELECT 'lineitem->orders', (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+          (SELECT count(DISTINCT l_orderkey) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+          (SELECT count(DISTINCT l_partkey) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+          (SELECT count(DISTINCT l_suppkey) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL SELECT 'orders->customer', (SELECT count(*) FROM orders),
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+          (SELECT count(DISTINCT o_custkey) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL SELECT 'customer->nation', (SELECT count(*) FROM customer),
+          (SELECT count(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+          (SELECT count(DISTINCT c_nationkey) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL SELECT 'nation->region', (SELECT count(*) FROM nation),
+          (SELECT count(*) FROM nation n WHERE NOT EXISTS
+            (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+          (SELECT count(DISTINCT n_regionkey) FROM nation n WHERE NOT EXISTS
+            (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)))
+      SELECT rel AS relationship, child_rows, orphan_rows, orphan_keys
+      FROM edges ORDER BY relationship"""))
+
+  /** The q65 core over any old/new keyed pair — exposed for specs. Both
+    * inputs must carry (k, status, price) columns; emits the diff report.
+    */
+  def tableDiff(oldT: DataFrame, newT: DataFrame): DataFrame = {
+    val o = oldT.select(col("k"), col("status").as("o_status"),
+      col("price").as("o_price"))
+    val n = newT.select(col("k"), col("status").as("n_status"),
+      col("price").as("n_price"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(
+        when(col("o_status").isNull && col("o_price").isNull, "added")
+          .when(col("n_status").isNull && col("n_price").isNull, "removed")
+          .when(col("o_status") === col("n_status") &&
+            col("o_price") === col("n_price"), "unchanged")
+          .otherwise("changed").as("verdict"),
+        (col("o_status") =!= col("n_status")).as("status_diff"),
+        (col("o_price") =!= col("n_price")).as("price_diff"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("status_diff"), 1L).otherwise(0L)).as("status_changes"),
+        sum(when(col("price_diff"), 1L).otherwise(0L)).as("price_changes"))
+      .orderBy(col("verdict"))
+  }
+
+  /** q65: SNAPSHOT DIFF / reconciliation — classify every key across two
+    * table versions as added / removed / changed / unchanged with
+    * per-column change counts, via ONE full-outer join keyed on the
+    * primary key (the only shuffle; per-column compares are free row
+    * ops). The "new" snapshot here is simulated deterministically from
+    * `orders` (keys ≡0 mod 101 deleted, ≡0 mod 97 price-bumped, a mod-103
+    * cohort re-inserted with shifted keys), so the classifier exercises
+    * all four verdicts under the oracle. At warehouse scale both sides
+    * bucket by the key for an exchange-free diff ([[Bucketing]]).
+    */
+  val q65TableDiff: Q = Q(
+    "q65_table_diff",
+    (s, dir) => {
+      val base = Q.spread(t(s, dir, "orders"), "o_orderkey")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .as("price"))
+      val newT = base.filter(col("k") % 101 =!= 0)
+        .select(col("k"),
+          when(col("k") % 97 === 0, "X").otherwise(col("status")).as("status"),
+          when(col("k") % 97 === 0, col("price") + lit(1)).otherwise(col("price"))
+            .as("price"))
+        .unionAll(base.filter(col("k") % 103 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("status"), col("price")))
+      tableDiff(base, newT)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+      newt AS (
+        SELECT k,
+          CASE WHEN k % 97 = 0 THEN 'X' ELSE status END AS status,
+          CASE WHEN k % 97 = 0 THEN price + 1 ELSE price END AS price
+        FROM base WHERE k % 101 <> 0
+        UNION ALL
+        SELECT k + 1000000000, status, price FROM base WHERE k % 103 = 0),
+      joined AS (
+        SELECT
+          CASE WHEN o.k IS NULL THEN 'added'
+               WHEN n.k IS NULL THEN 'removed'
+               WHEN o.status = n.status AND o.price = n.price THEN 'unchanged'
+               ELSE 'changed' END AS verdict,
+          o.status <> n.status AS status_diff,
+          o.price <> n.price AS price_diff
+        FROM base o FULL OUTER JOIN newt n ON o.k = n.k)
+      SELECT verdict, count(*) AS n_rows,
+        CAST(sum(CASE WHEN status_diff THEN 1 ELSE 0 END) AS BIGINT)
+          AS status_changes,
+        CAST(sum(CASE WHEN price_diff THEN 1 ELSE 0 END) AS BIGINT)
+          AS price_changes
+      FROM joined GROUP BY verdict ORDER BY verdict"""))
+}

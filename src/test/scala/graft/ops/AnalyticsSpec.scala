@@ -110,6 +110,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q64: planted orphans are detected and counted per occurrence and key") {
+    val child = Seq(1L, 2L, 9L, 9L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Relational5.fkAudit(child, "fk", parent, "pk", "t").collect().head
+    assert(r.getAs[Long]("child_rows") === 4L)
+    assert(r.getAs[Long]("orphan_rows") === 2L)
+    assert(r.getAs[Long]("orphan_keys") === 1L)
+    // and the full audit over the driver's FK-consistent star is all zeros
+    val rows = Relational5.q64FkOrphans.run(spark, sf0001).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getAs[Long]("orphan_rows") === 0L))
+  }
+
+  test("q65: each verdict classifies correctly with per-column change counts") {
+    val old = Seq((1L, "A", BigDecimal(10)), (2L, "A", BigDecimal(20)),
+      (3L, "B", BigDecimal(30))).toDF("k", "status", "price")
+    val neu = Seq((2L, "Z", BigDecimal(20)), (3L, "B", BigDecimal(30)),
+      (4L, "C", BigDecimal(40))).toDF("k", "status", "price")
+    val got = Relational5.tableDiff(old, neu).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("status_changes"),
+          r.getAs[Long]("price_changes"))).toMap
+    assert(got === Map(
+      "added" -> ((1L, 0L, 0L)),
+      "removed" -> ((1L, 0L, 0L)),
+      "changed" -> ((1L, 1L, 0L)),
+      "unchanged" -> ((1L, 0L, 0L))))
+  }
+
   test("q62 plan: the bloom-word probe joins broadcast (constant-size build)") {
     val res = Relational4.q62BloomPrejoin.run(spark, sf0001)
     res.collect() // finalize AQE
