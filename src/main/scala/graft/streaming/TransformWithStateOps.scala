@@ -61,6 +61,57 @@ class RunningStatsProcessor extends StatefulProcessor[Long, Event, UserRunning] 
   }
 }
 
+/** Running moment state for the anomaly gate. */
+case class Moments(n: Long, sum: Double, sumsq: Double)
+
+/** One anomaly alert: a value that deviated from the key's RUNNING mean by
+  * more than [[TransformWithStateOps.Sigmas]] standard deviations, with the
+  * pre-observation baseline attached for triage.
+  */
+case class AnomalyAlert(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, value: Double, n_baseline: Long,
+    mean_before: Double, std_before: Double)
+
+/** Streaming ANOMALY GATE on running per-key moments — the online z-score
+  * monitor every metrics pipeline runs against its event stream. State is
+  * three numbers per key (n, Σx, Σx²); each event is tested against the
+  * moments of the events BEFORE it (so a spike cannot mask itself by
+  * inflating the variance it is tested against) and then folded in.
+  * Warm-up: no alerts until [[TransformWithStateOps.MinBaseline]]
+  * observations — a z-score against 2 points is noise. In-batch events
+  * fold in event-time order, so batch boundaries never change verdicts:
+  * the same stream chunked differently alerts identically (spec-pinned).
+  * O(1) state per key, no timers — the cheapest possible tWS processor,
+  * and the one most deployments reach for first.
+  */
+class AnomalyProcessor extends StatefulProcessor[Long, Event, AnomalyAlert] {
+
+  @transient private var mom: ValueState[Moments] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    mom = getHandle.getValueState[Moments](
+      "mom", Encoders.product[Moments], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[AnomalyAlert] = {
+    val evs = rows.toSeq.sortBy(e => (StatefulSessions.tsToUs(e.ts), e.event_id))
+    var m = if (mom.exists()) mom.get() else Moments(0L, 0.0, 0.0)
+    val alerts = Seq.newBuilder[AnomalyAlert]
+    evs.foreach { e =>
+      if (m.n >= TransformWithStateOps.MinBaseline) {
+        val mean = m.sum / m.n
+        val variance = math.max(0.0, m.sumsq / m.n - mean * mean)
+        val std = math.sqrt(variance)
+        if (math.abs(e.value - mean) > TransformWithStateOps.Sigmas * std)
+          alerts += AnomalyAlert(key, e.event_id, e.ts, e.value, m.n, mean, std)
+      }
+      m = Moments(m.n + 1, m.sum + e.value, m.sumsq + e.value * e.value)
+    }
+    mom.update(m)
+    alerts.result().iterator
+  }
+}
+
 /** Last-seen state for the inactivity detector. */
 case class LastSeen(lastUs: Long, n_events: Long)
 
@@ -132,6 +183,22 @@ object TransformWithStateOps {
     events.groupByKey(_.user_id)
       .transformWithState(
         new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Observations a key needs before the anomaly gate opens. */
+  val MinBaseline = 5L
+  /** Alert threshold in standard deviations of the running baseline. */
+  val Sigmas = 3.0
+
+  /** Streaming anomaly alerts (see [[AnomalyProcessor]]); same RocksDB-
+    * provider requirement as [[runningStats]].
+    */
+  def anomalyAlerts(events: Dataset[Event]): Dataset[AnomalyAlert] = {
+    implicit val outEnc = Encoders.product[AnomalyAlert]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Inactivity alerts via event-time timers (see [[InactivityProcessor]]);

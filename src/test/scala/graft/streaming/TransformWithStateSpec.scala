@@ -96,4 +96,72 @@ class TransformWithStateSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("anomaly gate: warm-up holds, a spike alerts once, batching is neutral") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = TransformWithStateOps.anomalyAlerts(ms.toDS())
+        .writeStream.format("memory").queryName("tws_anom")
+        .outputMode("append").start()
+      try {
+        // 5 alternating baseline points (mean 10.5, std 0.5) — the 5th
+        // would be "anomalous vs 2 points" under a naive gate; warm-up
+        // must hold every one of them back
+        ms.addData(ev(1, 1, 1L, 10.0), ev(2, 2, 1L, 11.0),
+          ev(3, 3, 1L, 10.0), ev(4, 4, 1L, 11.0), ev(5, 5, 1L, 10.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_anom").count() === 0)
+
+        // batch 2: one normal point, then a spike — state crossed batches
+        ms.addData(ev(6, 6, 1L, 11.0), ev(7, 7, 1L, 50.0))
+        q.processAllAvailable()
+        val alerts = spark.table("tws_anom").collect()
+        assert(alerts.length === 1)
+        val a = alerts.head
+        assert(a.getAs[Long]("event_id") === 7L)
+        assert(a.getAs[Double]("value") === 50.0)
+        assert(a.getAs[Long]("n_baseline") === 6L)
+        assert(a.getAs[Double]("mean_before") === 10.5)
+        assert(a.getAs[Double]("std_before") === 0.5)
+
+        // the spike joined the baseline; a normal point after it stays
+        // quiet (variance inflated by the spike — tested against moments
+        // BEFORE itself, not after)
+        ms.addData(ev(8, 8, 1L, 11.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_anom").count() === 1)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("anomaly gate: one big batch alerts identically to split batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = TransformWithStateOps.anomalyAlerts(ms.toDS())
+        .writeStream.format("memory").queryName("tws_anom2")
+        .outputMode("append").start()
+      try {
+        // the whole stream of the previous test in ONE batch — in-batch
+        // event-time ordering must produce the same single alert
+        ms.addData(ev(1, 1, 1L, 10.0), ev(2, 2, 1L, 11.0),
+          ev(3, 3, 1L, 10.0), ev(4, 4, 1L, 11.0), ev(5, 5, 1L, 10.0),
+          ev(6, 6, 1L, 11.0), ev(7, 7, 1L, 50.0), ev(8, 8, 1L, 11.0))
+        q.processAllAvailable()
+        val alerts = spark.table("tws_anom2").collect()
+        assert(alerts.length === 1)
+        assert(alerts.head.getAs[Long]("event_id") === 7L)
+        assert(alerts.head.getAs[Long]("n_baseline") === 6L)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
