@@ -12,7 +12,7 @@ import Q.t
 object Corpus3 {
 
   def pack: Seq[Q] = Seq(d69ClassifierQuality, d70BpePairCounts,
-    d71BpeMergeRound)
+    d71BpeMergeRound, d72SpanCorruption)
 
   /** Deterministic integer token weight in [−50, 50] — the stand-in for a
     * LEARNED lexicon weight (a real pipeline loads these from training;
@@ -170,4 +170,92 @@ object Corpus3 {
         substring(tok, i, 2) AS pair, count(*) AS cnt
       FROM merged, unnest(range(1, length(tok))) AS u(i)
       GROUP BY 1, 2 ORDER BY cnt DESC, pair LIMIT 20"""))
+
+  // d72 span-corruption geometry: a span STARTS where the (doc, pos) hash
+  // lands in 1/11 of the key space, and covers SpanLen consecutive tokens.
+  // Expected corruption rate ≈ SpanLen/11 ≈ 27% (T5 uses 15%; the rate is
+  // a hyperparameter, the LAYOUT dataflow is what this operator is).
+  private val SpanEvery = 11L
+  private val SpanLen = 3
+  private val SpanHashA = 2654435761L
+  private val SpanHashB = 40503L
+
+  /** The d72 core over any (doc_id, text) frame — exposed for specs. */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val starts = toks.filter(
+      expr(s"((doc_id % 1000003) * $SpanHashA + pos * $SpanHashB) % $SpanEvery")
+        === 0)
+      .select(col("doc_id"), col("pos"))
+    val masked = starts
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SpanLen - 1})")).as("mpos"))
+      .distinct()
+      .join(nTok, "doc_id")
+      .filter(col("mpos") < col("n_tokens")) // spans clip at the doc end
+    val spanAgg = starts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val maskAgg = masked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_masked"),
+        sum(expr("mpos * 2654435761 % 1000003")).as("mask_fingerprint"))
+    nTok.join(spanAgg, Seq("doc_id"), "left")
+      .join(maskAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        expr("coalesce(n_masked, 0) * 10000 div n_tokens").as("mask_bp"),
+        coalesce(col("mask_fingerprint"), lit(0L)).as("mask_fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d72: SPAN-CORRUPTION LAYOUT (T5-style denoising, Raffel et al. 2020)
+    * — choose mask spans over each document's token sequence and report
+    * the corruption geometry per doc: span count, masked-token count
+    * (overlapping spans merge, spans clip at the doc end), corruption
+    * rate in basis points, and an integer fingerprint of the exact masked
+    * positions so the oracle pins WHICH tokens masked, not just how many.
+    * Span starts come from a deterministic (doc_id, pos) hash — the
+    * stand-in for the seeded RNG a trainer uses; everything downstream
+    * (position explode, span expansion, overlap merge, clipping, the
+    * per-doc aggregate) is the production dataflow. All narrow per-doc
+    * ops: one posexplode, keyed aggregates — no shuffle wider than the
+    * (doc, position) rows.
+    */
+  val d72SpanCorruption: Q = Q(
+    "d72_span_corruption",
+    (s, dir) => spanCorruption(Q.spread(t(s, dir, "documents"), "doc_id")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos FROM (
+          SELECT doc_id, string_split(text, ' ') AS tt FROM documents) d,
+          unnest(range(0, len(d.tt))) AS u(i)),
+      ntok AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+      starts AS (
+        SELECT doc_id, pos FROM toks
+        WHERE ((doc_id % 1000003) * $SpanHashA + pos * $SpanHashB)
+          % $SpanEvery = 0),
+      masked AS (
+        SELECT DISTINCT s.doc_id, s.pos + u.o AS mpos
+        FROM starts s, unnest(range(0, $SpanLen)) AS u(o)),
+      clipped AS (
+        SELECT m.doc_id, m.mpos FROM masked m JOIN ntok USING (doc_id)
+        WHERE m.mpos < n_tokens),
+      spanagg AS (SELECT doc_id, count(*) AS n_spans FROM starts
+        GROUP BY doc_id),
+      maskagg AS (
+        SELECT doc_id, count(*) AS n_masked,
+          CAST(sum(mpos * 2654435761 % 1000003) AS BIGINT)
+            AS mask_fingerprint
+        FROM clipped GROUP BY doc_id)
+      SELECT n.doc_id, n.n_tokens,
+        coalesce(s.n_spans, 0) AS n_spans,
+        coalesce(m.n_masked, 0) AS n_masked,
+        coalesce(m.n_masked, 0) * 10000 // n.n_tokens AS mask_bp,
+        coalesce(m.mask_fingerprint, 0) AS mask_fingerprint
+      FROM ntok n
+        LEFT JOIN spanagg s ON n.doc_id = s.doc_id
+        LEFT JOIN maskagg m ON n.doc_id = m.doc_id
+      ORDER BY n.doc_id"""))
 }

@@ -10,7 +10,8 @@ import Q.t
   */
 object Relational5 {
 
-  def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff)
+  def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
+    q66MultitouchAttribution)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -167,4 +168,74 @@ object Relational5 {
         CAST(sum(CASE WHEN price_diff THEN 1 ELSE 0 END) AS BIGINT)
           AS price_changes
       FROM joined GROUP BY verdict ORDER BY verdict"""))
+
+  private val AttribWindowUs = 7L * 86400000000L // 7-day lookback
+  private val CreditScale = 1000000L
+
+  /** q66: LINEAR MULTI-TOUCH ATTRIBUTION — every purchase splits one unit
+    * of credit equally across the user's view/click touches in the 7 days
+    * before it (q37 is the last-touch variant; linear is what growth
+    * teams reconcile budgets against). Credit is integer-scaled
+    * (10⁶ div n_touches — deterministic truncation, no rational
+    * arithmetic), the per-purchase touch count comes from a window
+    * PARTITIONED by purchase, and the purchase×touch pairing is the q18
+    * bounded range join: user equi-key + time-band predicate, so join
+    * state is O(events in window) per user, never a cross product.
+    * Purchases with no touch window report as one `unattributed` row —
+    * the reconciliation total every attribution report must carry.
+    */
+  /** The q66 core over any (event_id, user_id, event_type, t) frame —
+    * exposed for planted-credit specs.
+    */
+  def multitouch(ev: DataFrame): DataFrame = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("t").as("pt"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("t").as("tt"))
+      val pairs = purchases.join(touches, Seq("user_id"))
+        .filter(col("tt") <= col("pt") &&
+          col("tt") > col("pt") - AttribWindowUs)
+      val credited = pairs.withColumn("n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("pid"))))
+        .withColumn("credit", expr(s"$CreditScale div n"))
+      val byType = credited.groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("credit")).as("credit_total"))
+      val unattributed = purchases
+        .join(pairs.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("unattributed").as("touch_type"), col("n_rows"),
+          lit(0L).as("credit_total"))
+      byType.unionAll(unattributed).orderBy(col("touch_type"))
+  }
+
+  val q66MultitouchAttribution: Q = Q(
+    "q66_multitouch_attribution",
+    (s, dir) => multitouch(Q.spread(t(s, dir, "events"), "event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))),
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+      p AS (
+        SELECT event_id AS pid, user_id, t AS pt FROM ev
+        WHERE event_type = 'purchase'),
+      tc AS (
+        SELECT user_id, event_type AS touch_type, t AS tt FROM ev
+        WHERE event_type IN ('view', 'click')),
+      pairs AS (
+        SELECT p.pid, tc.touch_type FROM p JOIN tc USING (user_id)
+        WHERE tc.tt <= p.pt AND tc.tt > p.pt - $AttribWindowUs),
+      credited AS (
+        SELECT touch_type,
+          $CreditScale // count(*) OVER (PARTITION BY pid) AS credit
+        FROM pairs)
+      SELECT touch_type, count(*) AS n_rows,
+        CAST(sum(credit) AS BIGINT) AS credit_total
+      FROM credited GROUP BY touch_type
+      UNION ALL
+      SELECT 'unattributed', count(*), 0 FROM p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid)
+      ORDER BY touch_type"""))
 }

@@ -139,6 +139,24 @@ class AnalyticsSpec extends SparkSpec {
       "unchanged" -> ((1L, 0L, 0L))))
   }
 
+  test("q66: planted touches split credit equally; orphan purchases report") {
+    // purchase 100 (user 1, t=1000): touches view@900, click@950 → 500000
+    // each; purchase 200 (user 2): no touches → unattributed; a touch
+    // AFTER the purchase (user 1 view@1100) must not credit
+    val ev = Seq(
+      (1L, 1L, "view", 900L), (2L, 1L, "click", 950L),
+      (100L, 1L, "purchase", 1000L), (3L, 1L, "view", 1100L),
+      (200L, 2L, "purchase", 500L))
+      .toDF("event_id", "user_id", "event_type", "t")
+    val got = Relational5.multitouch(ev).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("credit_total"))).toMap
+    assert(got === Map(
+      "view" -> ((1L, 500000L)),
+      "click" -> ((1L, 500000L)),
+      "unattributed" -> ((1L, 0L))))
+  }
+
   test("q62 plan: the bloom-word probe joins broadcast (constant-size build)") {
     val res = Relational4.q62BloomPrejoin.run(spark, sf0001)
     res.collect() // finalize AQE

@@ -64,4 +64,27 @@ class Corpus3Spec extends SparkSpec {
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toList
     assert(got === List(("Æa", 1L)))
   }
+
+  test("d72: span layout matches an independent recompute (overlap + clip)") {
+    // recompute the span geometry in plain Scala for two planted docs
+    def starts(doc: Long, n: Int): Seq[Int] = (0 until n).filter(p =>
+      ((doc % 1000003L) * 2654435761L + p * 40503L) % 11L == 0)
+    def maskedOf(doc: Long, n: Int): Seq[Int] =
+      starts(doc, n).flatMap(p => p to p + 2).distinct.filter(_ < n).sorted
+    val n1 = 40
+    val text1 = (1 to n1).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text1), (11L, "a b")).toDF("doc_id", "text")
+    val rows = Corpus3.spanCorruption(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val m7 = maskedOf(7L, n1)
+    assert(rows(7L).getAs[Long]("n_spans") === starts(7L, n1).length.toLong)
+    assert(rows(7L).getAs[Long]("n_masked") === m7.length.toLong)
+    assert(rows(7L).getAs[Long]("mask_fingerprint") ===
+      m7.map(p => p.toLong * 2654435761L % 1000003L).sum)
+    assert(rows(7L).getAs[Long]("mask_bp") === m7.length.toLong * 10000 / n1)
+    // doc 11 has 2 tokens: any span starting at pos 0/1 clips to n_tokens
+    val m11 = maskedOf(11L, 2)
+    assert(rows(11L).getAs[Long]("n_masked") === m11.length.toLong)
+    assert(rows(11L).getAs[Long]("n_masked") <= 2)
+  }
 }
