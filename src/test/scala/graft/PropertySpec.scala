@@ -145,6 +145,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-phase interval sweep equals a naive endpoint scan on random input") {
+    import spark.implicits._
+    val ivGen = for {
+      t0 <- Gen.choose(0L, 500L)
+      dur <- Gen.choose(1L, 200L)
+    } yield (t0, dur)
+    for (round <- 0 until 5) {
+      val ivs = (0 until 40).map(i =>
+        ivGen.pureApply(Gen.Parameters.default, Seed(round * 100L + i)))
+      val got = graft.ops.Relational4.peakConcurrency(ivs.toDF("t0", "dur"))
+        .collect().head
+      // naive reference: sweep all endpoints in (t, delta) order
+      val eps = ivs.flatMap { case (t0, d) => Seq((t0, 1), (t0 + d, -1)) }
+        .sortBy { case (t, delta) => (t, delta) }
+      var cur = 0L; var peak = 0L; var peakAt = Long.MaxValue
+      eps.foreach { case (t, delta) =>
+        cur += delta
+        if (cur > peak) { peak = cur; peakAt = t }
+      }
+      assert(got.getAs[Long]("peak_concurrency") === peak, s"round $round")
+      val at = got.getAs[java.sql.Timestamp]("first_peak_at").toInstant
+      assert(at.getEpochSecond * 1000000 + at.getNano / 1000 === peakAt,
+        s"round $round")
+    }
+  }
+
+  test("bloom pre-join never drops a true match on random key sets") {
+    import spark.implicits._
+    for (round <- 0 until 3) {
+      val dimKeys = sample(Gen.choose(1L, 5000L), 30 + round * 20).distinct
+      val factKeys = sample(Gen.choose(1L, 5000L), 300)
+      val r = graft.ops.Relational4.bloomPrejoin(
+        dimKeys.toDF("k"),
+        factKeys.map(k => (k, 1.0)).toDF("k", "l_extendedprice"))
+        .collect().head
+      val expectTrue = factKeys.count(dimKeys.toSet)
+      assert(r.getAs[Long]("n_true") === expectTrue.toLong, s"round $round")
+      assert(r.getAs[Long]("n_bloom_pass") >= expectTrue.toLong)
+      assert(r.getAs[Long]("n_bloom_pass") ===
+        r.getAs[Long]("n_true") + r.getAs[Long]("n_false_pos"))
+    }
+  }
+
+  test("converged k-core survivors all keep degree >= k on random graphs") {
+    import spark.implicits._
+    for (round <- 0 until 3) {
+      val pairs = sample(for {
+        a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+      } yield (math.min(a, b), math.max(a, b)), 40).distinct
+      val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+      val rows = graft.ops.Graph.kCore(sym, k = 3, rounds = 12).collect()
+      if (rows.nonEmpty) {
+        assert(rows.forall(_.getAs[Boolean]("converged")), s"round $round")
+        // internal consistency: the reported subgraph IS a 3-core — every
+        // survivor's edges to fellow survivors number >= 3
+        val alive = rows.map(_.getAs[Long]("node")).toSet
+        val deg = rows.map(r =>
+          r.getAs[Long]("node") -> r.getAs[Long]("core_degree")).toMap
+        val adj = (pairs ++ pairs.map(_.swap))
+          .filter(e => alive(e._1) && alive(e._2)).groupBy(_._1)
+        alive.foreach { n =>
+          val d = adj.getOrElse(n, Nil).map(_._2).toSet.size.toLong
+          assert(d === deg(n) && d >= 3L, s"round $round node $n")
+        }
+      }
+    }
+  }
+
   test("keepFirst is idempotent and keeps the minimum position per key") {
     import spark.implicits._
     val rows = sample(
