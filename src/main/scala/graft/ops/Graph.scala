@@ -14,7 +14,7 @@ import Q.t
 object Graph {
 
   def pack: Seq[Q] = Seq(g60PageRank, g61CcStar, g62Triangles,
-    g63PersonalizedPr, g64BfsHops, g65KCore)
+    g63PersonalizedPr, g64BfsHops, g65KCore, g66Hits)
 
   /** Fixed-point scale for integer PageRank: every rank is a BIGINT in
     * units of 10⁻¹², and every step (damping multiply, out-degree divide)
@@ -438,6 +438,95 @@ object Graph {
         .orderBy(col("doc_id"))
     },
     Clustering.d46DedupClusters.oracle)
+
+  // -------------------------------------------------------------------- HITS
+
+  private val HitsScale = 1000000L
+  private val HitsIters = 2
+
+  /** HITS (Kleinberg 1999) over the DIRECTED customer→supplier trade
+    * edges: authority(s) = Σ hub(c) over buyers, hub(c) = Σ authority(s)
+    * over sellers — mutual reinforcement, the other classic link-analysis
+    * eigenvector next to PageRank's random walk (here: hub = customer
+    * whose basket concentrates on authoritative suppliers; authority =
+    * supplier bought by strong hubs). Each half-step normalizes by the
+    * current MAX (integer 10⁶·x div max — one-row broadcast, exact), so
+    * scores stay bounded integers and every round is oracle-replayable.
+    *
+    * Scale shape: the edge list is cached TWICE, hash-partitioned on each
+    * endpoint (`ec` on c, `es` on s) — the GraphX convention — so both
+    * half-steps are shuffled-hash joins that move only the O(nodes) score
+    * table to co-located edges; the only broadcasts are one-row maxima.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val ec = edges.repartition(col("c")).persist(StorageLevel.MEMORY_AND_DISK)
+    val es = edges.repartition(col("s")).persist(StorageLevel.MEMORY_AND_DISK)
+    var hub = ec.select(col("c")).distinct()
+      .select(col("c"), lit(HitsScale).as("h")).localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = ec.join(hub.hint("shuffle_hash"), "c")
+        .groupBy(col("s")).agg(sum(col("h")).as("a"))
+      val aMax = aRaw.agg(max(col("a")).as("ma"))
+      val aN = aRaw.crossJoin(broadcast(aMax))
+        .select(col("s"), expr(s"a * $HitsScale div ma").as("a"))
+        .localCheckpoint(true)
+      if (auth != null) Q.releaseBlocks(auth)
+      auth = aN
+      val hRaw = es.join(auth.hint("shuffle_hash"), "s")
+        .groupBy(col("c")).agg(sum(col("a")).as("h"))
+      val hMax = hRaw.agg(max(col("h")).as("mh"))
+      val hN = hRaw.crossJoin(broadcast(hMax))
+        .select(col("c"), expr(s"h * $HitsScale div mh").as("h"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(hub)
+      hub = hN
+    }
+    val out = hub.select(lit("hub").as("kind"), col("c").as("key"),
+        col("h").as("score"))
+      .unionAll(auth.select(lit("authority").as("kind"), col("s").as("key"),
+        col("a").as("score")))
+      .orderBy(col("kind"), col("key"))
+      .localCheckpoint(true)
+    ec.unpersist(); es.unpersist()
+    Q.releaseBlocks(hub); Q.releaseBlocks(auth)
+    out
+  }
+
+  private def hitsIterSql(i: Int): String = s"""
+      a$i AS MATERIALIZED (
+        SELECT s, CAST(sum(h) AS BIGINT) AS a
+        FROM edges JOIN h${i - 1} USING (c) GROUP BY s),
+      an$i AS MATERIALIZED (
+        SELECT s, a * $HitsScale // (SELECT max(a) FROM a$i) AS a FROM a$i),
+      hr$i AS MATERIALIZED (
+        SELECT c, CAST(sum(a) AS BIGINT) AS h
+        FROM edges JOIN an$i USING (s) GROUP BY c),
+      h$i AS MATERIALIZED (
+        SELECT c, h * $HitsScale // (SELECT max(h) FROM hr$i) AS h
+        FROM hr$i)"""
+
+  val g66Hits: Q = Q(
+    "g66_hits",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      hits(edges, HitsIters)
+    },
+    Some(s"""
+      WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      h0 AS (SELECT DISTINCT c, $HitsScale AS h FROM edges),
+      ${(1 to HitsIters).map(hitsIterSql).mkString(",")}
+      SELECT 'hub' AS kind, c AS key, CAST(h AS BIGINT) AS score
+      FROM h$HitsIters
+      UNION ALL
+      SELECT 'authority', s, CAST(a AS BIGINT) FROM an$HitsIters
+      ORDER BY kind, key"""))
 
   // ------------------------------------------------------------------ k-core
 

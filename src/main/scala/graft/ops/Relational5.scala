@@ -11,7 +11,7 @@ import Q.t
 object Relational5 {
 
   def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
-    q66MultitouchAttribution)
+    q66MultitouchAttribution, q67PeriodMovers)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -238,4 +238,70 @@ object Relational5 {
       SELECT 'unattributed', count(*), 0 FROM p
       WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid)
       ORDER BY touch_type"""))
+
+  /** q67: PERIOD-OVER-PERIOD TOP MOVERS — revenue per nation for two
+    * adjacent years side by side, delta in exact cents, relative change
+    * in integer basis points, top 10 by absolute swing (the BI "what
+    * moved and why" report). One star join (dims broadcast) feeding one
+    * grouped conditional aggregation — the two periods come out of a
+    * single fact pass, not two scans — then a global top-k as
+    * TakeOrderedAndProject. The |delta| tie breaks on nation name, so
+    * the cut is deterministic.
+    */
+  val q67PeriodMovers: Q = Q(
+    "q67_period_movers",
+    (s, dir) => {
+      val li = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+      val rev = li
+        .join(t(s, dir, "orders").filter(
+          year(col("o_orderdate")).isin(1997, 1998)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === 1997, Q.discPrice))
+            .as("prev"),
+          sum(when(year(col("o_orderdate")) === 1998, Q.discPrice))
+            .as("cur"))
+        .select(col("n_name"),
+          // discPrice sums are scale-4 DECIMALs: x10000 makes them
+          // INTEGRAL before the bigint cast (a fractional cast would hit
+          // Spark-truncates vs DuckDB-rounds); delta_bp runs on |delta|
+          // with the sign re-applied, because the engines disagree on
+          // NEGATIVE integer division (trunc vs floor)
+          (coalesce(col("prev"), lit(0)) * 10000).cast("long").as("prev_e4"),
+          (coalesce(col("cur"), lit(0)) * 10000).cast("long").as("cur_e4"))
+        .select(col("n_name"), col("prev_e4"), col("cur_e4"),
+          (col("cur_e4") - col("prev_e4")).as("delta_e4"))
+        .withColumn("delta_bp",
+          signum(col("delta_e4")).cast("long") *
+            expr("abs(delta_e4) * 10000 div prev_e4"))
+      rev.orderBy(abs(col("delta_e4")).desc, col("n_name")).limit(10)
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT n_name,
+          sum(CASE WHEN year(o_orderdate) = 1997 THEN ${Q.sqlDiscPrice} END)
+            AS prev,
+          sum(CASE WHEN year(o_orderdate) = 1998 THEN ${Q.sqlDiscPrice} END)
+            AS cur
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) IN (1997, 1998)
+        GROUP BY n_name),
+      m AS (
+        SELECT n_name,
+          CAST(coalesce(prev, 0) * 10000 AS BIGINT) AS prev_e4,
+          CAST(coalesce(cur, 0) * 10000 AS BIGINT) AS cur_e4
+        FROM rev)
+      SELECT n_name, prev_e4, cur_e4,
+        cur_e4 - prev_e4 AS delta_e4,
+        CAST(sign(cur_e4 - prev_e4) AS BIGINT) *
+          (abs(cur_e4 - prev_e4) * 10000 // prev_e4) AS delta_bp
+      FROM m ORDER BY abs(cur_e4 - prev_e4) DESC, n_name LIMIT 10"""))
 }

@@ -11,7 +11,7 @@ import Q.t
   */
 object Similarity3 {
 
-  def pack: Seq[Q] = Seq(e68KmeansTrain)
+  def pack: Seq[Q] = Seq(e68KmeansTrain, e69HardNegatives)
 
   private val Grid = 512L
   private val KCents = 16
@@ -112,4 +112,66 @@ object Similarity3 {
       SELECT cid, dim, c - $Shift AS center_val, CAST(n AS BIGINT)
           AS n_members
       FROM cents$Iters ORDER BY cid, dim"""))
+
+  /** e69: HARD-NEGATIVE MINING — for each query, the top-k NEAREST
+    * candidates with a DIFFERENT label: the contrastive-training staple
+    * (a random negative is trivially far; the negatives that teach are
+    * the near-misses). e66 is the equality complement (search within my
+    * label); this is its training-side twin. The label constraint is a
+    * pre-filter on the scan side of the broadcast-queries pass — the
+    * corpus never shuffles and a query scores only rows the filter
+    * admits; at warehouse scale a label-partitioned layout turns the
+    * filter into partition pruning. Integer-grid L2 end to end.
+    */
+  val e69HardNegatives: Q = {
+    def l2 = (1 to 64).map { i =>
+      val d = element_at(col("qv"), i) - element_at(col("cv"), i)
+      d * d
+    }.reduce(_ + _)
+    def sqlL2 =
+      (1 to 64).map(i => s"(q.qv[$i]-c.cv[$i])*(q.qv[$i]-c.cv[$i])")
+        .mkString("+")
+    Q(
+      "e69_hard_negatives",
+      (s, dir) => {
+        val gv = Q.spread(t(s, dir, "embeddings"), "vec_id")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * Grid).cast("long")).as("gv"))
+        val q = gv.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("gv").as("qv"))
+        val c = gv.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("label").as("clabel"),
+            col("gv").as("cv"))
+        val scored = c.join(broadcast(q), col("clabel") =!= col("qlabel"))
+          .select(col("qid"), col("cid"), col("clabel"), l2.as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("cid"), col("clabel"), col("d2"),
+            col("rank"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+      WITH gv AS (
+        SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS gv
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS qlabel, gv AS qv
+            FROM gv WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, label AS clabel, gv AS cv
+            FROM gv WHERE vec_id >= 5),
+      scored AS (
+        SELECT qid, cid, clabel, $sqlL2 AS d2
+        FROM c JOIN q ON c.clabel <> q.qlabel)
+      SELECT qid, cid, clabel, d2, rank FROM (
+        SELECT qid, cid, clabel, d2,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, cid)
+            AS INT) AS rank
+        FROM scored) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+  }
 }

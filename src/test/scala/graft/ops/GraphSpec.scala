@@ -170,6 +170,20 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, k = 2, rounds = 3).collect().isEmpty)
   }
 
+  test("g66: two HITS rounds match the hand-computed integer recurrence") {
+    // c1→{s1,s2}, c2→{s1}; S=10^6, h0 = S each.
+    // a1 = (2S, S) → norm (S, S/2); h1 = (1.5S, S) → norm (S, 666666)
+    // a2 = (1666666, S) → norm (S, 600000); h2 = (1.6S, S) → (S, 625000)
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("c", "s")
+    val got = Graph.hits(edges, iters = 2).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("key")) ->
+        r.getAs[Long]("score")).toMap
+    assert(got(("hub", 1L)) === 1000000L)
+    assert(got(("hub", 2L)) === 625000L)
+    assert(got(("authority", 10L)) === 1000000L)
+    assert(got(("authority", 11L)) === 600000L)
+  }
+
   test("g64: frontier is incremental — settled nodes never re-enter") {
     // triangle: both 1 and 3 discovered at hop 1 stay at 1 despite the
     // 1-3 edge offering a hop-2 path

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** e69 hard-negative mining pins: the label constraint excludes the
+  * query's own class, ranks are dense per query, and the mined negatives
+  * really are the nearest wrong-label rows.
+  */
+class HardNegativesSpec extends SparkSpec {
+
+  test("e69: no mined negative shares its query's label; ranks are dense") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qLabels = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label"))
+      .toMap
+    val rows = graft.SparkEntry.queries("e69_hard_negatives")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("clabel") !== qLabels(r.getAs[Long]("qid")))
+    }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toList ===
+        (1 to rs.length).toList)
+      // distances are non-decreasing in rank — the negatives are truly
+      // the nearest wrong-label rows
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("d2"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q67: movers order by absolute swing with consistent delta columns") {
+    val rows = Relational5.q67PeriodMovers.run(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("delta_e4")
+      assert(d === r.getAs[Long]("cur_e4") - r.getAs[Long]("prev_e4"))
+      assert(math.signum(r.getAs[Long]("delta_bp").toDouble) ===
+        math.signum(d.toDouble))
+    }
+    val mags = rows.map(r => math.abs(r.getAs[Long]("delta_e4")))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
+  }
+}
