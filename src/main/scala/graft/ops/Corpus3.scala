@@ -12,7 +12,7 @@ import Q.t
 object Corpus3 {
 
   def pack: Seq[Q] = Seq(d69ClassifierQuality, d70BpePairCounts,
-    d71BpeMergeRound, d72SpanCorruption)
+    d71BpeMergeRound, d72SpanCorruption, d73VocabCoverage)
 
   /** Deterministic integer token weight in [−50, 50] — the stand-in for a
     * LEARNED lexicon weight (a real pipeline loads these from training;
@@ -258,4 +258,53 @@ object Corpus3 {
         LEFT JOIN spanagg s ON n.doc_id = s.doc_id
         LEFT JOIN maskagg m ON n.doc_id = m.doc_id
       ORDER BY n.doc_id"""))
+
+  private val VocabSize = 1000
+
+  /** d73: VOCABULARY COVERAGE / OOV-rate audit — build the top-N token
+    * vocabulary from corpus frequencies ((count, token) total order, so
+    * the N-boundary is deterministic) and report, per language, how many
+    * token occurrences fall outside it (in integer basis points). The
+    * tokenizer-evaluation loop every multilingual pipeline runs: a
+    * vocabulary trained on the majority language starves the rest, and
+    * this is the report that shows it. Vocabulary is top-k via
+    * orderBy+limit (TakeOrderedAndProject), broadcast back to the
+    * occurrence stream; per-language aggregates are one keyed pass.
+    */
+  val d73VocabCoverage: Q = Q(
+    "d73_vocab_coverage",
+    (s, dir) => {
+      val occ = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(VocabSize)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      occ.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(when(col("in_vocab").isNull, col("tok")))
+            .as("n_oov_types"))
+        .select(col("lang"), col("n_occurrences"), col("n_oov"),
+          col("n_oov_types"),
+          expr("n_oov * 10000 div n_occurrences").as("oov_bp"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH occ AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS cnt FROM occ GROUP BY tok)
+        ORDER BY cnt DESC, tok LIMIT $VocabSize),
+      flagged AS (
+        SELECT lang, tok,
+          EXISTS (SELECT 1 FROM vocab v WHERE v.tok = occ.tok) AS iv
+        FROM occ)
+      SELECT lang, count(*) AS n_occurrences,
+        CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        count(DISTINCT CASE WHEN NOT iv THEN tok END) AS n_oov_types,
+        CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) * 10000
+          // count(*) AS oov_bp
+      FROM flagged GROUP BY lang ORDER BY lang"""))
 }

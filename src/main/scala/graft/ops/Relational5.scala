@@ -11,7 +11,7 @@ import Q.t
 object Relational5 {
 
   def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
-    q66MultitouchAttribution, q67PeriodMovers)
+    q66MultitouchAttribution, q67PeriodMovers, q68TransitionMatrix)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -304,4 +304,48 @@ object Relational5 {
         CAST(sign(cur_e4 - prev_e4) AS BIGINT) *
           (abs(cur_e4 - prev_e4) * 10000 // prev_e4) AS delta_bp
       FROM m ORDER BY abs(cur_e4 - prev_e4) DESC, n_name LIMIT 10"""))
+
+  /** q68: USER-JOURNEY TRANSITION MATRIX — Markov counts between each
+    * user's consecutive event types plus row-stochastic probabilities in
+    * integer basis points: the "where do users go next" report behind
+    * funnel design and session-flow anomaly detection (q52's funnel is
+    * one fixed path; this is the full matrix). One user-partitioned `lag`
+    * window ordered by (time, event_id) — deterministic successor per
+    * event — then a keyed count bounded by |event types|²; the row
+    * normalizer is a window over that tiny matrix. Per-user state never
+    * leaves its partition; the matrix is constant-size at any scale.
+    */
+  val q68TransitionMatrix: Q = Q(
+    "q68_transition_matrix",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val ev = Q.spread(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      val matrix = ev.filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      matrix.withColumn("row_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 10000 div row_total").as("p_bp"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS from_type
+        FROM events),
+      m AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM ev WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+          AS p_bp
+      FROM m ORDER BY from_type, to_type"""))
 }

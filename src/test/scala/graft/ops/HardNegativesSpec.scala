@@ -41,4 +41,35 @@ class HardNegativesSpec extends SparkSpec {
     val mags = rows.map(r => math.abs(r.getAs[Long]("delta_e4")))
     assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q68: transitions reconcile — total pairs and row-stochastic bp") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    val rows = Relational5.q68TransitionMatrix.run(spark, sf0001).collect()
+    // every event except each user's first contributes exactly one pair
+    assert(rows.map(_.getAs[Long]("n")).sum === total - users)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val rowTotal = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach { r =>
+        assert(r.getAs[Long]("p_bp") ===
+          r.getAs[Long]("n") * 10000 / rowTotal)
+      }
+      // truncation: row sums to at most 10000 bp
+      assert(rs.map(_.getAs[Long]("p_bp")).sum <= 10000L)
+    }
+  }
+
+  test("d73: per-language OOV counts reconcile with the corpus totals") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val totalOcc = docs.select(explode(split(col("text"), " "))).count()
+    val rows = Corpus3.d73VocabCoverage.run(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_occurrences")).sum === totalOcc)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_occurrences"))
+      assert(r.getAs[Long]("oov_bp") ===
+        r.getAs[Long]("n_oov") * 10000 / r.getAs[Long]("n_occurrences"))
+    }
+  }
 }
