@@ -11,7 +11,8 @@ import Q.t
 object Relational5 {
 
   def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
-    q66MultitouchAttribution, q67PeriodMovers, q68TransitionMatrix)
+    q66MultitouchAttribution, q67PeriodMovers, q68TransitionMatrix,
+    q69ActiveUsers)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -348,4 +349,44 @@ object Relational5 {
         n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
           AS p_bp
       FROM m ORDER BY from_type, to_type"""))
+
+  /** q69: DAU / trailing-7-day WAU / stickiness — the engagement
+    * dashboard's first row. The fact stream collapses to DISTINCT
+    * (user, day) pairs first (the only data-volume pass); DAU is a keyed
+    * count over that, and WAU(d) joins each day against its trailing
+    * 7-day window of the SAME collapsed table — a (day × window) join
+    * bounded by the calendar on one side, with the distinct-user count
+    * per (day, window) keyed. Stickiness = DAU·10⁴ div WAU in integer bp.
+    * Nothing here scales with raw events beyond the initial distinct.
+    */
+  val q69ActiveUsers: Q = Q(
+    "q69_active_users",
+    (s, dir) => {
+      val ud = Q.spread(t(s, dir, "events"), "event_id")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val days = ud.select(col("day")).distinct()
+      val wau = days.as("d")
+        .join(ud.as("u"),
+          col("u.day") <= col("d.day") &&
+            col("u.day") > date_sub(col("d.day"), 7))
+        .groupBy(col("d.day").as("day"))
+        .agg(countDistinct(col("u.user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 10000 div wau").as("stickiness_bp"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      wau AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM ud) d
+          JOIN ud u ON u.day <= d.day AND u.day > d.day - 7
+        GROUP BY d.day)
+      SELECT day, dau, wau, dau * 10000 // wau AS stickiness_bp
+      FROM dau JOIN wau USING (day) ORDER BY day"""))
 }

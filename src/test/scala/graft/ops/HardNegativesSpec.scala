@@ -60,6 +60,27 @@ class HardNegativesSpec extends SparkSpec {
     }
   }
 
+  test("q69: WAU bounds DAU and matches a driver-side window recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational5.q69ActiveUsers.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ud = Q.t(spark, sf0001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[Long]("user_id")))
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val expectWau = ud.filter { case (ud2, _) =>
+        !ud2.isAfter(d) && ud2.isAfter(d.minusDays(7)) }.map(_._2).distinct.length
+      val expectDau = ud.count(_._1 == d)
+      assert(r.getAs[Long]("dau") === expectDau.toLong)
+      assert(r.getAs[Long]("wau") === expectWau.toLong)
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      assert(r.getAs[Long]("stickiness_bp") ===
+        r.getAs[Long]("dau") * 10000 / r.getAs[Long]("wau"))
+    }
+  }
+
   test("d73: per-language OOV counts reconcile with the corpus totals") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     import org.apache.spark.sql.functions._
