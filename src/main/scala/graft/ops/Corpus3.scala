@@ -12,7 +12,8 @@ import Q.t
 object Corpus3 {
 
   def pack: Seq[Q] = Seq(d69ClassifierQuality, d70BpePairCounts,
-    d71BpeMergeRound, d72SpanCorruption, d73VocabCoverage)
+    d71BpeMergeRound, d72SpanCorruption, d73VocabCoverage,
+    d74WeightedSystematic)
 
   /** Deterministic integer token weight in [−50, 50] — the stand-in for a
     * LEARNED lexicon weight (a real pipeline loads these from training;
@@ -307,4 +308,62 @@ object Corpus3 {
         CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) * 10000
           // count(*) AS oov_bp
       FROM flagged GROUP BY lang ORDER BY lang"""))
+
+  private val SystematicTarget = 25L // ≈ picks per corpus
+  private val SysShard = 100L        // doc_ids per cumsum shard
+
+  /** d74: WEIGHTED SYSTEMATIC SAMPLING (probability-proportional-to-size,
+    * fixed-grid variant) — walk the corpus in doc order accumulating
+    * weight (n_chars = the token-budget proxy), and select every document
+    * whose cumulative interval crosses a multiple of the step
+    * T = total÷target: big docs are picked with probability ∝ size, tiny
+    * docs can only be picked when the grid lands inside them, and the
+    * sample hits the budget target EXACTLY without RNG — the
+    * survey-statistics PPS technique applied to corpus subsampling.
+    * The cumulative walk is the d50 two-phase prefix sum (per-shard
+    * window + broadcast shard prefixes); selection is then a pure row
+    * predicate: ⌊cum_before/T⌋ < ⌊cum_after/T⌋ — all integer.
+    */
+  val d74WeightedSystematic: Q = Q(
+    "d74_weighted_systematic",
+    (s, dir) => {
+      val w = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("n_chars").as("w"))
+        .withColumn("shard", expr(s"doc_id div $SysShard"))
+      val local = w.withColumn("run",
+        sum(col("w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("doc_id"))))
+      val prefixes = w.groupBy(col("shard")).agg(sum(col("w")).as("tot"))
+        .withColumn("prefix",
+          coalesce(sum(col("tot")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("shard"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("prefix"))
+      val total = w.agg(sum(col("w")).as("total"))
+      local.join(broadcast(prefixes), "shard")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("w"),
+          (col("run") + col("prefix")).as("cum_after"),
+          expr(s"total div $SystematicTarget").as("step"))
+        .filter(expr("(cum_after - w) div step < cum_after div step"))
+        .select(col("doc_id"), col("w"), col("cum_after"),
+          expr("cum_after div step").as("grid_idx"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, n_chars AS w FROM documents),
+      cum AS (
+        SELECT doc_id, w,
+          CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum_after
+        FROM w),
+      s AS (SELECT CAST(sum(w) AS BIGINT) // $SystematicTarget AS step
+            FROM w)
+      SELECT doc_id, w, cum_after,
+        cum_after // (SELECT step FROM s) AS grid_idx
+      FROM cum
+      WHERE (cum_after - w) // (SELECT step FROM s)
+        < cum_after // (SELECT step FROM s)
+      ORDER BY doc_id"""))
 }

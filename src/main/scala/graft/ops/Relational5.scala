@@ -12,7 +12,7 @@ object Relational5 {
 
   def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
     q66MultitouchAttribution, q67PeriodMovers, q68TransitionMatrix,
-    q69ActiveUsers)
+    q69ActiveUsers, q70SoleLateSupplier)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -389,4 +389,55 @@ object Relational5 {
         GROUP BY d.day)
       SELECT day, dau, wau, dau * 10000 // wau AS stickiness_bp
       FROM dau JOIN wau USING (day) ORDER BY day"""))
+
+  /** q70: the TPC-H Q21 pattern ("suppliers who kept orders waiting") on
+    * this schema — for multi-supplier orders, the supplier who was the
+    * ONLY late shipper (ship date > 90 days after order date), counted
+    * per supplier, top 20. The classic formulation is DOUBLY correlated
+    * (EXISTS another supplier on the order AND NOT EXISTS another LATE
+    * one) — the decorrelation stress test. The Spark side runs the
+    * scalable AGGREGATE REWRITE: one pass computes per-order distinct
+    * supplier and distinct-late-supplier counts, the late rows join back,
+    * and the filter (≥2 suppliers, exactly 1 late) replaces both
+    * correlated subqueries — two keyed shuffles total, no per-row
+    * subquery execution. The ORACLE keeps the textbook EXISTS/NOT EXISTS
+    * form, so the hash match PROVES the rewrite's equivalence.
+    */
+  val q70SoleLateSupplier: Q = Q(
+    "q70_sole_late_supplier",
+    (s, dir) => {
+      val li = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+      val perOrder = li.groupBy(col("ok"))
+        .agg(countDistinct(col("sk")).as("n_supp"),
+          countDistinct(when(col("late"), col("sk"))).as("n_late"))
+      val pairs = li.filter(col("late"))
+        .select(col("ok"), col("sk")).distinct()
+        .join(perOrder.hint("shuffle_hash"), "ok")
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      pairs.join(broadcast(t(s, dir, "supplier")),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk,
+          date_diff('day', o_orderdate, l_shipdate) > 90 AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      sole AS (
+        SELECT DISTINCT l1.ok, l1.sk FROM li l1
+        WHERE l1.late
+          AND EXISTS (
+            SELECT 1 FROM li l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+          AND NOT EXISTS (
+            SELECT 1 FROM li l3
+            WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late))
+      SELECT s_name, count(*) AS numwait
+      FROM sole JOIN supplier ON sk = s_suppkey
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
 }

@@ -81,6 +81,54 @@ class HardNegativesSpec extends SparkSpec {
     }
   }
 
+  test("q70: aggregate rewrite equals a literal sole-late recompute") {
+    import org.apache.spark.sql.functions._
+    val li = Q.t(spark, sf0001, "lineitem")
+      .join(Q.t(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey"),
+        r.getAs[Boolean]("late")))
+    // literal Q21 semantics, computed naively per order
+    val byOrder = li.groupBy(_._1)
+    val soleLate = byOrder.values.flatMap { rows =>
+      val supps = rows.map(_._2).distinct
+      val late = rows.filter(_._3).map(_._2).distinct
+      if (supps.length >= 2 && late.length == 1) late else Nil
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val names = Q.t(spark, sf0001, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val expect = soleLate.toSeq
+      .map { case (sk, n) => (names(sk), n) }
+      .sortBy { case (nm, n) => (-n, nm) }.take(20)
+    val got = Relational5.q70SoleLateSupplier.run(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait"))).toSeq
+    assert(got === expect)
+  }
+
+  test("d74: the distributed grid walk equals a sequential recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+      .sortBy(_._1)
+    val total = docs.map(_._2).sum
+    val step = total / 25
+    var cum = 0L
+    val expect = docs.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      if (before / step < cum / step) Some(id) else None
+    }.toList
+    val got = Corpus3.d74WeightedSystematic.run(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toList
+    assert(got === expect)
+    // PPS property: every doc at least `step` wide is always selected
+    docs.filter(_._2 >= step).foreach { case (id, _) =>
+      assert(got.contains(id))
+    }
+  }
+
   test("d73: per-language OOV counts reconcile with the corpus totals") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     import org.apache.spark.sql.functions._
