@@ -12,7 +12,7 @@ object Relational5 {
 
   def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
     q66MultitouchAttribution, q67PeriodMovers, q68TransitionMatrix,
-    q69ActiveUsers, q70SoleLateSupplier)
+    q69ActiveUsers, q70SoleLateSupplier, q71JoinIvm)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -440,4 +440,46 @@ object Relational5 {
       SELECT s_name, count(*) AS numwait
       FROM sole JOIN supplier ON sk = s_suppkey
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+
+  /** q71: INCREMENTAL VIEW MAINTENANCE for a JOIN — q56 maintains an
+    * AGGREGATE under deltas; this maintains a materialized JOIN view with
+    * the classic delta identity
+    * Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB:
+    * the Spark side builds the new view as old-view ∪ the three delta
+    * terms (insert deltas carved deterministically out of orders and
+    * customer by mod cohorts), while the ORACLE aggregates the plain full
+    * join — the hash match proves the maintenance lossless. At warehouse
+    * scale the delta terms are the whole point: ΔA⋈B touches only delta
+    * keys (a keyed semi-sized join), never the full fact re-join; the
+    * old view is already materialized and only appended to.
+    */
+  val q71JoinIvm: Q = Q(
+    "q71_join_ivm",
+    (s, dir) => {
+      val o = Q.spread(t(s, dir, "orders"), "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .as("price"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val oOld = o.filter(col("o_orderkey") % 101 =!= 0)
+      val oDelta = o.filter(col("o_orderkey") % 101 === 0)
+      val cOld = c.filter(col("c_custkey") % 97 =!= 0)
+      val cDelta = c.filter(col("c_custkey") % 97 === 0)
+      val key = col("o_custkey") === col("c_custkey")
+      val oldView = oOld.join(cOld, key)
+      val deltaTerms = oDelta.join(cOld, key)
+        .unionAll(oOld.join(cDelta, key))
+        .unionAll(oDelta.join(cDelta, key))
+      oldView.unionAll(deltaTerms)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 }
