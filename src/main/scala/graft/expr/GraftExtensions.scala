@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectFunction(GraftFunctions.dotProductDescriptor)
+    e.injectPlannerStrategy(graft.plans.TopKPerKeyStrategy.apply)
   }
 }
 
@@ -54,5 +55,12 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("dot_product")))
       reg.createOrReplaceTempFunction(
         "dot_product", dotProductDescriptor._3, "built-in")
+    // planner strategy for the custom per-key top-k physical operator
+    // (idempotent, same reasoning as above)
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          graft.plans.TopKPerKeyStrategy(spark)
   }
 }

@@ -11,7 +11,33 @@ import Q.t
   */
 object CustomExprQueries {
 
-  def pack: Seq[Q] = Seq(e52CosineExpr, q26TopKUdaf, q53CmsHeavyHitters)
+  def pack: Seq[Q] = Seq(e52CosineExpr, q26TopKUdaf, q53CmsHeavyHitters,
+    q72TopkPhysical)
+
+  /** q72: q07's per-brand top-3 re-planned through the CUSTOM PHYSICAL
+    * OPERATOR ([[graft.plans.TopKPerKeyNode]] → partial/final
+    * [[graft.plans.TopKPerKeyExec]] via the injected strategy) instead of
+    * a rank window. Same rows, same oracle as q07 — the hash match plus
+    * the plan-shape spec prove the operator end to end. The point at
+    * scale: the window form shuffles EVERY aggregated row to its key's
+    * partition; the operator's partial stage caps shuffle input at
+    * k rows per (key, partition) — the partial/final contract hash
+    * aggregation uses, applied to top-k.
+    */
+  val q72TopkPhysical: Q = Q(
+    "q72_topk_physical",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem")
+      val part = broadcast(t(s, dir, "part"))
+      val rev = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(sum(Q.discPrice).cast("double").as("revenue"))
+      graft.plans.TopKPerKey.topK(rev, Seq(col("p_brand")),
+          Seq(col("revenue").desc, col("l_partkey")), 3)
+        .orderBy(col("p_brand"), col("revenue").desc, col("l_partkey"))
+    },
+    Relational.q07TopKPerBrand.oracle)
 
   /** e50's top-k re-run through the native expression — the throughput
     * path. Scores match the HOF/decimal variant to ~1e-15; output rounds to
