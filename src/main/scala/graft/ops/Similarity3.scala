@@ -11,7 +11,7 @@ import Q.t
   */
 object Similarity3 {
 
-  def pack: Seq[Q] = Seq(e68KmeansTrain, e69HardNegatives)
+  def pack: Seq[Q] = Seq(e68KmeansTrain, e69HardNegatives, e70RadiusSearch)
 
   private val Grid = 512L
   private val KCents = 16
@@ -173,5 +173,62 @@ object Similarity3 {
             AS INT) AS rank
         FROM scored) t
       WHERE rank <= 10 ORDER BY qid, rank"""))
+  }
+
+  /** e70: FIXED-RADIUS SEARCH — every candidate within integer-grid L2
+    * distance r of the query, plus a per-query census row shape (count +
+    * nearest-in-radius), the OTHER canonical vector API next to top-k:
+    * dedup thresholds, geo/embedding "everything this close", and density
+    * estimation all ask radius questions, and a top-k API answers them
+    * wrongly at both extremes (dense queries truncate, sparse queries
+    * pad with junk). Same broadcast-queries scan shape as e50/e69; the
+    * radius predicate prunes map-side, so only in-radius (qid, cid, d²)
+    * rows ever shuffle. The radius is a squared-grid-integer constant —
+    * exact in both engines.
+    */
+  val e70RadiusSearch: Q = {
+    def l2 = (1 to 64).map { i =>
+      val d = element_at(col("qv"), i) - element_at(col("cv"), i)
+      d * d
+    }.reduce(_ + _)
+    def sqlL2 =
+      (1 to 64).map(i => s"(q.qv[$i]-c.cv[$i])*(q.qv[$i]-c.cv[$i])")
+        .mkString("+")
+    val R2 = 400000L // squared grid radius: selective (~5-15%) but non-empty
+    Q(
+      "e70_radius_search",
+      (s, dir) => {
+        val gv = Q.spread(t(s, dir, "embeddings"), "vec_id")
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * Grid).cast("long")).as("gv"))
+        val q = gv.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("gv").as("qv"))
+        val c = gv.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("gv").as("cv"))
+        c.crossJoin(broadcast(q))
+          .select(col("qid"), col("cid"), l2.as("d2"))
+          .filter(col("d2") <= R2)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_in_radius"),
+            min(col("d2")).as("nearest_d2"),
+            max(col("d2")).as("farthest_d2"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+      WITH gv AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS gv
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, gv AS qv FROM gv WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, gv AS cv FROM gv WHERE vec_id >= 5),
+      scored AS (
+        SELECT qid, cid, $sqlL2 AS d2 FROM c CROSS JOIN q)
+      SELECT qid, count(*) AS n_in_radius,
+        CAST(min(d2) AS BIGINT) AS nearest_d2,
+        CAST(max(d2) AS BIGINT) AS farthest_d2
+      FROM scored WHERE d2 <= $R2
+      GROUP BY qid ORDER BY qid"""))
   }
 }
