@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrde
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftops.Bridge
 
 /** A WHOLE-OPERATOR Catalyst extension: per-key top-k as a first-class
@@ -51,6 +52,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  // the partial stage's numOutputRows IS the pruning evidence: it bounds
+  // what crosses the exchange at keys-per-partition × k
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
+
   override protected def withNewChildInternal(newChild: SparkPlan)
       : TopKPerKeyExec = copy(child = newChild)
 
@@ -59,6 +65,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortExprs = order
     val childOutput = child.output
     val limit = k
+    val outRows = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortExprs, childOutput)
@@ -81,7 +88,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      heaps.valuesIterator.flatMap(_.iterator).map { r =>
+        outRows += 1
+        r
+      }
     }
   }
 }

@@ -47,6 +47,33 @@ class TopKPerKeySpec extends SparkSpec {
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, plan)
   }
 
+  test("metrics: the partial stage emits at most keys×partitions×k rows") {
+    // 1000 rows, 3 keys, 5 partitions, k=2 → partial bound 3·5·2 = 30.
+    // AQE off so the executed tree holds the LIVE metric instances
+    // (adaptive stages re-instantiate plan copies whose accumulators
+    // stay at zero).
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1L to 1000L).map(i => (s"k${i % 3}", i)).toDF("key", "id")
+        .repartition(5)
+      val res = TopKPerKey.topK(df, Seq(col("key")), Seq(col("id")), 2)
+      // collect() (not count()) — count() builds a SEPARATE QueryExecution
+      // whose metrics are the ones that tick
+      assert(res.collect().length === 6) // 3 keys × 2
+      val partials = res.queryExecution.executedPlan.collect {
+        case t: TopKPerKeyExec if t.partial => t }
+      assert(partials.nonEmpty, res.queryExecution.executedPlan.toString)
+      val emitted = partials.head.metrics("numOutputRows").value
+      assert(emitted <= 30, s"partial emitted $emitted rows — pruning broken")
+      assert(emitted >= 6)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+      case None => conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("k larger than any group returns everything; ties break on the id") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0),
       ("b", 4L, 1.0)).toDF("key", "id", "score").repartition(3)
