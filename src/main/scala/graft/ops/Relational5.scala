@@ -12,7 +12,7 @@ object Relational5 {
 
   def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
     q66MultitouchAttribution, q67PeriodMovers, q68TransitionMatrix,
-    q69ActiveUsers, q70SoleLateSupplier, q71JoinIvm)
+    q69ActiveUsers, q70SoleLateSupplier, q71JoinIvm, q73RatioToReport)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -482,4 +482,53 @@ object Relational5 {
         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** q73: RATIO-TO-REPORT — each nation's revenue as a share of its
+    * region (window sum over the aggregated rows) AND of the global total
+    * (one-row broadcast), both in integer basis points on exact scale-4
+    * units. The classic "percent of total" report: the windows and the
+    * total run over the ALREADY-AGGREGATED nation rows (25 of them), so
+    * the share computation is free at any fact scale — the only
+    * data-volume work is the star-join aggregate that q03 already showed.
+    */
+  val q73RatioToReport: Q = Q(
+    "q73_ratio_to_report",
+    (s, dir) => {
+      val rev = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg((sum(Q.discPrice) * 10000).cast("long").as("rev_e4"))
+      val wRegion = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r_name"))
+      val total = rev.agg(sum(col("rev_e4")).as("tot_e4"))
+      rev.withColumn("region_e4", sum(col("rev_e4")).over(wRegion))
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"), col("rev_e4"),
+          expr("rev_e4 * 10000 div region_e4").as("share_of_region_bp"),
+          expr("rev_e4 * 10000 div tot_e4").as("share_of_total_bp"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT r_name, n_name,
+          CAST(sum(${Q.sqlDiscPrice}) * 10000 AS BIGINT) AS rev_e4
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, rev_e4,
+        rev_e4 * 10000 //
+          CAST(sum(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)
+          AS share_of_region_bp,
+        rev_e4 * 10000 // (SELECT CAST(sum(rev_e4) AS BIGINT) FROM rev)
+          AS share_of_total_bp
+      FROM rev ORDER BY r_name, n_name"""))
 }

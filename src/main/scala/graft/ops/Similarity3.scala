@@ -11,7 +11,8 @@ import Q.t
   */
 object Similarity3 {
 
-  def pack: Seq[Q] = Seq(e68KmeansTrain, e69HardNegatives, e70RadiusSearch)
+  def pack: Seq[Q] = Seq(e68KmeansTrain, e69HardNegatives, e70RadiusSearch,
+    e71PowerIteration)
 
   private val Grid = 512L
   private val KCents = 16
@@ -231,4 +232,78 @@ object Similarity3 {
       FROM scored WHERE d2 <= $R2
       GROUP BY qid ORDER BY qid"""))
   }
+
+  private val PowScale = 1000000L
+  private val PowIters = 2
+
+  /** e71: POWER ITERATION for the corpus's top singular direction — the
+    * matrix-free PCA building block (dimensionality reduction, whitening,
+    * spectral initialization): v ← Xᵀ(Xv), normalized, iterated. Nothing
+    * ever materializes XᵀX (64×64 here, but 10⁶×10⁶ for wide features) —
+    * each half-step is a keyed join + keyed sum over the LONG-FORMAT
+    * corpus ((id, dim, val) rows, the e68 discipline): s_id = Σ x·v joins
+    * on dim; u_dim = Σ s·x joins on id. Normalization after each round is
+    * integer max-scaling with the SIGN SPLIT (|u|·10⁶ div max|u|, sign
+    * re-applied — the engines disagree on negative division), so every
+    * round is exact in both engines and the converged direction is
+    * hash-oracled. Magnitude bound: |u| ≤ rows·dims·grid·scale ≈ 8×10¹⁵
+    * at sf0.1 — re-scale per half-step (not per round) before 10¹⁸ rows.
+    */
+  /** The e71 loop over any (vec_id, embedding) frame — exposed for the
+    * planted rank-1 spec.
+    */
+  def powerIteration(emb: DataFrame, iters: Int): DataFrame = {
+      val s = emb.sparkSession
+      val x = Q.spread(emb, "vec_id")
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            e => round(e.cast("double") * Grid).cast("long")))
+            .as(Seq("dim", "w")))
+        .localCheckpoint(true)
+      var v = s.range(0, 2 * 32).toDF("dim")
+        .select(col("dim").cast("int").as("dim"), lit(1000L).as("v"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val sv = x.join(broadcast(v), "dim")
+          .groupBy(col("vec_id")).agg(sum(col("w") * col("v")).as("s"))
+        val u = x.join(sv.hint("shuffle_hash"), "vec_id")
+          .groupBy(col("dim")).agg(sum(col("s") * col("w")).as("u"))
+        val m = u.agg(max(abs(col("u"))).as("m"))
+        val next = u.crossJoin(broadcast(m))
+          .select(col("dim"),
+            (signum(col("u")).cast("long") *
+              expr(s"abs(u) * $PowScale div m")).as("v"))
+          .localCheckpoint(true)
+        Q.releaseBlocks(v)
+        v = next
+      }
+      val out = v.orderBy(col("dim")).localCheckpoint(true)
+      Q.releaseBlocks(x)
+      Q.releaseBlocks(v)
+      out
+  }
+
+  val e71PowerIteration: Q = Q(
+    "e71_power_iteration",
+    (s, dir) => powerIteration(t(s, dir, "embeddings"), PowIters),
+    Some(s"""
+      WITH x AS MATERIALIZED (
+        SELECT vec_id, CAST(u.i AS INT) AS dim,
+          CAST(round(CAST(embedding[u.i + 1] AS DOUBLE) * $Grid) AS BIGINT)
+            AS w
+        FROM embeddings, range(0, 64) u(i)),
+      v0 AS (SELECT CAST(i AS INT) AS dim, CAST(1000 AS BIGINT) AS v
+             FROM range(0, 64) t(i)),
+      ${(1 to PowIters).map { r => s"""
+      s$r AS MATERIALIZED (
+        SELECT vec_id, CAST(sum(x.w * p.v) AS BIGINT) AS s
+        FROM x JOIN v${r - 1} p USING (dim) GROUP BY vec_id),
+      u$r AS MATERIALIZED (
+        SELECT dim, CAST(sum(s$r.s * x.w) AS BIGINT) AS u
+        FROM x JOIN s$r USING (vec_id) GROUP BY dim),
+      v$r AS MATERIALIZED (
+        SELECT dim, CAST(sign(u) AS BIGINT) *
+          (abs(u) * $PowScale // (SELECT max(abs(u)) FROM u$r)) AS v
+        FROM u$r)""" }.mkString(",")}
+      SELECT dim, v FROM v$PowIters ORDER BY dim"""))
 }

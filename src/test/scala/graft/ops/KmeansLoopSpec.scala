@@ -34,4 +34,30 @@ class KmeansLoopSpec extends SparkSpec {
       assert(r.getAs[Long]("center_val") === grid(c, d), s"cid $c dim $d")
     }
   }
+
+  test("e71: a rank-1 corpus recovers its direction exactly") {
+    import spark.implicits._
+    // u = (0.5, 0.25, 0, ..., 0) with power-of-two scales — every grid
+    // snap is EXACT, so the data is exactly rank-1 and the converged
+    // vector must be exactly (10^6, 500000, 0, ..., 0)
+    def v(scale: Float): Array[Float] =
+      Array.tabulate(64)(d => if (d == 0) 0.5f * scale
+        else if (d == 1) 0.25f * scale else 0f)
+    val emb = Seq((0L, v(1f)), (1L, v(2f)), (2L, v(0.5f)), (3L, v(0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity3.powerIteration(emb, iters = 2).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Long]("v")).toMap
+    assert(got(0) === 1000000L)
+    assert(got(1) === 500000L)
+    (2 until 64).foreach(d => assert(got(d) === 0L, s"dim $d"))
+  }
+
+  test("e71: the normalized output is bounded with the max dim at ±10^6") {
+    val rows = Similarity3.powerIteration(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), iters = 2).collect()
+    assert(rows.length === 64)
+    val vals = rows.map(_.getAs[Long]("v"))
+    assert(vals.map(math.abs).max === 1000000L)
+    assert(vals.forall(x => math.abs(x) <= 1000000L))
+  }
 }
