@@ -13,7 +13,7 @@ object Corpus3 {
 
   def pack: Seq[Q] = Seq(d69ClassifierQuality, d70BpePairCounts,
     d71BpeMergeRound, d72SpanCorruption, d73VocabCoverage,
-    d74WeightedSystematic)
+    d74WeightedSystematic, d75SplitBalance)
 
   /** Deterministic integer token weight in [−50, 50] — the stand-in for a
     * LEARNED lexicon weight (a real pipeline loads these from training;
@@ -366,4 +366,56 @@ object Corpus3 {
       WHERE (cum_after - w) // (SELECT step FROM s)
         < cum_after // (SELECT step FROM s)
       ORDER BY doc_id"""))
+
+  /** d75: SPLIT-BALANCE AUDIT — does the deterministic 80/10/10 hash
+    * split (d34's exact bucket function, ONE shared definition) stay
+    * balanced within every language? For each (split, lang) cell: actual
+    * count, the 80/10/10-proportional expectation on the language's
+    * total, and the signed deviation in integer basis points of expected.
+    * A drifted cell means the hash and a data attribute are correlated —
+    * the split-leakage check every ML-ops pipeline runs before trusting
+    * eval numbers. Two keyed aggregates over (split, lang) cells — the
+    * report is |splits|×|langs| rows at any scale. Deviation uses the
+    * sign-split integer division (engines disagree on negatives).
+    */
+  val d75SplitBalance: Q = Q(
+    "d75_split_balance",
+    (s, dir) => {
+      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("lang"), TextAnalysis.splitName.as("split"))
+      val cells = docs.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("lang_n"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("split"), col("lang"), col("n"), col("lang_n"),
+          expr("""lang_n * (CASE split WHEN 'train' THEN 80
+                  WHEN 'val' THEN 10 ELSE 10 END) div 100""")
+            .as("expected"))
+        .withColumn("deviation_bp",
+          signum(col("n") - col("expected")).cast("long") *
+            expr("abs(n - expected) * 10000 div greatest(expected, 1)"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT lang,
+          CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80
+                 THEN 'train'
+               WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      cells AS (
+        SELECT split, lang, count(*) AS n FROM docs GROUP BY split, lang),
+      totals AS (SELECT lang, count(*) AS lang_n FROM docs GROUP BY lang),
+      j AS (
+        SELECT split, cells.lang, n, lang_n,
+          lang_n * (CASE split WHEN 'train' THEN 80
+                    WHEN 'val' THEN 10 ELSE 10 END) // 100 AS expected
+        FROM cells JOIN totals ON cells.lang = totals.lang)
+      SELECT split, lang, n, lang_n, expected,
+        CAST(sign(n - expected) AS BIGINT) *
+          (abs(n - expected) * 10000 // greatest(expected, 1))
+          AS deviation_bp
+      FROM j ORDER BY split, lang"""))
 }

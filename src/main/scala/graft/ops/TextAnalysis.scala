@@ -35,7 +35,7 @@ object TextAnalysis {
     pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L))
 
   /** The 80/10/10 split name derived from [[splitBucket]]. */
-  private def splitName: Column =
+  private[ops] def splitName: Column =
     when(splitBucket < 80, "train").when(splitBucket < 90, "val")
       .otherwise("test")
 
