@@ -465,11 +465,17 @@ object Graph {
       .select(col("c"), lit(HitsScale).as("h")).localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // overflow-guarded normalization (the e71 shift): scores reach
+      // Scale·max_degree, so score·10⁶ overflows BIGINT past ~9×10⁶-degree
+      // hubs; dividing score and max by d = max div 2⁴³ + 1 first keeps
+      // the multiply in range and is the EXACT formula whenever d = 1
       val aRaw = ec.join(hub.hint("shuffle_hash"), "c")
         .groupBy(col("s")).agg(sum(col("h")).as("a"))
       val aMax = aRaw.agg(max(col("a")).as("ma"))
       val aN = aRaw.crossJoin(broadcast(aMax))
-        .select(col("s"), expr(s"a * $HitsScale div ma").as("a"))
+        .withColumn("da", expr(s"ma div ${1L << 43} + 1"))
+        .select(col("s"),
+          expr(s"(a div da) * $HitsScale div (ma div da)").as("a"))
         .localCheckpoint(true)
       if (auth != null) Q.releaseBlocks(auth)
       auth = aN
@@ -477,7 +483,9 @@ object Graph {
         .groupBy(col("c")).agg(sum(col("a")).as("h"))
       val hMax = hRaw.agg(max(col("h")).as("mh"))
       val hN = hRaw.crossJoin(broadcast(hMax))
-        .select(col("c"), expr(s"h * $HitsScale div mh").as("h"))
+        .withColumn("dh", expr(s"mh div ${1L << 43} + 1"))
+        .select(col("c"),
+          expr(s"(h div dh) * $HitsScale div (mh div dh)").as("h"))
         .localCheckpoint(true)
       Q.releaseBlocks(hub)
       hub = hN
@@ -497,13 +505,20 @@ object Graph {
       a$i AS MATERIALIZED (
         SELECT s, CAST(sum(h) AS BIGINT) AS a
         FROM edges JOIN h${i - 1} USING (c) GROUP BY s),
+      am$i AS (
+        SELECT max(a) AS m, max(a) // ${1L << 43} + 1 AS d FROM a$i),
       an$i AS MATERIALIZED (
-        SELECT s, a * $HitsScale // (SELECT max(a) FROM a$i) AS a FROM a$i),
+        SELECT s, (a // (SELECT d FROM am$i)) * $HitsScale
+          // ((SELECT m FROM am$i) // (SELECT d FROM am$i)) AS a
+        FROM a$i),
       hr$i AS MATERIALIZED (
         SELECT c, CAST(sum(a) AS BIGINT) AS h
         FROM edges JOIN an$i USING (s) GROUP BY c),
+      hm$i AS (
+        SELECT max(h) AS m, max(h) // ${1L << 43} + 1 AS d FROM hr$i),
       h$i AS MATERIALIZED (
-        SELECT c, h * $HitsScale // (SELECT max(h) FROM hr$i) AS h
+        SELECT c, (h // (SELECT d FROM hm$i)) * $HitsScale
+          // ((SELECT m FROM hm$i) // (SELECT d FROM hm$i)) AS h
         FROM hr$i)"""
 
   val g66Hits: Q = Q(

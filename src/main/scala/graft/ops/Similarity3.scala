@@ -246,8 +246,12 @@ object Similarity3 {
     * integer max-scaling with the SIGN SPLIT (|u|·10⁶ div max|u|, sign
     * re-applied — the engines disagree on negative division), so every
     * round is exact in both engines and the converged direction is
-    * hash-oracled. Magnitude bound: |u| ≤ rows·dims·grid·scale ≈ 8×10¹⁵
-    * at sf0.1 — re-scale per half-step (not per round) before 10¹⁸ rows.
+    * hash-oracled. Overflow guard: |u| reaches rows·dims·grid·scale
+    * (≈10¹⁷ at sf0.1), so |u|·10⁶ would overflow BIGINT — u and max|u|
+    * are first both divided by d = max|u| div 2⁴³ + 1 (d = 1 on small
+    * corpora, so the formula degrades to the exact one; identical
+    * arithmetic in both engines either way, and (m div d)·10⁶ < 2⁶³ by
+    * construction).
     */
   /** The e71 loop over any (vec_id, embedding) frame — exposed for the
     * planted rank-1 spec.
@@ -270,9 +274,10 @@ object Similarity3 {
           .groupBy(col("dim")).agg(sum(col("s") * col("w")).as("u"))
         val m = u.agg(max(abs(col("u"))).as("m"))
         val next = u.crossJoin(broadcast(m))
+          .withColumn("d", expr(s"m div ${1L << 43} + 1"))
           .select(col("dim"),
             (signum(col("u")).cast("long") *
-              expr(s"abs(u) * $PowScale div m")).as("v"))
+              expr(s"(abs(u) div d) * $PowScale div (m div d)")).as("v"))
           .localCheckpoint(true)
         Q.releaseBlocks(v)
         v = next
@@ -301,9 +306,13 @@ object Similarity3 {
       u$r AS MATERIALIZED (
         SELECT dim, CAST(sum(s$r.s * x.w) AS BIGINT) AS u
         FROM x JOIN s$r USING (vec_id) GROUP BY dim),
+      m$r AS (
+        SELECT max(abs(u)) AS m, max(abs(u)) // ${1L << 43} + 1 AS d
+        FROM u$r),
       v$r AS MATERIALIZED (
         SELECT dim, CAST(sign(u) AS BIGINT) *
-          (abs(u) * $PowScale // (SELECT max(abs(u)) FROM u$r)) AS v
+          ((abs(u) // (SELECT d FROM m$r)) * $PowScale
+            // ((SELECT m FROM m$r) // (SELECT d FROM m$r))) AS v
         FROM u$r)""" }.mkString(",")}
       SELECT dim, v FROM v$PowIters ORDER BY dim"""))
 }
