@@ -12,7 +12,7 @@ import Q.t
 object Similarity3 {
 
   def pack: Seq[Q] = Seq(e68KmeansTrain, e69HardNegatives, e70RadiusSearch,
-    e71PowerIteration)
+    e71PowerIteration, e72IvfBalance)
 
   private val Grid = 512L
   private val KCents = 16
@@ -315,4 +315,65 @@ object Similarity3 {
             // ((SELECT m FROM m$r) // (SELECT d FROM m$r))) AS v
         FROM u$r)""" }.mkString(",")}
       SELECT dim, v FROM v$PowIters ORDER BY dim"""))
+
+  /** e72: IVF LIST-BALANCE AUDIT — per-list member counts and share of
+    * corpus (integer bp) for the e68-style grid assignment, plus each
+    * list's ratio-to-mean in bp: the index-health check run BEFORE
+    * deploying an IVF index (one hot list = one hot probe = the index's
+    * p99; rebalance/re-train when the ratio drifts). Same dataflow as one
+    * e68 assignment round (dim-keyed long-format distances, packed
+    * integer argmin — no float surface), then one keyed count; the report
+    * is K rows at any corpus size.
+    */
+  val e72IvfBalance: Q = Q(
+    "e72_ivf_balance",
+    (s, dir) => {
+      val vecs = Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            e => round(e.cast("double") * Grid).cast("long") + Shift))
+            .as(Seq("dim", "w")))
+      val cents = vecs.filter(col("vec_id") < KCents)
+        .select(col("vec_id").as("cid"), col("dim"), col("w").as("c"))
+      val assign = vecs.join(broadcast(cents), "dim")
+        .select(col("vec_id"), col("cid"),
+          ((col("w") - col("c")) * (col("w") - col("c"))).as("d2"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("d2")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d") * KCents + col("cid")).as("pk"))
+        .select(col("vec_id"), pmod(col("pk"), lit(KCents.toLong)).as("cid"))
+      val n = assign.agg(count(lit(1)).as("n_vectors"))
+      assign.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        .crossJoin(broadcast(n))
+        .select(col("cid"), col("n_members"), col("n_vectors"),
+          expr("n_members * 10000 div n_vectors").as("share_bp"),
+          expr(s"n_members * $KCents * 10000 div n_vectors")
+            .as("ratio_to_mean_bp"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH vecs AS MATERIALIZED (
+        SELECT vec_id, CAST(u.i AS INT) AS dim,
+          CAST(round(CAST(embedding[u.i + 1] AS DOUBLE) * $Grid) AS BIGINT)
+            + $Shift AS w
+        FROM embeddings, range(0, 64) u(i)),
+      cents AS MATERIALIZED (
+        SELECT vec_id AS cid, dim, w AS c FROM vecs WHERE vec_id < $KCents),
+      dist AS MATERIALIZED (
+        SELECT v.vec_id, c.cid,
+          CAST(sum((v.w - c.c) * (v.w - c.c)) AS BIGINT) AS d
+        FROM vecs v JOIN cents c ON v.dim = c.dim
+        GROUP BY v.vec_id, c.cid),
+      assign AS MATERIALIZED (
+        SELECT vec_id, CAST(min(d * $KCents + cid) % $KCents AS BIGINT)
+          AS cid
+        FROM dist GROUP BY vec_id),
+      n AS (SELECT count(*) AS n_vectors FROM assign)
+      SELECT cid, count(*) AS n_members,
+        (SELECT n_vectors FROM n) AS n_vectors,
+        count(*) * 10000 // (SELECT n_vectors FROM n) AS share_bp,
+        count(*) * $KCents * 10000 // (SELECT n_vectors FROM n)
+          AS ratio_to_mean_bp
+      FROM assign GROUP BY cid ORDER BY cid"""))
 }

@@ -52,6 +52,18 @@ class KmeansLoopSpec extends SparkSpec {
     (2 until 64).foreach(d => assert(got(d) === 0L, s"dim $d"))
   }
 
+  test("e72: list census reconciles — members sum to corpus, bp consistent") {
+    val rows = Similarity3.e72IvfBalance.run(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val n = rows.head.getAs[Long]("n_vectors")
+    assert(rows.map(_.getAs[Long]("n_members")).sum === n)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("share_bp") === m * 10000 / n)
+      assert(r.getAs[Long]("ratio_to_mean_bp") === m * 16 * 10000 / n)
+    }
+  }
+
   test("e71: the normalized output is bounded with the max dim at ±10^6") {
     val rows = Similarity3.powerIteration(
       spark.read.parquet(s"$sf0001/embeddings.parquet"), iters = 2).collect()
