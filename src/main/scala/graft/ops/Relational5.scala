@@ -12,7 +12,8 @@ object Relational5 {
 
   def pack: Seq[Q] = Seq(q64FkOrphans, q65TableDiff,
     q66MultitouchAttribution, q67PeriodMovers, q68TransitionMatrix,
-    q69ActiveUsers, q70SoleLateSupplier, q71JoinIvm, q73RatioToReport)
+    q69ActiveUsers, q70SoleLateSupplier, q71JoinIvm, q73RatioToReport,
+    q74Scd2AsOf)
 
   /** The q64 core for one relationship — exposed for planted-orphan specs:
     * child rows whose FK has no parent (LEFT ANTI join, the relational
@@ -531,4 +532,45 @@ object Relational5 {
         rev_e4 * 10000 // (SELECT CAST(sum(rev_e4) AS BIGINT) FROM rev)
           AS share_of_total_bp
       FROM rev ORDER BY r_name, n_name"""))
+
+  /** q74: POINT-IN-TIME (AS-OF) QUERY over the q55 SCD2 history — "what
+    * did every dimension row look like on Jan 15": rebuild the versioned
+    * validity intervals (one keyed window pass, q55's shape) and keep the
+    * version whose [valid_from, valid_to) interval contains the as-of
+    * instant. The temporal-warehouse read pattern that SCD2 exists to
+    * serve; at scale the history table is already materialized and the
+    * as-of read is one interval predicate — with the history partitioned
+    * on valid_from date, the predicate prunes partitions.
+    */
+  val q74Scd2AsOf: Q = Q(
+    "q74_scd2_asof",
+    (s, dir) => {
+      val asOf = "2024-01-15 00:00:00"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .filter(col("ts") <= lit(asOf).cast("timestamp") &&
+          (col("valid_to").isNull ||
+            col("valid_to") > lit(asOf).cast("timestamp")))
+        .select(col("user_id"), col("version").cast("int").as("version"),
+          col("ts").as("valid_from"), col("valid_to"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, version, valid_from, valid_to, value FROM (
+        SELECT user_id,
+          CAST(row_number() OVER w AS INT) AS version,
+          ts AS valid_from,
+          lead(ts, 1) OVER w AS valid_to,
+          value
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) h
+      WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+      ORDER BY user_id"""))
 }
