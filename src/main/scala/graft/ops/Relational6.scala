@@ -11,7 +11,152 @@ import Q.t
   */
 object Relational6 {
 
-  def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions)
+  def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
+    q78AbcPareto, q79MadOutliers)
+
+  /** q78: ABC / PARETO CLASSIFICATION — rank parts by revenue and bucket
+    * them A (first 80% of cumulative revenue), B (next 15%), C (tail),
+    * the inventory-analysis classic. The cumulative sum ordered by revenue
+    * DESC is the scale hazard: a bare `Window.orderBy` is one task. This
+    * uses the q61/q63 TWO-PHASE PREFIX SUM — shard by revenue magnitude
+    * (a VALUE-bounded, not data-bounded, shard count), per-shard window
+    * cumsum, broadcast per-shard prefix totals. All arithmetic runs on an
+    * exact integer grid (revenue in 10⁻⁴ currency units via DECIMAL→LONG),
+    * and the 80/95% thresholds are integer cross-multiplications — no
+    * float anywhere, so both engines classify bit-identically.
+    */
+  val q78AbcPareto: Q = Q(
+    "q78_abc_pareto",
+    (s, dir) => {
+      val rev = Q.spread(t(s, dir, "lineitem"), "l_partkey")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg((sum(Q.discPrice) * 10000).cast("long").as("u"))
+      // shard asc == revenue desc: negate the magnitude bucket. Shard
+      // count is bounded by max-revenue/10⁵ units, not by row count.
+      val sharded = rev.withColumn("shard", -expr("u div 1000000000"))
+      val local = sharded.withColumn("run_local",
+        sum(col("u")).over(Window.partitionBy(col("shard"))
+          .orderBy(col("u").desc, col("p_partkey"))))
+      val prefixes = sharded.groupBy(col("shard")).agg(sum(col("u")).as("tot"))
+        .withColumn("prefix",
+          coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("prefix"))
+      val total = rev.agg(sum(col("u")).as("grand"))
+      local.join(broadcast(prefixes), "shard")
+        .crossJoin(broadcast(total))
+        .select(col("p_partkey"),
+          (col("u").cast("double") / 10000).as("revenue"),
+          (col("run_local") + col("prefix")).as("cum_u"),
+          col("grand"))
+        .select(col("p_partkey"), col("revenue"),
+          // widen to decimal before ·10⁴: cum_u·10000 would overflow LONG
+          // once total revenue passes ~10¹⁴ currency units
+          expr("CAST(CAST(cum_u AS DECIMAL(38,0)) * 10000 div grand AS BIGINT)")
+            .as("cum_bp"),
+          when(col("cum_u") * 5 <= col("grand") * 4, "A")
+            .when(col("cum_u") * 20 <= col("grand") * 19, "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_partkey AS p_partkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1-l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+            AS u
+        FROM lineitem GROUP BY 1),
+      c AS (
+        SELECT p_partkey, u,
+          CAST(sum(u) OVER (ORDER BY u DESC, p_partkey) AS BIGINT) AS cum_u,
+          CAST((SELECT sum(u) FROM rev) AS BIGINT) AS grand
+        FROM rev)
+      SELECT p_partkey, CAST(u AS DOUBLE) / 10000 AS revenue,
+        CAST(CAST(cum_u AS HUGEINT) * 10000 // grand AS BIGINT) AS cum_bp,
+        CASE WHEN cum_u * 5 <= grand * 4 THEN 'A'
+             WHEN cum_u * 20 <= grand * 19 THEN 'B'
+             ELSE 'C' END AS abc_class
+      FROM c ORDER BY p_partkey"""))
+
+  /** q79: ROBUST OUTLIERS BY MEDIAN ABSOLUTE DEVIATION — per event type,
+    * the rank-based (type-1, no interpolation) median of `value`, the MAD
+    * around it, and how many events sit beyond 3·MAD. Mean/stddev outlier
+    * fences (q41) move with the outliers they hunt; the median/MAD fence
+    * is breakdown-50% robust. Both median passes run on the q63 HISTOGRAM
+    * shape: collapse to per-(type, value) counts first — the event log
+    * shrinks to its value DOMAIN (a 2-decimal grid, value-bounded) before
+    * any window runs, and every window is keyed by event type. Absolute
+    * deviations are double subtractions — identical IEEE ops in both
+    * engines — and rank targets are integer `(n+1) div 2`.
+    */
+  val q79MadOutliers: Q = Q(
+    "q79_mad_outliers",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("et"), col("value").as("v"))
+      def rankMedian(df: org.apache.spark.sql.DataFrame, vcol: String) = {
+        val h = df.groupBy(col("et"), col(vcol))
+          .agg(sum(col("c")).as("c"))
+        val cum = h.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("et")).orderBy(col(vcol))))
+        val n = h.groupBy(col("et")).agg(sum(col("c")).as("n"))
+        cum.join(broadcast(n), "et")
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy(col("et"))
+          .agg(min(col(vcol)).as(s"med_$vcol"), min(col("n")).as("n"))
+      }
+      val h0 = ev.groupBy(col("et"), col("v")).agg(count(lit(1)).as("c"))
+      val med = rankMedian(h0, "v")
+        .select(col("et"), col("med_v"), col("n"))
+      val ad = h0.join(broadcast(med), "et")
+        .select(col("et"), abs(col("v") - col("med_v")).as("av"), col("c"))
+      val mad = rankMedian(ad, "av").select(col("et"), col("med_av"))
+      val fences = med.join(broadcast(mad), "et")
+      ev.join(broadcast(fences), "et")
+        .groupBy(col("et"))
+        .agg(min(col("med_v")).as("median_value"),
+          min(col("med_av")).as("mad"),
+          min(col("n")).as("n_events"),
+          sum(when(abs(col("v") - col("med_v")) > col("med_av") * 3, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("et").as("event_type"), col("median_value"), col("mad"),
+          col("n_events"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type AS et, value AS v, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT et, v, c,
+          CAST(sum(c) OVER (PARTITION BY et ORDER BY v) AS BIGINT) AS cum
+        FROM h),
+      n AS (SELECT et, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      med AS (
+        SELECT et, min(v) AS med_v, min(n) AS n
+        FROM cum JOIN n USING (et)
+        WHERE cum >= (n + 1) // 2 GROUP BY et),
+      ad AS (
+        SELECT h.et, abs(h.v - m.med_v) AS av, h.c
+        FROM h JOIN med m ON h.et = m.et),
+      adh AS (SELECT et, av, CAST(sum(c) AS BIGINT) AS c FROM ad GROUP BY 1, 2),
+      adcum AS (
+        SELECT et, av,
+          CAST(sum(c) OVER (PARTITION BY et ORDER BY av) AS BIGINT) AS cum
+        FROM adh),
+      mad AS (
+        SELECT adcum.et, min(av) AS med_av
+        FROM adcum JOIN n USING (et)
+        WHERE cum >= (n + 1) // 2 GROUP BY adcum.et)
+      SELECT e.event_type, m.med_v AS median_value, d.med_av AS mad,
+        m.n AS n_events,
+        CAST(sum(CASE WHEN abs(e.value - m.med_v) > d.med_av * 3
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e
+      JOIN med m ON e.event_type = m.et
+      JOIN mad d ON e.event_type = d.et
+      GROUP BY 1, 2, 3, 4
+      ORDER BY event_type"""))
 
   /** q75: RELATIONAL DIVISION — customers whose orders span EVERY order
     * priority class ("suppliers who stock all parts" in its textbook

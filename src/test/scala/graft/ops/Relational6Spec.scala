@@ -45,6 +45,54 @@ class Relational6Spec extends SparkSpec {
     }
   }
 
+  test("q78: classes are revenue-contiguous and the A block stops at 80%") {
+    val rows = Relational6.q78AbcPareto.run(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSet === Set("A", "B", "C"))
+    // in cumulative (rank) order the class sequence is A* B* C*
+    val byRank = rows.sortBy(_.getAs[Long]("cum_bp"))
+    val classes = byRank.map(_.getAs[String]("abc_class")).toSeq
+    assert(classes === classes.sorted)
+    // every A row sits at ≤80% cumulative share; the first B row crosses it
+    byRank.foreach { r =>
+      val bp = r.getAs[Long]("cum_bp")
+      r.getAs[String]("abc_class") match {
+        case "A" => assert(bp <= 8000)
+        case "B" => assert(bp <= 9500)
+        case _   => ()
+      }
+    }
+    val firstB = byRank.find(_.getAs[String]("abc_class") == "B").get
+    val lastA = byRank.reverse.find(_.getAs[String]("abc_class") == "A").get
+    assert(firstB.getAs[Long]("cum_bp") > 8000 ||
+      lastA.getAs[Long]("cum_bp") <= 8000)
+    // revenue ordering respects the class ladder: min(A) >= max(B) etc.
+    def revs(c: String) =
+      rows.filter(_.getAs[String]("abc_class") == c).map(_.getAs[Double]("revenue"))
+    assert(revs("A").min >= revs("B").max)
+    assert(revs("B").min >= revs("C").max)
+  }
+
+  test("q79: medians match a driver-side recompute; fences are robust") {
+    val rows = Relational6.q79MadOutliers.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val data = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def lowerMedian(vs: IndexedSeq[Double]): Double = vs((vs.length - 1) / 2)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = data(et)
+      val med = lowerMedian(vs)
+      assert(r.getAs[Double]("median_value") === med)
+      assert(r.getAs[Double]("mad") === lowerMedian(vs.map(v => math.abs(v - med)).sorted))
+      assert(r.getAs[Long]("n_events") === vs.length)
+      val mad = r.getAs[Double]("mad")
+      assert(r.getAs[Long]("n_outliers") ===
+        vs.count(v => math.abs(v - med) > 3 * mad))
+    }
+  }
+
   test("q77: sessions partition each user's events with >30min gaps between") {
     val rows = Relational6.q77BatchSessions.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
