@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, CustomExprQueries, Dedup, EventWindows, Graph, GridLsh, IvfPq, Multimodal, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, ScalePatterns, Similarity, Similarity2, Similarity3, TextAnalysis}
+import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, CustomExprQueries, Dedup, EventWindows, Graph, GridLsh, IvfPq, Multimodal, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, ScalePatterns, Similarity, Similarity2, Similarity3, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.pack ++ Relational2.pack ++ Relational3.pack ++
       Relational4.pack ++ Relational5.pack ++ Relational6.pack ++
       EventWindows.pack ++ TextAnalysis.pack ++ Dedup.pack ++
-      Corpus.pack ++ Corpus2.pack ++ Corpus3.pack ++
+      Corpus.pack ++ Corpus2.pack ++ Corpus3.pack ++ Corpus4.pack ++
       Similarity.pack ++ Similarity2.pack ++ Similarity3.pack ++
       IvfPq.pack ++ GridLsh.pack ++
       Multimodal.pack ++ CustomExprQueries.pack ++ ScalePatterns.pack ++

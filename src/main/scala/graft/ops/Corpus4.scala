@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Corpus-pipeline additions, round 6 (second continuation): cross-source
+  * overlap auditing and training-batch layout — the reporting ops a corpus
+  * curator runs between dedup and training.
+  */
+object Corpus4 {
+
+  def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching)
+
+  /** d76: CROSS-SOURCE OVERLAP MATRIX — for every pair of sources, the
+    * Jaccard similarity of their distinct word-3-gram shingle sets: the
+    * "is source B just a mirror of source A?" audit run before assigning
+    * mixture weights (shared crawls, mirrored forums, and re-hosted wikis
+    * all light up here long before doc-level dedup finds them).
+    *
+    * Scale shape: shingles collapse to DISTINCT (source, shingle) rows
+    * first — bounded by vocabulary³, not corpus size — then one
+    * shingle-keyed self-join. Unlike a doc-pair join, the per-shingle
+    * amplification is structurally bounded: one shingle yields at most
+    * (#sources choose 2) pairs however many documents contain it, so no
+    * stop-shingle pruning is needed. Shingles ride as xxhash64 longs
+    * (d41's trick — 8-byte shuffle payload; the oracle keeps exact
+    * strings, so a hash collision would surface as an oracle mismatch
+    * here, not silent corruption). Jaccard is reported in integer basis
+    * points via inclusion-exclusion — no float surface.
+    */
+  /** The d76 matrix from hashed (doc_id, hs) postings + (doc_id, source)
+    * metadata — exposed for planted-corpus specs.
+    */
+  def sourceOverlap(sh: DataFrame, meta: DataFrame): DataFrame = {
+    val ss = sh.join(meta.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("hs")).distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.as("a")
+      .join(ss.as("b"),
+        col("a.hs") === col("b.hs") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "n_a")), "src_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("intersection"),
+        expr("intersection * 10000 div (n_a + n_b - intersection)")
+          .as("jaccard_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val d76SourceOverlap: Q = Q(
+    "d76_source_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.hashedShingles(docs)
+      Q.materialized(sourceOverlap(sh, docs), sh)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+            THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1)]
+            ELSE [text] END)) AS s
+        FROM (SELECT doc_id, text, string_split(text,' ') AS words
+              FROM documents) w),
+      ss AS (
+        SELECT DISTINCT d.source, sh.s
+        FROM sh JOIN documents d USING (doc_id)),
+      sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS intersection
+        FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, intersection,
+        intersection * 10000 // (sa.n + sb.n - intersection) AS jaccard_bp
+      FROM inter
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      ORDER BY src_a, src_b"""))
+
+  /** d77: LENGTH-BUCKETED BATCH LAYOUT — group documents into 16-token-
+    * wide length buckets, fill fixed-size batches of 8 inside each bucket
+    * in (length desc, doc_id) order, and report each batch's padding
+    * waste: padded = n_docs·max_tokens, waste = padded − Σtokens. This is
+    * the "dynamic batching" layout every trainer uses to stop short
+    * sequences burning FLOPs as pad tokens — d50's bin PACKING
+    * concatenates short docs into one sequence; this op keeps docs intact
+    * and co-schedules equals instead.
+    *
+    * Scale shape: one keyed window per length bucket (bucket count is
+    * bounded by max-doc-length/16 — a VALUE bound, not a data bound), then
+    * a keyed aggregate per (bucket, batch). All arithmetic is integer;
+    * waste is reported in exact basis points of the padded volume.
+    */
+  /** The d77 layout over any (doc_id, n_tokens) frame — exposed for
+    * planted-corpus specs.
+    */
+  def lengthBatches(sized: DataFrame): DataFrame = {
+    val rn = row_number().over(Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").desc, col("doc_id")))
+    sized.withColumn("bucket", expr("n_tokens div 16"))
+      .withColumn("rn", rn)
+      .withColumn("batch_id", expr("(rn - 1) div 8"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("batch_id"), col("n_docs"),
+        col("max_tokens"), col("sum_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("pad_waste"),
+        expr("""(n_docs * max_tokens - sum_tokens) * 10000
+                div (n_docs * max_tokens)""").as("waste_bp"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  val d77LengthBatching: Q = Q(
+    "d77_length_batching",
+    (s, dir) => lengthBatches(
+      Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))),
+    Some("""
+      WITH sized AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(string_split(text, ' ')) AS BIGINT) // 16 AS bucket
+        FROM documents),
+      ranked AS (
+        SELECT bucket, n_tokens,
+          (row_number() OVER (PARTITION BY bucket
+             ORDER BY n_tokens DESC, doc_id) - 1) // 8 AS batch_id
+        FROM sized)
+      SELECT bucket, batch_id,
+        count(*) AS n_docs,
+        max(n_tokens) AS max_tokens,
+        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT) AS pad_waste,
+        (count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT)) * 10000
+          // (count(*) * max(n_tokens)) AS waste_bp
+      FROM ranked GROUP BY bucket, batch_id
+      ORDER BY bucket, batch_id"""))
+}

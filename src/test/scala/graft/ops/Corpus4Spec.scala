@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the corpus-curation wave: d76 cross-source overlap matrix,
+  * d77 length-bucketed batch layout.
+  */
+class Corpus4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("d76: planted mirror source lights up, disjoint pair stays dark") {
+    // srcA and srcB share their one (identical) document; srcC is disjoint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcA"),
+      (2L, "alpha beta gamma delta epsilon", "srcB"),
+      (3L, "zeta eta theta iota kappa", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val sh = Dedup.shinglePostings(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+    val rows = Corpus4.sourceOverlap(sh, docs).collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("jaccard_bp")).toMap
+    assert(m(("srcA", "srcB")) === 10000L) // identical shingle sets
+    assert(!m.contains(("srcA", "srcC")))  // zero intersection → no row
+    assert(!m.contains(("srcB", "srcC")))
+  }
+
+  test("d76: sf0.001 invariants — bounds, ordering, intersection sanity") {
+    val rows = Corpus4.d76SourceOverlap.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val inter = r.getAs[Long]("intersection")
+      assert(inter >= 1)
+      assert(inter <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val bp = r.getAs[Long]("jaccard_bp")
+      assert(bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("d77: planted lengths — batch fill order, sizes, and exact waste") {
+    // 17 docs of 20 tokens (bucket 1) → batches of 8,8,1; one 5-token doc
+    // in bucket 0. Lengths vary inside bucket 1 to pin the waste math.
+    val sized = ((1L to 17L).map(i => (i, if (i <= 9) 31L else 20L)) :+
+      (99L, 5L)).toDF("doc_id", "n_tokens")
+    val rows = Corpus4.lengthBatches(sized).collect()
+    val b1 = rows.filter(_.getAs[Long]("bucket") == 1L)
+      .sortBy(_.getAs[Long]("batch_id"))
+    assert(b1.map(_.getAs[Long]("n_docs")).toSeq === Seq(8L, 8L, 1L))
+    // batch 0: eight 31-token docs → no waste
+    assert(b1(0).getAs[Long]("max_tokens") === 31L)
+    assert(b1(0).getAs[Long]("pad_waste") === 0L)
+    // batch 1: one 31-token doc + seven 20-token docs → waste 7·11
+    assert(b1(1).getAs[Long]("max_tokens") === 31L)
+    assert(b1(1).getAs[Long]("pad_waste") === 77L)
+    assert(b1(1).getAs[Long]("waste_bp") === 77L * 10000 / (8 * 31))
+    // batch 2: the leftover single doc pads nothing
+    assert(b1(2).getAs[Long]("pad_waste") === 0L)
+    val b0 = rows.filter(_.getAs[Long]("bucket") == 0L)
+    assert(b0.length === 1 && b0.head.getAs[Long]("n_docs") === 1L)
+  }
+
+  test("d77: every doc lands in exactly one batch; waste reconciles") {
+    val out = Corpus4.d77LengthBatching.run(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(totalDocs === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 8)
+      assert(r.getAs[Long]("pad_waste") ===
+        r.getAs[Long]("n_docs") * r.getAs[Long]("max_tokens") -
+          r.getAs[Long]("sum_tokens"))
+      // bucket invariant: max token count sits inside the bucket's range
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("max_tokens") / 16 === b)
+    }
+  }
+}
