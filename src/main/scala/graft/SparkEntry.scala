@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, CustomExprQueries, Dedup, EventWindows, Graph, Graph2, GridLsh, IvfPq, Multimodal, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, TextAnalysis}
+import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, CustomExprQueries, Dedup, EventWindows, Graph, Graph2, Graph3, GridLsh, IvfPq, Multimodal, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, Similarity5, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,11 @@ object SparkEntry {
       EventWindows.pack ++ TextAnalysis.pack ++ Dedup.pack ++
       Corpus.pack ++ Corpus2.pack ++ Corpus3.pack ++ Corpus4.pack ++
       Similarity.pack ++ Similarity2.pack ++ Similarity3.pack ++
-      Similarity4.pack ++
+      Similarity4.pack ++ Similarity5.pack ++
       IvfPq.pack ++ GridLsh.pack ++
       Multimodal.pack ++ CustomExprQueries.pack ++ ScalePatterns.pack ++
-      Clustering.pack ++ Graph.pack ++ Graph2.pack ++ Profiling.pack
+      Clustering.pack ++ Graph.pack ++ Graph2.pack ++ Graph3.pack ++
+      Profiling.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

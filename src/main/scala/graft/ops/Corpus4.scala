@@ -11,7 +11,78 @@ import Q.t
   */
 object Corpus4 {
 
-  def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching)
+  def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
+    d78EvalDecontam)
+
+  /** d78: DECONTAMINATED EVAL CONSTRUCTION — compose the d34 hash split
+    * with d38's n-gram collision test: a val/test document that shares
+    * ANY 8-gram with ANY train document is contaminated (the GPT-3
+    * appendix-C rule) and must leave the eval set before it can inflate
+    * benchmark numbers. Reports each eval split's census: total docs,
+    * contaminated, surviving clean docs, contamination in basis points.
+    *
+    * Scale shape: one gram-keyed LEFT SEMI join of eval grams against
+    * (distinct) train grams — a semi join carries NO pair amplification
+    * however hot a boilerplate gram is (contrast d38, which enumerates
+    * the pairs and is capped instead) — then a doc-keyed distinct and a
+    * split-keyed count. Report is ≤2 rows at any corpus size.
+    */
+  val d78EvalDecontam: Q = Q(
+    "d78_eval_decontam",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.select(col("doc_id"), TextAnalysis.splitName.as("split"))
+      val grams = Dedup.nGramPostings(docs, n = 8)
+        .join(split, "doc_id")
+      val trainGrams = grams.filter(col("split") === "train")
+        .select(col("s")).distinct()
+      val evalGrams = grams.filter(col("split") =!= "train")
+      val contaminated = evalGrams
+        .join(trainGrams, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(1L))
+      split.filter(col("split") =!= "train")
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"))
+        .select(col("split"), col("n_docs"), col("n_contaminated"),
+          (col("n_docs") - col("n_contaminated")).as("n_clean"),
+          expr("n_contaminated * 10000 div n_docs").as("contamination_bp"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      WITH split AS (
+        SELECT doc_id,
+          CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+               WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          unnest([words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]
+                  ||' '||words[i+4]||' '||words[i+5]||' '||words[i+6]||' '||words[i+7]
+                  for i in range(1, len(words)-6)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        WHERE len(words) >= 8),
+      train_g AS (
+        SELECT DISTINCT g FROM grams JOIN split USING (doc_id)
+        WHERE split = 'train'),
+      cont AS (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN split sp USING (doc_id)
+        WHERE sp.split <> 'train'
+          AND EXISTS (SELECT 1 FROM train_g t WHERE t.g = gr.g))
+      SELECT sp.split, count(*) AS n_docs,
+        CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_contaminated,
+        count(*) - CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_clean,
+        CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          * 10000 // count(*) AS contamination_bp
+      FROM split sp LEFT JOIN cont c ON sp.doc_id = c.doc_id
+      WHERE sp.split <> 'train'
+      GROUP BY sp.split ORDER BY sp.split"""))
 
   /** d76: CROSS-SOURCE OVERLAP MATRIX — for every pair of sources, the
     * Jaccard similarity of their distinct word-3-gram shingle sets: the

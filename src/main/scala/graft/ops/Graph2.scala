@@ -162,14 +162,20 @@ object Graph2 {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cdeg = cs.groupBy(col("cust")).agg(count(lit(1)).as("cdeg"))
       val sdeg = cs.groupBy(col("supp")).agg(count(lit(1)).as("n"))
+      // the AA term is a function of the CUSTOMER alone: stage it decimal
+      // once per incidence row (O(|cs|)) so the pair join aggregates a
+      // ready column instead of running ln+÷+cast once per PAIR row
+      // (O(Σdeg²) — 45× more rows at sf0.1)
       val inc = cs.join(cdeg.filter(col("cdeg") <= MaxCustDeg), "cust")
+        .withColumn("aaterm",
+          (lit(1.0) / log(col("cdeg").cast("double")))
+            .cast(DecimalType(18, 12)))
       val pairs = inc.as("a")
         .join(inc.as("b"),
           col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
         .groupBy(col("a.supp").as("s_a"), col("b.supp").as("s_b"))
         .agg(count(lit(1)).as("common"),
-          sum((lit(1.0) / log(col("a.cdeg").cast("double")))
-            .cast(DecimalType(18, 12))).as("aa"))
+          sum(col("a.aaterm")).as("aa"))
       val out = pairs.filter(col("common") >= 2)
         .join(broadcast(sdeg.withColumnRenamed("supp", "s_a")
           .withColumnRenamed("n", "n_a")), "s_a")

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import Q.t
+
+/** Graph analytics, third wave: weighted shortest paths and the degree-
+  * assortativity coefficient — distance and topology-shape queries over
+  * the customer↔supplier trade graph.
+  */
+object Graph3 {
+
+  def pack: Seq[Q] = Seq(g69Sssp, g70Assortativity)
+
+  val SsspRounds = 4
+
+  /** Weighted single-source shortest paths, Bellman–Ford horizon
+    * `rounds`, over (src, dst, len) edges from (src, d=0) seeds.
+    *
+    * The dist table only ever holds REACHED nodes (no ∞ sentinel
+    * arithmetic), and each round relaxes only from the FRONTIER — nodes
+    * whose distance improved last round. A settled node's contributions
+    * were already min-merged the round it settled, so frontier relaxation
+    * provably yields the same table as re-relaxing everything (the
+    * oracle replays the naive union-relax form and the hash must agree)
+    * while moving O(frontier·deg) instead of O(reached·deg) rows per
+    * round. Edges are cached hash-partitioned on src once (the g60 loop
+    * contract); round state is eagerly checkpointed, ≤2 tables live.
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val ew = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node"), col("d")).localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val contribs = frontier
+        .join(ew.withColumnRenamed("src", "node").hint("shuffle_hash"), "node")
+        .select(col("dst").as("node"), (col("d") + col("len")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val merged = dist.join(contribs, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("d"), col("nd")), coalesce(col("nd"), col("d")))
+            .as("d"),
+          (col("d").isNull || col("nd") < col("d")).as("improved"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(dist)
+      dist = merged.select(col("node"), col("d"))
+      frontier = merged.filter(col("improved")).select(col("node"), col("d"))
+    }
+    ew.unpersist()
+    dist
+  }
+
+  /** g69: WEIGHTED SHORTEST PATHS from the best-connected customer —
+    * edge length = 10⁶ div (shared-order count) + 1, so strong trade
+    * ties are short hops and the distances read as "relationship
+    * closeness" (the supply-chain-proximity query; g64 is its unweighted
+    * hop twin). Integer lengths end-to-end; `SsspRounds` Bellman–Ford
+    * rounds bound the horizon so the oracle can replay the recurrence
+    * through unrolled MATERIALIZED CTEs.
+    */
+  val g69Sssp: Q = Q(
+    "g69_sssp",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val po = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"),
+          col("o_orderkey"))
+        .distinct()
+        .groupBy(col("c"), col("s")).agg(count(lit(1)).as("w"))
+      val wpairs = po.select(col("c"), col("s"),
+        (expr("1000000 div w") + 1).as("len"))
+      val edges = wpairs.select(col("c").as("src"), col("s").as("dst"), col("len"))
+        .unionAll(wpairs.select(col("s").as("src"), col("c").as("dst"), col("len")))
+      // source: the customer carrying the most distinct trade edges,
+      // ties → smallest key (packed argmax, one row broadcast)
+      val src = po.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+        .agg(min((lit(1048576L) - col("deg")) * 4294967296L + col("c")).as("p"))
+        .select((col("p") % 4294967296L).as("node"), lit(0L).as("d"))
+      sssp(edges, src, SsspRounds)
+        .select(
+          when(col("node") % 2 === 0, "customer").otherwise("supplier")
+            .as("kind"),
+          expr("node div 2").as("key"), col("d").as("dist"))
+        .orderBy(col("kind"), col("key"))
+    },
+    Some {
+      val rounds = (1 to SsspRounds).map { i =>
+        s"""
+      d$i AS MATERIALIZED (
+        SELECT node, min(d) AS d FROM (
+          SELECT e.dst AS node, p.d + e.len AS d
+          FROM d${i - 1} p JOIN edges e ON e.src = p.node
+          UNION ALL SELECT node, d FROM d${i - 1}) u
+        GROUP BY node)"""
+      }.mkString(",")
+      s"""
+      WITH po AS MATERIALIZED (
+        SELECT c, s, count(*) AS w FROM (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+            o_orderkey
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t
+        GROUP BY c, s),
+      wpairs AS (SELECT c, s, 1000000 // w + 1 AS len FROM po),
+      edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst, len FROM wpairs
+        UNION ALL SELECT s AS src, c AS dst, len FROM wpairs),
+      d0 AS (
+        SELECT CAST(min((1048576 - deg) * 4294967296 + c) % 4294967296
+                    AS BIGINT) AS node,
+          CAST(0 AS BIGINT) AS d
+        FROM (SELECT c, count(*) AS deg FROM po GROUP BY c) t),$rounds
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        node // 2 AS key, CAST(d AS BIGINT) AS dist
+      FROM d$SsspRounds
+      ORDER BY kind, key"""
+    })
+
+  /** g70: DEGREE ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees over every (directed, symmetrized) edge: do well-connected
+    * customers trade with well-connected suppliers (r>0) or with the
+    * periphery (r<0)? One number summarizing topology shape (Newman
+    * 2002); bipartite trade graphs typically come out disassortative.
+    *
+    * Exactness: degrees are integers, so every moment (Σx, Σx², Σxy, M)
+    * accumulates in DECIMAL(38,0) — order-independent, overflow-proof at
+    * any edge count — and only the final Pearson assembly touches
+    * doubles (casts of exact integers + IEEE ·/−/sqrt/÷, identical in
+    * both engines). Plan: one keyed degree count, one keyed join to put
+    * degrees on both endpoints, one global aggregate row.
+    */
+  val g70Assortativity: Q = Q(
+    "g70_assortativity",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val xy = edges
+        .join(deg.hint("shuffle_hash"), "src")
+        .withColumnRenamed("deg", "x")
+        .join(deg.withColumnRenamed("src", "dst").hint("shuffle_hash"), "dst")
+        .withColumnRenamed("deg", "y")
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      xy.agg(
+        count(lit(1)).as("m"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+        .select(col("m"),
+          ((col("m").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("m").cast(d38) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("m").cast(d38) * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("assortativity"))
+    },
+    Some("""
+      WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s AS src, c AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      xy AS (
+        SELECT dx.deg AS x, dy.deg AS y
+        FROM edges e
+        JOIN deg dx ON dx.src = e.src
+        JOIN deg dy ON dy.src = e.dst),
+      mo AS (
+        SELECT count(*) AS m,
+          sum(CAST(x AS DECIMAL(38,0))) AS sx,
+          sum(CAST(y AS DECIMAL(38,0))) AS sy,
+          sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+          sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+          sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        FROM xy)
+      SELECT m,
+        CAST(CAST(m AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+          (sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)) *
+           sqrt(CAST(CAST(m AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)))
+          AS assortativity
+      FROM mo"""))
+}

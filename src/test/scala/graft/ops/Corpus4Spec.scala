@@ -61,6 +61,36 @@ class Corpus4Spec extends SparkSpec {
     assert(b0.length === 1 && b0.head.getAs[Long]("n_docs") === 1L)
   }
 
+  test("d78: census reconciles with an independent contamination check") {
+    val rows = Corpus4.d78EvalDecontam.run(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet === Set("val", "test"))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def split(id: Long): String = {
+      val h = (id % 1000000007L) * 2654435761L % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Set.empty else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val trainG = docs.filter(d => split(d._1) == "train")
+      .flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => split(d._1) != "train")
+      .groupBy(d => split(d._1)).view.mapValues { ds =>
+        (ds.length.toLong,
+          ds.count(d => grams(d._2).exists(trainG.contains)).toLong)
+      }.toMap
+    rows.foreach { r =>
+      val (n, c) = expected(r.getAs[String]("split"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_contaminated") === c)
+      assert(r.getAs[Long]("n_clean") === n - c)
+      assert(r.getAs[Long]("contamination_bp") === c * 10000 / n)
+    }
+  }
+
   test("d77: every doc lands in exactly one batch; waste reconciles") {
     val out = Corpus4.d77LengthBatching.run(spark, sf0001)
     val rows = out.collect()

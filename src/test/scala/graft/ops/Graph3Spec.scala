@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the third graph wave: g69 weighted SSSP, g70 assortativity. */
+class Graph3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("g69 core: frontier Bellman-Ford finds known shortest paths") {
+    // 1 →(5)→ 2 →(1)→ 3 ; 1 →(10)→ 3 ; 3 →(1)→ 4 ; isolated 9 unreached
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 1L),
+      (9L, 9L, 1L)).toDF("src", "dst", "len")
+    val seeds = Seq((1L, 0L)).toDF("node", "d")
+    val got = Graph3.sssp(edges, seeds, rounds = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 7L))
+  }
+
+  test("g69 core: horizon cuts exactly at `rounds` relaxations") {
+    // a chain 0-1-2-3: 2 rounds reach node 2 but not node 3
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "len")
+    val seeds = Seq((0L, 0L)).toDF("node", "d")
+    val got = Graph3.sssp(edges, seeds, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("g69: distances satisfy the triangle property on sf0.001") {
+    val rows = Graph3.g69Sssp.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // exactly one node at distance 0 (the source), everything else > 0
+    val zero = rows.filter(_.getAs[Long]("dist") == 0L)
+    assert(zero.length === 1 && zero.head.getAs[String]("kind") === "customer")
+    rows.foreach(r => assert(r.getAs[Long]("dist") >= 0))
+  }
+
+  test("g70: hand-sized graph matches a driver-side Pearson recompute") {
+    val row = Graph3.g70Assortativity.run(spark, sf0001).collect().head
+    val pairs = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = edges.map { case (a, _) => deg(a).toDouble }
+    val ys = edges.map { case (_, b) => deg(b).toDouble }
+    val m = edges.length.toDouble
+    val r = (m * xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum) /
+      (math.sqrt(m * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+        math.sqrt(m * ys.map(y => y * y).sum - ys.sum * ys.sum))
+    assert(row.getAs[Long]("m") === edges.length.toLong)
+    assert(math.abs(row.getAs[Double]("assortativity") - r) < 1e-9)
+    assert(row.getAs[Double]("assortativity") >= -1.0 &&
+      row.getAs[Double]("assortativity") <= 1.0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for e75 incremental IVF maintenance. */
+class Similarity5Spec extends SparkSpec {
+
+  test("e75: counts reconcile and the delta is exactly the newest 20%") {
+    val rows = Similarity5.e75IvfDelta.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val nDelta = rows.map(_.getAs[Long]("n_delta")).sum
+    val nBase = rows.map(_.getAs[Long]("n_base")).sum
+    assert(nBase + nDelta === n)
+    assert(nDelta === n - n * 8 / 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") ===
+        r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+      val bp = r.getAs[Long]("delta_share_bp")
+      assert(bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("e75: delta assignment agrees with a full e72-style reassignment") {
+    // the incremental path must give every delta vector the same list the
+    // batch path would: recompute a single-pass assignment driver-side
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def grid(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 512) + 512)
+    val cents = (0L until 16L).map(i => i -> grid(emb(i))).toMap
+    def assignOf(v: Array[Float]): Long = {
+      val g = grid(v)
+      cents.map { case (cid, c) =>
+        val d = g.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        d * 16 + cid
+      }.min % 16
+    }
+    val expected = emb.keys.toSeq.map(id => assignOf(emb(id)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Similarity5.e75IvfDelta.run(spark, sf0001).collect()
+    val got = rows.map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_total"))
+      .toMap
+    assert(got === expected.filter(_._2 > 0))
+  }
+}
