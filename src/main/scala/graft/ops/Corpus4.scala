@@ -12,7 +12,87 @@ import Q.t
 object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
-    d78EvalDecontam)
+    d78EvalDecontam, d79CdcChunking)
+
+  /** d79: CONTENT-DEFINED CHUNKING — chunk boundaries chosen by the
+    * CONTENT itself (a cut wherever the hash of the trailing 4-token
+    * window starts with a zero nibble, expected chunk ≈ 16 tokens), not
+    * by position. d59's fixed-stride chunks shift wholesale when one
+    * token is inserted upstream; CDC boundaries re-align immediately —
+    * the property dedup storage (LBFS/FastCDC lineage) and
+    * incremental-embedding pipelines rely on.
+    *
+    * Dataflow: posexplode tokens → 3 leads build the trailing 4-gram →
+    * md5 nibble test marks cuts → chunk_id = running cut count per doc
+    * (doc-keyed window) → chunk rows re-assembled by keyed aggregate
+    * with position-ordered array_agg. All doc-keyed; the md5 boundary
+    * predicate is the cross-engine-stable hash surface (both engines
+    * emit identical hex). Every stage narrow or doc-keyed — no global
+    * state at any corpus size.
+    */
+  /** The d79 chunker over any (doc_id, text) frame — exposed for the
+    * boundary-stability spec (CDC's defining property).
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Q.spread(docs, "doc_id")
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "tok")))
+      val grams = toks
+        .withColumn("t1", lag(col("tok"), 3).over(w))
+        .withColumn("t2", lag(col("tok"), 2).over(w))
+        .withColumn("t3", lag(col("tok"), 1).over(w))
+        // a cut AFTER position p when the trailing window [p-3..p] hashes
+        // into the zero nibble; the first 3 positions can never cut
+        .withColumn("cut",
+          when(col("t1").isNotNull &&
+            substring(md5(concat_ws(" ",
+              col("t1"), col("t2"), col("t3"), col("tok"))), 1, 1) === "0",
+            1L).otherwise(0L))
+        // chunk id = cuts strictly BEFORE this position
+        .withColumn("chunk_id",
+          coalesce(sum(col("cut")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      grams.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          // position-ordered reassembly: struct ordering sorts by pos
+          md5(concat_ws(" ",
+            array_sort(collect_list(struct(col("pos"), col("tok"))))
+              .getField("tok"))).as("chunk_md5"))
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val d79CdcChunking: Q = Q(
+    "d79_cdc_chunking",
+    (s, dir) => cdcChunks(t(s, dir, "documents")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS tok FROM (
+          SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents) w) t),
+      grams AS (
+        SELECT doc_id, pos, tok,
+          CASE WHEN lag(tok, 3) OVER w IS NOT NULL
+                 AND substr(md5(lag(tok, 3) OVER w || ' ' ||
+                            lag(tok, 2) OVER w || ' ' ||
+                            lag(tok, 1) OVER w || ' ' || tok), 1, 1) = '0'
+               THEN 1 ELSE 0 END AS cut
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      chunked AS (
+        SELECT doc_id, pos, tok,
+          CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS chunk_id
+        FROM grams)
+      SELECT doc_id, chunk_id, count(*) AS n_tokens,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+      FROM chunked
+      GROUP BY doc_id, chunk_id
+      ORDER BY doc_id, chunk_id"""))
 
   /** d78: DECONTAMINATED EVAL CONSTRUCTION — compose the d34 hash split
     * with d38's n-gram collision test: a val/test document that shares

@@ -11,7 +11,85 @@ import Q.t
   */
 object Graph3 {
 
-  def pack: Seq[Q] = Seq(g69Sssp, g70Assortativity)
+  def pack: Seq[Q] = Seq(g69Sssp, g70Assortativity, g71ClusteringCoef)
+
+  /** g71: LOCAL CLUSTERING COEFFICIENT — per node of the part co-purchase
+    * graph (g62's edge set): how many of my neighbors' pairs are
+    * themselves connected, as triangles·10⁴ ÷ (deg choose 2). The
+    * per-node refinement of g62's global census — nodes with high degree
+    * but low coefficient are BRIDGES, high-coefficient nodes sit inside
+    * dense cliques (the ecosystem-vs-broker distinction).
+    *
+    * Plan: triangles enumerated once on the x<y<z ORIENTED join (each
+    * triangle exactly once — no double counting, and the oriented edge
+    * list halves the join input), then each triangle credits its three
+    * corners via explode + keyed count; degrees from the symmetric list;
+    * one keyed join assembles the report. Scale: the wedge join is the
+    * g62 cost (bounded by Σdeg² of the oriented list); everything after
+    * is keyed aggregates over node-sized tables.
+    */
+  val g71ClusteringCoef: Q = Q(
+    "g71_clustering_coef",
+    (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("x"), col("y"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tris = e0.as("e1")
+        .join(e0.as("e2"), col("e1.y") === col("e2.x"))
+        .join(e0.as("e3"),
+          col("e1.x") === col("e3.x") && col("e2.y") === col("e3.y"))
+        .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+      val credits = tris
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      val deg = e0.select(col("x").as("node"))
+        .unionAll(e0.select(col("y").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val out = deg.filter(col("deg") >= 2)
+        .join(credits, Seq("node"), "left")
+        .select(col("node").as("p_partkey"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          expr("coalesce(n_triangles, 0) * 10000 div (deg * (deg - 1) div 2)")
+            .as("clustering_bp"))
+        .orderBy(col("p_partkey"))
+      Q.materialized(out, e0)
+    },
+    Some("""
+      WITH lp AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT a.p AS x, b.p AS y
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      tris AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM e0 e1
+        JOIN e0 e2 ON e1.y = e2.x
+        JOIN e0 e3 ON e1.x = e3.x AND e2.y = e3.y),
+      credits AS (
+        SELECT node, count(*) AS n_triangles FROM (
+          SELECT a AS node FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris) t
+        GROUP BY node),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT x AS node FROM e0 UNION ALL SELECT y FROM e0) t
+        GROUP BY node)
+      SELECT d.node AS p_partkey, d.deg,
+        CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+        CAST(coalesce(c.n_triangles, 0) AS BIGINT) * 10000
+          // (d.deg * (d.deg - 1) // 2) AS clustering_bp
+      FROM deg d LEFT JOIN credits c USING (node)
+      WHERE d.deg >= 2
+      ORDER BY p_partkey"""))
 
   val SsspRounds = 4
 

@@ -12,7 +12,53 @@ import Q.t
 object Relational6 {
 
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
-    q78AbcPareto, q79MadOutliers)
+    q78AbcPareto, q79MadOutliers, q80OrderedAgg)
+
+  /** q80: ARGMAX + ORDERED STRING AGGREGATION — per brand, the priciest
+    * part (deterministic tie-break by part key) and a '|'-joined list of
+    * the three cheapest part names in price order: the arg_max / listagg
+    * corner of the SQL aggregate surface, which Spark spells as
+    * conditional aggregates over ranking windows plus an order-carrying
+    * `collect_list(struct)` re-sorted at merge (collect order is
+    * partition-nondeterministic — the struct sort is what makes the
+    * result stable; a bare listagg would be a correctness bug in any
+    * distributed engine). Windows are brand-keyed; the aggregate carries
+    * at most 3 structs per group past the when()-null filter.
+    */
+  val q80OrderedAgg: Q = Q(
+    "q80_ordered_agg",
+    (s, dir) => {
+      val wDesc = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").desc)
+      val wAsc = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      t(s, dir, "part")
+        .withColumn("rmax", row_number().over(wDesc))
+        .withColumn("rmin", row_number().over(wAsc))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          max(when(col("rmax") === 1, col("p_name"))).as("priciest_part"),
+          max(when(col("rmax") === 1, col("p_retailprice"))).as("max_price"),
+          concat_ws("|",
+            array_sort(collect_list(when(col("rmin") <= 3,
+              struct(col("p_retailprice"), col("p_partkey"), col("p_name")))))
+              .getField("p_name")).as("cheapest3"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT p_brand, p_name, p_partkey, p_retailprice,
+          row_number() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC, p_partkey DESC) AS rmax,
+          row_number() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice, p_partkey) AS rmin
+        FROM part)
+      SELECT p_brand, count(*) AS n_parts,
+        max(CASE WHEN rmax = 1 THEN p_name END) AS priciest_part,
+        max(CASE WHEN rmax = 1 THEN p_retailprice END) AS max_price,
+        string_agg(p_name, '|' ORDER BY p_retailprice, p_partkey)
+          FILTER (WHERE rmin <= 3) AS cheapest3
+      FROM r GROUP BY p_brand ORDER BY p_brand"""))
 
   /** q78: ABC / PARETO CLASSIFICATION — rank parts by revenue and bucket
     * them A (first 80% of cumulative revenue), B (next 15%), C (tail),

@@ -91,6 +91,40 @@ class Corpus4Spec extends SparkSpec {
     }
   }
 
+  test("d79: boundaries re-align after a prefix edit (the CDC property)") {
+    // one long deterministic pseudo-text; the same text with 5 tokens
+    // prepended must reproduce the original chunking after the first
+    // boundary (fixed-stride chunking shifts EVERY chunk instead)
+    val words = (0 until 400).map(i => s"w${(i * 2654435761L) % 97}")
+    val base = words.mkString(" ")
+    val shifted = ((0 until 5).map(i => s"x$i") ++ words).mkString(" ")
+    val out = Corpus4.cdcChunks(
+      Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")).collect()
+    def md5s(id: Long) = out.filter(_.getLong(0) == id)
+      .sortBy(_.getAs[Long]("chunk_id")).map(_.getAs[String]("chunk_md5"))
+    val (a, b) = (md5s(1L), md5s(2L))
+    assert(a.length > 5, "need several chunks for the property to bite")
+    // all but the first chunk of the original reappear verbatim
+    assert(a.drop(1).forall(b.contains),
+      "content-defined boundaries must survive a prefix insertion")
+    // and a sanity check on sizes: chunks average near the 16-token target
+    val sizes = out.filter(_.getLong(0) == 1L).map(_.getAs[Long]("n_tokens"))
+    assert(sizes.sum === 400)
+  }
+
+  test("d79: chunks tile each document exactly") {
+    val rows = Corpus4.d79CdcChunking.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nTok = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum === nTok(id))
+      val ids = rs.map(_.getAs[Long]("chunk_id")).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq)
+    }
+  }
+
   test("d77: every doc lands in exactly one batch; waste reconciles") {
     val out = Corpus4.d77LengthBatching.run(spark, sf0001)
     val rows = out.collect()
