@@ -12,7 +12,79 @@ import Q.t
 object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
-    d78EvalDecontam, d79CdcChunking)
+    d78EvalDecontam, d79CdcChunking, d80ZipfFit)
+
+  private val ZipfV = 500
+
+  /** d80: ZIPF RANK-FREQUENCY FIT — the corpus-health law check: token
+    * frequency should fall roughly as rank^(−s) with s≈1; a flat slope
+    * means templated/synthetic text, a cliff means vocabulary collapse.
+    * Takes the top-`ZipfV` tokens by (count desc, token) — a bounded
+    * TakeOrderedAndProject, the only global ordering and it moves V rows —
+    * ranks them, and least-squares fits ln(freq) against ln(rank),
+    * reporting slope and intercept.
+    *
+    * Parity: ln only on INTEGER counts/ranks, every ln product staged
+    * through DECIMAL(18,12) so the regression sums are order-independent,
+    * 6dp output (the d52 libm playbook). The regression itself runs over
+    * V rows — constant work at any corpus size; the token count is the
+    * one data-volume pass.
+    */
+  val d80ZipfFit: Q = Q(
+    "d80_zipf_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val top = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(ZipfV)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      val d12 = DecimalType(28, 12)
+      ranked.agg(
+        count(lit(1)).as("v"),
+        sum(col("x").cast(d12)).as("sx"),
+        sum(col("y").cast(d12)).as("sy"),
+        sum((col("x") * col("y")).cast(d12)).as("sxy"),
+        sum((col("x") * col("x")).cast(d12)).as("sxx"))
+        .select(col("v"),
+          round((col("v") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("v") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("zipf_slope"),
+          round((col("sy") - ((col("v") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("v") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double")).cast("double") / col("v"), 6)
+            .as("intercept"))
+    },
+    Some(s"""
+      WITH top AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        GROUP BY tok ORDER BY c DESC, tok LIMIT $ZipfV),
+      ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE))
+            AS x,
+          ln(CAST(c AS DOUBLE)) AS y
+        FROM top),
+      mo AS (
+        SELECT count(*) AS v,
+          sum(CAST(x AS DECIMAL(28,12))) AS sx,
+          sum(CAST(y AS DECIMAL(28,12))) AS sy,
+          sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+          sum(CAST(x * x AS DECIMAL(28,12))) AS sxx
+        FROM ranked)
+      SELECT v,
+        round(CAST(v * sxy - sx * sy AS DOUBLE) /
+              CAST(v * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        round((CAST(sy AS DOUBLE) -
+               CAST(v * sxy - sx * sy AS DOUBLE) /
+               CAST(v * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / v,
+              6) AS intercept
+      FROM mo"""))
 
   /** d79: CONTENT-DEFINED CHUNKING — chunk boundaries chosen by the
     * CONTENT itself (a cut wherever the hash of the trailing 4-token

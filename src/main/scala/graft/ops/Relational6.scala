@@ -12,7 +12,61 @@ import Q.t
 object Relational6 {
 
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
-    q78AbcPareto, q79MadOutliers, q80OrderedAgg)
+    q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare)
+
+  /** q81: CHI-SQUARE INDEPENDENCE TEST — the mktsegment × orderpriority
+    * contingency table with expected counts and per-cell χ² contributions:
+    * "does customer segment drive order priority?" — the categorical-
+    * association test every experimentation/BI stack ships. One fact pass
+    * collapses to the |segments|×|priorities| matrix; totals are window
+    * sums over that TINY matrix (the d66 exception pattern — the
+    * unpartitioned windows rank a category-bounded aggregate, never
+    * data-volume rows). Counts are integers, so expected = r·c/n and the
+    * χ² contribution are single IEEE ops on identical integers — both
+    * engines agree bit-exact with no staging.
+    */
+  val q81ChiSquare: Q = Q(
+    "q81_chi_square",
+    (s, dir) => {
+      val cells = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+      val wSeg = Window.partitionBy(col("segment"))
+      val wPri = Window.partitionBy(col("priority"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("seg_total", sum(col("n")).over(wSeg))
+        .withColumn("pri_total", sum(col("n")).over(wPri))
+        .withColumn("grand", sum(col("n")).over(wAll))
+        .withColumn("expected",
+          col("seg_total").cast("double") * col("pri_total") / col("grand"))
+        .select(col("segment"), col("priority"), col("n"),
+          col("seg_total"), col("pri_total"), col("expected"),
+          ((col("n") - col("expected")) * (col("n") - col("expected")) /
+            col("expected")).as("chi2_contrib"))
+        .orderBy(col("segment"), col("priority"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+          count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT segment, priority, n,
+          CAST(sum(n) OVER (PARTITION BY segment) AS BIGINT) AS seg_total,
+          CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS pri_total,
+          CAST(sum(n) OVER () AS BIGINT) AS grand
+        FROM cells)
+      SELECT segment, priority, n, seg_total, pri_total,
+        CAST(seg_total AS DOUBLE) * pri_total / grand AS expected,
+        (n - CAST(seg_total AS DOUBLE) * pri_total / grand)
+          * (n - CAST(seg_total AS DOUBLE) * pri_total / grand)
+          / (CAST(seg_total AS DOUBLE) * pri_total / grand) AS chi2_contrib
+      FROM tot ORDER BY segment, priority"""))
 
   /** q80: ARGMAX + ORDERED STRING AGGREGATION — per brand, the priciest
     * part (deterministic tie-break by part key) and a '|'-joined list of

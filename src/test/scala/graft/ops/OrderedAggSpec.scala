@@ -26,6 +26,49 @@ class OrderedAggSpec extends SparkSpec {
     }
   }
 
+  test("q81: cells reconcile — totals, expected mass, chi2 nonnegative") {
+    val rows = Relational6.q81ChiSquare.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val grand = rows.map(_.getAs[Long]("n")).sum
+    // every segment's cells sum to its reported seg_total; same for cols
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (_, rs) =>
+      val tot = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach(r => assert(r.getAs[Long]("seg_total") === tot))
+    }
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (_, rs) =>
+      val tot = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach(r => assert(r.getAs[Long]("pri_total") === tot))
+    }
+    rows.foreach { r =>
+      val e = r.getAs[Double]("expected")
+      assert(e === r.getAs[Long]("seg_total").toDouble *
+        r.getAs[Long]("pri_total") / grand)
+      assert(r.getAs[Double]("chi2_contrib") >= 0.0)
+    }
+    // expected mass sums back to the grand total
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - grand) < 1e-6)
+  }
+
+  test("d80: slope matches a driver-side least-squares fit") {
+    val row = Corpus4.d80ZipfFit.run(spark, sf0001).collect().head
+    val counts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(500)
+    val xs = top.indices.map(i => math.log((i + 1).toDouble))
+    val ys = top.map(t => math.log(t._2.toDouble))
+    val v = top.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+    assert(row.getAs[Long]("v") === top.length.toLong)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - slope) < 1e-5)
+    assert(row.getAs[Double]("zipf_slope") < 0.0,
+      "frequency must fall with rank")
+  }
+
   test("g71: coefficients match a driver-side triangle recompute") {
     val rows = Graph3.g71ClusteringCoef.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
