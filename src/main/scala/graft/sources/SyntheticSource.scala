@@ -23,7 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     columns are never GENERATED — a projection of doc_id skips the
   *     text synthesis entirely (visible in the scan's readSchema);
   *   - LIMIT pushdown (`SupportsPushDownLimit`): `df.limit(n)` caps the
-  *     ids each partition generates instead of generating-then-dropping.
+  *     ids each partition generates instead of generating-then-dropping;
+  *   - FILTER pushdown (`SupportsPushDownV2Filters`): doc_id comparisons
+  *     narrow the generated id range at partition-PLANNING time — the
+  *     DSv2 spelling of partition pruning (`WHERE doc_id >= x` plans
+  *     only the matching slices; other predicates return as residuals);
+  *   - AGGREGATE pushdown (`SupportsPushDownAggregates`): a global
+  *     COUNT(*) — optionally under a pushed doc_id range — is answered
+  *     arithmetically (hi−lo) with zero rows generated, so counting a
+  *     trillion-row rehearsal table is O(1).
   *
   * Rows are pure functions of (seed, doc_id) — xorshift-mixed — so any
   * two reads, any cluster size, any partition count produce identical
@@ -106,10 +114,22 @@ private class SyntheticTable(rows: Long, parts: Int, seed: Long,
 private class SyntheticScanBuilder(rows: Long, parts: Int, seed: Long,
     rowsPerBatch: Long)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownV2Filters with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private var required: StructType = SyntheticSource.schema
   private var limit: Long = Long.MaxValue
+  // doc_id half-open bound narrowed by pushed predicates: ids are the
+  // PARTITIONING axis of this source, so a doc_id range prunes work at
+  // partition PLANNING time — the DSv2 spelling of partition pruning
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var pushed: Array[Predicate] = Array.empty
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -121,32 +141,141 @@ private class SyntheticScanBuilder(rows: Long, parts: Int, seed: Long,
   // GlobalLimit on top
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan =
-    new SyntheticScan(rows, parts, seed, required, limit, rowsPerBatch)
+  /** Absorb doc_id comparisons into the [lo, hi) range; anything else is
+    * returned as a residual for Spark to evaluate post-scan. Absorbed
+    * predicates are EXACT (ids are generated, never missing), so Spark
+    * drops its own copy of them.
+    */
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val (absorbed, residual) = predicates.partition(absorb)
+    pushed = absorbed
+    residual
+  }
+
+  override def pushedPredicates: Array[Predicate] = pushed
+
+  private def fieldOf(e: V2Expr): Option[String] = e match {
+    case n: NamedReference => Some(n.fieldNames.mkString("."))
+    case _ => None
+  }
+
+  private def longOf(e: V2Expr): Option[Long] = e match {
+    case l: V2Literal[_] => l.value match {
+      case v: java.lang.Long => Some(v.longValue)
+      case v: java.lang.Integer => Some(v.longValue)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def absorb(p: Predicate): Boolean = {
+    val kids = p.children()
+    if (kids.length != 2) return false
+    // field-op-literal, or literal-op-field with the operator mirrored
+    val parsed = (fieldOf(kids(0)), longOf(kids(1))) match {
+      case (Some("doc_id"), Some(v)) => Some((p.name, v))
+      case _ => (fieldOf(kids(1)), longOf(kids(0))) match {
+        case (Some("doc_id"), Some(v)) =>
+          p.name match {
+            case ">" => Some(("<", v)); case ">=" => Some(("<=", v))
+            case "<" => Some((">", v)); case "<=" => Some((">=", v))
+            case "=" => Some(("=", v)); case _ => None
+          }
+        case _ => None
+      }
+    }
+    parsed match {
+      case Some((">", v))  => lo = math.max(lo, if (v == Long.MaxValue) v else v + 1); true
+      case Some((">=", v)) => lo = math.max(lo, v); true
+      case Some(("<", v))  => hi = math.min(hi, v); true
+      case Some(("<=", v)) => hi = math.min(hi, if (v == Long.MaxValue) v else v + 1); true
+      case Some(("=", v))  => lo = math.max(lo, v)
+                              hi = math.min(hi, if (v == Long.MaxValue) v else v + 1); true
+      case _ => false
+    }
+  }
+
+  /** Global COUNT(*) answered from ARITHMETIC: ids are a generated dense
+    * range, so the count after range pushdown is just hi−lo — no row is
+    * ever produced. The flagship demonstration that metadata can answer
+    * an aggregate over a table of any advertised size instantly.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) { countStar = true; true } else false
+
+  override def build(): Scan = {
+    val boundedLo = math.max(0L, lo)
+    val boundedHi = math.min(rows, hi)
+    if (countStar)
+      new SyntheticCountScan(math.max(0L, boundedHi - boundedLo))
+    else
+      new SyntheticScan(boundedLo, boundedHi, parts, seed, required, limit,
+        rowsPerBatch)
+  }
 }
 
-private class SyntheticScan(rows: Long, parts: Int, seed: Long,
+/** Completed COUNT(*) pushdown: one partition, one row, zero generation. */
+private class SyntheticCountScan(count: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-synth pushedCountStar=$count"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticCountReaderFactory(count)
+}
+
+/** Standalone (serializable) factory — an inner anonymous class would drag
+  * the non-serializable Scan into the task closure.
+  */
+private class SyntheticCountReaderFactory(count: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = !served && { served = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](count))
+      override def close(): Unit = ()
+    }
+}
+
+private class SyntheticScan(lo: Long, hi: Long, parts: Int, seed: Long,
     required: StructType, limit: Long, rowsPerBatch: Long)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // the streaming path serves the FULL id range: batch-side predicate
+  // pushdown does not rewrite a stream's offsets (Spark filters streamed
+  // rows post-scan instead)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SyntheticMicroBatchStream(rows, parts, seed, rowsPerBatch, required)
+    new SyntheticMicroBatchStream(hi, parts, seed, rowsPerBatch, required)
   override def description(): String =
-    s"graft-synth rows=$rows parts=$parts readSchema=${required.simpleString}" +
+    s"graft-synth rows=${math.max(0L, hi - lo)} parts=$parts " +
+      s"readSchema=${required.simpleString}" +
+      s" plannedRange=[$lo,$hi)" +
       (if (limit != Long.MaxValue) s" pushedLimit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // quotient/remainder split — no `rows + parts` style additions, which
-    // overflow (and silently plan ZERO partitions) for rows near
-    // Long.MaxValue on a source that advertises any-scale rehearsal
+    // quotient/remainder split of the (possibly filter-narrowed) [lo, hi)
+    // id range — no `rows + parts` style additions, which overflow (and
+    // silently plan ZERO partitions) for ranges near Long.MaxValue on a
+    // source that advertises any-scale rehearsal
+    val rows = math.max(0L, hi - lo)
     val per = rows / parts
     val rem = rows % parts
     (0 until parts).iterator
       .map { p =>
-        val start = p * per + math.min(p.toLong, rem)
+        val start = lo + p * per + math.min(p.toLong, rem)
         val len = per + (if (p < rem) 1L else 0L)
         // pushed limit caps what each partition generates; compare against
         // the length (no start+limit addition — same overflow hazard);
