@@ -12,7 +12,63 @@ import Q.t
 object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
-    d78EvalDecontam, d79CdcChunking, d80ZipfFit)
+    d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule)
+
+  /** d81: INTERLEAVED CURRICULUM SCHEDULE — materialize the ORDER a
+    * trainer should read the corpus in: within each language, documents
+    * are shuffled by a deterministic multiplicative hash (salt 7777 —
+    * independent of the d34 split stream and d62's budget stream); across
+    * languages, positions interleave round-robin (global_pos = seq·L +
+    * lang_idx), so every window of L consecutive positions touches every
+    * language once — the "don't feed 10 epochs of English first"
+    * guarantee, stated as pure arithmetic.
+    *
+    * Scale shape: NO global sort anywhere — the within-language order is
+    * a language-keyed window over hash ranks, the language index is a
+    * |langs|-row broadcast, and the global position is computed, not
+    * sorted for. A trainer materializes the schedule by range-partitioned
+    * write on global_pos; here the report lists the first 100 positions
+    * (the head every schedule audit eyeballs) plus each doc's coordinates.
+    */
+  val d81InterleaveSchedule: Q = Q(
+    "d81_interleave_schedule",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val langIdx = docs.select(col("lang")).distinct()
+        .withColumn("lang_idx",
+          row_number().over(Window.orderBy(col("lang"))) - 1)
+      val nLangs = langIdx.agg(count(lit(1)).as("n_langs"))
+      val seq = docs.select(col("doc_id"), col("lang"))
+        .withColumn("h", pmod(pmod(col("doc_id"), lit(1000000007L))
+          * 2654435761L + 7777L, lit(1000000007L)))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("h"), col("doc_id"))) - 1)
+      seq.join(broadcast(langIdx), "lang")
+        .crossJoin(broadcast(nLangs))
+        .select(col("doc_id"), col("lang"),
+          (col("seq") * col("n_langs") + col("lang_idx")).as("global_pos"))
+        .filter(col("global_pos") < 100)
+        .orderBy(col("global_pos"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS lang_idx
+        FROM (SELECT DISTINCT lang FROM documents) t),
+      nl AS (SELECT count(*) AS n_langs FROM li),
+      seq AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY ((doc_id % 1000000007) * 2654435761 + 7777)
+              % 1000000007, doc_id) - 1
+            AS seq
+        FROM documents)
+      SELECT doc_id, seq.lang,
+        CAST(seq * (SELECT n_langs FROM nl) + lang_idx AS BIGINT)
+          AS global_pos
+      FROM seq JOIN li ON seq.lang = li.lang
+      WHERE seq * (SELECT n_langs FROM nl) + lang_idx < 100
+      ORDER BY global_pos"""))
 
   private val ZipfV = 500
 

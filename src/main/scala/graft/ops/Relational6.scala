@@ -12,7 +12,71 @@ import Q.t
 object Relational6 {
 
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
-    q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare)
+    q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
+    q82MovingMedian)
+
+  /** q82: TRAILING-WINDOW MEDIAN — per nation, the exact median of its
+    * daily revenue over the trailing 7 days: the robust moving baseline
+    * dashboards overlay on spiky series (a trailing MEAN follows the
+    * spike; the median holds). Percentile-over-window is not expressible
+    * as a Spark window function — the scale-stable spelling collapses the
+    * fact stream to CALENDAR-bounded daily totals first (the only
+    * data-volume pass), then a bounded self-join materializes each day's
+    * ≤7 trailing values and a rank pick takes the lower median. Exact
+    * integer cents end-to-end.
+    */
+  val q82MovingMedian: Q = Q(
+    "q82_moving_median",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg((sum(Q.dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      val trail = daily.as("d")
+        .join(daily.as("w"),
+          col("d.nation") === col("w.nation") &&
+            col("w.day") <= col("d.day") &&
+            col("w.day") > date_sub(col("d.day"), 7))
+        .select(col("d.nation").as("nation"), col("d.day").as("day"),
+          col("w.cents").as("v"), col("w.day").as("vday"))
+      val ranked = trail
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nation"), col("day"))
+            .orderBy(col("v"), col("vday"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("nation"), col("day"))))
+      ranked.filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("nation"), col("day"), col("n").as("n_days"),
+          (col("v").cast("double") / 100).as("trailing_median"))
+        .orderBy(col("nation"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      trail AS (
+        SELECT d.nation, d.day, w.cents AS v, w.day AS vday
+        FROM daily d JOIN daily w
+          ON d.nation = w.nation
+         AND w.day <= d.day AND w.day > d.day - 7),
+      ranked AS (
+        SELECT nation, day, v,
+          row_number() OVER (PARTITION BY nation, day ORDER BY v, vday)
+            AS rk,
+          CAST(count(*) OVER (PARTITION BY nation, day) AS BIGINT) AS n
+        FROM trail)
+      SELECT nation, day, n AS n_days,
+        CAST(v AS DOUBLE) / 100 AS trailing_median
+      FROM ranked WHERE rk = (n + 1) // 2
+      ORDER BY nation, day"""))
 
   /** q81: CHI-SQUARE INDEPENDENCE TEST — the mktsegment × orderpriority
     * contingency table with expected counts and per-cell χ² contributions:

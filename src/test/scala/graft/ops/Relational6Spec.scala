@@ -93,6 +93,50 @@ class Relational6Spec extends SparkSpec {
     }
   }
 
+  test("q82: trailing medians match a driver-side recompute") {
+    val rows = Relational6.q82MovingMedian.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$sf0001/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toLocalDate,
+        r.getLong(2)))
+    val byNation = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val day = r.getAs[java.sql.Date]("day").toLocalDate
+      val win = byNation(nation)
+        .filter(d => !d._2.isAfter(day) && d._2.isAfter(day.minusDays(7)))
+        .sortBy(d => (d._3, d._2.toEpochDay))
+      assert(r.getAs[Long]("n_days") === win.length.toLong)
+      val med = win((win.length - 1) / 2)._3
+      assert(r.getAs[Double]("trailing_median") === med.toDouble / 100)
+    }
+  }
+
+  test("d81: round-robin interleave — consecutive positions rotate langs") {
+    val rows = Corpus4.d81InterleaveSchedule.run(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("global_pos"))
+    assert(rows.length === 100)
+    val langs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang")).distinct().collect().map(_.getString(0)).sorted
+    val l = langs.length
+    // positions are unique and every block of L positions covers each
+    // lang exactly once (while all langs still have docs remaining)
+    assert(rows.map(_.getAs[Long]("global_pos")).distinct.length === 100)
+    rows.take(l * (100 / l)).grouped(l).foreach { block =>
+      assert(block.map(_.getAs[String]("lang")).sorted.toSeq === langs.toSeq)
+    }
+    // and doc_ids never repeat
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 100)
+  }
+
   test("q77: sessions partition each user's events with >30min gaps between") {
     val rows = Relational6.q77BatchSessions.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
