@@ -12,7 +12,73 @@ import Q.t
 object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
-    d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule)
+    d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule,
+    d82PackedLayout)
+
+  private val PackSeqLen = 2048L
+  private val PackShard = 1000L
+
+  /** d82: PACKED ATTENTION LAYOUT — the per-document placement record of
+    * d50's greedy stream packing: which 2048-token bin each document
+    * lands in, its segment index inside the bin, its token offset, and
+    * whether it straddles the bin boundary (the row a trainer turns into
+    * segment-id/attention-mask tensors; d50 reports the per-bin census,
+    * this materializes the layout itself).
+    *
+    * Same scale skeleton as d50: the global token cumsum runs as the
+    * two-phase prefix sum (doc-shard windows + broadcast shard prefixes),
+    * then bin/offset/segment are pure arithmetic on the cumsum — no
+    * global sort; the oracle states the identical layout with one
+    * portable window.
+    */
+  val d82PackedLayout: Q = Q(
+    "d82_packed_layout",
+    (s, dir) => {
+      val local = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          expr(s"doc_id div $PackShard").as("shard"))
+        .withColumn("local_end",
+          sum(col("n_toks")).over(Window.partitionBy(col("shard"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val prefixes = local.groupBy(col("shard"))
+        .agg(sum(col("n_toks")).as("tot"))
+        .withColumn("prefix",
+          coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("prefix"))
+      val placed = local.join(broadcast(prefixes), "shard")
+        .select(col("doc_id"), col("n_toks"),
+          (col("prefix") + col("local_end") - col("n_toks")).as("start"))
+        .select(col("doc_id"), col("n_toks"),
+          expr(s"start div $PackSeqLen").as("bin"),
+          expr(s"start % $PackSeqLen").as("start_off"))
+      placed
+        .withColumn("seg_idx", row_number().over(
+          Window.partitionBy(col("bin")).orderBy(col("doc_id"))) - 1)
+        .select(col("doc_id"), col("bin"), col("seg_idx"),
+          col("start_off"), col("n_toks"),
+          (col("start_off") + col("n_toks") > PackSeqLen).as("crosses"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH placed AS (
+        SELECT doc_id, n_toks,
+          CAST(start // $PackSeqLen AS BIGINT) AS bin,
+          CAST(start % $PackSeqLen AS BIGINT) AS start_off
+        FROM (
+          SELECT doc_id, n_toks,
+            sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_toks AS start
+          FROM (SELECT doc_id, len(string_split(text,' ')) AS n_toks
+                FROM documents) t) c)
+      SELECT doc_id, bin,
+        CAST(row_number() OVER (PARTITION BY bin ORDER BY doc_id) - 1
+             AS INT) AS seg_idx,
+        start_off, CAST(n_toks AS BIGINT) AS n_toks,
+        start_off + n_toks > $PackSeqLen AS crosses
+      FROM placed ORDER BY doc_id"""))
 
   /** d81: INTERLEAVED CURRICULUM SCHEDULE — materialize the ORDER a
     * trainer should read the corpus in: within each language, documents

@@ -165,8 +165,12 @@ object Graph2 {
       // the AA term is a function of the CUSTOMER alone: stage it decimal
       // once per incidence row (O(|cs|)) so the pair join aggregates a
       // ready column instead of running ln+÷+cast once per PAIR row
-      // (O(Σdeg²) — 45× more rows at sf0.1)
-      val inc = cs.join(cdeg.filter(col("cdeg") <= MaxCustDeg), "cust")
+      // (O(Σdeg²) — 45× more rows at sf0.1). cdeg ≥ 2 both protects the
+      // hoisted 1/ln(cdeg) from ln(1)=0 (ANSI divide-by-zero) AND drops
+      // rows that could never form a pair — a deg-1 customer has no
+      // second supplier to co-occur with
+      val inc = cs.join(
+        cdeg.filter(col("cdeg") <= MaxCustDeg && col("cdeg") >= 2), "cust")
         .withColumn("aaterm",
           (lit(1.0) / log(col("cdeg").cast("double")))
             .cast(DecimalType(18, 12)))

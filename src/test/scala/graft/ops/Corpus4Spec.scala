@@ -125,6 +125,27 @@ class Corpus4Spec extends SparkSpec {
     }
   }
 
+  test("d82: layout tiles the token stream; census reconciles with d50") {
+    val rows = Corpus4.d82PackedLayout.run(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    // reconstruct the greedy stream: each doc starts where the previous
+    // ended, bins/offsets/crossing follow from the running total
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin") === cum / 2048)
+      assert(r.getAs[Long]("start_off") === cum % 2048)
+      assert(r.getAs[Boolean]("crosses") ===
+        (cum % 2048 + r.getAs[Long]("n_toks") > 2048))
+      cum += r.getAs[Long]("n_toks")
+    }
+    // segment indices are 0..k-1 within each bin in doc order
+    rows.groupBy(_.getAs[Long]("bin")).foreach { case (_, rs) =>
+      assert(rs.sortBy(_.getLong(0)).map(_.getAs[Int]("seg_idx")).toSeq ===
+        rs.indices.toSeq)
+    }
+  }
+
   test("d77: every doc lands in exactly one batch; waste reconciles") {
     val out = Corpus4.d77LengthBatching.run(spark, sf0001)
     val rows = out.collect()

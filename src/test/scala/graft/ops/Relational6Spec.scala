@@ -137,6 +137,38 @@ class Relational6Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 100)
   }
 
+  test("q83: interpolated points sit on the segment between their brackets") {
+    val rows = Relational6.q83LinearInterp.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val srcs = rows.map(_.getAs[String]("src")).toSet
+    assert(srcs.contains("actual"))
+    // grid is dense per region: consecutive days, no holes
+    rows.groupBy(_.getAs[String]("region")).foreach { case (_, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("day").toLocalDate)
+        .sortBy(_.toEpochDay)
+      days.sliding(2).foreach {
+        case Array(a, b) => assert(b === a.plusDays(1))
+        case _ => ()
+      }
+      // interpolated values are between their neighbors' actual values
+      val series = rs.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+      series.zipWithIndex.filter(_._1.getAs[String]("src") == "interpolated")
+        .foreach { case (r, i) =>
+          val before = series.take(i).reverse
+            .find(_.getAs[String]("src") == "actual").get.getAs[Double]("value")
+          val after = series.drop(i + 1)
+            .find(_.getAs[String]("src") == "actual").get.getAs[Double]("value")
+          val v = r.getAs[Double]("value")
+          assert(v >= math.min(before, after) - 0.02 &&
+            v <= math.max(before, after) + 0.02,
+            s"interpolation out of bracket: $v not in [$before, $after]")
+        }
+      // edge rows only at the ends, with null value
+      series.filter(_.getAs[String]("src") == "edge")
+        .foreach(r => assert(r.isNullAt(r.fieldIndex("value"))))
+    }
+  }
+
   test("q77: sessions partition each user's events with >30min gaps between") {
     val rows = Relational6.q77BatchSessions.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
