@@ -72,6 +72,21 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q78 plan: only shard-level aggregates see an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val res = Relational6.q78AbcPareto.run(spark, sf0001)
+    val wins = res.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overShardTotals = w.child.collect {
+        case a: Aggregate if a.groupingExpressions
+          .exists(_.references.exists(_.name == "shard")) => a
+      }
+      assert(overShardTotals.nonEmpty,
+        s"unpartitioned window over part-level rows:\n$w")
+    }
+  }
+
   test("q79: medians match a driver-side recompute; fences are robust") {
     val rows = Relational6.q79MadOutliers.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
