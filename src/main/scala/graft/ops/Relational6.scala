@@ -13,7 +13,104 @@ object Relational6 {
 
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
     q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
-    q82MovingMedian, q83LinearInterp)
+    q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon)
+
+  /** q84: TPC-H Q22 PATTERN (global-sales opportunity) — customers in the
+    * three target segments holding ABOVE-AVERAGE positive balances who
+    * have placed no order since 2000-07-01: per segment, how many such
+    * dormant high-value accounts exist and what balance they hold. The classic
+    * decorrelation duo: a scalar aggregate subquery (one-row broadcast)
+    * plus a NOT EXISTS (left anti join against order custkeys) — both in
+    * their scale-stable spellings. Balance sums ride the exact-decimal
+    * grid.
+    */
+  val q84DormantValue: Q = Q(
+    "q84_dormant_value",
+    (s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin(segs: _*))
+      val cutoff = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(Q.dec2(col("c_acctbal"))) /
+          count(lit(1))).cast("double").as("avg_bal"))
+      cust.crossJoin(broadcast(cutoff))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey"))
+          .distinct(), Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(Q.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""
+      WITH cust AS (
+        SELECT * FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')),
+      cutoff AS (
+        SELECT ${Q.sumDec("c_acctbal")} / count(*) AS avg_bal
+        FROM cust WHERE c_acctbal > 0)
+      SELECT c_mktsegment, count(*) AS n_custs,
+        ${Q.sumDec("c_acctbal")} AS total_bal
+      FROM cust, cutoff
+      WHERE c_acctbal > avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** q85: PARENT–CHILD AMOUNT RECONCILIATION — does each order's header
+    * total agree with the sum of its line amounts? The audit every
+    * finance pipeline runs between fact tables (q64 checks KEYS exist;
+    * this checks VALUES reconcile). One child-keyed aggregate + one
+    * keyed join; the report is per order-status: order count, exact
+    * matches, and the mean absolute deviation in integer cents (·10⁴ ÷ n
+    * basis-point style, so no float surface). Orders without lines
+    * reconcile against zero.
+    */
+  val q85ParentChildRecon: Q = Q(
+    "q85_parent_child_recon",
+    (s, dir) => {
+      // 10⁻⁴-unit grid: the line sum has FOUR decimal places (2dp price ×
+      // 2dp discount), so scaling by 10⁴ is exactly integral — a ×100
+      // "cents" scale would leave a fractional decimal whose int cast
+      // TRUNCATES in Spark but ROUNDS in DuckDB (the parity playbook's
+      // decimal→int rule)
+      val lineSums = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg((sum(Q.discPrice) * 10000).cast("long").as("line_u"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (Q.dec2(col("o_totalprice")) * 10000).cast("long").as("hdr_u"))
+      o.join(lineSums, Seq("o_orderkey"), "left")
+        .na.fill(0L, Seq("line_u"))
+        .select(col("o_orderstatus"),
+          (col("hdr_u") - col("line_u")).as("dev"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("dev") === 0L, 1L).otherwise(0L)).as("n_exact"),
+          sum(abs(col("dev"))).as("abs_dev_u"),
+          expr("sum(abs(dev)) div count(1)").as("mean_abs_dev_u"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      WITH ls AS (
+        SELECT l_orderkey AS o_orderkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1-l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+            AS line_u
+        FROM lineitem GROUP BY 1),
+      dev AS (
+        SELECT o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 10000 AS BIGINT)
+            - coalesce(ls.line_u, 0) AS dev
+        FROM orders LEFT JOIN ls USING (o_orderkey))
+      SELECT o_orderstatus, count(*) AS n_orders,
+        CAST(sum(CASE WHEN dev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        CAST(sum(abs(dev)) AS BIGINT) AS abs_dev_u,
+        CAST(sum(abs(dev)) AS BIGINT) // count(*) AS mean_abs_dev_u
+      FROM dev GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** q83: LINEAR-INTERPOLATION GAP FILL — the missing days of each
     * region's daily-revenue series estimated from their bracketing

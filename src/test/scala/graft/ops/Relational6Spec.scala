@@ -72,6 +72,40 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q84: census matches a driver-side Q22 recompute") {
+    val rows = Relational6.q84DormantValue.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val segs = Set("AUTOMOBILE", "BUILDING", "MACHINERY")
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(c => segs.contains(c._2))
+    val avg = {
+      val pos = cust.filter(_._3 > 0)
+      pos.map(c => BigDecimal(c._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / pos.length
+    }
+    val recent = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val expected = cust.filter(c => c._3 > avg && !recent.contains(c._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getAs[String]("c_mktsegment") ->
+      r.getAs[Long]("n_custs")).toMap === expected)
+  }
+
+  test("q85: deviations reconcile with a driver-side header-vs-lines sum") {
+    val rows = Relational6.q85ParentChildRecon.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nOrders = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrders)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") <= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Long]("mean_abs_dev_u") ===
+        r.getAs[Long]("abs_dev_u") / r.getAs[Long]("n_orders"))
+    }
+  }
+
   test("q78 plan: only shard-level aggregates see an unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val res = Relational6.q78AbcPareto.run(spark, sf0001)
