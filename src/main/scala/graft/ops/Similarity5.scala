@@ -9,7 +9,131 @@ import Q.t
   */
 object Similarity5 {
 
-  def pack: Seq[Q] = Seq(e75IvfDelta)
+  def pack: Seq[Q] = Seq(e75IvfDelta, e76NprobeSweep)
+
+  /** e76: NPROBE RECALL SWEEP — the tuning curve every IVF deployment
+    * reads before picking its operating point: recall@10 against the
+    * exact top-10 at nprobe ∈ {1, 2, 4}. Each setting re-runs the e53
+    * probe pipeline (shared centroids, corpus assignment identical —
+    * only the probe width changes); the truth set is the e50 brute-force
+    * top-10. Per (nprobe, query): hit count and recall in integer basis
+    * points — all ranking boundaries exact-decimal-rescored, so the
+    * whole CURVE is hash-oracled, not just sampled.
+    *
+    * Scale: the corpus-side assignment is the dominant pass and is the
+    * same work an index BUILD already does; the sweep itself only varies
+    * the per-query probe list (nprobe·queries rows).
+    */
+  val e76NprobeSweep: Q = Q(
+    "e76_nprobe_sweep",
+    (s, dir) => {
+      graft.expr.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val fast = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          Similarity.cosNative(col("qv"), col("cv")).as("cosf"))
+      val truth = Similarity.exactRerank(fast, q, c, k = 10)
+        .select(col("qid"), col("cid")).localCheckpoint(true)
+      val perProbe = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(emb, nprobe = np)
+          .select(lit(np).as("nprobe"), col("qid"), col("cid"))
+      }.reduce(_ unionAll _)
+      val hits = perProbe.join(truth, Seq("qid", "cid"))
+        .groupBy(col("nprobe"), col("qid")).agg(count(lit(1)).as("hits"))
+      import s.implicits._
+      val grid = s.range(0, 5).toDF("qid")
+        .crossJoin(Seq(1, 2, 4).toDF("nprobe"))
+      val out = grid.join(hits, Seq("nprobe", "qid"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("nprobe"), col("qid"), col("hits"),
+          (col("hits") * 1000).as("recall_bp"))
+        .orderBy(col("nprobe"), col("qid"))
+      Q.materialized(out, truth)
+    },
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id % 37 = 0),
+      norms AS (
+        SELECT vec_id,
+          sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+        GROUP BY vec_id),
+      vc AS (
+        SELECT vec_id, centroid_id,
+          CAST(sum(CAST(CAST(vx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT e.vec_id, c.centroid_id,
+                unnest(e.embedding) AS vx, unnest(c.centroid) AS cx
+              FROM embeddings e CROSS JOIN cents c) p
+        GROUP BY vec_id, centroid_id),
+      sims AS (
+        SELECT vc.vec_id, vc.centroid_id, vc.dot/(nv.nrm*nc.nrm) AS sim
+        FROM vc JOIN norms nv ON vc.vec_id = nv.vec_id
+                JOIN norms nc ON vc.centroid_id = nc.vec_id),
+      assign_c AS (
+        SELECT vec_id AS cid, centroid_id FROM (
+          SELECT vec_id, centroid_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM sims WHERE vec_id >= 5) t WHERE rn = 1),
+      assign_q AS (
+        SELECT vec_id AS qid, centroid_id, rn FROM (
+          SELECT vec_id, centroid_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM sims WHERE vec_id < 5) t WHERE rn <= 4),
+      probes AS (SELECT unnest([1, 2, 4]) AS np),
+      cand AS (
+        SELECT DISTINCT p.np, q.qid, a.cid
+        FROM assign_q q
+        JOIN probes p ON q.rn <= p.np
+        JOIN assign_c a USING (centroid_id)),
+      cdots AS (
+        SELECT np, qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT cand.np, cand.qid, cand.cid,
+                unnest(eq.embedding) AS qx, unnest(ec.embedding) AS cx
+              FROM cand JOIN embeddings eq ON eq.vec_id = cand.qid
+                        JOIN embeddings ec ON ec.vec_id = cand.cid) p
+        GROUP BY np, qid, cid),
+      ivf AS (
+        SELECT np, qid, cid FROM (
+          SELECT d.np, d.qid, d.cid,
+            row_number() OVER (PARTITION BY d.np, d.qid
+              ORDER BY d.dot/(nq.nrm*nc.nrm) DESC, d.cid) AS rank
+          FROM cdots d JOIN norms nq ON d.qid = nq.vec_id
+                       JOIN norms nc ON d.cid = nc.vec_id) t
+        WHERE rank <= 10),
+      tdots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                unnest(q.embedding) AS qx, unnest(c.embedding) AS cx
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 5 AND c.vec_id >= 5) p
+        GROUP BY qid, cid),
+      truth AS (
+        SELECT qid, cid FROM (
+          SELECT d.qid, d.cid,
+            row_number() OVER (PARTITION BY d.qid
+              ORDER BY d.dot/(nq.nrm*nc.nrm) DESC, d.cid) AS rank
+          FROM tdots d JOIN norms nq ON d.qid = nq.vec_id
+                       JOIN norms nc ON d.cid = nc.vec_id) t
+        WHERE rank <= 10),
+      hits AS (
+        SELECT np, qid, count(*) AS hits
+        FROM ivf JOIN truth USING (qid, cid)
+        GROUP BY np, qid),
+      grid AS (
+        SELECT p.np, q.qid
+        FROM probes p CROSS JOIN (SELECT DISTINCT qid FROM truth) q)
+      SELECT g.np AS nprobe, g.qid,
+        CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        CAST(coalesce(h.hits, 0) * 1000 AS BIGINT) AS recall_bp
+      FROM grid g LEFT JOIN hits h ON g.np = h.np AND g.qid = h.qid
+      ORDER BY nprobe, g.qid"""))
 
   private val Grid = 512L
   private val Shift = 512L

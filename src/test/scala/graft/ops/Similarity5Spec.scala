@@ -22,6 +22,22 @@ class Similarity5Spec extends SparkSpec {
     }
   }
 
+  test("e76: recall is monotone in nprobe and bounded by k") {
+    val rows = Similarity5.e76NprobeSweep.run(spark, sf0001).collect()
+    assert(rows.length === 15) // 3 probe settings x 5 queries
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0 && h <= 10)
+      assert(r.getAs[Long]("recall_bp") === h * 1000)
+    }
+    // widening the probe list can only add candidates → recall monotone
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val byNp = rs.sortBy(_.getAs[Int]("nprobe"))
+        .map(_.getAs[Long]("hits")).toSeq
+      assert(byNp === byNp.sorted, s"recall not monotone: $byNp")
+    }
+  }
+
   test("e75: delta assignment agrees with a full e72-style reassignment") {
     // the incremental path must give every delta vector the same list the
     // batch path would: recompute a single-pass assignment driver-side
