@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectPlannerStrategy(graft.plans.TopKPerKeyStrategy.apply)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 
@@ -62,5 +63,11 @@ object GraftFunctions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+
           graft.plans.TopKPerKeyStrategy(spark)
+    // optimizer rule routing the window-top-k idiom to that operator
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.WindowTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.WindowTopKRewrite
   }
 }
