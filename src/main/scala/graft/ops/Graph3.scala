@@ -11,7 +11,96 @@ import Q.t
   */
 object Graph3 {
 
-  def pack: Seq[Q] = Seq(g69Sssp, g70Assortativity, g71ClusteringCoef)
+  def pack: Seq[Q] = Seq(g69Sssp, g70Assortativity, g71ClusteringCoef,
+    g72Modularity)
+
+  /** g72: MODULARITY of the g67 label-propagation communities — Newman's
+    * Q = Σ_c [intra_c/L − (d_c/L)²] over the symmetric edge list (L =
+    * 2·edges): did LPA actually find denser-than-chance structure, or
+    * just connected blobs? The quality score every community pipeline
+    * reports next to its labels.
+    *
+    * Exactness: intra/degree masses are integers; the per-community
+    * contribution is the exact integer intra_c·L − d_c², accumulated in
+    * DECIMAL(38,0) (overflow-proof at any edge count), with ONE IEEE
+    * division by L² at the end — both engines agree bit-exact. Plan:
+    * the LPA loop (g67's shape) + two label-keyed aggregates (edge
+    * intra test = one two-sided label join) + a one-row total.
+    */
+  val g72Modularity: Q = Q(
+    "g72_modularity",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val labels = Graph2.labelPropagation(edges, Graph2.LpaIters)
+      val lsrc = labels.select(col("node").as("src"), col("label").as("lsrc"))
+      val ldst = labels.select(col("node").as("dst"), col("label").as("ldst"))
+      val tagged = edges
+        .join(lsrc.hint("shuffle_hash"), "src")
+        .join(ldst.hint("shuffle_hash"), "dst")
+      val perComm = tagged.groupBy(col("lsrc").as("community"))
+        .agg(count(lit(1)).as("d_c"),
+          sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L))
+            .as("intra_c"))
+      val lTot = edges.agg(count(lit(1)).as("bigL"))
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val out = perComm.crossJoin(broadcast(lTot))
+        .agg(count(lit(1)).as("n_communities"),
+          min(col("bigL")).as("bigL"),
+          sum((col("intra_c") * col("bigL") - col("d_c") * col("d_c"))
+            .cast(d38)).as("num"))
+        .select(col("n_communities"), expr("bigL div 2").as("m_edges"),
+          (col("num").cast("double") /
+            (col("bigL") * col("bigL")).cast("double")).as("modularity"))
+      Q.materialized(out, edges)
+    },
+    Some {
+      val rounds = (1 to Graph2.LpaIters).map { i =>
+        s"""
+      l$i AS MATERIALIZED (
+        SELECT dst AS node,
+          CAST(min((${Graph2.MaxCnt} - c) * ${Graph2.LabelPackP} + label)
+               % ${Graph2.LabelPackP} AS BIGINT) AS label
+        FROM (
+          SELECT e.dst, l.label, count(*) AS c
+          FROM edges e JOIN l${i - 1} l ON e.src = l.node
+          GROUP BY e.dst, l.label) v
+        GROUP BY dst)"""
+      }.mkString(",")
+      s"""
+      WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s AS src, c AS dst FROM pairs),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM edges),$rounds,
+      tagged AS (
+        SELECT ls.label AS lsrc, ld.label AS ldst
+        FROM edges e
+        JOIN l${Graph2.LpaIters} ls ON ls.node = e.src
+        JOIN l${Graph2.LpaIters} ld ON ld.node = e.dst),
+      ltot AS (SELECT count(*) AS bigL FROM edges),
+      per_comm AS (
+        SELECT lsrc AS community, count(*) AS d_c,
+          CAST(sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT)
+            AS intra_c
+        FROM tagged GROUP BY lsrc)
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        (SELECT bigL FROM ltot) // 2 AS m_edges,
+        CAST(sum(CAST(intra_c * (SELECT bigL FROM ltot) - d_c * d_c
+                      AS DECIMAL(38,0))) AS DOUBLE)
+          / CAST((SELECT bigL FROM ltot) * (SELECT bigL FROM ltot) AS DOUBLE)
+          AS modularity
+      FROM per_comm"""
+    })
 
   /** g71: LOCAL CLUSTERING COEFFICIENT — per node of the part co-purchase
     * graph (g62's edge set): how many of my neighbors' pairs are

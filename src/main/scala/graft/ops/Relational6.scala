@@ -13,7 +13,84 @@ object Relational6 {
 
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
     q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
-    q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon)
+    q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon,
+    q86MixShift)
+
+  /** q86: PRICE–VOLUME MIX-SHIFT DECOMPOSITION — per brand, how much of
+    * the 1999→2000 revenue delta came from selling MORE (volume effect,
+    * last year's realized unit price × quantity change) vs charging MORE
+    * (price effect, the residual): the standard two-factor bridge every
+    * revenue review opens with (q67 ranks the movers; this explains
+    * them). One conditional-aggregation fact pass (no self-join of
+    * periods); revenue and quantity ride exact integer grids (10⁻² units)
+    * and each effect is a single IEEE divide/subtract on exact integers,
+    * so the doubles compare bit-exact. Brands active in only one period
+    * are reported with null effects rather than dropped.
+    */
+  val q86MixShift: Q = Q(
+    "q86_mix_shift",
+    (s, dir) => {
+      val li = Q.spread(t(s, dir, "lineitem"), "l_partkey")
+        .filter(year(col("l_shipdate")).isin(1999, 2000))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      val per = li.groupBy(col("p_brand"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1999,
+            Q.dec2(col("l_extendedprice")) * 100).otherwise(0))
+            .cast("long").as("r1"),
+          sum(when(year(col("l_shipdate")) === 2000,
+            Q.dec2(col("l_extendedprice")) * 100).otherwise(0))
+            .cast("long").as("r2"),
+          sum(when(year(col("l_shipdate")) === 1999,
+            Q.dec2(col("l_quantity")) * 100).otherwise(0))
+            .cast("long").as("v1"),
+          sum(when(year(col("l_shipdate")) === 2000,
+            Q.dec2(col("l_quantity")) * 100).otherwise(0))
+            .cast("long").as("v2"))
+      per.select(col("p_brand"),
+        (col("r1").cast("double") / 100).as("rev_1999"),
+        (col("r2").cast("double") / 100).as("rev_2000"),
+        ((col("r2") - col("r1")).cast("double") / 100).as("delta"),
+        when(col("v1") > 0,
+          (col("r1") * (col("v2") - col("v1"))).cast("double") /
+            col("v1").cast("double") / 100).as("volume_effect"),
+        when(col("v1") > 0,
+          ((col("r2") - col("r1")).cast("double") / 100) -
+            ((col("r1") * (col("v2") - col("v1"))).cast("double") /
+              col("v1").cast("double") / 100)).as("price_effect"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT p_brand,
+          CAST(sum(CASE WHEN year(l_shipdate) = 1999
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * 100 ELSE 0 END)
+            AS BIGINT) AS r1,
+          CAST(sum(CASE WHEN year(l_shipdate) = 2000
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * 100 ELSE 0 END)
+            AS BIGINT) AS r2,
+          CAST(sum(CASE WHEN year(l_shipdate) = 1999
+            THEN CAST(l_quantity AS DECIMAL(18,2)) * 100 ELSE 0 END)
+            AS BIGINT) AS v1,
+          CAST(sum(CASE WHEN year(l_shipdate) = 2000
+            THEN CAST(l_quantity AS DECIMAL(18,2)) * 100 ELSE 0 END)
+            AS BIGINT) AS v2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN (1999, 2000)
+        GROUP BY p_brand)
+      SELECT p_brand,
+        CAST(r1 AS DOUBLE) / 100 AS rev_1999,
+        CAST(r2 AS DOUBLE) / 100 AS rev_2000,
+        CAST(r2 - r1 AS DOUBLE) / 100 AS delta,
+        CASE WHEN v1 > 0 THEN
+          CAST(r1 * (v2 - v1) AS DOUBLE) / CAST(v1 AS DOUBLE) / 100
+        END AS volume_effect,
+        CASE WHEN v1 > 0 THEN
+          CAST(r2 - r1 AS DOUBLE) / 100
+            - CAST(r1 * (v2 - v1) AS DOUBLE) / CAST(v1 AS DOUBLE) / 100
+        END AS price_effect
+      FROM per ORDER BY p_brand"""))
 
   /** q84: TPC-H Q22 PATTERN (global-sales opportunity) — customers in the
     * three target segments holding ABOVE-AVERAGE positive balances who

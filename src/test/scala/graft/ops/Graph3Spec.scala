@@ -36,6 +36,35 @@ class Graph3Spec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("dist") >= 0))
   }
 
+  test("g72: modularity is bounded and reconciles with a driver recompute") {
+    val row = Graph3.g72Modularity.run(spark, sf0001).collect().head
+    val q = row.getAs[Double]("modularity")
+    assert(q >= -0.5 && q <= 1.0) // Newman's hard bounds
+    // recompute from the same LPA labels driver-side
+    val pairs = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val edgesDf = {
+      import spark.implicits._
+      sym.toSeq.toDF("src", "dst")
+    }
+    val labels = Graph2.labelPropagation(edgesDf, Graph2.LpaIters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigL = sym.length.toDouble
+    val byComm = sym.groupBy(e => labels(e._1))
+    val expected = byComm.values.map { es =>
+      val dC = es.length.toDouble
+      val intra = es.count(e => labels(e._1) == labels(e._2)).toDouble
+      intra / bigL - (dC / bigL) * (dC / bigL)
+    }.sum
+    assert(math.abs(q - expected) < 1e-9)
+    assert(row.getAs[Long]("m_edges") === pairs.length.toLong)
+    assert(row.getAs[Long]("n_communities") === byComm.size.toLong)
+  }
+
   test("g70: hand-sized graph matches a driver-side Pearson recompute") {
     val row = Graph3.g70Assortativity.run(spark, sf0001).collect().head
     val pairs = spark.read.parquet(s"$sf0001/orders.parquet")

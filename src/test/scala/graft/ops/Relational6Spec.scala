@@ -72,6 +72,20 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q86: effects decompose the delta exactly (residual identity)") {
+    val rows = Relational6.q86MixShift.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("delta") -
+        (r.getAs[Double]("rev_2000") - r.getAs[Double]("rev_1999"))) < 1e-9)
+      if (!r.isNullAt(r.fieldIndex("volume_effect"))) {
+        // the two effects sum back to the delta by construction
+        assert(math.abs(r.getAs[Double]("volume_effect") +
+          r.getAs[Double]("price_effect") - r.getAs[Double]("delta")) < 1e-9)
+      }
+    }
+  }
+
   test("q84: census matches a driver-side Q22 recompute") {
     val rows = Relational6.q84DormantValue.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
