@@ -13,7 +13,74 @@ object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
     d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule,
-    d82PackedLayout)
+    d82PackedLayout, d83RendezvousShards)
+
+  private val NShards = 32
+
+  /** d83: RENDEZVOUS (HRW) SHARD ASSIGNMENT AUDIT — assign every document
+    * to argmax_s hash(doc, s) over 32 shards and report each shard's
+    * load against the uniform expectation. Rendezvous hashing is the
+    * partitioning scheme whose assignments survive shard-count changes
+    * with only 1/N movement (plain `mod` reshuffles almost everything) —
+    * the property that matters when a 100 TB corpus gains capacity. The
+    * audit proves the load spread the scheme actually delivers.
+    *
+    * All-integer: the per-(doc, shard) weight is the d34-family
+    * multiplicative hash; the argmax is one packed min per doc (weight
+    * and shard id both bounded, products ≤ 2⁵²); the report is N rows.
+    * The 32× row expansion is a narrow generate — no shuffle until the
+    * N-row count.
+    */
+  /** The HRW assignment of (doc_id) rows over `nShards` — exposed for the
+    * minimal-movement spec (rendezvous hashing's defining property).
+    */
+  def hrwAssign(ids: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 64, "packed argmax holds shard < 64")
+    val s = ids.sparkSession
+    ids.select(col("doc_id"))
+      .crossJoin(broadcast(s.range(0, nShards).toDF("shard")))
+      .withColumn("w", pmod(
+        pmod(col("doc_id"), lit(1000000007L)) *
+          (lit(2654435761L) + col("shard") * 1000003L) + col("shard"),
+        lit(1000000007L)))
+      .select(col("doc_id"),
+        ((lit(1000000009L) - col("w")) * 64L + col("shard")).as("packed"))
+      .groupBy(col("doc_id")).agg(min(col("packed")).as("p"))
+      .select(col("doc_id"), (col("p") % 64L).as("shard"))
+  }
+
+  val d83RendezvousShards: Q = Q(
+    "d83_rendezvous_shards",
+    (s, dir) => {
+      // weight ∈ [0, 10⁹): PER-SHARD MULTIPLIER, not an additive term —
+      // an additive shard offset is monotone in shard for almost every
+      // doc (wraps with probability offset/p), which silently collapses
+      // the argmax onto the last shard. Argmax = packed min
+      // (10⁹−w)·2⁶ + shard, ties → lowest shard.
+      val docs = hrwAssign(
+        Q.spread(t(s, dir, "documents"), "doc_id"), NShards)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      docs.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(n))
+        .select(col("shard"), col("n"), col("n_docs"),
+          expr(s"n * $NShards * 10000 div n_docs").as("load_vs_mean_bp"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, shard,
+          ((doc_id % 1000000007) * (2654435761 + shard * 1000003) + shard)
+            % 1000000007 AS w
+        FROM documents, (SELECT unnest(range(0, $NShards)) AS shard) sh),
+      assign AS (
+        SELECT doc_id,
+          CAST(min((1000000009 - w) * 64 + shard) % 64 AS BIGINT) AS shard
+        FROM w GROUP BY doc_id),
+      n AS (SELECT count(*) AS n_docs FROM assign)
+      SELECT shard, count(*) AS n, (SELECT n_docs FROM n) AS n_docs,
+        count(*) * $NShards * 10000 // (SELECT n_docs FROM n)
+          AS load_vs_mean_bp
+      FROM assign GROUP BY shard ORDER BY shard"""))
 
   private val PackSeqLen = 2048L
   private val PackShard = 1000L

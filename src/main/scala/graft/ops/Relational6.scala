@@ -14,7 +14,65 @@ object Relational6 {
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
     q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
     q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon,
-    q86MixShift)
+    q86MixShift, q87LatencyPercentiles)
+
+  /** q87: FULFILLMENT-LATENCY PERCENTILES — order-to-ship days per order
+    * priority, reported as exact rank-based P50/P90/P99 plus mean: the
+    * SLA panel every fulfillment dashboard opens with. Latency values
+    * are small integers (a DAY domain), so the q63/q79 histogram shape
+    * collapses the fact join to |priorities|×|latency-days| cells before
+    * any window runs — the percentile pass costs a value-bounded
+    * aggregate regardless of line count, and every target is the exact
+    * rank ⌈p·n⌉ statistic (no interpolation, no float surface except the
+    * final mean division).
+    */
+  val q87LatencyPercentiles: Q = Q(
+    "q87_latency_percentiles",
+    (s, dir) => {
+      val lat = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("days"))
+      val h = lat.groupBy(col("pri"), col("days")).agg(count(lit(1)).as("c"))
+      val cum = h.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("pri")).orderBy(col("days"))))
+      val n = h.groupBy(col("pri")).agg(sum(col("c")).as("n"),
+        sum(col("days") * col("c")).as("tot"))
+      def rankPick(p: Int) = min(when(
+        col("cum") * 100 >= col("n") * p, col("days"))).as(s"p$p")
+      cum.join(broadcast(n), "pri")
+        .groupBy(col("pri"))
+        .agg(min(col("n")).as("n_lines"), rankPick(50), rankPick(90),
+          rankPick(99),
+          (min(col("tot")).cast("double") / min(col("n"))).as("mean_days"))
+        .select(col("pri").as("o_orderpriority"), col("n_lines"),
+          col("p50"), col("p90"), col("p99"), col("mean_days"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH lat AS (
+        SELECT o_orderpriority AS pri,
+          CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+               AS BIGINT) AS days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h AS (SELECT pri, days, count(*) AS c FROM lat GROUP BY 1, 2),
+      cum AS (
+        SELECT pri, days, c,
+          CAST(sum(c) OVER (PARTITION BY pri ORDER BY days) AS BIGINT)
+            AS cum
+        FROM h),
+      n AS (
+        SELECT pri, CAST(sum(c) AS BIGINT) AS n,
+          CAST(sum(days * c) AS BIGINT) AS tot
+        FROM h GROUP BY pri)
+      SELECT pri AS o_orderpriority, min(n) AS n_lines,
+        min(CASE WHEN cum * 100 >= n * 50 THEN days END) AS p50,
+        min(CASE WHEN cum * 100 >= n * 90 THEN days END) AS p90,
+        min(CASE WHEN cum * 100 >= n * 99 THEN days END) AS p99,
+        CAST(min(tot) AS DOUBLE) / min(n) AS mean_days
+      FROM cum JOIN n USING (pri)
+      GROUP BY pri ORDER BY pri"""))
 
   /** q86: PRICE–VOLUME MIX-SHIFT DECOMPOSITION — per brand, how much of
     * the 1999→2000 revenue delta came from selling MORE (volume effect,

@@ -9,7 +9,62 @@ import Q.t
   */
 object Similarity5 {
 
-  def pack: Seq[Q] = Seq(e75IvfDelta, e76NprobeSweep)
+  def pack: Seq[Q] = Seq(e75IvfDelta, e76NprobeSweep, e77EmbeddingHealth)
+
+  /** e77: EMBEDDING HEALTH REPORT — the pre-index sanity panel: vector
+    * count, dimensionality, zero vectors (unindexable under cosine),
+    * NaN-poisoned vectors (one NaN silently corrupts every distance it
+    * touches), element range, and mean L2 norm. Run before e5x indexing
+    * the way q43 profiles a relational table.
+    *
+    * One narrow pass per vector (exact-decimal norm, the e50 parity
+    * device), one global aggregate row; the mean norm is decimal-staged
+    * and 6dp-rounded (d52 playbook).
+    */
+  val e77EmbeddingHealth: Q = Q(
+    "e77_embedding_health",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val v = Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dims"),
+          Similarity.l2Norm(col("embedding")).as("nrm"),
+          exists(col("embedding"), x => isnan(x.cast("double"))).as("has_nan"),
+          array_min(col("embedding")).cast("double").as("vmin"),
+          array_max(col("embedding")).cast("double").as("vmax"))
+      v.agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("dims")).as("min_dims"),
+        max(col("dims")).as("max_dims"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        min(col("vmin")).as("min_val"),
+        max(col("vmax")).as("max_val"),
+        sum(col("nrm").cast(DecimalType(28, 12))).as("snrm"))
+        .select(col("n_vectors"), col("min_dims"), col("max_dims"),
+          col("n_zero"), col("n_nan"), col("min_val"), col("max_val"),
+          round(col("snrm").cast("double") / col("n_vectors"), 6)
+            .as("mean_norm"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT vec_id, len(embedding) AS dims,
+          sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+                            AS DECIMAL(20,15))) AS DOUBLE)) AS nrm,
+          max(CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END) AS has_nan,
+          min(CAST(x AS DOUBLE)) AS vmin, max(CAST(x AS DOUBLE)) AS vmax
+        FROM (SELECT vec_id, embedding, unnest(embedding) AS x
+              FROM embeddings) t
+        GROUP BY vec_id, embedding)
+      SELECT count(*) AS n_vectors,
+        CAST(min(dims) AS BIGINT) AS min_dims,
+        CAST(max(dims) AS BIGINT) AS max_dims,
+        CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        CAST(sum(has_nan) AS BIGINT) AS n_nan,
+        min(vmin) AS min_val, max(vmax) AS max_val,
+        round(CAST(sum(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+          AS mean_norm
+      FROM per"""))
 
   /** e76: NPROBE RECALL SWEEP — the tuning curve every IVF deployment
     * reads before picking its operating point: recall@10 against the

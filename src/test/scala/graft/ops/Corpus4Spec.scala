@@ -146,6 +146,35 @@ class Corpus4Spec extends SparkSpec {
     }
   }
 
+  test("d83: adding a shard moves docs ONLY onto the new shard") {
+    // rendezvous hashing's defining property: growing 32→33 shards, a
+    // doc either keeps its shard or moves to shard 32 — never between
+    // old shards (mod-hashing would reshuffle ~31/32 of the corpus)
+    val ids = (0L until 2000L).toDF("doc_id")
+    val before = Corpus4.hrwAssign(ids, 32).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    val after = Corpus4.hrwAssign(ids, 33).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    var moved = 0
+    before.foreach { case (id, s0) =>
+      val s1 = after(id)
+      if (s1 != s0) { assert(s1 === 32L, s"doc $id moved $s0->$s1"); moved += 1 }
+    }
+    // expected movement ≈ 1/33 of docs; allow a generous band
+    assert(moved > 0 && moved < 2000 / 8, s"moved=$moved")
+  }
+
+  test("d83: loads stay within a sane band of the uniform expectation") {
+    val rows = Corpus4.d83RendezvousShards.run(spark, sf0001).collect()
+    assert(rows.length === 32)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === rows.head.getAs[Long]("n_docs"))
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("load_vs_mean_bp")
+      assert(bp > 2000 && bp < 30000, s"shard load out of band: $bp bp")
+    }
+  }
+
   test("d77: every doc lands in exactly one batch; waste reconciles") {
     val out = Corpus4.d77LengthBatching.run(spark, sf0001)
     val rows = out.collect()

@@ -72,6 +72,32 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q87: rank percentiles match a driver-side sorted pick") {
+    val rows = Relational6.q87LatencyPercentiles.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val lat = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("days"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def rankPick(vs: IndexedSeq[Long], p: Int): Long =
+      vs(math.max(0, (vs.length * p + 99) / 100 - 1))
+    rows.foreach { r =>
+      val vs = lat(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_lines") === vs.length.toLong)
+      assert(r.getAs[Long]("p50") === rankPick(vs, 50))
+      assert(r.getAs[Long]("p90") === rankPick(vs, 90))
+      assert(r.getAs[Long]("p99") === rankPick(vs, 99))
+      assert(math.abs(r.getAs[Double]("mean_days") -
+        vs.sum.toDouble / vs.length) < 1e-9)
+      assert(r.getAs[Long]("p50") <= r.getAs[Long]("p90"))
+      assert(r.getAs[Long]("p90") <= r.getAs[Long]("p99"))
+    }
+  }
+
   test("q86: effects decompose the delta exactly (residual identity)") {
     val rows = Relational6.q86MixShift.run(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -22,6 +22,24 @@ class Similarity5Spec extends SparkSpec {
     }
   }
 
+  test("e77: health panel matches a driver-side recompute") {
+    val row = Similarity5.e77EmbeddingHealth.run(spark, sf0001).collect().head
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(_.getSeq[Float](1).toArray)
+    assert(row.getAs[Long]("n_vectors") === vecs.length.toLong)
+    assert(row.getAs[Int]("min_dims") === vecs.map(_.length).min)
+    assert(row.getAs[Int]("max_dims") === vecs.map(_.length).max)
+    assert(row.getAs[Long]("n_nan") ===
+      vecs.count(_.exists(_.isNaN)).toLong)
+    assert(row.getAs[Double]("min_val") ===
+      vecs.flatten.min.toDouble)
+    assert(row.getAs[Double]("max_val") ===
+      vecs.flatten.max.toDouble)
+    val meanNorm = vecs.map(v =>
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)).sum / vecs.length
+    assert(math.abs(row.getAs[Double]("mean_norm") - meanNorm) < 1e-5)
+  }
+
   test("e76: recall is monotone in nprobe and bounded by k") {
     val rows = Similarity5.e76NprobeSweep.run(spark, sf0001).collect()
     assert(rows.length === 15) // 3 probe settings x 5 queries
