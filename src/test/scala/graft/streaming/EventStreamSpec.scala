@@ -235,4 +235,30 @@ class EventStreamSpec extends SparkSpec {
       assert(rows(1).isNullAt(rows(1).fieldIndex("weight")))
     } finally q.stop()
   }
+
+  test("late-data drops are OBSERVABLE via progress metrics, not silent") {
+    // the ops contract behind watermarking: a pipeline must be able to
+    // ALERT on dropped-late volume — StreamingQueryProgress exposes it as
+    // stateOperators.numRowsDroppedByWatermark
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.tumbling(ms.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("late_obs_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "10:05"))
+      drain(q)
+      ms.addData(ev(2, "14:00")) // watermark leaps to 13:30
+      drain(q)
+      ms.addData(ev(3, "10:10"), ev(4, "09:00")) // both far below watermark
+      drain(q)
+      ms.addData(ev(5, "14:30"))
+      drain(q)
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 2L,
+        s"expected the two late events in the drop counter, saw $dropped")
+    } finally q.stop()
+  }
 }
