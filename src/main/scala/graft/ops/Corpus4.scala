@@ -13,7 +13,43 @@ object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
     d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule,
-    d82PackedLayout, d83RendezvousShards)
+    d82PackedLayout, d83RendezvousShards, d84LshPlanner)
+
+  /** d84: MINHASH-LSH PARAMETER PLANNER — for a fixed 128-permutation
+    * signature, the (bands × rows) operating points a curator chooses
+    * between: the S-curve threshold (1/b)^(1/r), the catch probability
+    * for true near-dups (J=0.8) and the false-positive rate for
+    * non-dups (J=0.3), each 1−(1−Jʳ)ᵇ. This is the table d42's (b, r)
+    * was picked from — shipped as a query so the trade-off is
+    * inspectable next to the pipeline it tunes. Pure constant math (the
+    * one corpus-INDEPENDENT query in the pack); 6dp rounding per the
+    * libm-parity playbook.
+    */
+  val d84LshPlanner: Q = Q(
+    "d84_lsh_planner",
+    (s, dir) => {
+      import s.implicits._
+      Seq(1, 2, 4, 8, 16).toDF("rows_per_band")
+        .withColumn("bands", expr("128 div rows_per_band"))
+        .select(col("rows_per_band"), col("bands"),
+          round(pow(lit(1.0) / col("bands"),
+            lit(1.0) / col("rows_per_band")), 6).as("threshold"),
+          round(lit(1.0) - pow(lit(1.0) - pow(lit(0.8), col("rows_per_band")),
+            col("bands")), 6).as("p_catch_j80"),
+          round(lit(1.0) - pow(lit(1.0) - pow(lit(0.3), col("rows_per_band")),
+            col("bands")), 6).as("p_fp_j30"))
+        .orderBy(col("rows_per_band"))
+    },
+    Some("""
+      SELECT rows_per_band, 128 // rows_per_band AS bands,
+        round(pow(1.0 / (128 // rows_per_band), 1.0 / rows_per_band), 6)
+          AS threshold,
+        round(1.0 - pow(1.0 - pow(0.8, rows_per_band),
+                        128 // rows_per_band), 6) AS p_catch_j80,
+        round(1.0 - pow(1.0 - pow(0.3, rows_per_band),
+                        128 // rows_per_band), 6) AS p_fp_j30
+      FROM (SELECT unnest([1, 2, 4, 8, 16]) AS rows_per_band) t
+      ORDER BY rows_per_band"""))
 
   private val NShards = 32
 

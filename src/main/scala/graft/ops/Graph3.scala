@@ -12,7 +12,83 @@ import Q.t
 object Graph3 {
 
   def pack: Seq[Q] = Seq(g69Sssp, g70Assortativity, g71ClusteringCoef,
-    g72Modularity)
+    g72Modularity, g73Diameter)
+
+  val BfsRounds = 6
+
+  /** g73: DIAMETER ESTIMATE BY DOUBLE BFS SWEEP — the standard two-pass
+    * lower bound: BFS from an arbitrary anchor (the min node), take the
+    * farthest reached node (ties → min id), BFS again from there; that
+    * second eccentricity lower-bounds the true diameter and is exact on
+    * trees — the cheap "how wide is this graph" answer that avoids
+    * all-pairs work. Each sweep is the g69 frontier loop with unit
+    * lengths and a fixed `BfsRounds` horizon (so the oracle replays the
+    * recurrence; distances reported are horizon-bounded).
+    */
+  val g73Diameter: Q = Q(
+    "g73_diameter",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"),
+          lit(1L).as("len"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst"),
+          lit(1L).as("len")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val anchor = edges.agg(min(col("src")).as("node"))
+        .select(col("node"), lit(0L).as("d"))
+      val sweep1 = sssp(edges, anchor, BfsRounds)
+      // farthest node, ties → min id: packed argmax (d ≤ BfsRounds « 2³²)
+      val far = sweep1.agg(min((lit(1048576L) - col("d")) * 4294967296L +
+          col("node")).as("p"))
+        .select((col("p") % 4294967296L).as("node"), lit(0L).as("d"))
+      val sweep2 = sssp(edges, far.localCheckpoint(true), BfsRounds)
+      val out = sweep2
+        .agg(max(col("d")).as("diameter_lb"),
+          count(lit(1)).as("n_reached"))
+        .crossJoin(broadcast(far.select(col("node").as("far_node"))))
+        .crossJoin(broadcast(anchor.select(col("node").as("anchor_node"))))
+        .select(col("anchor_node"), col("far_node"), col("diameter_lb"),
+          col("n_reached"))
+      val res = Q.materialized(out, edges)
+      res
+    },
+    Some {
+      def sweep(tag: String, seed: String) = {
+        val rounds = (1 to BfsRounds).map { i =>
+          s"""
+      ${tag}$i AS MATERIALIZED (
+        SELECT node, min(d) AS d FROM (
+          SELECT e.dst AS node, p.d + 1 AS d
+          FROM ${tag}${i - 1} p JOIN edges e ON e.src = p.node
+          UNION ALL SELECT node, d FROM ${tag}${i - 1}) u
+        GROUP BY node)"""
+        }.mkString(",")
+        s"""
+      ${tag}0 AS ($seed),$rounds"""
+      }
+      s"""
+      WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s AS src, c AS dst FROM pairs),
+      ${sweep("a", "SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM edges")},
+      far AS (
+        SELECT CAST(min((1048576 - d) * 4294967296 + node) % 4294967296
+                    AS BIGINT) AS node
+        FROM a$BfsRounds),
+      ${sweep("b", s"SELECT node, CAST(0 AS BIGINT) AS d FROM far")}
+      SELECT (SELECT min(src) FROM edges) AS anchor_node,
+        (SELECT node FROM far) AS far_node,
+        CAST(max(d) AS BIGINT) AS diameter_lb,
+        count(*) AS n_reached
+      FROM b$BfsRounds"""
+    })
 
   /** g72: MODULARITY of the g67 label-propagation communities — Newman's
     * Q = Σ_c [intra_c/L − (d_c/L)²] over the symmetric edge list (L =

@@ -146,6 +146,30 @@ class Corpus4Spec extends SparkSpec {
     }
   }
 
+  test("d84: the S-curve planner matches closed-form math") {
+    val rows = Corpus4.d84LshPlanner.run(spark, sf0001).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val rr = r.getAs[Int]("rows_per_band")
+      val b = r.getAs[Long]("bands").toInt
+      assert(b === 128 / rr)
+      def close(a: Double, x: Double) = math.abs(a - x) < 2e-6
+      assert(close(r.getAs[Double]("threshold"),
+        math.pow(1.0 / b, 1.0 / rr)))
+      assert(close(r.getAs[Double]("p_catch_j80"),
+        1.0 - math.pow(1.0 - math.pow(0.8, rr), b)))
+      assert(close(r.getAs[Double]("p_fp_j30"),
+        1.0 - math.pow(1.0 - math.pow(0.3, rr), b)))
+    }
+    // the trade-off is real: more rows per band → higher threshold,
+    // lower false-positive rate
+    val sorted = rows.sortBy(_.getAs[Int]("rows_per_band"))
+    val th = sorted.map(_.getAs[Double]("threshold")).toSeq
+    assert(th === th.sorted)
+    val fp = sorted.map(_.getAs[Double]("p_fp_j30")).toSeq
+    assert(fp === fp.sorted.reverse)
+  }
+
   test("d83: adding a shard moves docs ONLY onto the new shard") {
     // rendezvous hashing's defining property: growing 32→33 shards, a
     // doc either keeps its shard or moves to shard 32 — never between

@@ -65,6 +65,33 @@ class Graph3Spec extends SparkSpec {
     assert(row.getAs[Long]("n_communities") === byComm.size.toLong)
   }
 
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("g73: double sweep is exact on a path graph") {
+    // path 2-4-6-8-10 (even ids so parity decoding never applies):
+    // anchor = 2, farthest = 10, second sweep eccentricity = 4
+    val edges = sym(Seq((2L, 4L), (4L, 6L), (6L, 8L), (8L, 10L)))
+      .withColumn("len", lit(1L))
+    val anchor = edges.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("d"))
+    val s1 = Graph3.sssp(edges, anchor, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1(10L) === 4L)
+    val far = Seq((10L, 0L)).toDF("node", "d")
+    val s2 = Graph3.sssp(edges, far, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2.values.max === 4L) // true diameter of the path
+  }
+
+  test("g73: report is internally consistent on sf0.001") {
+    val row = Graph3.g73Diameter.run(spark, sf0001).collect().head
+    assert(row.getAs[Long]("diameter_lb") >= 1L)
+    assert(row.getAs[Long]("diameter_lb") <= Graph3.BfsRounds.toLong)
+    assert(row.getAs[Long]("n_reached") >= 2L)
+    assert(row.getAs[Long]("anchor_node") % 2 === 0L) // a customer node
+  }
+
   test("g70: hand-sized graph matches a driver-side Pearson recompute") {
     val row = Graph3.g70Assortativity.run(spark, sf0001).collect().head
     val pairs = spark.read.parquet(s"$sf0001/orders.parquet")
