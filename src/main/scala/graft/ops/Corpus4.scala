@@ -13,7 +13,68 @@ object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
     d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule,
-    d82PackedLayout, d83RendezvousShards, d84LshPlanner)
+    d82PackedLayout, d83RendezvousShards, d84LshPlanner, d85PsiDrift)
+
+  /** d85: POPULATION STABILITY INDEX between the train and val splits'
+    * document-length distributions — THE production drift monitor
+    * (PSI > 0.25 = "investigate the pipeline"); here it certifies the
+    * d34 hash split didn't correlate with length. Add-1 smoothing keeps
+    * every bucket defined with pure INTEGER inputs; each contribution
+    * (p−q)·ln(p/q) is two exact-rational divisions and one ln of an
+    * exact ≤2⁵³ integer product ratio — single IEEE ops, 6dp output.
+    * Bucket census is value-bounded (length div 100), totals are one-row
+    * broadcasts.
+    */
+  val d85PsiDrift: Q = Q(
+    "d85_psi_drift",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("n_chars div 100").as("bucket"),
+          TextAnalysis.splitName.as("split"))
+        .filter(col("split").isin("train", "val"))
+      val h = docs.groupBy(col("bucket"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("c2"))
+      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        count(lit(1)).as("b"))
+      h.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("c1").as("n_train"), col("c2").as("n_val"),
+          round(
+            ((col("c1") + 1).cast("double") / (col("n1") + col("b")) -
+              (col("c2") + 1).cast("double") / (col("n2") + col("b"))) *
+              (log(((col("c1") + 1) * (col("n2") + col("b"))).cast("double")) -
+                log(((col("c2") + 1) * (col("n1") + col("b"))).cast("double"))),
+            6).as("psi_contrib"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, n_chars // 100 AS bucket,
+          CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80
+               THEN 'train'
+               WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90
+               THEN 'val' ELSE 'test' END AS split
+        FROM documents),
+      h AS (
+        SELECT bucket,
+          CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c1,
+          CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c2
+        FROM docs WHERE split IN ('train', 'val')
+        GROUP BY bucket),
+      tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+          count(*) AS b
+        FROM h)
+      SELECT bucket, c1 AS n_train, c2 AS n_val,
+        round(
+          (CAST(c1 + 1 AS DOUBLE) / (n1 + b)
+             - CAST(c2 + 1 AS DOUBLE) / (n2 + b)) *
+          (ln(CAST((c1 + 1) * (n2 + b) AS DOUBLE))
+             - ln(CAST((c2 + 1) * (n1 + b) AS DOUBLE))), 6) AS psi_contrib
+      FROM h CROSS JOIN tot
+      ORDER BY bucket"""))
 
   /** d84: MINHASH-LSH PARAMETER PLANNER — for a fixed 128-permutation
     * signature, the (bands × rows) operating points a curator chooses

@@ -14,7 +14,78 @@ object Relational6 {
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
     q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
     q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon,
-    q86MixShift, q87LatencyPercentiles)
+    q86MixShift, q87LatencyPercentiles, q88FeatureStore)
+
+  /** q88: CUSTOMER FEATURE-STORE BUILD — the one-row-per-entity wide
+    * table a training pipeline snapshots: order counts/recency, exact
+    * monetary aggregates, distinct-supplier breadth, and priority-mix
+    * share, assembled from TWO keyed aggregates (orders-grain and
+    * line-grain — never a row-explosion join between them) plus the
+    * customer dim. Every money column rides the exact-decimal grid;
+    * recency is integer days against the corpus max date (one-row
+    * broadcast). Null-safe for customers with no orders (zero-filled
+    * counts, null dates) — feature pipelines must not drop cold
+    * entities.
+    */
+  val q88FeatureStore: Q = Q(
+    "q88_feature_store",
+    (s, dir) => {
+      val maxDate = t(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("dmax"))
+      val og = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("total_spend"),
+          max(to_date(col("o_orderdate"))).as("last_order"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .as("n_urgent"))
+      val lg = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(Q.spread(t(s, dir, "lineitem"), "l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lines"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .join(og, Seq("c_custkey"), "left")
+        .join(lg, Seq("c_custkey"), "left")
+        .crossJoin(broadcast(maxDate))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+          datediff(col("dmax"), col("last_order")).as("recency_days"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      WITH dmax AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+      og AS (
+        SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+          ${Q.sumDec("o_totalprice")} AS total_spend,
+          max(CAST(o_orderdate AS DATE)) AS last_order,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_urgent
+        FROM orders GROUP BY 1),
+      lg AS (
+        SELECT o_custkey AS c_custkey,
+          count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1)
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        coalesce(og.n_orders, 0) AS n_orders,
+        coalesce(og.total_spend, 0.0) AS total_spend,
+        CAST(dmax.dmax - og.last_order AS BIGINT) AS recency_days,
+        coalesce(og.n_urgent, 0) AS n_urgent,
+        coalesce(lg.n_suppliers, 0) AS n_suppliers,
+        coalesce(lg.n_lines, 0) AS n_lines
+      FROM customer c
+      LEFT JOIN og USING (c_custkey)
+      LEFT JOIN lg USING (c_custkey)
+      CROSS JOIN dmax
+      ORDER BY c.c_custkey"""))
 
   /** q87: FULFILLMENT-LATENCY PERCENTILES — order-to-ship days per order
     * priority, reported as exact rank-based P50/P90/P99 plus mean: the

@@ -9,7 +9,89 @@ import Q.t
   */
 object Similarity5 {
 
-  def pack: Seq[Q] = Seq(e75IvfDelta, e76NprobeSweep, e77EmbeddingHealth)
+  def pack: Seq[Q] = Seq(e75IvfDelta, e76NprobeSweep, e77EmbeddingHealth,
+    e78IntraListDiversity)
+
+  /** e78: INTRA-LIST DIVERSITY of the exact top-10 result lists — mean
+    * pairwise cosine DISTANCE among each query's results: the metric MMR
+    * (e74) exists to raise, measured on the undiversified baseline. Low
+    * ILD = the list is ten near-copies of one answer. Pairwise work is
+    * k²-per-query AFTER retrieval (never corpus-scale); distances are
+    * exact-decimal cosines, the mean is decimal-staged, 6dp.
+    */
+  val e78IntraListDiversity: Q = Q(
+    "e78_intra_list_diversity",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      graft.expr.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val fast = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          Similarity.cosNative(col("qv"), col("cv")).as("cosf"))
+      val top = Similarity.exactRerank(fast, q, c, k = 10)
+        .select(col("qid"), col("cid"))
+      val cv = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val members = top.join(cv, "cid")
+      members.as("a")
+        .join(members.as("b"),
+          col("a.qid") === col("b.qid") && col("a.cid") < col("b.cid"))
+        .select(col("a.qid").as("qid"),
+          (lit(1.0) - Similarity.cosExact(col("a.cv"), col("b.cv")))
+            .cast(DecimalType(18, 12)).as("dist"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("dist")).cast("double") / count(lit(1)), 6)
+            .as("ild"))
+        .orderBy(col("qid"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      qn AS (
+        SELECT qid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS qnorm
+        FROM (SELECT qid, unnest(qv) AS x FROM q) t GROUP BY qid),
+      cn AS (
+        SELECT cid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS cnorm
+        FROM (SELECT cid, unnest(cv) AS x FROM c) t GROUP BY cid),
+      dots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx
+              FROM q CROSS JOIN c) t
+        GROUP BY qid, cid),
+      top AS (
+        SELECT qid, cid FROM (
+          SELECT d.qid, d.cid,
+            row_number() OVER (PARTITION BY d.qid
+              ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS rank
+          FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
+        WHERE rank <= 10),
+      pairs AS (
+        SELECT a.qid, a.cid AS ca, b.cid AS cb
+        FROM top a JOIN top b ON a.qid = b.qid AND a.cid < b.cid),
+      pdots AS (
+        SELECT qid, ca, cb,
+          CAST(sum(CAST(CAST(xa AS DOUBLE)*CAST(xb AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT p.qid, p.ca, p.cb,
+                unnest(ea.embedding) AS xa, unnest(eb.embedding) AS xb
+              FROM pairs p
+              JOIN embeddings ea ON ea.vec_id = p.ca
+              JOIN embeddings eb ON eb.vec_id = p.cb) t
+        GROUP BY qid, ca, cb)
+      SELECT qid, count(*) AS n_pairs,
+        round(CAST(sum(CAST(1.0 - p.dot/(na.cnorm*nb.cnorm)
+                            AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6)
+          AS ild
+      FROM pdots p
+      JOIN cn na ON na.cid = p.ca
+      JOIN cn nb ON nb.cid = p.cb
+      GROUP BY qid ORDER BY qid"""))
 
   /** e77: EMBEDDING HEALTH REPORT — the pre-index sanity panel: vector
     * count, dimensionality, zero vectors (unindexable under cosine),

@@ -146,6 +146,25 @@ class Corpus4Spec extends SparkSpec {
     }
   }
 
+  test("d85: PSI contributions match closed-form smoothing math") {
+    val rows = Corpus4.d85PsiDrift.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n1 = rows.map(_.getAs[Long]("n_train")).sum
+    val n2 = rows.map(_.getAs[Long]("n_val")).sum
+    val b = rows.length
+    var psi = 0.0
+    rows.foreach { r =>
+      val (c1, c2) = (r.getAs[Long]("n_train"), r.getAs[Long]("n_val"))
+      val p = (c1 + 1).toDouble / (n1 + b)
+      val q = (c2 + 1).toDouble / (n2 + b)
+      val expected = (p - q) * math.log(p / q)
+      assert(math.abs(r.getAs[Double]("psi_contrib") - expected) < 2e-6)
+      psi += expected
+    }
+    // an 80/10 hash split of iid lengths must NOT drift materially
+    assert(psi < 0.25, s"hash split shows length drift: PSI=$psi")
+  }
+
   test("d84: the S-curve planner matches closed-form math") {
     val rows = Corpus4.d84LshPlanner.run(spark, sf0001).collect()
     assert(rows.length === 5)

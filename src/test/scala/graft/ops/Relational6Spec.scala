@@ -72,6 +72,29 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q88: one row per customer; cold customers zero-filled, not dropped") {
+    val rows = Relational6.q88FeatureStore.run(spark, sf0001).collect()
+    val nCust = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(rows.length.toLong === nCust)
+    assert(rows.map(_.getAs[Long]("c_custkey")).distinct.length.toLong === nCust)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      if (n == 0L) {
+        assert(r.getAs[Double]("total_spend") === 0.0)
+        assert(r.isNullAt(r.fieldIndex("recency_days")))
+        assert(r.getAs[Long]("n_lines") === 0L)
+      } else {
+        assert(r.getAs[Long]("n_urgent") <= n)
+        assert(r.getAs[Int]("recency_days") >= 0)
+      }
+    }
+    // totals reconcile with the raw fact tables
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ===
+      spark.read.parquet(s"$sf0001/orders.parquet").count())
+    assert(rows.map(_.getAs[Long]("n_lines")).sum ===
+      spark.read.parquet(s"$sf0001/lineitem.parquet").count())
+  }
+
   test("q87: rank percentiles match a driver-side sorted pick") {
     val rows = Relational6.q87LatencyPercentiles.run(spark, sf0001).collect()
     assert(rows.nonEmpty)

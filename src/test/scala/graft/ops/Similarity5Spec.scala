@@ -22,6 +22,30 @@ class Similarity5Spec extends SparkSpec {
     }
   }
 
+  test("e78: ILD matches a driver-side pairwise recompute") {
+    val rows = Similarity5.e78IntraListDiversity.run(spark, sf0001).collect()
+    assert(rows.length === 5)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      d / (na / 1 * nb)
+    }
+    val cands = vecs.keys.filter(_ >= 5).toSeq
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val top = cands.map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (c, x) => (-x, c) }.take(10).map(_._1)
+      val pairs = for (i <- top.indices; j <- (i + 1) until top.length)
+        yield 1.0 - cos(vecs(top(i)), vecs(top(j)))
+      assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+      assert(math.abs(r.getAs[Double]("ild") -
+        pairs.sum / pairs.length) < 1e-5)
+    }
+  }
+
   test("e77: health panel matches a driver-side recompute") {
     val row = Similarity5.e77EmbeddingHealth.run(spark, sf0001).collect().head
     val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
