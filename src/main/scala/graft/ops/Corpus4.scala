@@ -13,7 +13,52 @@ object Corpus4 {
 
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
     d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule,
-    d82PackedLayout, d83RendezvousShards, d84LshPlanner, d85PsiDrift)
+    d82PackedLayout, d83RendezvousShards, d84LshPlanner, d85PsiDrift,
+    d86KAnonymity)
+
+  /** d86: K-ANONYMITY AUDIT — group the corpus by its quasi-identifier
+    * tuple (lang, source, length bucket) and report the anonymity
+    * histogram: how many documents sit in groups of size 1 (unique —
+    * re-identifiable), 2-4, 5-9, ≥10. The privacy check run before a
+    * release: k-anonymity k = the SMALLEST group size any document
+    * belongs to, and singleton groups are the leak surface (d51 masks
+    * direct identifiers; this measures the indirect ones). One keyed
+    * count to value-bounded QI cells, then a constant-size class
+    * histogram.
+    */
+  val d86KAnonymity: Q = Q(
+    "d86_k_anonymity",
+    (s, dir) => {
+      val groups = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 50").as("len_bucket"))
+        .agg(count(lit(1)).as("gsize"))
+      val cls = groups.select(col("gsize"),
+        when(col("gsize") === 1, "1:unique")
+          .when(col("gsize") <= 4, "2-4")
+          .when(col("gsize") <= 9, "5-9")
+          .otherwise("10+").as("anonymity_class"))
+      cls.groupBy(col("anonymity_class"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("gsize")).as("n_docs"))
+        .orderBy(col("anonymity_class"))
+    },
+    Some("""
+      WITH groups AS (
+        SELECT lang, source, n_chars // 50 AS len_bucket,
+          count(*) AS gsize
+        FROM documents GROUP BY 1, 2, 3),
+      cls AS (
+        SELECT gsize,
+          CASE WHEN gsize = 1 THEN '1:unique'
+               WHEN gsize <= 4 THEN '2-4'
+               WHEN gsize <= 9 THEN '5-9'
+               ELSE '10+' END AS anonymity_class
+        FROM groups)
+      SELECT anonymity_class, count(*) AS n_groups,
+        CAST(sum(gsize) AS BIGINT) AS n_docs
+      FROM cls GROUP BY anonymity_class
+      ORDER BY anonymity_class"""))
 
   /** d85: POPULATION STABILITY INDEX between the train and val splits'
     * document-length distributions — THE production drift monitor

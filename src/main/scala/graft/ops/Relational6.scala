@@ -14,7 +14,106 @@ object Relational6 {
   def pack: Seq[Q] = Seq(q75Division, q76Islands, q77BatchSessions,
     q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
     q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon,
-    q86MixShift, q87LatencyPercentiles, q88FeatureStore)
+    q86MixShift, q87LatencyPercentiles, q88FeatureStore,
+    q89ConsistentTop, q90SchemaEvolution)
+
+  /** q89: CONSISTENT TOP PERFORMER — suppliers who ranked in their
+    * nation's revenue top-3 in EVERY year they shipped anything: the
+    * windows × relational-division composition ("sometimes-great is
+    * easy; always-great is the list leadership wants"). One fact pass to
+    * (nation, year, supplier) revenue cells (exact 10⁻⁴ grid), a
+    * (nation, year)-keyed rank window over those CELLS (bounded by
+    * suppliers, not lines), then q75's cardinality algebra: years-active
+    * = years-in-top-3. Ties rank deterministically by supplier key.
+    */
+  val q89ConsistentTop: Q = Q(
+    "q89_consistent_top",
+    (s, dir) => {
+      val rev = Q.spread(t(s, dir, "lineitem"), "l_suppkey")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), year(col("l_shipdate")).as("yr"),
+          col("s_suppkey"))
+        .agg((sum(Q.discPrice) * 10000).cast("long").as("u"))
+      val ranked = rev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("s_nationkey"), col("yr"))
+          .orderBy(col("u").desc, col("s_suppkey"))))
+      val per = ranked.groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_years_active"),
+          sum(when(col("rnk") <= 3, 1L).otherwise(0L)).as("n_years_top3"))
+        .filter(col("n_years_active") === col("n_years_top3"))
+      per.join(t(s, dir, "supplier"), Seq("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("n_years_active"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT s_nationkey, year(l_shipdate) AS yr, s_suppkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1-l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+            AS u
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY s_nationkey, yr
+          ORDER BY u DESC, s_suppkey) AS rnk
+        FROM rev),
+      per AS (
+        SELECT s_suppkey, count(*) AS n_years_active,
+          CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_years_top3
+        FROM ranked GROUP BY 1)
+      SELECT p.s_suppkey, s.s_name, n.n_name, p.n_years_active
+      FROM per p
+      JOIN supplier s ON p.s_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.n_years_active = p.n_years_top3
+      ORDER BY p.s_suppkey"""))
+
+  /** q90: SCHEMA-EVOLUTION UNION — merge a v1 extract (has brand, no
+    * price) with a v2 extract (price added, brand retired) through
+    * `unionByName(allowMissingColumns)`: columns align BY NAME with
+    * nulls for the missing side — the append every evolving pipeline
+    * performs when old and new writers coexist (a positional UNION
+    * would silently pair brand with price). The census proves which
+    * nulls came from which schema era.
+    */
+  val q90SchemaEvolution: Q = Q(
+    "q90_schema_evolution",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val v1 = p.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          lit("v1").as("writer"))
+      val v2 = p.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          lit("v2").as("writer"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("writer"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("p_brand").isNull, 1L).otherwise(0L))
+            .as("null_brand"),
+          sum(when(col("p_retailprice").isNull, 1L).otherwise(0L))
+            .as("null_price"))
+        .orderBy(col("writer"))
+    },
+    Some("""
+      WITH merged AS (
+        SELECT p_partkey, p_name, p_brand, NULL::DOUBLE AS p_retailprice,
+          'v1' AS writer
+        FROM part WHERE p_partkey % 2 = 0
+        UNION ALL
+        SELECT p_partkey, p_name, NULL AS p_brand, p_retailprice,
+          'v2' AS writer
+        FROM part WHERE p_partkey % 2 = 1)
+      SELECT writer, count(*) AS n_rows,
+        CAST(sum(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_brand,
+        CAST(sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS null_price
+      FROM merged GROUP BY writer ORDER BY writer"""))
 
   /** q88: CUSTOMER FEATURE-STORE BUILD — the one-row-per-entity wide
     * table a training pipeline snapshots: order counts/recency, exact

@@ -146,6 +146,19 @@ class Corpus4Spec extends SparkSpec {
     }
   }
 
+  test("d86: anonymity classes partition all documents and groups") {
+    val rows = Corpus4.d86KAnonymity.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val groups = docs.groupBy(col("lang"), col("source"),
+      expr("n_chars div 50")).count().collect().map(_.getLong(3))
+    assert(rows.map(_.getAs[Long]("n_groups")).sum === groups.length.toLong)
+    val uniques = rows.find(_.getAs[String]("anonymity_class") == "1:unique")
+    assert(uniques.map(_.getAs[Long]("n_groups")).getOrElse(0L) ===
+      groups.count(_ == 1L).toLong)
+  }
+
   test("d85: PSI contributions match closed-form smoothing math") {
     val rows = Corpus4.d85PsiDrift.run(spark, sf0001).collect()
     assert(rows.nonEmpty)

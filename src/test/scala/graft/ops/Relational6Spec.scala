@@ -72,6 +72,48 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q89: every reported supplier was top-3 in all its active years") {
+    val rows = Relational6.q89ConsistentTop.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute of the (nation, year) rankings
+    val rev = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf0001/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), year(col("l_shipdate")).as("yr"),
+        col("s_suppkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(4,2)")) * 10000)
+        .cast("long").as("u"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byCell = rev.groupBy(r => (r._1, r._2))
+    val top3 = byCell.values.flatMap { cell =>
+      cell.sortBy(r => (-r._4, r._3)).take(3).map(r => (r._3, r._2))
+    }.toSet
+    val active = rev.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = active.filter { case (sk, yrs) =>
+      yrs.forall(y => top3.contains((sk, y)))
+    }.keySet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet === expected)
+    rows.foreach(r => assert(r.getAs[Long]("n_years_active") ===
+      active(r.getAs[Long]("s_suppkey")).size.toLong))
+  }
+
+  test("q90: by-name union never pairs brand with price") {
+    val rows = Relational6.q90SchemaEvolution.run(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("writer")).toSeq === Seq("v1", "v2"))
+    val nPart = spark.read.parquet(s"$sf0001/part.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === nPart)
+    rows.foreach { r =>
+      if (r.getAs[String]("writer") == "v1") {
+        assert(r.getAs[Long]("null_brand") === 0L)
+        assert(r.getAs[Long]("null_price") === r.getAs[Long]("n_rows"))
+      } else {
+        assert(r.getAs[Long]("null_brand") === r.getAs[Long]("n_rows"))
+        assert(r.getAs[Long]("null_price") === 0L)
+      }
+    }
+  }
+
   test("q88: one row per customer; cold customers zero-filled, not dropped") {
     val rows = Relational6.q88FeatureStore.run(spark, sf0001).collect()
     val nCust = spark.read.parquet(s"$sf0001/customer.parquet").count()
