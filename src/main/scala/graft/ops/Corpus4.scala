@@ -14,7 +14,89 @@ object Corpus4 {
   def pack: Seq[Q] = Seq(d76SourceOverlap, d77LengthBatching,
     d78EvalDecontam, d79CdcChunking, d80ZipfFit, d81InterleaveSchedule,
     d82PackedLayout, d83RendezvousShards, d84LshPlanner, d85PsiDrift,
-    d86KAnonymity)
+    d86KAnonymity, d87LangIdEval)
+
+  /** d87: CLASSIFIER EVALUATION of the d31 language-ID heuristic against
+    * the labeled truth — per-class TP/FP/FN, precision, recall and F1 in
+    * integer basis points (F1 via the division-free identity
+    * 2·tp·10⁴ div (2·tp+fp+fn)): the "how good is the filter actually"
+    * report a curation pipeline publishes before trusting a classifier
+    * gate. Classes with no predictions report null precision rather than
+    * divide-by-zero (zh is labeled but never predicted by d31's 4-way
+    * rule — the eval EXPOSES that blind spot; that is its job).
+    * Composes d31's per-doc output; the confusion mass is
+    * |classes|²-bounded.
+    */
+  val d87LangIdEval: Q = Q(
+    "d87_langid_eval",
+    (s, dir) => {
+      val preds = TextAnalysis.d31LangId.run(s, dir)
+        .select(col("labeled_lang"), col("pred_lang"))
+      val classes = preds.select(col("labeled_lang").as("cls")).distinct()
+        .unionAll(preds.select(col("pred_lang").as("cls")).distinct())
+        .distinct()
+      val tp = preds.filter(col("labeled_lang") === col("pred_lang"))
+        .groupBy(col("labeled_lang").as("cls")).agg(count(lit(1)).as("tp"))
+      val predN = preds.groupBy(col("pred_lang").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      val labN = preds.groupBy(col("labeled_lang").as("cls"))
+        .agg(count(lit(1)).as("n_labeled"))
+      classes
+        .join(tp, Seq("cls"), "left").na.fill(0L, Seq("tp"))
+        .join(predN, Seq("cls"), "left").na.fill(0L, Seq("n_pred"))
+        .join(labN, Seq("cls"), "left").na.fill(0L, Seq("n_labeled"))
+        .select(col("cls").as("lang"), col("tp"),
+          (col("n_pred") - col("tp")).as("fp"),
+          (col("n_labeled") - col("tp")).as("fn"),
+          when(col("n_pred") > 0, expr("tp * 10000 div n_pred"))
+            .as("precision_bp"),
+          when(col("n_labeled") > 0, expr("tp * 10000 div n_labeled"))
+            .as("recall_bp"),
+          when(col("n_pred") + col("n_labeled") > 0,
+            expr("2 * tp * 10000 div (n_pred + n_labeled)")).as("f1_bp"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH preds AS (
+        SELECT lang AS labeled_lang,
+          CASE
+            WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+        FROM (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS INT) AS score_de,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','to','in'))) AS INT) AS score_en,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','es','y'))) AS INT) AS score_es,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','les','et','est','une'))) AS INT) AS score_fr
+          FROM documents) t),
+      classes AS (
+        SELECT DISTINCT labeled_lang AS cls FROM preds
+        UNION SELECT DISTINCT pred_lang FROM preds),
+      tp AS (
+        SELECT labeled_lang AS cls, count(*) AS tp FROM preds
+        WHERE labeled_lang = pred_lang GROUP BY 1),
+      pn AS (SELECT pred_lang AS cls, count(*) AS n_pred FROM preds GROUP BY 1),
+      ln_ AS (SELECT labeled_lang AS cls, count(*) AS n_labeled
+              FROM preds GROUP BY 1)
+      SELECT c.cls AS lang,
+        CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+        CAST(coalesce(pn.n_pred, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fp,
+        CAST(coalesce(ln_.n_labeled, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fn,
+        CASE WHEN coalesce(pn.n_pred, 0) > 0 THEN
+          coalesce(tp.tp, 0) * 10000 // pn.n_pred END AS precision_bp,
+        CASE WHEN coalesce(ln_.n_labeled, 0) > 0 THEN
+          coalesce(tp.tp, 0) * 10000 // ln_.n_labeled END AS recall_bp,
+        CASE WHEN coalesce(pn.n_pred, 0) + coalesce(ln_.n_labeled, 0) > 0 THEN
+          2 * coalesce(tp.tp, 0) * 10000
+            // (coalesce(pn.n_pred, 0) + coalesce(ln_.n_labeled, 0)) END
+          AS f1_bp
+      FROM classes c
+      LEFT JOIN tp ON tp.cls = c.cls
+      LEFT JOIN pn ON pn.cls = c.cls
+      LEFT JOIN ln_ ON ln_.cls = c.cls
+      ORDER BY lang"""))
 
   /** d86: K-ANONYMITY AUDIT — group the corpus by its quasi-identifier
     * tuple (lang, source, length bucket) and report the anonymity

@@ -15,7 +15,43 @@ object Relational6 {
     q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
     q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon,
     q86MixShift, q87LatencyPercentiles, q88FeatureStore,
-    q89ConsistentTop, q90SchemaEvolution)
+    q89ConsistentTop, q90SchemaEvolution, q91Seasonality)
+
+  /** q91: SEASONALITY INDEX — each calendar month's revenue share
+    * against the uniform 1/12 expectation (10⁴ bp = exactly seasonal-
+    * neutral): the demand-planning profile behind every inventory
+    * forecast. One fact pass to a 12-row table; exact 10⁻⁴-unit grid;
+    * index by integer cross-multiplication (rev_m·12·10⁴ div total).
+    */
+  val q91Seasonality: Q = Q(
+    "q91_seasonality",
+    (s, dir) => {
+      val m = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .groupBy(month(col("l_shipdate")).as("month"))
+        .agg((sum(Q.discPrice) * 10000).cast("long").as("u"),
+          count(lit(1)).as("n_lines"))
+      val tot = m.agg(sum(col("u")).as("grand"))
+      m.crossJoin(broadcast(tot))
+        .select(col("month"), col("n_lines"),
+          (col("u").cast("double") / 10000).as("revenue"),
+          expr("""CAST(CAST(u AS DECIMAL(38,0)) * 12 * 10000 div grand
+                  AS BIGINT)""").as("seasonality_bp"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT month(l_shipdate) AS month,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1-l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+            AS u,
+          count(*) AS n_lines
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(sum(u) AS BIGINT) AS grand FROM m)
+      SELECT month, n_lines, CAST(u AS DOUBLE) / 10000 AS revenue,
+        CAST(CAST(u AS HUGEINT) * 12 * 10000 // grand AS BIGINT)
+          AS seasonality_bp
+      FROM m CROSS JOIN tot
+      ORDER BY month"""))
 
   /** q89: CONSISTENT TOP PERFORMER — suppliers who ranked in their
     * nation's revenue top-3 in EVERY year they shipped anything: the

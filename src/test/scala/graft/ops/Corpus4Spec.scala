@@ -146,6 +146,31 @@ class Corpus4Spec extends SparkSpec {
     }
   }
 
+  test("d87: PRF identities hold and totals reconcile") {
+    val rows = Corpus4.d87LangIdEval.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // Σ(tp+fn) over classes = every labeled doc exactly once
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).sum
+      === nDocs)
+    // Σ(tp+fp) = every prediction exactly once
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp")).sum
+      === nDocs)
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"))
+      if (tp + fp > 0)
+        assert(r.getAs[Long]("precision_bp") === tp * 10000 / (tp + fp))
+      else assert(r.isNullAt(r.fieldIndex("precision_bp")))
+      if (tp + fn > 0)
+        assert(r.getAs[Long]("recall_bp") === tp * 10000 / (tp + fn))
+      assert(r.getAs[Long]("f1_bp") === 2 * tp * 10000 / (2 * tp + fp + fn))
+    }
+    // the blind spot is exposed: zh exists as a class with zero tp
+    val zh = rows.find(_.getAs[String]("lang") == "zh")
+    assert(zh.exists(_.getAs[Long]("tp") === 0L))
+  }
+
   test("d86: anonymity classes partition all documents and groups") {
     val rows = Corpus4.d86KAnonymity.run(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -72,6 +72,20 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q91: twelve months, shares sum to one, index averages to 10000") {
+    val rows = Relational6.q91Seasonality.run(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Int]("month")).sorted.toSeq === (1 to 12))
+    val total = rows.map(_.getAs[Double]("revenue")).sum
+    rows.foreach { r =>
+      val expected = (BigDecimal(r.getAs[Double]("revenue")) * 12 * 10000 /
+        BigDecimal(total)).toLong
+      // integer division truncation: within 1 bp of the rational value
+      assert(math.abs(r.getAs[Long]("seasonality_bp") - expected) <= 1)
+    }
+    val meanIdx = rows.map(_.getAs[Long]("seasonality_bp")).sum / 12.0
+    assert(math.abs(meanIdx - 10000.0) < 12.0)
+  }
+
   test("q89: every reported supplier was top-3 in all its active years") {
     val rows = Relational6.q89ConsistentTop.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
