@@ -15,7 +15,53 @@ object Relational6 {
     q78AbcPareto, q79MadOutliers, q80OrderedAgg, q81ChiSquare,
     q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon,
     q86MixShift, q87LatencyPercentiles, q88FeatureStore,
-    q89ConsistentTop, q90SchemaEvolution, q91Seasonality)
+    q89ConsistentTop, q90SchemaEvolution, q91Seasonality,
+    q92CumulativeUniques)
+
+  /** q92: CUMULATIVE UNIQUE USERS — the "total accounts ever seen" curve
+    * every growth chart plots. The scale-stable spelling: distinct users
+    * collapse to their FIRST-SEEN day (one keyed min — the only
+    * data-volume pass), then new-user counts per day and a running sum
+    * over the CALENDAR-bounded day table (the d66 exception: the
+    * unpartitioned window ranks ≤|days| rows, never events). Days with
+    * no new users still appear via the calendar grid, carrying the
+    * running total forward.
+    */
+  val q92CumulativeUniques: Q = Q(
+    "q92_cumulative_uniques",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      val perDay = firsts.groupBy(col("first_day"))
+        .agg(count(lit(1)).as("new_users"))
+      val bounds = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      val cal = bounds.select(explode(expr(
+        "sequence(dmin, dmax, interval 1 day)")).as("day"))
+      cal.join(perDay, col("day") === col("first_day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      firsts AS (
+        SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1),
+      per_day AS (
+        SELECT first_day, count(*) AS new_users FROM firsts GROUP BY 1),
+      bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ev),
+      cal AS (
+        SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds)
+      SELECT c.day, CAST(coalesce(p.new_users, 0) AS BIGINT) AS new_users,
+        CAST(sum(coalesce(p.new_users, 0)) OVER (ORDER BY c.day) AS BIGINT)
+          AS cumulative_users
+      FROM cal c LEFT JOIN per_day p ON c.day = p.first_day
+      ORDER BY c.day"""))
 
   /** q91: SEASONALITY INDEX — each calendar month's revenue share
     * against the uniform 1/12 expectation (10⁴ bp = exactly seasonal-

@@ -10,7 +10,104 @@ import Q.t
 object Similarity5 {
 
   def pack: Seq[Q] = Seq(e75IvfDelta, e76NprobeSweep, e77EmbeddingHealth,
-    e78IntraListDiversity)
+    e78IntraListDiversity, e79PqDistortion)
+
+  // NOTE: these constants MUST precede every Q val that interpolates them
+  // into an oracle string — Scala object vals initialize in declaration
+  // order, and a forward reference silently reads 0 (e79's oracle once
+  // printed `*0` and NaN'd its whole report this way).
+  private val Grid = 512L
+  private val Shift = 512L
+  private val KCents = 16
+
+  // e57's PQ geometry, mirrored (M subspaces × SubDim dims, K codewords
+  // on the signed 1/Grid grid)
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+
+  /** e79: PQ DISTORTION BY SUBSPACE — which of e57's eight codebooks is
+    * actually losing the information: per subspace, the corpus-mean
+    * quantization MSE and its share of total distortion in bp. A skewed
+    * share says "re-train THAT codebook / give that subspace more bits"
+    * — the index-quality drill-down next to e72's list balance and e77's
+    * input health. Long-format dataflow (no width-cliff expressions),
+    * integer grid distances, DECIMAL(38,0) accumulation, one 8-row
+    * report.
+    */
+  val e79PqDistortion: Q = Q(
+    "e79_pq_distortion",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val emb = t(s, dir, "embeddings")
+      val vecs = Q.spread(emb, "vec_id")
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"),
+            e => round(e.cast("double") * Grid).cast("long")))
+            .as(Seq("dim", "w")))
+        .withColumn("m", expr(s"dim div $PqSubDim"))
+      val cents = vecs.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cid"), col("dim"), col("m"),
+          col("w").as("c"))
+      val d = vecs.join(broadcast(cents.drop("m")), "dim")
+        .select(col("vec_id"), col("m"), col("cid"),
+          ((col("w") - col("c")) * (col("w") - col("c"))).as("d2"))
+        .groupBy(col("vec_id"), col("m"), col("cid"))
+        .agg(sum(col("d2")).as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("d") * PqK + col("cid")).as("pk"))
+        .select(col("m"), expr(s"pk div $PqK").as("d"))
+      val per = d.groupBy(col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d").cast(DecimalType(38, 0))).as("sd"))
+      val tot = per.agg(sum(col("sd")).as("grand"))
+      per.crossJoin(broadcast(tot))
+        .select(col("m").as("subspace"), col("n").as("n_vectors"),
+          (col("sd").cast("double") /
+            (col("n") * PqSubDim).cast("double") / (Grid * Grid))
+            .as("mean_mse"),
+          expr("CAST(sd * 10000 div grand AS BIGINT)").as("share_bp"))
+        .orderBy(col("subspace"))
+    },
+    Some {
+      val dists = (0 until PqM).map { m =>
+        val terms = (0 until PqSubDim).map { j =>
+          val i = m * PqSubDim + j + 1
+          s"(v.qv[$i]-c.qc[$i])*(v.qv[$i]-c.qc[$i])"
+        }.mkString(" + ")
+        s"($terms) AS d$m"
+      }.mkString(",\n          ")
+      val packMins = (0 until PqM)
+        .map(m => s"min(d$m*$PqK+cid) AS p$m").mkString(", ")
+      val unpiv = (0 until PqM)
+        .map(m => s"SELECT vec_id, $m AS m, p$m // $PqK AS d FROM packs")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH qv AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE)*$Grid) AS BIGINT)) AS qv
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cid, qv AS qc FROM qv WHERE vec_id < $PqK),
+      dist AS (
+        SELECT v.vec_id, c.cid,
+          $dists
+        FROM qv v CROSS JOIN cents c),
+      packs AS (SELECT vec_id, $packMins FROM dist GROUP BY vec_id),
+      d AS (
+        $unpiv),
+      per AS (
+        SELECT m, count(*) AS n, sum(CAST(d AS DECIMAL(38,0))) AS sd
+        FROM d GROUP BY m),
+      tot AS (SELECT sum(sd) AS grand FROM per)
+      SELECT m AS subspace, n AS n_vectors,
+        CAST(sd AS DOUBLE) / CAST(n * $PqSubDim AS DOUBLE)
+          / ${Grid * Grid} AS mean_mse,
+        CAST(CAST(sd AS HUGEINT) * 10000 // CAST(grand AS HUGEINT)
+             AS BIGINT) AS share_bp
+      FROM per CROSS JOIN tot
+      ORDER BY subspace"""
+    })
 
   /** e78: INTRA-LIST DIVERSITY of the exact top-10 result lists — mean
     * pairwise cosine DISTANCE among each query's results: the metric MMR
@@ -271,10 +368,6 @@ object Similarity5 {
         CAST(coalesce(h.hits, 0) * 1000 AS BIGINT) AS recall_bp
       FROM grid g LEFT JOIN hits h ON g.np = h.np AND g.qid = h.qid
       ORDER BY nprobe, g.qid"""))
-
-  private val Grid = 512L
-  private val Shift = 512L
-  private val KCents = 16
 
   /** Long-format grid view (vec_id, dim, w) of an embedding frame on the
     * +Shift-ed non-negative 1/Grid integer grid (the e68/e72 convention).

@@ -72,6 +72,24 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q92: the curve is dense, monotone, and ends at total distinct users") {
+    val rows = Relational6.q92CumulativeUniques.run(spark, sf0001).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("new_users")
+      assert(r.getAs[Long]("cumulative_users") === cum)
+    }
+    val nUsers = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("user_id")).distinct().count()
+    assert(cum === nUsers)
+    // dense calendar: consecutive days
+    rows.map(_.getAs[java.sql.Date]("day").toLocalDate).sliding(2).foreach {
+      case Array(a, b) => assert(b === a.plusDays(1)); case _ => ()
+    }
+  }
+
   test("q91: twelve months, shares sum to one, index averages to 10000") {
     val rows = Relational6.q91Seasonality.run(spark, sf0001).collect()
     assert(rows.map(_.getAs[Int]("month")).sorted.toSeq === (1 to 12))

@@ -22,6 +22,19 @@ class Similarity5Spec extends SparkSpec {
     }
   }
 
+  test("e79: subspace shares sum to ~10000 bp and MSEs are positive") {
+    val rows = Similarity5.e79PqDistortion.run(spark, sf0001).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_mse") > 0.0)
+      assert(r.getAs[Long]("share_bp") > 0L)
+    }
+    val total = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(total >= 10000 - 8 && total <= 10000, s"shares sum to $total")
+    val n = rows.map(_.getAs[Long]("n_vectors")).distinct
+    assert(n.length === 1)
+  }
+
   test("e78: ILD matches a driver-side pairwise recompute") {
     val rows = Similarity5.e78IntraListDiversity.run(spark, sf0001).collect()
     assert(rows.length === 5)
