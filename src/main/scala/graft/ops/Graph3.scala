@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import Q.t
@@ -12,7 +13,65 @@ import Q.t
 object Graph3 {
 
   def pack: Seq[Q] = Seq(g69Sssp, g70Assortativity, g71ClusteringCoef,
-    g72Modularity, g73Diameter)
+    g72Modularity, g73Diameter, g75DegreeHistogram)
+
+  /** g75: DEGREE DISTRIBUTION PROFILE — log₂-bucketed degree histogram of
+    * the trade graph plus each bucket's share and the CCDF ("what
+    * fraction of nodes have degree ≥ 2ᵏ"): the first chart drawn for any
+    * graph ("is this heavy-tailed?"), and the input to every hub-cap
+    * decision in this repo (g68's MaxCustDeg, d41's stop-shingles). One
+    * keyed degree count; floor(log₂ d) computed INTEGER-exactly in both
+    * engines as length(bin(d))−1 (a float ln(d)/ln(2) can misbucket at
+    * exact powers of two); constant-size output; CCDF by a reverse
+    * running sum over ≤64 buckets.
+    */
+  val g75DegreeHistogram: Q = Q(
+    "g75_degree_histogram",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val deg = pairs.select(col("c").as("node"))
+        .unionAll(pairs.select(col("s").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val h = deg
+        .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_nodes"))
+      val tot = h.agg(sum(col("n_nodes")).as("n_total"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.crossJoin(broadcast(tot))
+        .withColumn("n_at_least", sum(col("n_nodes")).over(w))
+        .select(col("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+            .as("min_degree"),
+          col("n_nodes"),
+          expr("n_nodes * 10000 div n_total").as("share_bp"),
+          expr("n_at_least * 10000 div n_total").as("ccdf_bp"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      deg AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT c AS node FROM pairs UNION ALL SELECT s FROM pairs) t
+        GROUP BY node),
+      h AS (
+        SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+          count(*) AS n_nodes
+        FROM deg GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM h)
+      SELECT bucket, CAST(1 << CAST(bucket AS INT) AS BIGINT) AS min_degree,
+        n_nodes,
+        n_nodes * 10000 // (SELECT n_total FROM tot) AS share_bp,
+        CAST(sum(n_nodes) OVER (ORDER BY bucket DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          * 10000 // (SELECT n_total FROM tot) AS ccdf_bp
+      FROM h ORDER BY bucket"""))
 
   val BfsRounds = 6
 

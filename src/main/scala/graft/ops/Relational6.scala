@@ -16,7 +16,72 @@ object Relational6 {
     q82MovingMedian, q83LinearInterp, q84DormantValue, q85ParentChildRecon,
     q86MixShift, q87LatencyPercentiles, q88FeatureStore,
     q89ConsistentTop, q90SchemaEvolution, q91Seasonality,
-    q92CumulativeUniques)
+    q92CumulativeUniques, q93LeaderboardChurn)
+
+  /** q93: LEADERBOARD CHURN — how much of the top-20 parts leaderboard
+    * turned over between 1999 and 2000: per part a verdict (stayed /
+    * entered / exited, with both ranks), plus implicit churn counts via
+    * the verdict census. Rank stability is the metric behind "is this
+    * market consolidating"; the full-outer join of two bounded top-k
+    * sets is the scale shape (k rows each side, never fact-sized).
+    * Revenue ranked on the exact 10⁻⁴ grid, ties → part key.
+    */
+  val q93LeaderboardChurn: Q = Q(
+    "q93_leaderboard_churn",
+    (s, dir) => {
+      // TakeOrderedAndProject does the distributed top-20 cut; the
+      // unpartitioned rank window then orders 20 ROWS, not all parts
+      def top(yr: Int) = Q.spread(t(s, dir, "lineitem"), "l_partkey")
+        .filter(year(col("l_shipdate")) === yr)
+        .groupBy(col("l_partkey"))
+        .agg((sum(Q.discPrice) * 10000).cast("long").as("u"))
+        .orderBy(col("u").desc, col("l_partkey")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("u").desc, col("l_partkey"))))
+        .select(col("l_partkey").as("p_partkey"), col("rnk"))
+      top(1999).withColumnRenamed("rnk", "rank_1999")
+        .join(top(2000).withColumnRenamed("rnk", "rank_2000"),
+          Seq("p_partkey"), "full_outer")
+        .select(col("p_partkey"),
+          col("rank_1999"), col("rank_2000"),
+          when(col("rank_1999").isNotNull && col("rank_2000").isNotNull,
+            "stayed")
+            .when(col("rank_1999").isNull, "entered")
+            .otherwise("exited").as("verdict"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH t99 AS (
+        SELECT l_partkey AS p_partkey, rnk AS rank_1999 FROM (
+          SELECT l_partkey,
+            row_number() OVER (ORDER BY u DESC, l_partkey) AS rnk
+          FROM (
+            SELECT l_partkey,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1-l_discount AS DECIMAL(4,2))) * 10000
+                   AS BIGINT) AS u
+            FROM lineitem WHERE year(l_shipdate) = 1999
+            GROUP BY 1) a) b
+        WHERE rnk <= 20),
+      t00 AS (
+        SELECT l_partkey AS p_partkey, rnk AS rank_2000 FROM (
+          SELECT l_partkey,
+            row_number() OVER (ORDER BY u DESC, l_partkey) AS rnk
+          FROM (
+            SELECT l_partkey,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1-l_discount AS DECIMAL(4,2))) * 10000
+                   AS BIGINT) AS u
+            FROM lineitem WHERE year(l_shipdate) = 2000
+            GROUP BY 1) a) b
+        WHERE rnk <= 20)
+      SELECT p_partkey, rank_1999, rank_2000,
+        CASE WHEN rank_1999 IS NOT NULL AND rank_2000 IS NOT NULL
+               THEN 'stayed'
+             WHEN rank_1999 IS NULL THEN 'entered'
+             ELSE 'exited' END AS verdict
+      FROM t99 FULL OUTER JOIN t00 USING (p_partkey)
+      ORDER BY p_partkey"""))
 
   /** q92: CUMULATIVE UNIQUE USERS — the "total accounts ever seen" curve
     * every growth chart plots. The scale-stable spelling: distinct users

@@ -68,6 +68,31 @@ class Graph3Spec extends SparkSpec {
   private def sym(pairs: Seq[(Long, Long)]) =
     (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
 
+  test("g75: buckets reconcile with driver-side degrees; CCDF descends") {
+    val rows = Graph3.g75DegreeHistogram.run(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    val pairs = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = deg.values
+      .groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d.toLong))
+      .view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("bucket").toInt ->
+      r.getAs[Long]("n_nodes")).toMap === expected)
+    rows.foreach(r => assert(r.getAs[Long]("min_degree") ===
+      (1L << r.getAs[Long]("bucket"))))
+    val ccdf = rows.map(_.getAs[Long]("ccdf_bp"))
+    ccdf.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo); case _ => ()
+    }
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === deg.size.toLong)
+  }
+
   test("g73: double sweep is exact on a path graph") {
     // path 2-4-6-8-10 (even ids so parity decoding never applies):
     // anchor = 2, farthest = 10, second sweep eccentricity = 4

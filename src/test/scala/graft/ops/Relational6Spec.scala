@@ -72,6 +72,26 @@ class Relational6Spec extends SparkSpec {
     assert(revs("B").min >= revs("C").max)
   }
 
+  test("q93: twenty ranks per year; verdicts match null patterns") {
+    val rows = Relational6.q93LeaderboardChurn.run(spark, sf0001).collect()
+    assert(rows.count(!_.isNullAt(1)) === 20) // rank_1999 populated
+    assert(rows.count(!_.isNullAt(2)) === 20) // rank_2000 populated
+    rows.foreach { r =>
+      val v = r.getAs[String]("verdict")
+      (r.isNullAt(1), r.isNullAt(2)) match {
+        case (false, false) => assert(v === "stayed")
+        case (true, false)  => assert(v === "entered")
+        case (false, true)  => assert(v === "exited")
+        case _ => fail("row with no rank at all")
+      }
+    }
+    // each year's ranks are exactly 1..20
+    assert(rows.filter(!_.isNullAt(1)).map(_.getAs[Int]("rank_1999"))
+      .sorted.toSeq === (1 to 20))
+    assert(rows.filter(!_.isNullAt(2)).map(_.getAs[Int]("rank_2000"))
+      .sorted.toSeq === (1 to 20))
+  }
+
   test("q92: the curve is dense, monotone, and ends at total distinct users") {
     val rows = Relational6.q92CumulativeUniques.run(spark, sf0001).collect()
       .sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
