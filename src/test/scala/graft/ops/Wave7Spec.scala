@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Behavior pins for the round-6 third-continuation wave: BM25 retrieval
+  * (e80), temperature-scaled source mixing (d88), and RFM segmentation
+  * (q94).
+  */
+class Wave7Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: tf raises score, length normalization breaks tf ties") {
+    // doc 1 mentions the term three times; doc 2 once; doc 3 not at all.
+    // docs 4/5 tie on tf but 5 is shorter — BM25 must prefer 5.
+    val docs = Seq(
+      (1L, "spark spark spark pad pad pad"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad"),
+      (4L, "hash pad pad pad pad pad pad pad"),
+      (5L, "hash pad")).toDF("doc_id", "text")
+    val got = Similarity6.bm25TopK(docs, Seq(1 -> "spark", 2 -> "hash"), 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    val q1 = got.filter(_._1 == 1).sortBy(_._3).map(_._2)
+    assert(q1.toSeq === Seq(1L, 2L)) // tf dominance; doc 3 never scored
+    val q2 = got.filter(_._1 == 2).sortBy(_._3).map(_._2)
+    assert(q2.toSeq === Seq(5L, 4L)) // shorter doc wins the tf tie
+  }
+
+  test("bm25: rarer term contributes more (idf ordering)") {
+    // "rare" appears in 1 of 4 docs, "common" in all 4; equal tf and dl
+    // in the probe docs, so the idf factor alone must separate them.
+    val docs = Seq(
+      (1L, "rare common x"),
+      (2L, "common y z"),
+      (3L, "common y z"),
+      (4L, "common y z")).toDF("doc_id", "text")
+    val scores = Similarity6.bm25TopK(docs,
+        Seq(1 -> "rare", 2 -> "common"), 1)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(scores(1) > scores(2))
+  }
+
+  test("temperature mix: T=2 flattens toward uniform, budget conserved") {
+    val docs = Seq(
+      (0 until 100).map(i => ("big", s"doc $i tok tok")),
+      Seq(("small", "one doc here")))
+      .flatten.toDF("source", "text")
+    val rows = Corpus5.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (big, small) = (rows("big"), rows("small"))
+    // natural: 400 vs 3 tokens; flat: sqrt -> 20 vs ~1.73 — the small
+    // source's share must strictly rise and the big source's fall
+    assert(small.getAs[Long]("flat_bp") > small.getAs[Long]("natural_bp"))
+    assert(big.getAs[Long]("flat_bp") < big.getAs[Long]("natural_bp"))
+    // the 1M-token budget is conserved up to div truncation
+    val alloc = rows.values.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= 1000000L && alloc > 1000000L - rows.size)
+    // flattening oversamples the small source strictly more than the big
+    assert(small.getAs[Long]("epochs_bp") > big.getAs[Long]("epochs_bp"))
+  }
+
+  test("rfm: census covers every customer once, quartiles near-equal") {
+    val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
+      .collect()
+    val n = census.map(_.getAs[Long]("n_customers")).sum
+    val nCust = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey")).distinct().count()
+    assert(n === nCust)
+    // segment grammar + per-dimension quota: each quartile holds
+    // floor/ceil(n/4) customers
+    val seg = "r([1-4])f([1-4])m([1-4])".r
+    for (dim <- 0 to 2) {
+      val byBucket = census.groupBy { r =>
+        r.getAs[String]("segment") match {
+          case seg(a, b, c) => Seq(a, b, c)(dim)
+        }
+      }.view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      assert(byBucket.keySet === Set("1", "2", "3", "4"))
+      assert(byBucket.values.max - byBucket.values.min <= 1)
+    }
+    // labels agree with their segment digits
+    census.foreach { r =>
+      (r.getAs[String]("segment"), r.getAs[String]("label")) match {
+        case (seg("1", "1", "1"), l) => assert(l === "champion")
+        case (seg("4", "4", _), l)   => assert(l === "lost")
+        case (seg(a, _, "1"), l) if a >= "3" => assert(l === "at_risk_whale")
+        case (seg("1", _, _), l)     => assert(l === "recent")
+        case (_, l)                  => assert(l === "regular")
+      }
+    }
+  }
+}
