@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, Corpus5, CustomExprQueries, Dedup, EventWindows, Graph, Graph2, Graph3, GridLsh, IvfPq, Multimodal, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, Similarity5, Similarity6, TextAnalysis}
+import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, Corpus5, CustomExprQueries, Dedup, EventWindows, Graph, Graph2, Graph3, Graph4, GridLsh, IvfPq, Multimodal, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, Similarity5, Similarity6, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,7 @@ object SparkEntry {
       IvfPq.pack ++ GridLsh.pack ++
       Multimodal.pack ++ CustomExprQueries.pack ++ ScalePatterns.pack ++
       Clustering.pack ++ Graph.pack ++ Graph2.pack ++ Graph3.pack ++
+      Graph4.pack ++
       Profiling.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

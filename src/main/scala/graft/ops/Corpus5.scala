@@ -11,7 +11,7 @@ import Q.t
   */
 object Corpus5 {
 
-  def pack: Seq[Q] = Seq(d88TemperatureMix)
+  def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit)
 
   /** d88: TEMPERATURE-SCALED SOURCE MIX — per-source sampling weights
     * flattened at T=2 (w ∝ √tokens), vs the natural token-proportional
@@ -72,4 +72,71 @@ object Corpus5 {
         CAST((((grid * 1000000) // tg) * 10000) // tokens AS BIGINT)
           AS epochs_bp
       FROM per CROSS JOIN tot ORDER BY source"""))
+
+  /** Core builder, exposed for edge-case specs: the FIM transform over
+    * any (doc_id, text) frame. */
+  def fimSplit(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"),
+        (pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+          lit(30L)) + 20).as("ap"),
+        (pmod(pmod(col("doc_id") * 7919, lit(1000000007L)) * 2654435761L,
+          lit(30L)) + 10).as("bp"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        expr("(n * ap) div 100").as("p1"),
+        least(expr("(n * ap) div 100 + (n * bp) div 100"), col("n"))
+          .as("p2"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("p1"), col("p2"),
+        (col("p2") - col("p1")).as("middle_len"),
+        concat(lit("<PRE> "),
+          concat_ws(" ", slice(col("toks"), lit(1), col("p1").cast("int"))),
+          lit(" <SUF> "),
+          concat_ws(" ", expr("slice(toks, cast(p2+1 AS INT), cast(n-p2 AS INT))")),
+          lit(" <MID> "),
+          concat_ws(" ",
+            expr("slice(toks, cast(p1+1 AS INT), cast(p2-p1 AS INT))")))
+          .as("psm_text"))
+      .orderBy(col("doc_id"))
+
+  /** d89: FIM (FILL-IN-THE-MIDDLE) TRANSFORM — rewrite each document into
+    * the PSM layout (prefix, suffix, middle with sentinel markers) that
+    * infilling-capable code/text models train on (Bavarian et al. 2022).
+    * Split points are Knuth-hash functions of doc_id: prefix takes
+    * 20-49% of tokens, middle the next 10-39% (clamped to the doc) — so
+    * the transform is a pure deterministic map both engines replay
+    * bit-exactly, the property a reproducible training-data pipeline
+    * needs.
+    *
+    * Scale shape: a stateless per-row map — no shuffle at all except the
+    * bounded output sort; at 100 TB this runs at scan speed with
+    * whole-stage codegen (split/slice/concat are all codegen'd).
+    * Reported for doc_id < 40 to keep the dump bounded; the census
+    * columns (n_tokens, split points, middle_len) make truncation
+    * auditable.
+    */
+  val d89FimSplit: Q = Q(
+    "d89_fim_split",
+    (s, dir) =>
+      fimSplit(t(s, dir, "documents").filter(col("doc_id") < 40)),
+    Some("""
+      SELECT doc_id, n_tokens, p1, p2, p2 - p1 AS middle_len,
+        '<PRE> ' || array_to_string(list_slice(toks, 1, p1), ' ') ||
+        ' <SUF> ' || array_to_string(list_slice(toks, p2 + 1, n_tokens), ' ') ||
+        ' <MID> ' || array_to_string(list_slice(toks, p1 + 1, p2), ' ')
+          AS psm_text
+      FROM (
+        SELECT doc_id, toks, n_tokens, (n_tokens * ap) // 100 AS p1,
+          least((n_tokens * ap) // 100 + (n_tokens * bp) // 100, n_tokens)
+            AS p2
+        FROM (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ((doc_id % 1000000007) * 2654435761) % 30 + 20 AS ap,
+            (((doc_id * 7919) % 1000000007) * 2654435761) % 30 + 10 AS bp
+          FROM documents WHERE doc_id < 40) a) b
+      ORDER BY doc_id"""))
 }

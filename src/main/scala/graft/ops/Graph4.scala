@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import Q.t
+
+/** Fourth graph pack: cohesive-subgraph mining (k-truss) and deterministic
+  * random-walk sampling — the walk generator is the data-production side
+  * of graph learning (walk corpora feed node-embedding trainers), stated
+  * with the same integer-hash determinism the corpus samplers use.
+  */
+object Graph4 {
+
+  def pack: Seq[Q] = Seq(g76KTruss, g77RandomWalks)
+
+  private val TrussK = 4
+  private val TrussRounds = 3
+  private val WalkSteps = 4
+
+  /** Part co-purchase edges, the g62/g71 base: parts co-ordered ≥ 2
+    * times, oriented x < y. */
+  private def coEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame = {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("x"), col("y"))
+  }
+
+  /** Per-edge triangle support of an x<y oriented edge set: enumerate
+    * each triangle a<b<c once (the g71 double-join), then credit its
+    * three edges. Support is the quantity k-truss peels on. */
+  def support(e: DataFrame): DataFrame = {
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e1.y") === col("e2.x"))
+      .join(e.as("e3"),
+        col("e1.x") === col("e3.x") && col("e2.y") === col("e3.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+    tris.select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("c").as("y")),
+        struct(col("a").as("x"), col("c").as("y")))).as("e"))
+      .select(col("e.x"), col("e.y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** g76: K-TRUSS PEEL — three rounds of 4-truss peeling over the part
+    * co-purchase graph: every edge must sit in ≥ k−2 = 2 triangles, edges
+    * below the bar are removed, and removal cascades (a surviving edge's
+    * support can drop once its triangles lose a side). The report is the
+    * peel trajectory — edges before/kept/removed per round — the
+    * shrinking-core summary a community-mining pipeline monitors.
+    *
+    * Scale shape: each round is one triangle enumeration (two self-joins
+    * of the current edge set, the same shape as g62) plus a semi join —
+    * all keyed shuffles, no broadcast of anything graph-sized. Round
+    * state is eagerly checkpointed (flat lineage, ≤ 2 edge tables live,
+    * the g60 loop contract) and superseded rounds are released. Peeling
+    * is monotone (edge sets only shrink), so round cost falls as the
+    * core tightens; a fixed round count keeps the oracle replayable as
+    * an unrolled MATERIALIZED-CTE loop.
+    */
+  /** The peel loop, exposed for planted-graph specs: returns the
+    * per-round (round, n_before, n_kept, n_removed) trajectory. */
+  def ktrussPeel(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = e0.localCheckpoint(true)
+    var stats = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val kept = e.join(
+          support(e).filter(col("sup") >= k - 2),
+          Seq("x", "y"), "left_semi")
+        .localCheckpoint(true)
+      // materialize the 1-row stat BEFORE releasing this round's edge
+      // blocks — the count aggregates read them
+      stats = stats :+ e.agg(count(lit(1)).as("n_before"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .select(lit(r).as("round"), col("n_before"), col("n_kept"),
+          (col("n_before") - col("n_kept")).as("n_removed"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(e)
+      e = kept
+    }
+    val out = stats.reduce(_ unionAll _).orderBy(col("round"))
+      .localCheckpoint(true)
+    Q.releaseBlocks(e)
+    out
+  }
+
+  val g76KTruss: Q = Q(
+    "g76_ktruss",
+    (s, dir) => ktrussPeel(coEdges(s, dir), TrussK, TrussRounds),
+    Some {
+      def round(prev: String, cur: String) = s"""
+      sup_$cur AS MATERIALIZED (
+        SELECT x, y, count(*) AS sup FROM (
+          SELECT t.a AS x, t.b AS y FROM tri_$cur t
+          UNION ALL SELECT t.b, t.c FROM tri_$cur t
+          UNION ALL SELECT t.a, t.c FROM tri_$cur t) c
+        GROUP BY x, y),
+      $cur AS MATERIALIZED (
+        SELECT e.x, e.y FROM $prev e
+        JOIN sup_$cur s ON e.x = s.x AND e.y = s.y
+        WHERE s.sup >= ${TrussK - 2})"""
+      def tri(src: String, cur: String) = s"""
+      tri_$cur AS MATERIALIZED (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM $src e1
+        JOIN $src e2 ON e1.y = e2.x
+        JOIN $src e3 ON e1.x = e3.x AND e2.y = e3.y)"""
+      s"""
+      WITH lp AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT a.p AS x, b.p AS y
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      ${tri("e0", "r1")}, ${round("e0", "r1")},
+      ${tri("r1", "r2")}, ${round("r1", "r2")},
+      ${tri("r2", "r3")}, ${round("r2", "r3")}
+      SELECT round, n_before, n_kept, n_before - n_kept AS n_removed
+      FROM (
+        SELECT 1 AS round, (SELECT CAST(count(*) AS BIGINT) FROM e0)
+            AS n_before,
+          (SELECT CAST(count(*) AS BIGINT) FROM r1) AS n_kept
+        UNION ALL
+        SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM r1),
+          (SELECT CAST(count(*) AS BIGINT) FROM r2)
+        UNION ALL
+        SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM r2),
+          (SELECT CAST(count(*) AS BIGINT) FROM r3)) t
+      ORDER BY round"""
+    })
+
+  /** g77: DETERMINISTIC RANDOM WALKS — fixed-length walks over the
+    * customer–supplier bipartite graph (the g60 node encoding), one walk
+    * per seed customer, each step choosing the neighbor that minimizes a
+    * Knuth multiplicative hash of (current node, candidate, step). The
+    * hash plays the role of the RNG: the walk corpus is fully
+    * reproducible — the property a training-data generator needs for
+    * lineage audits — and both engines replay it bit-exactly.
+    *
+    * Scale shape: one walk step = one keyed join of the O(walks)
+    * frontier against the src-keyed adjacency, then an argmin per walk
+    * (a window over each walk's candidate set — partitioned by walk id,
+    * never global). Walk state is checkpointed per step, superseded
+    * frontiers released. Node ids stay raw; nothing is packed, so no
+    * id-width bound.
+    */
+  /** The walk loop, exposed for planted-graph specs: `adj` is a
+    * symmetric (src, dst) adjacency, `seeds` one (wid, node) row per
+    * walk; returns every (wid, step, node) visit. */
+  def hashWalks(adj: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    val a = adj.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+      .select(col("wid"), lit(0).as("step"), col("node"))
+      .localCheckpoint(true)
+    var path = frontier
+    for (i <- 1 to steps) {
+      val w = Window.partitionBy(col("wid"))
+        .orderBy(col("h"), col("dst"))
+      val next = frontier
+        .join(a.hint("shuffle_hash"), col("node") === col("src"))
+        .select(col("wid"),
+          pmod((col("node") * 1000003 + col("dst") * 131 + lit(i)),
+            lit(1000000007L)).as("m"), col("dst"))
+        .select(col("wid"),
+          pmod(col("m") * 2654435761L, lit(4294967296L)).as("h"),
+          col("dst"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("wid"), lit(i).as("step"), col("dst").as("node"))
+        .localCheckpoint(true)
+      path = path.unionAll(next)
+      frontier = next
+    }
+    val out = path.orderBy(col("wid"), col("step")).localCheckpoint(true)
+    a.unpersist()
+    out
+  }
+
+  val g77RandomWalks: Q = Q(
+    "g77_random_walks",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val adj = cs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = adj.select(col("src")).distinct()
+        .filter(col("src") % 2 === 0 && expr("src div 2") % 97 === 0)
+        .select(col("src").as("wid"), col("src").as("node"))
+      hashWalks(adj, seeds, WalkSteps)
+    },
+    Some {
+      def step(prev: String, cur: String, i: Int) = s"""
+      $cur AS MATERIALIZED (
+        SELECT wid, $i AS step, dst AS node FROM (
+          SELECT f.wid, a.dst,
+            row_number() OVER (PARTITION BY f.wid ORDER BY
+              ((f.node * 1000003 + a.dst * 131 + $i) % 1000000007)
+                * 2654435761 % 4294967296, a.dst) AS rn
+          FROM $prev f JOIN adj a ON f.node = a.src) t
+        WHERE rn = 1)"""
+      s"""
+      WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      adj AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM cs
+        UNION ALL SELECT s, c FROM cs),
+      w0 AS MATERIALIZED (
+        SELECT src AS wid, 0 AS step, src AS node
+        FROM (SELECT DISTINCT src FROM adj) n
+        WHERE src % 2 = 0 AND (src // 2) % 97 = 0),
+      ${step("w0", "w1", 1)}, ${step("w1", "w2", 2)},
+      ${step("w2", "w3", 3)}, ${step("w3", "w4", 4)}
+      SELECT wid, step, node FROM (
+        SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+        UNION ALL SELECT * FROM w4) t
+      ORDER BY wid, step"""
+    })
+}

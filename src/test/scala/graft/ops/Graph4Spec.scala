@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Planted-graph pins for the k-truss peel (g76) and the deterministic
+  * hash walks (g77).
+  */
+class Graph4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("x", "y")
+
+  test("ktruss: K4 core survives, pendant triangle-free edge peels off") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + pendant edge 4-5
+    // (support 0). Round 1 must peel exactly the pendant; rounds 2-3
+    // must be fixpoints.
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val rows = Graph4.ktrussPeel(e, k = 4, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((1, 7L, 6L, 1L), (2, 6L, 6L, 0L),
+      (3, 6L, 6L, 0L)))
+  }
+
+  test("ktruss: cascade — losing one edge can unravel a whole round later") {
+    // Two triangles sharing edge 2-3, plus K4 on {10,11,12,13}. The
+    // shared edge sits in BOTH triangles (support 2) so it survives
+    // round 1 while its four side edges peel — then, its triangles
+    // gone, it cascades off in round 2. The K4 persists.
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L),
+      (12L, 13L))
+    val rows = Graph4.ktrussPeel(e, k = 4, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(rows.toSeq === Seq((1, 7L), (2, 6L)))
+  }
+
+  test("walks: paths follow edges, are reproducible, and stay in-graph") {
+    // small symmetric graph: hub 0 connected to 2,4,6,8; ring among evens
+    val und = Seq((0L, 2L), (0L, 4L), (0L, 6L), (0L, 8L), (2L, 4L),
+      (4L, 6L), (6L, 8L))
+    val adj = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((0L, 0L), (2L, 2L)).toDF("wid", "node")
+    def run() = Graph4.hashWalks(adj, seeds, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    assert(a.toSeq === run().toSeq) // the hash IS the RNG: bit-stable
+    assert(a.length === 2 * 4)      // 2 walks x (seed + 3 steps)
+    val edgeSet = (und ++ und.map(_.swap)).toSet
+    for (wid <- Seq(0L, 2L)) {
+      val path = a.filter(_._1 == wid).sortBy(_._2).map(_._3)
+      assert(path.head === wid)
+      path.sliding(2).foreach { case Array(u, v) =>
+        assert(edgeSet.contains((u, v)), s"walk $wid hopped $u->$v")
+      }
+    }
+  }
+
+  test("fim: PSM sections reassemble to the original token sequence") {
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "solo"),
+      (3L, "x y")).toDF("doc_id", "text")
+    Corpus5.fimSplit(docs).collect().foreach { r =>
+      val psm = r.getAs[String]("psm_text")
+      val sec = psm.split("<PRE>|<SUF>|<MID>").map(_.trim)
+      // sec(0) is the empty pre-marker prefix; PSM order is P,S,M
+      val rebuilt = (sec(1).split(" ").filter(_.nonEmpty) ++
+        sec(3).split(" ").filter(_.nonEmpty) ++
+        sec(2).split(" ").filter(_.nonEmpty)).toSeq
+      val doc = Map(1L -> "a b c d e f g h i j", 2L -> "solo",
+        3L -> "x y")(r.getLong(0))
+      assert(rebuilt === doc.split(" ").toSeq)
+      assert(r.getAs[Long]("middle_len") ===
+        r.getAs[Long]("p2") - r.getAs[Long]("p1"))
+    }
+  }
+}
