@@ -13,7 +13,7 @@ import Q.t
   */
 object Graph4 {
 
-  def pack: Seq[Q] = Seq(g76KTruss, g77RandomWalks)
+  def pack: Seq[Q] = Seq(g76KTruss, g77RandomWalks, g78LubyMis)
 
   private val TrussK = 4
   private val TrussRounds = 3
@@ -231,5 +231,136 @@ object Graph4 {
         UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
         UNION ALL SELECT * FROM w4) t
       ORDER BY wid, step"""
+    })
+
+  private val MisRounds = 3
+
+  /** Unique Luby priority: Knuth hash (30 bits) packed above the node id
+    * (33 bits) — strict-minimum comparisons need NO tie handling because
+    * the low bits make every priority distinct. Bound: node < 2³³. */
+  private def prio(node: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(pmod(node, lit(1000000007L)) * 2654435761L, lit(1073741824L)) *
+      8589934592L + node
+
+  /** The Luby loop, exposed for planted-graph independence specs: takes
+    * x<y oriented edges, returns the per-round trajectory
+    * (round, n_new_mis, n_removed, n_active_after, mis_id_sum). */
+  def lubyMis(e0: DataFrame, rounds: Int): DataFrame = {
+    val nodes0 = e0.select(col("x").as("node"))
+      .unionAll(e0.select(col("y").as("node"))).distinct()
+    var active = nodes0.select(col("node"), prio(col("node")).as("p"))
+      .localCheckpoint(true)
+    var edges = e0.localCheckpoint(true)
+    var stats = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val sym = edges.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(edges.select(col("y").as("src"), col("x").as("dst")))
+      val nbMin = sym
+        .join(active.select(col("node").as("dst"), col("p").as("pd")), "dst")
+        .groupBy(col("src")).agg(min(col("pd")).as("minnb"))
+      // strict local minimum enters the MIS; isolated actives (no
+      // neighbor row) enter too — their minnb is null
+      val mis = active.join(nbMin,
+          col("node") === col("src"), "left")
+        .filter(col("minnb").isNull || col("p") < col("minnb"))
+        .select(col("node")).localCheckpoint(true)
+      val removed = mis
+        .unionAll(sym.join(mis, sym("src") === mis("node"))
+          .select(col("dst").as("node")))
+        .distinct().localCheckpoint(true)
+      val nextActive = active.join(removed, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val nextEdges = edges
+        .join(nextActive.select(col("node").as("x")), Seq("x"), "left_semi")
+        .join(nextActive.select(col("node").as("y")), Seq("y"), "left_semi")
+        .localCheckpoint(true)
+      stats = stats :+ mis.agg(count(lit(1)).as("n_new_mis"),
+          coalesce(sum(col("node")), lit(0L)).as("mis_id_sum"))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .crossJoin(nextActive.agg(count(lit(1)).as("n_active_after")))
+        .select(lit(r).as("round"), col("n_new_mis"), col("n_removed"),
+          col("n_active_after"), col("mis_id_sum"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(active); Q.releaseBlocks(edges)
+      Q.releaseBlocks(mis); Q.releaseBlocks(removed)
+      active = nextActive
+      edges = nextEdges
+    }
+    val out = stats.reduce(_ unionAll _).orderBy(col("round"))
+      .localCheckpoint(true)
+    Q.releaseBlocks(active); Q.releaseBlocks(edges)
+    out
+  }
+
+  /** g78: LUBY MAXIMAL INDEPENDENT SET — three rounds of the classic
+    * parallel MIS algorithm over the part co-purchase graph: every
+    * active node whose hashed priority is a strict local minimum joins
+    * the set, then it and its neighbors retire. The per-round report
+    * (new members, removals, survivors, and the member-id checksum)
+    * pins the whole trajectory, not just the final census.
+    *
+    * Scale shape: a round is two keyed joins (neighbor-min, removal
+    * semi/anti) over src-keyed frames — no broadcast of anything
+    * graph-sized, state checkpointed and released per round (the g60
+    * loop contract). The deterministic hash priority is what makes a
+    * PARALLEL greedy correct: all executors agree on every local
+    * minimum with zero coordination — the same reason Luby beats
+    * sequential greedy at cluster scale.
+    */
+  val g78LubyMis: Q = Q(
+    "g78_luby_mis",
+    (s, dir) => lubyMis(coEdges(s, dir), MisRounds),
+    Some {
+      def round(act: String, edg: String, cur: String, r: Int) = s"""
+      sym_$cur AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM $edg
+        UNION ALL SELECT y, x FROM $edg),
+      mis_$cur AS MATERIALIZED (
+        SELECT a.node FROM $act a LEFT JOIN (
+          SELECT s.src, min(b.p) AS minnb
+          FROM sym_$cur s JOIN $act b ON s.dst = b.node
+          GROUP BY s.src) m ON a.node = m.src
+        WHERE m.minnb IS NULL OR a.p < m.minnb),
+      rem_$cur AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT node FROM mis_$cur
+          UNION ALL
+          SELECT s.dst FROM sym_$cur s JOIN mis_$cur m ON s.src = m.node) t),
+      act_$cur AS MATERIALIZED (
+        SELECT a.node, a.p FROM $act a
+        WHERE NOT EXISTS (SELECT 1 FROM rem_$cur r WHERE r.node = a.node)),
+      edg_$cur AS MATERIALIZED (
+        SELECT e.x, e.y FROM $edg e
+        WHERE EXISTS (SELECT 1 FROM act_$cur a WHERE a.node = e.x)
+          AND EXISTS (SELECT 1 FROM act_$cur a WHERE a.node = e.y)),
+      st_$cur AS MATERIALIZED (
+        SELECT $r AS round,
+          (SELECT CAST(count(*) AS BIGINT) FROM mis_$cur) AS n_new_mis,
+          (SELECT CAST(count(*) AS BIGINT) FROM rem_$cur) AS n_removed,
+          (SELECT CAST(count(*) AS BIGINT) FROM act_$cur)
+            AS n_active_after,
+          (SELECT CAST(coalesce(sum(node), 0) AS BIGINT) FROM mis_$cur)
+            AS mis_id_sum)"""
+      s"""
+      WITH lp AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT a.p AS x, b.p AS y
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      act0 AS MATERIALIZED (
+        SELECT node,
+          ((node % 1000000007) * 2654435761) % 1073741824
+            * 8589934592 + node AS p
+        FROM (SELECT DISTINCT x AS node FROM e0
+              UNION SELECT y FROM e0) n),
+      ${round("act0", "e0", "r1", 1)},
+      ${round("act_r1", "edg_r1", "r2", 2)},
+      ${round("act_r2", "edg_r2", "r3", 3)}
+      SELECT round, n_new_mis, n_removed, n_active_after, mis_id_sum
+      FROM (SELECT * FROM st_r1 UNION ALL SELECT * FROM st_r2
+            UNION ALL SELECT * FROM st_r3) t
+      ORDER BY round"""
     })
 }

@@ -12,7 +12,75 @@ import Q.t
   */
 object Relational7 {
 
-  def pack: Seq[Q] = Seq(q94RfmSegments)
+  def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan)
+
+  /** q95: SHIPMENT-SPAN DECOMPOSITION — per order priority: how fast the
+    * FIRST item ships (pick latency), how long until the LAST item ships
+    * (the span a customer actually waits for a complete order), and how
+    * often an order splits across multiple ship dates. The supply-chain
+    * panel answering "does priority buy speed, and what does split
+    * shipping cost us" — from the only date columns the star carries
+    * (o_orderdate, l_shipdate).
+    *
+    * Two-level aggregation: per-order min/max/distinct-count of ship
+    * dates first (the orderkey shuffle the join needs anyway), then a
+    * 5-group priority rollup. Every average is an integer day-sum `div`
+    * a count. The driver's generator ships some items BEFORE the order
+    * date, so the first-ship lag can be negative — and a negative
+    * dividend is where Spark's truncating `div` and DuckDB's flooring
+    * `//` disagree; the lag is therefore shifted +5000 days per order
+    * before the division and shifted back after (the verify-skill
+    * negatives rule).
+    *
+    * Scale shape: the orders ⋈ lineitem join shuffles both sides on the
+    * join key once; the per-order aggregate rides that same partitioning
+    * (no second shuffle), and the priority rollup is 5 groups with full
+    * map-side combine.
+    */
+  val q95ShipmentSpan: Q = Q(
+    "q95_shipment_span",
+    (s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(
+          (datediff(min(col("l_shipdate")), max(col("o_orderdate")))
+            .cast("long") + 5000L).as("first_lag"),
+          datediff(max(col("l_shipdate")), min(col("l_shipdate")))
+            .cast("long").as("span"),
+          countDistinct(col("l_shipdate")).as("n_ship_dates"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("first_lag")).as("sf"), sum(col("span")).as("sp"),
+          sum(when(col("n_ship_dates") > 1, 1L).otherwise(0L)).as("nm"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          expr("(sf div n_orders) - 5000").as("avg_first_ship_days"),
+          expr("sp div n_orders").as("avg_span_days"),
+          expr("nm * 10000 div n_orders").as("multi_ship_bp"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST((sum(first_lag) // count(*)) - 5000 AS BIGINT)
+          AS avg_first_ship_days,
+        CAST(sum(span) // count(*) AS BIGINT) AS avg_span_days,
+        CAST(sum(multi) * 10000 // count(*) AS BIGINT) AS multi_ship_bp
+      FROM (
+        SELECT o_orderkey, o_orderpriority,
+          CAST(date_diff('day', max(o_orderdate), min(l_shipdate)) + 5000
+               AS BIGINT) AS first_lag,
+          CAST(date_diff('day', min(l_shipdate), max(l_shipdate))
+               AS BIGINT) AS span,
+          CASE WHEN count(DISTINCT l_shipdate) > 1 THEN 1 ELSE 0 END
+            AS multi
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderpriority) t
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** Global row number by (value, custkey) without a global window: shard
     * by a bucket monotone in the sort order (equal values always share a

@@ -15,7 +15,11 @@ import Q.t
   */
 object Similarity6 {
 
-  def pack: Seq[Q] = Seq(e80Bm25TopK)
+  def pack: Seq[Q] = Seq(e80Bm25TopK, e81SubspaceRebalance)
+
+  private val Grid = 512L
+  private val NSub = 8
+  private val Dim = 64
 
   /** The three fixed keyword queries (qid, term). Fixed literals keep the
     * operator deterministic and let the oracle restate them as VALUES. */
@@ -116,4 +120,82 @@ object Similarity6 {
             AS rank
         FROM contrib GROUP BY qid, doc_id) t
       WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** e81: PQ SUBSPACE REBALANCE — the OPQ-lite preprocessing step: per-dim
+    * variance on the 1/512 integer grid, then dims dealt into the 8 PQ
+    * subspaces in a variance-sorted SNAKE (forward, then backward, …) so
+    * each subspace carries a near-equal variance load, vs the natural
+    * contiguous dim÷8 blocks e57 quantizes. Balanced subspaces are why
+    * rotated/permuted PQ quantizes better: codebook capacity stops being
+    * wasted on low-energy blocks. Report: per (scheme, subspace) the dim
+    * count and the n²-scaled variance sum n·Σx² − (Σx)², accumulated in
+    * DECIMAL(38,0) (the g70 moment idiom — overflow-proof at any corpus
+    * size) with one deterministic cast to DOUBLE at the end, so both
+    * engines agree bit-exactly.
+    *
+    * Scale shape: one explode + one 64-group aggregation over the corpus
+    * (the only data-sized pass); the assignment arithmetic runs on 64
+    * rows with a 64-row window — driver-scale, like every codebook-side
+    * step of the PQ family.
+    */
+  val e81SubspaceRebalance: Q = Q(
+    "e81_subspace_rebalance",
+    (s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val perDim = Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          round(col("v").cast("double") * Grid).cast("long").as("g"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("g").cast(d38)).as("s1"),
+          sum((col("g") * col("g")).cast(d38)).as("s2"))
+        .select(col("dim"),
+          (col("n").cast(d38) * col("s2") - col("s1") * col("s1"))
+            .as("var_n2"))
+      val snake = perDim
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("var_n2").desc, col("dim"))) - 1)
+        .select(col("dim"), col("var_n2"),
+          when(expr(s"(rn div $NSub) % 2") === 0, expr(s"rn % $NSub"))
+            .otherwise(lit(NSub - 1) - expr(s"rn % $NSub")).as("subspace"))
+      val natural = perDim
+        .select(col("dim"), col("var_n2"),
+          expr(s"dim div ${Dim / NSub}").cast("int").as("subspace"))
+      def roll(df: org.apache.spark.sql.DataFrame, scheme: String) =
+        df.groupBy(col("subspace"))
+          .agg(count(lit(1)).as("n_dims"), sum(col("var_n2")).as("vs"))
+          .select(lit(scheme).as("scheme"),
+            col("subspace").cast("long"), col("n_dims"),
+            col("vs").cast("double").as("var_sum"))
+      roll(natural, "natural").unionAll(roll(snake, "snake"))
+        .orderBy(col("scheme"), col("subspace"))
+    },
+    Some(s"""
+      WITH perdim AS MATERIALIZED (
+        SELECT dim,
+          CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(g*g AS DECIMAL(38,0)))
+            - sum(CAST(g AS DECIMAL(38,0))) * sum(CAST(g AS DECIMAL(38,0)))
+            AS var_n2
+        FROM (
+          SELECT CAST(u.i AS INT) AS dim,
+            CAST(round(CAST(embedding[u.i + 1] AS DOUBLE) * $Grid)
+                 AS BIGINT) AS g
+          FROM embeddings, range(0, $Dim) u(i)) x
+        GROUP BY dim),
+      snake AS (
+        SELECT dim, var_n2,
+          CASE WHEN (rn // $NSub) % 2 = 0 THEN rn % $NSub
+               ELSE ${NSub - 1} - rn % $NSub END AS subspace
+        FROM (SELECT dim, var_n2,
+                row_number() OVER (ORDER BY var_n2 DESC, dim) - 1 AS rn
+              FROM perdim) r),
+      nat AS (
+        SELECT dim, var_n2, dim // ${Dim / NSub} AS subspace FROM perdim)
+      SELECT scheme, CAST(subspace AS BIGINT) AS subspace,
+        CAST(count(*) AS BIGINT) AS n_dims,
+        CAST(sum(var_n2) AS DOUBLE) AS var_sum
+      FROM (
+        SELECT 'natural' AS scheme, subspace, var_n2 FROM nat
+        UNION ALL SELECT 'snake', subspace, var_n2 FROM snake) t
+      GROUP BY scheme, subspace ORDER BY scheme, subspace"""))
 }

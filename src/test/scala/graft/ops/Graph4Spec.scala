@@ -58,6 +58,48 @@ class Graph4Spec extends SparkSpec {
     }
   }
 
+  test("luby mis: one member per clique per round, cliques drain in one") {
+    // K5 on {1..5} + disjoint triangle {10,11,12}: within a clique all
+    // nodes are mutually adjacent, so exactly ONE node (the hash-priority
+    // minimum) can be a strict local min — round 1 must admit exactly 2
+    // members (one per component) and retire everything.
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val tri = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val rows = Graph4.lubyMis((k5 ++ tri).toDF("x", "y"), rounds = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows(0)._1 === 1)
+    assert(rows(0)._2 === 2L) // one per clique
+    assert(rows(0)._3 === 8L) // everything retires
+    assert(rows(0)._4 === 0L)
+    assert(rows(1) === ((2, 0L, 0L, 0L))) // fixpoint: nothing left
+  }
+
+  test("luby mis: members of one round are pairwise non-adjacent") {
+    // star hub 1000 with leaves 2,4,...,40: leaves are only adjacent to
+    // the hub, so whichever side wins, the member set is independent.
+    // If the hub wins round 1, everything retires at once; if leaves win,
+    // exactly the cheaper-than-hub leaves join, the hub retires as their
+    // neighbor, and the pricier leaves — now isolated — all join in
+    // round 2. Either way round 2 ends with nothing active and the whole
+    // star decided.
+    val e = (1L to 20L).map(i => (2 * i, 1000L)).toDF("x", "y")
+    val rows = Graph4.lubyMis(e, rounds = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (r1, r2) = (rows(0), rows(1))
+    assert(r2._3 === 0L) // star fully decided after two rounds
+    if (r1._1 === 1L) { // hub won outright
+      assert(r1._4 === 1000L)
+      assert(r1._2 === 21L && r1._3 === 0L)
+      assert(r2._1 === 0L)
+    } else { // k leaves won; hub retired; rest joined isolated in round 2
+      assert(r1._4 % 2 === 0L && r1._4 > 0L)
+      assert(r1._2 === r1._1 + 1)
+      assert(r2._1 === 20L - r1._1)
+      assert(r1._1 + r2._1 === 20L) // every leaf ends up in the MIS
+    }
+  }
+
   test("fim: PSM sections reassemble to the original token sequence") {
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, "solo"),
       (3L, "x y")).toDF("doc_id", "text")

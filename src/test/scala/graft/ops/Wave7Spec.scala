@@ -60,6 +60,34 @@ class Wave7Spec extends SparkSpec {
     assert(small.getAs[Long]("epochs_bp") > big.getAs[Long]("epochs_bp"))
   }
 
+  test("subspace rebalance: snake never balances worse than natural") {
+    val rows = graft.SparkEntry.queries("e81_subspace_rebalance")(
+      spark, sf0001).collect()
+    def imbalance(scheme: String): Double = {
+      val vs = rows.filter(_.getAs[String]("scheme") == scheme)
+        .map(_.getAs[Double]("var_sum"))
+      assert(vs.length === 8)
+      vs.max / vs.min
+    }
+    assert(imbalance("snake") <= imbalance("natural"))
+    assert(rows.forall(_.getAs[Long]("n_dims") === 8L))
+  }
+
+  test("shipment span: priority rollup is complete and bounded") {
+    val rows = graft.SparkEntry.queries("q95_shipment_span")(spark, sf0001)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      // the generator ships some items before the order date, so the
+      // first-ship lag may be negative — but never below the -5000 shift
+      val lag = r.getAs[Long]("avg_first_ship_days")
+      assert(lag > -5000L && lag < 5000L)
+      assert(r.getAs[Long]("avg_span_days") >= 0L)
+      val bp = r.getAs[Long]("multi_ship_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
