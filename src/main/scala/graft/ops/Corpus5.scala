@@ -11,7 +11,75 @@ import Q.t
   */
 object Corpus5 {
 
-  def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit)
+  def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit,
+    d90TokenizerFertility)
+
+  private val FertVocab = 8
+
+  /** d90: TOKENIZER FERTILITY AUDIT — what each language actually COSTS
+    * under a vocab-limited tokenizer: occurrences of the top-8 corpus
+    * tokens price at 1 token, everything else falls back to characters
+    * (the byte/char-fallback every real BPE vocabulary has). Per
+    * language: word and char volumes, the effective token bill, and
+    * fertility in bp (effective tokens per whitespace word). d73 reports
+    * the OOV RATE; this prices its CONSEQUENCE — the per-language token
+    * bill that drives vocab-allocation decisions. (A pure regex count is
+    * no audit here: the generator's single-space lowercase text makes
+    * regex tokens ≡ whitespace words, fertility flat 10000.)
+    *
+    * Determinism: the vocabulary boundary is the total order
+    * (count desc, token); all ratios are integer bp.
+    *
+    * Scale shape: one explode + the d73 top-k vocabulary
+    * (TakeOrderedAndProject) broadcast back to the occurrence stream;
+    * one |languages|-group aggregate with map-side combine.
+    */
+  val d90TokenizerFertility: Q = Q(
+    "d90_tokenizer_fertility",
+    (s, dir) => {
+      val occ = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(FertVocab)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      occ.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("ws_tokens"),
+          sum(length(col("tok")).cast("long")).as("word_chars"),
+          sum(when(col("in_vocab").isNotNull, 1L)
+            .otherwise(length(col("tok")).cast("long")))
+            .as("effective_tokens"))
+        .select(col("lang"), col("ws_tokens"), col("word_chars"),
+          col("effective_tokens"),
+          expr("effective_tokens * 10000 div ws_tokens")
+            .as("fertility_bp"),
+          expr("effective_tokens * 10000 div word_chars")
+            .as("compression_bp"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH occ AS MATERIALIZED (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS cnt FROM occ GROUP BY tok) t
+        ORDER BY cnt DESC, tok LIMIT $FertVocab)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS ws_tokens,
+        CAST(sum(length(o.tok)) AS BIGINT) AS word_chars,
+        CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1
+                      ELSE length(o.tok) END) AS BIGINT)
+          AS effective_tokens,
+        CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1
+                      ELSE length(o.tok) END) * 10000
+          // CAST(count(*) AS BIGINT) AS BIGINT) AS fertility_bp,
+        CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1
+                      ELSE length(o.tok) END) * 10000
+          // CAST(sum(length(o.tok)) AS BIGINT) AS BIGINT)
+          AS compression_bp
+      FROM occ o LEFT JOIN vocab v ON o.tok = v.tok
+      GROUP BY lang ORDER BY lang"""))
 
   /** d88: TEMPERATURE-SCALED SOURCE MIX — per-source sampling weights
     * flattened at T=2 (w ∝ √tokens), vs the natural token-proportional

@@ -12,7 +12,57 @@ import Q.t
   */
 object Relational7 {
 
-  def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan)
+  def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix)
+
+  /** q96: DWELL-TIME TRANSITION MATRIX — q68 counts WHERE users go next;
+    * this measures HOW LONG they linger before each transition: per
+    * (from_type → to_type) pair, the transition count, mean dwell
+    * microseconds, and the slowest observed dwell. The timing layer
+    * turns a Markov matrix into a latency-annotated journey map (which
+    * hops are quick reflexes vs considered decisions).
+    *
+    * Determinism: dwell = unix-µs difference of consecutive events in
+    * the same user's (ts, event_id)-ordered stream — non-negative by
+    * construction, so the mean is a plain integer-sum `div` count.
+    *
+    * Scale shape: one user-partitioned lag window (per-user state never
+    * leaves its partition), then a keyed aggregate bounded by
+    * |event types|² — constant-size output at any event volume.
+    */
+  val q96DwellMatrix: Q = Q(
+    "q96_dwell_matrix",
+    (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      Q.spread(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("from_t", lag(col("t"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t") - col("from_t")).as("sd"),
+          max(col("t") - col("from_t")).as("max_dwell_us"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("sd div n").as("avg_dwell_us"), col("max_dwell_us"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS from_type,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS from_t
+        FROM events)
+      SELECT from_type, event_type AS to_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(t - from_t) // count(*) AS BIGINT) AS avg_dwell_us,
+        CAST(max(t - from_t) AS BIGINT) AS max_dwell_us
+      FROM ev WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+      ORDER BY from_type, to_type"""))
 
   /** q95: SHIPMENT-SPAN DECOMPOSITION — per order priority: how fast the
     * FIRST item ships (pick latency), how long until the LAST item ships

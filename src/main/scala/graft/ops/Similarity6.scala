@@ -15,7 +15,7 @@ import Q.t
   */
 object Similarity6 {
 
-  def pack: Seq[Q] = Seq(e80Bm25TopK, e81SubspaceRebalance)
+  def pack: Seq[Q] = Seq(e80Bm25TopK, e81SubspaceRebalance, e82NdcgEval)
 
   private val Grid = 512L
   private val NSub = 8
@@ -198,4 +198,115 @@ object Similarity6 {
         SELECT 'natural' AS scheme, subspace, var_n2 FROM nat
         UNION ALL SELECT 'snake', subspace, var_n2 FROM snake) t
       GROUP BY scheme, subspace ORDER BY scheme, subspace"""))
+
+  private val NdcgK = 10
+  private val PrefixDims = 16
+
+  /** e82: NDCG@10 OF PREFIX RETRIEVAL — the recall audits (e58/e63/e59b)
+    * score retrieval as a SET; NDCG scores it as a RANKING: graded
+    * relevance from the exact 64-dim integer-L2 order (top-3 → grade 3,
+    * 4-5 → 2, 6-10 → 1), position discounts 1/log₂(i+1), run = the
+    * 16-dim Matryoshka-prefix ranking. Because the ideal grade profile
+    * (3,3,3,2,2,1,1,1,1,1) is fixed, IDCG is a constant and
+    * ndcg_bp = DCG·10⁴ div IDCG is pure integer arithmetic once each
+    * discount is rounded to the 10⁻⁶ grid — the d54 ln precedent is the
+    * only float surface, and it's per-POSITION (10 values), not per-row.
+    *
+    * Scale shape: one broadcast query × corpus scoring pass computes
+    * BOTH distances (the prefix L2 is a sub-sum of the full one's
+    * terms); two per-query rank windows; the metric join touches only
+    * 2·k rows per query.
+    */
+  val e82NdcgEval: Q = Q(
+    "e82_ndcg_eval",
+    (s, dir) => {
+      def l2(n: Int) = (1 to n).map { i =>
+        val d = element_at(col("qv"), i) - element_at(col("cv"), i)
+        d * d
+      }.reduce(_ + _)
+      val gv = Q.spread(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * Grid).cast("long")).as("gv"))
+      val q = gv.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("gv").as("qv"))
+      val c = gv.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cid"), col("gv").as("cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"), l2(Dim).as("dfull"),
+          l2(PrefixDims).as("dpre"))
+      def ranked(dcol: String, rcol: String) =
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col(dcol), col("cid"))).as(rcol)
+      val exact = scored
+        .select(col("qid"), col("cid"), ranked("dfull", "re"))
+        .filter(col("re") <= NdcgK)
+        .select(col("qid"), col("cid"),
+          when(col("re") <= 3, 3L).when(col("re") <= 5, 2L)
+            .otherwise(1L).as("rel"))
+      val run = scored
+        .select(col("qid"), col("cid"), ranked("dpre", "rr"))
+        .filter(col("rr") <= NdcgK)
+      // per-position discount w_i = round(1e6·ln2/ln(i+1)); IDCG is the
+      // fixed ideal profile 3,3,3,2,2,1,1,1,1,1 priced at those weights
+      def w(i: org.apache.spark.sql.Column) =
+        round(lit(1000000.0) * log(lit(2.0)) /
+          log(i.cast("double") + 1.0)).cast("long")
+      val idcg = (1 to NdcgK).map { i =>
+        val g = if (i <= 3) 3L else if (i <= 5) 2L else 1L
+        w(lit(i)) * g
+      }.reduce(_ + _)
+      run.join(exact, Seq("qid", "cid"), "left")
+        .select(col("qid"),
+          (coalesce(col("rel"), lit(0L)) * w(col("rr"))).as("g"))
+        .groupBy(col("qid"))
+        .agg(sum(col("g")).as("dcg_micro"))
+        .select(col("qid"), col("dcg_micro"), idcg.as("idcg_micro"))
+        .withColumn("ndcg_bp", expr("dcg_micro * 10000 div idcg_micro"))
+        .orderBy(col("qid"))
+    },
+    Some {
+      def sqlL2(n: Int) =
+        (1 to n).map(i => s"(q.qv[$i]-c.cv[$i])*(q.qv[$i]-c.cv[$i])")
+          .mkString("+")
+      def sqlW(e: String) =
+        s"CAST(round(1000000.0 * ln(2.0) / ln($e + 1.0)) AS BIGINT)"
+      val sqlIdcg = (1 to NdcgK).map { i =>
+        val g = if (i <= 3) 3 else if (i <= 5) 2 else 1
+        s"${sqlW(i.toString)} * $g"
+      }.mkString(" + ")
+      s"""
+      WITH gv AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * $Grid) AS BIGINT)) AS gv
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, gv AS qv FROM gv WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, gv AS cv FROM gv WHERE vec_id >= 5),
+      scored AS MATERIALIZED (
+        SELECT q.qid, c.cid, ${sqlL2(Dim)} AS dfull,
+          ${sqlL2(PrefixDims)} AS dpre
+        FROM c CROSS JOIN q),
+      exact AS (
+        SELECT qid, cid,
+          CASE WHEN re <= 3 THEN 3 WHEN re <= 5 THEN 2 ELSE 1 END AS rel
+        FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                ORDER BY dfull, cid) AS re FROM scored) t
+        WHERE re <= $NdcgK),
+      run AS (
+        SELECT qid, cid, rr
+        FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                ORDER BY dpre, cid) AS rr FROM scored) t
+        WHERE rr <= $NdcgK)
+      SELECT qid, dcg_micro, idcg_micro,
+        CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp
+      FROM (
+        SELECT r.qid,
+          CAST(sum(coalesce(e.rel, 0) * ${sqlW("r.rr")}) AS BIGINT)
+            AS dcg_micro,
+          CAST($sqlIdcg AS BIGINT) AS idcg_micro
+        FROM run r LEFT JOIN exact e ON r.qid = e.qid AND r.cid = e.cid
+        GROUP BY r.qid) t
+      ORDER BY qid"""
+    })
 }

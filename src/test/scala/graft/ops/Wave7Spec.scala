@@ -88,6 +88,43 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  test("dwell matrix: non-negative dwell, mean bounded by max") {
+    val rows = graft.SparkEntry.queries("q96_dwell_matrix")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0L)
+      assert(r.getAs[Long]("avg_dwell_us") >= 0L)
+      assert(r.getAs[Long]("max_dwell_us") >= r.getAs[Long]("avg_dwell_us"))
+    }
+  }
+
+  test("tokenizer fertility: char fallback only ever adds tokens") {
+    val rows = graft.SparkEntry.queries("d90_tokenizer_fertility")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every in-vocab hit costs 1 <= token length, every OOV costs its
+      // chars: the bill sits between word count and char count
+      assert(r.getAs[Long]("fertility_bp") >= 10000L)
+      assert(r.getAs[Long]("compression_bp") <= 10000L)
+      assert(r.getAs[Long]("effective_tokens") >= r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Long]("effective_tokens") <= r.getAs[Long]("word_chars"))
+    }
+  }
+
+  test("ndcg: bounded by the ideal, idcg is the fixed profile price") {
+    val rows = graft.SparkEntry.queries("e82_ndcg_eval")(spark, sf0001)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("ndcg_bp")
+      assert(bp >= 0L && bp <= 10000L)
+      assert(r.getAs[Long]("idcg_micro") === 9622950L)
+      assert(r.getAs[Long]("dcg_micro") <= r.getAs[Long]("idcg_micro"))
+    }
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
