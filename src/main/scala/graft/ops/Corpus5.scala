@@ -12,7 +12,75 @@ import Q.t
 object Corpus5 {
 
   def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit,
-    d90TokenizerFertility)
+    d90TokenizerFertility, d91DedupSurvivorship)
+
+  /** d91: DEDUP SURVIVORSHIP BY SOURCE — when documents that share their
+    * OPENING (first 6 tokens — the boilerplate-head key; exact full-text
+    * duplicates don't exist in this corpus, shared openings do) collapse
+    * under the keep-first (min doc_id) policy, which SOURCES keep their
+    * documents and which get absorbed — and by whom. Per source: docs,
+    * survivors, duplicates lost to the SAME source vs to ANOTHER source,
+    * and the survival rate in bp. d40 counts duplicate mass; this
+    * attributes it — the "source B mirrors A" evidence a mixture
+    * designer acts on (cf. d76's shingle overlap for the near-dup
+    * analogue).
+    *
+    * Scale shape: duplicate groups key on the md5 of the head (one keyed
+    * aggregate); the representative (min doc_id, with ITS source carried
+    * in the same packed min — one pass, no second join back to pick the
+    * rep's source) re-joins the doc list on the digest key; the census
+    * is |sources| rows.
+    */
+  val d91DedupSurvivorship: Q = Q(
+    "d91_dedup_survivorship",
+    (s, dir) => {
+      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ",
+            slice(split(col("text"), " "), 1, 6))).as("h"))
+      // rep per digest: min doc_id; carry the rep's source via min on a
+      // (doc_id, source) struct — lexicographic min = min doc_id's row
+      val reps = docs.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("source"))).as("rep"))
+        .select(col("h"), col("rep.doc_id").as("rep_id"),
+          col("rep.source").as("rep_source"))
+      docs.join(reps, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("rep_id"), 1L).otherwise(0L))
+            .as("survivors"),
+          sum(when(col("doc_id") =!= col("rep_id") &&
+              col("source") === col("rep_source"), 1L).otherwise(0L))
+            .as("lost_within_source"),
+          sum(when(col("doc_id") =!= col("rep_id") &&
+              col("source") =!= col("rep_source"), 1L).otherwise(0L))
+            .as("lost_to_other_source"))
+        .withColumn("survival_bp", expr("survivors * 10000 div n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS MATERIALIZED (
+        SELECT doc_id, source,
+          md5(array_to_string(list_slice(string_split(text, ' '), 1, 6),
+              ' ')) AS h
+        FROM documents),
+      reps AS (
+        SELECT h, min(doc_id) AS rep_id,
+          arg_min(source, doc_id) AS rep_source
+        FROM docs GROUP BY h)
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END) AS BIGINT)
+          AS survivors,
+        CAST(sum(CASE WHEN doc_id <> rep_id AND source = rep_source
+                      THEN 1 ELSE 0 END) AS BIGINT) AS lost_within_source,
+        CAST(sum(CASE WHEN doc_id <> rep_id AND source <> rep_source
+                      THEN 1 ELSE 0 END) AS BIGINT)
+          AS lost_to_other_source,
+        CAST(sum(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END) * 10000
+          // CAST(count(*) AS BIGINT) AS BIGINT) AS survival_bp
+      FROM docs JOIN reps USING (h)
+      GROUP BY source ORDER BY source"""))
 
   private val FertVocab = 8
 

@@ -12,7 +12,92 @@ import Q.t
   */
 object Relational7 {
 
-  def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix)
+  def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix,
+    q97RevenueGini)
+
+  /** q97: REVENUE CONCENTRATION (Gini + top-decile share) — per nation:
+    * how unequally customer lifetime revenue is distributed. The two
+    * numbers every account-concentration review asks for: the share of
+    * revenue held by the top 10% of customers (integer bp) and the Gini
+    * coefficient from the rank formula G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n
+    * over ascending-sorted revenues.
+    *
+    * Determinism: revenues are exact cents; the rank moment Σ i·xᵢ
+    * accumulates in DECIMAL(38,0) (overflow-proof at any customer count,
+    * the g70 idiom); the Gini assembles with two IEEE divides + one
+    * subtract on exact operands, rounded 6dp; the decile share is integer
+    * cross-multiplication.
+    *
+    * Scale shape: one orders-level keyed aggregate (the only fact pass),
+    * a keyed customer attach (dimension-sized, AQE picks the strategy) +
+    * broadcast nation names, then NATION-PARTITIONED rank windows (never
+    * global; a nation's customer set is the d66 shard-rank candidate if
+    * a single nation outgrows a partition) and a 25-group rollup.
+    */
+  val q97RevenueGini: Q = Q(
+    "q97_revenue_gini",
+    (s: SparkSession, dir: String) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rev = Q.spread(t(s, dir, "orders"), "o_custkey")
+        .groupBy(col("o_custkey"))
+        .agg((sum(Q.dec2(col("o_totalprice"))) * 100).cast("long").as("x"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("x"), col("o_custkey"))
+      val ranked = rev
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey"), col("x"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("n_name"))).cast("long"))
+      ranked.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("x")).as("revenue_cents"),
+          sum((col("i") * col("x")).cast(d38)).as("ix"),
+          sum(when(col("i") * 10 > col("n") * 9, col("x"))
+            .otherwise(0L)).as("top_cents"))
+        .select(col("n_name"), col("n_customers"), col("revenue_cents"),
+          expr("top_cents * 10000 div revenue_cents").as("top10_share_bp"),
+          round(
+            (lit(2).cast(d38) * col("ix")).cast("double") /
+              (col("n_customers").cast(d38) *
+                col("revenue_cents").cast(d38)).cast("double") -
+            (col("n_customers") + 1).cast("double") /
+              col("n_customers").cast("double"), 6).as("gini"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS x
+        FROM orders GROUP BY o_custkey),
+      ranked AS (
+        SELECT n_name, x,
+          CAST(row_number() OVER (PARTITION BY n_name
+            ORDER BY x, o_custkey) AS BIGINT) AS i,
+          CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        FROM rev
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey)
+      SELECT n_name,
+        CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(sum(x) AS BIGINT) AS revenue_cents,
+        CAST(sum(CASE WHEN i * 10 > n * 9 THEN x ELSE 0 END) * 10000
+          // CAST(sum(x) AS BIGINT) AS BIGINT) AS top10_share_bp,
+        round(
+          CAST(2 * sum(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS DOUBLE) /
+          CAST(CAST(count(*) AS DECIMAL(38,0)) *
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS DOUBLE) -
+          CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS gini
+      FROM ranked GROUP BY n_name ORDER BY n_name"""))
 
   /** q96: DWELL-TIME TRANSITION MATRIX — q68 counts WHERE users go next;
     * this measures HOW LONG they linger before each transition: per

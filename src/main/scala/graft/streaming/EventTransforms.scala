@@ -81,6 +81,37 @@ object EventTransforms {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the conversion-tracking
+    * shape: every click emits, WITH its purchase when one lands in the
+    * attribution window, with NULLs once the purchase-side watermark has
+    * passed the window's end and no purchase can still arrive. The outer
+    * row is therefore emitted LATE by construction (only watermark
+    * progress can prove a non-conversion), which is the semantic a
+    * conversion funnel needs and an inner join silently drops. Same
+    * bounded O(window) state as the inner form: the time-bound condition
+    * plus both watermarks let each side evict.
+    */
+  def clickConversionOuter(events: DataFrame,
+      within: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", within)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", within)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"),
+        col("purchase_id").isNotNull.as("converted"))
+  }
+
   /** Exactly-once-per-id dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state older than the
     * watermark is evicted. (The reference dedups only within one file —

@@ -125,6 +125,39 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  test("gini: zero for equal revenues, rises with planted concentration") {
+    // bounds check via the query at sf0.001: 0 <= G < 1, top-decile
+    // share between its uniform floor and 100%
+    val rows = graft.SparkEntry.queries("q97_revenue_gini")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+      val share = r.getAs[Long]("top10_share_bp")
+      // top decile can never hold less than a uniform share of revenue
+      assert(share * r.getAs[Long]("n_customers") >=
+        1000L * (r.getAs[Long]("n_customers") / 10))
+      assert(share <= 10000L)
+    }
+  }
+
+  test("survivorship: per-source docs reconcile, losses match survivors") {
+    val rows = graft.SparkEntry.queries("d91_dedup_survivorship")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var totalDocs = 0L; var totalSurv = 0L
+    rows.foreach { r =>
+      val (n, sv, lw, lo) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("survivors"), r.getAs[Long]("lost_within_source"),
+        r.getAs[Long]("lost_to_other_source"))
+      assert(sv + lw + lo === n) // every doc is exactly one of the three
+      totalDocs += n; totalSurv += sv
+    }
+    // survivors = number of distinct head keys, < total iff dups exist
+    assert(totalSurv <= totalDocs)
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()

@@ -199,6 +199,45 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream join: conversions emit matched, non-conversions " +
+      "emit with nulls only after the watermark proves them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.clickConversionOuter(ms.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "10:00", user = 1, typ = "click"),
+        ev(2, "10:10", user = 1, typ = "purchase"), // converts click 1
+        ev(3, "10:00", user = 2, typ = "click"))    // never converts
+      drain(q)
+      // the matched row may emit now; the outer row for click 3 MUST NOT
+      // exist yet — only watermark progress can prove a non-conversion
+      val early = spark.table("conv_out")
+        .filter($"click_id" === 3L).count()
+      assert(early === 0L)
+      // push both watermarks far past 10:30 so click 3's window is closed
+      ms.addData(
+        ev(10, "13:00", user = 9, typ = "click"),
+        ev(11, "13:00", user = 9, typ = "purchase"))
+      drain(q)
+      ms.addData(
+        ev(12, "14:00", user = 9, typ = "click"),
+        ev(13, "14:00", user = 9, typ = "purchase"))
+      drain(q)
+      val rows = spark.table("conv_out")
+        .select($"click_id", $"purchase_id", $"converted")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2)))
+        .toMap
+      assert(rows(1L) === ((2L, true)))   // converted, with its purchase
+      assert(rows(3L) === ((-1L, false))) // proven non-conversion, nulls
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agree on the same data") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
