@@ -12,7 +12,90 @@ import Q.t
 object Corpus5 {
 
   def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit,
-    d90TokenizerFertility, d91DedupSurvivorship)
+    d90TokenizerFertility, d91DedupSurvivorship, d92HeldoutPerplexity)
+
+  /** d92: HELD-OUT PERPLEXITY BY LANGUAGE — train an add-1-smoothed
+    * bigram LM on the d34 TRAIN split, score the VAL split, report
+    * per-language mean negative log-likelihood (micro-nats) and the
+    * val-bigram OOV rate. The out-of-sample twin of d56 (which scores
+    * the corpus on itself) and the standard "is this slice learnable or
+    * noise" data-quality metric; the d34 hash split makes train/val
+    * membership a pure function both engines replay.
+    *
+    * Determinism: p(w₂|w₁) = (c₁₂+1)/(c₁+V) — exact integers, one IEEE
+    * divide, one ln (d54 precedent); each −ln p is rounded to micro-nats
+    * BEFORE the order-independent integer sum, and the per-language mean
+    * divides non-negative integers (no truncate-vs-floor surface).
+    *
+    * Scale shape: bigrams stream through the d35 codegen window; train
+    * counts are two keyed aggregates; scoring is two keyed LEFT joins
+    * (val bigram → c₁₂, val w₁ → c₁) with the vocab size attached as a
+    * 1-row broadcast — no per-row driver work, no V×V table anywhere.
+    */
+  val d92HeldoutPerplexity: Q = Q(
+    "d92_heldout_perplexity",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          expr("((doc_id % 1000000007) * 2654435761) % 100 < 80")
+            .as("is_train"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+      val train = bg.filter(col("is_train"))
+      val c12 = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = c1.agg(count(lit(1)).as("v"))
+      bg.filter(!col("is_train"))
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("lang"),
+          when(col("c12").isNull, 1L).otherwise(0L).as("oov"),
+          round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) *
+            lit(1000000.0)).cast("long").as("nll_micro"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("oov")).as("n_unseen"),
+          sum(col("nll_micro")).as("snll"))
+        .select(col("lang"), col("n_bigrams"),
+          expr("n_unseen * 10000 div n_bigrams").as("unseen_bp"),
+          expr("snll div n_bigrams").as("avg_nll_micro"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH bg AS MATERIALIZED (
+        SELECT doc_id, lang,
+          ((doc_id % 1000000007) * 2654435761) % 100 < 80 AS is_train,
+          unnest([words[i] for i in range(1, len(words))]) AS w1,
+          unnest([words[i+1] for i in range(1, len(words))]) AS w2
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS words
+              FROM documents) t
+        WHERE len(words) >= 2),
+      c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM bg WHERE is_train GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+             FROM bg WHERE is_train GROUP BY w1),
+      v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END) * 10000
+          // CAST(count(*) AS BIGINT) AS BIGINT) AS unseen_bp,
+        CAST(CAST(sum(CAST(round(-ln(
+            CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE) /
+            CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1000000.0)
+            AS BIGINT)) AS BIGINT)
+          // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_nll_micro
+      FROM bg
+      LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+      LEFT JOIN c1 ON bg.w1 = c1.w1
+      CROSS JOIN v
+      WHERE NOT is_train
+      GROUP BY lang ORDER BY lang"""))
 
   /** d91: DEDUP SURVIVORSHIP BY SOURCE — when documents that share their
     * OPENING (first 6 tokens — the boilerplate-head key; exact full-text

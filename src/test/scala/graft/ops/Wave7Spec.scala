@@ -158,6 +158,20 @@ class Wave7Spec extends SparkSpec {
     assert(totalSurv <= totalDocs)
   }
 
+  test("heldout perplexity: positive nll, oov priced at the uniform floor") {
+    val rows = graft.SparkEntry.queries("d92_heldout_perplexity")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+      // add-1 smoothing bounds every -ln p by ln(c1+V) <= ln(train size+V):
+      // nll is positive and finite
+      assert(r.getAs[Long]("avg_nll_micro") > 0L)
+      val bp = r.getAs[Long]("unseen_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
