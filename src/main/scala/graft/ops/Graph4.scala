@@ -13,7 +13,8 @@ import Q.t
   */
 object Graph4 {
 
-  def pack: Seq[Q] = Seq(g76KTruss, g77RandomWalks, g78LubyMis)
+  def pack: Seq[Q] = Seq(g76KTruss, g77RandomWalks, g78LubyMis,
+    g79TemporalReach)
 
   private val TrussK = 4
   private val TrussRounds = 3
@@ -362,5 +363,109 @@ object Graph4 {
       FROM (SELECT * FROM st_r1 UNION ALL SELECT * FROM st_r2
             UNION ALL SELECT * FROM st_r3) t
       ORDER BY round"""
+    })
+
+  private val ReachRounds = 3
+
+  /** The temporal-BFS loop, exposed for planted-graph specs: `edges` is a
+    * symmetric (src, dst, m) month-stamped adjacency, `seeds` one
+    * (node, arr) row per start (arr = earliest usable month). Returns the
+    * earliest-arrival table after `rounds` synchronous relaxations. */
+  def temporalReach(edges: DataFrame, seeds: DataFrame, rounds: Int)
+      : DataFrame = {
+    val e = edges.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var arr = seeds.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cand = e.hint("shuffle_hash")
+        .join(arr.withColumnRenamed("node", "src")
+          .withColumnRenamed("arr", "a"), "src")
+        .filter(col("m") >= col("a"))
+        .groupBy(col("dst")).agg(min(col("m")).as("arr"))
+        .select(col("dst").as("node"), col("arr"))
+      val next = arr.unionAll(cand)
+        .groupBy(col("node")).agg(min(col("arr")).as("arr"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(arr)
+      arr = next
+    }
+    e.unpersist()
+    arr
+  }
+
+  /** g79: TIME-RESPECTING REACHABILITY — which nodes can a seed set's
+    * influence reach when information only flows FORWARD in time: a hop
+    * over a month-m trading edge is usable only at months ≥ the arrival
+    * month at its source (Kempe et al.'s temporal-path constraint). A
+    * static BFS (g64) vastly overstates reach — a 1995 edge cannot
+    * propagate something learned in 1998; this is the honest epidemic /
+    * information-diffusion radius. Report: earliest-arrival-month census
+    * by node side plus an id checksum per month.
+    *
+    * Scale shape: each round is ONE src-keyed join of the arrival table
+    * against the cached month-stamped adjacency + a dst-keyed min — the
+    * g60 loop contract with a time filter; the arrival table is the only
+    * state and only it moves. Output is month-bounded.
+    */
+  val g79TemporalReach: Q = Q(
+    "g79_temporal_reach",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("m"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"), col("m"))
+        .distinct()
+      val sym = cs.select(col("c").as("src"), col("s").as("dst"), col("m"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst"),
+          col("m")))
+      val seeds = cs.select(col("c").as("node")).distinct()
+        .filter(expr("node div 2") % 250 === 0)
+        .select(col("node"), lit(0L).as("arr"))
+      temporalReach(sym, seeds, ReachRounds)
+        .groupBy(col("arr"))
+        .agg(sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
+          .as("n_customers"),
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L))
+            .as("n_suppliers"),
+          sum(col("node")).as("id_sum"))
+        .orderBy(col("arr"))
+    },
+    Some {
+      def round(prev: String, cur: String) = s"""
+      $cur AS MATERIALIZED (
+        SELECT node, CAST(min(arr) AS BIGINT) AS arr FROM (
+          SELECT node, arr FROM $prev
+          UNION ALL
+          SELECT e.dst AS node, CAST(min(e.m) AS BIGINT) AS arr
+          FROM sym e JOIN $prev p ON e.src = p.node
+          WHERE e.m >= p.arr
+          GROUP BY e.dst) t
+        GROUP BY node)"""
+      s"""
+      WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+          CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+               AS BIGINT) AS m
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sym AS MATERIALIZED (
+        SELECT c AS src, s AS dst, m FROM cs
+        UNION ALL SELECT s, c, m FROM cs),
+      a0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS BIGINT) AS arr
+        FROM (SELECT DISTINCT c AS node FROM cs) n
+        WHERE (node // 2) % 250 = 0),
+      ${round("a0", "a1")}, ${round("a1", "a2")}, ${round("a2", "a3")}
+      SELECT arr,
+        CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_customers,
+        CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_suppliers,
+        CAST(sum(node) AS BIGINT) AS id_sum
+      FROM a3 GROUP BY arr ORDER BY arr"""
     })
 }

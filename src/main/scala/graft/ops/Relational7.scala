@@ -13,7 +13,74 @@ import Q.t
 object Relational7 {
 
   def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix,
-    q97RevenueGini)
+    q97RevenueGini, q98Skyline)
+
+  /** q98: SKYLINE (PARETO FRONTIER) — customers not DOMINATED on the
+    * (recency, lifetime spend) plane: no other customer is both strictly
+    * more recent AND a strictly higher spender. The dominance-query
+    * family's classic: "who are the efficient frontier of accounts" —
+    * every multi-criteria shortlist (cheapest-and-freshest supplier,
+    * best-price-best-speed route) is this operator.
+    *
+    * The 2-D skyline needs NO pairwise comparison: sorted by recency
+    * (ties: spend desc, custkey), a customer is on the frontier iff its
+    * spend strictly exceeds every PRECEDING spend — one running-max
+    * window. Spelled scale-stable: the running max is computed per
+    * recency-band shard with broadcast per-shard prefix maxima (the d66
+    * device applied to max instead of count), so no customer-sized
+    * window exists. Ties on BOTH axes keep the lowest custkey only.
+    *
+    * Scale shape: one orders-grain keyed aggregate, then shard-local
+    * windows + one bounded shard-prefix window + a broadcast join.
+    */
+  val q98Skyline: Q = Q(
+    "q98_skyline",
+    (s: SparkSession, dir: String) => {
+      val per = Q.spread(t(s, dir, "orders"), "o_custkey")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          (sum(Q.dec2(col("o_totalprice"))) * 100).cast("long").as("mon"))
+        .select(col("o_custkey").as("c"),
+          datediff(lit("2001-09-01").cast("timestamp"), col("last_order"))
+            .as("rec"), col("mon"))
+      // shard = recency day band; within-shard running max over the
+      // (rec, mon desc, c) order, prefix max from STRICTLY earlier shards
+      val sharded = per.withColumn("shard", expr("rec div 30"))
+      val wLocal = Window.partitionBy(col("shard"))
+        .orderBy(col("rec"), col("mon").desc, col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = sharded.withColumn("lmax",
+        max(col("mon")).over(wLocal))
+      val prefixes = sharded.groupBy(col("shard"))
+        .agg(max(col("mon")).as("smax"))
+        .withColumn("pmax", max(col("smax")).over(
+          Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("shard"), col("pmax"))
+      local.join(broadcast(prefixes), "shard")
+        .filter(col("mon") > greatest(
+          coalesce(col("lmax"), lit(Long.MinValue)),
+          coalesce(col("pmax"), lit(Long.MinValue))))
+        .select(col("c").as("c_custkey"), col("rec").as("recency_days"),
+          col("mon").as("monetary_cents"))
+        .orderBy(col("recency_days"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey AS c,
+          CAST(date_diff('day', max(o_orderdate),
+                         TIMESTAMP '2001-09-01 00:00:00') AS INT) AS rec,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS mon
+        FROM orders GROUP BY o_custkey)
+      SELECT c AS c_custkey, rec AS recency_days, mon AS monetary_cents
+      FROM (
+        SELECT c, rec, mon,
+          max(mon) OVER (ORDER BY rec, mon DESC, c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM per) t
+      WHERE prevmax IS NULL OR mon > prevmax
+      ORDER BY rec"""))
 
   /** q97: REVENUE CONCENTRATION (Gini + top-decile share) — per nation:
     * how unequally customer lifetime revenue is distributed. The two

@@ -100,6 +100,20 @@ class Graph4Spec extends SparkSpec {
     }
   }
 
+  test("temporal reach: influence cannot ride an edge into the past") {
+    // chain 1—2 (m=2), 2—3 (m=4): forward in time, 3 reached at month 4.
+    // chain 1—4 (m=5), 4—5 (m=3): the 4—5 edge predates arrival at 4 —
+    // node 5 must stay unreachable however many rounds run.
+    val und = Seq((1L, 2L, 2L), (2L, 3L, 4L), (1L, 4L, 5L), (4L, 5L, 3L))
+    val sym = (und ++ und.map { case (a, b, m) => (b, a, m) })
+      .toDF("src", "dst", "m")
+    val seeds = Seq((1L, 0L)).toDF("node", "arr")
+    val got = Graph4.temporalReach(sym, seeds, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 5L))
+    assert(!got.contains(5L), "node 5 is only reachable backwards in time")
+  }
+
   test("fim: PSM sections reassemble to the original token sequence") {
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, "solo"),
       (3L, "x y")).toDF("doc_id", "text")

@@ -172,6 +172,32 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  test("skyline: frontier is mutually non-dominated and covers everyone") {
+    val frontier = graft.SparkEntry.queries("q98_skyline")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("recency_days"),
+        r.getAs[Long]("monetary_cents")))
+    assert(frontier.nonEmpty)
+    // mutual non-domination inside the frontier
+    for (a <- frontier; b <- frontier if a != b)
+      assert(!(a._1 <= b._1 && a._2 >= b._2 &&
+        (a._1 < b._1 || a._2 > b._2)),
+        s"$a dominates fellow frontier member $b")
+    // every customer is dominated-or-equal by some frontier member
+    val all = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("mon"))
+      .select(datediff(lit("2001-09-01").cast("timestamp"), col("last"))
+        .as("rec"), col("mon"))
+      .collect().map(r => (r.getAs[Int]("rec"), r.getAs[Long]("mon")))
+    all.foreach { c =>
+      assert(frontier.exists(f => f._1 <= c._1 && f._2 >= c._2),
+        s"customer $c escapes the frontier")
+    }
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
