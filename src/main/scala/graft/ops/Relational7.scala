@@ -13,7 +13,72 @@ import Q.t
 object Relational7 {
 
   def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix,
-    q97RevenueGini, q98Skyline)
+    q97RevenueGini, q98Skyline, q99CusumChangepoint)
+
+  /** q99: CUSUM CHANGEPOINT SCAN — where did the daily-revenue level
+    * SHIFT: the cumulative-sum statistic C_i = S_i − i·μ peaks exactly at
+    * a mean change (Page's classic), so the top-|C| days are the
+    * changepoint candidates every regime-shift monitor reports. Output:
+    * the 3 strongest candidates with their N-scaled CUSUM and shift
+    * direction.
+    *
+    * Determinism: μ is kept RATIONAL — the statistic is cross-multiplied
+    * to C_i·N = S_i·N − i·T (exact BIGINTs; |S·N| ≤ cents·days² stays
+    * far under 2⁶³ at warehouse scale), so no division ever happens;
+    * ranking keys on (|C·N| desc, day).
+    *
+    * Scale shape: the fact stream collapses to daily totals first (one
+    * keyed aggregate — the only data-sized pass); the running sum, the
+    * scan index and the ranking all run on the DAY domain (calendar-
+    * bounded, the q92 exception) — a 30-year warehouse is ~11k rows.
+    */
+  val q99CusumChangepoint: Q = Q(
+    "q99_cusum_changepoint",
+    (s: SparkSession, dir: String) => {
+      val daily = Q.spread(t(s, dir, "orders"), "o_orderkey")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(Q.dec2(col("o_totalprice"))) * 100).cast("long").as("x"))
+      val wDay = Window.orderBy(col("day"))
+      val tot = daily.agg(sum(col("x")).as("t"), count(lit(1)).as("n"))
+      daily
+        .withColumn("i", row_number().over(wDay).cast("long"))
+        .withColumn("srun", sum(col("x")).over(
+          wDay.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .select(col("day"),
+          (col("srun") * col("n") - col("i") * col("t")).as("cusum_n"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(abs(col("cusum_n")).desc, col("day"))).cast("int"))
+        .filter(col("r") <= 3)
+        .select(col("r").as("rank"), col("day"), col("cusum_n"),
+          when(col("cusum_n") > 0, "level_drop_after")
+            .otherwise("level_rise_after").as("verdict"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS x
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(x) AS BIGINT) AS t,
+                     CAST(count(*) AS BIGINT) AS n FROM daily),
+      scan AS (
+        SELECT day,
+          CAST(sum(x) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            * n
+          - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * t
+            AS cusum_n
+        FROM daily CROSS JOIN tot)
+      SELECT CAST(row_number() OVER (ORDER BY abs(cusum_n) DESC, day)
+                  AS INT) AS rank,
+        day, cusum_n,
+        CASE WHEN cusum_n > 0 THEN 'level_drop_after'
+             ELSE 'level_rise_after' END AS verdict
+      FROM scan
+      QUALIFY rank <= 3
+      ORDER BY rank"""))
 
   /** q98: SKYLINE (PARETO FRONTIER) — customers not DOMINATED on the
     * (recency, lifetime spend) plane: no other customer is both strictly

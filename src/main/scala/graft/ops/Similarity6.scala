@@ -15,7 +15,8 @@ import Q.t
   */
 object Similarity6 {
 
-  def pack: Seq[Q] = Seq(e80Bm25TopK, e81SubspaceRebalance, e82NdcgEval)
+  def pack: Seq[Q] = Seq(e80Bm25TopK, e81SubspaceRebalance, e82NdcgEval,
+    e83PrfExpansion)
 
   private val Grid = 512L
   private val NSub = 8
@@ -47,12 +48,10 @@ object Similarity6 {
     * blowup. The two corpus scalars attach as a 1-row broadcast cross
     * join. The only windows rank per-query candidate sets.
     */
-  /** Core builder, exposed for planted-corpus specs: BM25 top-k over any
-    * (doc_id, text) frame for the given (qid, term) query set. */
-  def bm25TopK(docs: DataFrame, terms: Seq[(Int, String)], k: Int)
-      : DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  /** The corpus side of BM25: (tf-with-dl, df, 1-row scalars). Shared by
+    * e80 and the e83 feedback loop. */
+  private[ops] def bm25Postings(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val tf = base
       .select(col("doc_id"), explode(col("toks")).as("term"),
@@ -62,20 +61,27 @@ object Similarity6 {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scal = base.agg(count(lit(1)).as("nd"),
       sum(size(col("toks")).cast("long")).as("s"))
-    val queries = terms.toDF("qid", "term")
+    (tf, dfreq, scal)
+  }
+
+  /** Score a weighted query set against the postings: `queries` carries
+    * (qid, term, wden) — each term's grid-rounded BM25 contribution is
+    * integer-divided by its weight denominator (1 = full weight, 2 =
+    * half, the Rocchio-style expansion discount) BEFORE the sum, so
+    * weighting stays in exact integer arithmetic. */
+  private[ops] def bm25Score(tf: DataFrame, dfreq: DataFrame,
+      scal: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val contrib = tf
       .join(broadcast(queries), "term")
-      .join(broadcast(dfreq.join(broadcast(queries), "term")
-        .select(col("term"), col("df")).distinct()), "term")
+      .join(broadcast(dfreq.join(
+        broadcast(queries.select(col("term")).distinct()), "term")), "term")
       .crossJoin(broadcast(scal))
       .select(col("qid"), col("doc_id"),
-        round(
-          log((lit(2) * col("nd") + lit(2)).cast("double") /
-              (lit(2) * col("df") + lit(1)).cast("double")) *
-          ((lit(44) * col("s") * col("tf")).cast("double") /
-           (lit(20) * col("s") * col("tf") + lit(6) * col("s") +
-            lit(18) * col("dl") * col("nd")).cast("double")) *
-          lit(1000000.0)).cast("long").as("c"))
+        expr(s"""(CAST(round(
+          ln(CAST(2*nd+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE)) *
+          (CAST(44*s*tf AS DOUBLE) /
+           CAST(20*s*tf + 6*s + 18*dl*nd AS DOUBLE)) *
+          1000000.0) AS BIGINT)) div wden""").as("c"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     contrib.groupBy(col("qid"), col("doc_id"))
@@ -83,6 +89,17 @@ object Similarity6 {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Core builder, exposed for planted-corpus specs: BM25 top-k over any
+    * (doc_id, text) frame for the given (qid, term) query set. */
+  def bm25TopK(docs: DataFrame, terms: Seq[(Int, String)], k: Int)
+      : DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (tf, dfreq, scal) = bm25Postings(docs)
+    val queries = terms.toDF("qid", "term").withColumn("wden", lit(1L))
+    bm25Score(tf, dfreq, scal, queries, k)
   }
 
   val e80Bm25TopK: Q = Q(
@@ -309,4 +326,128 @@ object Similarity6 {
         GROUP BY r.qid) t
       ORDER BY qid"""
     })
+
+  /** e83: PSEUDO-RELEVANCE-FEEDBACK EXPANSION — the Rocchio loop every
+    * lexical search stack runs: retrieve with the original query (e80's
+    * scorer), treat the top-3 documents as implicitly relevant, mine
+    * their 2 strongest non-query terms (idf·feedback-tf weight, grid
+    * integers), re-retrieve with the expanded query at HALF weight for
+    * the new terms (wden = 2 — the discount stays in exact integer
+    * arithmetic: contribution div 2 before the sum). Output: final
+    * top-5 per query with the expanded score.
+    *
+    * Scale shape: the corpus is touched by the SAME postings build once
+    * (tf/df/scalars shared across both retrieval stages); the feedback
+    * mining joins 3 doc ids back to tf (doc-keyed), and both query sets
+    * join as broadcasts. Nothing query-side ever scales with the corpus.
+    */
+  /** The full PRF loop over any (doc_id, text) frame — exposed for
+    * planted-corpus specs. */
+  def prfTopK(docs: DataFrame, terms: Seq[(Int, String)], fbDocs: Int,
+      expTerms: Int, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (tf0, dfreq0, scal0) = bm25Postings(docs)
+    val tf = tf0.persist()
+    val dfreq = dfreq0.persist()
+    val scal = scal0
+    val q0 = terms.toDF("qid", "term").withColumn("wden", lit(1L))
+    val top3 = bm25Score(tf, dfreq, scal, q0, fbDocs)
+      .select(col("qid"), col("doc_id"))
+    val fbTf = top3.join(tf, "doc_id")
+      .groupBy(col("qid"), col("term")).agg(sum(col("tf")).as("ftf"))
+    val wExp = Window.partitionBy(col("qid"))
+      .orderBy(col("wgt").desc, col("term"))
+    val expansion = fbTf
+      .join(q0.select(col("qid"), col("term"), lit(1).as("orig")),
+        Seq("qid", "term"), "left_anti")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(scal.select(col("nd"))))
+      .select(col("qid"), col("term"),
+        (round(log((lit(2) * col("nd") + 2).cast("double") /
+          (lit(2) * col("df") + 1).cast("double")) * 1000000.0)
+          .cast("long") * col("ftf")).as("wgt"))
+      .withColumn("r", row_number().over(wExp))
+      .filter(col("r") <= expTerms)
+      .select(col("qid"), col("term"), lit(2L).as("wden"))
+    val q2 = q0.unionByName(expansion).localCheckpoint(true)
+    val out = bm25Score(tf, dfreq, scal, q2, k).localCheckpoint(true)
+    Q.releaseBlocks(q2)
+    tf.unpersist(); dfreq.unpersist()
+    out
+  }
+
+  val e83PrfExpansion: Q = Q(
+    "e83_prf_expansion",
+    (s, dir) =>
+      prfTopK(Q.spread(t(s, dir, "documents"), "doc_id"), QueryTerms,
+        fbDocs = 3, expTerms = 2, k = 5),
+    Some(s"""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tf AS MATERIALIZED (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+          CAST(max(dl) AS BIGINT) AS dl
+        FROM (SELECT doc_id, unnest(toks) AS term,
+                CAST(len(toks) AS BIGINT) AS dl FROM base) x
+        GROUP BY doc_id, term),
+      dfreq AS MATERIALIZED (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      scal AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                      CAST(sum(len(toks)) AS BIGINT) AS s FROM base),
+      q0(qid, term) AS (VALUES ${QueryTerms
+        .map { case (q, w) => s"($q, '$w')" }.mkString(", ")}),
+      c1 AS (
+        SELECT q0.qid, tf.doc_id,
+          CAST(round(
+            ln(CAST(2*nd+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE)) *
+            (CAST(44*s*tf AS DOUBLE) /
+             CAST(20*s*tf + 6*s + 18*dl*nd AS DOUBLE)) *
+            1000000.0) AS BIGINT) AS c
+        FROM q0 JOIN tf USING (term) JOIN dfreq USING (term)
+        CROSS JOIN scal),
+      top3 AS (
+        SELECT qid, doc_id FROM (
+          SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id) AS rank
+          FROM c1 GROUP BY qid, doc_id) t
+        WHERE rank <= 3),
+      fbtf AS (
+        SELECT top3.qid, tf.term, CAST(sum(tf.tf) AS BIGINT) AS ftf
+        FROM top3 JOIN tf USING (doc_id)
+        GROUP BY top3.qid, tf.term),
+      expansion AS (
+        SELECT qid, term FROM (
+          SELECT f.qid, f.term,
+            row_number() OVER (PARTITION BY f.qid ORDER BY
+              CAST(round(ln(CAST(2*nd+2 AS DOUBLE) /
+                            CAST(2*df+1 AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) * f.ftf DESC, f.term) AS r
+          FROM fbtf f
+          JOIN dfreq USING (term)
+          CROSS JOIN (SELECT nd FROM scal) n
+          WHERE NOT EXISTS (SELECT 1 FROM q0
+            WHERE q0.qid = f.qid AND q0.term = f.term)) t
+        WHERE r <= 2),
+      q2 AS (
+        SELECT qid, term, CAST(1 AS BIGINT) AS wden FROM q0
+        UNION ALL
+        SELECT qid, term, CAST(2 AS BIGINT) AS wden FROM expansion),
+      c2 AS (
+        SELECT q2.qid, tf.doc_id,
+          CAST(round(
+            ln(CAST(2*nd+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE)) *
+            (CAST(44*s*tf AS DOUBLE) /
+             CAST(20*s*tf + 6*s + 18*dl*nd AS DOUBLE)) *
+            1000000.0) AS BIGINT) // wden AS c
+        FROM q2 JOIN tf USING (term) JOIN dfreq USING (term)
+        CROSS JOIN scal)
+      SELECT qid, doc_id, score_micro, rank FROM (
+        SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+          CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id) AS INT)
+            AS rank
+        FROM c2 GROUP BY qid, doc_id) t
+      WHERE rank <= 5 ORDER BY qid, rank"""))
 }

@@ -198,6 +198,36 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  test("prf expansion: feedback terms retrieve docs the query missed") {
+    // q1 = "alpha": docs 1-3 match and are saturated with "beta"; doc 4
+    // has beta but NO alpha, so stage 1 cannot score it. Expansion must
+    // mine "beta" (feedback tf 9 beats any singleton's idf edge) and
+    // pull doc 4 into the final list.
+    val docs = Seq(
+      (1L, "alpha beta beta beta"), (2L, "alpha beta beta beta"),
+      (3L, "alpha beta beta beta"),
+      (4L, "beta gamma w"), (5L, "gamma delta v"))
+      .toDF("doc_id", "text")
+    val out = Similarity6.prfTopK(docs, Seq(1 -> "alpha"),
+      fbDocs = 3, expTerms = 1, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.contains(4L), "expanded query must reach the beta-only doc")
+    assert(!out.contains(5L), "doc without query or expansion terms stays out")
+  }
+
+  test("cusum: three ranked candidates with sign-consistent verdicts") {
+    val rows = graft.SparkEntry.queries("q99_cusum_changepoint")(
+      spark, sf0001).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    var last = Long.MaxValue
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cusum_n")
+      assert(math.abs(c) <= last); last = math.abs(c)
+      assert(r.getAs[String]("verdict") ===
+        (if (c > 0) "level_drop_after" else "level_rise_after"))
+    }
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
