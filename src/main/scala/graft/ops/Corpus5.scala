@@ -12,7 +12,63 @@ import Q.t
 object Corpus5 {
 
   def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit,
-    d90TokenizerFertility, d91DedupSurvivorship, d92HeldoutPerplexity)
+    d90TokenizerFertility, d91DedupSurvivorship, d92HeldoutPerplexity,
+    d93FeatureHashEmbed)
+
+  /** d93: FEATURE-HASHED CHUNK EMBEDDINGS — the hashing-trick
+    * (Weinberger et al. 2009) vectorizer on RAG-style 32-token chunks:
+    * each token lands in dimension md5-nibble₁ (0..15) with a ±1 sign
+    * from md5-nibble₂, so every chunk gets a 16-dim integer sketch with
+    * ZERO trained state — the fully deterministic embedder a corpus
+    * pipeline can run before any model exists, and the one embedding
+    * family whose bytes both engines reproduce exactly (the float
+    * embedders are oracled via grids; this one needs none). Long-format
+    * output (chunk, dim, value) + per-chunk norm² for doc_id < 20.
+    *
+    * Scale shape: posexplode → per-row nibble arithmetic (codegen'd
+    * string ops) → one (doc, chunk, dim)-keyed aggregate and one
+    * chunk-keyed norm rollup. No joins wider than the chunk key.
+    */
+  val d93FeatureHashEmbed: Q = Q(
+    "d93_feature_hash_embed",
+    (s, dir) => {
+      val toks = Q.spread(t(s, dir, "documents"), "doc_id")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), expr("pos div 32").as("chunk_id"),
+          expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1")
+            .cast("long").as("dim"),
+          when(substring(md5(col("tok")), 2, 1) < "8", 1L)
+            .otherwise(-1L).as("sgn"))
+      val dims = toks.groupBy(col("doc_id"), col("chunk_id"), col("dim"))
+        .agg(sum(col("sgn")).as("v"))
+      val norms = dims.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(sum(col("v") * col("v")).as("norm2"))
+      dims.join(norms, Seq("doc_id", "chunk_id"))
+        .select(col("doc_id"), col("chunk_id"), col("dim"), col("v"),
+          col("norm2"))
+        .orderBy(col("doc_id"), col("chunk_id"), col("dim"))
+    },
+    Some("""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, (pos - 1) // 32 AS chunk_id,
+          CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+               AS BIGINT) AS dim,
+          CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+            generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id < 20) t),
+      dims AS (
+        SELECT doc_id, chunk_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+        FROM toks GROUP BY doc_id, chunk_id, dim),
+      norms AS (
+        SELECT doc_id, chunk_id, CAST(sum(v * v) AS BIGINT) AS norm2
+        FROM dims GROUP BY doc_id, chunk_id)
+      SELECT doc_id, chunk_id, dim, v, norm2
+      FROM dims JOIN norms USING (doc_id, chunk_id)
+      ORDER BY doc_id, chunk_id, dim"""))
 
   /** d92: HELD-OUT PERPLEXITY BY LANGUAGE — train an add-1-smoothed
     * bigram LM on the d34 TRAIN split, score the VAL split, report

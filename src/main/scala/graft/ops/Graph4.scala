@@ -14,7 +14,7 @@ import Q.t
 object Graph4 {
 
   def pack: Seq[Q] = Seq(g76KTruss, g77RandomWalks, g78LubyMis,
-    g79TemporalReach)
+    g79TemporalReach, g80HarmonicCentrality)
 
   private val TrussK = 4
   private val TrussRounds = 3
@@ -467,5 +467,99 @@ object Graph4 {
           AS n_suppliers,
         CAST(sum(node) AS BIGINT) AS id_sum
       FROM a3 GROUP BY arr ORDER BY arr"""
+    })
+
+  private val HarmonicRounds = 3
+
+  /** Multi-source labeled BFS, exposed for planted-graph specs: state is
+    * (seed, node, d); each round relaxes one hop, keeping the min
+    * distance per (seed, node). */
+  def multiBfs(adj: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val a = adj.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("seed"), col("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cand = a.hint("shuffle_hash")
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("seed"), col("dst"))
+        .agg((min(col("d")) + 1).as("d"))
+        .select(col("seed"), col("dst").as("node"), col("d"))
+      val next = dist.unionAll(cand)
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      Q.releaseBlocks(dist)
+      dist = next
+    }
+    a.unpersist()
+    dist
+  }
+
+  /** g80: HARMONIC CENTRALITY (sampled) — Σ_seeds 1/d(seed, v) within a
+    * 3-hop horizon, from a deterministic seed sample: the
+    * closeness-family score that handles disconnection gracefully
+    * (unreached pairs contribute 0, no ∞ bookkeeping — the reason
+    * harmonic replaced classic closeness on big graphs, Boldi & Vigna
+    * 2014). Reciprocals land on the 10⁶ integer grid (10⁶ div d — d ≤ 3,
+    * exact), so scores sum and compare exactly. Top-15 nodes reported.
+    *
+    * Scale shape: one multi-source labeled BFS — state is (seed, node)
+    * keyed, each round one src-keyed join + min-merge (g60 loop
+    * contract with a seed label riding along); seed count bounds the
+    * state multiplier. The final score is one keyed rollup + a bounded
+    * top-k.
+    */
+  val g80HarmonicCentrality: Q = Q(
+    "g80_harmonic_centrality",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val adj = cs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = cs.select(col("c").as("node")).distinct()
+        .filter(expr("node div 2") % 401 === 0)
+        .select(col("node").as("seed"), col("node"))
+      multiBfs(adj, seeds, HarmonicRounds)
+        .filter(col("d") > 0)
+        .groupBy(col("node"))
+        .agg(sum(expr("1000000 div d")).as("harmonic_micro"),
+          count(lit(1)).as("n_seeds_reaching"))
+        .orderBy(col("harmonic_micro").desc, col("node"))
+        .limit(15)
+    },
+    Some {
+      def round(prev: String, cur: String) = s"""
+      $cur AS MATERIALIZED (
+        SELECT seed, node, CAST(min(d) AS BIGINT) AS d FROM (
+          SELECT seed, node, d FROM $prev
+          UNION ALL
+          SELECT p.seed, e.dst AS node, CAST(min(p.d) + 1 AS BIGINT) AS d
+          FROM sym e JOIN $prev p ON e.src = p.node
+          GROUP BY p.seed, e.dst) t
+        GROUP BY seed, node)"""
+      s"""
+      WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sym AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM cs
+        UNION ALL SELECT s, c FROM cs),
+      d0 AS MATERIALIZED (
+        SELECT node AS seed, node, CAST(0 AS BIGINT) AS d
+        FROM (SELECT DISTINCT c AS node FROM cs) n
+        WHERE (node // 2) % 401 = 0),
+      ${round("d0", "d1")}, ${round("d1", "d2")}, ${round("d2", "d3")}
+      SELECT node,
+        CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro,
+        CAST(count(*) AS BIGINT) AS n_seeds_reaching
+      FROM d3 WHERE d > 0
+      GROUP BY node
+      ORDER BY harmonic_micro DESC, node LIMIT 15"""
     })
 }

@@ -13,7 +13,63 @@ import Q.t
 object Relational7 {
 
   def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix,
-    q97RevenueGini, q98Skyline, q99CusumChangepoint)
+    q97RevenueGini, q98Skyline, q99CusumChangepoint, q100StatsHistogram)
+
+  /** q100: EQUI-DEPTH HISTOGRAM BUILD (optimizer statistics) — the
+    * ANALYZE-TABLE artifact a cost-based optimizer consumes: 32
+    * equal-row-count buckets over l_extendedprice with per-bucket
+    * bounds, row count and NDV. Selectivity estimation quality is
+    * exactly this table's quality; the build is the canonical
+    * rank-then-cut shape.
+    *
+    * Scale-stable spelling: the global rank comes from the d66/q78
+    * two-phase device — per-VALUE-BAND shard row_number + broadcast
+    * shard prefixes (price bands are value-bounded) — then
+    * bucket = (rank−1)·32 div N and a 32-group aggregate. The oracle
+    * states the same rank as one global window.
+    */
+  val q100StatsHistogram: Q = Q(
+    "q100_stats_histogram",
+    (s: SparkSession, dir: String) => {
+      val v = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .select((Q.dec2(col("l_extendedprice")) * 100).cast("long").as("x"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val sharded = v.withColumn("shard", expr("x div 1000000"))
+      val local = sharded.withColumn("lrn", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("x"), col("ok"), col("ln"))).cast("long"))
+      val prefixes = local.groupBy(col("shard"))
+        .agg(count(lit(1)).as("tot"))
+        .withColumn("prefix", coalesce(sum(col("tot")).over(
+          Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("tot")).over())
+        .select(col("shard"), col("prefix"), col("n"))
+      local.join(broadcast(prefixes), "shard")
+        .select(col("x"),
+          expr("(((prefix + lrn) - 1) * 32) div n").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(min(col("x")).as("lo_cents"), max(col("x")).as("hi_cents"),
+          count(lit(1)).as("n_rows"), countDistinct(col("x")).as("ndv"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x,
+          l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem),
+      ranked AS (
+        SELECT x,
+          CAST(row_number() OVER (ORDER BY x, ok, ln) AS BIGINT) AS r,
+          CAST(count(*) OVER () AS BIGINT) AS n
+        FROM v)
+      SELECT ((r - 1) * 32) // n AS bucket,
+        CAST(min(x) AS BIGINT) AS lo_cents,
+        CAST(max(x) AS BIGINT) AS hi_cents,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT x) AS BIGINT) AS ndv
+      FROM ranked GROUP BY 1 ORDER BY bucket"""))
 
   /** q99: CUSUM CHANGEPOINT SCAN — where did the daily-revenue level
     * SHIFT: the cumulative-sum statistic C_i = S_i − i·μ peaks exactly at

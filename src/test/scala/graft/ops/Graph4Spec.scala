@@ -114,6 +114,19 @@ class Graph4Spec extends SparkSpec {
     assert(!got.contains(5L), "node 5 is only reachable backwards in time")
   }
 
+  test("multi-source bfs: exact hop distances on a path, horizon-bounded") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val adj = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, 1L), (5L, 5L)).toDF("seed", "node")
+    val d = Graph4.multiBfs(adj, seeds, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((1L, 2L)) === 1L && d((1L, 3L)) === 2L && d((1L, 4L)) === 3L)
+    assert(!d.contains((1L, 5L)), "node 5 is 4 hops out — past the horizon")
+    assert(d((5L, 3L)) === 2L)
+    assert(!d.contains((5L, 1L)), "symmetric: 1 is past 5's horizon too")
+    assert(d((1L, 1L)) === 0L)
+  }
+
   test("fim: PSM sections reassemble to the original token sequence") {
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, "solo"),
       (3L, "x y")).toDF("doc_id", "text")

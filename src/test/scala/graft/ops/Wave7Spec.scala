@@ -228,6 +228,40 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  test("stats histogram: 32 near-equal buckets, monotone bounds, ndv sane") {
+    val rows = graft.SparkEntry.queries("q100_stats_histogram")(
+      spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq === (0L to 31L))
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1L) // equi-depth quota
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("ndv") >= 1L)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"))
+    }
+    val total = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(sizes.sum === total)
+  }
+
+  test("feature hash: norms reconcile with their chunk's components") {
+    val rows = graft.SparkEntry.queries("d93_feature_hash_embed")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach {
+      case (_, chunk) =>
+        val n2 = chunk.head.getAs[Long]("norm2")
+        assert(chunk.map(r => { val v = r.getAs[Long]("v"); v * v }).sum
+          === n2)
+        chunk.foreach { r =>
+          val dim = r.getAs[Long]("dim")
+          assert(dim >= 0L && dim <= 15L)
+        }
+    }
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
