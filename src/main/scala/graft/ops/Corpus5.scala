@@ -13,7 +13,79 @@ object Corpus5 {
 
   def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit,
     d90TokenizerFertility, d91DedupSurvivorship, d92HeldoutPerplexity,
-    d93FeatureHashEmbed)
+    d93FeatureHashEmbed, d94ContrastivePairs)
+
+  /** d94: CONTRASTIVE PAIR MINING — the (anchor, partner, label)
+    * training set a bi-encoder needs, built with zero model state:
+    * positives are d91's head-key duplicate partners (documents sharing
+    * their opening 6 tokens — the same weak-supervision trick as
+    * Inverse Cloze / neighboring-chunk positives), one hash-picked
+    * negative per anchor (Knuth hash of the anchor id modulo the corpus,
+    * kept only if it is a genuine non-partner). Fully deterministic:
+    * the dataset is reproducible lineage, not a sampler's accident.
+    *
+    * Scale shape: positives come from the d91 keyed group (pairs only
+    * within a head-key group — amplification bounded by group sizes);
+    * negatives are a keyed self-join on the hashed id, then one
+    * anti-condition filter. No global state.
+    */
+  val d94ContrastivePairs: Q = Q(
+    "d94_contrastive_pairs",
+    (s, dir) => {
+      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(split(col("text"), " "), 1, 6))).as("h"))
+        .persist()
+      val n = docs.agg(count(lit(1)).as("n"))
+      val pos = docs.as("a").join(docs.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("anchor"),
+          col("b.doc_id").as("partner"), lit(1).as("label"))
+      val negCand = pos.select(col("anchor")).distinct()
+        .crossJoin(broadcast(n))
+        .select(col("anchor"),
+          expr("((anchor % 1000000007) * 2654435761) % n").as("partner"))
+      // keep only genuine negatives: not self, not a head-key partner
+      val neg = negCand
+        .join(docs.select(col("doc_id").as("anchor"), col("h").as("ha")),
+          "anchor")
+        .join(docs.select(col("doc_id").as("partner"),
+          col("h").as("hp")), "partner")
+        .filter(col("anchor") =!= col("partner") &&
+          col("ha") =!= col("hp"))
+        .select(col("anchor"), col("partner"), lit(0).as("label"))
+      val out = pos.unionAll(neg)
+        .orderBy(col("anchor"), col("label").desc, col("partner"))
+        .localCheckpoint(true)
+      docs.unpersist()
+      out
+    },
+    Some("""
+      WITH docs AS MATERIALIZED (
+        SELECT doc_id,
+          md5(array_to_string(list_slice(string_split(text, ' '), 1, 6),
+              ' ')) AS h
+        FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+      pos AS (
+        SELECT a.doc_id AS anchor, b.doc_id AS partner, 1 AS label
+        FROM docs a JOIN docs b
+          ON a.h = b.h AND a.doc_id < b.doc_id),
+      negcand AS (
+        SELECT anchor,
+          ((anchor % 1000000007) * 2654435761) % n AS partner
+        FROM (SELECT DISTINCT anchor FROM pos) p CROSS JOIN n),
+      neg AS (
+        SELECT nc.anchor, nc.partner, 0 AS label
+        FROM negcand nc
+        JOIN docs da ON nc.anchor = da.doc_id
+        JOIN docs dp ON nc.partner = dp.doc_id
+        WHERE nc.anchor <> nc.partner AND da.h <> dp.h)
+      SELECT anchor, partner, label FROM (
+        SELECT * FROM pos UNION ALL SELECT * FROM neg) t
+      ORDER BY anchor, label DESC, partner"""))
 
   /** d93: FEATURE-HASHED CHUNK EMBEDDINGS — the hashing-trick
     * (Weinberger et al. 2009) vectorizer on RAG-style 32-token chunks:

@@ -13,7 +13,94 @@ import Q.t
 object Relational7 {
 
   def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix,
-    q97RevenueGini, q98Skyline, q99CusumChangepoint, q100StatsHistogram)
+    q97RevenueGini, q98Skyline, q99CusumChangepoint, q100StatsHistogram,
+    q101Expectations)
+
+  /** q101: DATA-QUALITY EXPECTATIONS SUITE — the dbt-test / Great
+    * Expectations report as ONE query: uniqueness, referential
+    * integrity, not-null, accepted-range and freshness checks, each a
+    * row of (test, n_checked, n_violations, status). Running the whole
+    * contract as one plan is the point: the orchestrator gets a single
+    * pass/fail table, and Spark shares scans between the checks that
+    * touch the same table.
+    *
+    * Scale shape: uniqueness is count−countDistinct (two map-side
+    * aggregates); the FK check is a LEFT ANTI join on the natural join
+    * key; everything else is a single filtered aggregate. Each check is
+    * a 1-row frame; the report is a bounded union.
+    */
+  val q101Expectations: Q = Q(
+    "q101_expectations",
+    (s: SparkSession, dir: String) => {
+      val orders = Q.spread(t(s, dir, "orders"), "o_orderkey")
+      val li = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+      val cust = t(s, dir, "customer")
+      def report(name: String, checked: org.apache.spark.sql.Column,
+          viol: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+        df.agg(checked.as("n_checked"), viol.as("n_violations"))
+          .select(lit(name).as("test"), col("n_checked"),
+            col("n_violations"),
+            when(col("n_violations") === 0, "pass").otherwise("fail")
+              .as("status"))
+      val unique = report("orders_orderkey_unique", count(lit(1)),
+        count(lit(1)) - countDistinct(col("o_orderkey")))(orders)
+      val fk = report("lineitem_orderkey_fk", count(lit(1)),
+        count(lit(1)))(
+        li.select(col("l_orderkey"))
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        // n_checked for the FK test is the full line count, not orphans:
+        .drop("n_checked")
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_checked"))))
+        .select(col("test"), col("n_checked"), col("n_violations"),
+          col("status"))
+      val notNull = report("customer_custkey_not_null", count(lit(1)),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)))(cust)
+      val range = report("orders_totalprice_positive", count(lit(1)),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)))(orders)
+      val fresh = report("orders_fresh_within_90d_of_20010901",
+        count(lit(1)),
+        when(datediff(lit("2001-09-01").cast("timestamp"),
+          max(col("o_orderdate"))) > 90, 1L).otherwise(0L))(orders)
+      unique.unionAll(fk).unionAll(notNull).unionAll(range)
+        .unionAll(fresh)
+        .orderBy(col("test"))
+    },
+    Some("""
+      SELECT test, n_checked, n_violations,
+        CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      FROM (
+        SELECT 'orders_orderkey_unique' AS test,
+          CAST(count(*) AS BIGINT) AS n_checked,
+          CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+          CAST((SELECT count(*) FROM lineitem
+                WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'customer_custkey_not_null',
+          CAST(count(*) AS BIGINT),
+          CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+          CAST(count(*) AS BIGINT),
+          CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+               AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_fresh_within_90d_of_20010901',
+          CAST(count(*) AS BIGINT),
+          CAST(CASE WHEN date_diff('day', max(o_orderdate),
+                 TIMESTAMP '2001-09-01 00:00:00') > 90
+               THEN 1 ELSE 0 END AS BIGINT)
+        FROM orders) t
+      ORDER BY test"""))
 
   /** q100: EQUI-DEPTH HISTOGRAM BUILD (optimizer statistics) — the
     * ANALYZE-TABLE artifact a cost-based optimizer consumes: 32

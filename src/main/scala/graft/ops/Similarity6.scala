@@ -16,7 +16,7 @@ import Q.t
 object Similarity6 {
 
   def pack: Seq[Q] = Seq(e80Bm25TopK, e81SubspaceRebalance, e82NdcgEval,
-    e83PrfExpansion)
+    e83PrfExpansion, e84HashedChunkSearch)
 
   private val Grid = 512L
   private val NSub = 8
@@ -449,5 +449,82 @@ object Similarity6 {
                  ORDER BY CAST(sum(c) AS BIGINT) DESC, doc_id) AS INT)
             AS rank
         FROM c2 GROUP BY qid, doc_id) t
+      WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** e84: HASHED-CHUNK SEARCH — the retrieval half of d93's RAG loop:
+    * queries hash into the same 16-dim ±1 space as the chunks
+    * (md5-nibble dimension and sign, zero trained state), and relevance
+    * is the exact INTEGER dot product — the one dense-retrieval stack
+    * whose scores both engines reproduce bit-for-bit with no grid
+    * staging at all. Top-5 chunks per keyword query.
+    *
+    * Scale shape: chunk sketches are one explode + one keyed aggregate
+    * (the d93 pass over the full corpus); each query vector is ≤3 rows
+    * and joins as a broadcast on `dim` — the dot product touches only
+    * chunk components in the query's dimensions (an inverted-index
+    * probe, not a full scan of every chunk vector); per-query rank
+    * windows only.
+    */
+  val e84HashedChunkSearch: Q = Q(
+    "e84_hashed_chunk_search",
+    (s, dir) => {
+      import s.implicits._
+      val chunks = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), expr("pos div 32").as("chunk_id"),
+          expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1")
+            .cast("long").as("dim"),
+          when(substring(md5(col("tok")), 2, 1) < "8", 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy(col("doc_id"), col("chunk_id"), col("dim"))
+        .agg(sum(col("sgn")).as("cv"))
+      val qv = QueryTerms.toDF("qid", "tok")
+        .select(col("qid"),
+          expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1")
+            .cast("long").as("dim"),
+          when(substring(md5(col("tok")), 2, 1) < "8", 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy(col("qid"), col("dim")).agg(sum(col("sgn")).as("qvv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+      chunks.join(broadcast(qv), "dim")
+        .groupBy(col("qid"), col("doc_id"), col("chunk_id"))
+        .agg(sum(col("cv") * col("qvv")).as("score"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH chunks AS MATERIALIZED (
+        SELECT doc_id, chunk_id, dim, CAST(sum(sgn) AS BIGINT) AS cv
+        FROM (
+          SELECT doc_id, (pos - 1) // 32 AS chunk_id,
+            CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+                 AS BIGINT) AS dim,
+            CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END
+              AS sgn
+          FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents) t) x
+        GROUP BY doc_id, chunk_id, dim),
+      q(qid, tok) AS (VALUES ${QueryTerms
+        .map { case (q, w) => s"($q, '$w')" }.mkString(", ")}),
+      qv AS (
+        SELECT qid,
+          CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+               AS BIGINT) AS dim,
+          CAST(sum(CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1
+                        ELSE -1 END) AS BIGINT) AS qvv
+        FROM q GROUP BY qid, dim)
+      SELECT qid, doc_id, chunk_id, score, rank FROM (
+        SELECT qid, doc_id, chunk_id,
+          CAST(sum(cv * qvv) AS BIGINT) AS score,
+          CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY CAST(sum(cv * qvv) AS BIGINT) DESC,
+                          doc_id, chunk_id) AS INT) AS rank
+        FROM chunks JOIN qv USING (dim)
+        GROUP BY qid, doc_id, chunk_id) t
       WHERE rank <= 5 ORDER BY qid, rank"""))
 }

@@ -262,6 +262,50 @@ class Wave7Spec extends SparkSpec {
     }
   }
 
+  test("expectations: the clean driver tables pass every contract") {
+    val rows = graft.SparkEntry.queries("q101_expectations")(spark, sf0001)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[String]("status") === "pass",
+        s"${r.getAs[String]("test")} unexpectedly failed")
+      assert(r.getAs[Long]("n_violations") === 0L)
+      assert(r.getAs[Long]("n_checked") > 0L)
+    }
+  }
+
+  test("hashed search: scores rank descending within each query") {
+    val rows = graft.SparkEntry.queries("e84_hashed_chunk_search")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("qid")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to byRank.length))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("score") >= b.getAs[Long]("score"))
+        case _ =>
+      }
+    }
+  }
+
+  test("contrastive pairs: labels partition correctly, negatives genuine") {
+    val rows = graft.SparkEntry.queries("d94_contrastive_pairs")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val (pos, neg) = rows.partition(_._3 == 1)
+    assert(pos.nonEmpty)
+    pos.foreach { case (a, p, _) => assert(a < p) }
+    neg.foreach { case (a, p, _) => assert(a != p) }
+    // a negative is only mined for anchors that have a positive
+    assert(neg.map(_._1).toSet.subsetOf(pos.map(_._1).toSet))
+    // and never collides with that anchor's positive partner set
+    val posSet = pos.map(t => (t._1, t._2)).toSet
+    neg.foreach { case (a, p, _) => assert(!posSet.contains((a, p))) }
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
