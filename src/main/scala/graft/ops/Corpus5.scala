@@ -13,7 +13,92 @@ object Corpus5 {
 
   def pack: Seq[Q] = Seq(d88TemperatureMix, d89FimSplit,
     d90TokenizerFertility, d91DedupSurvivorship, d92HeldoutPerplexity,
-    d93FeatureHashEmbed, d94ContrastivePairs)
+    d93FeatureHashEmbed, d94ContrastivePairs, d95CanaryRoundtrip)
+
+  /** d95: CANARY WATERMARK ROUND TRIP — the memorization-probe workflow
+    * (Carlini et al.'s secret-sharer canaries): plant a unique marker
+    * token in a hash-selected 2% of documents, run DETECTION as a
+    * separate scan (regex extract → join back to the expected plant
+    * list), and report per source that every canary — and nothing
+    * else — was recovered. A pipeline that can't prove its canaries
+    * round-trip can't measure leakage downstream; the exactly-one
+    * detection contract is what the report certifies.
+    *
+    * Determinism: the plant set is a Knuth-hash predicate of doc_id;
+    * the marker payload is the doc's md5 prefix — both engines emit
+    * identical planted text, so detection is replayable.
+    *
+    * Scale shape: planting is a stateless map; detection is one regex
+    * extract + a doc-keyed join of two O(planted) sets; census is
+    * |sources| rows.
+    */
+  val d95CanaryRoundtrip: Q = Q(
+    "d95_canary_roundtrip",
+    (s, dir) => {
+      val docs = Q.spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("source"), col("text"),
+          (pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+            lit(50L)) === 0L).as("plant"))
+      val planted = docs.select(col("doc_id"), col("source"),
+        when(col("plant"),
+          concat(col("text"), lit(" canary_"),
+            substring(md5(col("doc_id").cast("string")), 1, 8)))
+          .otherwise(col("text")).as("text"),
+        col("plant"))
+      val detected = planted
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "canary_([0-9a-f]{8})", 1)
+            .as("payload"))
+        .filter(col("payload") =!= "")
+        .select(col("doc_id"), lit(1L).as("hit"),
+          (col("payload") ===
+            substring(md5(col("doc_id").cast("string")), 1, 8))
+            .as("payload_ok"))
+      planted.join(detected, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("plant"), 1L).otherwise(0L)).as("n_planted"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_detected"),
+          sum(when(coalesce(col("payload_ok"), lit(true)), 0L)
+            .otherwise(1L)).as("n_corrupted"))
+        .select(col("source"), col("n_docs"), col("n_planted"),
+          col("n_detected"), col("n_corrupted"),
+          when(col("n_planted") === col("n_detected") &&
+            col("n_corrupted") === 0, "recovered")
+            .otherwise("LEAK_CHECK_FAILED").as("verdict"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, text,
+          ((doc_id % 1000000007) * 2654435761) % 50 = 0 AS plant
+        FROM documents),
+      planted AS (
+        SELECT doc_id, source, plant,
+          CASE WHEN plant THEN text || ' canary_' ||
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               ELSE text END AS text
+        FROM docs),
+      detected AS (
+        SELECT doc_id, 1 AS hit,
+          regexp_extract(text, 'canary_([0-9a-f]{8})', 1) =
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS payload_ok
+        FROM planted
+        WHERE regexp_extract(text, 'canary_([0-9a-f]{8})', 1) <> '')
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN plant THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_planted,
+        CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_detected,
+        CAST(sum(CASE WHEN coalesce(payload_ok, true) THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_corrupted,
+        CASE WHEN sum(CASE WHEN plant THEN 1 ELSE 0 END) =
+                  sum(coalesce(hit, 0))
+              AND sum(CASE WHEN coalesce(payload_ok, true) THEN 0
+                           ELSE 1 END) = 0
+             THEN 'recovered' ELSE 'LEAK_CHECK_FAILED' END AS verdict
+      FROM planted LEFT JOIN detected USING (doc_id)
+      GROUP BY source ORDER BY source"""))
 
   /** d94: CONTRASTIVE PAIR MINING — the (anchor, partner, label)
     * training set a bi-encoder needs, built with zero model state:

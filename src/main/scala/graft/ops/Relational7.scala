@@ -14,7 +14,80 @@ object Relational7 {
 
   def pack: Seq[Q] = Seq(q94RfmSegments, q95ShipmentSpan, q96DwellMatrix,
     q97RevenueGini, q98Skyline, q99CusumChangepoint, q100StatsHistogram,
-    q101Expectations)
+    q101Expectations, q102Spearman)
+
+  /** q102: SPEARMAN RANK CORRELATION — per nation, does ordering MORE
+    * often go with spending MORE: ρ between customer order count and
+    * lifetime spend. q49's Pearson answers this for linear association;
+    * Spearman is the robust rank-based complement (outlier whales don't
+    * drag it), and with custkey-tie-broken unique ranks the classic
+    * ρ = 1 − 6Σd²/(n(n²−1)) identity applies exactly.
+    *
+    * Determinism: ranks are integers (both windows fully tie-broken);
+    * Σd² accumulates in DECIMAL(38,0) (n³-scale, the g70 idiom); ρ is
+    * two exact casts, one IEEE divide and one subtract, rounded 6dp.
+    *
+    * Scale shape: one orders-grain aggregate, a keyed nation attach,
+    * two NATION-PARTITIONED rank windows, one 25-group rollup.
+    */
+  val q102Spearman: Q = Q(
+    "q102_spearman",
+    (s: SparkSession, dir: String) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val per = Q.spread(t(s, dir, "orders"), "o_custkey")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("freq"),
+          (sum(Q.dec2(col("o_totalprice"))) * 100).cast("long").as("mon"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      def rk(ord: Column*) = row_number().over(
+        Window.partitionBy(col("n_name")).orderBy(ord: _*)).cast("long")
+      per.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey"), col("freq"), col("mon"))
+        .withColumn("rf", rk(col("freq"), col("o_custkey")))
+        .withColumn("rm", rk(col("mon"), col("o_custkey")))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(((col("rf") - col("rm")) * (col("rf") - col("rm")))
+            .cast(d38)).as("sd2"))
+        .filter(col("n_customers") > 1)
+        .select(col("n_name"), col("n_customers"),
+          round(lit(1.0) -
+            (lit(6).cast(d38) * col("sd2")).cast("double") /
+            (col("n_customers").cast(d38) *
+              (col("n_customers").cast(d38) *
+                col("n_customers").cast(d38) - 1)).cast("double"), 6)
+            .as("spearman_rho"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS mon
+        FROM orders GROUP BY o_custkey),
+      ranked AS (
+        SELECT n_name,
+          CAST(row_number() OVER (PARTITION BY n_name
+            ORDER BY freq, o_custkey) AS BIGINT) AS rf,
+          CAST(row_number() OVER (PARTITION BY n_name
+            ORDER BY mon, o_custkey) AS BIGINT) AS rm
+        FROM per
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey)
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        round(1.0 -
+          CAST(6 * sum(CAST((rf - rm) * (rf - rm) AS DECIMAL(38,0)))
+               AS DOUBLE) /
+          CAST(CAST(count(*) AS DECIMAL(38,0)) *
+               (CAST(count(*) AS DECIMAL(38,0)) *
+                CAST(count(*) AS DECIMAL(38,0)) - 1) AS DOUBLE), 6)
+          AS spearman_rho
+      FROM ranked GROUP BY n_name HAVING count(*) > 1
+      ORDER BY n_name"""))
 
   /** q101: DATA-QUALITY EXPECTATIONS SUITE — the dbt-test / Great
     * Expectations report as ONE query: uniqueness, referential

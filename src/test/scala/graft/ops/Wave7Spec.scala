@@ -306,6 +306,32 @@ class Wave7Spec extends SparkSpec {
     neg.foreach { case (a, p, _) => assert(!posSet.contains((a, p))) }
   }
 
+  test("spearman: rho bounded, strongly positive for freq-vs-spend") {
+    val rows = graft.SparkEntry.queries("q102_spearman")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val rhos = rows.map(_.getAs[Double]("spearman_rho"))
+    rhos.foreach(rho => assert(rho >= -1.0 && rho <= 1.0))
+    // more orders mechanically means more lifetime spend — individual
+    // tiny nations at sf0.001 are noisy, but the average must be
+    // clearly positive
+    assert(rhos.sum / rhos.length > 0.3)
+  }
+
+  test("canary: every planted marker recovers, none corrupt, ~2% planted") {
+    val rows = graft.SparkEntry.queries("d95_canary_roundtrip")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var planted = 0L; var docs = 0L
+    rows.foreach { r =>
+      assert(r.getAs[String]("verdict") === "recovered")
+      assert(r.getAs[Long]("n_detected") === r.getAs[Long]("n_planted"))
+      assert(r.getAs[Long]("n_corrupted") === 0L)
+      planted += r.getAs[Long]("n_planted"); docs += r.getAs[Long]("n_docs")
+    }
+    assert(planted > 0L && planted < docs / 10)
+  }
+
   test("rfm: census covers every customer once, quartiles near-equal") {
     val census = graft.SparkEntry.queries("q94_rfm_segments")(spark, sf0001)
       .collect()
