@@ -16,20 +16,34 @@ final case class Q(
 object Q {
   /** Load one driver test table (TESTDATA.md layout).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via the
-    * `spark.sql.legacy.parquet.nanosAsLong` flag (set in every session this
-    * engine builds). The loader converts it back to a microsecond timestamp
-    * with floor division — the same truncation DuckDB applies when it reads
-    * nanos — so both engines see identical values.
+    * `events.ts` has shipped in two physical encodings across testdata
+    * generations, and the loader normalizes both to a plain microsecond
+    * TIMESTAMP so every query downstream sees one type:
+    *
+    *  - TIMESTAMP(NANOS): Spark only reads it via the
+    *    `spark.sql.legacy.parquet.nanosAsLong` flag (set in every session
+    *    this engine builds), which surfaces it as LONG nanos. Convert back
+    *    to micros with floor division — the same truncation DuckDB applies
+    *    when it reads nanos — so both engines see identical values.
+    *  - timestamp[us] with isAdjustedToUTC=false (pandas-written): Spark
+    *    4.x reads it as TIMESTAMP_NTZ, which time functions like
+    *    `unix_micros` reject. The session timezone is pinned to UTC
+    *    everywhere, so casting NTZ→TIMESTAMP reinterprets the naive value
+    *    as UTC — exactly how DuckDB treats a naive timestamp in epoch
+    *    arithmetic — and both engines again see identical values.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // floor division (not `div`, which truncates toward zero): pre-epoch
-      // nanos must round down to match DuckDB's ns→µs conversion
-      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // floor division (not `div`, which truncates toward zero): pre-epoch
+        // nanos must round down to match DuckDB's ns→µs conversion
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Exact-decimal staging for aggregated doubles.
