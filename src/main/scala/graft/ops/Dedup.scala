@@ -39,21 +39,39 @@ object Dedup {
     nGramPostings(docs, 3).union(short).distinct()
   }
 
-  /** Posting lists with each shingle replaced by its xxhash64 — (doc_id,
-    * hs) longs, PERSISTED (callers release via [[Q.materialized]]). Every
-    * wide consumer (self-joins, document-frequency and set-size groupBys)
-    * only ever needs shingle EQUALITY, so shuffling/caching 8-byte hashes
-    * instead of shingle strings cuts the join payload ~5-10x; a 64-bit
-    * collision across the distinct shingles of one corpus is negligible.
+  /** Posting lists with each shingle replaced by two integer hashes —
+    * (doc_id, hs, mh) longs, PERSISTED (callers release via
+    * [[Q.materialized]]).
+    *
+    *  - `hs` (xxhash64): the JOIN key. Every wide consumer (self-joins,
+    *    document-frequency and set-size groupBys) only ever needs shingle
+    *    EQUALITY, so shuffling/caching 8-byte hashes instead of shingle
+    *    strings cuts the join payload ~5-10x; a 64-bit collision across the
+    *    distinct shingles of one corpus is negligible.
+    *  - `mh` (low 60 bits of md5, decoded from the hex digest): the
+    *    CROSS-ENGINE base hash for the MinHash signatures. md5 is the one
+    *    string hash both Spark and DuckDB compute bit-identically, which is
+    *    what lets d42/d42b carry full SQL oracles — the signature pipeline
+    *    is then pure integer arithmetic in both engines.
+    *
     * Debugging note: the DuckDB oracles (d41/d46/d48/d49) compare exact
-    * shingle STRINGS, so if a collision ever did occur it would surface as
-    * an oracle hash-compare failure on those queries — check this
+    * shingle STRINGS, so if an hs collision ever did occur it would surface
+    * as an oracle hash-compare failure on those queries — check this
     * asymmetry first before suspecting the join logic.
     */
   def hashedShingles(docs: DataFrame): DataFrame =
     shinglePostings(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** DuckDB mirror of the `mh` base hash above: decode the first 15 hex
+    * chars of md5(s) into a BIGINT (4 bits per digit, big-endian — exactly
+    * what `conv(substring(md5(s),1,15),16,10)` computes in Spark).
+    */
+  private def sqlMh(s: String): String =
+    s"list_sum([CAST(strpos('0123456789abcdef', md5($s)[i]) - 1 AS BIGINT)" +
+      s" * (CAST(1 AS BIGINT) << (4*(15-i))) for i in range(1, 16)])"
 
   /** Word n-gram posting lists (doc_id, g) on the codegen path
     * (posexplode + n−1 leads; distinct per doc unless `distinctPerDoc` is
@@ -112,7 +130,10 @@ object Dedup {
     * posting lists — shared by d41 and the d42b audit (which compares it
     * against the LSH pipeline over the SAME posting-list base).
     */
-  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
+  private def jaccardPairsFrom(postings: DataFrame): DataFrame = {
+    // equality joins only — drop the MinHash base-hash column so the
+    // self-join and groupBys shuffle (doc_id, hs) pairs, nothing wider
+    val sh = postings.select(col("doc_id"), col("hs"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val hot = sh.groupBy(col("hs"))
       .agg(count(lit(1)).as("df"))
@@ -187,6 +208,12 @@ object Dedup {
     * shape that scales horizontally (no giant per-row arrays through
     * interpreted higher-order functions). Products stay < 2⁶², so the
     * arithmetic never overflows under ANSI mode.
+    *
+    * The seeded (A, B) constants are generated once here and EMBEDDED
+    * VERBATIM in the d42/d42b oracle SQL as a VALUES relation (the d45/e61
+    * pattern), and the base hash `mh` is the cross-engine md5 decode of
+    * [[hashedShingles]] — so both engines compute bit-identical signatures
+    * and the sketch output itself is hash-oracled.
     */
   private val MersenneP = 2147483647L // 2^31 - 1
   private val hashFamily: IndexedSeq[(Long, Long)] = {
@@ -196,13 +223,18 @@ object Dedup {
         rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** doc_id → 32-element MinHash signature from (doc_id, hs) hashed
+  /** The hash family as oracle-side VALUES rows (i, a, b). */
+  private def famValuesSql: String =
+    hashFamily.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+
+  /** doc_id → 32-element MinHash signature from (doc_id, hs, mh) hashed
     * posting lists: one codegen'd min-aggregate per hash function (one
-    * shuffle on doc_id).
+    * shuffle on doc_id), over the cross-engine md5 base hash.
     */
   private def signaturesFromPostings(sh: DataFrame): DataFrame = {
     val hashed = sh
-      .select(col("doc_id"), pmod(col("hs"), lit(MersenneP)).as("h"))
+      .select(col("doc_id"), pmod(col("mh"), lit(MersenneP)).as("h"))
     val aggs = hashFamily.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
     }
@@ -296,21 +328,82 @@ object Dedup {
     (res, sigs, candidates)
   }
 
-  /** MinHash-LSH near-dups over the documents table. No SQL oracle (hash
-    * functions are engine-specific); DedupSpec verifies recall against the
-    * exact d41 pipeline on planted near-duplicates, and [[d42bMinhashRecall]]
-    * SELF-REPORTS the corpus-wide recall in its dumped output.
+  /** The full MinHash+LSH pipeline as DuckDB CTEs, generated from the SAME
+    * constants as the Spark plan ([[famValuesSql]], [[sqlMh]]): shingles →
+    * md5 base hash → Carter-Wegman signatures → 8 bands of 4 rows →
+    * in-bucket candidates → exact-Jaccard verify. The one asymmetry: Spark
+    * buckets on xxhash64 of each 4-element band slice while the oracle joins
+    * on the band VALUES themselves — equal slices hash equal, so the two
+    * candidate sets differ only under a 64-bit band-hash collision
+    * (negligible, and it would surface as a hash-compare failure here).
+    * Spark-side verify counts shared hs-hashed shingles vs the oracle's
+    * exact strings — the same documented d41 asymmetry.
+    */
+  private def sqlMinhashCtes: String = s"""
+      words AS (SELECT doc_id, text, string_split(text,' ') AS words FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(words) >= 3
+            THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                  for i in range(1, len(words)-1)]
+            ELSE [text] END)) AS s
+        FROM words),
+      mh AS (SELECT doc_id, ${sqlMh("s")} AS mh FROM sh),
+      fam(i, a, b) AS (VALUES $famValuesSql),
+      sigs AS (
+        SELECT doc_id, f.i AS i,
+          min((f.a * (mh.mh % $MersenneP) + f.b) % $MersenneP) AS m
+        FROM mh CROSS JOIN fam f GROUP BY doc_id, f.i),
+      bands AS (
+        SELECT doc_id, i // $RowsPerBand AS band, list(m ORDER BY i) AS bs
+        FROM sigs GROUP BY doc_id, i // $RowsPerBand),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      shr AS (
+        SELECT c.d1, c.d2, count(*) AS shared
+        FROM cand c
+          JOIN sh p1 ON p1.doc_id = c.d1
+          JOIN sh p2 ON p2.doc_id = c.d2 AND p2.s = p1.s
+        GROUP BY c.d1, c.d2),
+      est AS (
+        SELECT c.d1, c.d2,
+          CAST(sum(CASE WHEN s1.m = s2.m THEN 1 ELSE 0 END) AS DOUBLE)
+            / $NumHashes AS est_jaccard
+        FROM cand c
+          JOIN sigs s1 ON s1.doc_id = c.d1
+          JOIN sigs s2 ON s2.doc_id = c.d2 AND s2.i = s1.i
+        GROUP BY c.d1, c.d2),
+      lsh_pairs AS (
+        SELECT e.d1, e.d2, e.est_jaccard,
+          CAST(s.shared AS DOUBLE) / (z1.n + z2.n - s.shared) AS jaccard
+        FROM est e
+          JOIN shr s ON s.d1 = e.d1 AND s.d2 = e.d2
+          JOIN sizes z1 ON e.d1 = z1.doc_id
+          JOIN sizes z2 ON e.d2 = z2.doc_id
+        WHERE CAST(s.shared AS DOUBLE) / (z1.n + z2.n - s.shared) >= 0.2)"""
+
+  /** MinHash-LSH near-dups over the documents table, FULLY HASH-ORACLED:
+    * the md5 base hash plus the VALUES-embedded hash family make both
+    * engines compute bit-identical signatures, buckets, and scores (the
+    * d45/e61 determinization pattern applied to the MinHash family).
+    * DedupSpec additionally pins recall on planted near-duplicates, and
+    * [[d42bMinhashRecall]] oracle-pins the corpus-wide recall itself.
     */
   val d42MinhashLsh: Q = Q(
     "d42_minhash_lsh",
     (s, dir) => minhashNearDups(t(s, dir, "documents"), threshold = 0.2),
-    None)
+    Some(s"""
+      WITH $sqlMinhashCtes
+      SELECT d1, d2, est_jaccard, jaccard FROM lsh_pairs ORDER BY d1, d2"""))
 
-  /** Self-reporting accuracy audit for the MinHash-LSH sketch: joins the
-    * LSH pair set against the exact d41 inverted-index pair set IN-QUERY
-    * and emits one row of counts + recall/precision — so the driver's
-    * rows-only check on the sketch family still pins ACCURACY, not just
-    * shape (the dumped parquet carries the recall). Semantics note: d41
+  /** Accuracy audit for the MinHash-LSH sketch: joins the LSH pair set
+    * against the exact d41 inverted-index pair set IN-QUERY and emits one
+    * row of counts + recall/precision — and since the signature pipeline is
+    * cross-engine deterministic (see [[sqlMinhashCtes]]), the recall number
+    * ITSELF is oracle-pinned (the e61b pattern). Semantics note: d41
     * prunes stop-shingles from candidate generation while the LSH verify
     * scores unpruned Jaccard over its own candidates, so the two sets can
     * legitimately differ beyond sketch error; recall is measured against
@@ -338,7 +431,36 @@ object Dedup {
           (col("n_both").cast("double") / col("n_lsh")).as("precision"))
       Q.materialized(cmp, sh, sigs, cand)
     },
-    None)
+    Some(s"""
+      WITH $sqlMinhashCtes,
+      pruned AS (
+        SELECT * FROM sh
+        WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+                        HAVING count(*) > $MaxShinglePostings)),
+      eshared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      exact_pairs AS (
+        SELECT d1, d2 FROM eshared
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.2),
+      cmp AS (
+        SELECT coalesce(e.ie, 0) AS ie, coalesce(l.il, 0) AS il
+        FROM (SELECT d1, d2, 1 AS ie FROM exact_pairs) e
+        FULL OUTER JOIN (SELECT d1, d2, 1 AS il FROM lsh_pairs) l
+          USING (d1, d2)),
+      agg AS (
+        SELECT CAST(sum(ie) AS BIGINT) AS n_exact,
+          CAST(sum(il) AS BIGINT) AS n_lsh,
+          CAST(sum(CASE WHEN ie = 1 AND il = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_both
+        FROM cmp)
+      SELECT n_exact, n_lsh, n_both,
+        CAST(n_both AS DOUBLE)/n_exact AS recall,
+        CAST(n_both AS DOUBLE)/n_lsh AS "precision"
+      FROM agg"""))
 
   // ------------------------------------------------- embedding-cosine near-dup
 
