@@ -309,39 +309,65 @@ object Similarity {
   val NumTables = 4
   val PlanesPerTable = 8
 
-  /** Deterministic random hyperplanes (seeded per dimension), shared by
-    * index and query sides: NumTables independent tables of PlanesPerTable
-    * planes each. Memoized per embedding width — the planes must match the
-    * vector dimension or the dot products silently null out (zip_with pads
-    * the shorter side). Stored as floats so the sign test can run through
-    * the native codegen'd cosine (sign(cos) == sign(dot): norms are
-    * positive, so bucketing by cosine sign is bucketing by dot sign).
+  /** Deterministic SPARSE TERNARY hyperplanes (seeded per dimension),
+    * shared by index and query sides: NumTables independent tables of
+    * PlanesPerTable planes, each plane 8 nonzero ±1 coordinates (the
+    * Achlioptas very-sparse projection family — preserves the sign-LSH
+    * guarantee). ±1 weights + exact-decimal sign sums make every bucket bit
+    * BIT-STABLE across engines (the d45/e61 determinization), which is what
+    * lets e51/e51b carry full SQL oracles: the constants below are embedded
+    * verbatim in the generated oracle SQL. Memoized per embedding width —
+    * the coordinate indices must stay inside the vector.
     */
+  private val NonzeroPerPlane = 8
   private val planeCache =
-    new scala.collection.concurrent.TrieMap[Int, Seq[Seq[Float]]]()
+    new scala.collection.concurrent.TrieMap[Int, IndexedSeq[Seq[(Int, Int)]]]()
 
-  private def planeTables(dim: Int): Seq[Seq[Float]] =
+  /** plane → Seq[(0-based dim index, ±1 weight)]. */
+  private def planeTables(dim: Int): IndexedSeq[Seq[(Int, Int)]] =
     planeCache.getOrElseUpdate(dim, {
       val rnd = new scala.util.Random(42L + dim)
-      Seq.fill(NumTables * PlanesPerTable)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+      IndexedSeq.fill(NumTables * PlanesPerTable)(
+        rnd.shuffle((0 until dim).toList).take(NonzeroPerPlane).sorted
+          .map(i => (i, if (rnd.nextBoolean()) 1 else -1)))
     })
 
-  /** Per-table sign-buckets of a vector: element t = the PlanesPerTable-bit
-    * bucket of table t (bit p = v · plane_p > 0). Narrow per-row, fully
-    * codegen'd — 32 native cosine evaluations per vector instead of 32
-    * interpreted HOF dot products (the round-1 hot spot).
+  /** Exact-decimal sign bit of one sparse projection — a flat codegen'd
+    * 8-term expression; order-independent decimal sum, so both engines
+    * compute the identical bit.
     */
-  def lshBuckets(v: Column, dim: Int): Column = {
+  private def signBitSparse(v: Column, plane: Seq[(Int, Int)]): Column =
+    plane.map { case (i, w) =>
+      (lit(w.toDouble) * element_at(v, i + 1).cast("double"))
+        .cast(DecimalType(20, 15))
+    }.reduce(_ + _) > 0
+
+  /** (id, bucket) rows: the NumTables table-tagged sign-buckets of each
+    * vector. Two steps ON PURPOSE (the d45 lesson): the 32 sign bits
+    * materialize as plain projection columns first, and only the cheap
+    * bit-packing rides inside the Generate — one fused expression tree
+    * overflows Janino's method limit and silently drops to interpretation.
+    */
+  private def bucketTable(df: DataFrame, idCol: String, vCol: String,
+      dim: Int): DataFrame = {
     val planes = planeTables(dim)
-    array((0 until NumTables).map { ti =>
-      val bits = (0 until PlanesPerTable).map { i =>
-        val p = planes(ti * PlanesPerTable + i)
-        when(cosNative(v, typedlit(p)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
-      }
-      // tag the bucket with its table index so tables never cross-match
-      bits.reduce(_ + _) + lit(ti.toLong * (1L << PlanesPerTable))
-    }: _*)
+    val bits = planes.indices.map(p =>
+      signBitSparse(col(vCol), planes(p)).as(s"__b$p"))
+    df.select(col(idCol) +: bits: _*)
+      .select(col(idCol), explode(array((0 until NumTables).map { ti =>
+        (0 until PlanesPerTable).map { i =>
+          when(col(s"__b${ti * PlanesPerTable + i}"), lit(1L << i)).otherwise(0L)
+        }.reduce(_ + _) + lit(ti.toLong * (1L << PlanesPerTable))
+      }: _*)).as("bucket"))
   }
+
+  /** The nonzero plane entries of the 64-dim family as oracle-side VALUES
+    * rows (p, i, wt), i 0-based — the testdata embedding width.
+    */
+  private def planeValuesSql: String =
+    planeTables(64).zipWithIndex.flatMap { case (plane, p) =>
+      plane.map { case (i, w) => s"($p,$i,$w)" }
+    }.mkString(",")
 
   /** ANN top-k via multi-table hyperplane LSH: a candidate is any corpus
     * vector sharing at least one table-bucket with the query; native cosine
@@ -358,8 +384,9 @@ object Similarity {
     * tiny broadcast query side — the corpus index is bucketed ONCE and
     * untouched, which is exactly how the knob stays cheap at warehouse
     * scale. e51b measures the resulting recall in-query.
-    * SimilaritySpec pins recall on planted near-identical vectors.
-    * Rows-only: bucketing is seed-specific, so no SQL oracle.
+    * SimilaritySpec pins recall on planted near-identical vectors; the
+    * deterministic ternary planes make the candidate set — and hence the
+    * whole output — hash-oracled.
     */
   def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       dim: Int = 64): DataFrame = {
@@ -371,16 +398,15 @@ object Similarity {
     // candidate pairs first (cheap bucket columns only), dedup across
     // tables, THEN score each surviving pair exactly once — a pair matching
     // in all 4 tables must not pay the scoring cost 4 times
-    val qb = queries
-      .select(col("qid"), explode(lshBuckets(col("qv"), dim)).as("b0"))
+    val qb = bucketTable(queries, "qid", "qv", dim)
+      .withColumnRenamed("bucket", "b0")
       // multi-probe: the bucket itself + its single-bit-flip neighbors
       // (bit flips stay inside the low PlanesPerTable bits, so the table
       // tag in the high bits is preserved and tables never cross-match)
       .select(col("qid"), explode(array(
         col("b0") +: (0 until PlanesPerTable).map(i =>
           col("b0").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
-    val cb = corpus.select(col("cid"),
-      explode(lshBuckets(col("cv"), dim)).as("bucket"))
+    val cb = bucketTable(corpus, "cid", "cv", dim)
     val candidates = cb.join(broadcast(qb), "bucket")
       .select(col("qid"), col("cid")).distinct()
     val fast = candidates
@@ -390,18 +416,74 @@ object Similarity {
     exactRerank(fast, queries, corpus, k)
   }
 
+  /** The e51 candidate set + exact-cosine ranking as DuckDB CTEs, generated
+    * from the SAME plane constants as the Spark plan. The Spark side's
+    * native-prefilter survivor cut is a guaranteed superset of the exact
+    * top-k among candidates (see [[exactRerank]]), so the oracle ranks ALL
+    * candidates exactly — same output, no native scorer to mirror.
+    */
+  private def sqlAnnCtes: String = s"""
+      w(p, i, wt) AS (VALUES $planeValuesSql),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      qbits AS (
+        SELECT q.qid, w.p,
+          CASE WHEN sum(CAST(CAST(w.wt AS DOUBLE) * CAST(q.qv[w.i + 1] AS DOUBLE)
+                             AS DECIMAL(20,15))) > 0 THEN 1 ELSE 0 END AS b
+        FROM q CROSS JOIN w GROUP BY q.qid, w.p),
+      qbuck AS (
+        SELECT qid,
+          CAST(sum(b * (1 << (p % $PlanesPerTable))) AS BIGINT)
+            + (p // $PlanesPerTable) * ${1L << PlanesPerTable} AS b0
+        FROM qbits GROUP BY qid, p // $PlanesPerTable),
+      qprobe AS (
+        SELECT qid, unnest([b0${(0 until PlanesPerTable)
+          .map(i => s", xor(b0, ${1L << i})").mkString}]) AS bucket
+        FROM qbuck),
+      cbits AS (
+        SELECT c.cid, w.p,
+          CASE WHEN sum(CAST(CAST(w.wt AS DOUBLE) * CAST(c.cv[w.i + 1] AS DOUBLE)
+                             AS DECIMAL(20,15))) > 0 THEN 1 ELSE 0 END AS b
+        FROM c CROSS JOIN w GROUP BY c.cid, w.p),
+      cbuck AS (
+        SELECT cid,
+          CAST(sum(b * (1 << (p % $PlanesPerTable))) AS BIGINT)
+            + (p // $PlanesPerTable) * ${1L << PlanesPerTable} AS bucket
+        FROM cbits GROUP BY cid, p // $PlanesPerTable),
+      cand AS (SELECT DISTINCT qid, cid FROM cbuck JOIN qprobe USING (bucket)),
+      qn AS (
+        SELECT qid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS qnorm
+        FROM (SELECT qid, unnest(qv) AS x FROM q) t GROUP BY qid),
+      cn AS (
+        SELECT cid, sqrt(CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE)) AS cnorm
+        FROM (SELECT cid, unnest(cv) AS x FROM c) t GROUP BY cid),
+      cdots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT cand.qid, cand.cid, unnest(q.qv) AS qx, unnest(c.cv) AS cx
+              FROM cand JOIN q USING (qid) JOIN c USING (cid)) t
+        GROUP BY qid, cid),
+      ann AS (
+        SELECT d.qid, d.cid, d.dot/(qn.qnorm*cn.cnorm) AS cos,
+          CAST(row_number() OVER (PARTITION BY d.qid
+            ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS INT) AS rank
+        FROM cdots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid)"""
+
   val e51AnnLsh: Q = Q(
     "e51_ann_lsh",
     (s, dir) => annTopK(t(s, dir, "embeddings")),
-    None)
+    Some(s"""
+      WITH $sqlAnnCtes
+      SELECT qid, cid, round(cos, 6) AS cos, rank FROM ann
+      WHERE rank <= 10 ORDER BY qid, rank"""))
 
-  /** Self-reporting accuracy audit for the hyperplane-LSH ANN: per query,
-    * recall@10 of [[annTopK]] against the brute-force exact top-10 (e50's
-    * pipeline), computed in-query — the driver's rows-only check on the
-    * seed-specific ANN then pins ACCURACY in the dumped parquet, not just
-    * row shape. The exact side is one narrow native-scored pass (the e50
-    * cost), the ANN side its usual bucket probe; the compare itself is a
-    * join of two ≤ nQueries·k row sets.
+  /** Accuracy audit for the hyperplane-LSH ANN: per query, recall@10 of
+    * [[annTopK]] against the brute-force exact top-10 (e50's pipeline),
+    * computed in-query. With the deterministic ternary planes both sides
+    * are bit-stable, so the recall number ITSELF is oracle-pinned (the
+    * e61b pattern). The exact side is one narrow native-scored pass (the
+    * e50 cost), the ANN side its usual bucket probe; the compare itself is
+    * a join of two ≤ nQueries·k row sets.
     */
   val e51bAnnRecall: Q = Q(
     "e51b_ann_recall",
@@ -429,7 +511,29 @@ object Similarity {
           col("hit_at_1"))
         .orderBy(col("qid"))
     },
-    None)
+    Some(s"""
+      WITH $sqlAnnCtes,
+      alldots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx
+              FROM q CROSS JOIN c) t
+        GROUP BY qid, cid),
+      exact AS (
+        SELECT qid, cid, rank FROM (
+          SELECT d.qid, d.cid,
+            CAST(row_number() OVER (PARTITION BY d.qid
+              ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS INT) AS rank
+          FROM alldots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
+        WHERE rank <= 10),
+      hits AS (SELECT qid, cid, 1 AS hit FROM ann WHERE rank <= 10)
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        CAST(sum(coalesce(h.hit, 0)) AS BIGINT) AS n_hit,
+        CAST(sum(coalesce(h.hit, 0)) AS DOUBLE) / count(*) AS recall_at_10,
+        CAST(max(CASE WHEN e.rank = 1 AND h.hit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS hit_at_1
+      FROM exact e LEFT JOIN hits h ON e.qid = h.qid AND e.cid = h.cid
+      GROUP BY e.qid ORDER BY e.qid"""))
 
   // ---------------------------------------------------------------- IVF ANN
 
