@@ -13,18 +13,21 @@ case class MediaMeta(width: Int, height: Int, sampleRateHz: Int, durationMs: Lon
 case class MediaRow(media_id: Long, modality: String, content: Array[Byte], meta: MediaMeta)
 
 /** Output of the decode+featurize stage. `width`/`height` are real decoded
-  * dimensions for images, 0 for other modalities / undecodable bytes.
+  * dimensions for images; `sample_rate_hz`/`duration_ms` real decoded
+  * audio properties; each 0 for other modalities / undecodable bytes.
   */
 case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int,
-    width: Int, height: Int, features: Array[Float])
+    width: Int, height: Int, sample_rate_hz: Int, duration_ms: Long,
+    features: Array[Float])
 
 /** Multimodal-column plumbing: binary content + typed metadata, partition-
   * batched decode/feature-extraction, frame sampling. IMAGE decode is REAL
   * (javax.imageio is pure-JVM: PNG/GIF/BMP/JPEG, no native libs needed);
-  * audio/video codecs are STUBS (their libraries are not in this
-  * container). The Spark-side shape (schema, encoders, mapPartitions
-  * batching, shuffle-free narrow execution) is real and tested in
-  * MultimodalSpec either way.
+  * AUDIO decode is REAL for WAV/PCM (a pure-JVM RIFF parse — sample rate,
+  * duration, per-window RMS features); compressed-audio and video codecs
+  * are STUBS (their libraries are not in this container). The Spark-side
+  * shape (schema, encoders, mapPartitions batching, shuffle-free narrow
+  * execution) is real and tested in MultimodalSpec either way.
   */
 object Multimodal {
 
@@ -35,20 +38,23 @@ object Multimodal {
   /** Decode + featurize, batched per partition (the shape a real codec
     * needs: amortize per-partition init — model load, codec context —
     * across rows, never per-row). Images go through the real imageio
-    * decode; undecodable image bytes and every other modality fall back to
-    * the deterministic stub with zero dimensions.
+    * decode, audio through the real WAV/PCM parse; undecodable bytes and
+    * every other modality fall back to the deterministic stub with zero
+    * dimensions.
     */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
     ds.mapPartitions { rows =>
-      // per-partition init would go here (audio/video codec context)
+      // per-partition init would go here (video codec context)
       rows.map { r =>
-        val decoded =
-          if (r.modality == "image") decodeImage(r.content, dim) else None
-        decoded match {
-          case Some((w, h, f)) =>
-            MediaFeatures(r.media_id, r.modality, r.content.length, w, h, f)
-          case None =>
-            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0,
+        val img = if (r.modality == "image") decodeImage(r.content, dim) else None
+        val aud = if (r.modality == "audio") decodeWav(r.content, dim) else None
+        (img, aud) match {
+          case (Some((w, h, f)), _) =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, w, h, 0, 0L, f)
+          case (_, Some((rate, durMs, f))) =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0, rate, durMs, f)
+          case _ =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0, 0, 0L,
               stubDecode(r.content, dim))
         }
       }
@@ -87,11 +93,77 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decoder — stands in for audio spectrogram / video embedding,
-    * which need native libraries not present in this container (and the
-    * fallback for undecodable image bytes). Deterministic by construction
-    * (pure function of the bytes) so the pipeline around it is fully
-    * testable.
+  /** REAL audio decode: pure-JVM RIFF/WAVE parse for uncompressed 16-bit
+    * PCM (mono or multi-channel, channels mean-mixed). Returns
+    * (sampleRateHz, durationMs, per-window RMS features): the content is
+    * split into `dim` equal frame windows and each feature is the RMS of
+    * the normalized samples in that window — the audio analogue of the
+    * image path's strip luminances. Chunk walk honors RIFF's even-byte
+    * padding; None for anything that is not a well-formed PCM16 WAV
+    * (callers fall back to the stub), matching decodeImage's contract.
+    * Mirrors the reference's media-ingest surface (opaque bytes → typed
+    * features) without any native codec dependency.
+    */
+  def decodeWav(bytes: Array[Byte], dim: Int): Option[(Int, Long, Array[Float])] =
+    try {
+      def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+      def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var rate = 0
+      var channels = 0
+      var ok = false
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length && (dataOff < 0 || !ok)) {
+        val id = tag(off)
+        val size = le32(off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        if (id == "fmt " && size >= 16) {
+          val audioFormat = le16(off + 8)
+          channels = le16(off + 10)
+          rate = le32(off + 12)
+          val bits = le16(off + 22)
+          ok = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = size
+        }
+        off += 8 + size + (size & 1) // chunks pad to even byte boundaries
+      }
+      if (!ok || dataOff < 0) return None
+      val frames = dataLen / (2 * channels)
+      if (frames <= 0) return None
+      val out = new Array[Float](dim)
+      val cnt = new Array[Int](dim)
+      var i = 0
+      while (i < frames) {
+        var mix = 0.0
+        var ch = 0
+        while (ch < channels) {
+          mix += le16(dataOff + 2 * (i * channels + ch)).toShort / 32768.0
+          ch += 1
+        }
+        mix /= channels
+        val win = math.min(dim - 1, i * dim / frames)
+        out(win) += (mix * mix).toFloat
+        cnt(win) += 1
+        i += 1
+      }
+      i = 0
+      while (i < dim) {
+        if (cnt(i) > 0) out(i) = math.sqrt(out(i) / cnt(i)).toFloat
+        i += 1
+      }
+      Some((rate, frames * 1000L / rate, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decoder — stands in for compressed-audio spectrogram / video
+    * embedding, which need native libraries not present in this container
+    * (and the fallback for undecodable image/audio bytes). Deterministic by
+    * construction (pure function of the bytes) so the pipeline around it is
+    * fully testable.
     */
   def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -163,8 +235,10 @@ object Multimodal {
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n_files"),
           sum(col("n_bytes")).cast("long").as("total_bytes"),
-          max(col("width")).as("max_width"),   // real decoded dims for image
-          max(col("height")).as("max_height"), // 0 for audio/binary (stub)
+          max(col("width")).as("max_width"),       // real decoded dims for image
+          max(col("height")).as("max_height"),     // 0 for audio/binary
+          max(col("sample_rate_hz")).as("max_rate_hz"),    // real WAV decode
+          max(col("duration_ms")).as("max_duration_ms"),   // 0 for image/binary
           fnRound(sum(element_at(col("features"), 1)), 3).as("feat0_sum"))
         .orderBy(col("modality"))
     },
@@ -184,6 +258,31 @@ object Multimodal {
     try in.readAllBytes() finally in.close()
   }
 
+  /** The real 8000 Hz mono PCM16 test WAV — ONE definition shared with
+    * MultimodalSpec, built byte-by-byte in code (the RIFF layout is fixed,
+    * so unlike the PNG there is no encoder variance to pin down): 400
+    * samples of an integer triangle wave, sample(i) = ((i % 100) − 50)·500.
+    * Fully deterministic, so d61's decoded rate/duration/RMS row is stable.
+    */
+  private[ops] lazy val fixtureWavBytes: Array[Byte] = {
+    val samples = (0 until 400).map(i => (((i % 100) - 50) * 500).toShort)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)      // PCM
+      .putShort(1)      // mono
+      .putInt(8000)     // sample rate
+      .putInt(16000)    // byte rate
+      .putShort(2)      // block align
+      .putShort(16)     // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort(_))
+    bb.array()
+  }
+
   /** One deterministic fixture per JVM: wav/bin bytes fixed by
     * construction; the png's pixels fixed (see [[fixturePngBytes]] on byte
     * stability). Best-effort cleanup on JVM exit (files registered after
@@ -197,10 +296,10 @@ object Multimodal {
       java.nio.file.Files.write(f, bytes)
       f.toFile.deleteOnExit()
     }
-    // a REAL PNG: d61's image row exercises the true imageio decode path
-    // end-to-end (dims 8x6 in the output; features from actual pixels)
+    // REAL media: d61's image and audio rows exercise the true imageio and
+    // WAV/PCM decode paths end-to-end (real dims, rate, duration, RMS)
     write("a.png", fixturePngBytes)
-    write("b.wav", "RIFF".getBytes("UTF-8") ++ (0 until 128).map(i => (i * 3).toByte))
+    write("b.wav", fixtureWavBytes)
     write("c.bin", (0 until 32).map(i => (i * 7).toByte).toArray)
     dir.toString
   }

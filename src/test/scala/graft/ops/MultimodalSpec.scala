@@ -97,6 +97,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f.features.toSeq === feats.toSeq)
   }
 
+  test("real WAV bytes decode to true rate, duration, and RMS features") {
+    import spark.implicits._
+    // the SAME wav d61 ingests (shared builder, like the PNG path)
+    val bytes = Multimodal.fixtureWavBytes
+    val (rate, durMs, feats) = Multimodal.decodeWav(bytes, 4).get
+    assert(rate === 8000)
+    assert(durMs === 50L) // 400 samples / 8000 Hz
+    // RMS recomputed directly from the triangle-wave definition: windows
+    // are frame-ranges [0,100), [100,200), [200,300), [300,400) for dim=4
+    val samples = (0 until 400).map(i => (((i % 100) - 50) * 500).toShort)
+    val expect = (0 until 4).map { w =>
+      val xs = (0 until 400).filter(i => math.min(3, i * 4 / 400) == w)
+        .map(i => samples(i) / 32768.0)
+      math.sqrt(xs.map(x => x * x).sum / xs.size).toFloat
+    }
+    feats.toSeq.zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"window rms $a vs $b")
+    }
+    // undecodable audio bytes still fall back to the stub contract
+    assert(Multimodal.decodeWav("RIFFnotawave".getBytes("US-ASCII"), 4).isEmpty)
+    // and through the full Dataset decode path: rate/duration ride the row
+    val ds = Seq(MediaRow(9L, "audio", bytes, MediaMeta(0, 0, 0, 0L))).toDS()
+    val f = Multimodal.decodeFeatures(ds, dim = 4).collect().head
+    assert(f.sample_rate_hz === 8000 && f.duration_ms === 50L)
+    assert(f.features.toSeq === feats.toSeq)
+    assert(f.width === 0 && f.height === 0)
+  }
+
   test("frameSample slices evenly and handles empty content") {
     val frames = Multimodal.frameSample("0123456789".getBytes("UTF-8"), 3)
     assert(frames.length === 3)
