@@ -9,14 +9,27 @@ import graft.SparkEntry
   * {{{ runMain graft.tools.PlanAudit <sfDir> }}}
   */
 object PlanAudit {
+
+  /** Unpartitioned logical Window count in a query's optimized plan — the
+    * "global window" scale hazard (one partition walks every row). Queries
+    * ending in Q.materialized show a LogicalRDD scan here (their window
+    * audit lives in their own specs, via the exposed lazy builders).
+    */
+  def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.size
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = ToolSession.local()
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"${"query"}%-26s ${"exch"}%5s ${"bcast"}%5s ${"sorts"}%5s  hazards")
+    println(f"${"query"}%-26s ${"exch"}%5s ${"bcast"}%5s ${"sorts"}%5s ${"gwin"}%5s  hazards")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).length
         // BroadcastNestedLoopJoin is NOT flagged: it is the intended plan
         // for the similarity queries' broadcast(query-set) × corpus cross
@@ -25,10 +38,11 @@ object PlanAudit {
         val hazards = Seq("CartesianProduct" -> n("CartesianProduct"))
           .filter(_._2 > 0).map { case (k, v) => s"$k x$v" }.mkString(", ")
         val bnlj = if (n("BroadcastNestedLoopJoin") > 0) s"bnlj=${n("BroadcastNestedLoopJoin")}" else ""
-        println(f"$name%-26s ${n("Exchange hashpartitioning")}%5d ${n("BroadcastExchange")}%5d ${n("Sort ")}%5d  ${if (hazards.isEmpty) if (bnlj.isEmpty) "-" else bnlj else "!! " + hazards}")
+        println(f"$name%-26s ${n("Exchange hashpartitioning")}%5d ${n("BroadcastExchange")}%5d ${n("Sort ")}%5d ${unpartitionedWindows(df)}%5d  ${if (hazards.isEmpty) if (bnlj.isEmpty) "-" else bnlj else "!! " + hazards}")
       } catch { case e: Throwable =>
         println(f"$name%-26s PLAN FAILED: ${e.getMessage.take(60)}")
       }
+      graft.ops.Q.releaseAll(spark)
     }
     spark.stop()
   }
