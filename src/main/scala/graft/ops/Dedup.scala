@@ -61,13 +61,22 @@ object Dedup {
     */
   def hashedShingles(docs: DataFrame): DataFrame =
     shinglePostings(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("hs"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("mh"))
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"), mh60(col("s")).as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** DuckDB mirror of the `mh` base hash above: decode the first 15 hex
-    * chars of md5(s) into a BIGINT (4 bits per digit, big-endian — exactly
-    * what `conv(substring(md5(s),1,15),16,10)` computes in Spark).
+  /** The 60-bit CROSS-ENGINE string hash: the first 15 hex chars of the
+    * md5 digest decoded as an integer. md5 is the one string hash Spark
+    * and DuckDB compute bit-identically; 15 hex digits keep the value
+    * comfortably inside BIGINT in both engines. Shared by the MinHash
+    * (d42) and SimHash (d43) sketch families — the device that makes
+    * their outputs hash-oracled.
+    */
+  def mh60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[mh60]]: decode the first 15 hex chars of md5 into
+    * a BIGINT (4 bits per digit, big-endian — exactly what
+    * `conv(substring(md5(s),1,15),16,10)` computes in Spark).
     */
   private def sqlMh(s: String): String =
     s"list_sum([CAST(strpos('0123456789abcdef', md5($s)[i]) - 1 AS BIGINT)" +
@@ -339,7 +348,10 @@ object Dedup {
     * Spark-side verify counts shared hs-hashed shingles vs the oracle's
     * exact strings — the same documented d41 asymmetry.
     */
-  private def sqlMinhashCtes: String = s"""
+  /** Shingle posting lists + set sizes as DuckDB CTEs — the shared base of
+    * the d41-family oracles (d42/d42b/d43b compose on top of it).
+    */
+  private def sqlShingleCtes: String = s"""
       words AS (SELECT doc_id, text, string_split(text,' ') AS words FROM documents),
       sh AS (
         SELECT doc_id,
@@ -348,6 +360,29 @@ object Dedup {
                   for i in range(1, len(words)-1)]
             ELSE [text] END)) AS s
         FROM words),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  /** The exact d41 near-dup pair set (stop-shingle-pruned candidates,
+    * Jaccard >= 0.2) as CTEs over [[sqlShingleCtes]] — the ground-truth
+    * side of the d42b/d43b sketch audits.
+    */
+  private def sqlExactPairsCtes: String = s"""
+      pruned AS (
+        SELECT * FROM sh
+        WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+                        HAVING count(*) > $MaxShinglePostings)),
+      eshared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      exact_pairs AS (
+        SELECT d1, d2 FROM eshared
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.2)"""
+
+  private def sqlMinhashCtes: String = s"""
+      $sqlShingleCtes,
       mh AS (SELECT doc_id, ${sqlMh("s")} AS mh FROM sh),
       fam(i, a, b) AS (VALUES $famValuesSql),
       sigs AS (
@@ -361,7 +396,6 @@ object Dedup {
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       shr AS (
         SELECT c.d1, c.d2, count(*) AS shared
         FROM cand c
@@ -433,19 +467,7 @@ object Dedup {
     },
     Some(s"""
       WITH $sqlMinhashCtes,
-      pruned AS (
-        SELECT * FROM sh
-        WHERE s NOT IN (SELECT s FROM sh GROUP BY s
-                        HAVING count(*) > $MaxShinglePostings)),
-      eshared AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      exact_pairs AS (
-        SELECT d1, d2 FROM eshared
-          JOIN sizes s1 ON d1 = s1.doc_id
-          JOIN sizes s2 ON d2 = s2.doc_id
-        WHERE CAST(shared AS DOUBLE)/(s1.n + s2.n - shared) >= 0.2),
+      $sqlExactPairsCtes,
       cmp AS (
         SELECT coalesce(e.ie, 0) AS ie, coalesce(l.il, 0) AS il
         FROM (SELECT d1, d2, 1 AS ie FROM exact_pairs) e
@@ -671,21 +693,31 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc: hash each token to 64 bits; each output bit is
-    * the sign of the per-bit vote sum. One explode + one groupBy shuffle.
+  /** SimHash geometry: 60 bits (the [[mh60]] cross-engine hash width) in
+    * 4 chunks of 15 — hamming ≤ 3 over 4 chunks still pigeonholes to one
+    * equal chunk.
+    */
+  val SimBits = 60
+  val SimChunks = 4
+  val SimChunkBits: Int = SimBits / SimChunks
+
+  /** 60-bit SimHash per doc: hash each distinct token with the
+    * cross-engine [[mh60]]; each output bit is the sign of the per-bit
+    * vote sum. One explode + one groupBy shuffle. Because the base hash is
+    * engine-portable, the whole sketch is hash-oracled (see d43's SQL).
     *
     * The per-bit one-counts are SIMD-packed three to a long (21-bit lanes),
-    * so the shuffle/agg state is 22 longs per doc instead of 64 and each
-    * input row folds with 22 adds instead of 64 conditional sums. The sign
+    * so the shuffle/agg state is 20 longs per doc instead of 60 and each
+    * input row folds with 20 adds instead of 60 conditional sums. The sign
     * test `votes_b > 0` ⟺ `2·count_b > n`, so the output bits are
-    * identical to the naive form (pinned by DedupSpec). Lane arithmetic is
-    * exact for up to 2²⁰ distinct tokens per document — beyond any sane
+    * identical to the naive form (pinned by PropertySpec). Lane arithmetic
+    * is exact for up to 2²⁰ distinct tokens per document — beyond any sane
     * document; a larger doc should be chunked upstream anyway.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val LaneBits = 21
     val LanesPerPack = 3
-    val packs = (0 until 64).grouped(LanesPerPack).toSeq.zipWithIndex.map {
+    val packs = (0 until SimBits).grouped(LanesPerPack).toSeq.zipWithIndex.map {
       case (bs, g) =>
         sum(bs.zipWithIndex.map { case (b, j) =>
           shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(1L << (LaneBits * j))
@@ -693,10 +725,10 @@ object Dedup {
     }
     val voted = Q.spread(docs, "doc_id")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), mh60(col("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), packs: _*)
-    val bits = (0 until 64).map { b =>
+    val bits = (0 until SimBits).map { b =>
       val g = b / LanesPerPack
       val j = b % LanesPerPack
       val cnt = shiftright(col(s"p$g"), LaneBits * j)
@@ -707,7 +739,7 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ 3, found by chunk
-    * bucketing: split the 64-bit hash into 4×16-bit chunks; any pair within
+    * bucketing: split the 60-bit hash into 4×15-bit chunks; any pair within
     * distance 3 shares at least one chunk (pigeonhole), so the join is on
     * (chunk index, chunk value) — never all-pairs.
     */
@@ -715,9 +747,10 @@ object Dedup {
     val hashed = simhash(docs)
     val chunked = hashed.select(
       col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { j =>
+      explode(array((0 until SimChunks).map { j =>
         struct(lit(j).as("j"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+          shiftright(col("simhash"), j * SimChunkBits)
+            .bitwiseAND(lit((1L << SimChunkBits) - 1)).as("chunk"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.j").as("j"), col("c.chunk").as("chunk"))
     chunked.as("a")
@@ -731,24 +764,59 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** SimHash near-dups over documents. Rows-only (engine-specific hashing);
-    * DedupSpec pins behavior on planted duplicates, and
-    * [[d43bSimhashFidelity]] self-reports sketch fidelity vs the exact d41
-    * pairs in its dumped output.
+  /** The 60-bit SimHash signature table as DuckDB CTEs: distinct tokens →
+    * [[sqlMh]] base hash → per-bit majority votes (the oracle unnests the
+    * 60 bit positions — a 60× blowup of the token stream that only the
+    * ORACLE pays; the Spark side keeps its lane-packed single aggregate).
+    */
+  private def sqlSimSigCtes: String = s"""
+      toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+        FROM documents),
+      th AS (SELECT doc_id, ${sqlMh("tok")} AS h FROM toks),
+      tcnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+      votes AS (
+        SELECT doc_id, b.bit, sum((h >> b.bit) & 1) AS ones
+        FROM th CROSS JOIN (SELECT unnest(range(0, $SimBits)) AS bit) b
+        GROUP BY doc_id, b.bit),
+      sig AS (
+        SELECT v.doc_id,
+          CAST(sum(CASE WHEN 2*ones > n THEN (CAST(1 AS BIGINT) << bit)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes v JOIN tcnt USING (doc_id) GROUP BY v.doc_id)"""
+
+  /** SimHash near-dups over documents, FULLY HASH-ORACLED: the [[mh60]]
+    * base hash makes both engines compute bit-identical signatures, so the
+    * oracle replays the votes, the chunk bucketing, and the hamming filter
+    * verbatim. DedupSpec additionally pins behavior on planted duplicates,
+    * and [[d43bSimhashFidelity]] oracle-pins the corpus-wide fidelity.
     */
   val d43Simhash: Q = Q(
     "d43_simhash",
     (s, dir) => simhashNearDups(t(s, dir, "documents")),
-    None)
+    Some(s"""
+      WITH $sqlSimSigCtes,
+      chunks AS (
+        SELECT doc_id, simhash, j.j,
+          (simhash >> (j.j * $SimChunkBits)) & ${(1L << SimChunkBits) - 1} AS chunk
+        FROM sig CROSS JOIN (SELECT unnest(range(0, $SimChunks)) AS j) j),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+          bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM cand
+      WHERE hamming <= 3 ORDER BY d1, d2"""))
 
-  /** Self-reporting fidelity audit for the SimHash sketch. The chunked
-    * candidate join of [[simhashNearDups]] is COMPLETE by pigeonhole (its
-    * own recall is exactly 1), so the meaningful audit is how faithfully
-    * the 64-bit sketch tracks true textual similarity: take the exact d41
-    * near-dup pairs (Jaccard ≥ 0.2) and report their SimHash hamming
-    * distances — count, mean, and the share within 16 bits (the DedupSpec
-    * "near" band). One row; the d41 side is the tiny materialized pair
-    * table and simhash is one extra pass over the corpus.
+  /** Fidelity audit for the SimHash sketch. The chunked candidate join of
+    * [[simhashNearDups]] is COMPLETE by pigeonhole (its own recall is
+    * exactly 1), so the meaningful audit is how faithfully the 60-bit
+    * sketch tracks true textual similarity: take the exact d41 near-dup
+    * pairs (Jaccard ≥ 0.2) and report their SimHash hamming distances —
+    * count, mean, and the share within 16 bits (the SketchAuditSpec "near"
+    * band). With the [[mh60]] base hash the fidelity numbers themselves
+    * are oracle-pinned (the e61b pattern). One row; the d41 side is the
+    * tiny materialized pair table and simhash is one extra corpus pass.
     */
   val d43bSimhashFidelity: Q = Q(
     "d43b_simhash_fidelity",
@@ -772,5 +840,20 @@ object Dedup {
       // pair table once it lands
       Q.materialized(res, hs, pairs)
     },
-    None)
+    Some(s"""
+      WITH $sqlShingleCtes,
+      $sqlExactPairsCtes,
+      $sqlSimSigCtes,
+      ph AS (
+        SELECT bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+        FROM exact_pairs p
+          JOIN sig s1 ON s1.doc_id = p.d1
+          JOIN sig s2 ON s2.doc_id = p.d2)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        avg(hamming) AS mean_hamming,
+        CAST(sum(CASE WHEN hamming <= 16 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_within_16,
+        CAST(sum(CASE WHEN hamming <= 16 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS share_within_16
+      FROM ph"""))
 }

@@ -73,16 +73,19 @@ class PropertySpec extends SparkSpec {
     val df = texts.toDF("doc_id", "text")
     val packed = graft.ops.Dedup.simhash(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // reference: xxhash64 per distinct token via Spark (same hash), then a
-    // plain Scala majority vote per bit
-    val tokenHashes = df
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    texts.foreach { case (id, _) =>
-      val hs = tokenHashes(id)
-      val expected = (0 until 64).map { b =>
+    // reference: the same md5-60bit base hash recomputed in plain JVM
+    // code (MessageDigest, no Spark expression), then a plain Scala
+    // majority vote per bit — independent of the lane-packed aggregate
+    // AND of Spark's md5/conv expressions
+    def mh60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    texts.foreach { case (id, text) =>
+      val hs = text.split(" ").distinct.toSeq.map(mh60)
+      val expected = (0 until 60).map { b =>
         val ones = hs.count(h => ((h >> b) & 1L) == 1L)
         if (2 * ones > hs.length) 1L << b else 0L
       }.sum
