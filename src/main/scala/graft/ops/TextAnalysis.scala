@@ -641,33 +641,48 @@ object TextAnalysis {
       GROUP BY 1, 2 ORDER BY eval_doc, train_doc"""))
 
   /** Winnowing fingerprints (rolling-hash family, Schleimer et al. 2003):
-    * hash every char k-gram, then keep the minimum hash of each sliding
-    * window of w consecutive k-gram hashes. Guarantees any shared substring
-    * of length ≥ w+k-1 yields a shared fingerprint — the plagiarism/
-    * near-dup primitive that, unlike MinHash, localizes WHERE the overlap
-    * is. Per-row narrow compute; output is the (doc, fingerprint) posting
-    * list a pair-join consumes.
+    * hash every char k-gram with the cross-engine [[Dedup.mh60]] md5 hash,
+    * then keep the minimum hash of each sliding window of w consecutive
+    * k-gram hashes. Guarantees any shared substring of length ≥ w+k-1
+    * yields a shared fingerprint — the plagiarism/near-dup primitive that,
+    * unlike MinHash, localizes WHERE the overlap is. The window selection
+    * is a pure VALUE min (no positional tie rule), so with the portable
+    * base hash the whole fingerprint set is hash-oracled. Per-row narrow
+    * compute; output is the (doc, fingerprint) posting list a pair-join
+    * consumes.
     */
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
       k: Int = 20, w: Int = 8): org.apache.spark.sql.DataFrame = {
     val n = length(col("text"))
+    // DATAFLOW form, not per-row HOF arrays: explode the gram positions,
+    // hash each gram in a codegen'd projection (md5 inside a `transform`
+    // lambda runs interpreted — measured ~60% slower), and take window
+    // mins with a doc-keyed ROWS frame. Q.spread already hash-partitions
+    // on doc_id, so the window adds no exchange; the shuffle payload is
+    // narrow (doc_id, i, gh) rows, never the replicated text.
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, w - 1)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     Q.spread(docs, "doc_id")
-      .select(col("doc_id"), col("text"))
-      .withColumn("gh", transform(
-        sequence(lit(1), greatest(n - (k - 1), lit(1))),
-        i => xxhash64(col("text").substr(i, lit(k)))))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
-          j => array_min(slice(col("gh"), j + 1, lit(w)))))).as("fingerprint"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(n - (k - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), col("i"),
+        Dedup.mh60(col("text").substr(col("i"), lit(k))).as("gh"))
+      .withColumn("fp", min(col("gh")).over(wMin))
+      .withColumn("ng", count(lit(1)).over(wDoc))
+      .filter(col("i") <= greatest(col("ng") - (w - 1), lit(1)))
+      .select(col("doc_id"), col("fp").as("fingerprint"))
+      .distinct()
   }
 
   /** Winnowing near-dup pairs over documents: docs sharing ≥ 20
-    * fingerprints. Fingerprints occurring in more than `maxPostings` docs
-    * are dropped first (stop-fingerprint pruning) — they carry no signal
-    * and their posting lists would join quadratically; this is the same
-    * guard a plagiarism index needs at corpus scale. Rows-only
-    * (hash-based); WinnowSpec pins planted overlap.
+    * fingerprints. Fingerprints occurring in more than 50 docs are dropped
+    * first (stop-fingerprint pruning) — they carry no signal and their
+    * posting lists would join quadratically; this is the same guard a
+    * plagiarism index needs at corpus scale. r10: FULLY HASH-ORACLED via
+    * the md5 base hash (the oracle replays grams, window mins, pruning,
+    * and the pair join; its per-position md5 and window-frame min mirror
+    * the Spark HOF arithmetic exactly); WinnowSpec pins planted overlap.
     */
   val d33Winnow: Q = Q(
     "d33_winnow",
@@ -679,7 +694,7 @@ object TextAnalysis {
         .filter(col("df") > 50)
         .select(col("fingerprint"))
       val pruned = fp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
-      pruned.as("a")
+      val res = pruned.as("a")
         .join(pruned.as("b"),
           col("a.fingerprint") === col("b.fingerprint") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -687,8 +702,37 @@ object TextAnalysis {
         .agg(countDistinct(col("a.fingerprint")).as("shared_fps"))
         .filter(col("shared_fps") >= 20)
         .orderBy(col("d1"), col("d2"))
+      Q.materialized(res, fp)
     },
-    None)
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, i,
+          list_sum([CAST(strpos('0123456789abcdef',
+                           md5(substr(text, i, 20))[x]) - 1 AS BIGINT)
+                    * (CAST(1 AS BIGINT) << (4*(15-x))) for x in range(1, 16)])
+            AS gh
+        FROM (SELECT doc_id, text,
+                unnest(range(1, greatest(len(text) - 19, 1) + 1)) AS i
+              FROM documents) p),
+      wm AS (
+        SELECT doc_id, i,
+          min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+          count(*) OVER (PARTITION BY doc_id) AS ng
+        FROM g),
+      fps AS (
+        SELECT DISTINCT doc_id, fp AS fingerprint
+        FROM wm WHERE i <= greatest(ng - 7, 1)),
+      pruned AS (
+        SELECT * FROM fps
+        WHERE fingerprint NOT IN (
+          SELECT fingerprint FROM fps GROUP BY 1 HAVING count(*) > 50))
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(count(DISTINCT a.fingerprint) AS BIGINT) AS shared_fps
+      FROM pruned a JOIN pruned b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(DISTINCT a.fingerprint) >= 20
+      ORDER BY d1, d2"""))
 
   /** Canonical-text fingerprint: normalize (lowercase, strip punctuation,
     * collapse whitespace) then md5 — the cheap exact-dup key for content
