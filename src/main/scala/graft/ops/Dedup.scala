@@ -39,20 +39,15 @@ object Dedup {
     nGramPostings(docs, 3).union(short).distinct()
   }
 
-  /** Posting lists with each shingle replaced by two integer hashes —
-    * (doc_id, hs, mh) longs, PERSISTED (callers release via
-    * [[Q.materialized]]).
-    *
-    *  - `hs` (xxhash64): the JOIN key. Every wide consumer (self-joins,
-    *    document-frequency and set-size groupBys) only ever needs shingle
-    *    EQUALITY, so shuffling/caching 8-byte hashes instead of shingle
-    *    strings cuts the join payload ~5-10x; a 64-bit collision across the
-    *    distinct shingles of one corpus is negligible.
-    *  - `mh` (low 60 bits of md5, decoded from the hex digest): the
-    *    CROSS-ENGINE base hash for the MinHash signatures. md5 is the one
-    *    string hash both Spark and DuckDB compute bit-identically, which is
-    *    what lets d42/d42b carry full SQL oracles — the signature pipeline
-    *    is then pure integer arithmetic in both engines.
+  /** Posting lists with each shingle replaced by its [[mh60]] hash —
+    * (doc_id, hs) longs, PERSISTED (callers release via
+    * [[Q.materialized]]). ONE hash serves both roles: every wide consumer
+    * (self-joins, document-frequency and set-size groupBys) only ever
+    * needs shingle EQUALITY, so shuffling/caching 8-byte hashes instead of
+    * shingle strings cuts the join payload ~5-10x — and because mh60 is
+    * the cross-engine md5 decode, the same value doubles as the MinHash
+    * signature base hash that makes d42/d42b fully SQL-oracled. A 60-bit
+    * collision across the distinct shingles of one corpus is negligible.
     *
     * Debugging note: the DuckDB oracles (d41/d46/d48/d49) compare exact
     * shingle STRINGS, so if an hs collision ever did occur it would surface
@@ -61,7 +56,7 @@ object Dedup {
     */
   def hashedShingles(docs: DataFrame): DataFrame =
     shinglePostings(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("hs"), mh60(col("s")).as("mh"))
+      .select(col("doc_id"), mh60(col("s")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The 60-bit CROSS-ENGINE string hash: the first 15 hex chars of the
@@ -139,10 +134,7 @@ object Dedup {
     * posting lists — shared by d41 and the d42b audit (which compares it
     * against the LSH pipeline over the SAME posting-list base).
     */
-  private def jaccardPairsFrom(postings: DataFrame): DataFrame = {
-    // equality joins only — drop the MinHash base-hash column so the
-    // self-join and groupBys shuffle (doc_id, hs) pairs, nothing wider
-    val sh = postings.select(col("doc_id"), col("hs"))
+  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val hot = sh.groupBy(col("hs"))
       .agg(count(lit(1)).as("df"))
@@ -237,13 +229,13 @@ object Dedup {
     hashFamily.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
 
-  /** doc_id → 32-element MinHash signature from (doc_id, hs, mh) hashed
+  /** doc_id → 32-element MinHash signature from (doc_id, hs) hashed
     * posting lists: one codegen'd min-aggregate per hash function (one
     * shuffle on doc_id), over the cross-engine md5 base hash.
     */
   private def signaturesFromPostings(sh: DataFrame): DataFrame = {
     val hashed = sh
-      .select(col("doc_id"), pmod(col("mh"), lit(MersenneP)).as("h"))
+      .select(col("doc_id"), pmod(col("hs"), lit(MersenneP)).as("h"))
     val aggs = hashFamily.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
     }
