@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import Q.t
 
 /** e61/e61b: hyperplane LSH made CROSS-ENGINE DETERMINISTIC — the
-  * hash-oracled twin of e51's seed-native Gaussian-plane ANN, extending the
-  * e59b pattern (the recall claim itself is oracle-pinned, not just the
-  * output shape) to the hyperplane-LSH sketch family.
+  * integer-grid L2 twin of e51's raw-float cosine ANN (since r10 both are
+  * hash-oracled; e51 keeps float vectors + exact-decimal scoring, this one
+  * snaps to the integer grid), extending the e59b pattern (the recall
+  * claim itself is oracle-pinned, not just the output shape) to the
+  * hyperplane-LSH sketch family.
   *
   * Two ingredients remove every float/seed surface:
   *   - vectors snap to the e57 1/512 integer grid, so all dot products and

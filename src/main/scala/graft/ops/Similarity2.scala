@@ -447,13 +447,13 @@ object Similarity2 {
       WHERE rank <= 10 ORDER BY qid, rank"""))
   }
 
-  /** e59b: Hamming-vs-exact recall@10, FULLY ORACLED — unlike the sketch
-    * recall audits (d42b/d43b/e51b/e58, rows-only because their sketches
-    * are seed-native), both sides here are cross-engine deterministic: the
-    * Hamming ranking is pure integer and the exact side is e50's
-    * decimal-staged cosine, so the driver hash-pins the ACCURACY claim
-    * itself, not just the output shape. One corpus pass scores both
-    * rankings; the window shuffles only narrow (qid, cid, score) rows.
+  /** e59b: Hamming-vs-exact recall@10, FULLY ORACLED — the FIRST recall
+    * audit made cross-engine deterministic (r10 extended the pattern to
+    * d42b/d43b/e51b, leaving only e58 rows-only): the Hamming ranking is
+    * pure integer and the exact side is e50's decimal-staged cosine, so
+    * the driver hash-pins the ACCURACY claim itself, not just the output
+    * shape. One corpus pass scores both rankings; the window shuffles only
+    * narrow (qid, cid, score) rows.
     */
   /** e67: RECIPROCAL RANK FUSION — the hybrid-search combiner (Cormack et
     * al. SIGIR'09; what every lexical+vector "hybrid" endpoint runs):
