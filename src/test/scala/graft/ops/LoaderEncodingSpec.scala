@@ -79,6 +79,13 @@ class LoaderEncodingSpec extends SparkSpec {
     writeFixture("ntz", adjustedToUtc = false, TimeUnit.MICROS, identity)
   private lazy val utcDir =
     writeFixture("utc", adjustedToUtc = true, TimeUnit.MICROS, identity)
+  // the hypothetical FOURTH encoding the r9 ADVICE flagged: TIMESTAMP(MILLIS)
+  // — Spark scales it to TimestampType on read, so Q.t's passthrough branch
+  // must carry it through unchanged (all expectedMicros are millis-exact
+  // except the sub-milli instants, which this fixture floors to millis)
+  private lazy val millisDir =
+    writeFixture("millis", adjustedToUtc = true, TimeUnit.MILLIS,
+      micros => Math.floorDiv(micros, 1000L))
 
   /** The physical type each fixture surfaces as on RAW read — if any of
     * these shifts (a Spark upgrade, a flag change, a 4th encoding), this
@@ -103,6 +110,20 @@ class LoaderEncodingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       assert(got === expectedMicros, s"[$tag] normalized micros")
     }
+  }
+
+  test("TIMESTAMP(MILLIS) rides the passthrough branch with correct scaling") {
+    assert(spark.read.parquet(s"$millisDir/events.parquet")
+      .schema("ts").dataType === TimestampType,
+      "millis must surface as plain TIMESTAMP (the passthrough branch)")
+    val df = Q.t(spark, millisDir, "events")
+    assert(df.schema("ts").dataType === TimestampType)
+    val got = df.select(col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expect = expectedMicros.map { case (id, us) =>
+      (id, Math.floorDiv(us, 1000L) * 1000L)
+    }
+    assert(got === expect, "millis values must scale to micros, not pass raw")
   }
 
   test("non-events tables pass through Q.t untouched") {
