@@ -11,7 +11,7 @@ import Q.t
   * Scale design: nothing here ever compares all O(n²) document pairs. Exact
   * dedup shuffles on a 128-bit fingerprint; Jaccard joins only docs sharing
   * a shingle; MinHash-LSH shuffles on (band, band-hash) buckets and
-  * verifies only in-bucket candidates; SimHash buckets on 16-bit chunks
+  * verifies only in-bucket candidates; SimHash buckets on 15-bit chunks
   * (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ one chunk equal).
   */
 object Dedup {
@@ -71,11 +71,14 @@ object Dedup {
 
   /** DuckDB mirror of [[mh60]]: decode the first 15 hex chars of md5 into
     * a BIGINT (4 bits per digit, big-endian — exactly what
-    * `conv(substring(md5(s),1,15),16,10)` computes in Spark).
+    * `conv(substring(md5(s),1,15),16,10)` computes in Spark). The ONE
+    * definition every oracle shares (d42/d43 here, d33 in TextAnalysis) —
+    * the comprehension variable is deliberately collision-proof so the
+    * fragment can embed inside any outer query.
     */
-  private def sqlMh(s: String): String =
-    s"list_sum([CAST(strpos('0123456789abcdef', md5($s)[i]) - 1 AS BIGINT)" +
-      s" * (CAST(1 AS BIGINT) << (4*(15-i))) for i in range(1, 16)])"
+  private[ops] def sqlMh(s: String): String =
+    s"list_sum([CAST(strpos('0123456789abcdef', md5($s)[__hx]) - 1 AS BIGINT)" +
+      s" * (CAST(1 AS BIGINT) << (4*(15-__hx))) for __hx in range(1, 16)])"
 
   /** Word n-gram posting lists (doc_id, g) on the codegen path
     * (posexplode + n−1 leads; distinct per doc unless `distinctPerDoc` is
@@ -161,10 +164,10 @@ object Dedup {
     (s, dir) => {
       // Posting lists are referenced 3x (sizes + both join sides):
       // materialize them once instead of re-running shingling per branch.
-      // Shingle STRINGS are replaced by their xxhash64 before anything
+      // Shingle STRINGS are replaced by their mh60 hash before anything
       // wide runs — the self-join and both groupBys then shuffle 8-byte
       // longs instead of full shingle text (~5-10x smaller shuffle
-      // payload, smaller cache too). 64-bit collisions are negligible at
+      // payload, smaller cache too). 60-bit collisions are negligible at
       // any realistic distinct-shingle cardinality; the oracle keeps
       // exact strings. The tiny pair table materializes and the cache is
       // dropped — d46's clustering loop then consumes flat pairs instead

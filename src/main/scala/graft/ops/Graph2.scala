@@ -168,9 +168,13 @@ object Graph2 {
       // more rows at sf0.1). The 12dp-quantized term is carried as exact
       // integer PICOUNITS and summed as a LONG — the pair aggregate is the
       // O(Σdeg²) hot loop, and a codegen long sum beats a decimal sum
-      // several-fold there (measured 5.2→?s at sf0.1); a group's sum stays
-      // ≤ MaxCustDeg·1.45e12 ≪ 2⁶³ AND ≪ 2⁵³, so the one final divide is
-      // exact-input IEEE, bit-identical to summing the decimals.
+      // several-fold there (measured 5.2→4.0 s at sf0.1). A pair group
+      // sums `common` terms of ≤ ⌈1e12/ln 2⌉: the long sum is exact below
+      // ~6.4e6 shared customers per pair (overflow bound), and the final
+      // long→double cast is the same IEEE value in BOTH engines at any
+      // count — cross-engine parity never depends on the 2⁵³ limit; only
+      // agreement with the pre-r10 decimal-sum form needs common ≲ 6e3,
+      // far above any real supplier pair here (≤ a few hundred).
       // cdeg ≥ 2 both protects the hoisted 1/ln(cdeg) from ln(1)=0 (ANSI
       // divide-by-zero) AND drops rows that could never form a pair — a
       // deg-1 customer has no second supplier to co-occur with

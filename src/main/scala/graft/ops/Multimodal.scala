@@ -135,7 +135,9 @@ object Multimodal {
       if (!ok || dataOff < 0) return None
       val frames = dataLen / (2 * channels)
       if (frames <= 0) return None
-      val out = new Array[Float](dim)
+      // accumulate in DOUBLE: a float accumulator loses low bits once the
+      // running sum of squares dwarfs each term (minutes-long windows)
+      val acc = new Array[Double](dim)
       val cnt = new Array[Int](dim)
       var i = 0
       while (i < frames) {
@@ -146,14 +148,17 @@ object Multimodal {
           ch += 1
         }
         mix /= channels
-        val win = math.min(dim - 1, i * dim / frames)
-        out(win) += (mix * mix).toFloat
+        // long multiply: i*dim wraps Int for >Int.MaxValue/dim frames
+        // (~51 min of 44.1 kHz audio at dim=16)
+        val win = math.min(dim - 1, (i.toLong * dim / frames).toInt)
+        acc(win) += mix * mix
         cnt(win) += 1
         i += 1
       }
+      val out = new Array[Float](dim)
       i = 0
       while (i < dim) {
-        if (cnt(i) > 0) out(i) = math.sqrt(out(i) / cnt(i)).toFloat
+        if (cnt(i) > 0) out(i) = math.sqrt(acc(i) / cnt(i)).toFloat
         i += 1
       }
       Some((rate, frames * 1000L / rate, out))

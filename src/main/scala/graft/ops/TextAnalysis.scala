@@ -706,11 +706,7 @@ object TextAnalysis {
     },
     Some(s"""
       WITH g AS (
-        SELECT doc_id, i,
-          list_sum([CAST(strpos('0123456789abcdef',
-                           md5(substr(text, i, 20))[x]) - 1 AS BIGINT)
-                    * (CAST(1 AS BIGINT) << (4*(15-x))) for x in range(1, 16)])
-            AS gh
+        SELECT doc_id, i, ${Dedup.sqlMh("substr(text, i, 20)")} AS gh
         FROM (SELECT doc_id, text,
                 unnest(range(1, greatest(len(text) - 19, 1) + 1)) AS i
               FROM documents) p),
