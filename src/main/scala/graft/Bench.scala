@@ -2,7 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Bench {
+  /** 1-minute system load average, -1.0 when the platform can't report it.
+    * Stamped into both bench JSONs at start and end so a contended run is
+    * self-identifying in the ARTIFACT (round 10's driver environment
+    * inverted a perf conclusion with nothing in the file to flag it).
+    */
+  private def loadAvg1: Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // JSON-safe: the MXBean returns NaN on some platforms; emit -1.0
+    if (l.isNaN) -1.0 else math.rint(l * 100) / 100
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
@@ -42,7 +55,7 @@ object Bench {
     // re-executions, not cache hits; clearCache() backstops that.
     val results = selected.map { case (name, fn) =>
       var ok = true
-      val best = (1 to runs).map { _ =>
+      val times = (1 to runs).map { _ =>
         // sweep ALL persisted blocks (checkpointed results included —
         // clearCache alone misses them) so repeats and later queries are
         // honest re-executions against a clean store
@@ -50,19 +63,26 @@ object Bench {
         val t0 = System.nanoTime()
         ok &= exhaust(name, fn, sfDir)
         (System.nanoTime() - t0) / 1e9
-      }.min
-      (name, best, ok)
+      }
+      (name, times.min, times.max, ok)
     }
     graft.ops.Q.releaseAll(spark)
     // a throwing query is still listed with its (meaningless) time, but the
     // `failed` array marks it so a broken query can never read as a perf win
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query [min, max] over the repeats: a wide spread on unchanged code
+    // marks a contended run (round 10's driver reported e73 at 2.7x its
+    // reproducible cost with nothing in the artifact to say so)
+    val spread = results.map { case (k, lo, hi, _) =>
+      s"\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = loadAvg1
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"load_start":$loadStart,"load_end":$loadEnd,"failed":$failed,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     // Full per-query JSON goes to the file; stdout's LAST line is a COMPACT
     // summary (total + counts + 5 slowest) — round 2's driver sliced the
     // ~4 KB full line mid-JSON in its 2000-char tail window, so the printed
@@ -74,14 +94,14 @@ object Bench {
     // under comma-decimal locales and .toDouble would then throw AFTER the
     // whole timed run, losing the line the driver parses
     val slow5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v, _) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     // compact line carries only the failure COUNT — the full name array
     // (in the file/full JSON) could alone overflow the driver's 2000-char
     // tail window if a broken build fails every query
-    val nFailed = results.count(!_._3)
+    val nFailed = results.count(!_._4)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"n_failed":$nFailed,"queries":$slow5,"queries_file":"$out","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"load":[$loadStart,$loadEnd],"n_queries":${results.size},"n_failed":$nFailed,"queries":$slow5,"queries_file":"$out","sf":"$sfDir"}"""
     spark.stop()
     println(compact)
   }

@@ -425,6 +425,12 @@ object Dedup {
     "d42_minhash_lsh",
     (s, dir) => minhashNearDups(t(s, dir, "documents"), threshold = 0.2),
     Some(s"""
+      -- TRIAGE on hash mismatch: the Spark side buckets bands on xxhash64
+      -- of each 4-element signature slice and verifies Jaccard over 60-bit
+      -- hashed shingles; this oracle joins raw slices and exact strings.
+      -- A (negligible-probability) band-hash or mh60 collision therefore
+      -- shows up HERE as a hash-compare failure, not as a caught bug —
+      -- rule that out before suspecting the pipeline (see sqlMinhashCtes).
       WITH $sqlMinhashCtes
       SELECT d1, d2, est_jaccard, jaccard FROM lsh_pairs ORDER BY d1, d2"""))
 
@@ -461,6 +467,8 @@ object Dedup {
       Q.materialized(cmp, sh, sigs, cand)
     },
     Some(s"""
+      -- TRIAGE on hash mismatch: see d42_minhash_lsh — a band-hash/mh60
+      -- collision presents here as an oracle hash failure, not a caught bug.
       WITH $sqlMinhashCtes,
       $sqlExactPairsCtes,
       cmp AS (

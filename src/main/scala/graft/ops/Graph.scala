@@ -41,19 +41,24 @@ object Graph {
     * set outgrows broadcast size). The `shuffle_hash` hints also keep the
     * cached edge partitions from being re-sorted every round. Round state
     * is eagerly localCheckpoint'ed (flat plans, see [[Clustering]]) and
-    * superseded rounds are released, so the loop holds ≤ 2 rank tables.
-    * The only broadcast anywhere is the one-row node count; a FIXED
-    * iteration count means no per-round driver action beyond the
-    * checkpoint itself. On a real cluster swap `checkpoint()` for durable
-    * lineage cuts.
+    * superseded rounds are released, so the loop holds ≤ 2 rank tables —
+    * identical per-round plans also HIT the codegen cache, which an A/B
+    * showed beats composing the rounds lazily (10.6 s vs 7.4 s at sf0.1:
+    * lazy loses the cache and pays AQE replanning on the deep plan). The
+    * node count is collected ONCE (one row — the same driver-side stats
+    * read AQE does) and folded into the round as a literal, so a round
+    * broadcasts NOTHING. A FIXED iteration count means no per-round
+    * driver action beyond the checkpoint itself. On a real cluster swap
+    * `checkpoint()` for durable lineage cuts.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val (e, deg, ew, ncnt) = edgeState(edges)
-    var ranks = deg.crossJoin(broadcast(ncnt))
-      .select(col("src").as("node"), expr(s"$Scale div n").as("r"))
+    val n = ncnt.head().getLong(0)
+    var ranks = deg
+      .select(col("src").as("node"), lit(Scale / n).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val next = round(ew, deg, ncnt, ranks).localCheckpoint(true)
+      val next = round(ew, deg, n, ranks).localCheckpoint(true)
       Q.releaseBlocks(ranks)
       ranks = next
     }
@@ -84,9 +89,10 @@ object Graph {
   /** One LAZY power-iteration round over the prepared loop state —
     * exposed so [[graft.ops]] specs can assert the per-round plan shape:
     * the cached `ew` feeds its join with no exchange above it, and the
-    * only broadcast in the round is the one-row node count.
+    * round broadcasts NOTHING (the node count arrives as a folded
+    * literal, collected once outside the loop).
     */
-  def round(ew: DataFrame, deg: DataFrame, ncnt: DataFrame,
+  def round(ew: DataFrame, deg: DataFrame, n: Long,
       ranks: DataFrame): DataFrame = {
     // build the hash map on the rank side (O(nodes) rows of (key, long));
     // the stream side is the cached hash(src)-partitioned edge table
@@ -94,10 +100,10 @@ object Graph {
       .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
       .select(col("dst"), expr("((85 * r) div 100) div deg").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-    deg.crossJoin(broadcast(ncnt))
+    deg
       .join(contribs.hint("shuffle_hash"), col("src") === col("dst"), "left")
       .select(col("src").as("node"),
-        (expr(s"((15 * $Scale) div 100) div n") +
+        (lit((15 * Scale / 100) / n) +
           coalesce(col("s"), lit(0L))).as("r"))
   }
 
@@ -170,12 +176,13 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, isSeed: Column => Column,
       iters: Int): DataFrame = {
-    val (e, deg, ew, ncnt) = edgeState(edges)
-    val seedCnt = deg.filter(isSeed(col("src")))
-      .agg(count(lit(1)).as("ns"))
-    var ranks = deg.crossJoin(broadcast(seedCnt))
+    val (e, deg, ew, _) = edgeState(edges)
+    // one-row driver read, like g60's node count: the seed-cohort size
+    // folds into every round as a literal, so rounds broadcast nothing
+    val ns = deg.filter(isSeed(col("src"))).count()
+    var ranks = deg
       .select(col("src").as("node"),
-        when(isSeed(col("src")), expr(s"$Scale div ns"))
+        when(isSeed(col("src")), lit(Scale / ns))
           .otherwise(lit(0L)).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -184,11 +191,11 @@ object Graph {
           "src")
         .select(col("dst"), expr("((85 * r) div 100) div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = deg.crossJoin(broadcast(seedCnt))
+      val next = deg
         .join(contribs.hint("shuffle_hash"), col("src") === col("dst"), "left")
         .select(col("src").as("node"),
-          (when(isSeed(col("src")),
-            expr(s"((15 * $Scale) div 100) div ns")).otherwise(lit(0L)) +
+          (when(isSeed(col("src")), lit((15 * Scale / 100) / ns))
+            .otherwise(lit(0L)) +
             coalesce(col("s"), lit(0L))).as("r"))
         .localCheckpoint(true)
       Q.releaseBlocks(ranks)
@@ -258,7 +265,9 @@ object Graph {
     * distance table every round re-sends settled nodes forever). The
     * frontier joins the hash(src)-partitioned cached edge table each
     * round (g60's loop discipline: state shuffles to the cached big side,
-    * nothing broadcasts, ≤2 round states live). Returns (node, d) for
+    * nothing broadcasts; resident state totals one copy of the reached
+    * set — the per-round fresh checkpoints — not per-round full copies).
+    * Returns (node, d) for
     * every node reached within `iters` hops. Unreached nodes are absent —
     * the caller left-joins if it wants NULL-distance rows.
     */
@@ -267,26 +276,32 @@ object Graph {
     val e = edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // symmetric edge list ⇒ the src column enumerates every node
-    var dist = e.select(col("src")).distinct().filter(isSeed(col("src")))
+    val seed = e.select(col("src")).distinct().filter(isSeed(col("src")))
       .select(col("src").as("node"), lit(0L).as("d"))
       .localCheckpoint(true)
-    var frontier = dist
+    // BFS distance is APPEND-ONLY: only each round's FRESH nodes need a
+    // materialization job; the full distance table stays a lazy union of
+    // the flat per-round checkpoints (scanning cached blocks, no
+    // recompute), so a sweep writes each node's row ONCE total instead of
+    // re-checkpointing the whole growing table every round
+    var rounds = Vector(seed)
+    var frontier = seed
     for (i <- 1 to iters) {
       val reached = e
         .join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"),
           "src")
         .select(col("dst").as("node")).distinct()
+      val dist = rounds.reduce(_ unionAll _)
       val fresh = reached.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("d"))
         .localCheckpoint(true)
-      val next = dist.unionAll(fresh).localCheckpoint(true)
-      Q.releaseBlocks(dist)
-      if (frontier ne dist) Q.releaseBlocks(frontier)
-      dist = next
+      rounds :+= fresh
       frontier = fresh
     }
+    val out = rounds.reduce(_ unionAll _).localCheckpoint(true)
+    rounds.foreach(Q.releaseBlocks)
     e.unpersist()
-    dist
+    out
   }
 
   private def bfsIterSql(i: Int): String = s"""

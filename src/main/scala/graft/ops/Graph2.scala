@@ -36,7 +36,9 @@ object Graph2 {
     * broadcast of node state, never a re-shuffle of the edge side), vote
     * counting is a keyed aggregate, the argmax is a second keyed
     * aggregate over one packed integer, and round state is eagerly
-    * checkpointed so the loop holds ≤ 2 label tables.
+    * checkpointed so the loop holds ≤ 2 label tables (identical per-round
+    * plans hit the codegen cache — measured faster than lazy round
+    * composition, see [[Graph.pageRank]]).
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)

@@ -119,7 +119,9 @@ object Multimodal {
       while (off + 8 <= bytes.length && (dataOff < 0 || !ok)) {
         val id = tag(off)
         val size = le32(off + 4)
-        if (size < 0 || off + 8 + size > bytes.length) return None
+        // compare in Long: off + 8 + size wraps Int for adversarial chunk
+        // sizes near Int.MaxValue, which would silently bypass this guard
+        if (size < 0 || off + 8 + size.toLong > bytes.length) return None
         if (id == "fmt " && size >= 16) {
           val audioFormat = le16(off + 8)
           channels = le16(off + 10)

@@ -361,11 +361,18 @@ object Similarity {
       }: _*)).as("bucket"))
   }
 
-  /** The nonzero plane entries of the 64-dim family as oracle-side VALUES
-    * rows (p, i, wt), i 0-based — the testdata embedding width.
+  /** The one embedding width the e51/e51b oracles are generated for — the
+    * testdata width. [[annTopK]] requires dim == OracleDim so the Spark
+    * plan and [[planeValuesSql]] can never silently use different plane
+    * families (they'd diverge only as a confusing hash mismatch).
+    */
+  private val OracleDim = 64
+
+  /** The nonzero plane entries of the OracleDim family as oracle-side
+    * VALUES rows (p, i, wt), i 0-based.
     */
   private def planeValuesSql: String =
-    planeTables(64).zipWithIndex.flatMap { case (plane, p) =>
+    planeTables(OracleDim).zipWithIndex.flatMap { case (plane, p) =>
       plane.map { case (i, w) => s"($p,$i,$w)" }
     }.mkString(",")
 
@@ -390,6 +397,8 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       dim: Int = 64): DataFrame = {
+    require(dim == OracleDim,
+      s"e51 oracle plane constants are generated for dim=$OracleDim; got $dim")
     GraftFunctions.register(emb.sparkSession)
     val corpus = Q.spread(emb.filter(col("vec_id") >= nQueries), "vec_id")
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))

@@ -38,15 +38,14 @@ class GraphSpec extends SparkSpec {
       Graph.edgeState(sym((0L, 1L), (0L, 2L), (1L, 2L)))
     try {
       ew.count() // pin the cache so its hash(src) partitioning is in force
-      val ranks = deg.crossJoin(broadcast(ncnt))
-        .select(col("src").as("node"), expr(s"${Graph.Scale} div n").as("r"))
+      val n = ncnt.head().getLong(0)
+      val ranks = deg
+        .select(col("src").as("node"), lit(Graph.Scale / n).as("r"))
         .localCheckpoint(true)
-      val plan = Graph.round(ew, deg, ncnt, ranks).queryExecution.executedPlan
-      // the only broadcast allowed anywhere in a round is the 1-row count
-      plan.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
-        assert(b.output.map(_.name) === Seq("n"),
-          s"O(nodes) state broadcast inside the loop:\n$plan")
-      }
+      val plan = Graph.round(ew, deg, n, ranks).queryExecution.executedPlan
+      // the node count is a folded literal — a round broadcasts NOTHING
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+        s"state broadcast inside the loop:\n$plan")
       assert(plan.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
         s"rank state must shuffle to the edges, not broadcast:\n$plan")
       // the cached edge table joins with NO exchange between scan and join
