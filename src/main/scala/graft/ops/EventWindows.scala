@@ -13,7 +13,7 @@ object EventWindows {
 
   def pack: Seq[Q] =
     Seq(q23Tumbling, q24Sliding, q25Sessions, q36StatefulSessions,
-      q37ClickAttribution, q47GapFill, q50ForwardFill)
+      q37ClickAttribution, q37bConversionFull, q47GapFill, q50ForwardFill)
 
   /** Forward fill / last-observation-carried-forward (q47's companion:
     * gap fill densifies the GRID, LOCF densifies the VALUES): treat
@@ -140,6 +140,32 @@ object EventWindows {
              p.event_id AS purchase_id, p.ts AS purchase_ts
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts > c.ts
+       AND p.ts <= c.ts + INTERVAL '30 minutes'
+      ORDER BY click_id, purchase_id"""))
+
+  /** The stream-stream FULL OUTER join transform run in batch mode: every
+    * click (converted or not) AND every orphan purchase emits exactly once
+    * with a three-way status. In streaming the outer rows emit only after
+    * the opposing watermark proves the non-match (EventStreamSpec pins
+    * that late emission); in batch the full outer is immediate — the
+    * results agree, which is exactly the Structured Streaming contract
+    * this oracle certifies.
+    */
+  val q37bConversionFull: Q = Q(
+    "q37b_conversion_full",
+    (s, dir) => EventTransforms.clickConversionFull(t(s, dir, "events"))
+      .orderBy(col("click_id"), col("purchase_id")),
+    Some("""
+      SELECT coalesce(c.user_id, p.user_id) AS user_id,
+             c.event_id AS click_id, c.ts AS click_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts,
+             CASE WHEN c.event_id IS NULL THEN 'orphan_purchase'
+                  WHEN p.event_id IS NULL THEN 'no_conversion'
+                  ELSE 'converted' END AS status
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id
        AND p.ts > c.ts
        AND p.ts <= c.ts + INTERVAL '30 minutes'

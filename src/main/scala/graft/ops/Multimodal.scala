@@ -23,10 +23,13 @@ case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int,
 /** Multimodal-column plumbing: binary content + typed metadata, partition-
   * batched decode/feature-extraction, frame sampling. IMAGE decode is REAL
   * (javax.imageio is pure-JVM: PNG/GIF/BMP/JPEG, no native libs needed);
-  * AUDIO decode is REAL for WAV/PCM (a pure-JVM RIFF parse — sample rate,
-  * duration, per-window RMS features); compressed-audio and video codecs
-  * are STUBS (their libraries are not in this container). The Spark-side
-  * shape (schema, encoders, mapPartitions batching, shuffle-free narrow
+  * AUDIO decode is REAL for WAV/PCM and for G.711 µ-law/A-law compressed
+  * audio (pure-JVM RIFF parse + exact integer companding tables — sample
+  * rate, duration, per-window RMS features). Perceptual codecs (MP3/FLAC/
+  * Vorbis) and video are STUBS by declared de-scope: no pure-JVM decoder
+  * for them exists on this classpath and native libraries are not in this
+  * container (SURVEY §2-C records the de-scope). The Spark-side shape
+  * (schema, encoders, mapPartitions batching, shuffle-free narrow
   * execution) is real and tested in MultimodalSpec either way.
   */
 object Multimodal {
@@ -93,16 +96,73 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------------------- G.711 companding
+  // ITU-T G.711 µ-law / A-law — the telephony compressed-audio formats and
+  // the one compressed codec family that is pure integer math, so it
+  // decodes for real with zero native dependencies. Formulas are the
+  // classic public-domain CCITT/Sun reference expansions; MultimodalSpec
+  // pins the canonical extreme/zero code points independently of the
+  // encoders below.
+
+  /** Expand one µ-law byte to a linear PCM16 sample (±32124 full scale). */
+  def ulawToPcm16(b: Int): Int = {
+    val u = ~b & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Expand one A-law byte to a linear PCM16 sample (±32256 full scale).
+    * Note G.711's inverted sign convention: a SET sign bit is positive.
+    */
+  def alawToPcm16(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Compress a linear PCM16 sample to a µ-law byte (fixture writer +
+    * the encode half a telephony export sink would use).
+    */
+  def pcm16ToUlaw(pcm0: Int): Int = {
+    val Bias = 0x84
+    var pcm = pcm0
+    val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+    pcm = math.min(pcm, 32635) + Bias
+    var exp = 7
+    while (exp > 0 && (pcm & (0x80 << exp)) == 0) exp -= 1
+    val mant = (pcm >> (exp + 3)) & 0x0F
+    ~(sign | (exp << 4) | mant) & 0xFF
+  }
+
+  /** Compress a linear PCM16 sample to an A-law byte. */
+  def pcm16ToAlaw(pcm0: Int): Int = {
+    var pcm = pcm0
+    val sign = if (pcm >= 0) 0x80 else { pcm = -pcm; 0 }
+    pcm = math.min(pcm, 32767)
+    // segment k ⇔ top set bit at position k+7 (k ≥ 1); below 256 → seg 0
+    var exp = 7
+    while (exp > 0 && (pcm & (0x80 << exp)) == 0) exp -= 1
+    val mant =
+      if (exp == 0) (pcm >> 4) & 0x0F
+      else (pcm >> (exp + 3)) & 0x0F
+    (sign | (exp << 4) | mant) ^ 0x55
+  }
+
   /** REAL audio decode: pure-JVM RIFF/WAVE parse for uncompressed 16-bit
-    * PCM (mono or multi-channel, channels mean-mixed). Returns
-    * (sampleRateHz, durationMs, per-window RMS features): the content is
-    * split into `dim` equal frame windows and each feature is the RMS of
-    * the normalized samples in that window — the audio analogue of the
-    * image path's strip luminances. Chunk walk honors RIFF's even-byte
-    * padding; None for anything that is not a well-formed PCM16 WAV
-    * (callers fall back to the stub), matching decodeImage's contract.
-    * Mirrors the reference's media-ingest surface (opaque bytes → typed
-    * features) without any native codec dependency.
+    * PCM (format 1) AND G.711 compressed audio (format 6 A-law, format 7
+    * µ-law — 8-bit companded bytes expanded through the exact integer
+    * G.711 tables above), mono or multi-channel, channels mean-mixed.
+    * Returns (sampleRateHz, durationMs, per-window RMS features): the
+    * content is split into `dim` equal frame windows and each feature is
+    * the RMS of the normalized samples in that window — the audio
+    * analogue of the image path's strip luminances. Chunk walk honors
+    * RIFF's even-byte padding; None for anything else (callers fall back
+    * to the stub), matching decodeImage's contract. Mirrors the
+    * reference's media-ingest surface (opaque bytes → typed features)
+    * without any native codec dependency.
     */
   def decodeWav(bytes: Array[Byte], dim: Int): Option[(Int, Long, Array[Float])] =
     try {
@@ -113,6 +173,7 @@ object Multimodal {
       var off = 12
       var rate = 0
       var channels = 0
+      var fmt = 0
       var ok = false
       var dataOff = -1
       var dataLen = 0
@@ -123,11 +184,14 @@ object Multimodal {
         // sizes near Int.MaxValue, which would silently bypass this guard
         if (size < 0 || off + 8 + size.toLong > bytes.length) return None
         if (id == "fmt " && size >= 16) {
-          val audioFormat = le16(off + 8)
+          fmt = le16(off + 8)
           channels = le16(off + 10)
           rate = le32(off + 12)
           val bits = le16(off + 22)
-          ok = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
+          // PCM16, or G.711 A-law/µ-law (8-bit companded)
+          ok = channels > 0 && rate > 0 &&
+            ((fmt == 1 && bits == 16) ||
+              ((fmt == 6 || fmt == 7) && bits == 8))
         } else if (id == "data") {
           dataOff = off + 8
           dataLen = size
@@ -135,8 +199,14 @@ object Multimodal {
         off += 8 + size + (size & 1) // chunks pad to even byte boundaries
       }
       if (!ok || dataOff < 0) return None
-      val frames = dataLen / (2 * channels)
+      val bytesPerSample = if (fmt == 1) 2 else 1
+      val frames = dataLen / (bytesPerSample * channels)
       if (frames <= 0) return None
+      def sampleAt(idx: Int): Double = fmt match {
+        case 1 => le16(dataOff + 2 * idx).toShort / 32768.0
+        case 6 => alawToPcm16(bytes(dataOff + idx) & 0xFF) / 32768.0
+        case _ => ulawToPcm16(bytes(dataOff + idx) & 0xFF) / 32768.0
+      }
       // accumulate in DOUBLE: a float accumulator loses low bits once the
       // running sum of squares dwarfs each term (minutes-long windows)
       val acc = new Array[Double](dim)
@@ -146,7 +216,7 @@ object Multimodal {
         var mix = 0.0
         var ch = 0
         while (ch < channels) {
-          mix += le16(dataOff + 2 * (i * channels + ch)).toShort / 32768.0
+          mix += sampleAt(i * channels + ch)
           ch += 1
         }
         mix /= channels
@@ -166,11 +236,12 @@ object Multimodal {
       Some((rate, frames * 1000L / rate, out))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decoder — stands in for compressed-audio spectrogram / video
-    * embedding, which need native libraries not present in this container
-    * (and the fallback for undecodable image/audio bytes). Deterministic by
-    * construction (pure function of the bytes) so the pipeline around it is
-    * fully testable.
+  /** STUB decoder — stands in for perceptual-codec audio (MP3/FLAC) and
+    * video embedding, which need native libraries not present in this
+    * container (and the fallback for undecodable image/audio bytes); the
+    * G.711 compressed formats decode for REAL above. Deterministic by
+    * construction (pure function of the bytes) so the pipeline around it
+    * is fully testable.
     */
   def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -265,30 +336,57 @@ object Multimodal {
     try in.readAllBytes() finally in.close()
   }
 
-  /** The real 8000 Hz mono PCM16 test WAV — ONE definition shared with
-    * MultimodalSpec, built byte-by-byte in code (the RIFF layout is fixed,
-    * so unlike the PNG there is no encoder variance to pin down): 400
-    * samples of an integer triangle wave, sample(i) = ((i % 100) − 50)·500.
-    * Fully deterministic, so d61's decoded rate/duration/RMS row is stable.
+  /** The shared fixture waveform: 400 samples of an integer triangle
+    * wave, sample(i) = ((i % 100) − 50)·500 — deterministic by definition.
     */
-  private[ops] lazy val fixtureWavBytes: Array[Byte] = {
-    val samples = (0 until 400).map(i => (((i % 100) - 50) * 500).toShort)
-    val dataLen = samples.length * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+  private[ops] def fixtureSamples: IndexedSeq[Short] =
+    (0 until 400).map(i => (((i % 100) - 50) * 500).toShort)
+
+  /** Build a RIFF/WAVE byte array around pre-encoded sample data — the
+    * layout is fixed by the spec, so unlike the PNG there is no encoder
+    * variance to pin down. `fmtCode` 1 = PCM, 6 = A-law, 7 = µ-law.
+    */
+  private def buildWav(fmtCode: Short, bitsPerSample: Short,
+      rateHz: Int, data: Array[Byte]): Array[Byte] = {
+    val blockAlign = (bitsPerSample / 8).toShort
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
       .put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1)      // PCM
-      .putShort(1)      // mono
-      .putInt(8000)     // sample rate
-      .putInt(16000)    // byte rate
-      .putShort(2)      // block align
-      .putShort(16)     // bits per sample
-    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach(bb.putShort(_))
+      .putShort(fmtCode)
+      .putShort(1)                    // mono
+      .putInt(rateHz)
+      .putInt(rateHz * blockAlign)    // byte rate
+      .putShort(blockAlign)
+      .putShort(bitsPerSample)
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length)
+    bb.put(data)
     bb.array()
   }
+
+  /** The real 8000 Hz mono PCM16 test WAV — ONE definition shared with
+    * MultimodalSpec, so d61's decoded rate/duration/RMS row is stable.
+    */
+  private[ops] lazy val fixtureWavBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(fixtureSamples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fixtureSamples.foreach(bb.putShort(_))
+    buildWav(1, 16, 8000, bb.array())
+  }
+
+  /** The same waveform G.711-µ-law-companded (format 7, 8-bit) — d61's
+    * real COMPRESSED-audio ingest path. Its decoded RMS must track the
+    * PCM fixture's within companding error (MultimodalSpec pins that).
+    */
+  private[ops] lazy val fixtureUlawWavBytes: Array[Byte] =
+    buildWav(7, 8, 8000,
+      fixtureSamples.map(s => pcm16ToUlaw(s).toByte).toArray)
+
+  /** The same waveform G.711-A-law-companded (format 6, 8-bit). */
+  private[ops] lazy val fixtureAlawWavBytes: Array[Byte] =
+    buildWav(6, 8, 8000,
+      fixtureSamples.map(s => pcm16ToAlaw(s).toByte).toArray)
 
   /** One deterministic fixture per JVM: wav/bin bytes fixed by
     * construction; the png's pixels fixed (see [[fixturePngBytes]] on byte
@@ -304,10 +402,13 @@ object Multimodal {
       f.toFile.deleteOnExit()
     }
     // REAL media: d61's image and audio rows exercise the true imageio and
-    // WAV/PCM decode paths end-to-end (real dims, rate, duration, RMS)
+    // WAV decode paths end-to-end (real dims, rate, duration, RMS) —
+    // including both G.711 companded formats through the compressed branch
     write("a.png", fixturePngBytes)
     write("b.wav", fixtureWavBytes)
     write("c.bin", (0 until 32).map(i => (i * 7).toByte).toArray)
+    write("d_ulaw.wav", fixtureUlawWavBytes)
+    write("e_alaw.wav", fixtureAlawWavBytes)
     dir.toString
   }
 

@@ -112,6 +112,42 @@ object EventTransforms {
         col("purchase_id").isNotNull.as("converted"))
   }
 
+  /** Watermarked stream-stream FULL OUTER join — completes the join
+    * family (inner q37, left-outer above): clicks that never convert AND
+    * purchases with no attributable click BOTH emit, each only once the
+    * opposing side's watermark proves no match can still arrive. The
+    * orphan-purchase rows are what a left join cannot see — purchases
+    * arriving with no click are the broken-tracking / ad-fraud signal a
+    * funnel audit starts from. `status` labels the three outcomes so one
+    * sink serves conversion AND anomaly consumers. State stays O(window)
+    * for the same reason as the inner form: the time-bound condition plus
+    * both watermarks let each side evict matched-or-expired rows.
+    */
+  def clickConversionFull(events: DataFrame,
+      within: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", within)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", within)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"),
+      "full_outer")
+      .select(
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        when(col("click_id").isNull, lit("orphan_purchase"))
+          .when(col("purchase_id").isNull, lit("no_conversion"))
+          .otherwise(lit("converted")).as("status"))
+  }
+
   /** Exactly-once-per-id dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state older than the
     * watermark is evicted. (The reference dedups only within one file —

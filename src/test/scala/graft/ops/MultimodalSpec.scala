@@ -125,6 +125,51 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width === 0 && f.height === 0)
   }
 
+  test("G.711 expansion matches the canonical code points") {
+    import Multimodal._
+    // µ-law: full-scale and zero codes from the ITU-T G.711 tables —
+    // pinned INDEPENDENTLY of the encoders, so a matched encode/decode
+    // bug cannot hide behind the round-trip test below
+    assert(ulawToPcm16(0x00) === -32124)
+    assert(ulawToPcm16(0x80) === 32124)
+    assert(ulawToPcm16(0xFF) === 0)
+    assert(ulawToPcm16(0x7F) === 0) // negative zero code
+    // A-law: sign bit SET is positive (the G.711 inversion)
+    assert(alawToPcm16(0x2A) === -32256)
+    assert(alawToPcm16(0xAA) === 32256)
+    assert(alawToPcm16(0x55) === -8)
+    assert(alawToPcm16(0xD5) === 8)
+  }
+
+  test("G.711 round trip stays within companding quantization error") {
+    import Multimodal._
+    // error bound: half the segment step = 2^(seg-1)·4 for µ-law; check
+    // the relative form — |decoded − s| ≤ |s|/16 + 16 covers both laws'
+    // 4-bit mantissa over all 8 segments, zero and sign included
+    val probes = (-32768 to 32767 by 97) ++ Seq(-32768, -1, 0, 1, 32767)
+    probes.foreach { s =>
+      val du = ulawToPcm16(pcm16ToUlaw(s))
+      val da = alawToPcm16(pcm16ToAlaw(s))
+      assert(math.abs(du - s) <= math.abs(s) / 16 + 17, s"ulaw $s -> $du")
+      assert(math.abs(da - s) <= math.abs(s) / 16 + 17, s"alaw $s -> $da")
+    }
+  }
+
+  test("G.711 WAVs decode through the compressed branch, RMS tracks PCM") {
+    val (rate, durMs, pcmF) = Multimodal.decodeWav(Multimodal.fixtureWavBytes, 4).get
+    val (rateU, durU, ulawF) = Multimodal.decodeWav(Multimodal.fixtureUlawWavBytes, 4).get
+    val (rateA, durA, alawF) = Multimodal.decodeWav(Multimodal.fixtureAlawWavBytes, 4).get
+    // same waveform, same container params → same rate/duration
+    assert(rateU === rate && rateA === rate && rate === 8000)
+    assert(durU === durMs && durA === durMs && durMs === 50L)
+    // companding is near-lossless at this amplitude: per-window RMS of the
+    // expanded signal must track the PCM16 original within ~1%
+    pcmF.zip(ulawF).zip(alawF).foreach { case ((p, u), a) =>
+      assert(math.abs(u - p) <= 0.01f * math.max(p, 0.01f), s"ulaw rms $u vs $p")
+      assert(math.abs(a - p) <= 0.01f * math.max(p, 0.01f), s"alaw rms $a vs $p")
+    }
+  }
+
   test("frameSample slices evenly and handles empty content") {
     val frames = Multimodal.frameSample("0123456789".getBytes("UTF-8"), 3)
     assert(frames.length === 3)

@@ -238,6 +238,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream join: orphan purchases and non-conversions both " +
+      "emit, each only after the watermark proves them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventTransforms.clickConversionFull(ms.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("convfull_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "10:00", user = 1, typ = "click"),
+        ev(2, "10:10", user = 1, typ = "purchase"), // converts click 1
+        ev(3, "10:00", user = 2, typ = "click"),    // never converts
+        ev(4, "10:05", user = 5, typ = "purchase")) // orphan: no click
+      drain(q)
+      // only the watermark can prove either outer side — neither click 3's
+      // null-purchase row nor purchase 4's null-click row may exist yet
+      val early = spark.table("convfull_out")
+        .filter($"click_id" === 3L || $"purchase_id" === 4L).count()
+      assert(early === 0L)
+      // push both watermarks far past 10:35 so both outer windows close
+      ms.addData(
+        ev(10, "13:00", user = 9, typ = "click"),
+        ev(11, "13:00", user = 9, typ = "purchase"))
+      drain(q)
+      ms.addData(
+        ev(12, "14:00", user = 9, typ = "click"),
+        ev(13, "14:00", user = 9, typ = "purchase"))
+      drain(q)
+      val rows = spark.table("convfull_out")
+        .select($"click_id", $"purchase_id", $"status")
+        .collect()
+        .map(r => ((if (r.isNullAt(0)) -1L else r.getLong(0)),
+          (if (r.isNullAt(1)) -1L else r.getLong(1))) -> r.getString(2))
+        .toMap
+      assert(rows((1L, 2L)) === "converted")
+      assert(rows((3L, -1L)) === "no_conversion")   // click-side outer row
+      assert(rows((-1L, 4L)) === "orphan_purchase") // purchase-side outer row
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agree on the same data") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
