@@ -13,20 +13,25 @@ case class MediaMeta(width: Int, height: Int, sampleRateHz: Int, durationMs: Lon
 case class MediaRow(media_id: Long, modality: String, content: Array[Byte], meta: MediaMeta)
 
 /** Output of the decode+featurize stage. `width`/`height` are real decoded
-  * dimensions for images; `sample_rate_hz`/`duration_ms` real decoded
-  * audio properties; each 0 for other modalities / undecodable bytes.
+  * dimensions for images and video; `n_frames` the real decoded frame
+  * count (1 for a still image); `sample_rate_hz`/`duration_ms` real
+  * decoded audio/video timing; each 0 for other modalities / undecodable
+  * bytes.
   */
 case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int,
-    width: Int, height: Int, sample_rate_hz: Int, duration_ms: Long,
-    features: Array[Float])
+    width: Int, height: Int, n_frames: Int, sample_rate_hz: Int,
+    duration_ms: Long, features: Array[Float])
 
 /** Multimodal-column plumbing: binary content + typed metadata, partition-
   * batched decode/feature-extraction, frame sampling. IMAGE decode is REAL
-  * (javax.imageio is pure-JVM: PNG/GIF/BMP/JPEG, no native libs needed);
+  * (javax.imageio is pure-JVM: PNG/BMP/JPEG, no native libs needed);
   * AUDIO decode is REAL for WAV/PCM and for G.711 µ-law/A-law compressed
   * audio (pure-JVM RIFF parse + exact integer companding tables — sample
-  * rate, duration, per-window RMS features). Perceptual codecs (MP3/FLAC/
-  * Vorbis) and video are STUBS by declared de-scope: no pure-JVM decoder
+  * rate, duration, per-window RMS features); VIDEO decode is REAL for
+  * animated GIF (an LZW-compressed multi-frame moving-picture format
+  * javax.imageio reads frame-by-frame — frame count, dimensions, frame
+  * delays, per-frame featurization). Perceptual codecs (MP3/FLAC/Vorbis,
+  * MP4/H.264/VP9) remain STUBS by declared de-scope: no pure-JVM decoder
   * for them exists on this classpath and native libraries are not in this
   * container (SURVEY §2-C records the de-scope). The Spark-side shape
   * (schema, encoders, mapPartitions batching, shuffle-free narrow
@@ -47,18 +52,24 @@ object Multimodal {
     */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] =
     ds.mapPartitions { rows =>
-      // per-partition init would go here (video codec context)
+      // per-partition init would go here (perceptual-codec context)
       rows.map { r =>
         val img = if (r.modality == "image") decodeImage(r.content, dim) else None
         val aud = if (r.modality == "audio") decodeWav(r.content, dim) else None
-        (img, aud) match {
-          case (Some((w, h, f)), _) =>
-            MediaFeatures(r.media_id, r.modality, r.content.length, w, h, 0, 0L, f)
-          case (_, Some((rate, durMs, f))) =>
-            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0, rate, durMs, f)
+        val vid = if (r.modality == "video") decodeGif(r.content, dim) else None
+        (img, aud, vid) match {
+          case (Some((w, h, f)), _, _) =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, w, h, 1,
+              0, 0L, f)
+          case (_, Some((rate, durMs, f)), _) =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0, 0,
+              rate, durMs, f)
+          case (_, _, Some((w, h, nf, durMs, f))) =>
+            MediaFeatures(r.media_id, r.modality, r.content.length, w, h, nf,
+              0, durMs, f)
           case _ =>
-            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0, 0, 0L,
-              stubDecode(r.content, dim))
+            MediaFeatures(r.media_id, r.modality, r.content.length, 0, 0, 0,
+              0, 0L, stubDecode(r.content, dim))
         }
       }
     }
@@ -95,6 +106,78 @@ object Multimodal {
         Some((w, h, out))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL video decode: animated GIF through javax.imageio's frame-indexed
+    * reader — (width, height, frame count, duration from the per-frame
+    * GraphicControlExtension delays, features). The feature vector is the
+    * image path's `dim` strip luminances averaged ACROSS frames, i.e. the
+    * temporal mean of the per-frame featurization — the keyframe-embedding
+    * shape with the embedding model replaced by the strip statistic.
+    * Frames are featurized as stored (no canvas compositing; fixtures and
+    * typical training thumbnails carry full frames). None when the bytes
+    * are not a decodable GIF — perceptual video codecs (MP4/H.264) fall
+    * back to the stub by declared de-scope.
+    */
+  def decodeGif(bytes: Array[Byte], dim: Int): Option[(Int, Int, Int, Long, Array[Float])] = {
+    val readers = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val acc = new Array[Double](dim)
+        val cnt = new Array[Long](dim)
+        var durMs = 0L
+        var w = 0
+        var h = 0
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          if (f == 0) { w = img.getWidth; h = img.getHeight }
+          val fh = img.getHeight
+          var y = 0
+          while (y < fh) {
+            val strip = math.min(dim - 1, y * dim / fh)
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              acc(strip) +=
+                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+              cnt(strip) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // frame delay (centiseconds) from the GIF image metadata; frames
+          // without a GraphicControlExtension contribute 0
+          val md = reader.getImageMetadata(f)
+          val root = md.getAsTree(md.getNativeMetadataFormatName())
+          var c = root.getFirstChild
+          while (c != null) {
+            if (c.getNodeName == "GraphicControlExtension") {
+              val d = c.getAttributes.getNamedItem("delayTime")
+              if (d != null) durMs += d.getNodeValue.toLong * 10L
+            }
+            c = c.getNextSibling
+          }
+          f += 1
+        }
+        if (w <= 0 || h <= 0) return None
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          if (cnt(i) > 0) out(i) = (acc(i) / cnt(i)).toFloat
+          i += 1
+        }
+        Some((w, h, n, durMs, out))
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally reader.dispose()
+  }
 
   // ------------------------------------------------------- G.711 companding
   // ITU-T G.711 µ-law / A-law — the telephony compressed-audio formats and
@@ -237,11 +320,11 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder — stands in for perceptual-codec audio (MP3/FLAC) and
-    * video embedding, which need native libraries not present in this
-    * container (and the fallback for undecodable image/audio bytes); the
-    * G.711 compressed formats decode for REAL above. Deterministic by
-    * construction (pure function of the bytes) so the pipeline around it
-    * is fully testable.
+    * perceptual-codec video (MP4/H.264), which need native libraries not
+    * present in this container (and the fallback for undecodable bytes of
+    * any modality); the G.711 compressed audio formats and animated GIF
+    * video decode for REAL above. Deterministic by construction (pure
+    * function of the bytes) so the pipeline around it is fully testable.
     */
   def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -283,9 +366,11 @@ object Multimodal {
       .load(dir)
       .select(
         abs(xxhash64(col("path"))).as("media_id"),
-        when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp)$"), "image")
+        when(col("path").rlike("(?i)\\.(png|jpe?g|bmp)$"), "image")
           .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg)$"), "audio")
-          .when(col("path").rlike("(?i)\\.(mp4|mkv|webm|avi)$"), "video")
+          // .gif routes to video: animated GIF is the one moving-picture
+          // format with a real pure-JVM decode (stills are 1-frame videos)
+          .when(col("path").rlike("(?i)\\.(gif|mp4|mkv|webm|avi)$"), "video")
           .otherwise("binary").as("modality"),
         col("path"),
         col("length").as("n_bytes"),
@@ -313,10 +398,11 @@ object Multimodal {
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n_files"),
           sum(col("n_bytes")).cast("long").as("total_bytes"),
-          max(col("width")).as("max_width"),       // real decoded dims for image
+          max(col("width")).as("max_width"),       // real decoded dims for image/video
           max(col("height")).as("max_height"),     // 0 for audio/binary
+          max(col("n_frames")).as("max_frames"),   // real GIF frame count
           max(col("sample_rate_hz")).as("max_rate_hz"),    // real WAV decode
-          max(col("duration_ms")).as("max_duration_ms"),   // 0 for image/binary
+          max(col("duration_ms")).as("max_duration_ms"),   // real WAV/GIF timing
           fnRound(sum(element_at(col("features"), 1)), 3).as("feat0_sum"))
         .orderBy(col("modality"))
     },
@@ -333,6 +419,17 @@ object Multimodal {
   private[ops] lazy val fixturePngBytes: Array[Byte] = {
     val in = getClass.getResourceAsStream("/graft/fixtures/img_8x6.png")
     require(in != null, "fixture resource /graft/fixtures/img_8x6.png missing")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** The real 3-frame 8×6 animated-GIF fixture, a committed resource like
+    * the PNG (frame f pixel (x,y) = RGB(x·30+y·9+f·40, y·30+f·20,
+    * x·20+5+f·10), 10 cs delay per frame — written once by a JDK
+    * GIFImageWriter at build-fixture time, so bytes are vendor-stable).
+    */
+  private[ops] lazy val fixtureGifBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/anim_8x6.gif")
+    require(in != null, "fixture resource /graft/fixtures/anim_8x6.gif missing")
     try in.readAllBytes() finally in.close()
   }
 
@@ -409,6 +506,7 @@ object Multimodal {
     write("c.bin", (0 until 32).map(i => (i * 7).toByte).toArray)
     write("d_ulaw.wav", fixtureUlawWavBytes)
     write("e_alaw.wav", fixtureAlawWavBytes)
+    write("f_anim.gif", fixtureGifBytes)
     dir.toString
   }
 

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q.t
+
+/** Eighth relational pack: statistical audit classics. Benford first-digit
+  * conformance (the forensic-accounting screen every financial warehouse
+  * runs over amount columns) and the Mann-Whitney U rank test (the
+  * distribution-free two-sample comparison q81's chi-square cannot give for
+  * ordinal data). Both are spelled integer-exact — digits come from bigint
+  * string heads, the U statistic is doubled into an integer — so the
+  * oracles hash-compare with no float surface at all.
+  */
+object Relational8 {
+
+  def pack: Seq[Q] = Seq(q103Benford, q104MannWhitney)
+
+  /** Benford's-law expected first-digit shares log10(1+1/d) in integer
+    * basis points — fixed published constants (they sum to exactly 10000),
+    * embedded identically in the Spark frame and the oracle VALUES so
+    * neither engine ever computes a log.
+    */
+  private val BenfordBp: Seq[(Int, Int)] = Seq(
+    1 -> 3010, 2 -> 1761, 3 -> 1249, 4 -> 969, 5 -> 792,
+    6 -> 669, 7 -> 580, 8 -> 512, 9 -> 458)
+
+  /** q103: BENFORD FIRST-DIGIT AUDIT over `l_extendedprice` — observed
+    * first-significant-digit shares vs the Benford expectation, in basis
+    * points. Amounts spanning several orders of magnitude should follow
+    * log10(1+1/d); a flat synthetic price column (like this testdata's)
+    * shows up as large deviations, which is precisely the audit signal.
+    *
+    * Determinism: the first digit is the first character of the bigint
+    * string of floor(price) — integer formatting is identical across
+    * engines, so no log10/power float path (whose floor at a decade
+    * boundary could differ by one ulp and shift a digit). Shares are
+    * integer-division basis points; expectations are embedded constants.
+    *
+    * Scale shape: one map-side 9-group aggregate over the fact table; the
+    * one-row total then rides a broadcast to the 9-row report frame (the
+    * audited one-row crossJoin convention).
+    */
+  val q103Benford: Q = Q(
+    "q103_benford",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val obs = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .filter(col("l_extendedprice") >= 1)
+        .select(substring(floor(col("l_extendedprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+      val total = obs.agg(sum(col("n_obs")).as("total"))
+      val expected = BenfordBp.toDF("digit", "exp_bp")
+      // obs is value-bounded (at most 9 digit groups) — IT broadcasts, so
+      // the left-outer keeps every expected digit with a hash build side
+      expected
+        .join(broadcast(obs), Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          col("exp_bp"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n_obs"),
+          expr("(10000 * n_obs) div total").as("obs_bp"),
+          col("exp_bp"),
+          (expr("(10000 * n_obs) div total") - col("exp_bp")).as("dev_bp"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH b(digit, exp_bp) AS (VALUES
+        (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+        (6, 669), (7, 580), (8, 512), (9, 458)),
+      obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+          CAST(count(*) AS BIGINT) AS n_obs
+        FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM obs)
+      SELECT b.digit, coalesce(o.n_obs, 0) AS n_obs,
+        (10000 * coalesce(o.n_obs, 0)) // tot.total AS obs_bp,
+        b.exp_bp,
+        (10000 * coalesce(o.n_obs, 0)) // tot.total - b.exp_bp AS dev_bp
+      FROM b LEFT JOIN obs o USING (digit) CROSS JOIN tot
+      ORDER BY b.digit"""))
+
+  /** q104: MANN-WHITNEY U TEST — per line status, does the returned
+    * ('R') population ship systematically larger quantities than the
+    * non-returned ('N') one? U counts cross-group pairs where R exceeds N
+    * (ties half-weighted); reported DOUBLED so it stays an integer, plus
+    * the rank-biserial effect size 2U/(n₁n₂) − 1.
+    *
+    * Scale shape: quantities are low-cardinality, so the test reduces to
+    * the per-(status, flag, value) contingency counts — one map-side
+    * aggregate over the fact table; the O(values²) pair sum then runs on
+    * the ≤100-row-per-status count table via a broadcast join (equi on
+    * status, the qa ≥ qb band as the join's residual condition — a hash
+    * join, never a cartesian product). Pair products stage through
+    * DECIMAL(38,0) (the q102 idiom) so the sum cannot overflow at
+    * warehouse row counts; the test-scale result is cast back to BIGINT.
+    */
+  val q104MannWhitney: Q = Q(
+    "q104_mann_whitney",
+    (s: SparkSession, dir: String) => {
+      val d38 = DecimalType(38, 0)
+      val cnt = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select(col("l_linestatus").as("status"), col("l_returnflag").as("flag"),
+          col("l_quantity").cast("int").as("qty"))
+        .groupBy(col("status"), col("flag"), col("qty"))
+        .agg(count(lit(1)).as("n"))
+      val r = cnt.filter(col("flag") === "R")
+        .select(col("status"), col("qty").as("qa"), col("n").as("na"))
+      val nn = cnt.filter(col("flag") === "N")
+        .select(col("status").as("status_b"), col("qty").as("qb"),
+          col("n").as("nb"))
+      val u2 = r.join(broadcast(nn),
+          col("status") === col("status_b") && col("qa") >= col("qb"))
+        .select(col("status"),
+          when(col("qa") > col("qb"),
+            lit(2L) * col("na") * col("nb"))
+            .otherwise(col("na") * col("nb")).cast(d38).as("contrib"))
+        .groupBy(col("status"))
+        .agg(sum(col("contrib")).as("u2d"))
+      val totals = cnt.groupBy(col("status")).agg(
+        sum(when(col("flag") === "R", col("n")).otherwise(0L)).as("n_r"),
+        sum(when(col("flag") === "N", col("n")).otherwise(0L)).as("n_n"))
+      u2.join(totals, "status")
+        .filter(col("n_r") > 0 && col("n_n") > 0)
+        .select(col("status"), col("n_r"), col("n_n"),
+          col("u2d").cast("long").as("u2"),
+          (col("u2d").cast("long") - col("n_r") * col("n_n")).as("dev2"),
+          round((col("u2d").cast("long") - col("n_r") * col("n_n"))
+            .cast("double") / (col("n_r") * col("n_n")).cast("double"), 6)
+            .as("rank_biserial"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT l_linestatus AS status, l_returnflag AS flag,
+          CAST(l_quantity AS INT) AS qty, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1, 2, 3),
+      u AS (
+        SELECT r.status,
+          CAST(CAST(sum(CAST(CASE WHEN r.qa > n.qb THEN 2 * r.na * n.nb
+                            ELSE r.na * n.nb END AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS BIGINT) AS u2
+        FROM (SELECT status, qty AS qa, n AS na FROM cnt WHERE flag = 'R') r
+        JOIN (SELECT status, qty AS qb, n AS nb FROM cnt WHERE flag = 'N') n
+          ON r.status = n.status AND r.qa >= n.qb
+        GROUP BY r.status),
+      totals AS (
+        SELECT status,
+          CAST(sum(CASE WHEN flag = 'R' THEN n ELSE 0 END) AS BIGINT) AS n_r,
+          CAST(sum(CASE WHEN flag = 'N' THEN n ELSE 0 END) AS BIGINT) AS n_n
+        FROM cnt GROUP BY status)
+      SELECT t.status, t.n_r, t.n_n, u.u2,
+        u.u2 - t.n_r * t.n_n AS dev2,
+        round(CAST(u.u2 - t.n_r * t.n_n AS DOUBLE)
+          / CAST(t.n_r * t.n_n AS DOUBLE), 6) AS rank_biserial
+      FROM u JOIN totals t USING (status)
+      WHERE t.n_r > 0 AND t.n_n > 0
+      ORDER BY t.status"""))
+}

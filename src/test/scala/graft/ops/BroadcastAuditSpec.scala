@@ -59,6 +59,8 @@ class BroadcastAuditSpec extends SparkSpec {
     "e72_ivf_balance" -> "one-row total/ideal-load row",
     "e73_nn_descent" -> "k-bounded neighbor lists + one-row bounds across the local-join stages",
     "e78_intra_list_diversity" -> "k-bounded top-10 lists per fixed query",
+    "e85_sq_search" -> "fixed query set x int8-coded corpus — loop rides the broadcast side",
+    "e85b_sq_recall" -> "fixed query set in both the SQ and exact arms",
     "e79_pq_distortion" -> "constant codebooks + one-row share total",
     "e80_bm25_topk" -> "9-row keyword query table",
     "e82_ndcg_eval" -> "fixed query set + one-row ideal-DCG",
@@ -75,7 +77,8 @@ class BroadcastAuditSpec extends SparkSpec {
     "q88_feature_store" -> "one-row corpus max-date",
     "q91_seasonality" -> "one-row annual total",
     "q99_cusum_changepoint" -> "one-row mean/threshold stats",
-    "q101_expectations" -> "one-row expectation summary")
+    "q101_expectations" -> "one-row expectation summary",
+    "q103_benford" -> "one-row grand total over the 9-row digit report")
 
   test("cross joins appear only as broadcasts of audited value-bounded frames") {
     val conf = spark.conf

@@ -170,6 +170,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real animated-GIF bytes decode to true frames, duration, and features") {
+    import spark.implicits._
+    // the SAME gif d61 ingests (committed resource, like the PNG path)
+    val bytes = Multimodal.fixtureGifBytes
+    val (w, h, nFrames, durMs, feats) = Multimodal.decodeGif(bytes, 3).get
+    assert(w === 8 && h === 6)
+    assert(nFrames === 3)         // a real multi-frame decode, not a still
+    assert(durMs === 300L)        // 3 frames x 10 cs GraphicControlExtension
+    // features are cross-frame strip means, recomputed from the decoded
+    // frames directly (palette quantization included on both sides)
+    val readers = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis, false)
+    val lums = Array.fill(3)(List.empty[Double])
+    (0 until 3).foreach { f =>
+      val img = reader.read(f)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val strip = math.min(2, y * 3 / 6)
+        val rgb = img.getRGB(x, y)
+        lums(strip) ::= (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+      }
+    }
+    reader.dispose(); iis.close()
+    feats.toSeq.zipWithIndex.foreach { case (a, i) =>
+      val b = lums(i).sum / lums(i).size
+      assert(math.abs(a - b) < 1e-3, s"strip mean $a vs $b")
+    }
+    // undecodable video bytes (a perceptual codec) fall back to the stub
+    assert(Multimodal.decodeGif("not-a-gif".getBytes("US-ASCII"), 3).isEmpty)
+    // and through the full Dataset decode path: frames/duration ride the row
+    val ds = Seq(MediaRow(9L, "video", bytes, MediaMeta(0, 0, 0, 0L))).toDS()
+    val f = Multimodal.decodeFeatures(ds, dim = 3).collect().head
+    assert(f.width === 8 && f.height === 6)
+    assert(f.n_frames === 3 && f.duration_ms === 300L)
+    assert(f.features.toSeq === feats.toSeq)
+  }
+
   test("frameSample slices evenly and handles empty content") {
     val frames = Multimodal.frameSample("0123456789".getBytes("UTF-8"), 3)
     assert(frames.length === 3)

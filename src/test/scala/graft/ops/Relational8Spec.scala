@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the statistical-audit pack: Benford's report must cover all
+  * nine digits exactly once with shares that tally, and the Mann-Whitney
+  * U must equal a brute-force pair count recomputed test-side.
+  */
+class Relational8Spec extends SparkSpec {
+
+  test("q103: all nine digits, shares tally to one, constants sum to 10000") {
+    val rows = graft.SparkEntry.queries("q103_benford")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    // expected constants are a fixed probability vector
+    assert(rows.map(_.getAs[Int]("exp_bp")).sum === 10000)
+    // integer-truncated shares: sum within 9 bp of exactly one
+    val obsSum = rows.map(_.getAs[Long]("obs_bp")).sum
+    assert(obsSum > 10000L - 9 && obsSum <= 10000L)
+    // n_obs tallies to the filtered row count
+    val n = graft.ops.Q.t(spark, sf0001, "lineitem")
+      .filter(col("l_extendedprice") >= 1).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_bp") ===
+        r.getAs[Long]("obs_bp") - r.getAs[Int]("exp_bp"))
+    }
+  }
+
+  test("q104: U2 equals a brute-force pair count per status") {
+    val rows = graft.SparkEntry.queries("q104_mann_whitney")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("status") -> r).toMap
+    // brute force on the raw (status, flag, qty) triples, test-side
+    val raw = graft.ops.Q.t(spark, sf0001, "lineitem")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_linestatus"), col("l_returnflag"),
+        col("l_quantity").cast("int"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    raw.groupBy(_._1).foreach { case (status, triples) =>
+      val rq = triples.collect { case (_, "R", q) => q }
+      val nq = triples.collect { case (_, "N", q) => q }
+      val u2 = (for (a <- rq; b <- nq) yield {
+        if (a > b) 2L else if (a == b) 1L else 0L
+      }).sum
+      val row = rows(status)
+      assert(row.getAs[Long]("u2") === u2, s"status $status")
+      assert(row.getAs[Long]("n_r") === rq.length.toLong)
+      assert(row.getAs[Long]("n_n") === nq.length.toLong)
+      assert(row.getAs[Long]("dev2") === u2 - rq.length.toLong * nq.length)
+    }
+  }
+}
