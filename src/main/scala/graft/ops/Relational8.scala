@@ -7,15 +7,30 @@ import Q.t
 
 /** Eighth relational pack: statistical audit classics. Benford first-digit
   * conformance (the forensic-accounting screen every financial warehouse
-  * runs over amount columns) and the Mann-Whitney U rank test (the
-  * distribution-free two-sample comparison q81's chi-square cannot give for
-  * ordinal data). Both are spelled integer-exact — digits come from bigint
-  * string heads, the U statistic is doubled into an integer — so the
-  * oracles hash-compare with no float surface at all.
+  * runs over amount columns), the Mann-Whitney U rank test (the
+  * distribution-free two-sample location comparison q81's chi-square
+  * cannot give for ordinal data), and the Kolmogorov-Smirnov two-sample
+  * test (any-difference ECDF distance, U's distributional complement).
+  * All are spelled integer-exact — digits come from bigint string heads,
+  * the U statistic is doubled into an integer, the KS numerator is
+  * cross-multiplied — so the oracles hash-compare with (almost) no float
+  * surface.
   */
 object Relational8 {
 
-  def pack: Seq[Q] = Seq(q103Benford, q104MannWhitney)
+  def pack: Seq[Q] = Seq(q103Benford, q104MannWhitney, q105KsTest)
+
+  /** Shared by q104/q105: per-(status, flag, value) contingency counts of
+    * R-vs-N line quantities — the ONE data-sized aggregate both rank tests
+    * reduce to (everything after it runs on a ≤100-row bounded domain).
+    */
+  private def rnQtyCounts(s: SparkSession, dir: String): DataFrame =
+    Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_linestatus").as("status"), col("l_returnflag").as("flag"),
+        col("l_quantity").cast("int").as("qty"))
+      .groupBy(col("status"), col("flag"), col("qty"))
+      .agg(count(lit(1)).as("n"))
 
   /** Benford's-law expected first-digit shares log10(1+1/d) in integer
     * basis points — fixed published constants (they sum to exactly 10000),
@@ -102,12 +117,7 @@ object Relational8 {
     "q104_mann_whitney",
     (s: SparkSession, dir: String) => {
       val d38 = DecimalType(38, 0)
-      val cnt = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
-        .filter(col("l_returnflag").isin("R", "N"))
-        .select(col("l_linestatus").as("status"), col("l_returnflag").as("flag"),
-          col("l_quantity").cast("int").as("qty"))
-        .groupBy(col("status"), col("flag"), col("qty"))
-        .agg(count(lit(1)).as("n"))
+      val cnt = rnQtyCounts(s, dir)
       val r = cnt.filter(col("flag") === "R")
         .select(col("status"), col("qty").as("qa"), col("n").as("na"))
       val nn = cnt.filter(col("flag") === "N")
@@ -161,4 +171,93 @@ object Relational8 {
       FROM u JOIN totals t USING (status)
       WHERE t.n_r > 0 AND t.n_n > 0
       ORDER BY t.status"""))
+
+  /** q105: KOLMOGOROV-SMIRNOV TWO-SAMPLE TEST — q104's distributional
+    * companion: where Mann-Whitney detects a location shift, KS detects
+    * ANY difference between the R and N quantity distributions (shape,
+    * spread, tails) as D = max |ECDF_R − ECDF_N|, evaluated on the
+    * observed value grid where the maximum is attained.
+    *
+    * Determinism: D's numerator is cross-multiplied to the integer
+    * |cumR·n_n − cumN·n_r| (DECIMAL(38,0)-staged like q104, cast back at
+    * test scale), so the maximum is an exact integer compare; D itself
+    * and the α=0.05 critical value 1.358·√((n₁+n₂)/(n₁n₂)) are one IEEE
+    * divide/sqrt each — identical across engines — and the reject flag
+    * compares those unrounded doubles.
+    *
+    * Scale shape: the same one map-side contingency aggregate as q104;
+    * the cumulative ECDFs run on the ≤100-row count table via a
+    * broadcast qa ≤ qb band join (hash join on status with the band as
+    * residual), never a window over the fact table.
+    */
+  val q105KsTest: Q = Q(
+    "q105_ks_test",
+    (s: SparkSession, dir: String) => {
+      val d38 = DecimalType(38, 0)
+      val cnt = rnQtyCounts(s, dir)
+      val grid = cnt.select(col("status"), col("qty")).distinct()
+      val cum = grid
+        .join(broadcast(cnt.select(col("status").as("status_b"),
+            col("qty").as("qb"), col("flag"), col("n"))),
+          col("status") === col("status_b") && col("qb") <= col("qty"))
+        .groupBy(col("status"), col("qty"))
+        .agg(
+          sum(when(col("flag") === "R", col("n")).otherwise(0L)).as("cum_r"),
+          sum(when(col("flag") === "N", col("n")).otherwise(0L)).as("cum_n"))
+      val totals = cnt.groupBy(col("status")).agg(
+        sum(when(col("flag") === "R", col("n")).otherwise(0L)).as("n_r"),
+        sum(when(col("flag") === "N", col("n")).otherwise(0L)).as("n_n"))
+      val dnum = cum.join(broadcast(totals), "status")
+        .filter(col("n_r") > 0 && col("n_n") > 0)
+        .select(col("status"), col("n_r"), col("n_n"),
+          abs((col("cum_r").cast(d38) * col("n_n").cast(d38)) -
+            (col("cum_n").cast(d38) * col("n_r").cast(d38))).as("num"))
+        .groupBy(col("status"), col("n_r"), col("n_n"))
+        .agg(max(col("num")).cast("long").as("ks_num"))
+      val ksd = col("ks_num").cast("double") /
+        (col("n_r") * col("n_n")).cast("double")
+      val crit = lit(1.358) * sqrt((col("n_r") + col("n_n")).cast("double") /
+        (col("n_r") * col("n_n")).cast("double"))
+      dnum.select(col("status"), col("n_r"), col("n_n"), col("ks_num"),
+          round(ksd, 6).as("ks_d"),
+          round(crit, 6).as("d_crit_05"),
+          (ksd > crit).as("reject_h0"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT l_linestatus AS status, l_returnflag AS flag,
+          CAST(l_quantity AS INT) AS qty, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1, 2, 3),
+      grid AS (SELECT DISTINCT status, qty FROM cnt),
+      cum AS (
+        SELECT g.status, g.qty,
+          CAST(sum(CASE WHEN c.flag = 'R' THEN c.n ELSE 0 END) AS BIGINT) AS cum_r,
+          CAST(sum(CASE WHEN c.flag = 'N' THEN c.n ELSE 0 END) AS BIGINT) AS cum_n
+        FROM grid g JOIN cnt c ON g.status = c.status AND c.qty <= g.qty
+        GROUP BY g.status, g.qty),
+      totals AS (
+        SELECT status,
+          CAST(sum(CASE WHEN flag = 'R' THEN n ELSE 0 END) AS BIGINT) AS n_r,
+          CAST(sum(CASE WHEN flag = 'N' THEN n ELSE 0 END) AS BIGINT) AS n_n
+        FROM cnt GROUP BY status),
+      dnum AS (
+        -- HUGEINT (int128) staging, the q104 overflow guard in DuckDB's
+        -- native wide-int type (DECIMAL x DECIMAL would need width 76)
+        SELECT c.status, t.n_r, t.n_n,
+          CAST(max(abs(CAST(c.cum_r AS HUGEINT) * CAST(t.n_n AS HUGEINT)
+                   - CAST(c.cum_n AS HUGEINT) * CAST(t.n_r AS HUGEINT)))
+            AS BIGINT) AS ks_num
+        FROM cum c JOIN totals t USING (status)
+        WHERE t.n_r > 0 AND t.n_n > 0
+        GROUP BY c.status, t.n_r, t.n_n)
+      SELECT status, n_r, n_n, ks_num,
+        round(CAST(ks_num AS DOUBLE) / CAST(n_r * n_n AS DOUBLE), 6) AS ks_d,
+        round(1.358 * sqrt(CAST(n_r + n_n AS DOUBLE) / CAST(n_r * n_n AS DOUBLE)), 6)
+          AS d_crit_05,
+        CAST(ks_num AS DOUBLE) / CAST(n_r * n_n AS DOUBLE)
+          > 1.358 * sqrt(CAST(n_r + n_n AS DOUBLE) / CAST(n_r * n_n AS DOUBLE))
+          AS reject_h0
+      FROM dnum ORDER BY status"""))
 }

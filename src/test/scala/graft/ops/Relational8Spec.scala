@@ -28,6 +28,33 @@ class Relational8Spec extends SparkSpec {
     }
   }
 
+  test("q105: KS numerator equals a brute-force ECDF sweep per status") {
+    val rows = graft.SparkEntry.queries("q105_ks_test")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("status") -> r).toMap
+    val raw = graft.ops.Q.t(spark, sf0001, "lineitem")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_linestatus"), col("l_returnflag"),
+        col("l_quantity").cast("int"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    raw.groupBy(_._1).foreach { case (status, triples) =>
+      val rq = triples.collect { case (_, "R", q) => q }
+      val nq = triples.collect { case (_, "N", q) => q }
+      val ksNum = triples.map(_._3).distinct.map { v =>
+        math.abs(rq.count(_ <= v).toLong * nq.length -
+          nq.count(_ <= v).toLong * rq.length)
+      }.max
+      val row = rows(status)
+      assert(row.getAs[Long]("ks_num") === ksNum, s"status $status")
+      val d = ksNum.toDouble / (rq.length.toLong * nq.length)
+      assert(math.abs(row.getAs[Double]("ks_d") - d) < 1e-6)
+      // reject flag consistent with the reported D vs critical value
+      assert(row.getAs[Boolean]("reject_h0") ===
+        (d > 1.358 * math.sqrt((rq.length + nq.length).toDouble /
+          (rq.length.toLong * nq.length))))
+    }
+  }
+
   test("q104: U2 equals a brute-force pair count per status") {
     val rows = graft.SparkEntry.queries("q104_mann_whitney")(spark, sf0001)
       .collect().map(r => r.getAs[String]("status") -> r).toMap
