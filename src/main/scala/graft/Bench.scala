@@ -2,17 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Bench {
-  /** 1-minute system load average, -1.0 when the platform can't report it.
-    * Stamped into both bench JSONs at start and end so a contended run is
+  /** 1-minute load stamp (shared definition, see ToolSession.loadAvg1):
+    * written into both bench JSONs at start and end so a contended run is
     * self-identifying in the ARTIFACT (round 10's driver environment
     * inverted a perf conclusion with nothing in the file to flag it).
     */
-  private def loadAvg1: Double = {
-    val l = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    // JSON-safe: the MXBean returns NaN on some platforms; emit -1.0
-    if (l.isNaN) -1.0 else math.rint(l * 100) / 100
-  }
+  private def loadAvg1: Double = graft.tools.ToolSession.loadAvg1
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg1

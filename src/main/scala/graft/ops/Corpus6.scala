@@ -80,8 +80,12 @@ object Corpus6 {
     // blocks broadcast, the duplicated-window set is NOT small by nature
     // (every offset of a long copied passage is its own window), so the
     // scale-honest plan keys both sides; AQE still broadcasts when tiny
+    // persisted: marks feeds BOTH the span merge and the dup-position
+    // aggregate — unpersisted, the expensive dup groupBy + equi-join
+    // above would run twice
     val marks = windows.join(dup, Seq("w"))
       .select(col("doc_id"), col("s"), (col("s") + WinTokens).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = mergeSpans(marks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanAgg = spans.groupBy(col("doc_id"))
@@ -121,7 +125,7 @@ object Corpus6 {
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
       .orderBy(col("doc_id"))
-    Q.materialized(res, windows, spans)
+    Q.materialized(res, windows, marks, spans)
   }
 
   /** d96: EXACT-SUBSTRING DEDUPLICATION (Lee et al. 2022's ExactSubstr,

@@ -155,8 +155,12 @@ object EventWindows {
     */
   val q37bConversionFull: Q = Q(
     "q37b_conversion_full",
+    // NULLS LAST explicitly: the full-outer join makes both sort keys
+    // nullable, and Spark's ascending default is nulls FIRST while
+    // DuckDB's is nulls LAST — without pinning one, the orphan/no-match
+    // rows land at opposite ends and the order-sensitive hash diverges
     (s, dir) => EventTransforms.clickConversionFull(t(s, dir, "events"))
-      .orderBy(col("click_id"), col("purchase_id")),
+      .orderBy(col("click_id").asc_nulls_last, col("purchase_id").asc_nulls_last),
     Some("""
       SELECT coalesce(c.user_id, p.user_id) AS user_id,
              c.event_id AS click_id, c.ts AS click_ts,

@@ -32,7 +32,14 @@ object Formats {
     */
   private lazy val orcDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_orc_rt")
-    d.toFile.deleteOnExit()
+    // deleteOnExit can't remove a non-empty dir and the ORC files are
+    // written later — a shutdown hook deletes the whole tree instead
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case scala.util.control.NonFatal(_) => () }))
     d.toString
   }
 

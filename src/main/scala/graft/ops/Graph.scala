@@ -57,6 +57,9 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val (e, deg, ew, ncnt) = edgeState(edges)
     val n = ncnt.head().getLong(0)
+    // the literal fold turned the old SQL div-by-zero→NULL path into a
+    // driver-side ArithmeticException — make the empty case explicit
+    require(n > 0, "pageRank on an empty edge set (no nodes)")
     var ranks = deg
       .select(col("src").as("node"), lit(Scale / n).as("r"))
       .localCheckpoint(true)
@@ -183,6 +186,8 @@ object Graph {
     // one-row driver read, like g60's node count: the seed-cohort size
     // folds into every round as a literal, so rounds broadcast nothing
     val ns = deg.filter(isSeed(col("src"))).count()
+    require(ns > 0,
+      "personalizedPageRank: the seed predicate matches no node")
     var ranks = deg
       .select(col("src").as("node"),
         when(isSeed(col("src")), lit(Scale / ns))

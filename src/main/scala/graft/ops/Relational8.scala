@@ -123,24 +123,28 @@ object Relational8 {
       val nn = cnt.filter(col("flag") === "N")
         .select(col("status").as("status_b"), col("qty").as("qb"),
           col("n").as("nb"))
+      // decimal staging BEFORE the multiply — a Long product of two
+      // warehouse-scale cell counts would already have wrapped
+      val na38 = col("na").cast(d38)
+      val nb38 = col("nb").cast(d38)
       val u2 = r.join(broadcast(nn),
           col("status") === col("status_b") && col("qa") >= col("qb"))
         .select(col("status"),
-          when(col("qa") > col("qb"),
-            lit(2L) * col("na") * col("nb"))
-            .otherwise(col("na") * col("nb")).cast(d38).as("contrib"))
+          when(col("qa") > col("qb"), lit(2).cast(d38) * na38 * nb38)
+            .otherwise(na38 * nb38).as("contrib"))
         .groupBy(col("status"))
         .agg(sum(col("contrib")).as("u2d"))
       val totals = cnt.groupBy(col("status")).agg(
         sum(when(col("flag") === "R", col("n")).otherwise(0L)).as("n_r"),
         sum(when(col("flag") === "N", col("n")).otherwise(0L)).as("n_n"))
+      val dev2d = col("u2d") - col("n_r").cast(d38) * col("n_n").cast(d38)
       u2.join(totals, "status")
         .filter(col("n_r") > 0 && col("n_n") > 0)
         .select(col("status"), col("n_r"), col("n_n"),
-          col("u2d").cast("long").as("u2"),
-          (col("u2d").cast("long") - col("n_r") * col("n_n")).as("dev2"),
-          round((col("u2d").cast("long") - col("n_r") * col("n_n"))
-            .cast("double") / (col("n_r") * col("n_n")).cast("double"), 6)
+          col("u2d").cast("long").as("u2"), // test-scale output narrowing
+          dev2d.cast("long").as("dev2"),
+          round(dev2d.cast("double") /
+            (col("n_r").cast("double") * col("n_n").cast("double")), 6)
             .as("rank_biserial"))
         .orderBy(col("status"))
     },
@@ -151,10 +155,12 @@ object Relational8 {
         FROM lineitem WHERE l_returnflag IN ('R', 'N')
         GROUP BY 1, 2, 3),
       u AS (
+        -- HUGEINT staging BEFORE the multiply (the q105 overflow guard)
         SELECT r.status,
-          CAST(CAST(sum(CAST(CASE WHEN r.qa > n.qb THEN 2 * r.na * n.nb
-                            ELSE r.na * n.nb END AS DECIMAL(38,0)))
-            AS DECIMAL(38,0)) AS BIGINT) AS u2
+          CAST(sum(CASE WHEN r.qa > n.qb
+                        THEN 2 * CAST(r.na AS HUGEINT) * n.nb
+                        ELSE CAST(r.na AS HUGEINT) * n.nb END)
+            AS BIGINT) AS u2
         FROM (SELECT status, qty AS qa, n AS na FROM cnt WHERE flag = 'R') r
         JOIN (SELECT status, qty AS qb, n AS nb FROM cnt WHERE flag = 'N') n
           ON r.status = n.status AND r.qa >= n.qb
@@ -165,9 +171,10 @@ object Relational8 {
           CAST(sum(CASE WHEN flag = 'N' THEN n ELSE 0 END) AS BIGINT) AS n_n
         FROM cnt GROUP BY status)
       SELECT t.status, t.n_r, t.n_n, u.u2,
-        u.u2 - t.n_r * t.n_n AS dev2,
-        round(CAST(u.u2 - t.n_r * t.n_n AS DOUBLE)
-          / CAST(t.n_r * t.n_n AS DOUBLE), 6) AS rank_biserial
+        CAST(u.u2 - CAST(t.n_r AS HUGEINT) * t.n_n AS BIGINT) AS dev2,
+        round(CAST(u.u2 - CAST(t.n_r AS HUGEINT) * t.n_n AS DOUBLE)
+          / (CAST(t.n_r AS DOUBLE) * CAST(t.n_n AS DOUBLE)), 6)
+          AS rank_biserial
       FROM u JOIN totals t USING (status)
       WHERE t.n_r > 0 AND t.n_n > 0
       ORDER BY t.status"""))
@@ -214,10 +221,12 @@ object Relational8 {
             (col("cum_n").cast(d38) * col("n_r").cast(d38))).as("num"))
         .groupBy(col("status"), col("n_r"), col("n_n"))
         .agg(max(col("num")).cast("long").as("ks_num"))
-      val ksd = col("ks_num").cast("double") /
-        (col("n_r") * col("n_n")).cast("double")
-      val crit = lit(1.358) * sqrt((col("n_r") + col("n_n")).cast("double") /
-        (col("n_r") * col("n_n")).cast("double"))
+      // per-factor double casts: a Long n_r*n_n product would wrap at
+      // warehouse counts before the cast could save it
+      val nProd = col("n_r").cast("double") * col("n_n").cast("double")
+      val ksd = col("ks_num").cast("double") / nProd
+      val crit = lit(1.358) *
+        sqrt((col("n_r") + col("n_n")).cast("double") / nProd)
       dnum.select(col("status"), col("n_r"), col("n_n"), col("ks_num"),
           round(ksd, 6).as("ks_d"),
           round(crit, 6).as("d_crit_05"),
@@ -253,11 +262,13 @@ object Relational8 {
         WHERE t.n_r > 0 AND t.n_n > 0
         GROUP BY c.status, t.n_r, t.n_n)
       SELECT status, n_r, n_n, ks_num,
-        round(CAST(ks_num AS DOUBLE) / CAST(n_r * n_n AS DOUBLE), 6) AS ks_d,
-        round(1.358 * sqrt(CAST(n_r + n_n AS DOUBLE) / CAST(n_r * n_n AS DOUBLE)), 6)
-          AS d_crit_05,
-        CAST(ks_num AS DOUBLE) / CAST(n_r * n_n AS DOUBLE)
-          > 1.358 * sqrt(CAST(n_r + n_n AS DOUBLE) / CAST(n_r * n_n AS DOUBLE))
+        round(CAST(ks_num AS DOUBLE)
+          / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)), 6) AS ks_d,
+        round(1.358 * sqrt(CAST(n_r + n_n AS DOUBLE)
+          / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))), 6) AS d_crit_05,
+        CAST(ks_num AS DOUBLE) / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))
+          > 1.358 * sqrt(CAST(n_r + n_n AS DOUBLE)
+              / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)))
           AS reject_h0
       FROM dnum ORDER BY status"""))
 }

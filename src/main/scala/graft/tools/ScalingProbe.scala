@@ -37,11 +37,7 @@ object ScalingProbe {
     "0.01" -> "/root/testdata/sf0.01",
     "0.1" -> "/root/testdata/sf0.1")
 
-  private def loadAvg1: Double = {
-    val l = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    if (l.isNaN) -1.0 else math.rint(l * 100) / 100
-  }
+  private def loadAvg1: Double = ToolSession.loadAvg1
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("SCALING_CURVE.json")
@@ -77,7 +73,11 @@ object ScalingProbe {
         math.rint(math.log10(hi / lo) / decades * 1000) / 1000
       val slopeTop = slope(t3, t2, 1.0)
       val slopeFull = slope(t3, t1, 2.0)
-      val flag = slopeTop > Threshold && t3 > TimeFloorSec
+      // a query that FAILED every run at some sf (times NaN) must flag —
+      // failure at scale is the superlinear symptom in its worst form,
+      // and `NaN > Threshold` alone would silently report it healthy
+      val flag = times.exists(_.isNaN) ||
+        (slopeTop > Threshold && t3 > TimeFloorSec)
       System.err.println(f"[scaling] $name%-28s ${t1}%.2f ${t2}%.2f ${t3}%.2f slope=$slopeTop%.2f${if (flag) "  ** SUPERLINEAR **" else ""}")
       (name, times, slopeTop, slopeFull, flag)
     }
@@ -85,8 +85,11 @@ object ScalingProbe {
     spark.stop()
 
     val nFlagged = rows.count(_._5)
+    // strict JSON: bare NaN (failed runs, NaN-derived slopes) is not
+    // valid JSON and would make the artifact unreadable — emit null
+    def num(d: Double): String = if (d.isNaN) "null" else d.toString
     val qJson = rows.map { case (name, ts, sTop, sFull, flag) =>
-      s"""{"name":"$name","t":[${ts.mkString(",")}],"slope_top":$sTop,"slope_full":$sFull,"flag":$flag}"""
+      s"""{"name":"$name","t":[${ts.map(num).mkString(",")}],"slope_top":${num(sTop)},"slope_full":${num(sFull)},"flag":$flag}"""
     }.mkString("[", ",\n", "]")
     val json =
       s"""{"sfs":[${Sfs.map(s => "\"" + s._1 + "\"").mkString(",")}],"runs":$runs,"threshold":$Threshold,"time_floor_sec":$TimeFloorSec,"load":[$loadStart,$loadAvg1],"n_queries":${rows.size},"n_flagged":$nFlagged,

@@ -21,7 +21,11 @@ class EventPatternsSpec extends SparkSpec {
     val chars = Map("signup" -> 'S', "view" -> 'V', "click" -> 'C',
       "purchase" -> 'P', "error" -> 'E')
     ev.groupBy(_._1).foreach { case (uid, events) =>
-      val journey = events.sortBy(e => (e._2.getTime, e._3))
+      // full microsecond precision: getTime alone truncates to millis and
+      // could order sub-millisecond-distinct events differently than the
+      // query's timestamp sort
+      val journey = events
+        .sortBy(e => (e._2.toInstant.getEpochSecond, e._2.toInstant.getNano, e._3))
         .map(e => chars(e._4)).mkString
       val row = rows(uid)
       assert(row.getAs[Int]("journey_len") === journey.length, s"user $uid")
