@@ -14,7 +14,7 @@ import Q.t
 object Graph4 {
 
   def pack: Seq[Q] = Seq(g76KTruss, g77RandomWalks, g78LubyMis,
-    g79TemporalReach, g80HarmonicCentrality)
+    g79TemporalReach, g80HarmonicCentrality, g81KatzCentrality)
 
   private val TrussK = 4
   private val TrussRounds = 3
@@ -561,5 +561,110 @@ object Graph4 {
       FROM d3 WHERE d > 0
       GROUP BY node
       ORDER BY harmonic_micro DESC, node LIMIT 15"""
+    })
+
+  // ----------------------------------------------------- Katz centrality
+
+  /** Fixed-point unit for Katz walk mass (10⁻⁹ — three decades more
+    * headroom than g60's 10⁻¹² because walk mass GROWS multiplicatively
+    * with degree: w_k ≤ (d_max·α)^k·KatzScale, and hub in-degrees here
+    * reach the hundreds).
+    */
+  private[ops] val KatzScale = 1000000000L
+  private[ops] val KatzIters = 3
+  /** Attenuation α = 1/KatzAtt, applied as one integer divide per edge
+    * hop — Spark `div` and DuckDB `//` agree on the positive domain.
+    */
+  private[ops] val KatzAtt = 8L
+
+  /** Katz walk-mass accumulation over `iters` hops: w₀(v) = KatzScale,
+    * w_k(v) = Σ_{u→v} (w_{k-1}(u) div KatzAtt), and the score is
+    * Σ_{k=1..iters} w_k — the truncated Katz series Σ αᵏ(Aᵀ)ᵏ·1 in exact
+    * integer arithmetic. The g60 loop contract verbatim: cached
+    * hash(src)-partitioned degree-joined edges, each round shuffles only
+    * the O(nodes) mass table, rounds checkpointed, nothing broadcast.
+    * Exposed for planted-graph specs.
+    */
+  def katz(edges: DataFrame, iters: Int): DataFrame = {
+    val (e, deg, ew, ncnt) = Graph.edgeState(edges)
+    require(ncnt.head().getLong(0) > 0,
+      "katz on an empty edge set (no nodes)")
+    var w = deg.select(col("src").as("node"), lit(KatzScale).as("w"))
+      .localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (_ <- 1 to iters) {
+      val next = ew
+        .join(w.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .select(col("dst"), expr(s"w div $KatzAtt").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("w"))
+        .select(col("dst").as("node"), col("w"))
+        .localCheckpoint(true)
+      // w₀ is not part of the score and w_{k-1} already fed this round —
+      // release it unless a later union still needs it (rounds keeps k≥1)
+      if (!rounds.contains(w)) Q.releaseBlocks(w)
+      w = next
+      rounds += next
+    }
+    val res = rounds.reduce(_ unionAll _)
+      .groupBy(col("node")).agg(sum(col("w")).as("katz_scaled"))
+    ew.unpersist(); deg.unpersist(); e.unpersist()
+    Q.materialized(res, rounds.toSeq: _*)
+  }
+
+  /** g81: KATZ CENTRALITY over the g60 customer↔supplier trade graph —
+    * the walk-counting complement of PageRank: where PageRank's random
+    * surfer NORMALIZES by out-degree (influence as probability), Katz
+    * counts attenuated walks raw, so well-connected hubs score by reach
+    * rather than by share. Completes the centrality family
+    * (degree g75, eigenvector-style g60/g71, hub/authority g66,
+    * harmonic g80). Truncated at `KatzIters` hops with α = 1/8 in exact
+    * integer fixed point; the oracle replays the identical recurrence
+    * through MATERIALIZED per-round CTEs.
+    */
+  val g81KatzCentrality: Q = Q(
+    "g81_katz",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      katz(edges, KatzIters)
+        .select(
+          when(col("node") % 2 === 0, "customer").otherwise("supplier")
+            .as("kind"),
+          expr("node div 2").as("key"),
+          col("katz_scaled"))
+        .orderBy(col("kind"), col("key"))
+    },
+    Some {
+      def round(prev: String, cur: String) = s"""
+      $cur AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(sum(p.w // $KatzAtt) AS BIGINT) AS w
+        FROM edges e JOIN $prev p ON e.src = p.node
+        GROUP BY e.dst)"""
+      s"""
+      WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s, c FROM pairs),
+      k0 AS MATERIALIZED (
+        SELECT src AS node, CAST($KatzScale AS BIGINT) AS w
+        FROM (SELECT DISTINCT src FROM edges) n),
+      ${round("k0", "k1")}, ${round("k1", "k2")}, ${round("k2", "k3")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+          AS kind,
+        node // 2 AS key,
+        CAST(sum(w) AS BIGINT) AS katz_scaled
+      FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+            UNION ALL SELECT * FROM k3) t
+      GROUP BY 1, 2 ORDER BY kind, key"""
     })
 }

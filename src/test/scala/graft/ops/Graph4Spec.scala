@@ -144,4 +144,30 @@ class Graph4Spec extends SparkSpec {
         r.getAs[Long]("p2") - r.getAs[Long]("p1"))
     }
   }
+
+  test("katz: hand-computed walk mass on a 3-node path") {
+    // symmetric path 0—1—2; KatzScale = 1e9, attenuation 1/8:
+    //   w1 = (125e6, 250e6, 125e6)
+    //   w2 = (31.25e6, 31.25e6, 31.25e6)
+    //   w3 = (3906250, 7812500, 3906250)
+    val sym = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val out = Graph4.katz(sym, Graph4.KatzIters).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("katz_scaled")).toMap
+    assert(out === Map(
+      0L -> (125000000L + 31250000L + 3906250L),
+      1L -> (250000000L + 31250000L + 7812500L),
+      2L -> (125000000L + 31250000L + 3906250L)))
+  }
+
+  test("katz: the endpoint of a star never out-scores the hub") {
+    // star: hub 1 connected to 2,3,4 — the hub collects 3 attenuated
+    // masses per hop, each leaf only the hub's
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = Graph4.katz(sym, Graph4.KatzIters).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("katz_scaled")).toMap
+    assert(out(1L) > out(2L))
+    assert(out(2L) === out(3L) && out(3L) === out(4L))
+  }
 }
