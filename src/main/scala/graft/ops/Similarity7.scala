@@ -30,7 +30,7 @@ import Q.t
   */
 object Similarity7 {
 
-  def pack: Seq[Q] = Seq(e85SqSearch, e85bSqRecall)
+  def pack: Seq[Q] = Seq(e85SqSearch, e85bSqRecall, e86SqRefineSweep)
 
   /** Shortlist size per query kept from the int8 pass (4× the final k —
     * the standard SQ rerank refinement factor).
@@ -207,4 +207,128 @@ object Similarity7 {
           AS hit_at_1
       FROM exact e LEFT JOIN hits h ON e.qid = h.qid AND e.cid = h.cid
       GROUP BY e.qid ORDER BY e.qid"""))
+
+  /** The refinement factors e86 sweeps — k, 2k, 4k for k = 10 (4k is
+    * e85's serving setting).
+    */
+  private val SweepCs = Seq(10, 20, 40)
+
+  /** e86: SQ REFINEMENT-FACTOR SWEEP — recall@10 as a function of the
+    * int8 shortlist size C ∈ {k, 2k, 4k}: the tuning curve behind e85's
+    * C = 4k choice (the e76 nprobe-sweep pattern applied to the rerank
+    * knob). The int8 scores are ranked ONCE; each C is a prefix cut of
+    * that one ranking, and only the distinct surviving pairs pay the
+    * exact-decimal re-score — so the sweep costs one scoring pass plus
+    * O(C_max · queries) decimal work, not one corpus pass per setting.
+    * Monotone by construction (a larger shortlist can only add recall);
+    * `Similarity7Spec` pins that, and the whole curve is hash-oracled.
+    */
+  val e86SqRefineSweep: Q = Q(
+    "e86_sq_refine_sweep",
+    (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val cGrid = SweepCs.toDF("refine_c")
+      val emb = t(s, dir, "embeddings")
+      val queries = quantize(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
+        .select(col("qid"), col("qv"), col("codes").as("qcodes"))
+      val corpus = quantize(
+        Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")), "cv")
+        .select(col("cid"), col("cv"), col("scale").as("cscale"),
+          col("codes").as("ccodes"))
+      val ranked = corpus
+        .crossJoin(broadcast(queries.select(col("qid"), col("qcodes"))))
+        .select(col("qid"), col("cid"),
+          (col("cscale") * Similarity.dotNative(col("qcodes"), col("ccodes")))
+            .as("approxs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("approxs").desc, col("cid"))))
+        .filter(col("rn") <= SweepCs.max)
+        .select(col("qid"), col("cid"), col("rn"))
+      // score each surviving pair exactly ONCE, then fan out to the Cs
+      val scored = ranked
+        .join(corpus.select(col("cid"), col("cv")), "cid")
+        .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+        .select(col("qid"), col("cid"), col("rn"),
+          Similarity.cosExact(col("qv"), col("cv")).as("cos"))
+      val perC = scored.crossJoin(broadcast(cGrid))
+      val w10 = Window.partitionBy(col("refine_c"), col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      val ann = perC.filter(col("rn") <= col("refine_c"))
+        .withColumn("r10", row_number().over(w10))
+        .filter(col("r10") <= 10)
+        .select(col("refine_c"), col("qid"), col("cid"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val fast = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          Similarity.cosNative(col("qv"), col("cv")).as("cosf"))
+      val exact = Similarity.exactRerank(fast, q, c, k = 10)
+        .select(col("qid"), col("cid"))
+      exact
+        .crossJoin(broadcast(cGrid))
+        .join(ann.withColumn("hit", lit(1)),
+          Seq("refine_c", "qid", "cid"), "left")
+        .groupBy(col("refine_c"), col("qid"))
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("refine_c"), col("qid"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall_at_10"))
+        .orderBy(col("refine_c"), col("qid"))
+    },
+    Some(s"""
+      WITH $sqCtes,
+      cgrid(refine_c) AS (VALUES (10), (20), (40)),
+      ranked AS (
+        SELECT s.qid, s.cid, row_number() OVER (PARTITION BY s.qid
+          ORDER BY cs.cscale * s.intdot DESC, s.cid) AS rn
+        FROM sdots s JOIN cs USING (cid)),
+      survivors AS (SELECT qid, cid, rn FROM ranked WHERE rn <= ${SweepCs.max}),
+      sdots2 AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT sv.qid, sv.cid, unnest(q.qv) AS qx, unnest(c.cv) AS cx
+              FROM survivors sv JOIN q USING (qid) JOIN c USING (cid)) t
+        GROUP BY qid, cid),
+      scored2 AS (
+        SELECT sv.qid, sv.cid, sv.rn, d.dot/(qn.qnorm*cn.cnorm) AS cos
+        FROM survivors sv
+          JOIN sdots2 d ON sv.qid = d.qid AND sv.cid = d.cid
+          JOIN qn ON sv.qid = qn.qid JOIN cn ON sv.cid = cn.cid),
+      ann2 AS (
+        SELECT refine_c, qid, cid FROM (
+          SELECT g.refine_c, s2.qid, s2.cid,
+            row_number() OVER (PARTITION BY g.refine_c, s2.qid
+              ORDER BY s2.cos DESC, s2.cid) AS r10
+          FROM scored2 s2 JOIN cgrid g ON s2.rn <= g.refine_c) t
+        WHERE r10 <= 10),
+      alldots AS (
+        SELECT qid, cid,
+          CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
+        FROM (SELECT qid, cid, unnest(qv) AS qx, unnest(cv) AS cx
+              FROM q CROSS JOIN c) t
+        GROUP BY qid, cid),
+      exact AS (
+        SELECT qid, cid FROM (
+          SELECT d.qid, d.cid,
+            row_number() OVER (PARTITION BY d.qid
+              ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS rank
+          FROM alldots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
+        WHERE rank <= 10)
+      SELECT g.refine_c, e.qid,
+        CAST(count(*) AS BIGINT) AS n_exact,
+        CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit,
+        CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS recall_at_10
+      FROM exact e CROSS JOIN cgrid g
+      LEFT JOIN ann2 a
+        ON a.refine_c = g.refine_c AND a.qid = e.qid AND a.cid = e.cid
+      GROUP BY g.refine_c, e.qid
+      ORDER BY g.refine_c, e.qid"""))
 }

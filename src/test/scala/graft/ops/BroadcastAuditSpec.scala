@@ -61,6 +61,7 @@ class BroadcastAuditSpec extends SparkSpec {
     "e78_intra_list_diversity" -> "k-bounded top-10 lists per fixed query",
     "e85_sq_search" -> "fixed query set x int8-coded corpus — loop rides the broadcast side",
     "e85b_sq_recall" -> "fixed query set in both the SQ and exact arms",
+    "e86_sq_refine_sweep" -> "fixed query set + constant 3-row refinement grid",
     "e79_pq_distortion" -> "constant codebooks + one-row share total",
     "e80_bm25_topk" -> "9-row keyword query table",
     "e82_ndcg_eval" -> "fixed query set + one-row ideal-DCG",

@@ -45,6 +45,22 @@ class Similarity7Spec extends SparkSpec {
     assert(out.forall(r => !r.getAs[Double]("cos").isNaN))
   }
 
+  test("e86: recall is monotone in the shortlist size and C=40 equals e85b") {
+    val sweep = graft.SparkEntry.queries("e86_sq_refine_sweep")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("refine_c"), r.getAs[Long]("qid")) ->
+        r.getAs[Long]("n_hit")).toMap
+    assert(sweep.size === 15) // 3 settings x 5 queries
+    (0L to 4L).foreach { qid =>
+      assert(sweep((10, qid)) <= sweep((20, qid)), s"qid $qid 10->20")
+      assert(sweep((20, qid)) <= sweep((40, qid)), s"qid $qid 20->40")
+    }
+    // the C=40 column IS e85's serving configuration — must agree with e85b
+    val b = graft.SparkEntry.queries("e85b_sq_recall")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_hit")).toMap
+    (0L to 4L).foreach(qid => assert(sweep((40, qid)) === b(qid), s"qid $qid"))
+  }
+
   test("e85b: real-data recall@10 of the SQ8 search stays high") {
     val rows = graft.SparkEntry.queries("e85b_sq_recall")(spark, sf0001).collect()
     assert(rows.length === 5) // one row per query
