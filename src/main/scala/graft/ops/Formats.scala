@@ -25,12 +25,14 @@ object Formats {
     *
     * Scale shape: one pruned projection write (the partitioned layout is
     * the same layout a real estate would keep at rest), one
-    * partition-pruned scan, one 2-group aggregate. One fixed temp dir per
-    * JVM, overwritten per call: bench repeats honestly pay the write while
-    * disk stays bounded (runs are sequential — the read action always
-    * lands between its own write and the next).
+    * partition-pruned scan, one 2-group aggregate. Each invocation writes
+    * into a FRESH subdirectory of one shutdown-hook-cleaned root, so
+    * concurrent callers (parallel specs, a second session in this JVM, a
+    * future parallel bench) can never read one run against another run's
+    * overwrite; old subdirs of repeated bench runs are reclaimed at JVM
+    * exit, keeping disk bounded per process.
     */
-  private lazy val orcDir: String = {
+  private lazy val orcRoot: java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory("graft_orc_rt")
     // deleteOnExit can't remove a non-empty dir and the ORC files are
     // written later — a shutdown hook deletes the whole tree instead
@@ -40,12 +42,16 @@ object Formats {
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       } catch { case scala.util.control.NonFatal(_) => () }))
-    d.toString
+    d
   }
+
+  private val orcRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   val q106OrcRoundtrip: Q = Q(
     "q106_orc_roundtrip",
     (s: SparkSession, dir: String) => {
+      val orcDir = orcRoot
+        .resolve(s"run_${orcRun.incrementAndGet()}").toString
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
           col("l_extendedprice"), col("l_shipdate"))

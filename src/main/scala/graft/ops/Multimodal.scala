@@ -117,6 +117,16 @@ object Multimodal {
     * typical training thumbnails carry full frames). None when the bytes
     * are not a decodable GIF — perceptual video codecs (MP4/H.264) fall
     * back to the stub by declared de-scope.
+    *
+    * Dimensions are the LOGICAL SCREEN DESCRIPTOR's (header bytes 6-9,
+    * little-endian) — the canvas every frame composites onto — so a GIF
+    * whose later frames exceed frame 0 still reports full canvas size;
+    * frame 0 is only the fallback for a malformed header. Duration sums
+    * per-frame GraphicControlExtension delays: a multi-frame GIF with no
+    * GCE blocks (or all-zero delays, which players clamp to ~100 ms each)
+    * legitimately reports duration_ms = 0, meaning "unknown/player-
+    * defined", NOT "instantaneous" — consumers of max_duration_ms must
+    * treat 0 from a multi-frame asset as unknown.
     */
   def decodeGif(bytes: Array[Byte], dim: Int): Option[(Int, Int, Int, Long, Array[Float])] = {
     val readers = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
@@ -132,12 +142,21 @@ object Multimodal {
         val acc = new Array[Double](dim)
         val cnt = new Array[Long](dim)
         var durMs = 0L
-        var w = 0
-        var h = 0
+        // logical screen descriptor: canvas width/height as LE uint16 at
+        // header offsets 6/8 — authoritative even when later frames are
+        // larger than frame 0
+        var w =
+          if (bytes.length >= 10)
+            (bytes(6) & 0xFF) | ((bytes(7) & 0xFF) << 8)
+          else 0
+        var h =
+          if (bytes.length >= 10)
+            (bytes(8) & 0xFF) | ((bytes(9) & 0xFF) << 8)
+          else 0
         var f = 0
         while (f < n) {
           val img = reader.read(f)
-          if (f == 0) { w = img.getWidth; h = img.getHeight }
+          if (f == 0 && (w <= 0 || h <= 0)) { w = img.getWidth; h = img.getHeight }
           val fh = img.getHeight
           var y = 0
           while (y < fh) {

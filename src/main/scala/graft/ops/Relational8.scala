@@ -137,11 +137,15 @@ object Relational8 {
       val totals = cnt.groupBy(col("status")).agg(
         sum(when(col("flag") === "R", col("n")).otherwise(0L)).as("n_r"),
         sum(when(col("flag") === "N", col("n")).otherwise(0L)).as("n_n"))
-      val dev2d = col("u2d") - col("n_r").cast(d38) * col("n_n").cast(d38)
-      u2.join(totals, "status")
+      // drive from totals: a status where no R quantity reaches any N
+      // quantity has NO u2 row, but U=0 is a legitimate result — the left
+      // join + coalesce keeps it reported instead of silently dropped
+      val u2c = coalesce(col("u2d"), lit(0).cast(d38))
+      val dev2d = u2c - col("n_r").cast(d38) * col("n_n").cast(d38)
+      totals.join(u2, Seq("status"), "left")
         .filter(col("n_r") > 0 && col("n_n") > 0)
         .select(col("status"), col("n_r"), col("n_n"),
-          col("u2d").cast("long").as("u2"), // test-scale output narrowing
+          u2c.cast("long").as("u2"), // test-scale output narrowing
           dev2d.cast("long").as("dev2"),
           round(dev2d.cast("double") /
             (col("n_r").cast("double") * col("n_n").cast("double")), 6)
@@ -170,12 +174,12 @@ object Relational8 {
           CAST(sum(CASE WHEN flag = 'R' THEN n ELSE 0 END) AS BIGINT) AS n_r,
           CAST(sum(CASE WHEN flag = 'N' THEN n ELSE 0 END) AS BIGINT) AS n_n
         FROM cnt GROUP BY status)
-      SELECT t.status, t.n_r, t.n_n, u.u2,
-        CAST(u.u2 - CAST(t.n_r AS HUGEINT) * t.n_n AS BIGINT) AS dev2,
-        round(CAST(u.u2 - CAST(t.n_r AS HUGEINT) * t.n_n AS DOUBLE)
+      SELECT t.status, t.n_r, t.n_n, coalesce(u.u2, 0) AS u2,
+        CAST(coalesce(u.u2, 0) - CAST(t.n_r AS HUGEINT) * t.n_n AS BIGINT) AS dev2,
+        round(CAST(coalesce(u.u2, 0) - CAST(t.n_r AS HUGEINT) * t.n_n AS DOUBLE)
           / (CAST(t.n_r AS DOUBLE) * CAST(t.n_n AS DOUBLE)), 6)
           AS rank_biserial
-      FROM u JOIN totals t USING (status)
+      FROM totals t LEFT JOIN u USING (status)
       WHERE t.n_r > 0 AND t.n_n > 0
       ORDER BY t.status"""))
 

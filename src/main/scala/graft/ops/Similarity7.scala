@@ -37,6 +37,13 @@ object Similarity7 {
     */
   private val Cand = 40
 
+  /** Query-set size and final k of the registered Qs — named so the Spark
+    * defaults and the generated oracle CTEs share ONE source of truth and
+    * cannot desynchronize (the Cand/OracleDim convention).
+    */
+  private val NQueries = 5
+  private val K = 10
+
   /** The embedding width the generated oracles unroll (`range(0, 64)`);
     * the testdata width, same pinning convention as e51's plane family.
     */
@@ -64,7 +71,7 @@ object Similarity7 {
     * query's candidates), then the exact-decimal cosine ranks the
     * shortlist. Queries broadcast; the corpus is never shuffled.
     */
-  def sqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  def sqTopK(emb: DataFrame, nQueries: Int = NQueries, k: Int = K): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val queries = quantize(
       emb.filter(col("vec_id") < nQueries)
@@ -99,8 +106,8 @@ object Similarity7 {
     * bit-identical; the code dot is integral, hence order-independent).
     */
   private def sqCtes: String = s"""
-      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-      c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+      c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= $NQueries),
       qs AS (
         SELECT qid, max(abs(CAST(x AS DOUBLE)))/127 AS qscale
         FROM (SELECT qid, unnest(qv) AS x FROM q) t GROUP BY qid
@@ -150,7 +157,7 @@ object Similarity7 {
     Some(s"""
       WITH $sqCtes
       SELECT qid, cid, round(cos, 6) AS cos, rank FROM sq
-      WHERE rank <= 10 ORDER BY qid, rank"""))
+      WHERE rank <= $K ORDER BY qid, rank"""))
 
   /** Accuracy audit for the SQ8 search: per query, recall@10 of [[sqTopK]]
     * against the brute-force exact top-10 (e50's pipeline), computed
@@ -163,14 +170,14 @@ object Similarity7 {
       GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val ann = sqTopK(emb).select(col("qid"), col("cid"))
-      val q = emb.filter(col("vec_id") < 5)
+      val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+      val c = Q.spread(emb.filter(col("vec_id") >= NQueries), "vec_id")
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val fast = c.crossJoin(broadcast(q))
         .select(col("qid"), col("cid"),
           Similarity.cosNative(col("qv"), col("cv")).as("cosf"))
-      val exact = Similarity.exactRerank(fast, q, c, k = 10)
+      val exact = Similarity.exactRerank(fast, q, c, k = K)
         .select(col("qid"), col("cid"), col("rank"))
       exact
         .join(ann.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
@@ -198,8 +205,8 @@ object Similarity7 {
             CAST(row_number() OVER (PARTITION BY d.qid
               ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS INT) AS rank
           FROM alldots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
-        WHERE rank <= 10),
-      hits AS (SELECT qid, cid, 1 AS hit FROM sq WHERE rank <= 10)
+        WHERE rank <= $K),
+      hits AS (SELECT qid, cid, 1 AS hit FROM sq WHERE rank <= $K)
       SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
         CAST(sum(coalesce(h.hit, 0)) AS BIGINT) AS n_hit,
         CAST(sum(coalesce(h.hit, 0)) AS DOUBLE) / count(*) AS recall_at_10,
@@ -211,7 +218,7 @@ object Similarity7 {
   /** The refinement factors e86 sweeps — k, 2k, 4k for k = 10 (4k is
     * e85's serving setting).
     */
-  private val SweepCs = Seq(10, 20, 40)
+  private val SweepCs = Seq(K, 2 * K, 4 * K)
 
   /** e86: SQ REFINEMENT-FACTOR SWEEP — recall@10 as a function of the
     * int8 shortlist size C ∈ {k, 2k, 4k}: the tuning curve behind e85's
@@ -231,11 +238,11 @@ object Similarity7 {
       val cGrid = SweepCs.toDF("refine_c")
       val emb = t(s, dir, "embeddings")
       val queries = quantize(
-        emb.filter(col("vec_id") < 5)
+        emb.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
         .select(col("qid"), col("qv"), col("codes").as("qcodes"))
       val corpus = quantize(
-        Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+        Q.spread(emb.filter(col("vec_id") >= NQueries), "vec_id")
           .select(col("vec_id").as("cid"), col("embedding").as("cv")), "cv")
         .select(col("cid"), col("cv"), col("scale").as("cscale"),
           col("codes").as("ccodes"))
@@ -259,16 +266,16 @@ object Similarity7 {
         .orderBy(col("cos").desc, col("cid"))
       val ann = perC.filter(col("rn") <= col("refine_c"))
         .withColumn("r10", row_number().over(w10))
-        .filter(col("r10") <= 10)
+        .filter(col("r10") <= K)
         .select(col("refine_c"), col("qid"), col("cid"))
-      val q = emb.filter(col("vec_id") < 5)
+      val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = Q.spread(emb.filter(col("vec_id") >= 5), "vec_id")
+      val c = Q.spread(emb.filter(col("vec_id") >= NQueries), "vec_id")
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val fast = c.crossJoin(broadcast(q))
         .select(col("qid"), col("cid"),
           Similarity.cosNative(col("qv"), col("cv")).as("cosf"))
-      val exact = Similarity.exactRerank(fast, q, c, k = 10)
+      val exact = Similarity.exactRerank(fast, q, c, k = K)
         .select(col("qid"), col("cid"))
       exact
         .crossJoin(broadcast(cGrid))
@@ -283,7 +290,7 @@ object Similarity7 {
     },
     Some(s"""
       WITH $sqCtes,
-      cgrid(refine_c) AS (VALUES (10), (20), (40)),
+      cgrid(refine_c) AS (VALUES ${SweepCs.map(c => s"($c)").mkString(", ")}),
       ranked AS (
         SELECT s.qid, s.cid, row_number() OVER (PARTITION BY s.qid
           ORDER BY cs.cscale * s.intdot DESC, s.cid) AS rn
@@ -306,7 +313,7 @@ object Similarity7 {
             row_number() OVER (PARTITION BY g.refine_c, s2.qid
               ORDER BY s2.cos DESC, s2.cid) AS r10
           FROM scored2 s2 JOIN cgrid g ON s2.rn <= g.refine_c) t
-        WHERE r10 <= 10),
+        WHERE r10 <= $K),
       alldots AS (
         SELECT qid, cid,
           CAST(sum(CAST(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE) AS DECIMAL(20,15))) AS DOUBLE) AS dot
@@ -319,7 +326,7 @@ object Similarity7 {
             row_number() OVER (PARTITION BY d.qid
               ORDER BY d.dot/(qn.qnorm*cn.cnorm) DESC, d.cid) AS rank
           FROM alldots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.cid = cn.cid) t
-        WHERE rank <= 10)
+        WHERE rank <= $K)
       SELECT g.refine_c, e.qid,
         CAST(count(*) AS BIGINT) AS n_exact,
         CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
