@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, Corpus5, Corpus6, CustomExprQueries, Dedup, EventPatterns, EventWindows, Formats, Graph, Graph2, Graph3, Graph4, GridLsh, IvfPq, Multimodal, PortableSketches, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, Similarity5, Similarity6, Similarity7, TextAnalysis}
+import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, Corpus5, Corpus6, CustomExprQueries, Dedup, EventPatterns, EventWindows, Formats, Graph, Graph2, Graph3, Graph4, GridLsh, IvfPq, Multimodal, PortableSketches, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, Similarity5, Similarity6, Similarity7, TextAnalysis, VersionedTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.pack ++ Relational2.pack ++ Relational3.pack ++
       Relational4.pack ++ Relational5.pack ++ Relational6.pack ++
       Relational7.pack ++ Relational8.pack ++ PortableSketches.pack ++
-      Formats.pack ++
+      Formats.pack ++ VersionedTable.pack ++
       EventWindows.pack ++ EventPatterns.pack ++ TextAnalysis.pack ++
       Dedup.pack ++
       Corpus.pack ++ Corpus2.pack ++ Corpus3.pack ++ Corpus4.pack ++

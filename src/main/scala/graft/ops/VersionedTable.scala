@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** A minimal commit-log table format — numbered snapshots over plain
+  * parquet data files, giving the three lakehouse behaviors the sink
+  * family was still missing: ACID commits, snapshot-isolated reads, and
+  * time travel (`read @ version N`).
+  *
+  * Layout under one table root:
+  * {{{
+  *   <table>/data/v<N>-<uuid>/...parquet   // immutable data generations
+  *   <table>/_log/<N>.commit               // snapshot manifests
+  * }}}
+  *
+  * Each manifest lists the data directories (relative paths, one per
+  * line) that constitute snapshot N — append commits carry the previous
+  * list plus the new generation, overwrite commits carry only the new
+  * one. The COMMIT POINT is the atomic rename of a hidden temp file to
+  * `_log/<N>.commit`: data files are written first and are invisible
+  * until the manifest appears, so a crash anywhere before the rename
+  * leaves only orphaned (unreferenced, reclaimable) data and the prior
+  * snapshot intact — the same only-the-driver-publishes atomicity the
+  * `graft-audit` DSv2 sink demonstrates, applied to a table. Concurrent
+  * writers are safe by OPTIMISTIC CONCURRENCY: rename onto an existing
+  * manifest fails (Hadoop semantics — returns false rather than
+  * overwriting), the loser re-reads the log and retries at N+1, so
+  * version history is linear.
+  *
+  * Readers never list `data/` (at scale a blob listing is slow and,
+  * worse, sees half-written generations): they read the manifest and
+  * load exactly its files. That makes reads snapshot-isolated for free
+  * and makes `readAt(v)` trivial — time travel is just reading an older
+  * manifest. Scale shape: a manifest holds directory names, not file
+  * names, so it stays bytes-sized; data generations are immutable parquet
+  * dirs that [[Compaction]] could rewrite into a new overwrite commit.
+  */
+object VersionedTable {
+
+  def pack: Seq[Q] = Seq(q108TimeTravel)
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val CommitRe = """(\d+)\.commit""".r
+
+  /** Committed versions, ascending (empty for a nonexistent table). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val hfs = fs(spark, root)
+    val log = new Path(root, "_log")
+    if (!hfs.exists(log)) Seq.empty
+    else hfs.listStatus(log).toSeq
+      .flatMap(_.getPath.getName match {
+        case CommitRe(n) => Some(n.toLong)
+        case _ => None // temp files mid-publish, foreign junk
+      }).sorted
+  }
+
+  private def manifestDirs(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val hfs = fs(spark, root)
+    val in = hfs.open(new Path(root, s"_log/$v.commit"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** One commit: write `df` as a new immutable generation, then publish a
+    * manifest for version max+1 via atomic rename; on a concurrency loss
+    * the publish retries at the next version. `overwrite=false` keeps the
+    * prior snapshot's directories in the new manifest (append semantics).
+    * Returns the committed version.
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      overwrite: Boolean): Long = {
+    val hfs = fs(spark, root)
+    val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(new Path(root, gen).toString)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      val next = vs.lastOption.getOrElse(0L) + 1
+      val dirs =
+        if (overwrite || vs.isEmpty) Seq(gen)
+        else manifestDirs(spark, root, vs.last) :+ gen
+      val tmp = new Path(root, s"_log/.tmp-$next-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = hfs.create(tmp, false)
+      try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+      // THE commit point: atomic publish; a false return means another
+      // writer took this version — discard the temp and retry on a fresh
+      // read of the log (optimistic concurrency)
+      if (hfs.rename(tmp, new Path(root, s"_log/$next.commit"))) return next
+      hfs.delete(tmp, false)
+    }
+    -1L // unreachable
+  }
+
+  /** Snapshot-isolated read of version `v` (latest when None): loads
+    * exactly the manifest's directories — never a data/ listing.
+    */
+  def readAt(spark: SparkSession, root: String, v: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
+    val dirs = manifestDirs(spark, root, ver)
+      .map(d => new Path(root, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  // per-invocation fresh root under one shutdown-hook-cleaned temp tree
+  // (the q106 convention)
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft_vtable")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case scala.util.control.NonFatal(_) => () }))
+    d
+  }
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q108: TIME TRAVEL — three commits build a version history over the
+    * orders table (v1 = 1995 orders, v2 = append 1996, v3 = overwrite
+    * with 1996–1997), then every snapshot is read BACK through its
+    * manifest and summarized, plus a v2→v3 reconciliation (the q65 diff
+    * shape) computed entirely from time-travel reads. The oracle replays
+    * the same change log as filters over the base table and never sees
+    * the format — so the hash match proves each manifest read returns
+    * exactly its committed snapshot, append really unions, overwrite
+    * really replaces, and old versions stay readable after later commits.
+    */
+  val q108TimeTravel: Q = Q(
+    "q108_time_travel",
+    (s, dir) => {
+      val root = tmpRoot.resolve(s"run_${runSeq.incrementAndGet()}").toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yrs: Seq[Int]) = orders.filter(col("yr").isin(yrs.map(Integer.valueOf): _*))
+      val v1 = commit(s, root, slice(Seq(1995)), overwrite = true)
+      val v2 = commit(s, root, slice(Seq(1996)), overwrite = false)
+      val v3 = commit(s, root, slice(Seq(1996, 1997)), overwrite = true)
+      def summary(v: Long) = readAt(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit(s"v$v").as("snapshot"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      val diff = readAt(s, root, Some(v2)).select(col("o_orderkey"))
+        .withColumn("in_old", lit(1))
+        .join(readAt(s, root, Some(v3)).select(col("o_orderkey"))
+          .withColumn("in_new", lit(1)), Seq("o_orderkey"), "full")
+        .agg(
+          sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_rows"),
+          sum(when(col("in_new").isNull, 1L).otherwise(0L)).as("n_cust"))
+        .select(lit("diff_v2_v3").as("snapshot"),
+          col("n_rows"), // keys added by the v3 overwrite
+          col("n_cust"), // keys removed by the v3 overwrite
+          lit(null).cast("double").as("revenue"))
+      summary(v1).unionByName(summary(v2)).unionByName(summary(v3))
+        .unionByName(diff)
+        .orderBy(col("snapshot"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          year(o_orderdate) AS yr
+        FROM orders),
+      v1 AS (SELECT * FROM o WHERE yr IN (1995)),
+      v2 AS (SELECT * FROM o WHERE yr IN (1995, 1996)),
+      v3 AS (SELECT * FROM o WHERE yr IN (1996, 1997))
+      SELECT 'v1' AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM v1
+      UNION ALL
+      SELECT 'v2', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v2
+      UNION ALL
+      SELECT 'v3', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v3
+      UNION ALL
+      SELECT 'diff_v2_v3',
+        CAST((SELECT count(*) FROM v3 WHERE o_orderkey NOT IN
+          (SELECT o_orderkey FROM v2)) AS BIGINT),
+        CAST((SELECT count(*) FROM v2 WHERE o_orderkey NOT IN
+          (SELECT o_orderkey FROM v3)) AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      ORDER BY snapshot"""))
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VersionedTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("vtable_spec").toString
+
+  private def df(ids: Int*) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  private def idsAt(root: String, v: Option[Long] = None): Set[Int] =
+    VersionedTable.readAt(spark, root, v)
+      .collect().map(_.getInt(0)).toSet
+
+  test("append and overwrite commits version linearly; every snapshot stays readable") {
+    val root = freshRoot()
+    assert(VersionedTable.versions(spark, root).isEmpty)
+    assert(VersionedTable.commit(spark, root, df(1, 2), overwrite = true) == 1L)
+    assert(VersionedTable.commit(spark, root, df(3), overwrite = false) == 2L)
+    assert(VersionedTable.commit(spark, root, df(9), overwrite = true) == 3L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    // time travel: old snapshots unchanged by later commits
+    assert(idsAt(root, Some(1L)) == Set(1, 2))
+    assert(idsAt(root, Some(2L)) == Set(1, 2, 3))
+    assert(idsAt(root, Some(3L)) == Set(9))
+    assert(idsAt(root) == Set(9)) // latest
+    intercept[IllegalArgumentException](VersionedTable.readAt(spark, root, Some(7L)))
+  }
+
+  test("a crash before the manifest rename leaves the new generation invisible") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1), overwrite = true)
+    // simulate the two pre-commit crash points: (a) a fully-written data
+    // generation with no manifest, (b) a torn in-flight temp manifest
+    df(42).write.parquet(s"$root/data/v-orphaned")
+    Files.write(java.nio.file.Paths.get(root, "_log", ".tmp-2-deadbeef"),
+      "data/v-orphaned".getBytes("UTF-8"))
+    assert(VersionedTable.versions(spark, root) == Seq(1L), "torn temp must not count")
+    assert(idsAt(root) == Set(1), "orphaned generation must be invisible")
+    // recovery is just the next commit: version numbering is unaffected
+    assert(VersionedTable.commit(spark, root, df(2), overwrite = false) == 2L)
+    assert(idsAt(root) == Set(1, 2))
+  }
+
+  test("concurrent writers keep history linear (optimistic publish)") {
+    val root = freshRoot()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            VersionedTable.commit(spark, root, df(100 + i), overwrite = false)
+        })
+      }
+      val versions = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // every commit got a DISTINCT version and the log is the dense range
+      assert(versions.toSet.size == 6, s"duplicate versions: $versions")
+      assert(VersionedTable.versions(spark, root) == (1L to 6L))
+      // append-only: the final snapshot holds every writer's rows exactly once
+      val last = VersionedTable.readAt(spark, root)
+      assert(last.groupBy(col("id")).count().filter(col("count") > 1).count() == 0)
+      assert(idsAt(root) == (1 to 6).map(100 + _).toSet)
+    } finally pool.shutdownNow()
+  }
+}
