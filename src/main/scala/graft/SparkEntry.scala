@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, Corpus5, Corpus6, CustomExprQueries, Dedup, EventPatterns, EventWindows, Formats, Graph, Graph2, Graph3, Graph4, GridLsh, IvfPq, Multimodal, PortableSketches, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, Similarity5, Similarity6, Similarity7, TextAnalysis, VersionedTable}
+import graft.ops.{Clustering, Corpus, Corpus2, Corpus3, Corpus4, Corpus5, Corpus6, CustomExprQueries, Dedup, EventPatterns, EventWindows, Formats, Graph, Graph2, Graph3, Graph4, Graph5, GridLsh, IvfPq, Multimodal, PortableSketches, Profiling, Q, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Relational8, ScalePatterns, Similarity, Similarity2, Similarity3, Similarity4, Similarity5, Similarity6, Similarity7, TextAnalysis, VersionedTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
       IvfPq.pack ++ GridLsh.pack ++
       Multimodal.pack ++ CustomExprQueries.pack ++ ScalePatterns.pack ++
       Clustering.pack ++ Graph.pack ++ Graph2.pack ++ Graph3.pack ++
-      Graph4.pack ++
+      Graph4.pack ++ Graph5.pack ++
       Profiling.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
