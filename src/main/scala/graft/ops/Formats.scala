@@ -14,6 +14,24 @@ object Formats {
 
   def pack: Seq[Q] = Seq(q106OrcRoundtrip)
 
+  /** Write `df` as point-lookup-optimized parquet: a BLOOM FILTER on
+    * `bloomCol` (sized for `ndv` distinct values) plus small row groups
+    * (`blockBytes`), so an equality scan can skip whole row groups whose
+    * bloom answers "definitely absent" — the layout that makes needle
+    * lookups on an UNSORTED 100 TB fact table touch kilobytes instead of
+    * the full scan. Sorted layouts get the same skipping for free from
+    * min/max stats (see [[Compaction]]'s clustering); blooms are the
+    * complement for columns the sort key can't cover.
+    * `ParquetPruningSpec` proves both effects from scan metrics.
+    */
+  def bloomWrite(df: org.apache.spark.sql.DataFrame, dir: String,
+      bloomCol: String, ndv: Long, blockBytes: Int = 1 << 16): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", ndv.toString)
+      .option("parquet.block.size", blockBytes.toString)
+      .parquet(dir)
+
   /** q106: ORC ROUND TRIP — project the needed lineitem columns, write
     * them as ORC partitioned by return flag, read the ORC back with a
     * flag + date filter, and aggregate. The filter on the PARTITION
