@@ -18,7 +18,7 @@ import Q.t
   */
 object Relational8 {
 
-  def pack: Seq[Q] = Seq(q103Benford, q104MannWhitney, q105KsTest)
+  def pack: Seq[Q] = Seq(q103Benford, q104MannWhitney, q105KsTest, q109Welch)
 
   /** Shared by q104/q105: per-(status, flag, value) contingency counts of
     * R-vs-N line quantities — the ONE data-sized aggregate both rank tests
@@ -275,4 +275,98 @@ object Relational8 {
               / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)))
           AS reject_h0
       FROM dnum ORDER BY status"""))
+
+  /** q109: WELCH'S T-TEST — the parametric completion of the audit trio:
+    * where q104 compares locations rank-wise and q105 compares whole
+    * ECDFs, Welch answers "do the R and N quantity MEANS differ", without
+    * the equal-variance assumption Student's t needs (the variant
+    * statisticians recommend as the default two-sample mean test).
+    *
+    * Determinism: each population reduces to exact integer moments
+    * (n, Σx, Σx²) accumulated in DECIMAL(38,0) — order-independent,
+    * overflow-proof — via the same one map-side contingency aggregate as
+    * q104/q105; the t statistic, the Welch–Satterthwaite df, and the
+    * |t| > 1.96 flag are then a FIXED, mirrored sequence of IEEE ops on
+    * those exact moments (the g70 moments-then-assembly discipline), with
+    * the flag comparing unrounded doubles.
+    */
+  val q109Welch: Q = Q(
+    "q109_welch_ttest",
+    (s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val cnt = rnQtyCounts(s, dir)
+      val mom = cnt.groupBy(col("status")).agg(
+        sum(when(col("flag") === "R", col("n")).otherwise(0L)).as("n_r"),
+        sum(when(col("flag") === "N", col("n")).otherwise(0L)).as("n_n"),
+        sum(when(col("flag") === "R", (col("qty") * col("n")).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("sx_r"),
+        sum(when(col("flag") === "N", (col("qty") * col("n")).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("sx_n"),
+        sum(when(col("flag") === "R",
+            (col("qty") * col("qty") * col("n")).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("sxx_r"),
+        sum(when(col("flag") === "N",
+            (col("qty") * col("qty") * col("n")).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("sxx_n"))
+        .filter(col("n_r") > 1 && col("n_n") > 1)
+      def meanOf(sx: String, n: String) =
+        col(sx).cast("double") / col(n).cast("double")
+      // sample variance from exact moments: (n·Σx² − (Σx)²) / (n·(n−1))
+      def varOf(n: String, sx: String, sxx: String) =
+        (col(n).cast(d38) * col(sxx) - col(sx) * col(sx)).cast("double") /
+          (col(n).cast("double") * (col(n) - 1).cast("double"))
+      val ser = varOf("n_r", "sx_r", "sxx_r") / col("n_r").cast("double")
+      val sen = varOf("n_n", "sx_n", "sxx_n") / col("n_n").cast("double")
+      val tStat = (meanOf("sx_r", "n_r") - meanOf("sx_n", "n_n")) /
+        sqrt(ser + sen)
+      val dfW = ((ser + sen) * (ser + sen)) /
+        ((ser * ser) / (col("n_r") - 1).cast("double") +
+          (sen * sen) / (col("n_n") - 1).cast("double"))
+      mom.select(col("status"), col("n_r"), col("n_n"),
+          round(meanOf("sx_r", "n_r") - meanOf("sx_n", "n_n"), 6)
+            .as("mean_diff"),
+          round(tStat, 6).as("t_stat"),
+          round(dfW, 4).as("df_welch"),
+          (abs(tStat) > lit(1.96)).as("reject_h0"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT l_linestatus AS status, l_returnflag AS flag,
+          CAST(l_quantity AS INT) AS qty, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1, 2, 3),
+      mom AS (
+        SELECT status,
+          CAST(sum(CASE WHEN flag = 'R' THEN n ELSE 0 END) AS BIGINT) AS n_r,
+          CAST(sum(CASE WHEN flag = 'N' THEN n ELSE 0 END) AS BIGINT) AS n_n,
+          sum(CASE WHEN flag = 'R' THEN CAST(qty * n AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END) AS sx_r,
+          sum(CASE WHEN flag = 'N' THEN CAST(qty * n AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END) AS sx_n,
+          sum(CASE WHEN flag = 'R' THEN CAST(qty * qty * n AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END) AS sxx_r,
+          sum(CASE WHEN flag = 'N' THEN CAST(qty * qty * n AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END) AS sxx_n
+        FROM cnt GROUP BY status
+        HAVING n_r > 1 AND n_n > 1),
+      asm AS (
+        SELECT status, n_r, n_n,
+          CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS m_r,
+          CAST(sx_n AS DOUBLE) / CAST(n_n AS DOUBLE) AS m_n,
+          CAST(CAST(n_r AS HUGEINT) * sxx_r - sx_r * sx_r AS DOUBLE)
+            / (CAST(n_r AS DOUBLE) * CAST(n_r - 1 AS DOUBLE))
+            / CAST(n_r AS DOUBLE) AS ser,
+          CAST(CAST(n_n AS HUGEINT) * sxx_n - sx_n * sx_n AS DOUBLE)
+            / (CAST(n_n AS DOUBLE) * CAST(n_n - 1 AS DOUBLE))
+            / CAST(n_n AS DOUBLE) AS sen
+        FROM mom)
+      SELECT status, n_r, n_n,
+        round(m_r - m_n, 6) AS mean_diff,
+        round((m_r - m_n) / sqrt(ser + sen), 6) AS t_stat,
+        round(((ser + sen) * (ser + sen)) /
+          ((ser * ser) / CAST(n_r - 1 AS DOUBLE)
+            + (sen * sen) / CAST(n_n - 1 AS DOUBLE)), 4) AS df_welch,
+        abs((m_r - m_n) / sqrt(ser + sen)) > 1.96 AS reject_h0
+      FROM asm ORDER BY status"""))
 }

@@ -78,4 +78,54 @@ class Relational8Spec extends SparkSpec {
       assert(row.getAs[Long]("dev2") === u2 - rq.length.toLong * nq.length)
     }
   }
+
+  test("q109: Welch t and df equal a brute-force recomputation per status") {
+    val rows = graft.SparkEntry.queries("q109_welch_ttest")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("status") -> r).toMap
+    val raw = graft.ops.Q.t(spark, sf0001, "lineitem")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_linestatus"), col("l_returnflag"),
+        col("l_quantity").cast("int"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    raw.groupBy(_._1).foreach { case (status, triples) =>
+      val rq = triples.collect { case (_, "R", q) => q.toDouble }
+      val nq = triples.collect { case (_, "N", q) => q.toDouble }
+      def mean(xs: Array[Double]) = xs.sum / xs.length
+      def svar(xs: Array[Double]) = {
+        val m = mean(xs)
+        xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      }
+      val ser = svar(rq) / rq.length
+      val sen = svar(nq) / nq.length
+      val tExp = (mean(rq) - mean(nq)) / math.sqrt(ser + sen)
+      val dfExp = (ser + sen) * (ser + sen) /
+        (ser * ser / (rq.length - 1) + sen * sen / (nq.length - 1))
+      val row = rows(status)
+      assert(math.abs(row.getAs[Double]("t_stat") - tExp) < 1e-4,
+        s"status $status t")
+      assert(math.abs(row.getAs[Double]("df_welch") - dfExp) < dfExp * 1e-4,
+        s"status $status df")
+      assert(row.getAs[Boolean]("reject_h0") === (math.abs(tExp) > 1.96))
+      assert(row.getAs[Long]("n_r") === rq.length.toLong)
+      assert(row.getAs[Long]("n_n") === nq.length.toLong)
+    }
+  }
+
+  test("q109: identical planted populations give t = 0 and no rejection") {
+    // two flags carrying the SAME multiset of quantities — the null
+    // hypothesis is true by construction and the statistic must be 0
+    val rq = Seq(1, 2, 2, 3, 5, 8, 8, 9)
+    val nq = rq
+    val n = rq.length
+    val sx = rq.sum.toDouble
+    val sxx = rq.map(q => q * q).sum.toDouble
+    val v = (n * sxx - sx * sx) / (n.toDouble * (n - 1))
+    val se = v / n
+    val t = (sx / n - sx / n) / math.sqrt(se + se)
+    assert(t === 0.0)
+    val df = (se + se) * (se + se) / (2 * (se * se / (n - 1)))
+    assert(math.abs(df - 2.0 * (n - 1)) < 1e-9,
+      "equal variances and sizes collapse Welch df to 2(n-1)")
+  }
 }
