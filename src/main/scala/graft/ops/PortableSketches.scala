@@ -24,7 +24,7 @@ import Q.t
   */
 object PortableSketches {
 
-  def pack: Seq[Q] = Seq(q12cPortableHll, q53bPortableCms)
+  def pack: Seq[Q] = Seq(q12cPortableHll, q53bPortableCms, q34cQuantileSample)
 
   // ------------------------------------------------------------------ HLL
   // Geometry: p = 8 → m = 256 buckets from the LOW 8 bits of the 60-bit
@@ -210,4 +210,120 @@ object PortableSketches {
         GROUP BY p.user_id, p.n_exact)
       SELECT user_id, n_exact, n_est, n_est - n_exact AS overcount
       FROM est ORDER BY n_exact DESC, user_id"""))
+
+  // ------------------------------------------------- quantile sampling
+  /** 1-in-SampleMod deterministic hash sample (the q34b twin's knob). */
+  private val SampleMod = 16
+
+  /** The q63 distributed order-statistics device over any (v) column:
+    * value histogram → per-value-shard window cumsum + broadcast shard
+    * prefixes → (v, cum). Every window is partitioned by the value-DOMAIN
+    * shard, never keyed by row count.
+    */
+  private def cumHist(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("shard", floor(col("v") / 1000).cast("long"))
+    val local = h.withColumn("run_local",
+      sum(col("c")).over(Window.partitionBy(col("shard")).orderBy(col("v"))))
+    val prefixes = h.groupBy(col("shard")).agg(sum(col("c")).as("tot"))
+      .withColumn("prefix",
+        coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("prefix"))
+    local.join(broadcast(prefixes), "shard")
+      .select(col("v"), (col("run_local") + col("prefix")).as("cum"))
+  }
+
+  /** Decile boundaries from a (v, cum) table + its one-row total. */
+  private def decileBounds(cum: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame, out: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = cum.sparkSession
+    val targets = s.range(1, 10).toDF("decile")
+      .crossJoin(broadcast(total))
+      .select(col("decile"), expr("(decile * n + 9) div 10").as("tc"))
+    cum.join(broadcast(targets), col("cum") >= col("tc"))
+      .groupBy(col("decile")).agg(min(col("v")).as(out))
+  }
+
+  /** q34c: PORTABLE QUANTILE ESTIMATION BY DETERMINISTIC HASH SAMPLING —
+    * the oracled twin of q34b's Greenwald-Khanna sketch (whose internals
+    * are engine-specific, hence ⊘): sample every row whose [[Dedup.mh60]]
+    * of the (orderkey, linenumber) row key is ≡ 0 mod [[SampleMod]] — a
+    * property of the ROW, not of engine iteration order, so Spark and
+    * DuckDB select the IDENTICAL sample — then take the sample's exact
+    * deciles via the q63 shard-window device and audit them against the
+    * full-data exact deciles in-query: the output carries both boundaries
+    * plus the sample boundary's true rank error in basis points (integer
+    * arithmetic end-to-end). Expected |err| ~ √(q(1−q)·SampleMod/N) —
+    * fractions of a percent at warehouse row counts.
+    *
+    * Scale shape: the sample clause is a scan-level filter (no shuffle to
+    * sample); both decile passes run the q63 domain-sharded machinery;
+    * at 100 TB the sample pass touches 1/16 of the rows and the full pass
+    * exists only because the AUDIT needs the truth — a production user
+    * runs the sample side alone.
+    */
+  val q34cQuantileSample: Q = Q(
+    "q34c_quantile_sample",
+    (s, dir) => {
+      val li = Q.spread(t(s, dir, "lineitem"), "l_orderkey")
+        .select(col("l_extendedprice").as("v"),
+          concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string")).as("rk"))
+      val sample = li.filter(Dedup.mh60(col("rk")) % SampleMod === 0)
+        .select(col("v"))
+      val full = li.select(col("v"))
+      val cumFull = cumHist(full)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nFull = full.agg(count(lit(1)).as("n"))
+      val exact = decileBounds(cumFull, nFull, "exact_price")
+      val approx = decileBounds(cumHist(sample),
+        sample.agg(count(lit(1)).as("n")), "sample_price")
+      val res = exact.join(approx, "decile")
+        .join(cumFull.select(col("v").as("sample_price"), col("cum")),
+          "sample_price")
+        .crossJoin(broadcast(nFull))
+        .select(col("decile"), col("exact_price"), col("sample_price"),
+          abs(expr("(cum * 10000) div n") - col("decile") * 1000)
+            .as("err_bp"))
+        .orderBy(col("decile"))
+      Q.materialized(res, cumFull)
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_extendedprice AS v,
+          CAST(l_orderkey AS VARCHAR) || '#' ||
+            CAST(l_linenumber AS VARCHAR) AS rk
+        FROM lineitem),
+      smp AS (
+        SELECT v FROM li WHERE ${Dedup.sqlMh("rk")} % $SampleMod = 0),
+      cumf AS (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM (SELECT v, count(*) AS c FROM li GROUP BY 1) h),
+      cums AS (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM (SELECT v, count(*) AS c FROM smp GROUP BY 1) h),
+      nf AS (SELECT count(*) AS n FROM li),
+      ns AS (SELECT count(*) AS n FROM smp),
+      tf AS (
+        SELECT k AS decile, (k * (SELECT n FROM nf) + 9) // 10 AS tc
+        FROM (SELECT unnest(range(1, 10)) AS k)),
+      ts AS (
+        SELECT k AS decile, (k * (SELECT n FROM ns) + 9) // 10 AS tc
+        FROM (SELECT unnest(range(1, 10)) AS k)),
+      exact AS (
+        SELECT decile, min(v) AS exact_price
+        FROM cumf JOIN tf ON cumf.cum >= tf.tc GROUP BY decile),
+      approx AS (
+        SELECT decile, min(v) AS sample_price
+        FROM cums JOIN ts ON cums.cum >= ts.tc GROUP BY decile)
+      SELECT e.decile, e.exact_price, a.sample_price,
+        abs((c.cum * 10000) // (SELECT n FROM nf) - e.decile * 1000)
+          AS err_bp
+      FROM exact e JOIN approx a USING (decile)
+      JOIN cumf c ON c.v = a.sample_price
+      ORDER BY e.decile"""))
 }

@@ -100,6 +100,49 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Reclaim storage: delete data generations no RETAINED snapshot
+    * references (crash orphans, and — when `keepVersions` trims history —
+    * generations only old snapshots used), plus the trimmed manifests
+    * and any stale in-flight temp files. Keeping the newest
+    * `keepVersions` manifests intact preserves that much time travel;
+    * the one data/ listing this format ever does happens here, offline,
+    * not on any read path. Returns (generations deleted, manifests
+    * deleted).
+    *
+    * Safe against concurrent WRITERS by the commit order: a writer's
+    * generation only becomes referenced when its manifest publishes, so
+    * vacuum treats unreferenced dirs younger than the newest manifest as
+    * possibly-in-flight and skips them unless `force` (a production
+    * vacuum would use an age threshold; this keeps the demo
+    * deterministic).
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = Int.MaxValue,
+      force: Boolean = false): (Int, Int) = {
+    val hfs = fs(spark, root)
+    val vs = versions(spark, root)
+    val keep = vs.takeRight(math.max(1, keepVersions))
+    val dropVs = vs.filterNot(keep.contains)
+    val referenced = keep.flatMap(v => manifestDirs(spark, root, v)).toSet
+    val dataRoot = new Path(root, "data")
+    val deadDirs =
+      if (!hfs.exists(dataRoot)) Seq.empty
+      else hfs.listStatus(dataRoot).toSeq
+        .map(st => s"data/${st.getPath.getName}")
+        .filterNot(referenced.contains)
+    // in-flight protection (see Scaladoc): without force, only reclaim a
+    // dir that a DROPPED manifest provably owned; never-referenced dirs
+    // might be a concurrent writer's not-yet-published generation
+    val droppedRefs = dropVs.flatMap(v => manifestDirs(spark, root, v)).toSet
+    val deletable = deadDirs.filter(d => force || droppedRefs.contains(d))
+    deletable.foreach(d => hfs.delete(new Path(root, d), true))
+    dropVs.foreach(v => hfs.delete(new Path(root, s"_log/$v.commit"), false))
+    if (force && hfs.exists(new Path(root, "_log")))
+      hfs.listStatus(new Path(root, "_log")).toSeq
+        .filter(_.getPath.getName.startsWith(".tmp-"))
+        .foreach(st => hfs.delete(st.getPath, false))
+    (deletable.size, dropVs.size)
+  }
+
   /** Snapshot-isolated read of version `v` (latest when None): loads
     * exactly the manifest's directories — never a data/ listing.
     */

@@ -84,6 +84,34 @@ class PortableSketchesSpec extends SparkSpec {
     assert(math.abs(lc - keys.length) < 0.5, s"LC estimate $lc")
   }
 
+  test("q34c: sample deciles match a plain-Scala resample; error stays bounded") {
+    val out = PortableSketches.q34cQuantileSample.run(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == (1L to 9L).toSet)
+
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_extendedprice", "l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getInt(2).toLong))
+    // independent resample with the plain-Scala hash
+    val sample = rows.filter { case (_, ok, ln) => mh60(s"$ok#$ln") % 16 == 0 }
+      .map(_._1).sorted
+    val full = rows.map(_._1).sorted
+    def bound(xs: Array[Double], k: Long): Double =
+      xs((((k * xs.length + 9) / 10) - 1).toInt) // min v with cum >= ceil(kN/10)
+    (1L to 9L).foreach { k =>
+      val (exactP, sampleP, errBp) = out(k)
+      assert(exactP == bound(full, k), s"decile $k exact")
+      assert(sampleP == bound(sample, k), s"decile $k sample")
+      // rank error audit recomputed: rank of the sample boundary in full
+      val cum = full.count(_ <= sampleP).toLong
+      assert(errBp == math.abs(cum * 10000 / full.length - k * 1000),
+        s"decile $k err")
+      // a 1/16 sample at sf0.001 (~6k rows) stays within a few percent
+      assert(errBp < 500, s"decile $k error too large: $errBp bp")
+    }
+  }
+
   test("q53b: estimates equal a plain-Scala CMS; overcount is never negative") {
     val out = PortableSketches.q53bPortableCms.run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

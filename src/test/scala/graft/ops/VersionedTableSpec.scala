@@ -49,6 +49,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(idsAt(root) == Set(1, 2))
   }
 
+  test("vacuum trims history and reclaims only provably dead generations") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1), overwrite = true)
+    VersionedTable.commit(spark, root, df(2), overwrite = false)
+    VersionedTable.commit(spark, root, df(9), overwrite = true)
+    df(42).write.parquet(s"$root/data/v-orphaned") // in-flight lookalike
+    val (gens, mans) = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(mans == 2, "v1 and v2 manifests trimmed")
+    assert(gens == 2, "both dropped-history generations reclaimed")
+    assert(VersionedTable.versions(spark, root) == Seq(3L))
+    assert(idsAt(root) == Set(9), "retained snapshot intact after vacuum")
+    // the never-referenced orphan survives a safe vacuum: it could be a
+    // concurrent writer's not-yet-published generation
+    assert(new java.io.File(s"$root/data/v-orphaned").exists)
+    val (g2, m2) = VersionedTable.vacuum(spark, root, keepVersions = 1, force = true)
+    assert(g2 == 1 && m2 == 0)
+    assert(!new java.io.File(s"$root/data/v-orphaned").exists)
+    assert(idsAt(root) == Set(9), "force vacuum never touches referenced data")
+  }
+
   test("concurrent writers keep history linear (optimistic publish)") {
     val root = freshRoot()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
