@@ -40,7 +40,7 @@ import Q.t
   */
 object VersionedTable {
 
-  def pack: Seq[Q] = Seq(q108TimeTravel)
+  def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,6 +156,31 @@ object VersionedTable {
     spark.read.parquet(dirs: _*)
   }
 
+  /** CDC / incremental consumption: the rows ADDED between two committed
+    * versions, read as exactly the data generations `vTo`'s manifest
+    * lists beyond `vFrom`'s — for append-only histories the change feed
+    * is O(delta) with NO diffing and no snapshot scan (the point of
+    * keeping a commit log). An overwrite commit breaks the append
+    * contract — its manifest drops directories — and a generation-level
+    * feed would misreport it, so this refuses loudly and callers fall
+    * back to the snapshot diff (q108's v2→v3 row, the q65 shape).
+    */
+  def readChanges(spark: SparkSession, root: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.contains(vFrom) && vs.contains(vTo) && vFrom < vTo,
+      s"readChanges: need committed vFrom < vTo, got $vFrom, $vTo in $vs")
+    val before = manifestDirs(spark, root, vFrom)
+    val after = manifestDirs(spark, root, vTo)
+    require(before.forall(after.contains),
+      s"readChanges: v$vFrom..v$vTo spans an overwrite commit (dropped " +
+        "generations) — use snapshot diff for non-append histories")
+    val added = after.filterNot(before.contains)
+      .map(d => new Path(root, d).toString)
+    require(added.nonEmpty, s"readChanges: no new generations v$vFrom..v$vTo")
+    spark.read.parquet(added: _*)
+  }
+
   // per-invocation fresh root under one shutdown-hook-cleaned temp tree
   // (the q106 convention)
   private lazy val tmpRoot: java.nio.file.Path = {
@@ -240,4 +265,57 @@ object VersionedTable {
           (SELECT o_orderkey FROM v3)) AS BIGINT),
         CAST(NULL AS DOUBLE)
       ORDER BY snapshot"""))
+
+  /** q110: CDC CHANGE FEED — an append-only version history (base 1995,
+    * append 1996, append 1997) consumed INCREMENTALLY: each
+    * [[readChanges]] step reads only the generations its target manifest
+    * added (O(delta), no diffing, no snapshot scan), and the final
+    * snapshot read proves feed + base reconstructs the table. The oracle
+    * replays the same change log as year filters and never sees the
+    * format, so the hash match proves each feed step returned exactly the
+    * rows its commit appended — the downstream-materialized-view refresh
+    * pattern every lakehouse consumer runs.
+    */
+  val q110CdcFeed: Q = Q(
+    "q110_cdc_feed",
+    (s, dir) => {
+      val root = tmpRoot.resolve(s"run_${runSeq.incrementAndGet()}").toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      val v1 = commit(s, root, slice(1995), overwrite = true)
+      val v2 = commit(s, root, slice(1996), overwrite = false)
+      val v3 = commit(s, root, slice(1997), overwrite = false)
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      summary("changes_v1_v2", readChanges(s, root, v1, v2))
+        .unionByName(summary("changes_v2_v3", readChanges(s, root, v2, v3)))
+        .unionByName(summary("snapshot_v3", readAt(s, root, Some(v3))))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'changes_v1_v2' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM o WHERE yr = 1996
+      UNION ALL
+      SELECT 'changes_v2_v3', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr = 1997
+      UNION ALL
+      SELECT 'snapshot_v3', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
+      ORDER BY step"""))
 }

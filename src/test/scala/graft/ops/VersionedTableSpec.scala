@@ -49,6 +49,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(idsAt(root) == Set(1, 2))
   }
 
+  test("readChanges feeds exactly the appended rows and refuses overwrites") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    val v2 = VersionedTable.commit(spark, root, df(3, 4), overwrite = false)
+    val v3 = VersionedTable.commit(spark, root, df(5), overwrite = false)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getInt(0)).toSet
+    assert(ids(VersionedTable.readChanges(spark, root, v1, v2)) == Set(3, 4))
+    assert(ids(VersionedTable.readChanges(spark, root, v2, v3)) == Set(5))
+    // multi-version span: every generation added across the range
+    assert(ids(VersionedTable.readChanges(spark, root, v1, v3)) == Set(3, 4, 5))
+    // feed + base reconstructs the snapshot
+    assert(idsAt(root) == Set(1, 2, 3, 4, 5))
+    // an overwrite drops generations — a generation-level feed would
+    // misreport it, so the call must refuse rather than return garbage
+    val v4 = VersionedTable.commit(spark, root, df(9), overwrite = true)
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, root, v3, v4))
+  }
+
   test("vacuum trims history and reclaims only provably dead generations") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
