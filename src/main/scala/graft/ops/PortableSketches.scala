@@ -218,9 +218,12 @@ object PortableSketches {
   /** The q63 distributed order-statistics device over any (v) column:
     * value histogram → per-value-shard window cumsum + broadcast shard
     * prefixes → (v, cum). Every window is partitioned by the value-DOMAIN
-    * shard, never keyed by row count.
+    * shard except the one-row-per-shard prefix ranking, the audited
+    * two-phase-prefix-sum exemption (`PortableSketchesSpec` plan-asserts
+    * this, since q34c's eager materialization hides it from
+    * `WindowAuditSpec`'s sweep). Exposed package-private for that audit.
     */
-  private def cumHist(df: org.apache.spark.sql.DataFrame)
+  private[ops] def cumHist(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = df.groupBy(col("v")).agg(count(lit(1)).as("c"))

@@ -112,6 +112,19 @@ class PortableSketchesSpec extends SparkSpec {
     }
   }
 
+  test("q34c: the only unpartitioned window ranks one-row-per-shard prefixes") {
+    // q34c materializes eagerly, so WindowAuditSpec's sweep cannot see its
+    // plan — audit the lazy builder directly (the SimilaritySpec pattern):
+    // exactly ONE global window, and it runs over the per-shard aggregate
+    // (value-DOMAIN-bounded), not over the data-sized histogram
+    import org.apache.spark.sql.functions.col
+    val values = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"))
+    val n = graft.tools.PlanAudit.unpartitionedWindows(
+      PortableSketches.cumHist(values))
+    assert(n == 1, s"expected exactly the shard-prefix global window, got $n")
+  }
+
   test("q53b: estimates equal a plain-Scala CMS; overcount is never negative") {
     val out = PortableSketches.q53bPortableCms.run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
