@@ -40,7 +40,8 @@ import Q.t
   */
 object VersionedTable {
 
-  def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed)
+  def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
+    q112VersionedMerge)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,12 +60,52 @@ object VersionedTable {
       }).sorted
   }
 
-  private def manifestDirs(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val hfs = fs(spark, root)
     val in = hfs.open(new Path(root, s"_log/$v.commit"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  // a manifest is optional `#key=value` metadata headers, then one data
+  // directory per line (headerless pre-metadata manifests parse the same)
+  private[ops] def manifestDirs(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  /** Commit metadata: the `#key=value` manifest headers (commit kind,
+    * streaming transaction stamps). Empty for plain commits.
+    */
+  def manifestMeta(spark: SparkSession, root: String, v: Long): Map[String, String] =
+    manifestLines(spark, root, v).filter(_.startsWith("#"))
+      .map(_.drop(1).split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+
+  /** True when commit `v` rewrote physical layout without changing logical
+    * content (compaction) — the dataChange=false commits a change feed
+    * must skip.
+    */
+  def isRewrite(spark: SparkSession, root: String, v: Long): Boolean =
+    manifestMeta(spark, root, v).get("rewrite").contains("true")
+
+  // write df as a new immutable generation dir; invisible until published
+  private def writeGeneration(spark: SparkSession, root: String, df: DataFrame): String = {
+    val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(new Path(root, gen).toString)
+    gen
+  }
+
+  // THE commit point: atomic publish of version v; false means another
+  // writer took v (optimistic-concurrency loss) and the temp was discarded
+  private def tryPublish(spark: SparkSession, root: String, v: Long,
+      dirs: Seq[String], meta: Map[String, String]): Boolean = {
+    val hfs = fs(spark, root)
+    val tmp = new Path(root, s"_log/.tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    val lines = meta.toSeq.sortBy(_._1).map { case (k, value) => s"#$k=$value" } ++ dirs
+    val out = hfs.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (hfs.rename(tmp, new Path(root, s"_log/$v.commit"))) true
+    else { hfs.delete(tmp, false); false }
   }
 
   /** One commit: write `df` as a new immutable generation, then publish a
@@ -74,10 +115,8 @@ object VersionedTable {
     * Returns the committed version.
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      overwrite: Boolean): Long = {
-    val hfs = fs(spark, root)
-    val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(new Path(root, gen).toString)
+      overwrite: Boolean, meta: Map[String, String] = Map.empty): Long = {
+    val gen = writeGeneration(spark, root, df)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -88,16 +127,80 @@ object VersionedTable {
       val dirs =
         if (overwrite || vs.isEmpty) Seq(gen)
         else manifestDirs(spark, root, vs.last) :+ gen
-      val tmp = new Path(root, s"_log/.tmp-$next-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = hfs.create(tmp, false)
-      try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
-      // THE commit point: atomic publish; a false return means another
-      // writer took this version — discard the temp and retry on a fresh
-      // read of the log (optimistic concurrency)
-      if (hfs.rename(tmp, new Path(root, s"_log/$next.commit"))) return next
-      hfs.delete(tmp, false)
+      // a publish loss means another writer took this version — retry on a
+      // fresh read of the log (optimistic concurrency)
+      if (tryPublish(spark, root, next, dirs, meta)) return next
     }
     -1L // unreachable
+  }
+
+  /** COMPACTION as a commit: rewrite the latest snapshot's generations
+    * into ONE new generation and publish it as a REWRITE commit
+    * (`#rewrite=true` — the dataChange=false idea): logical content
+    * identical, physical layout compacted, and [[readChanges]] skips it so
+    * downstream incremental consumers see no phantom changes. Conflict
+    * safety differs from [[commit]] ON PURPOSE: the manifest is published
+    * ONLY at base+1 — retrying at a later version would silently drop a
+    * concurrent writer's rows, so on a publish loss compaction ABORTS and
+    * reclaims its orphan generation. Compaction is maintenance; losing is
+    * always safe, the caller just runs it again. Returns the new version,
+    * or None when already compact / lost the race.
+    */
+  def compact(spark: SparkSession, root: String): Option[Long] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to compact at $root")
+    val baseV = vs.last
+    val baseDirs = manifestDirs(spark, root, baseV)
+    if (baseDirs.size <= 1) return None // one generation — already compact
+    val df = spark.read.parquet(baseDirs.map(d => new Path(root, d).toString): _*)
+    val gen = writeGeneration(spark, root, df)
+    if (tryPublish(spark, root, baseV + 1, Seq(gen), Map("rewrite" -> "true")))
+      Some(baseV + 1)
+    else {
+      fs(spark, root).delete(new Path(root, gen), true)
+      None
+    }
+  }
+
+  /** EXACTLY-ONCE streaming commit: `foreachBatch` is at-least-once after
+    * a restart, so a sink that blindly appends double-writes the replayed
+    * micro-batch. Stamping every commit with its (application, batchId)
+    * transaction and refusing any batch the log has already absorbed makes
+    * the append idempotent — the Delta `txn` contract. Batch ids from one
+    * app are monotone, so "already absorbed" is `batchId <= the app's max
+    * stamped id`. The check re-runs after every optimistic-concurrency
+    * loss, so two racing replays of the same batch cannot both land: the
+    * loser re-reads a log that now contains the winner's stamp and skips.
+    * Returns (visible version, whether this call committed).
+    */
+  def idempotentCommit(spark: SparkSession, root: String, df: DataFrame,
+      appId: String, batchId: Long): (Long, Boolean) = {
+    def absorbed(vs: Seq[Long]): Boolean = vs.exists { v =>
+      val m = manifestMeta(spark, root, v)
+      m.get("txnApp").contains(appId) &&
+        m.get("txnBatch").exists(_.toLong >= batchId)
+    }
+    val vs0 = versions(spark, root)
+    if (absorbed(vs0)) return (vs0.last, false)
+    val gen = writeGeneration(spark, root, df)
+    val meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      if (absorbed(vs)) { // a racing replay won — this copy must not land
+        fs(spark, root).delete(new Path(root, gen), true)
+        return (vs.last, false)
+      }
+      val next = vs.lastOption.getOrElse(0L) + 1
+      val dirs =
+        if (vs.isEmpty) Seq(gen)
+        else manifestDirs(spark, root, vs.last) :+ gen
+      if (tryPublish(spark, root, next, dirs, meta)) return (next, true)
+    }
+    (-1L, false) // unreachable
   }
 
   /** Reclaim storage: delete data generations no RETAINED snapshot
@@ -157,26 +260,36 @@ object VersionedTable {
   }
 
   /** CDC / incremental consumption: the rows ADDED between two committed
-    * versions, read as exactly the data generations `vTo`'s manifest
-    * lists beyond `vFrom`'s — for append-only histories the change feed
-    * is O(delta) with NO diffing and no snapshot scan (the point of
-    * keeping a commit log). An overwrite commit breaks the append
-    * contract — its manifest drops directories — and a generation-level
-    * feed would misreport it, so this refuses loudly and callers fall
-    * back to the snapshot diff (q108's v2→v3 row, the q65 shape).
+    * versions, read as exactly the data generations the intervening
+    * commits appended — for append-only histories the change feed is
+    * O(delta) with NO diffing and no snapshot scan (the point of keeping a
+    * commit log). The walk is COMMIT-BY-COMMIT so REWRITE commits
+    * (compaction, `#rewrite=true`) contribute nothing: they change layout,
+    * not content, and a feed that surfaced their generations would
+    * double-deliver every compacted row to downstream consumers. An
+    * OVERWRITE commit genuinely breaks the append contract — its manifest
+    * drops directories without the rewrite stamp — and a generation-level
+    * feed would misreport it, so this refuses loudly and callers fall back
+    * to the snapshot diff (q108's v2→v3 row, the q65 shape).
     */
   def readChanges(spark: SparkSession, root: String,
       vFrom: Long, vTo: Long): DataFrame = {
     val vs = versions(spark, root)
     require(vs.contains(vFrom) && vs.contains(vTo) && vFrom < vTo,
       s"readChanges: need committed vFrom < vTo, got $vFrom, $vTo in $vs")
-    val before = manifestDirs(spark, root, vFrom)
-    val after = manifestDirs(spark, root, vTo)
-    require(before.forall(after.contains),
-      s"readChanges: v$vFrom..v$vTo spans an overwrite commit (dropped " +
-        "generations) — use snapshot diff for non-append histories")
-    val added = after.filterNot(before.contains)
-      .map(d => new Path(root, d).toString)
+    val steps = vs.filter(v => v > vFrom && v <= vTo)
+    val added = steps.flatMap { v =>
+      if (isRewrite(spark, root, v)) Seq.empty // layout-only: no data change
+      else {
+        val prev = vs.filter(_ < v).last
+        val before = manifestDirs(spark, root, prev)
+        val after = manifestDirs(spark, root, v)
+        require(before.forall(after.contains),
+          s"readChanges: commit v$v is an overwrite (dropped generations) " +
+            "— use snapshot diff for non-append histories")
+        after.filterNot(before.contains)
+      }
+    }.map(d => new Path(root, d).toString)
     require(added.nonEmpty, s"readChanges: no new generations v$vFrom..v$vTo")
     spark.read.parquet(added: _*)
   }
