@@ -47,8 +47,10 @@ object Formats {
     * into a FRESH subdirectory of one shutdown-hook-cleaned root, so
     * concurrent callers (parallel specs, a second session in this JVM, a
     * future parallel bench) can never read one run against another run's
-    * overwrite; old subdirs of repeated bench runs are reclaimed at JVM
-    * exit, keeping disk bounded per process.
+    * overwrite; each invocation best-effort reclaims runs more than a few
+    * sequence numbers behind it ([[Q.reclaimOldRuns]]), so a long-lived
+    * process holds a bounded handful of staging copies, and the shutdown
+    * hook sweeps the remainder at JVM exit.
     */
   private lazy val orcRoot: java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory("graft_orc_rt")
@@ -68,8 +70,9 @@ object Formats {
   val q106OrcRoundtrip: Q = Q(
     "q106_orc_roundtrip",
     (s: SparkSession, dir: String) => {
-      val orcDir = orcRoot
-        .resolve(s"run_${orcRun.incrementAndGet()}").toString
+      val seq = orcRun.incrementAndGet()
+      Q.reclaimOldRuns(orcRoot, seq)
+      val orcDir = orcRoot.resolve(s"run_$seq").toString
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
           col("l_extendedprice"), col("l_shipdate"))

@@ -165,6 +165,34 @@ object Q {
     spark.catalog.clearCache()
   }
 
+  /** Best-effort reclaim of old `run_<N>` scratch subdirectories.
+    *
+    * Harness queries that stage data under a shared temp root write each
+    * invocation into a FRESH `run_<N>` dir so concurrent callers never
+    * read across each other's overwrites — but a long-lived process
+    * running repeated benches would then accumulate one staging copy per
+    * invocation until the JVM-exit shutdown hook fires. Deleting every
+    * run more than `keep` sequence numbers behind the one being started
+    * keeps disk bounded MID-process while leaving a window wide enough
+    * that any plausibly-in-flight concurrent invocation (parallel spec
+    * suites, an overlapping bench run) still owns its dir. Failures are
+    * swallowed: reclaim is hygiene, never correctness.
+    */
+  def reclaimOldRuns(root: java.nio.file.Path, newSeq: Long, keep: Int = 8): Unit = {
+    import scala.util.control.NonFatal
+    try {
+      Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName.stripPrefix("run_")
+        if (f.getName.startsWith("run_") && n.nonEmpty && n.forall(_.isDigit) &&
+            n.toLong <= newSeq - keep)
+          try java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          catch { case NonFatal(_) => () }
+      }
+    } catch { case NonFatal(_) => () }
+  }
+
   /** Exact-decimal discounted price: cast each FACTOR to decimal before
     * multiplying (decimal × decimal is exact), never cast the double
     * product — engines may fuse double multiply chains (FMA) differently,

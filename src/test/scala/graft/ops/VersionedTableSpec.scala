@@ -69,6 +69,83 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.readChanges(spark, root, v3, v4))
   }
 
+  test("compact rewrites layout only: feeds skip it, empty windows are empty") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    val v2 = VersionedTable.commit(spark, root, df(3), overwrite = false)
+    val v3 = VersionedTable.compact(spark, root)
+      .getOrElse(fail("compaction of a 2-generation table must publish"))
+    assert(VersionedTable.isRewrite(spark, root, v3))
+    assert(VersionedTable.manifestDirs(spark, root, v3).size == 1)
+    assert(idsAt(root, Some(v3)) == Set(1, 2, 3), "content unchanged")
+    assert(idsAt(root, Some(v2)) == Set(1, 2, 3), "old snapshot undisturbed")
+    // single-generation table: nothing to compact
+    assert(VersionedTable.compact(spark, root).isEmpty)
+    // compaction-only window: an EMPTY feed with the table schema — a
+    // legitimate "nothing changed" result, not a failure
+    val empty = VersionedTable.readChanges(spark, root, v2, v3)
+    assert(empty.schema.fieldNames.toSeq == Seq("id"))
+    assert(empty.count() == 0)
+    // a feed spanning the rewrite delivers the appends ONCE — surfacing
+    // the compacted generation would double-deliver rows 1..3
+    val v4 = VersionedTable.commit(spark, root, df(4), overwrite = false)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getInt(0)).toSet
+    assert(ids(VersionedTable.readChanges(spark, root, v1, v4)) == Set(3, 4))
+    assert(ids(VersionedTable.readChanges(spark, root, v3, v4)) == Set(4))
+  }
+
+  test("idempotentCommit absorbs replays, even interleaved across apps") {
+    val root = freshRoot()
+    val (va, ca) = VersionedTable.idempotentCommit(spark, root, df(1), "appA", 0L)
+    assert(ca && va == 1L)
+    val (vb, cb) = VersionedTable.idempotentCommit(spark, root, df(10), "appB", 0L)
+    assert(cb && vb == 2L)
+    // appA's batch 0 replayed after appB committed on top: the
+    // newest-first stamp scan must find appA's older stamp and skip
+    val (vr, cr) = VersionedTable.idempotentCommit(spark, root, df(1), "appA", 0L)
+    assert(!cr && vr == 2L, "replayed batch must not land twice")
+    val (v2, c2) = VersionedTable.idempotentCommit(spark, root, df(2), "appA", 1L)
+    assert(c2 && v2 == 3L)
+    // an earlier batch id is also absorbed (monotone-batch contract)
+    assert(!VersionedTable.idempotentCommit(spark, root, df(1), "appA", 0L)._2)
+    assert(idsAt(root) == Set(1, 2, 10), "each batch's rows exactly once")
+  }
+
+  test("mergeInto is copy-on-write: only generations holding matched keys rewrite") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, String)*) = rows.toDF("id", "v")
+    VersionedTable.commit(spark, root, kv(1 -> "a", 2 -> "b"), overwrite = true)
+    VersionedTable.commit(spark, root, kv(3 -> "c", 4 -> "d"), overwrite = false)
+    val v3 = VersionedTable.commit(spark, root, kv(5 -> "e"), overwrite = false)
+    val preDirs = VersionedTable.manifestDirs(spark, root, v3).toSet
+    // update id=3, insert id=9: only the second generation holds a match
+    val (v4, touched, carried) =
+      VersionedTable.mergeInto(spark, root, kv(3 -> "C", 9 -> "i"), "id")
+        .getOrElse(fail("merge on a private table must publish"))
+    assert(touched == 1 && carried == 2)
+    // the untouched generations carry over VERBATIM — same directories,
+    // no rewrite (the copy-on-write economics under test)
+    assert(VersionedTable.manifestDirs(spark, root, v4).toSet
+      .intersect(preDirs).size == 2)
+    def rows(v: Long) = VersionedTable.readAt(spark, root, Some(v))
+      .as[(Int, String)].collect().toMap
+    assert(rows(v4) == Map(1 -> "a", 2 -> "b", 3 -> "C", 4 -> "d",
+      5 -> "e", 9 -> "i"))
+    assert(rows(v3) == Map(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d", 5 -> "e"),
+      "published snapshots undisturbed by merge")
+    // a pure-insert merge touches no existing generation
+    val (_, t5, c5) = VersionedTable.mergeInto(spark, root, kv(7 -> "g"), "id")
+      .getOrElse(fail("pure-insert merge must publish"))
+    assert(t5 == 0 && c5 == 3)
+    assert(VersionedTable.readAt(spark, root).count() == 7)
+    // generation-level CDC cannot express row updates: the feed refuses
+    // to span a merge commit rather than misreport it
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, root, v3, v4))
+  }
+
   test("vacuum trims history and reclaims only provably dead generations") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
