@@ -41,7 +41,7 @@ import Q.t
 object VersionedTable {
 
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
-    q112VersionedMerge)
+    q112VersionedMerge, q113ExactlyOnceSink)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -145,14 +145,20 @@ object VersionedTable {
     * reclaims its orphan generation. Compaction is maintenance; losing is
     * always safe, the caller just runs it again. Returns the new version,
     * or None when already compact / lost the race.
+    *
+    * `raceHook` is a race-injection seam for specs: it runs after the
+    * base snapshot is read and before this compaction publishes — the
+    * window where a concurrent writer's commit forces the abort path.
     */
-  def compact(spark: SparkSession, root: String): Option[Long] = {
+  def compact(spark: SparkSession, root: String,
+      raceHook: () => Unit = () => ()): Option[Long] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to compact at $root")
     val baseV = vs.last
     val baseDirs = manifestDirs(spark, root, baseV)
     if (baseDirs.size <= 1) return None // one generation — already compact
     val df = spark.read.parquet(baseDirs.map(d => new Path(root, d).toString): _*)
+    raceHook()
     val gen = writeGeneration(spark, root, df)
     if (tryPublish(spark, root, baseV + 1, Seq(gen), Map("rewrite" -> "true")))
       Some(baseV + 1)
@@ -184,9 +190,13 @@ object VersionedTable {
     * new snapshot). [[readChanges]] correctly refuses to feed across a
     * merge commit: generation-level deltas cannot express row updates.
     * Returns Some(new version, touched gen count, carried gen count).
+    *
+    * `raceHook` is a race-injection seam for specs: it runs after the
+    * base manifest is read and before this merge publishes — the window
+    * where a concurrent writer's commit forces the abort path.
     */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
-      keyCol: String): Option[(Long, Int, Int)] = {
+      keyCol: String, raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to merge into at $root")
     val baseV = vs.last
@@ -211,6 +221,7 @@ object VersionedTable {
       else spark.read.parquet(touched.map(d => new Path(root, d).toString): _*)
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(source)
+    raceHook()
     val gen = writeGeneration(spark, root, merged)
     if (tryPublish(spark, root, baseV + 1, untouched :+ gen, Map("merge" -> "true")))
       Some((baseV + 1, touched.size, untouched.size))
@@ -230,9 +241,15 @@ object VersionedTable {
     * loss, so two racing replays of the same batch cannot both land: the
     * loser re-reads a log that now contains the winner's stamp and skips.
     * Returns (visible version, whether this call committed).
+    *
+    * `raceHook` is a race-injection seam for specs: it runs after the
+    * initial absorbed check and before the publish loop — the window
+    * where a racing replay of the SAME batch can land first, which the
+    * loop's absorbed re-check must then detect.
     */
   def idempotentCommit(spark: SparkSession, root: String, df: DataFrame,
-      appId: String, batchId: Long): (Long, Boolean) = {
+      appId: String, batchId: Long,
+      raceHook: () => Unit = () => ()): (Long, Boolean) = {
     // NEWEST-first with early stop: batch ids from one app are monotone
     // (the documented contract), so the newest manifest stamped by this
     // app carries the app's max absorbed id — one hit answers the
@@ -248,6 +265,7 @@ object VersionedTable {
         }.getOrElse(false)
     val vs0 = versions(spark, root)
     if (absorbed(vs0)) return (vs0.last, false)
+    raceHook()
     val gen = writeGeneration(spark, root, df)
     val meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)
     var attempt = 0
@@ -687,5 +705,69 @@ object VersionedTable {
       UNION ALL
       SELECT 'gen_audit', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
         CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q113: EXACTLY-ONCE SINK — replays the at-least-once delivery
+    * schedule a restarted `foreachBatch` sink produces (batch 0, batch 1,
+    * batch 1 REPLAYED, batch 2, batch 0 REPLAYED) through
+    * [[idempotentCommit]]. Each attempt's committed/skipped outcome is a
+    * result row, so the driver gate hash-pins the txn-stamp contract
+    * itself: fresh batches land (1), replays are absorbed (0) no matter
+    * how much later they arrive, and the final table holds every batch's
+    * rows exactly once — the Delta `txn` exactly-once guarantee that
+    * turns Structured Streaming's at-least-once `foreachBatch` into an
+    * exactly-once pipeline (the `streaming/StreamingUpsert` scenario,
+    * here at the table-format layer).
+    */
+  val q113ExactlyOnceSink: Q = Q(
+    "q113_exactly_once_sink",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      // the delivery schedule after two simulated restarts: replays of
+      // b1 (immediately) and b0 (long after newer batches committed)
+      val attempts = Seq(
+        ("b0", 1995, 0L), ("b1", 1996, 1L), ("b1_replay", 1996, 1L),
+        ("b2", 1997, 2L), ("b0_replay", 1995, 0L))
+      val flags = attempts.map { case (nm, yr, bid) =>
+        val (_, committed) = idempotentCommit(s, root, slice(yr), "etl_app", bid)
+        s.range(1).select(lit(s"attempt_$nm").as("step"),
+          lit(if (committed) 1L else 0L).as("n_rows"),
+          lit(0L).as("n_cust"), lit(null).cast("double").as("revenue"))
+      }.reduce(_ unionByName _)
+      val finalTable = readAt(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit("final_table").as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      flags.unionByName(finalTable).orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'attempt_b0' AS step, CAST(1 AS BIGINT) AS n_rows,
+        CAST(0 AS BIGINT) AS n_cust, CAST(NULL AS DOUBLE) AS revenue
+      UNION ALL
+      SELECT 'attempt_b1', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'attempt_b1_replay', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'attempt_b2', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'attempt_b0_replay', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'final_table', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
       ORDER BY step"""))
 }

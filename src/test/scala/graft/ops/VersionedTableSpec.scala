@@ -146,6 +146,85 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.readChanges(spark, root, v3, v4))
   }
 
+  // every dir under data/ must be referenced by some manifest — losing
+  // maintenance commits must reclaim their own orphans
+  private def assertNoOrphans(root: String): Unit = {
+    val referenced = VersionedTable.versions(spark, root)
+      .flatMap(v => VersionedTable.manifestDirs(spark, root, v)).toSet
+    val onDisk = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(f => s"data/${f.getName}").toSet
+    assert(onDisk == referenced, s"orphaned generations: ${onDisk diff referenced}")
+  }
+
+  test("compact and mergeInto abort on a concurrency loss and reclaim their orphan") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1), overwrite = true)
+    VersionedTable.commit(spark, root, df(2), overwrite = false)
+    // a writer publishes v3 between compaction's snapshot read and its
+    // publish: retrying at v4 would silently drop that writer's rows, so
+    // the losing compaction must abort and clean up after itself
+    val lost = VersionedTable.compact(spark, root, raceHook = () => {
+      VersionedTable.commit(spark, root, df(3), overwrite = false); ()
+    })
+    assert(lost.isEmpty, "losing compaction must abort, not retry")
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(idsAt(root) == Set(1, 2, 3), "the concurrent append survived")
+    assertNoOrphans(root)
+    // the caller just runs it again: a quiet retry publishes
+    assert(VersionedTable.compact(spark, root).contains(4L))
+    // same abort rule for merge — it also publishes only at base+1
+    val lostMerge = VersionedTable.mergeInto(spark, root, df(2), "id",
+      raceHook = () => {
+        VersionedTable.commit(spark, root, df(4), overwrite = false); ()
+      })
+    assert(lostMerge.isEmpty, "losing merge must abort, not retry")
+    assert(idsAt(root) == Set(1, 2, 3, 4))
+    assertNoOrphans(root)
+    assert(VersionedTable.mergeInto(spark, root, df(2), "id").nonEmpty,
+      "the re-run merge against the new snapshot publishes")
+  }
+
+  test("racing replays of one micro-batch cannot both land (absorbed re-check)") {
+    val root = freshRoot()
+    VersionedTable.idempotentCommit(spark, root, df(1), "app", 0L)
+    // a racing replay of batch 1 lands BETWEEN this call's initial
+    // absorbed check and its publish — the loop's re-check must catch it
+    var innerLanded = false
+    val (v, committed) = VersionedTable.idempotentCommit(
+      spark, root, df(2), "app", 1L,
+      raceHook = () => {
+        innerLanded = VersionedTable.idempotentCommit(spark, root, df(2), "app", 1L)._2
+      })
+    assert(innerLanded, "the racing replay wins")
+    assert(!committed && v == 2L, "the loser must detect the stamp and skip")
+    assert(VersionedTable.readAt(spark, root).count() == 2,
+      "each batch's rows exactly once")
+    assertNoOrphans(root)
+  }
+
+  test("manifest parsing: headerless, foreign-comment, and malformed header lines") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1), overwrite = true)
+    // headerless manifest (what a plain commit writes): no metadata
+    assert(VersionedTable.manifestMeta(spark, root, 1L).isEmpty)
+    assert(!VersionedTable.isRewrite(spark, root, 1L))
+    // hand-write a v2 manifest the way a foreign tool or future writer
+    // might: valid k=v headers mixed with bare comments and blank lines
+    val gen = VersionedTable.manifestDirs(spark, root, 1L).head
+    Files.write(java.nio.file.Paths.get(root, "_log", "2.commit"),
+      Seq("#rewrite=true", "#free-form comment", "#orphankey", "", gen)
+        .mkString("\n").getBytes("UTF-8"))
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    assert(VersionedTable.manifestDirs(spark, root, 2L) == Seq(gen),
+      "headers and blanks never parse as data directories")
+    val meta = VersionedTable.manifestMeta(spark, root, 2L)
+    assert(meta == Map("rewrite" -> "true"),
+      "a # line without '=' is a comment, not a k=v header")
+    assert(VersionedTable.isRewrite(spark, root, 2L))
+    assert(idsAt(root, Some(2L)) == Set(1), "the manifest still reads")
+  }
+
   test("vacuum trims history and reclaims only provably dead generations") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
