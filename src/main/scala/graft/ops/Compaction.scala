@@ -47,6 +47,25 @@ object Compaction {
       targetBytes: Long): Stats =
     compact(spark, dir, key => _.withColumn(key, col(sortCol)), targetBytes)
 
+  /** The clustered rewrite layout, shared with [[VersionedTable.optimize]]:
+    * range partition on the clustering key → disjoint per-file key ranges
+    * → parquet min/max stats prune scans on the clustered dimensions;
+    * sortWithinPartitions tightens page-level stats inside each file. The
+    * helper key column (named so it cannot shadow, and then destroy, a
+    * real column of the table being rewritten) is dropped AFTER the sort
+    * — a plain project, no exchange, so row order survives to the writer.
+    */
+  private[ops] def clusterLayout(df: org.apache.spark.sql.DataFrame,
+      withKey: String => org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      nFiles: Int): org.apache.spark.sql.DataFrame = {
+    val key = Iterator.from(0).map("__graft_z" + _)
+      .find(n => !df.columns.contains(n)).get
+    withKey(key)(df)
+      .repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .drop(key)
+  }
+
   private def compact(spark: SparkSession, dir: String,
       withKey: String => org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       targetBytes: Long): Stats = {
@@ -62,19 +81,7 @@ object Compaction {
     val totalBytes = files.map(f =>
       hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
-    // a helper-column name that cannot shadow (and then destroy) a real
-    // column of the table being rewritten
-    val key = Iterator.from(0).map("__graft_z" + _)
-      .find(n => !df.columns.contains(n)).get
-    // range partition on the clustering key → disjoint per-file key
-    // ranges → parquet min/max stats prune on the clustered dimensions;
-    // sortWithinPartitions tightens page-level stats inside each file.
-    // The helper key column is dropped AFTER the sort — a plain project,
-    // no exchange, so row order survives to the writer.
-    val clustered = withKey(key)(df)
-      .repartitionByRange(nFiles, col(key))
-      .sortWithinPartitions(col(key))
-      .drop(key)
+    val clustered = clusterLayout(df, withKey, nFiles)
     // count the PRE-rewrite generation (the same rows by construction)
     // BEFORE the swap so stats never re-read the freshly written data
     val rows = df.count()

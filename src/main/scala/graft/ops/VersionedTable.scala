@@ -41,7 +41,7 @@ import Q.t
 object VersionedTable {
 
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
-    q112VersionedMerge, q113ExactlyOnceSink)
+    q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -157,13 +157,84 @@ object VersionedTable {
     val baseV = vs.last
     val baseDirs = manifestDirs(spark, root, baseV)
     if (baseDirs.size <= 1) return None // one generation — already compact
-    val df = spark.read.parquet(baseDirs.map(d => new Path(root, d).toString): _*)
+    val df = readDirs(spark, root, baseDirs)
     raceHook()
     val gen = writeGeneration(spark, root, df)
     if (tryPublish(spark, root, baseV + 1, Seq(gen), Map("rewrite" -> "true")))
       Some(baseV + 1)
     else {
       fs(spark, root).delete(new Path(root, gen), true)
+      None
+    }
+  }
+
+  /** Read a set of generation dirs as ONE frame, aligning columns BY NAME
+    * across schema drift: a table whose later commits added columns holds
+    * generations with different (compatible) schemas, and a positional or
+    * sampled-schema parquet read would silently drop or misassign the new
+    * columns. Fast path: when every generation has the same schema (the
+    * overwhelmingly common case), one multi-path scan — a single
+    * FileSourceScan, so file coalescing and pushdown behave exactly as
+    * before. Drifted path: per-generation scans folded with
+    * `unionByName(allowMissingColumns)` — older generations read the
+    * missing columns as NULL (the q90 idiom applied to the table format).
+    * The per-dir schema probe reads parquet FOOTERS only, not data.
+    */
+  private def readDirs(spark: SparkSession, root: String,
+      dirs: Seq[String]): DataFrame = {
+    val paths = dirs.map(d => new Path(root, d).toString)
+    val frames = paths.map(p => spark.read.parquet(p))
+    if (frames.map(_.schema).distinct.size <= 1) spark.read.parquet(paths: _*)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** lakehouse `OPTIMIZE [ZORDER BY]` as a FIRST-CLASS REWRITE COMMIT:
+    * rewrite the latest snapshot's generations into ONE clustered
+    * generation — [[Compaction.clusterLayout]]'s range-partition +
+    * in-file sort, sized to ~`targetBytes` files from the real on-disk
+    * bytes — and publish it with `#rewrite=true`. Content is identical,
+    * so [[readChanges]] skips the commit and downstream incremental
+    * consumers see nothing; layout is clustered, so parquet min/max
+    * stats prune scans on the clustered dimensions (two `clusterCols` →
+    * the Morton z-order interleave, one → a plain sort key).
+    *
+    * Unlike directory-level [[Compaction]] — whose [[AtomicDirSwap]]
+    * protocol demands a SINGLE-writer contract because two swaps racing
+    * on one path can lose a generation — the versioned publish is safe
+    * under concurrency by [[compact]]'s abort-on-loss rule: publish only
+    * at base+1, and when a concurrent append wins, abort, reclaim the
+    * orphan, return None; OPTIMIZE is maintenance and just runs again.
+    */
+  def optimize(spark: SparkSession, root: String, clusterCols: Seq[String],
+      targetBytes: Long, raceHook: () => Unit = () => ())
+      : Option[(Long, Compaction.Stats)] = {
+    require(clusterCols.nonEmpty && clusterCols.size <= 2,
+      "optimize: 1 sort column or 2 z-order columns")
+    require(targetBytes > 0, "optimize: targetBytes must be positive")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to optimize at $root")
+    val baseV = vs.last
+    val hfs = fs(spark, root)
+    val df = readDirs(spark, root, manifestDirs(spark, root, baseV))
+    val files = df.inputFiles
+    val totalBytes = files.map(f =>
+      hfs.getFileStatus(new Path(f)).getLen).sum
+    val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    val withKey: String => DataFrame => DataFrame = clusterCols match {
+      case Seq(x, y) => key => _.withColumn(key, ScalePatterns.mortonKey(
+        pmod(col(x), lit(65536L)), pmod(col(y), lit(65536L))))
+      case Seq(s) => key => _.withColumn(key, col(s))
+    }
+    val clustered = Compaction.clusterLayout(df, withKey, nFiles)
+    val rows = df.count() // pre-rewrite generation; same rows by construction
+    raceHook()
+    val gen = writeGeneration(spark, root, clustered)
+    if (tryPublish(spark, root, baseV + 1, Seq(gen), Map("rewrite" -> "true"))) {
+      val filesAfter = hfs.listStatus(new Path(root, gen))
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      Some((baseV + 1, Compaction.Stats(files.length, filesAfter, rows)))
+    } else {
+      hfs.delete(new Path(root, gen), true)
       None
     }
   }
@@ -202,10 +273,9 @@ object VersionedTable {
     val baseV = vs.last
     val dirs = manifestDirs(spark, root, baseV)
     val srcKeys = source.select(col(keyCol)).distinct()
-    val dirPath = dirs.map(d => new Path(root, d).toString)
     // which generation dirs hold at least one matched key (file → its
     // parent generation dir name, unique per generation by construction)
-    val touchedGens = spark.read.parquet(dirPath: _*)
+    val touchedGens = readDirs(spark, root, dirs)
       .select(col(keyCol), input_file_name().as("_file"))
       .join(broadcast(srcKeys), Seq(keyCol), "left_semi")
       .select(col("_file")).distinct().collect()
@@ -218,7 +288,7 @@ object VersionedTable {
     // source itself
     val merged =
       if (touched.isEmpty) source
-      else spark.read.parquet(touched.map(d => new Path(root, d).toString): _*)
+      else readDirs(spark, root, touched)
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(source)
     raceHook()
@@ -338,9 +408,7 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
-    val dirs = manifestDirs(spark, root, ver)
-      .map(d => new Path(root, d).toString)
-    spark.read.parquet(dirs: _*)
+    readDirs(spark, root, manifestDirs(spark, root, ver))
   }
 
   /** CDC / incremental consumption: the rows ADDED between two committed
@@ -373,12 +441,12 @@ object VersionedTable {
             "— use snapshot diff for non-append histories")
         after.filterNot(before.contains)
       }
-    }.map(d => new Path(root, d).toString)
+    }
     // a window whose every commit is a rewrite (vacuum/compact cycle with
     // no intervening appends) legitimately changed NOTHING — incremental
     // consumers get an empty, correctly-schema'd feed, not a failure
     if (added.isEmpty) readAt(spark, root, Some(vTo)).limit(0)
-    else spark.read.parquet(added: _*)
+    else readDirs(spark, root, added)
   }
 
   // per-invocation fresh root under one shutdown-hook-cleaned temp tree
@@ -769,5 +837,67 @@ object VersionedTable {
         CAST(count(DISTINCT o_custkey) AS BIGINT),
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM o WHERE yr IN (1995, 1996, 1997)
+      ORDER BY step"""))
+
+  /** q114: SCHEMA EVOLUTION on the versioned table — the v2 append
+    * carries a column (`priority`) the v1 base generation never wrote.
+    * [[readDirs]] aligns generations BY NAME, so the v2 snapshot reads
+    * v1's rows with NULL priority (counted by `n_with_priority` = only
+    * the 1996 rows), v1 itself keeps its own narrower schema, and the
+    * change feed delivers the widened generation with its full schema.
+    * The oracle replays the history over the base table where the column
+    * always existed — the hash match proves widening a table NEVER
+    * changes, drops, or misassigns existing data (what a positional or
+    * sampled-schema parquet read of mixed generations would get wrong).
+    */
+  val q114SchemaEvolution: Q = Q(
+    "q114_schema_evolution",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"))
+      val widened = orders.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"),
+          col("o_orderpriority").as("priority"))
+      val v1 = commit(s, root, base, overwrite = true)
+      val v2 = commit(s, root, widened, overwrite = false)
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("priority")).as("n_with_priority"),
+          sum(col("price")).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"),
+          col("n_with_priority"), col("revenue"))
+      // v1 still reads with its OWN narrower schema — no phantom column
+      val v1Summary = readAt(s, root, Some(v1))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("double").as("revenue"))
+        .select(lit("snapshot_v1").as("step"), col("n_rows"),
+          lit(0L).as("n_with_priority"), col("revenue"))
+      v1Summary
+        .unionByName(summary("snapshot_v2", readAt(s, root, Some(v2))))
+        .unionByName(summary("changes_v1_v2", readChanges(s, root, v1, v2)))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'snapshot_v1' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(0 AS BIGINT) AS n_with_priority,
+        CAST(sum(price) AS DOUBLE) AS revenue
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'snapshot_v2', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996)
+      UNION ALL
+      SELECT 'changes_v1_v2', CAST(count(*) AS BIGINT),
+        CAST(count(*) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1996
       ORDER BY step"""))
 }

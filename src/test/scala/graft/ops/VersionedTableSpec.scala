@@ -203,6 +203,73 @@ class VersionedTableSpec extends SparkSpec {
     assertNoOrphans(root)
   }
 
+  test("optimize publishes a clustered rewrite commit the feed skips") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root, df(5, 1, 9), overwrite = true)
+    VersionedTable.commit(spark, root, df(7, 3), overwrite = false)
+    val v3 = VersionedTable.commit(spark, root, df(8, 2), overwrite = false)
+    val (v4, stats) = VersionedTable
+      .optimize(spark, root, Seq("id"), targetBytes = 1L << 30)
+      .getOrElse(fail("quiet optimize must publish"))
+    assert(VersionedTable.isRewrite(spark, root, v4))
+    assert(VersionedTable.manifestDirs(spark, root, v4).size == 1)
+    assert(stats.filesAfter == 1 && stats.filesBefore > 1 && stats.rows == 7L)
+    assert(idsAt(root) == Set(1, 2, 3, 5, 7, 8, 9), "content unchanged")
+    assert(idsAt(root, Some(v3)) == idsAt(root, Some(v4)), "rewrite only")
+    // a feed across the optimize delivers later appends once, no
+    // re-delivery of the rewritten rows
+    val v5 = VersionedTable.commit(spark, root, df(4), overwrite = false)
+    assert(VersionedTable.readChanges(spark, root, v1, v5)
+      .collect().map(_.getInt(0)).toSet == Set(7, 3, 8, 2, 4).map(identity))
+    // OPTIMIZE is maintenance: on a concurrency loss it aborts and
+    // reclaims its orphan, exactly like compact
+    val lost = VersionedTable.optimize(spark, root, Seq("id"), 1L << 30,
+      raceHook = () => {
+        VersionedTable.commit(spark, root, df(6), overwrite = false); ()
+      })
+    assert(lost.isEmpty, "losing optimize must abort, not retry")
+    assertNoOrphans(root)
+    // z-order flavor: two clustering columns, content still unchanged
+    import spark.implicits._
+    val zroot = freshRoot()
+    VersionedTable.commit(spark, zroot,
+      Seq((1, 4), (3, 2), (2, 9)).toDF("x", "y"), overwrite = true)
+    VersionedTable.commit(spark, zroot,
+      Seq((9, 1), (4, 4)).toDF("x", "y"), overwrite = false)
+    val (zv, zstats) = VersionedTable
+      .optimize(spark, zroot, Seq("x", "y"), 1L << 30)
+      .getOrElse(fail("z-order optimize must publish"))
+    assert(zstats.filesAfter == 1 && zstats.rows == 5L)
+    assert(VersionedTable.readAt(spark, zroot, Some(zv))
+      .as[(Int, Int)].collect().toSet ==
+      Set((1, 4), (3, 2), (2, 9), (9, 1), (4, 4)))
+  }
+
+  test("schema evolution: generations align by name, missing columns read as null") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    val v2 = VersionedTable.commit(spark, root,
+      Seq((3, "x")).toDF("id", "tag"), overwrite = false)
+    val snap = VersionedTable.readAt(spark, root)
+    assert(snap.columns.toSeq == Seq("id", "tag"))
+    assert(snap.collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet ==
+      Set(1 -> None, 2 -> None, 3 -> Some("x")),
+      "old rows read the new column as NULL; new rows keep their values")
+    // the old snapshot keeps its OWN narrower schema — widening is not
+    // retroactive
+    assert(VersionedTable.readAt(spark, root, Some(1L)).columns.toSeq == Seq("id"))
+    // the feed delivers the widened generation with its full schema
+    assert(VersionedTable.readChanges(spark, root, 1L, v2)
+      .columns.toSeq == Seq("id", "tag"))
+    // compaction of a drifted table unifies to the widened schema
+    val v3 = VersionedTable.compact(spark, root)
+      .getOrElse(fail("compaction must publish"))
+    assert(VersionedTable.readAt(spark, root, Some(v3))
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet ==
+      Set(1 -> None, 2 -> None, 3 -> Some("x")))
+  }
+
   test("manifest parsing: headerless, foreign-comment, and malformed header lines") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
