@@ -41,7 +41,8 @@ import Q.t
 object VersionedTable {
 
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
-    q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution)
+    q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
+    q115DataSkipping)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,15 +109,35 @@ object VersionedTable {
     else { hfs.delete(tmp, false); false }
   }
 
+  // manifest header key carrying one generation's [min,max] for one
+  // column — the generation dir name is unique, so the key is too
+  private def statsKey(colName: String, gen: String) = s"stats:$colName:$gen"
+
   /** One commit: write `df` as a new immutable generation, then publish a
     * manifest for version max+1 via atomic rename; on a concurrency loss
     * the publish retries at the next version. `overwrite=false` keeps the
     * prior snapshot's directories in the new manifest (append semantics).
     * Returns the committed version.
+    *
+    * `statsCol` opts into DATA SKIPPING: the new generation's [min,max]
+    * of that (integral) column is recorded as a manifest header, and
+    * append commits CARRY the surviving generations' stats headers
+    * forward — so one manifest read gives [[readAtPruned]] everything it
+    * needs to skip whole generations, with no data/ listing and no
+    * footer fetches at plan time. Here the bounds come from one small agg
+    * over the just-written generation; a production writer would harvest
+    * them from the parquet footers it already wrote.
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      overwrite: Boolean, meta: Map[String, String] = Map.empty): Long = {
+      overwrite: Boolean, meta: Map[String, String] = Map.empty,
+      statsCol: Option[String] = None): Long = {
     val gen = writeGeneration(spark, root, df)
+    val genStats: Map[String, String] = statsCol.flatMap { c =>
+      val r = spark.read.parquet(new Path(root, gen).toString)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      if (r.isNullAt(0)) None // empty or all-null generation: no bounds
+      else Some(statsKey(c, gen) -> s"${r.getLong(0)},${r.getLong(1)}")
+    }.map(kv => Map(kv)).getOrElse(Map.empty)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -124,14 +145,50 @@ object VersionedTable {
         throw new java.io.IOException(s"VersionedTable: publish contention at $root")
       val vs = versions(spark, root)
       val next = vs.lastOption.getOrElse(0L) + 1
-      val dirs =
-        if (overwrite || vs.isEmpty) Seq(gen)
-        else manifestDirs(spark, root, vs.last) :+ gen
+      val (dirs, carried) =
+        if (overwrite || vs.isEmpty) (Seq(gen), Map.empty[String, String])
+        else (manifestDirs(spark, root, vs.last) :+ gen,
+          manifestMeta(spark, root, vs.last).filter(_._1.startsWith("stats:")))
       // a publish loss means another writer took this version — retry on a
       // fresh read of the log (optimistic concurrency)
-      if (tryPublish(spark, root, next, dirs, meta)) return next
+      if (tryPublish(spark, root, next, dirs, carried ++ genStats ++ meta))
+        return next
     }
     -1L // unreachable
+  }
+
+  /** Stats-pruned snapshot read — the manifest-level half of data
+    * skipping (parquet row-group pruning is the in-file half, see
+    * [[Formats.bloomWrite]]): keep only the generations whose recorded
+    * `statsCol` range intersects [lo, hi], plus any generation with no
+    * recorded stats (absence means "must scan" — stats are an
+    * optimization, never a correctness gate, so rewrites that drop them
+    * stay safe). At scale this is what turns a time-partitioned append
+    * history into an O(queried-window) scan instead of O(table): the
+    * decision reads ONE manifest, no file listing, no footers. The
+    * caller still applies its row filter — pruning is generation-level.
+    * Returns (frame, generations read, generations total).
+    */
+  def readAtPruned(spark: SparkSession, root: String, v: Option[Long],
+      statsCol: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
+    val dirs = manifestDirs(spark, root, ver)
+    val meta = manifestMeta(spark, root, ver)
+    val kept = dirs.filter { d =>
+      meta.get(statsKey(statsCol, d)) match {
+        case Some(s) =>
+          val parts = s.split(",")
+          parts(1).toLong >= lo && parts(0).toLong <= hi
+        case None => true
+      }
+    }
+    val df =
+      if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
+      else readDirs(spark, root, kept)
+    (df, kept.size, dirs.size)
   }
 
   /** COMPACTION as a commit: rewrite the latest snapshot's generations
@@ -899,5 +956,61 @@ object VersionedTable {
       SELECT 'changes_v1_v2', CAST(count(*) AS BIGINT),
         CAST(count(*) AS BIGINT), CAST(sum(price) AS DOUBLE)
       FROM o WHERE yr = 1996
+      ORDER BY step"""))
+
+  /** q115: DATA SKIPPING — a time-partitioned append history (one
+    * generation per year, each committed with `statsCol = yr` bounds in
+    * the manifest) queried for one year through [[readAtPruned]]. The
+    * `prune_audit` row pins the scan economics through the driver gate:
+    * 1 of 3 generations read — the decision made from ONE manifest, no
+    * file listing, no footers — which at 100 TB is the difference
+    * between an O(window) and an O(table) scan for every time-bounded
+    * query. The pruned result must still hash-match an oracle computed
+    * over the FULL table with a row filter: pruning may only skip
+    * generations the predicate provably cannot touch.
+    */
+  val q115DataSkipping: Q = Q(
+    "q115_data_skipping",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      commit(s, root, slice(1995), overwrite = true, statsCol = Some("yr"))
+      commit(s, root, slice(1996), overwrite = false, statsCol = Some("yr"))
+      commit(s, root, slice(1997), overwrite = false, statsCol = Some("yr"))
+      val (pruned, read, total) = readAtPruned(s, root, None, "yr", 1997L, 1997L)
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      // pruning is generation-level; the row predicate still applies
+      val audit = s.range(1).select(lit("prune_audit").as("step"),
+        lit(read.toLong).as("n_rows"), lit(total.toLong).as("n_cust"),
+        lit(null).cast("double").as("revenue"))
+      summary("pruned_1997", pruned.filter(col("yr") === 1997))
+        .unionByName(audit)
+        .unionByName(summary("snapshot", readAt(s, root)))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'pruned_1997' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM o WHERE yr = 1997
+      UNION ALL
+      SELECT 'prune_audit', CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'snapshot', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
       ORDER BY step"""))
 }

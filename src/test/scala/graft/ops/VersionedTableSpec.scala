@@ -270,6 +270,45 @@ class VersionedTableSpec extends SparkSpec {
       Set(1 -> None, 2 -> None, 3 -> Some("x")))
   }
 
+  test("data skipping: manifest stats prune generations, never correctness") {
+    import spark.implicits._
+    val root = freshRoot()
+    def gen(ids: Int*) = ids.toDF("id")
+    VersionedTable.commit(spark, root, gen(1, 5), overwrite = true,
+      statsCol = Some("id"))
+    VersionedTable.commit(spark, root, gen(10, 19), overwrite = false,
+      statsCol = Some("id"))
+    // a generation committed WITHOUT stats must always be scanned
+    val v3 = VersionedTable.commit(spark, root, gen(100), overwrite = false)
+    def filesOf(d: org.apache.spark.sql.DataFrame) = d.inputFiles.toSet
+    // [10,19] overlaps only gen2; gen3 (no stats) is kept conservatively
+    val (pruned, read, total) =
+      VersionedTable.readAtPruned(spark, root, None, "id", 12L, 15L)
+    assert(read == 2 && total == 3)
+    assert(pruned.collect().map(_.getInt(0)).toSet == Set(10, 19, 100))
+    // the skipped generation's files are genuinely not in the scan
+    val allFiles = filesOf(VersionedTable.readAt(spark, root))
+    assert(filesOf(pruned).subsetOf(allFiles) && filesOf(pruned) != allFiles)
+    // stats headers carry forward across appends: gen1's bounds are
+    // still usable at v3 even though they were recorded at v1
+    val (one, r1, _) = VersionedTable.readAtPruned(spark, root, Some(v3), "id", 1L, 5L)
+    assert(r1 == 2, "gen1 (stats hit) + gen3 (no stats)")
+    assert(one.collect().map(_.getInt(0)).toSet == Set(1, 5, 100))
+    // a window no stats-carrying generation intersects reads only the
+    // conservative no-stats generation
+    val (none, r0, _) = VersionedTable.readAtPruned(spark, root, None, "id", 50L, 60L)
+    assert(r0 == 1 && none.collect().map(_.getInt(0)).toSet == Set(100))
+    // stats for an UNRECORDED column prune nothing
+    assert(VersionedTable.readAtPruned(spark, root, None, "nope", 0L, 0L)._2 == 3)
+    // an overwrite drops every older generation's stats with the dirs
+    val v4 = VersionedTable.commit(spark, root, gen(7), overwrite = true,
+      statsCol = Some("id"))
+    val meta4 = VersionedTable.manifestMeta(spark, root, v4)
+    assert(meta4.keys.count(_.startsWith("stats:")) == 1)
+    val (_, r4, t4) = VersionedTable.readAtPruned(spark, root, None, "id", 7L, 7L)
+    assert(r4 == 1 && t4 == 1)
+  }
+
   test("manifest parsing: headerless, foreign-comment, and malformed header lines") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
