@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q.t
 
@@ -42,7 +42,7 @@ object VersionedTable {
 
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
-    q115DataSkipping)
+    q115DataSkipping, q116VersionedDelete)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -352,6 +352,55 @@ object VersionedTable {
     val gen = writeGeneration(spark, root, merged)
     if (tryPublish(spark, root, baseV + 1, untouched :+ gen, Map("merge" -> "true")))
       Some((baseV + 1, touched.size, untouched.size))
+    else {
+      fs(spark, root).delete(new Path(root, gen), true)
+      None
+    }
+  }
+
+  /** DELETE WHERE as COPY-ON-WRITE at generation granularity — the
+    * right-to-be-forgotten operation every stored corpus eventually owes
+    * (GDPR/CCPA erasure): remove the rows matching `pred` from the latest
+    * snapshot by rewriting ONLY the generations that contain a match;
+    * untouched generations carry into the new manifest verbatim, so a
+    * targeted erasure costs O(touched files), not O(table) — at 100 TB,
+    * deleting one user's rows rewrites the handful of files holding them.
+    * Touch detection is one predicate-column scan grouped by
+    * `input_file_name` (the [[mergeInto]] shape; parquet column pruning
+    * keeps it narrow). Old snapshots still CONTAIN the deleted rows —
+    * time travel is the point of the log — so completing an erasure
+    * means following up with `vacuum(keepVersions = 1, force = true)` to
+    * destroy the superseded generations; the delete commit records
+    * `#delete=true` so an auditor can find erasure events in the log.
+    *
+    * Publishes only at base+1 and returns None on a concurrency loss,
+    * like [[compact]]/[[mergeInto]] — a retry could silently drop a
+    * concurrent append. [[readChanges]] refuses to feed across a delete
+    * commit (generation-level deltas cannot express row removal).
+    * Returns Some(new version, rows deleted, touched gens, carried gens).
+    */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column,
+      raceHook: () => Unit = () => ()): Option[(Long, Long, Int, Int)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to delete from at $root")
+    val baseV = vs.last
+    val dirs = manifestDirs(spark, root, baseV)
+    val touchedGens = readDirs(spark, root, dirs)
+      .filter(pred)
+      .select(input_file_name().as("_file"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).getParent.getName).toSet
+    val touched = dirs.filter(d => touchedGens.contains(new Path(d).getName))
+    val untouched = dirs.filterNot(touched.contains)
+    if (touched.isEmpty) return Some((baseV, 0L, 0, dirs.size)) // no-op: nothing matches
+    val before = readDirs(spark, root, touched)
+    val survivors = before.filter(!pred)
+    val deleted = before.count() - survivors.count()
+    raceHook()
+    val gen = writeGeneration(spark, root, survivors)
+    if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
+        Map("delete" -> "true")))
+      Some((baseV + 1, deleted, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
       None
@@ -1012,5 +1061,69 @@ object VersionedTable {
         CAST(count(DISTINCT o_custkey) AS BIGINT),
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM o WHERE yr IN (1995, 1996, 1997)
+      ORDER BY step"""))
+
+  /** q116: VERSIONED DELETE (erasure) — [[deleteWhere]] copy-on-write
+    * over a customer-keyed ingest layout (three generations by
+    * `o_custkey % 3`). Erasing the consent-revoked cohort
+    * `o_custkey % 51 = 0` (51 = 3·17, so every cohort member lives in
+    * the `% 3 = 0` generation) must rewrite exactly ONE generation and
+    * carry the other two verbatim — the `gen_audit` row pins 1 touched /
+    * 2 carried, and its `revenue` column carries the engine's own
+    * deleted-row count against an oracle that counts the cohort
+    * independently. `post_delete` hash-matches the table minus the
+    * cohort; `time_travel_pre` proves the pre-delete snapshot still
+    * reads intact (which is why a COMPLETED erasure must then `vacuum`
+    * the old versions — the Scaladoc contract).
+    */
+  val q116VersionedDelete: Q = Q(
+    "q116_versioned_delete",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"))
+      (0 to 2).foreach { m =>
+        commit(s, root, orders.filter(col("o_custkey") % 3 === m),
+          overwrite = m == 0)
+      }
+      val vPre = versions(s, root).last
+      val (vPost, nDeleted, touched, carried) =
+        deleteWhere(s, root, col("o_custkey") % 51 === 0)
+          .getOrElse(sys.error("q116: delete lost a race on a private table"))
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(col("price")).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      val genAudit = s.range(1).select(lit("gen_audit").as("step"),
+        lit(touched.toLong).as("n_rows"), lit(carried.toLong).as("n_cust"),
+        lit(nDeleted).cast("double").as("revenue"))
+      summary("pre_delete", readAt(s, root, Some(vPre)))
+        .unionByName(summary("post_delete", readAt(s, root, Some(vPost))))
+        .unionByName(summary("time_travel_pre", readAt(s, root, Some(vPre))))
+        .unionByName(genAudit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders)
+      SELECT 'pre_delete' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(price) AS DOUBLE) AS revenue FROM o
+      UNION ALL
+      SELECT 'post_delete', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE) FROM o WHERE o_custkey % 51 <> 0
+      UNION ALL
+      SELECT 'time_travel_pre', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE) FROM o
+      UNION ALL
+      SELECT 'gen_audit', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        CAST((SELECT count(*) FROM o WHERE o_custkey % 51 = 0) AS DOUBLE)
       ORDER BY step"""))
 }

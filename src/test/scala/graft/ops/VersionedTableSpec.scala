@@ -270,6 +270,45 @@ class VersionedTableSpec extends SparkSpec {
       Set(1 -> None, 2 -> None, 3 -> Some("x")))
   }
 
+  test("deleteWhere is copy-on-write erasure: vacuum completes it") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    VersionedTable.commit(spark, root, df(3, 4), overwrite = false)
+    val vPre = VersionedTable.commit(spark, root, df(5), overwrite = false)
+    val preDirs = VersionedTable.manifestDirs(spark, root, vPre).toSet
+    // erase id=3: only the second generation holds a match
+    val (vPost, nDeleted, touched, carried) =
+      VersionedTable.deleteWhere(spark, root, col("id") === 3)
+        .getOrElse(fail("quiet delete must publish"))
+    assert(nDeleted == 1L && touched == 1 && carried == 2)
+    assert(VersionedTable.manifestMeta(spark, root, vPost)
+      .get("delete").contains("true"), "erasure events are auditable")
+    assert(VersionedTable.manifestDirs(spark, root, vPost).toSet
+      .intersect(preDirs).size == 2, "untouched generations carried verbatim")
+    assert(idsAt(root) == Set(1, 2, 4, 5))
+    assert(idsAt(root, Some(vPre)) == Set(1, 2, 3, 4, 5),
+      "time travel still reads the deleted row — erasure needs vacuum")
+    // a predicate matching nothing is a no-op at the SAME version
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 99)
+      .contains((vPost, 0L, 0, 3)))
+    // feeds cannot express row removal: refuse to span the delete
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, root, vPre, vPost))
+    // losing a race aborts and reclaims the orphan, like merge/compact
+    val lost = VersionedTable.deleteWhere(spark, root, col("id") === 4,
+      raceHook = () => {
+        VersionedTable.commit(spark, root, df(6), overwrite = false); ()
+      })
+    assert(lost.isEmpty)
+    assertNoOrphans(root)
+    // COMPLETING the erasure: vacuum to one retained version destroys
+    // every generation that still held the deleted row
+    VersionedTable.vacuum(spark, root, keepVersions = 1, force = true)
+    assert(VersionedTable.versions(spark, root).size == 1)
+    assertNoOrphans(root)
+    assert(idsAt(root) == Set(1, 2, 4, 5, 6))
+  }
+
   test("data skipping: manifest stats prune generations, never correctness") {
     import spark.implicits._
     val root = freshRoot()
