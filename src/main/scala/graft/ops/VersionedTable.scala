@@ -42,7 +42,7 @@ object VersionedTable {
 
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
-    q115DataSkipping, q116VersionedDelete)
+    q115DataSkipping, q116VersionedDelete, q117VTableConnector)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1125,5 +1125,66 @@ object VersionedTable {
       UNION ALL
       SELECT 'gen_audit', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
         CAST((SELECT count(*) FROM o WHERE o_custkey % 51 = 0) AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q117: the PUBLIC DataSource surface — the same versioned history
+    * driven entirely through `format("graft-vtable")`
+    * ([[graft.sources.VTableSource]]): SaveMode.Overwrite/Append writes
+    * become commits (with `statsCol` bounds recorded), `versionAsOf`
+    * time-travels, and a `pruneCol` read under a year filter goes
+    * through manifest-stats generation pruning before the row filter.
+    * The oracle replays year filters over the base table, so the hash
+    * match proves the reader/writer API round-trips the format with the
+    * exact semantics the library-level calls have — what a user who only
+    * speaks `spark.read`/`spark.write` actually gets.
+    */
+  val q117VTableConnector: Q = Q(
+    "q117_vtable_connector",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def put(yr: Int, mode: String): Unit = orders
+        .filter(col("yr") === yr)
+        .write.format("graft-vtable")
+        .option("path", root).option("statsCol", "yr")
+        .mode(mode).save()
+      put(1995, "overwrite"); put(1996, "append"); put(1997, "append")
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      val pruned = s.read.format("graft-vtable")
+        .option("path", root).option("pruneCol", "yr").load()
+        .filter(col("yr") === 1996)
+      val asOf1 = s.read.format("graft-vtable")
+        .option("path", root).option("versionAsOf", "1").load()
+      val snapshot = s.read.format("graft-vtable").option("path", root).load()
+      summary("pruned_1996", pruned)
+        .unionByName(summary("time_travel_v1", asOf1))
+        .unionByName(summary("snapshot", snapshot))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'pruned_1996' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM o WHERE yr = 1996
+      UNION ALL
+      SELECT 'time_travel_v1', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'snapshot', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
       ORDER BY step"""))
 }

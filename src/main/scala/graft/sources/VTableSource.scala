@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.StreamingFrame
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.VersionedTable
+
+/** `format("graft-vtable")` — the [[graft.ops.VersionedTable]] commit-log
+  * format surfaced as a Spark DataSource, so the table behaves like a
+  * lakehouse table from the public reader/writer API:
+  *
+  *  - BATCH READ: `spark.read.format("graft-vtable").option("path", p)`,
+  *    time travel via `option("versionAsOf", n)`. With
+  *    `option("pruneCol", c)` the relation translates pushed-down range
+  *    filters on `c` into MANIFEST-LEVEL generation pruning
+  *    ([[VersionedTable.readAtPruned]]) — whole generations are skipped
+  *    at plan time from one manifest read, before any file is opened;
+  *    parquet row-group pruning then handles the in-file half. All row
+  *    filters are re-applied by Spark (`unhandledFilters` keeps every
+  *    filter, so pruning can never change results).
+  *  - BATCH WRITE: `df.write.format("graft-vtable").mode(m)` maps
+  *    SaveModes onto commits — Append → append commit, Overwrite →
+  *    overwrite commit, ErrorIfExists/Ignore honor existing history.
+  *    `option("statsCol", c)` records data-skipping bounds.
+  *  - STREAMING READ (CDC tail): `spark.readStream.format("graft-vtable")`
+  *    follows the commit log — the first batch is the full snapshot at
+  *    the stream's start version, every later batch is the O(delta)
+  *    change feed ([[VersionedTable.readChanges]]): only the generations
+  *    the new commits appended are read, compaction/optimize rewrites
+  *    deliver nothing, and a non-append commit (overwrite/merge/delete)
+  *    fails the stream loudly rather than misreporting row changes —
+  *    the Delta-source semantics without `skipChangeCommits`. Offsets
+  *    are table versions, so a restart resumes exactly where the
+  *    checkpoint left off.
+  *
+  * This is a V1 source on purpose: its scan and feed are COMPOSITIONS of
+  * existing parquet scans (the engine's own readAt/readChanges plans),
+  * and V1 is the API that lets a relation delegate to another plan. The
+  * DSv2 path (see [[SyntheticSource]]/[[AuditSink]]) is for sources that
+  * produce their own rows.
+  */
+class VTableSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-vtable"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-vtable: 'path' option is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new VTableRelation(sqlContext, pathOf(parameters),
+      parameters.get("versionAsOf").map(_.toLong),
+      parameters.get("pruneCol"))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val statsCol = parameters.get("statsCol")
+    val exists = VersionedTable.versions(spark, path).nonEmpty
+    mode match {
+      case SaveMode.Append =>
+        VersionedTable.commit(spark, path, data, overwrite = false,
+          statsCol = statsCol)
+      case SaveMode.Overwrite =>
+        VersionedTable.commit(spark, path, data, overwrite = true,
+          statsCol = statsCol)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-vtable: table at $path already exists (mode=ErrorIfExists)")
+      case SaveMode.Ignore if exists => () // leave the table untouched
+      case _ => // ErrorIfExists / Ignore on a fresh path: first commit
+        VersionedTable.commit(spark, path, data, overwrite = true,
+          statsCol = statsCol)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      VersionedTable.readAt(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new VTableCdcSource(sqlContext,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      pathOf(parameters))
+}
+
+/** Batch relation: a snapshot (latest or `versionAsOf`) of the versioned
+  * table, with optional manifest-stats generation pruning on `pruneCol`.
+  */
+class VTableRelation(ctx: SQLContext, path: String, version: Option[Long],
+    pruneCol: Option[String]) extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+  private def spark = ctx.sparkSession
+
+  override val schema: StructType =
+    VersionedTable.readAt(spark, path, version).schema
+
+  // filters arrive as an implicit AND; fold the ones naming `c` into a
+  // single [lo, hi] window for generation pruning (integral types only —
+  // the manifest stores long bounds)
+  private[sources] def bounds(filters: Seq[Filter], c: String): (Long, Long) = {
+    def longOf(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    filters.foldLeft((Long.MinValue, Long.MaxValue)) { case ((lo, hi), f) =>
+      f match {
+        case EqualTo(`c`, v) =>
+          longOf(v).map(x => (math.max(lo, x), math.min(hi, x))).getOrElse((lo, hi))
+        case GreaterThan(`c`, v) =>
+          longOf(v).map(x => (math.max(lo, x + 1), hi)).getOrElse((lo, hi))
+        case GreaterThanOrEqual(`c`, v) =>
+          longOf(v).map(x => (math.max(lo, x), hi)).getOrElse((lo, hi))
+        case LessThan(`c`, v) =>
+          longOf(v).map(x => (lo, math.min(hi, x - 1))).getOrElse((lo, hi))
+        case LessThanOrEqual(`c`, v) =>
+          longOf(v).map(x => (lo, math.min(hi, x))).getOrElse((lo, hi))
+        case And(l, r) =>
+          val (l1, h1) = bounds(Seq(l), c); val (l2, h2) = bounds(Seq(r), c)
+          (math.max(lo, math.max(l1, l2)), math.min(hi, math.min(h1, h2)))
+        case _ => (lo, hi)
+      }
+    }
+  }
+
+  // best-effort Filter → Column so predicates reach the underlying
+  // parquet scan (row-group pruning); untranslatable filters are simply
+  // not pushed — Spark re-applies every filter above this scan anyway
+  private def toPredicate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for { lc <- toPredicate(l); rc <- toPredicate(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toPredicate(l); rc <- toPredicate(r) } yield lc || rc
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val base = pruneCol match {
+      case Some(c) =>
+        val (lo, hi) = bounds(filters.toIndexedSeq, c)
+        if (lo == Long.MinValue && hi == Long.MaxValue)
+          VersionedTable.readAt(spark, path, version)
+        else VersionedTable.readAtPruned(spark, path, version, c, lo, hi)._1
+      case None => VersionedTable.readAt(spark, path, version)
+    }
+    val filtered = filters.flatMap(toPredicate).foldLeft(base)(_.filter(_))
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+}
+
+/** Version-number offset; `json` round-trips through checkpoint restarts
+  * (incoming offsets may be SerializedOffset — parse via json uniformly).
+  */
+case class VTableOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+/** The commit-log tail: first batch = full snapshot at the start
+  * version, later batches = the O(delta) change feed between versions.
+  */
+class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
+    path: String) extends Source {
+
+  private def spark = ctx.sparkSession
+  private def ver(o: Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[Offset] = {
+    val vs = VersionedTable.versions(spark, path)
+    if (vs.isEmpty) None else Some(VTableOffset(vs.last))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = ver(end)
+    val batch = start.map(ver) match {
+      case None => VersionedTable.readAt(spark, path, Some(endV))
+      case Some(s) if s == endV => // offset-representation change only
+        VersionedTable.readAt(spark, path, Some(endV)).limit(0)
+      case Some(s) => VersionedTable.readChanges(spark, path, s, endV)
+    }
+    // pin the declared schema: a generation widened mid-stream must not
+    // change the streaming plan's shape
+    StreamingFrame.asStreaming(spark,
+      batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def stop(): Unit = ()
+}
