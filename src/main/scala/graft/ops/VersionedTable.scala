@@ -113,6 +113,30 @@ object VersionedTable {
   // column — the generation dir name is unique, so the key is too
   private def statsKey(colName: String, gen: String) = s"stats:$colName:$gen"
 
+  // stats headers of version `v` that still apply because their
+  // generation survives into the next manifest — every commit kind that
+  // RETAINS generations (append, merge, delete) must carry these, or one
+  // maintenance commit silently turns data skipping off for the table
+  private def carriedStats(spark: SparkSession, root: String, v: Long,
+      keptDirs: Seq[String]): Map[String, String] = {
+    val kept = keptDirs.toSet
+    manifestMeta(spark, root, v).filter { case (k, _) =>
+      k.startsWith("stats:") && kept.contains(k.split(":", 3)(2))
+    }
+  }
+
+  // [min,max] header for a freshly written generation, computed from the
+  // written files (one narrow agg; a production writer would harvest the
+  // parquet footers it just wrote). None when unrequested or all-null.
+  private def genStatsOf(spark: SparkSession, root: String, gen: String,
+      statsCol: Option[String]): Map[String, String] =
+    statsCol.flatMap { c =>
+      val r = spark.read.parquet(new Path(root, gen).toString)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      if (r.isNullAt(0)) None
+      else Some(statsKey(c, gen) -> s"${r.getLong(0)},${r.getLong(1)}")
+    }.map(kv => Map(kv)).getOrElse(Map.empty)
+
   /** One commit: write `df` as a new immutable generation, then publish a
     * manifest for version max+1 via atomic rename; on a concurrency loss
     * the publish retries at the next version. `overwrite=false` keeps the
@@ -132,12 +156,7 @@ object VersionedTable {
       overwrite: Boolean, meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Long = {
     val gen = writeGeneration(spark, root, df)
-    val genStats: Map[String, String] = statsCol.flatMap { c =>
-      val r = spark.read.parquet(new Path(root, gen).toString)
-        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
-      if (r.isNullAt(0)) None // empty or all-null generation: no bounds
-      else Some(statsKey(c, gen) -> s"${r.getLong(0)},${r.getLong(1)}")
-    }.map(kv => Map(kv)).getOrElse(Map.empty)
+    val genStats = genStatsOf(spark, root, gen, statsCol)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -147,8 +166,10 @@ object VersionedTable {
       val next = vs.lastOption.getOrElse(0L) + 1
       val (dirs, carried) =
         if (overwrite || vs.isEmpty) (Seq(gen), Map.empty[String, String])
-        else (manifestDirs(spark, root, vs.last) :+ gen,
-          manifestMeta(spark, root, vs.last).filter(_._1.startsWith("stats:")))
+        else {
+          val prev = manifestDirs(spark, root, vs.last)
+          (prev :+ gen, carriedStats(spark, root, vs.last, prev))
+        }
       // a publish loss means another writer took this version — retry on a
       // fresh read of the log (optimistic concurrency)
       if (tryPublish(spark, root, next, dirs, carried ++ genStats ++ meta))
@@ -203,11 +224,15 @@ object VersionedTable {
     * always safe, the caller just runs it again. Returns the new version,
     * or None when already compact / lost the race.
     *
+    * `statsCol` re-records data-skipping bounds for the compacted
+    * generation (the rewrite replaces every stats-carrying dir, so
+    * without it the table loses skipping until the next stats commit).
     * `raceHook` is a race-injection seam for specs: it runs after the
     * base snapshot is read and before this compaction publishes — the
     * window where a concurrent writer's commit forces the abort path.
     */
   def compact(spark: SparkSession, root: String,
+      statsCol: Option[String] = None,
       raceHook: () => Unit = () => ()): Option[Long] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to compact at $root")
@@ -217,7 +242,8 @@ object VersionedTable {
     val df = readDirs(spark, root, baseDirs)
     raceHook()
     val gen = writeGeneration(spark, root, df)
-    if (tryPublish(spark, root, baseV + 1, Seq(gen), Map("rewrite" -> "true")))
+    if (tryPublish(spark, root, baseV + 1, Seq(gen),
+        Map("rewrite" -> "true") ++ genStatsOf(spark, root, gen, statsCol)))
       Some(baseV + 1)
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -263,7 +289,8 @@ object VersionedTable {
     * orphan, return None; OPTIMIZE is maintenance and just runs again.
     */
   def optimize(spark: SparkSession, root: String, clusterCols: Seq[String],
-      targetBytes: Long, raceHook: () => Unit = () => ())
+      targetBytes: Long, statsCol: Option[String] = None,
+      raceHook: () => Unit = () => ())
       : Option[(Long, Compaction.Stats)] = {
     require(clusterCols.nonEmpty && clusterCols.size <= 2,
       "optimize: 1 sort column or 2 z-order columns")
@@ -286,7 +313,8 @@ object VersionedTable {
     val rows = df.count() // pre-rewrite generation; same rows by construction
     raceHook()
     val gen = writeGeneration(spark, root, clustered)
-    if (tryPublish(spark, root, baseV + 1, Seq(gen), Map("rewrite" -> "true"))) {
+    if (tryPublish(spark, root, baseV + 1, Seq(gen),
+        Map("rewrite" -> "true") ++ genStatsOf(spark, root, gen, statsCol))) {
       val filesAfter = hfs.listStatus(new Path(root, gen))
         .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
       Some((baseV + 1, Compaction.Stats(files.length, filesAfter, rows)))
@@ -319,12 +347,16 @@ object VersionedTable {
     * merge commit: generation-level deltas cannot express row updates.
     * Returns Some(new version, touched gen count, carried gen count).
     *
-    * `raceHook` is a race-injection seam for specs: it runs after the
-    * base manifest is read and before this merge publishes — the window
-    * where a concurrent writer's commit forces the abort path.
+    * Carried generations KEEP their recorded data-skipping bounds (the
+    * new manifest re-carries their `stats:` headers); `statsCol` records
+    * bounds for the rewritten generation. `raceHook` is a race-injection
+    * seam for specs: it runs after the base manifest is read and before
+    * this merge publishes — the window where a concurrent writer's
+    * commit forces the abort path.
     */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
-      keyCol: String, raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
+      keyCol: String, statsCol: Option[String] = None,
+      raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to merge into at $root")
     val baseV = vs.last
@@ -350,7 +382,9 @@ object VersionedTable {
         .unionByName(source)
     raceHook()
     val gen = writeGeneration(spark, root, merged)
-    if (tryPublish(spark, root, baseV + 1, untouched :+ gen, Map("merge" -> "true")))
+    if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
+        Map("merge" -> "true") ++ carriedStats(spark, root, baseV, untouched)
+          ++ genStatsOf(spark, root, gen, statsCol)))
       Some((baseV + 1, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -380,6 +414,7 @@ object VersionedTable {
     * Returns Some(new version, rows deleted, touched gens, carried gens).
     */
   def deleteWhere(spark: SparkSession, root: String, pred: Column,
+      statsCol: Option[String] = None,
       raceHook: () => Unit = () => ()): Option[(Long, Long, Int, Int)] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to delete from at $root")
@@ -399,7 +434,8 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, survivors)
     if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
-        Map("delete" -> "true")))
+        Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
+          ++ genStatsOf(spark, root, gen, statsCol)))
       Some((baseV + 1, deleted, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)

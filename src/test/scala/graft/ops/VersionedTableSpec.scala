@@ -348,6 +348,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(r4 == 1 && t4 == 1)
   }
 
+  test("data skipping survives maintenance: merge/delete carry stats, compact re-records") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "grp")
+    VersionedTable.commit(spark, root, kv(1 -> 10, 2 -> 10), overwrite = true,
+      statsCol = Some("id"))
+    VersionedTable.commit(spark, root, kv(20 -> 11, 25 -> 11), overwrite = false,
+      statsCol = Some("id"))
+    VersionedTable.commit(spark, root, kv(90 -> 12), overwrite = false,
+      statsCol = Some("id"))
+    // merge touches only the id∈[90] generation; the two carried
+    // generations must KEEP their recorded bounds
+    VersionedTable.mergeInto(spark, root, kv(90 -> 13, 95 -> 13), "id",
+      statsCol = Some("id"))
+      .getOrElse(fail("merge must publish"))
+    val (m, rm, tm) = VersionedTable.readAtPruned(spark, root, None, "id", 20L, 25L)
+    assert(rm == 1 && tm == 3, "carried stats still prune after a merge")
+    assert(m.collect().map(_.getInt(0)).toSet == Set(20, 25))
+    // the merged generation's own re-recorded bounds prune too
+    assert(VersionedTable.readAtPruned(spark, root, None, "id", 90L, 99L)._2 == 1)
+    // delete from the low generation: untouched stats carried again
+    VersionedTable.deleteWhere(spark, root, col("id") === 1,
+      statsCol = Some("id")).getOrElse(fail("delete must publish"))
+    assert(VersionedTable.readAtPruned(spark, root, None, "id", 20L, 25L)._2 == 1)
+    // compaction replaces every generation; statsCol re-records bounds
+    // for the single compacted generation so skipping keeps working for
+    // post-compaction appends
+    VersionedTable.compact(spark, root, statsCol = Some("id"))
+      .getOrElse(fail("compact must publish"))
+    VersionedTable.commit(spark, root, kv(500 -> 14), overwrite = false,
+      statsCol = Some("id"))
+    val (hot, rh, th) = VersionedTable.readAtPruned(spark, root, None, "id", 400L, 600L)
+    assert(rh == 1 && th == 2,
+      "a recent-window read skips the compacted cold generation")
+    assert(hot.collect().map(_.getInt(0)).toSet == Set(500))
+  }
+
   test("manifest parsing: headerless, foreign-comment, and malformed header lines") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
