@@ -42,7 +42,8 @@ object VersionedTable {
 
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
-    q115DataSkipping, q116VersionedDelete, q117VTableConnector)
+    q115DataSkipping, q116VersionedDelete, q117VTableConnector,
+    q118SqlTimeTravel)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,6 +74,24 @@ object VersionedTable {
   // directory per line (headerless pre-metadata manifests parse the same)
   private[ops] def manifestDirs(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  /** Commit (publish) time of version `v`, epoch MICROseconds. The
+    * atomic manifest rename IS the commit point, so the manifest file's
+    * modification time is the commit timestamp — no extra bookkeeping.
+    */
+  def commitTimestamp(spark: SparkSession, root: String, v: Long): Long =
+    fs(spark, root).getFileStatus(new Path(root, s"_log/$v.commit"))
+      .getModificationTime * 1000L
+
+  /** Newest committed version published at or before `tsMicros` (epoch
+    * micros — the Spark `TIMESTAMP AS OF` contract). None when the
+    * timestamp predates the table's first commit.
+    */
+  def versionAsOfTimestamp(spark: SparkSession, root: String,
+      tsMicros: Long): Option[Long] =
+    versions(spark, root)
+      .filter(v => commitTimestamp(spark, root, v) <= tsMicros)
+      .lastOption
 
   /** Commit metadata: the `#key=value` manifest headers (commit kind,
     * streaming transaction stamps). Empty for plain commits.
@@ -1219,6 +1238,77 @@ object VersionedTable {
       FROM o WHERE yr = 1995
       UNION ALL
       SELECT 'snapshot', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
+      ORDER BY step"""))
+
+  /** q118: SQL TIME TRAVEL — the same year-sliced history queried purely
+    * through SQL against [[graft.sources.VTableCatalog]]: `VERSION AS OF`
+    * resolves a log version, `TIMESTAMP AS OF` resolves through manifest
+    * PUBLISH times (the atomic rename is the commit point, so its mtime
+    * is the commit timestamp — the probe instant sits strictly between
+    * v2's and v3's publishes and must see exactly v2), and a filtered
+    * read runs the DSv2 pushdown → V1 fallback → generation-pruning
+    * path (`pruneCol = yr`). A fresh catalog NAME per invocation works
+    * around the CatalogManager instance cache. The oracle replays year
+    * filters over the base table — catalog resolution, time travel, and
+    * pruning must all be invisible to the result.
+    */
+  val q118SqlTimeTravel: Q = Q(
+    "q118_sql_time_travel",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val table = s"$root/main/orders_v"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      commit(s, table, slice(1995), overwrite = true, statsCol = Some("yr"))
+      commit(s, table, slice(1996), overwrite = false, statsCol = Some("yr"))
+      commit(s, table, slice(1997), overwrite = false, statsCol = Some("yr"))
+      val cat = "vtq118_" + new Path(root).getName.stripPrefix("run_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.pruneCol", "yr")
+      val t2 = commitTimestamp(s, table, 2L)
+      val t3 = commitTimestamp(s, table, 3L)
+      require(t3 > t2, "q118: v2/v3 publish times must be distinguishable")
+      val mid = t2 + (t3 - t2) / 2
+      val midLit = java.time.Instant
+        .ofEpochSecond(mid / 1000000L, (mid % 1000000L) * 1000L).toString
+      def summarize(step: String, suffix: String) = s.sql(
+        s"SELECT '$step' AS step, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          s"FROM $cat.main.orders_v $suffix")
+      summarize("sql_v1", "VERSION AS OF 1")
+        .unionByName(summarize("sql_ts_v2", s"TIMESTAMP AS OF '$midLit'"))
+        .unionByName(summarize("sql_filtered", "WHERE yr = 1997"))
+        .unionByName(summarize("sql_latest", ""))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'sql_v1' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'sql_ts_v2', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996)
+      UNION ALL
+      SELECT 'sql_filtered', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr = 1997
+      UNION ALL
+      SELECT 'sql_latest', CAST(count(*) AS BIGINT),
         CAST(count(DISTINCT o_custkey) AS BIGINT),
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM o WHERE yr IN (1995, 1996, 1997)

@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.VersionedTable
+
+/** A DataSource-V2 CATALOG over a directory tree of
+  * [[graft.ops.VersionedTable]] roots, so the commit-log format gets the
+  * full SQL surface — including Spark's native time-travel syntax:
+  *
+  * {{{
+  *   spark.sql.catalog.vt      = graft.sources.VTableCatalog
+  *   spark.sql.catalog.vt.root = /warehouse            // table = root/ns/name
+  *
+  *   SELECT * FROM vt.main.orders_v                     -- latest snapshot
+  *   SELECT * FROM vt.main.orders_v VERSION AS OF 2     -- log version
+  *   SELECT * FROM vt.main.orders_v TIMESTAMP AS OF '…' -- publish time
+  *   SHOW TABLES IN vt.main / DROP TABLE / ALTER … RENAME
+  * }}}
+  *
+  * `VERSION AS OF` resolves through `loadTable(ident, version)` to a
+  * manifest read; `TIMESTAMP AS OF` resolves through the manifest files'
+  * publish times ([[VersionedTable.versionAsOfTimestamp]] — the atomic
+  * rename IS the commit point, so its mtime is the commit timestamp).
+  * Scans go through the [[V1Scan]] fallback to the same
+  * [[VTableScans.frame]] the `graft-vtable` relation uses: Spark pushes
+  * column pruning and filters down at the DSv2 layer, the frame turns
+  * range filters on the catalog's `pruneCol` into manifest-stats
+  * GENERATION pruning, and the inner parquet scan gets the translated
+  * predicates for row-group pruning. `pushedFilters` reports only the
+  * prune-effective subset, and every filter is re-evaluated above the
+  * scan, so pruning can never change results.
+  *
+  * Writes stay on the DataFrame API (`format("graft-vtable")` — commits
+  * with SaveModes); CREATE/ALTER via SQL are rejected loudly rather than
+  * half-supported. DROP deletes the table tree; RENAME is a directory
+  * move (metadata-only, like the lakehouse formats).
+  */
+class VTableCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private var pruneCol: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-vtable catalog '$name': set spark.sql.catalog.$name.root"))
+    pruneCol = Option(options.get("pruneCol"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def hfs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pathOf(ident: Identifier): String = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    require(parts.forall(s => s.nonEmpty && !s.contains("/") && !s.contains("..")),
+      s"graft-vtable catalog: illegal identifier $ident")
+    parts.foldLeft(new Path(root))((p, s) => new Path(p, s)).toString
+  }
+
+  private def isTable(path: String): Boolean =
+    VersionedTable.versions(spark, path).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = namespace.foldLeft(new Path(root))((p, s) => new Path(p, s))
+    val fs = hfs(nsPath)
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTable(new Path(nsPath, n).toString))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    new VTableV2Table(p, None, pruneCol)
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v = try version.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"graft-vtable: VERSION AS OF takes a log version number, got '$version'")
+    }
+    if (!isTable(p) || !VersionedTable.versions(spark, p).contains(v))
+      throw new NoSuchTableException(ident)
+    new VTableV2Table(p, Some(v), pruneCol)
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = VersionedTable.versionAsOfTimestamp(spark, p, timestampMicros)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new VTableV2Table(p, Some(v), pruneCol)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft-vtable: create tables by committing data — " +
+        "df.write.format(\"graft-vtable\").option(\"path\", …)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-vtable: schema evolves by committing widened generations, not ALTER")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    hfs(p).exists(p) && hfs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(pathOf(oldIdent))
+    val to = new Path(pathOf(newIdent))
+    val fs = hfs(from)
+    if (!isTable(from.toString)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to),
+      s"graft-vtable: rename $from -> $to failed")
+  }
+}
+
+/** One snapshot (latest or pinned version) as a DSv2 table. */
+class VTableV2Table(path: String, version: Option[Long],
+    pruneCol: Option[String]) extends Table with SupportsRead {
+
+  override def name(): String =
+    path + version.map(v => s"@v$v").getOrElse("")
+
+  override lazy val schema: StructType =
+    VersionedTable.readAt(SparkSession.active, path, version).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VTableScanBuilder(path, version,
+      pruneCol.filter(schema.fieldNames.contains(_)), schema)
+}
+
+/** DSv2 pushdown surface: Spark prunes columns and pushes filters here;
+  * both feed [[VTableScans.frame]] through the V1 fallback scan.
+  */
+class VTableScanBuilder(path: String, version: Option[Long],
+    pruneCol: Option[String], fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // everything comes back as residual (Spark re-evaluates all filters —
+  // generation pruning may only SKIP data the predicate cannot touch)
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs; fs
+  }
+
+  // EXPLAIN honesty: report as pushed only the filters that actually
+  // drive generation pruning
+  override def pushedFilters(): Array[Filter] =
+    pruneCol.map(c => filters.filter(_.references.contains(c)))
+      .getOrElse(Array.empty)
+
+  override def build(): Scan =
+    new VTableV1ScanImpl(path, version, pruneCol, required, filters)
+}
+
+/** The batch scan: delegates row production to the V1 relation (the
+  * engine's own parquet plans), the documented V1Scan bridge.
+  */
+class VTableV1ScanImpl(path: String, version: Option[Long],
+    pruneCol: Option[String], required: StructType, filters: Array[Filter])
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-vtable $path${version.map(v => s" @v$v").getOrElse("")}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new VTableCatalogRelation(context, path, version, pruneCol,
+      required, filters).asInstanceOf[T]
+}
+
+class VTableCatalogRelation(ctx: SQLContext, path: String,
+    version: Option[Long], pruneCol: Option[String],
+    projected: StructType, filters: Array[Filter])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = projected
+
+  override def buildScan(): RDD[Row] =
+    VTableScans.frame(ctx.sparkSession, path, version, pruneCol,
+      projected.fieldNames.toIndexedSeq, filters.toIndexedSeq).rdd
+}

@@ -97,17 +97,12 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
       pathOf(parameters))
 }
 
-/** Batch relation: a snapshot (latest or `versionAsOf`) of the versioned
-  * table, with optional manifest-stats generation pruning on `pruneCol`.
+/** The scan core shared by the V1 relation and the catalog's V1Scan
+  * fallback ([[VTableCatalog]]): stats-based generation pruning from the
+  * pushed filters, best-effort predicate translation into the underlying
+  * parquet scan, and column projection.
   */
-class VTableRelation(ctx: SQLContext, path: String, version: Option[Long],
-    pruneCol: Option[String]) extends BaseRelation with PrunedFilteredScan {
-
-  override def sqlContext: SQLContext = ctx
-  private def spark = ctx.sparkSession
-
-  override val schema: StructType =
-    VersionedTable.readAt(spark, path, version).schema
+object VTableScans {
 
   // filters arrive as an implicit AND; fold the ones naming `c` into a
   // single [lo, hi] window for generation pruning (integral types only —
@@ -157,19 +152,38 @@ class VTableRelation(ctx: SQLContext, path: String, version: Option[Long],
     case _ => None
   }
 
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
+  /** The pruned, filtered, projected snapshot frame. */
+  def frame(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Long], pruneCol: Option[String],
+      requiredColumns: Seq[String], filters: Seq[Filter]): DataFrame = {
     val base = pruneCol match {
       case Some(c) =>
-        val (lo, hi) = bounds(filters.toIndexedSeq, c)
+        val (lo, hi) = bounds(filters, c)
         if (lo == Long.MinValue && hi == Long.MaxValue)
           VersionedTable.readAt(spark, path, version)
         else VersionedTable.readAtPruned(spark, path, version, c, lo, hi)._1
       case None => VersionedTable.readAt(spark, path, version)
     }
     val filtered = filters.flatMap(toPredicate).foldLeft(base)(_.filter(_))
-    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    filtered.select(requiredColumns.map(col): _*)
   }
+}
+
+/** Batch relation: a snapshot (latest or `versionAsOf`) of the versioned
+  * table, with optional manifest-stats generation pruning on `pruneCol`.
+  */
+class VTableRelation(ctx: SQLContext, path: String, version: Option[Long],
+    pruneCol: Option[String]) extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType =
+    VersionedTable.readAt(ctx.sparkSession, path, version).schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] =
+    VTableScans.frame(ctx.sparkSession, path, version, pruneCol,
+      requiredColumns.toIndexedSeq, filters.toIndexedSeq).rdd
 }
 
 /** Version-number offset; `json` round-trips through checkpoint restarts

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.VersionedTable
+
+class VTableCatalogSpec extends SparkSpec {
+
+  private def df(ids: Int*) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  private def ids(sql: String): Set[Int] =
+    spark.sql(sql).collect().map(_.getInt(0)).toSet
+
+  // one catalog per suite run: the CatalogManager caches instances by
+  // name, so the root must be set BEFORE first reference
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("vtcat").toString
+    spark.conf.set("spark.sql.catalog.vtcat",
+      classOf[VTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtcat.root", r)
+    spark.conf.set("spark.sql.catalog.vtcat.pruneCol", "id")
+    r
+  }
+
+  test("SQL reads resolve through the catalog, including VERSION/TIMESTAMP AS OF") {
+    VersionedTable.commit(spark, s"$root/main/t", df(1, 2), overwrite = true)
+    val t1 = VersionedTable.commitTimestamp(spark, s"$root/main/t", 1L)
+    VersionedTable.commit(spark, s"$root/main/t", df(3), overwrite = false)
+    val t2 = VersionedTable.commitTimestamp(spark, s"$root/main/t", 2L)
+    assert(ids("SELECT id FROM vtcat.main.t") == Set(1, 2, 3))
+    assert(ids("SELECT id FROM vtcat.main.t VERSION AS OF 1") == Set(1, 2))
+    // TIMESTAMP AS OF resolves through manifest publish times; a
+    // timestamp at/after v1's publish but before v2's sees v1 only
+    assert(t2 > t1, "publish times must be distinguishable for this spec")
+    val at1 = java.time.Instant.ofEpochMilli(t1 / 1000).toString
+    assert(ids(s"SELECT id FROM vtcat.main.t TIMESTAMP AS OF '$at1'")
+      == Set(1, 2))
+    // filters + projections work through the pushdown path (pruneCol=id)
+    assert(ids("SELECT id FROM vtcat.main.t WHERE id >= 2 AND id <= 3")
+      == Set(2, 3))
+    assert(spark.sql("SELECT count(*) AS n FROM vtcat.main.t")
+      .head().getLong(0) == 3L)
+    // a version that was never committed is not a table state
+    intercept[Exception](spark.sql("SELECT * FROM vtcat.main.t VERSION AS OF 9")
+      .collect())
+  }
+
+  test("SHOW TABLES, DROP and RENAME are catalog operations") {
+    VersionedTable.commit(spark, s"$root/ns/a", df(1), overwrite = true)
+    VersionedTable.commit(spark, s"$root/ns/b", df(2), overwrite = false)
+    // a directory without a commit log is NOT a table
+    new java.io.File(s"$root/ns/junk").mkdirs()
+    val listed = spark.sql("SHOW TABLES IN vtcat.ns")
+      .collect().map(_.getString(1)).toSet
+    assert(listed == Set("a", "b"))
+    // the RENAME target resolves inside the same catalog
+    spark.sql("ALTER TABLE vtcat.ns.a RENAME TO ns.c")
+    assert(ids("SELECT id FROM vtcat.ns.c") == Set(1))
+    spark.sql("DROP TABLE vtcat.ns.b")
+    assert(spark.sql("SHOW TABLES IN vtcat.ns")
+      .collect().map(_.getString(1)).toSet == Set("c"))
+    // CREATE/ALTER-schema are rejected loudly: tables are made by commits
+    intercept[Exception](
+      spark.sql("CREATE TABLE vtcat.ns.x (id INT) USING graft-vtable"))
+  }
+}

@@ -54,10 +54,9 @@ class VTableSourceSpec extends SparkSpec {
     VersionedTable.commit(spark, root, df(10 to 19: _*), overwrite = false,
       statsCol = Some("id"))
     VersionedTable.commit(spark, root, df(100), overwrite = false) // no stats
-    val rel = new VTableRelation(spark.sqlContext, root, None, Some("id"))
-    assert(rel.bounds(Seq(GreaterThanOrEqual("id", 10),
+    assert(VTableScans.bounds(Seq(GreaterThanOrEqual("id", 10),
       LessThanOrEqual("id", 19)), "id") == (10L, 19L))
-    assert(rel.bounds(Seq(GreaterThanOrEqual("other", 10)), "id")
+    assert(VTableScans.bounds(Seq(GreaterThanOrEqual("other", 10)), "id")
       == (Long.MinValue, Long.MaxValue), "foreign columns never narrow")
     // end to end through the public reader: pruning never changes results
     // (the stats-less generation is scanned conservatively, then its rows
