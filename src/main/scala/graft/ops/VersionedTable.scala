@@ -43,7 +43,7 @@ object VersionedTable {
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
-    q118SqlTimeTravel)
+    q118SqlTimeTravel, q119Restore, q120DeletionVectors)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -132,6 +132,32 @@ object VersionedTable {
   // column — the generation dir name is unique, so the key is too
   private def statsKey(colName: String, gen: String) = s"stats:$colName:$gen"
 
+  // deletion-vector headers: `dv:<dvGenDir>=<keyCol>` marks a small
+  // key-list generation whose keys are LOGICALLY DELETED from every read
+  // of this snapshot (merge-on-read). Unlike `stats:` headers these are
+  // CORRECTNESS metadata — any commit that retains the data generations
+  // must carry them, or deleted rows silently resurrect.
+  private def dvHeadersOf(meta: Map[String, String]): Map[String, String] =
+    meta.filter { case (k, _) => k.startsWith("dv:") }
+
+  private def dvHeaders(spark: SparkSession, root: String, v: Long): Map[String, String] =
+    dvHeadersOf(manifestMeta(spark, root, v))
+
+  // merge-on-read: anti-join the snapshot frame against the version's
+  // outstanding deletion vectors. DVs are key lists — tiny relative to
+  // the table — so the anti-join is a broadcast; one anti-join per
+  // distinct key column (in practice one: the table's delete key).
+  private def applyDvs(spark: SparkSession, root: String, v: Long,
+      df: DataFrame): DataFrame = {
+    val dvs = dvHeaders(spark, root, v).toSeq
+      .map { case (k, keyCol) => (k.stripPrefix("dv:"), keyCol) }
+    dvs.groupBy(_._2).foldLeft(df) { case (acc, (keyCol, group)) =>
+      val keys = readDirs(spark, root, group.map(_._1))
+        .select(col(keyCol)).distinct()
+      acc.join(broadcast(keys), Seq(keyCol), "left_anti")
+    }
+  }
+
   // stats headers of version `v` that still apply because their
   // generation survives into the next manifest — every commit kind that
   // RETAINS generations (append, merge, delete) must carry these, or one
@@ -187,7 +213,12 @@ object VersionedTable {
         if (overwrite || vs.isEmpty) (Seq(gen), Map.empty[String, String])
         else {
           val prev = manifestDirs(spark, root, vs.last)
-          (prev :+ gen, carriedStats(spark, root, vs.last, prev))
+          // appends retain every prior generation, so every outstanding
+          // deletion vector still applies — dropping a dv: header here
+          // would resurrect deleted rows (stats: headers are merely an
+          // optimization; dv: headers are correctness)
+          (prev :+ gen, carriedStats(spark, root, vs.last, prev)
+            ++ dvHeaders(spark, root, vs.last))
         }
       // a publish loss means another writer took this version — retry on a
       // fresh read of the log (optimistic concurrency)
@@ -227,7 +258,7 @@ object VersionedTable {
     }
     val df =
       if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
-      else readDirs(spark, root, kept)
+      else applyDvs(spark, root, ver, readDirs(spark, root, kept))
     (df, kept.size, dirs.size)
   }
 
@@ -257,8 +288,13 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: nothing to compact at $root")
     val baseV = vs.last
     val baseDirs = manifestDirs(spark, root, baseV)
-    if (baseDirs.size <= 1) return None // one generation — already compact
-    val df = readDirs(spark, root, baseDirs)
+    val baseDvs = dvHeaders(spark, root, baseV)
+    // one generation and no tombstones — already compact; with outstanding
+    // deletion vectors compaction is still meaningful even at one
+    // generation: it MATERIALIZES the deletes (reads through the DVs,
+    // writes the survivors, publishes with no dv: headers)
+    if (baseDirs.size <= 1 && baseDvs.isEmpty) return None
+    val df = applyDvs(spark, root, baseV, readDirs(spark, root, baseDirs))
     raceHook()
     val gen = writeGeneration(spark, root, df)
     if (tryPublish(spark, root, baseV + 1, Seq(gen),
@@ -318,8 +354,12 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: nothing to optimize at $root")
     val baseV = vs.last
     val hfs = fs(spark, root)
-    val df = readDirs(spark, root, manifestDirs(spark, root, baseV))
-    val files = df.inputFiles
+    // size from the raw generations (DV key lists are negligible), but
+    // cluster and publish the DV-APPLIED content — OPTIMIZE, like
+    // compact, materializes outstanding tombstones into the rewrite
+    val raw = readDirs(spark, root, manifestDirs(spark, root, baseV))
+    val df = applyDvs(spark, root, baseV, raw)
+    val files = raw.inputFiles
     val totalBytes = files.map(f =>
       hfs.getFileStatus(new Path(f)).getLen).sum
     val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
@@ -379,6 +419,12 @@ object VersionedTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to merge into at $root")
     val baseV = vs.last
+    // copy-on-write over raw generation files is wrong while key
+    // tombstones are outstanding: carried DVs would delete a re-inserted
+    // key, dropped DVs would resurrect deleted rows. Materialize first.
+    require(dvHeaders(spark, root, baseV).isEmpty,
+      "mergeInto: outstanding deletion vectors — run compact() to " +
+        "materialize them before a copy-on-write merge")
     val dirs = manifestDirs(spark, root, baseV)
     val srcKeys = source.select(col(keyCol)).distinct()
     // which generation dirs hold at least one matched key (file → its
@@ -438,6 +484,11 @@ object VersionedTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to delete from at $root")
     val baseV = vs.last
+    // same rule as mergeInto: materialize tombstones before rewriting
+    // raw generation files, or the carried/dropped dv: headers corrupt
+    require(dvHeaders(spark, root, baseV).isEmpty,
+      "deleteWhere: outstanding deletion vectors — run compact() to " +
+        "materialize them before a copy-on-write delete")
     val dirs = manifestDirs(spark, root, baseV)
     val touchedGens = readDirs(spark, root, dirs)
       .filter(pred)
@@ -456,6 +507,95 @@ object VersionedTable {
         Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
           ++ genStatsOf(spark, root, gen, statsCol)))
       Some((baseV + 1, deleted, touched.size, untouched.size))
+    else {
+      fs(spark, root).delete(new Path(root, gen), true)
+      None
+    }
+  }
+
+  /** RESTORE (rollback) as a COMMIT: publish a NEW version whose manifest
+    * is a copy of version `toV`'s — the table's latest snapshot becomes
+    * the old state, but HISTORY IS PRESERVED: the bad versions stay
+    * readable (time travel still sees them) and the restore itself is an
+    * auditable commit stamped `#restore=<toV>`. Nothing is copied —
+    * generations are immutable, so restoring a 100 TB table writes one
+    * bytes-sized manifest. This is the undo button for a bad load: no
+    * data movement, no downtime, reversible (restore forward again).
+    *
+    * The restored manifest carries `toV`'s stats and dv headers verbatim
+    * (they describe `toV`'s generations, which are exactly what the new
+    * version holds). A restore is a DATA-CHANGING commit that may drop
+    * generations relative to the current tip, so like
+    * [[compact]]/[[mergeInto]] it publishes only at base+1 and returns
+    * None on a concurrency loss — retrying later could silently discard
+    * a concurrent writer's commit; the caller decides whether the
+    * rollback still applies to the new history. [[readChanges]] refuses
+    * to feed across a restore that dropped generations (the overwrite
+    * rule); consumers resync from the restored snapshot.
+    */
+  def restore(spark: SparkSession, root: String, toV: Long,
+      raceHook: () => Unit = () => ()): Option[Long] = {
+    val vs = versions(spark, root)
+    require(vs.contains(toV), s"VersionedTable: version $toV not in $vs")
+    val baseV = vs.last
+    if (toV == baseV) return Some(baseV) // restoring to the tip: no-op
+    val dirs = manifestDirs(spark, root, toV)
+    val meta = manifestMeta(spark, root, toV)
+    val keepHeaders = meta.filter { case (k, _) =>
+      k.startsWith("stats:") || k.startsWith("dv:")
+    }
+    raceHook()
+    if (tryPublish(spark, root, baseV + 1, dirs,
+        keepHeaders + ("restore" -> toV.toString)))
+      Some(baseV + 1)
+    else None // no orphan to reclaim — restore writes no generation
+  }
+
+  /** DELETE WHERE as MERGE-ON-READ (deletion vectors): instead of
+    * rewriting every generation that contains a match ([[deleteWhere]]'s
+    * copy-on-write), write only the MATCHED KEYS as a small key-list
+    * generation and stamp it into the manifest as a `dv:<dir>=<keyCol>`
+    * header; every subsequent read ([[readAt]], [[readAtPruned]],
+    * [[readChanges]]) anti-joins the snapshot against the outstanding
+    * key lists (a broadcast — DVs are tiny relative to the table). The
+    * economics flip from O(touched files rewritten) to O(matched keys
+    * written): at 100 TB, erasing one user costs kilobytes of writes at
+    * commit time instead of rewriting every file that holds one of their
+    * rows — the Delta deletion-vector / Iceberg merge-on-read trade, with
+    * the read-side anti-join as the deferred cost. [[compact]] (or
+    * [[optimize]]) MATERIALIZES the tombstones: it reads through the DVs,
+    * writes survivors, and publishes with no dv: headers — run it when
+    * the read tax outweighs the write savings, and to complete a GDPR
+    * erasure (tombstoned bytes are still on disk until then; follow with
+    * `vacuum` as [[deleteWhere]] documents).
+    *
+    * SEMANTICS: a deletion vector tombstones a KEY table-wide — the key
+    * stays deleted (including rows for it appended LATER) until a
+    * compaction materializes the outstanding DVs. Re-inserting a
+    * tombstoned key therefore requires compacting first; [[mergeInto]]
+    * and [[deleteWhere]] refuse to run over outstanding tombstones for
+    * the same reason. Deletes are data changes: publishes only at
+    * base+1, returns None on a concurrency loss. Matching rows that are
+    * ALREADY tombstoned add nothing (the predicate runs over the
+    * DV-applied snapshot). Returns Some(new version, keys tombstoned).
+    */
+  def deleteWhereMor(spark: SparkSession, root: String, pred: Column,
+      keyCol: String, raceHook: () => Unit = () => ()): Option[(Long, Long)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to delete from at $root")
+    val baseV = vs.last
+    val keys = readAt(spark, root, Some(baseV))
+      .filter(pred).select(col(keyCol)).distinct()
+    val nKeys = keys.count()
+    if (nKeys == 0) return Some((baseV, 0L)) // no-op: nothing matches
+    val gen = writeGeneration(spark, root, keys)
+    val dirs = manifestDirs(spark, root, baseV)
+    val carried = carriedStats(spark, root, baseV, dirs) ++
+      dvHeaders(spark, root, baseV)
+    raceHook()
+    if (tryPublish(spark, root, baseV + 1, dirs,
+        carried + (s"dv:$gen" -> keyCol) + ("mor_delete" -> "true")))
+      Some((baseV + 1, nKeys))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
       None
@@ -510,10 +650,18 @@ object VersionedTable {
         return (vs.last, false)
       }
       val next = vs.lastOption.getOrElse(0L) + 1
-      val dirs =
-        if (vs.isEmpty) Seq(gen)
-        else manifestDirs(spark, root, vs.last) :+ gen
-      if (tryPublish(spark, root, next, dirs, meta)) return (next, true)
+      // a streaming commit is an append: carry the surviving generations'
+      // stats headers (else one micro-batch turns data skipping off for
+      // the table) and every outstanding dv: header (else deleted rows
+      // resurrect — correctness, not optimization)
+      val (dirs, carried) =
+        if (vs.isEmpty) (Seq(gen), Map.empty[String, String])
+        else {
+          val prev = manifestDirs(spark, root, vs.last)
+          (prev :+ gen, carriedStats(spark, root, vs.last, prev)
+            ++ dvHeaders(spark, root, vs.last))
+        }
+      if (tryPublish(spark, root, next, dirs, carried ++ meta)) return (next, true)
     }
     (-1L, false) // unreachable
   }
@@ -540,7 +688,13 @@ object VersionedTable {
     val vs = versions(spark, root)
     val keep = vs.takeRight(math.max(1, keepVersions))
     val dropVs = vs.filterNot(keep.contains)
-    val referenced = keep.flatMap(v => manifestDirs(spark, root, v)).toSet
+    // a snapshot references its data generations AND its deletion-vector
+    // key lists (dv: headers) — reclaiming a live DV dir would resurrect
+    // deleted rows on the next read
+    def refsOf(v: Long): Seq[String] =
+      manifestDirs(spark, root, v) ++
+        dvHeaders(spark, root, v).keys.map(_.stripPrefix("dv:"))
+    val referenced = keep.flatMap(refsOf).toSet
     val dataRoot = new Path(root, "data")
     val deadDirs =
       if (!hfs.exists(dataRoot)) Seq.empty
@@ -550,7 +704,7 @@ object VersionedTable {
     // in-flight protection (see Scaladoc): without force, only reclaim a
     // dir that a DROPPED manifest provably owned; never-referenced dirs
     // might be a concurrent writer's not-yet-published generation
-    val droppedRefs = dropVs.flatMap(v => manifestDirs(spark, root, v)).toSet
+    val droppedRefs = dropVs.flatMap(refsOf).toSet
     val deletable = deadDirs.filter(d => force || droppedRefs.contains(d))
     deletable.foreach(d => hfs.delete(new Path(root, d), true))
     dropVs.foreach(v => hfs.delete(new Path(root, s"_log/$v.commit"), false))
@@ -569,7 +723,8 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
-    readDirs(spark, root, manifestDirs(spark, root, ver))
+    applyDvs(spark, root, ver,
+      readDirs(spark, root, manifestDirs(spark, root, ver)))
   }
 
   /** CDC / incremental consumption: the rows ADDED between two committed
@@ -600,6 +755,14 @@ object VersionedTable {
         require(before.forall(after.contains),
           s"readChanges: commit v$v is an overwrite (dropped generations) " +
             "— use snapshot diff for non-append histories")
+        // a merge-on-read delete RETAINS every generation but changes
+        // content by adding a dv: header — a generation-level feed cannot
+        // express row removal, so refuse loudly (the overwrite rule's
+        // twin). Rewrites are exempt above: compaction APPLIES the DVs it
+        // clears, so content across it is unchanged.
+        require(dvHeaders(spark, root, v) == dvHeaders(spark, root, prev),
+          s"readChanges: commit v$v changed deletion vectors (row removal)" +
+            " — use snapshot diff for merge-on-read histories")
         after.filterNot(before.contains)
       }
     }
@@ -607,7 +770,11 @@ object VersionedTable {
     // no intervening appends) legitimately changed NOTHING — incremental
     // consumers get an empty, correctly-schema'd feed, not a failure
     if (added.isEmpty) readAt(spark, root, Some(vTo)).limit(0)
-    else readDirs(spark, root, added)
+    // vTo's outstanding deletion vectors apply to the feed exactly as
+    // they apply to snapshots: a key tombstoned before this window's
+    // appends stays deleted, so an appended row carrying a tombstoned
+    // key is hidden from both — feed + base still reconstructs readAt
+    else applyDvs(spark, root, vTo, readDirs(spark, root, added))
   }
 
   // per-invocation fresh root under one shutdown-hook-cleaned temp tree
@@ -1312,5 +1479,165 @@ object VersionedTable {
         CAST(count(DISTINCT o_custkey) AS BIGINT),
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM o WHERE yr IN (1995, 1996, 1997)
+      ORDER BY step"""))
+
+  /** q119: RESTORE — the undo button for a bad load. History v1 = 1995,
+    * v2 = append 1996, v3 = append 1997 (the "bad" commit); [[restore]]
+    * to v2 publishes v4 whose manifest COPIES v2's — no data movement
+    * (restoring a 100 TB table writes one bytes-sized manifest), history
+    * preserved (`bad_tip_v3` proves the rolled-back state still time
+    * travels), pre-restore feeds still replay (`feed_v1_v2`), and the
+    * `restore_audit` row pins the commit mechanics through the driver
+    * gate: v4 holds exactly v2's 2 generations, is stamped
+    * `#restore=2`, and sits at version 4 — rollback as an auditable
+    * commit, not a destructive reset. The oracle replays year filters
+    * and never sees the format: a restore must be indistinguishable from
+    * having never loaded the bad data.
+    */
+  val q119Restore: Q = Q(
+    "q119_restore",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      val v1 = commit(s, root, slice(1995), overwrite = true)
+      val v2 = commit(s, root, slice(1996), overwrite = false)
+      val v3 = commit(s, root, slice(1997), overwrite = false)
+      val v4 = restore(s, root, v2)
+        .getOrElse(sys.error("q119: restore lost a race on a private table"))
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      val audit = s.range(1).select(lit("restore_audit").as("step"),
+        lit(manifestDirs(s, root, v4).size.toLong).as("n_rows"),
+        lit(manifestMeta(s, root, v4)("restore").toLong).as("n_cust"),
+        lit(v4.toDouble).as("revenue"))
+      summary("snapshot_after_restore", readAt(s, root))
+        .unionByName(summary("bad_tip_v3", readAt(s, root, Some(v3))))
+        .unionByName(summary("feed_v1_v2", readChanges(s, root, v1, v2)))
+        .unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'snapshot_after_restore' AS step,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM o WHERE yr IN (1995, 1996)
+      UNION ALL
+      SELECT 'bad_tip_v3', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
+      UNION ALL
+      SELECT 'feed_v1_v2', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr = 1996
+      UNION ALL
+      SELECT 'restore_audit', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        CAST(4 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q120: DELETION VECTORS (merge-on-read delete) — the same
+    * customer-keyed erasure as q116, with flipped economics:
+    * [[deleteWhereMor]] tombstones the cohort's KEYS in a kilobyte
+    * key-list generation instead of rewriting every file that holds a
+    * cohort row. The `dv_audit` row pins the write-side claim through
+    * the driver gate: v4 still holds all 3 DATA generations untouched
+    * (0 files rewritten), one dv: header, and the engine's own tombstone
+    * count matches an oracle that counts the cohort independently.
+    * `snapshot_after_append` pins the TOMBSTONE semantics: cohort rows
+    * re-appended at v5 stay hidden — a tombstoned key is deleted
+    * table-wide until materialized. [[compact]] at v6 then MATERIALIZES
+    * the deletes (reads through the DVs, writes survivors, clears the
+    * headers — `compact_audit`: 1 generation, 0 dv headers), after which
+    * the snapshot is bit-identical to the merge-on-read view. The oracle
+    * only ever filters the base table: merge-on-read vs copy-on-write
+    * must be invisible to every reader.
+    */
+  val q120DeletionVectors: Q = Q(
+    "q120_deletion_vectors",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"))
+      (0 to 2).foreach { m =>
+        commit(s, root, orders.filter(col("o_custkey") % 3 === m),
+          overwrite = m == 0)
+      }
+      val vPre = versions(s, root).last
+      val (v4, nKeys) =
+        deleteWhereMor(s, root, col("o_custkey") % 51 === 0, "o_custkey")
+          .getOrElse(sys.error("q120: MoR delete lost a race on a private table"))
+      // re-append the cohort's rows: every key is tombstoned, so the
+      // snapshot must not change until a compaction clears the DVs
+      commit(s, root, orders.filter(col("o_custkey") % 51 === 0),
+        overwrite = false)
+      val afterAppend = versions(s, root).last
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(col("price")).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      val postDelete = summary("post_delete", readAt(s, root, Some(v4)))
+      val postAppend =
+        summary("snapshot_after_append", readAt(s, root, Some(afterAppend)))
+      val dvAudit = s.range(1).select(lit("dv_audit").as("step"),
+        lit(manifestDirs(s, root, v4).size.toLong).as("n_rows"),
+        lit(dvHeaders(s, root, v4).size.toLong).as("n_cust"),
+        lit(nKeys).cast("double").as("revenue"))
+      val v6 = compact(s, root)
+        .getOrElse(sys.error("q120: compaction lost a race on a private table"))
+      val compactAudit = s.range(1).select(lit("compact_audit").as("step"),
+        lit(manifestDirs(s, root, v6).size.toLong).as("n_rows"),
+        lit(dvHeaders(s, root, v6).size.toLong).as("n_cust"),
+        lit(null).cast("double").as("revenue"))
+      postDelete
+        .unionByName(postAppend)
+        .unionByName(summary("time_travel_pre", readAt(s, root, Some(vPre))))
+        .unionByName(summary("post_compact", readAt(s, root, Some(v6))))
+        .unionByName(dvAudit)
+        .unionByName(compactAudit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders),
+      live AS (SELECT * FROM o WHERE o_custkey % 51 <> 0)
+      SELECT 'post_delete' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(price) AS DOUBLE) AS revenue FROM live
+      UNION ALL
+      SELECT 'snapshot_after_append', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE) FROM live
+      UNION ALL
+      SELECT 'time_travel_pre', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE) FROM o
+      UNION ALL
+      SELECT 'post_compact', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE) FROM live
+      UNION ALL
+      SELECT 'dv_audit', CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+        CAST((SELECT count(DISTINCT o_custkey) FROM o
+          WHERE o_custkey % 51 = 0) AS DOUBLE)
+      UNION ALL
+      SELECT 'compact_audit', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        CAST(NULL AS DOUBLE)
       ORDER BY step"""))
 }

@@ -147,10 +147,13 @@ class VersionedTableSpec extends SparkSpec {
   }
 
   // every dir under data/ must be referenced by some manifest — losing
-  // maintenance commits must reclaim their own orphans
+  // maintenance commits must reclaim their own orphans. Deletion-vector
+  // key lists live under data/ too but are referenced by dv: HEADERS.
   private def assertNoOrphans(root: String): Unit = {
     val referenced = VersionedTable.versions(spark, root)
-      .flatMap(v => VersionedTable.manifestDirs(spark, root, v)).toSet
+      .flatMap(v => VersionedTable.manifestDirs(spark, root, v) ++
+        VersionedTable.manifestMeta(spark, root, v).keys
+          .filter(_.startsWith("dv:")).map(_.stripPrefix("dv:"))).toSet
     val onDisk = Option(new java.io.File(s"$root/data").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .map(f => s"data/${f.getName}").toSet
@@ -425,6 +428,134 @@ class VersionedTableSpec extends SparkSpec {
     assert(g2 == 1 && m2 == 0)
     assert(!new java.io.File(s"$root/data/v-orphaned").exists)
     assert(idsAt(root) == Set(9), "force vacuum never touches referenced data")
+  }
+
+  test("restore publishes a rollback commit: no data movement, history preserved") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    val v2 = VersionedTable.commit(spark, root, df(3), overwrite = false)
+    val v3 = VersionedTable.commit(spark, root, df(9), overwrite = false)
+    val v4 = VersionedTable.restore(spark, root, v1)
+      .getOrElse(fail("quiet restore must publish"))
+    assert(v4 == 4L, "restore is a NEW commit, not a log rewind")
+    assert(idsAt(root) == Set(1, 2), "the tip is the restored state")
+    assert(idsAt(root, Some(v3)) == Set(1, 2, 3, 9),
+      "the rolled-back versions still time travel")
+    assert(VersionedTable.manifestMeta(spark, root, v4)
+      .get("restore").contains("1"), "rollbacks are auditable commits")
+    assert(VersionedTable.manifestDirs(spark, root, v4) ==
+      VersionedTable.manifestDirs(spark, root, v1),
+      "the restored manifest references v1's generations — nothing copied")
+    // pre-restore feeds still replay; feeds across the restore refuse
+    // (it dropped generations — the overwrite rule)
+    assert(VersionedTable.readChanges(spark, root, v1, v2)
+      .collect().map(_.getInt(0)).toSet == Set(3))
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, root, v3, v4))
+    // reversible: restore FORWARD to the pre-rollback tip
+    val v5 = VersionedTable.restore(spark, root, v3)
+      .getOrElse(fail("forward restore must publish"))
+    assert(idsAt(root, Some(v5)) == Set(1, 2, 3, 9))
+    // restoring to the current tip is a no-op at the same version
+    assert(VersionedTable.restore(spark, root, v5).contains(v5))
+    assert(VersionedTable.versions(spark, root) == (1L to 5L))
+    // a restore is data-changing: on a concurrency loss it returns None
+    // (retrying later could discard the concurrent writer's commit)
+    val lost = VersionedTable.restore(spark, root, v1, raceHook = () => {
+      VersionedTable.commit(spark, root, df(7), overwrite = false); ()
+    })
+    assert(lost.isEmpty, "losing restore must abort, not retry")
+    assert(idsAt(root) == Set(1, 2, 3, 9, 7), "the concurrent append survived")
+    assertNoOrphans(root)
+    intercept[IllegalArgumentException](
+      VersionedTable.restore(spark, root, 99L))
+  }
+
+  test("deletion vectors: merge-on-read delete with key-tombstone semantics") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    VersionedTable.commit(spark, root, df(3, 4), overwrite = false)
+    val v3 = VersionedTable.commit(spark, root, df(5), overwrite = false)
+    val preDirs = VersionedTable.manifestDirs(spark, root, v3)
+    val (v4, nKeys) =
+      VersionedTable.deleteWhereMor(spark, root, col("id") % 2 === 1, "id")
+        .getOrElse(fail("quiet MoR delete must publish"))
+    assert(nKeys == 3L, "three odd keys tombstoned")
+    assert(idsAt(root) == Set(2, 4), "every read applies the tombstones")
+    assert(idsAt(root, Some(v3)) == Set(1, 2, 3, 4, 5),
+      "time travel still reads pre-delete rows")
+    assert(VersionedTable.manifestDirs(spark, root, v4) == preDirs,
+      "ZERO data generations rewritten — the merge-on-read economics")
+    assert(VersionedTable.manifestMeta(spark, root, v4)
+      .get("mor_delete").contains("true"))
+    // row removal is inexpressible in a generation-level feed
+    intercept[IllegalArgumentException](
+      VersionedTable.readChanges(spark, root, v3, v4))
+    // a streaming append CARRIES the dv headers (dropping one would
+    // resurrect deleted rows) — and the tombstone is key-wide: the
+    // re-appended id=3 stays hidden until the DVs are materialized
+    val (v5, landed) =
+      VersionedTable.idempotentCommit(spark, root, df(3, 6), "app", 0L)
+    assert(landed)
+    assert(VersionedTable.manifestMeta(spark, root, v5)
+      .keys.count(_.startsWith("dv:")) == 1, "streaming commit carried the DV")
+    assert(idsAt(root) == Set(2, 4, 6), "tombstoned key hidden even re-appended")
+    // the feed across the append applies the tombstones exactly like the
+    // snapshot — feed + base must reconstruct readAt
+    assert(VersionedTable.readChanges(spark, root, v4, v5)
+      .collect().map(_.getInt(0)).toSet == Set(6))
+    // copy-on-write ops refuse to run over outstanding tombstones
+    intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, root, df(3), "id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.deleteWhere(spark, root, col("id") === 2))
+    // a predicate matching nothing — including only already-tombstoned
+    // rows — is a no-op at the SAME version
+    assert(VersionedTable.deleteWhereMor(spark, root, col("id") === 3, "id")
+      .contains((v5, 0L)))
+    // tombstones accumulate across MoR deletes
+    val (v6, n6) =
+      VersionedTable.deleteWhereMor(spark, root, col("id") === 2, "id")
+        .getOrElse(fail("second MoR delete must publish"))
+    assert(n6 == 1L && idsAt(root) == Set(4, 6))
+    assert(VersionedTable.manifestMeta(spark, root, v6)
+      .keys.count(_.startsWith("dv:")) == 2)
+    // vacuum never reclaims a live DV key list (referenced via headers)
+    VersionedTable.vacuum(spark, root, keepVersions = 1, force = true)
+    assert(idsAt(root) == Set(4, 6), "tombstones survive vacuum")
+    assertNoOrphans(root)
+    // compaction MATERIALIZES the tombstones: reads through the DVs,
+    // writes survivors, clears the headers
+    val v7 = VersionedTable.compact(spark, root)
+      .getOrElse(fail("compaction over DVs must publish"))
+    assert(VersionedTable.manifestDirs(spark, root, v7).size == 1)
+    assert(VersionedTable.manifestMeta(spark, root, v7)
+      .keys.count(_.startsWith("dv:")) == 0, "materialized: no dv headers")
+    assert(idsAt(root) == Set(4, 6), "content unchanged by materialization")
+    // with no outstanding DVs, copy-on-write ops work again
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 4).nonEmpty)
+    assert(idsAt(root) == Set(6))
+    // losing the publish race aborts and reclaims the orphan key list
+    val lost = VersionedTable.deleteWhereMor(spark, root, col("id") === 6, "id",
+      raceHook = () => {
+        VersionedTable.commit(spark, root, df(8), overwrite = false); ()
+      })
+    assert(lost.isEmpty, "losing MoR delete must abort, not retry")
+    assert(idsAt(root) == Set(6, 8))
+    assertNoOrphans(root)
+  }
+
+  test("compact materializes DVs even on a single-generation table") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    VersionedTable.deleteWhereMor(spark, root, col("id") === 1, "id")
+      .getOrElse(fail("MoR delete must publish"))
+    // one generation + outstanding tombstones: still work to do
+    val v3 = VersionedTable.compact(spark, root)
+      .getOrElse(fail("compaction must materialize the DV"))
+    assert(idsAt(root, Some(v3)) == Set(2))
+    // one generation, no tombstones: now genuinely nothing to compact
+    assert(VersionedTable.compact(spark, root).isEmpty)
   }
 
   test("concurrent writers keep history linear (optimistic publish)") {
