@@ -43,7 +43,7 @@ object VersionedTable {
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
-    q118SqlTimeTravel, q119Restore, q120DeletionVectors)
+    q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1639,5 +1639,97 @@ object VersionedTable {
       UNION ALL
       SELECT 'compact_audit', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
         CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q121: NATIVE STREAMING SINK — `writeStream.format("graft-vtable")`
+    * driven end-to-end by THREE REAL Structured Streaming runs: a
+    * file-source inbox receives one year slice before each
+    * `Trigger.AvailableNow` run, all three share one checkpoint, and
+    * every micro-batch lands through [[graft.sources.VTableSink]] →
+    * [[idempotentCommit]] with the stream's (txnAppId, batchId) stamp.
+    * The per-run snapshots prove each restart consumed exactly the new
+    * file; `replay_audit` then REDELIVERS the last stamped batch the way
+    * an at-least-once restart would (same appId, same batchId read back
+    * from the tip manifest) and pins that the log absorbs it — 0
+    * committed, version count unchanged. The oracle replays year filters
+    * over the base table: exactly-once must mean the streamed table is
+    * indistinguishable from a batch load, no matter how many times a
+    * batch is delivered.
+    */
+  val q121StreamSink: Q = Q(
+    "q121_stream_sink",
+    (s, dir) => {
+      val run = freshRunRoot()
+      val table = s"$run/table"
+      val inbox = s"$run/inbox"
+      val hfs = fs(s, run)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      hfs.mkdirs(new Path(inbox))
+      def stage(i: Int, yr: Int): Unit = {
+        val tmp = s"$run/stage$i"
+        slice(yr).coalesce(1).write.parquet(tmp)
+        val part = hfs.listStatus(new Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"q121: no part file staged for $yr"))
+        hfs.rename(part, new Path(inbox, s"batch$i.parquet"))
+        ()
+      }
+      def streamRun(): Long = {
+        s.readStream.schema(orders.schema).parquet(inbox)
+          .writeStream.format("graft-vtable")
+          .option("path", table).option("txnAppId", "q121_app")
+          .option("checkpointLocation", s"$run/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        versions(s, table).last
+      }
+      stage(1, 1995); val vRun1 = streamRun()
+      stage(2, 1996); val vRun2 = streamRun()
+      stage(3, 1997); val vRun3 = streamRun()
+      // an at-least-once redelivery of the LAST stamped batch: same app,
+      // same batch id (read back from the tip manifest) — must be absorbed
+      val lastBatch = manifestMeta(s, table, vRun3)("txnBatch").toLong
+      val (vReplay, committed) =
+        idempotentCommit(s, table, slice(1997), "q121_app", lastBatch)
+      def summary(step: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(Q.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit(step).as("step"), col("n_rows"), col("n_cust"),
+          col("revenue"))
+      val audit = s.range(1).select(lit("replay_audit").as("step"),
+        lit(if (committed) 1L else 0L).as("n_rows"),
+        lit(if (vReplay == vRun3) 1L else 0L).as("n_cust"),
+        lit(null).cast("double").as("revenue"))
+      summary("stream_run1", readAt(s, table, Some(vRun1)))
+        .unionByName(summary("stream_run2", readAt(s, table, Some(vRun2))))
+        .unionByName(summary("stream_run3", readAt(s, table, Some(vRun3))))
+        .unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'replay_audit' AS step, CAST(0 AS BIGINT) AS n_rows,
+        CAST(1 AS BIGINT) AS n_cust, CAST(NULL AS DOUBLE) AS revenue
+      UNION ALL
+      SELECT 'stream_run1', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'stream_run2', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996)
+      UNION ALL
+      SELECT 'stream_run3', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
       ORDER BY step"""))
 }

@@ -2,10 +2,11 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.StreamingFrame
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.VersionedTable
@@ -45,7 +46,7 @@ import graft.ops.VersionedTable
   * produce their own rows.
   */
 class VTableSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-vtable"
 
@@ -95,6 +96,43 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     new VTableCdcSource(sqlContext,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       pathOf(parameters))
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-vtable sink: commits are appends — only Append output mode " +
+        s"is supported, got $outputMode")
+    // exactly-once needs a txn identity STABLE ACROSS RESTARTS: prefer an
+    // explicit txnAppId (the Delta idiom); the checkpoint location — which
+    // any restartable stream must pin anyway — is an equally stable default
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-vtable sink: set option(\"txnAppId\", ...) or a " +
+          "checkpointLocation — exactly-once needs a stable app identity"))
+    new VTableSink(sqlContext.sparkSession, pathOf(parameters), appId)
+  }
+}
+
+/** STREAMING WRITE (exactly-once): `df.writeStream.format("graft-vtable")`.
+  * Structured Streaming redelivers micro-batches after a restart
+  * (at-least-once), so each `addBatch` routes through
+  * [[VersionedTable.idempotentCommit]] — the commit is stamped with this
+  * stream's (txnAppId, batchId) transaction and a replayed batch the log
+  * has already absorbed is skipped, making the end-to-end pipeline
+  * exactly-once with NO user-side `foreachBatch` bookkeeping (the
+  * `streaming/StreamingUpsert` dataflow, promoted into the table format).
+  * Each micro-batch costs one appended generation + one manifest rename;
+  * the absorbed check reads O(1) manifests (newest-first stamp scan).
+  */
+class VTableSink(spark: org.apache.spark.sql.SparkSession, path: String,
+    appId: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    VersionedTable.idempotentCommit(spark, path,
+      StreamingFrame.asBatch(spark, data), appId, batchId)
+    ()
+  }
 }
 
 /** The scan core shared by the V1 relation and the catalog's V1Scan

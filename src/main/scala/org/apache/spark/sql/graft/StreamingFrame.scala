@@ -28,4 +28,16 @@ object StreamingFrame {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(
         df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The inverse, for a V1 streaming `Sink.addBatch`: the micro-batch
+    * frame Spark hands a sink carries the incremental (streaming) plan,
+    * which batch writers refuse; re-wrap its physical rows as a plain
+    * batch frame — exactly what `ForeachBatchSink` does before invoking
+    * the user function. The plan still executes lazily, once, when the
+    * sink's write runs.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd, df.schema, isStreaming = false)
 }

@@ -105,4 +105,62 @@ class VTableSourceSpec extends SparkSpec {
       assert(q2.exception.isDefined)
     } finally q2.stop()
   }
+
+  test("native streaming sink: micro-batches commit exactly-once across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = fresh("vtsink_table")
+    val ckpt = fresh("vtsink_ckpt")
+    val in = MemoryStream[Int]
+    def startQ() = in.toDF().select(col("value").as("id"))
+      .writeStream.format("graft-vtable")
+      .option("path", root).option("txnAppId", "sink_spec")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = startQ()
+    try {
+      in.addData(1, 2)
+      q.processAllAvailable()
+      assert(idsOf(VersionedTable.readAt(spark, root)) == Set(1, 2))
+      in.addData(3)
+      q.processAllAvailable()
+      assert(idsOf(VersionedTable.readAt(spark, root)) == Set(1, 2, 3))
+      // every micro-batch committed with the stream's txn stamp
+      val tip = VersionedTable.versions(spark, root).last
+      assert(VersionedTable.manifestMeta(spark, root, tip)
+        .get("txnApp").contains("sink_spec"))
+    } finally q.stop()
+    // an at-least-once REDELIVERY of an already-committed batch (what a
+    // crash between sink commit and checkpoint advance produces on
+    // restart): same appId + batchId through the sink → absorbed
+    val before = VersionedTable.versions(spark, root)
+    val tipBatch = VersionedTable.manifestMeta(spark, root, before.last)("txnBatch").toLong
+    val sink = new VTableSink(spark, root, "sink_spec")
+    sink.addBatch(tipBatch, df(3))
+    assert(VersionedTable.versions(spark, root) == before,
+      "replayed batch must not land twice")
+    assert(idsOf(VersionedTable.readAt(spark, root)) == Set(1, 2, 3))
+    // a FRESH batch id through the same sink lands normally
+    sink.addBatch(tipBatch + 1, df(4))
+    assert(idsOf(VersionedTable.readAt(spark, root)) == Set(1, 2, 3, 4))
+    // the table stays a first-class versioned table: the CDC tail of the
+    // streamed commits feeds downstream
+    assert(idsOf(VersionedTable.readChanges(spark, root, before.last,
+      VersionedTable.versions(spark, root).last)) == Set(4))
+    // commits are appends: only Append output mode is supported
+    val agg = in.toDF().groupBy(col("value")).count()
+    intercept[Exception] {
+      agg.writeStream.format("graft-vtable")
+        .option("path", root).option("txnAppId", "sink_spec")
+        .option("checkpointLocation", fresh("vtsink_ckpt2"))
+        .outputMode("complete").start()
+    }
+    // exactly-once needs a stable identity: no txnAppId AND no
+    // checkpointLocation must refuse at start
+    intercept[Exception] {
+      in.toDF().writeStream.format("graft-vtable")
+        .option("path", root).start()
+    }
+  }
 }
