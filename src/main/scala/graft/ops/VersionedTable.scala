@@ -43,7 +43,8 @@ object VersionedTable {
   def pack: Seq[Q] = Seq(q108TimeTravel, q110CdcFeed, q111CompactedFeed,
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
-    q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink)
+    q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
+    q122SqlWrites)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1731,5 +1732,76 @@ object VersionedTable {
         CAST(count(DISTINCT o_custkey) AS BIGINT),
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM o WHERE yr IN (1995, 1996, 1997)
+      ORDER BY step"""))
+
+  /** q122: SQL WRITES — the table is created and mutated purely through
+    * SQL against [[graft.sources.VTableCatalog]]: `CREATE TABLE … AS
+    * SELECT` (version 1 = the empty schema-bearing commit, version 2 =
+    * the CTAS data as an append), `INSERT INTO` (append commit, v3),
+    * `INSERT OVERWRITE` (overwrite commit, v4) — every statement one
+    * atomic manifest publish through the V1Write bridge. `sql_empty_v1`
+    * pins the create semantics (the pre-CTAS table is readable and
+    * empty), `sql_pre_overwrite` time-travels to v3 proving the
+    * overwrite replaced rather than appended AND that the replaced
+    * snapshot survives, and `write_audit` pins the commit ledger: 3
+    * versions before the overwrite, 4 after. The oracle replays year
+    * filters over the base table — four SQL statements must leave
+    * exactly the state the equivalent batch commits would.
+    */
+  val q122SqlWrites: Q = Q(
+    "q122_sql_writes",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val tag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq122_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = s"q122_orders_$tag"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.main.orders_v AS " +
+        s"SELECT * FROM $view WHERE yr = 1995")
+      s.sql(s"INSERT INTO $cat.main.orders_v " +
+        s"SELECT * FROM $view WHERE yr = 1996")
+      val table = s"$root/main/orders_v"
+      val vPre = versions(s, table).last
+      s.sql(s"INSERT OVERWRITE $cat.main.orders_v " +
+        s"SELECT * FROM $view WHERE yr = 1997")
+      val vPost = versions(s, table).last
+      def summarize(step: String, suffix: String) = s.sql(
+        s"SELECT '$step' AS step, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          s"FROM $cat.main.orders_v $suffix")
+      val audit = s.range(1).select(lit("write_audit").as("step"),
+        lit(vPre).as("n_rows"), lit(vPost).as("n_cust"),
+        lit(null).cast("double").as("revenue"))
+      summarize("sql_empty_v1", "VERSION AS OF 1")
+        .unionByName(summarize("sql_pre_overwrite", s"VERSION AS OF $vPre"))
+        .unionByName(summarize("sql_latest", ""))
+        .unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'sql_empty_v1' AS step, CAST(0 AS BIGINT) AS n_rows,
+        CAST(0 AS BIGINT) AS n_cust, CAST(NULL AS DOUBLE) AS revenue
+      UNION ALL
+      SELECT 'sql_pre_overwrite', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996)
+      UNION ALL
+      SELECT 'sql_latest', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE yr = 1997
+      UNION ALL
+      SELECT 'write_audit', CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+        CAST(NULL AS DOUBLE)
       ORDER BY step"""))
 }

@@ -6,10 +6,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,10 +43,16 @@ import graft.ops.VersionedTable
   * prune-effective subset, and every filter is re-evaluated above the
   * scan, so pruning can never change results.
   *
-  * Writes stay on the DataFrame API (`format("graft-vtable")` — commits
-  * with SaveModes); CREATE/ALTER via SQL are rejected loudly rather than
-  * half-supported. DROP deletes the table tree; RENAME is a directory
-  * move (metadata-only, like the lakehouse formats).
+  * SQL WRITES land as commits through the V1Write bridge (the same
+  * dataflow as `format("graft-vtable")` SaveModes): `INSERT INTO` is an
+  * append commit, `INSERT OVERWRITE` an overwrite commit, and
+  * `CREATE TABLE … AS SELECT` first publishes version 1 as an EMPTY
+  * generation carrying the declared schema (a table exists exactly when
+  * it has a commit — non-atomic CTAS, Spark drops the table if the
+  * subsequent insert fails), then appends the query result. ALTER is
+  * rejected loudly — schema evolves by committing widened generations.
+  * DROP deletes the table tree; RENAME is a directory move
+  * (metadata-only, like the lakehouse formats).
   */
 class VTableCatalog extends TableCatalog {
 
@@ -114,10 +121,22 @@ class VTableCatalog extends TableCatalog {
   }
 
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft-vtable: create tables by committing data — " +
-        "df.write.format(\"graft-vtable\").option(\"path\", …)")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-vtable: PARTITIONED BY is not supported — use statsCol " +
+        "data skipping / OPTIMIZE clustering for layout")
+    val p = pathOf(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    // a table exists exactly when it has a commit: version 1 is an empty
+    // generation carrying the declared schema (what CTAS then appends to).
+    // repartition(1) forces one write task, so the 0-row generation still
+    // lands one footer-bearing parquet file the readers can infer from
+    VersionedTable.commit(spark, p,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .repartition(1),
+      overwrite = true)
+    new VTableV2Table(p, None, pruneCol)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -142,7 +161,7 @@ class VTableCatalog extends TableCatalog {
 
 /** One snapshot (latest or pinned version) as a DSv2 table. */
 class VTableV2Table(path: String, version: Option[Long],
-    pruneCol: Option[String]) extends Table with SupportsRead {
+    pruneCol: Option[String]) extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     path + version.map(v => s"@v$v").getOrElse("")
@@ -151,11 +170,44 @@ class VTableV2Table(path: String, version: Option[Long],
     VersionedTable.readAt(SparkSession.active, path, version).schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VTableScanBuilder(path, version,
       pruneCol.filter(schema.fieldNames.contains(_)), schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      "graft-vtable: cannot write to a VERSION/TIMESTAMP AS OF snapshot — " +
+        "writes commit to the table tip")
+    new VTableWriteBuilder(path)
+  }
+}
+
+/** SQL writes as commits, through the V1Write bridge (the write twin of
+  * the V1Scan fallback): INSERT INTO → append commit, INSERT OVERWRITE
+  * (Spark calls `truncate()`) → overwrite commit. Each statement is ONE
+  * atomic manifest publish with the format's optimistic-concurrency
+  * retry — concurrent SQL writers serialize exactly like API writers.
+  */
+class VTableWriteBuilder(path: String) extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            legacyOverwrite: Boolean): Unit = {
+          VersionedTable.commit(data.sparkSession, path, data,
+            overwrite = overwrite || legacyOverwrite)
+          ()
+        }
+      }
+  }
 }
 
 /** DSv2 pushdown surface: Spark prunes columns and pushes filters here;

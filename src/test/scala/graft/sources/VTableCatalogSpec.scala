@@ -63,8 +63,31 @@ class VTableCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE vtcat.ns.b")
     assert(spark.sql("SHOW TABLES IN vtcat.ns")
       .collect().map(_.getString(1)).toSet == Set("c"))
-    // CREATE/ALTER-schema are rejected loudly: tables are made by commits
+    // ALTER-schema is rejected loudly: schema evolves by widened commits
     intercept[Exception](
-      spark.sql("CREATE TABLE vtcat.ns.x (id INT) USING graft-vtable"))
+      spark.sql("ALTER TABLE vtcat.ns.c ADD COLUMN tag STRING"))
+  }
+
+  test("SQL writes land as commits: CTAS, INSERT INTO, INSERT OVERWRITE") {
+    df(1, 2).createOrReplaceTempView("vtcat_src")
+    spark.sql("CREATE TABLE vtcat.w.t AS SELECT id FROM vtcat_src")
+    // CTAS = empty schema-bearing v1 + the data as an append commit v2
+    assert(VersionedTable.versions(spark, s"$root/w/t") == Seq(1L, 2L))
+    assert(ids("SELECT id FROM vtcat.w.t VERSION AS OF 1") == Set.empty[Int])
+    assert(ids("SELECT id FROM vtcat.w.t") == Set(1, 2))
+    spark.sql("INSERT INTO vtcat.w.t VALUES (3), (4)")
+    assert(ids("SELECT id FROM vtcat.w.t") == Set(1, 2, 3, 4))
+    spark.sql("INSERT OVERWRITE vtcat.w.t VALUES (9)")
+    assert(ids("SELECT id FROM vtcat.w.t") == Set(9))
+    // every statement was one commit; the replaced snapshot time-travels
+    assert(VersionedTable.versions(spark, s"$root/w/t") == (1L to 4L))
+    assert(ids("SELECT id FROM vtcat.w.t VERSION AS OF 3") == Set(1, 2, 3, 4))
+    // a plain CREATE TABLE (schema, no data) is a readable empty table
+    spark.sql("CREATE TABLE vtcat.w.fresh (id INT)")
+    assert(ids("SELECT id FROM vtcat.w.fresh") == Set.empty[Int])
+    intercept[Exception](spark.sql("CREATE TABLE vtcat.w.fresh (id INT)"))
+    // PARTITIONED BY has no representation in this format — refuse loudly
+    intercept[Exception](
+      spark.sql("CREATE TABLE vtcat.w.p (id INT) PARTITIONED BY (id)"))
   }
 }
