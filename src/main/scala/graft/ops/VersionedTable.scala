@@ -44,7 +44,7 @@ object VersionedTable {
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
-    q122SqlWrites)
+    q122SqlWrites, q123SqlDelete)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1803,5 +1803,71 @@ object VersionedTable {
       UNION ALL
       SELECT 'write_audit', CAST(3 AS BIGINT), CAST(4 AS BIGINT),
         CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
+
+  // q123's erasure cohort, as an IN list BOTH engines interpolate: SQL
+  // DELETE only reaches the catalog when every predicate translates to a
+  // source Filter, and `o_custkey % 51 = 0` is an expression, not a
+  // Filter — the enumerated multiples (covering custkeys well past sf1's
+  // key space) ARE translatable, with identical semantics
+  private val q123Cohort: String = (1 to 392).map(_ * 51).mkString(", ")
+
+  /** q123: SQL DELETE — `DELETE FROM cat.main.t WHERE o_custkey IN
+    * (…)` lands as the copy-on-write [[deleteWhere]] commit through the
+    * DSv2 `SupportsDelete` path: Spark translates the predicate to source
+    * Filters, the catalog re-assembles and executes the erasure, and the
+    * statement leaves one `#delete=true` commit. `sql_post_delete` must
+    * hash-match the oracle's anti-filter over the base table,
+    * `sql_time_travel_pre` proves the pre-delete snapshot still reads
+    * (erasure completes with vacuum — the q116 contract, now reachable
+    * from SQL), and `delete_audit` pins the ledger: exactly one commit
+    * for the statement (v2 CTAS data → v3 delete).
+    */
+  val q123SqlDelete: Q = Q(
+    "q123_sql_delete",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val tag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq123_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = s"q123_orders_$tag"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.main.orders_v AS SELECT * FROM $view")
+      val table = s"$root/main/orders_v"
+      val vPre = versions(s, table).last
+      s.sql(s"DELETE FROM $cat.main.orders_v " +
+        s"WHERE o_custkey IN ($q123Cohort)")
+      val vPost = versions(s, table).last
+      def summarize(step: String, suffix: String) = s.sql(
+        s"SELECT '$step' AS step, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          s"FROM $cat.main.orders_v $suffix")
+      val audit = s.range(1).select(lit("delete_audit").as("step"),
+        lit(vPre).as("n_rows"), lit(vPost).as("n_cust"),
+        lit(null).cast("double").as("revenue"))
+      summarize("sql_post_delete", "")
+        .unionByName(summarize("sql_time_travel_pre", s"VERSION AS OF $vPre"))
+        .unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_custkey, o_totalprice FROM orders)
+      SELECT 'delete_audit' AS step, CAST(2 AS BIGINT) AS n_rows,
+        CAST(3 AS BIGINT) AS n_cust, CAST(NULL AS DOUBLE) AS revenue
+      UNION ALL
+      SELECT 'sql_post_delete', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o WHERE o_custkey NOT IN ($q123Cohort)
+      UNION ALL
+      SELECT 'sql_time_travel_pre', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM o
       ORDER BY step"""))
 }

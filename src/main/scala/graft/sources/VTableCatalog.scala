@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
@@ -161,7 +161,8 @@ class VTableCatalog extends TableCatalog {
 
 /** One snapshot (latest or pinned version) as a DSv2 table. */
 class VTableV2Table(path: String, version: Option[Long],
-    pruneCol: Option[String]) extends Table with SupportsRead with SupportsWrite {
+    pruneCol: Option[String]) extends Table with SupportsRead
+    with SupportsWrite with SupportsDelete {
 
   override def name(): String =
     path + version.map(v => s"@v$v").getOrElse("")
@@ -182,6 +183,29 @@ class VTableV2Table(path: String, version: Option[Long],
       "graft-vtable: cannot write to a VERSION/TIMESTAMP AS OF snapshot — " +
         "writes commit to the table tip")
     new VTableWriteBuilder(path)
+  }
+
+  // SQL `DELETE FROM t WHERE …` → the copy-on-write deleteWhere commit:
+  // only generations containing a match rewrite, old snapshots keep time
+  // traveling, the commit is stamped #delete=true. Spark only offers the
+  // delete when every predicate translated to a source Filter; anything
+  // untranslatable (or a pinned-version table) is refused at analysis.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(VTableScans.predicateOf(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(VTableScans.predicateOf)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // a concurrency loss means a writer published mid-delete: re-run the
+    // predicate against the new snapshot (the delete's intent is
+    // state-independent); bounded retries keep a hot table from looping
+    var attempt = 0
+    while (VersionedTable.deleteWhere(SparkSession.active, path, pred).isEmpty) {
+      attempt += 1
+      if (attempt > 5) throw new java.io.IOException(
+        s"graft-vtable: DELETE lost the publish race $attempt times at $path")
+    }
   }
 }
 

@@ -175,7 +175,12 @@ object VTableScans {
 
   // best-effort Filter → Column so predicates reach the underlying
   // parquet scan (row-group pruning); untranslatable filters are simply
-  // not pushed — Spark re-applies every filter above this scan anyway
+  // not pushed — Spark re-applies every filter above this scan anyway.
+  // Also the translation gate for SQL DELETE (where best-effort is NOT
+  // allowed: the catalog's canDeleteWhere refuses unless every filter
+  // translates).
+  private[sources] def predicateOf(f: Filter): Option[Column] = toPredicate(f)
+
   private def toPredicate(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))

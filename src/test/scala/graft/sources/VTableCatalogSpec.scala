@@ -90,4 +90,24 @@ class VTableCatalogSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("CREATE TABLE vtcat.w.p (id INT) PARTITIONED BY (id)"))
   }
+
+  test("SQL DELETE lands as a copy-on-write delete commit") {
+    df(1, 2, 3, 4, 5).createOrReplaceTempView("vtcat_del_src")
+    spark.sql("CREATE TABLE vtcat.w.d AS SELECT id FROM vtcat_del_src")
+    val vPre = VersionedTable.versions(spark, s"$root/w/d").last
+    spark.sql("DELETE FROM vtcat.w.d WHERE id IN (2, 4)")
+    assert(ids("SELECT id FROM vtcat.w.d") == Set(1, 3, 5))
+    // ONE commit, stamped as an auditable erasure; pre-delete snapshot
+    // still time-travels (completing erasure = vacuum, the q116 contract)
+    val vPost = VersionedTable.versions(spark, s"$root/w/d").last
+    assert(vPost == vPre + 1)
+    assert(VersionedTable.manifestMeta(spark, s"$root/w/d", vPost)
+      .get("delete").contains("true"))
+    assert(ids(s"SELECT id FROM vtcat.w.d VERSION AS OF $vPre")
+      == Set(1, 2, 3, 4, 5))
+    // a predicate that cannot translate to source Filters is refused at
+    // analysis — never a silent partial delete
+    intercept[Exception](spark.sql("DELETE FROM vtcat.w.d WHERE id % 2 = 1"))
+    assert(ids("SELECT id FROM vtcat.w.d") == Set(1, 3, 5))
+  }
 }
