@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
@@ -162,7 +162,7 @@ class VTableCatalog extends TableCatalog {
 /** One snapshot (latest or pinned version) as a DSv2 table. */
 class VTableV2Table(path: String, version: Option[Long],
     pruneCol: Option[String]) extends Table with SupportsRead
-    with SupportsWrite with SupportsDelete {
+    with SupportsWrite with SupportsDelete with TruncatableTable {
 
   override def name(): String =
     path + version.map(v => s"@v$v").getOrElse("")
@@ -183,6 +183,20 @@ class VTableV2Table(path: String, version: Option[Long],
       "graft-vtable: cannot write to a VERSION/TIMESTAMP AS OF snapshot — " +
         "writes commit to the table tip")
     new VTableWriteBuilder(path)
+  }
+
+  // SQL `TRUNCATE TABLE t` → an overwrite commit with an empty generation
+  // carrying the current schema: the rows are gone from the tip, but like
+  // every commit it's one manifest publish and old snapshots still time
+  // travel (reclaiming them is vacuum's job)
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty,
+      "graft-vtable: cannot truncate a VERSION/TIMESTAMP AS OF snapshot")
+    val s = SparkSession.active
+    VersionedTable.commit(s, path,
+      VersionedTable.readAt(s, path).limit(0).repartition(1),
+      overwrite = true)
+    true
   }
 
   // SQL `DELETE FROM t WHERE …` → the copy-on-write deleteWhere commit:

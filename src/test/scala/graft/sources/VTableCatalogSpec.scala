@@ -109,5 +109,11 @@ class VTableCatalogSpec extends SparkSpec {
     // analysis — never a silent partial delete
     intercept[Exception](spark.sql("DELETE FROM vtcat.w.d WHERE id % 2 = 1"))
     assert(ids("SELECT id FROM vtcat.w.d") == Set(1, 3, 5))
+    // TRUNCATE is an overwrite commit with an empty schema-bearing
+    // generation; the truncated snapshot still time-travels
+    val vTrunc = VersionedTable.versions(spark, s"$root/w/d").last
+    spark.sql("TRUNCATE TABLE vtcat.w.d")
+    assert(ids("SELECT id FROM vtcat.w.d") == Set.empty[Int])
+    assert(ids(s"SELECT id FROM vtcat.w.d VERSION AS OF $vTrunc") == Set(1, 3, 5))
   }
 }
