@@ -587,9 +587,21 @@ object VersionedTable {
     val baseV = vs.last
     val keys = readAt(spark, root, Some(baseV))
       .filter(pred).select(col(keyCol)).distinct()
-    val nKeys = keys.count()
-    if (nKeys == 0) return Some((baseV, 0L)) // no-op: nothing matches
+    // ONE table scan: write the key list first, then count from the
+    // written kilobytes (a pre-count would scan the table a second time
+    // — at 100 TB the difference between one pass and two)
     val gen = writeGeneration(spark, root, keys)
+    val genPath = new Path(root, gen)
+    val hfs = fs(spark, root)
+    val hasParts = hfs.listStatus(genPath)
+      .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val nKeys =
+      if (!hasParts) 0L
+      else spark.read.parquet(genPath.toString).count()
+    if (nKeys == 0) { // no-op: nothing matches, reclaim the empty gen
+      hfs.delete(genPath, true)
+      return Some((baseV, 0L))
+    }
     val dirs = manifestDirs(spark, root, baseV)
     val carried = carriedStats(spark, root, baseV, dirs) ++
       dvHeaders(spark, root, baseV)
