@@ -76,6 +76,19 @@ object VersionedTable {
   private[ops] def manifestDirs(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#"))
 
+  // dirs + meta from ONE manifest open — the hot read paths use this so a
+  // snapshot read costs a single _log round-trip (separate manifestDirs +
+  // manifestMeta calls would open the same file twice, which matters when
+  // _log lives on an object store)
+  private def manifestOf(spark: SparkSession, root: String,
+      v: Long): (Seq[String], Map[String, String]) = {
+    val lines = manifestLines(spark, root, v)
+    val meta = lines.filter(_.startsWith("#"))
+      .map(_.drop(1).split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+    (lines.filterNot(_.startsWith("#")), meta)
+  }
+
   /** Commit (publish) time of version `v`, epoch MICROseconds. The
     * atomic manifest rename IS the commit point, so the manifest file's
     * modification time is the commit timestamp — no extra bookkeeping.
@@ -144,13 +157,15 @@ object VersionedTable {
   private def dvHeaders(spark: SparkSession, root: String, v: Long): Map[String, String] =
     dvHeadersOf(manifestMeta(spark, root, v))
 
-  // merge-on-read: anti-join the snapshot frame against the version's
-  // outstanding deletion vectors. DVs are key lists — tiny relative to
-  // the table — so the anti-join is a broadcast; one anti-join per
-  // distinct key column (in practice one: the table's delete key).
-  private def applyDvs(spark: SparkSession, root: String, v: Long,
-      df: DataFrame): DataFrame = {
-    val dvs = dvHeaders(spark, root, v).toSeq
+  // merge-on-read: anti-join the snapshot frame against the outstanding
+  // deletion vectors of an already-parsed manifest meta. DVs are key
+  // lists — tiny relative to the table — so the anti-join is a
+  // broadcast; one anti-join per distinct key column (in practice one:
+  // the table's delete key). Callers pass the meta they already read —
+  // the read path never opens a manifest twice.
+  private def applyDvs(spark: SparkSession, root: String,
+      meta: Map[String, String], df: DataFrame): DataFrame = {
+    val dvs = dvHeadersOf(meta).toSeq
       .map { case (k, keyCol) => (k.stripPrefix("dv:"), keyCol) }
     dvs.groupBy(_._2).foldLeft(df) { case (acc, (keyCol, group)) =>
       val keys = readDirs(spark, root, group.map(_._1))
@@ -169,6 +184,24 @@ object VersionedTable {
     manifestMeta(spark, root, v).filter { case (k, _) =>
       k.startsWith("stats:") && kept.contains(k.split(":", 3)(2))
     }
+  }
+
+  // THE append contract, shared by every append-shaped commit (batch and
+  // streaming): keep the previous snapshot's directories and carry its
+  // stats: headers (optimization — dropping them turns data skipping
+  // off) AND its dv: headers (correctness — dropping one resurrects
+  // deleted rows). Keeping this in one place is what prevents the header
+  // kinds from diverging between commit paths (idempotentCommit once
+  // silently dropped stats: by re-implementing this inline).
+  private def appendCarry(spark: SparkSession, root: String,
+      lastV: Long): (Seq[String], Map[String, String]) = {
+    val (prev, meta) = manifestOf(spark, root, lastV)
+    val kept = prev.toSet
+    val carried = meta.filter { case (k, _) =>
+      (k.startsWith("stats:") && kept.contains(k.split(":", 3)(2))) ||
+        k.startsWith("dv:")
+    }
+    (prev, carried)
   }
 
   // [min,max] header for a freshly written generation, computed from the
@@ -213,13 +246,8 @@ object VersionedTable {
       val (dirs, carried) =
         if (overwrite || vs.isEmpty) (Seq(gen), Map.empty[String, String])
         else {
-          val prev = manifestDirs(spark, root, vs.last)
-          // appends retain every prior generation, so every outstanding
-          // deletion vector still applies — dropping a dv: header here
-          // would resurrect deleted rows (stats: headers are merely an
-          // optimization; dv: headers are correctness)
-          (prev :+ gen, carriedStats(spark, root, vs.last, prev)
-            ++ dvHeaders(spark, root, vs.last))
+          val (prev, prevCarry) = appendCarry(spark, root, vs.last)
+          (prev :+ gen, prevCarry)
         }
       // a publish loss means another writer took this version — retry on a
       // fresh read of the log (optimistic concurrency)
@@ -247,8 +275,7 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
-    val dirs = manifestDirs(spark, root, ver)
-    val meta = manifestMeta(spark, root, ver)
+    val (dirs, meta) = manifestOf(spark, root, ver)
     val kept = dirs.filter { d =>
       meta.get(statsKey(statsCol, d)) match {
         case Some(s) =>
@@ -259,7 +286,7 @@ object VersionedTable {
     }
     val df =
       if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
-      else applyDvs(spark, root, ver, readDirs(spark, root, kept))
+      else applyDvs(spark, root, meta, readDirs(spark, root, kept))
     (df, kept.size, dirs.size)
   }
 
@@ -288,14 +315,13 @@ object VersionedTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to compact at $root")
     val baseV = vs.last
-    val baseDirs = manifestDirs(spark, root, baseV)
-    val baseDvs = dvHeaders(spark, root, baseV)
+    val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
     // one generation and no tombstones — already compact; with outstanding
     // deletion vectors compaction is still meaningful even at one
     // generation: it MATERIALIZES the deletes (reads through the DVs,
     // writes the survivors, publishes with no dv: headers)
-    if (baseDirs.size <= 1 && baseDvs.isEmpty) return None
-    val df = applyDvs(spark, root, baseV, readDirs(spark, root, baseDirs))
+    if (baseDirs.size <= 1 && dvHeadersOf(baseMeta).isEmpty) return None
+    val df = applyDvs(spark, root, baseMeta, readDirs(spark, root, baseDirs))
     raceHook()
     val gen = writeGeneration(spark, root, df)
     if (tryPublish(spark, root, baseV + 1, Seq(gen),
@@ -358,8 +384,9 @@ object VersionedTable {
     // size from the raw generations (DV key lists are negligible), but
     // cluster and publish the DV-APPLIED content — OPTIMIZE, like
     // compact, materializes outstanding tombstones into the rewrite
-    val raw = readDirs(spark, root, manifestDirs(spark, root, baseV))
-    val df = applyDvs(spark, root, baseV, raw)
+    val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
+    val raw = readDirs(spark, root, baseDirs)
+    val df = applyDvs(spark, root, baseMeta, raw)
     val files = raw.inputFiles
     val totalBytes = files.map(f =>
       hfs.getFileStatus(new Path(f)).getLen).sum
@@ -500,7 +527,13 @@ object VersionedTable {
     val untouched = dirs.filterNot(touched.contains)
     if (touched.isEmpty) return Some((baseV, 0L, 0, dirs.size)) // no-op: nothing matches
     val before = readDirs(spark, root, touched)
-    val survivors = before.filter(!pred)
+    // SQL DELETE semantics: remove rows where pred IS TRUE; rows where it
+    // evaluates FALSE *or NULL* survive. A plain `!pred` would drop
+    // NULL-evaluating rows from the rewrite (filter discards non-true),
+    // silently deleting them — and layout-dependently, since NULL rows in
+    // untouched generations would survive. The null-safe comparison keeps
+    // exactly the non-matching rows.
+    val survivors = before.filter(!(pred <=> lit(true)))
     val deleted = before.count() - survivors.count()
     raceHook()
     val gen = writeGeneration(spark, root, survivors)
@@ -511,6 +544,25 @@ object VersionedTable {
     else {
       fs(spark, root).delete(new Path(root, gen), true)
       None
+    }
+  }
+
+  /** CREATE-IF-ABSENT: publish `df` as version 1 iff the table does not
+    * exist, and NEVER retry past a concurrent writer — `commit(overwrite
+    * = true)` would, on a publish loss, silently clobber the racing
+    * creator's table at version 2, turning two "CREATE TABLE" statements
+    * into a lost update. Publishing only at v1 makes creation a
+    * first-writer-wins race with a loud loser: returns true when this
+    * call created the table, false when it already existed (before or by
+    * losing the race — the orphan generation is reclaimed either way).
+    */
+  def createIfAbsent(spark: SparkSession, root: String, df: DataFrame): Boolean = {
+    if (versions(spark, root).nonEmpty) return false
+    val gen = writeGeneration(spark, root, df)
+    if (tryPublish(spark, root, 1L, Seq(gen), Map.empty)) true
+    else {
+      fs(spark, root).delete(new Path(root, gen), true)
+      false
     }
   }
 
@@ -595,16 +647,29 @@ object VersionedTable {
     val hfs = fs(spark, root)
     val hasParts = hfs.listStatus(genPath)
       .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
-    val nKeys =
-      if (!hasParts) 0L
-      else spark.read.parquet(genPath.toString).count()
+    val (nKeys, nNullKeys) =
+      if (!hasParts) (0L, 0L)
+      else {
+        val back = spark.read.parquet(genPath.toString)
+        val r = back.agg(count(lit(1)),
+          count(when(col(keyCol).isNull, 1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    // a NULL key cannot be tombstoned: the read-side equality anti-join
+    // never matches NULL, so the rows would be reported deleted yet stay
+    // visible forever. Refuse loudly — NULL-keyed rows need the
+    // copy-on-write deleteWhere.
+    if (nNullKeys > 0) {
+      hfs.delete(genPath, true)
+      throw new IllegalArgumentException(
+        s"deleteWhereMor: matched rows have NULL $keyCol — a key tombstone " +
+          "cannot express them; use deleteWhere (copy-on-write) instead")
+    }
     if (nKeys == 0) { // no-op: nothing matches, reclaim the empty gen
       hfs.delete(genPath, true)
       return Some((baseV, 0L))
     }
-    val dirs = manifestDirs(spark, root, baseV)
-    val carried = carriedStats(spark, root, baseV, dirs) ++
-      dvHeaders(spark, root, baseV)
+    val (dirs, carried) = appendCarry(spark, root, baseV)
     raceHook()
     if (tryPublish(spark, root, baseV + 1, dirs,
         carried + (s"dv:$gen" -> keyCol) + ("mor_delete" -> "true")))
@@ -663,16 +728,13 @@ object VersionedTable {
         return (vs.last, false)
       }
       val next = vs.lastOption.getOrElse(0L) + 1
-      // a streaming commit is an append: carry the surviving generations'
-      // stats headers (else one micro-batch turns data skipping off for
-      // the table) and every outstanding dv: header (else deleted rows
-      // resurrect — correctness, not optimization)
+      // a streaming commit is an append: the shared appendCarry keeps the
+      // prior generations and their stats:/dv: headers
       val (dirs, carried) =
         if (vs.isEmpty) (Seq(gen), Map.empty[String, String])
         else {
-          val prev = manifestDirs(spark, root, vs.last)
-          (prev :+ gen, carriedStats(spark, root, vs.last, prev)
-            ++ dvHeaders(spark, root, vs.last))
+          val (prev, prevCarry) = appendCarry(spark, root, vs.last)
+          (prev :+ gen, prevCarry)
         }
       if (tryPublish(spark, root, next, dirs, carried ++ meta)) return (next, true)
     }
@@ -736,8 +798,8 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
-    applyDvs(spark, root, ver,
-      readDirs(spark, root, manifestDirs(spark, root, ver)))
+    val (dirs, meta) = manifestOf(spark, root, ver)
+    applyDvs(spark, root, meta, readDirs(spark, root, dirs))
   }
 
   /** CDC / incremental consumption: the rows ADDED between two committed
@@ -787,7 +849,8 @@ object VersionedTable {
     // they apply to snapshots: a key tombstoned before this window's
     // appends stays deleted, so an appended row carrying a tombstoned
     // key is hidden from both — feed + base still reconstructs readAt
-    else applyDvs(spark, root, vTo, readDirs(spark, root, added))
+    else applyDvs(spark, root, manifestMeta(spark, root, vTo),
+      readDirs(spark, root, added))
   }
 
   // per-invocation fresh root under one shutdown-hook-cleaned temp tree

@@ -126,15 +126,16 @@ class VTableCatalog extends TableCatalog {
       "graft-vtable: PARTITIONED BY is not supported — use statsCol " +
         "data skipping / OPTIMIZE clustering for layout")
     val p = pathOf(ident)
-    if (isTable(p)) throw new TableAlreadyExistsException(ident)
     // a table exists exactly when it has a commit: version 1 is an empty
     // generation carrying the declared schema (what CTAS then appends to).
     // repartition(1) forces one write task, so the 0-row generation still
-    // lands one footer-bearing parquet file the readers can infer from
-    VersionedTable.commit(spark, p,
+    // lands one footer-bearing parquet file the readers can infer from.
+    // createIfAbsent publishes ONLY at v1, so two racing CREATEs cannot
+    // both succeed — the loser gets TableAlreadyExists, never a clobber.
+    val created = VersionedTable.createIfAbsent(spark, p,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        .repartition(1),
-      overwrite = true)
+        .repartition(1))
+    if (!created) throw new TableAlreadyExistsException(ident)
     new VTableV2Table(p, None, pruneCol)
   }
 
@@ -208,7 +209,12 @@ class VTableV2Table(path: String, version: Option[Long],
     version.isEmpty && filters.forall(VTableScans.predicateOf(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val pred = filters.flatMap(VTableScans.predicateOf)
+    // canDeleteWhere gated on full translatability, but never ASSUME the
+    // arrays match: a dropped conjunct would WIDEN the delete (silent
+    // over-delete), so an untranslatable filter here is a hard error
+    val pred = filters.map(f => VTableScans.predicateOf(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-vtable: cannot translate $f for DELETE")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // a concurrency loss means a writer published mid-delete: re-run the

@@ -545,6 +545,52 @@ class VersionedTableSpec extends SparkSpec {
     assertNoOrphans(root)
   }
 
+  test("delete semantics under NULLs: NULL-predicate rows survive, NULL keys refuse MoR") {
+    import spark.implicits._
+    val root = freshRoot()
+    // one generation holding both a matching row and a NULL-keyed row —
+    // the layout where a non-null-safe rewrite would silently lose the
+    // NULL row (NULL rows in untouched generations would survive, making
+    // the loss layout-dependent)
+    VersionedTable.commit(spark, root,
+      Seq[Option[Int]](Some(1), Some(2), None).toDF("id"), overwrite = true)
+    val (_, nDeleted, _, _) =
+      VersionedTable.deleteWhere(spark, root, col("id") === 1)
+        .getOrElse(fail("delete must publish"))
+    assert(nDeleted == 1L)
+    assert(VersionedTable.readAt(spark, root)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet
+      == Set(Some(2), None),
+      "SQL DELETE semantics: a NULL-evaluating predicate KEEPS the row")
+    // a NULL key cannot be tombstoned (the equality anti-join never
+    // matches NULL): MoR delete must refuse loudly, reclaim its orphan,
+    // and leave the table untouched — never report a deletion that
+    // doesn't take effect
+    intercept[IllegalArgumentException](
+      VersionedTable.deleteWhereMor(spark, root, col("id").isNull, "id"))
+    assert(VersionedTable.readAt(spark, root).count() == 2)
+    assertNoOrphans(root)
+    // the same rows ARE erasable copy-on-write
+    val (_, n2, _, _) =
+      VersionedTable.deleteWhere(spark, root, col("id").isNull)
+        .getOrElse(fail("null-predicate delete must publish"))
+    assert(n2 == 1L)
+    assert(VersionedTable.readAt(spark, root).collect()
+      .map(_.getInt(0)).toSet == Set(2))
+  }
+
+  test("createIfAbsent publishes only at version 1 — creation is first-writer-wins") {
+    val root = freshRoot()
+    assert(VersionedTable.createIfAbsent(spark, root, df(1, 2)))
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    // a second create must NOT clobber (commit(overwrite) would have
+    // retried the publish loss into an overwrite at v2)
+    assert(!VersionedTable.createIfAbsent(spark, root, df(9)))
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    assert(idsAt(root) == Set(1, 2), "the winner's table is untouched")
+    assertNoOrphans(root)
+  }
+
   test("compact materializes DVs even on a single-generation table") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
