@@ -44,7 +44,7 @@ object VersionedTable {
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
-    q122SqlWrites, q123SqlDelete)
+    q122SqlWrites, q123SqlDelete, q124TableHistory)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -545,6 +545,52 @@ object VersionedTable {
       fs(spark, root).delete(new Path(root, gen), true)
       None
     }
+  }
+
+  /** Commit kind of version `v`, derived from its manifest headers and —
+    * for the header-less kinds — the directory diff against the previous
+    * manifest: the log IS the audit trail, so classification needs no
+    * extra bookkeeping. Kinds: `create`, `append`, `overwrite`,
+    * `rewrite` (compact/optimize), `merge`, `delete`, `mor_delete`,
+    * `restore`, with `txn` suffixed for stamped streaming commits.
+    */
+  def commitKind(spark: SparkSession, root: String, v: Long): String = {
+    val vs = versions(spark, root)
+    val meta = manifestMeta(spark, root, v)
+    val base =
+      if (meta.get("rewrite").contains("true")) "rewrite"
+      else if (meta.get("merge").contains("true")) "merge"
+      else if (meta.get("delete").contains("true")) "delete"
+      else if (meta.get("mor_delete").contains("true")) "mor_delete"
+      else if (meta.contains("restore")) "restore"
+      else vs.filter(_ < v).lastOption match {
+        case None => "create"
+        case Some(prev) =>
+          val before = manifestDirs(spark, root, prev)
+          val after = manifestDirs(spark, root, v)
+          if (before.forall(after.contains)) "append" else "overwrite"
+      }
+    if (meta.contains("txnApp")) s"$base+txn" else base
+  }
+
+  /** DESCRIBE HISTORY: one row per commit — version, kind, generation
+    * and outstanding-DV counts, txn stamp, commit timestamp — computed
+    * from the manifests alone (bytes-sized reads; no data touched). The
+    * operational first question on any lakehouse table — "what happened
+    * to this table?" — answered from the log that already records it.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    val rows = vs.map { v =>
+      val (dirs, meta) = manifestOf(spark, root, v)
+      (v, commitKind(spark, root, v), dirs.size, dvHeadersOf(meta).size,
+        meta.get("txnApp").orNull,
+        meta.get("txnBatch").map(_.toLong),
+        new java.sql.Timestamp(commitTimestamp(spark, root, v) / 1000L))
+    }
+    import spark.implicits._
+    rows.toDF("version", "kind", "n_generations", "n_dvs",
+      "txn_app", "txn_batch", "committed_at")
   }
 
   /** CREATE-IF-ABSENT: publish `df` as version 1 iff the table does not
@@ -1945,4 +1991,63 @@ object VersionedTable {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM o
       ORDER BY step"""))
+
+  /** q124: TABLE HISTORY (DESCRIBE HISTORY) — a history that exercises
+    * EVERY commit kind (create, append, rewrite, merge, delete,
+    * mor_delete, restore, txn-stamped append, overwrite) read back
+    * through [[history]], which classifies each commit from its manifest
+    * headers and directory diffs alone — the log is the audit trail, no
+    * extra bookkeeping. The oracle is the literal expected ledger, so
+    * the hash match pins the classification rules AND the generation/DV
+    * counts every operation leaves behind: merge and delete carry one
+    * untouched generation (copy-on-write), the MoR delete adds a DV
+    * without touching data generations, compaction clears it, restore
+    * re-references v2's two generations, and the streaming commit stamps
+    * txn. Everything derives from bytes-sized manifest reads — at 100 TB
+    * this query never opens a data file.
+    */
+  val q124TableHistory: Q = Q(
+    "q124_table_history",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      def slice(m: Int) = o.filter(col("o_custkey") % 3 === m)
+      commit(s, root, slice(0), overwrite = true) // v1 create
+      commit(s, root, slice(1), overwrite = false) // v2 append
+      compact(s, root).getOrElse(sys.error("q124: compact lost a race")) // v3
+      commit(s, root, slice(2), overwrite = false) // v4 append
+      // source keys live only in the compacted generation (51 = 3*17,
+      // so %51=0 implies %3=0): 1 touched + 1 carried
+      mergeInto(s, root, o.filter(col("o_custkey") % 51 === 0), "o_orderkey")
+        .getOrElse(sys.error("q124: merge lost a race")) // v5 merge
+      deleteWhere(s, root, col("o_custkey") % 51 === 0)
+        .getOrElse(sys.error("q124: delete lost a race")) // v6 delete
+      deleteWhereMor(s, root, col("o_custkey") % 39 === 0, "o_custkey")
+        .getOrElse(sys.error("q124: MoR delete lost a race")) // v7
+      compact(s, root).getOrElse(sys.error("q124: compact2 lost a race")) // v8
+      restore(s, root, 2L)
+        .getOrElse(sys.error("q124: restore lost a race")) // v9
+      idempotentCommit(s, root, slice(2), "q124_app", 0L) // v10 append+txn
+      commit(s, root, slice(0), overwrite = true) // v11 overwrite
+      history(s, root)
+        .select(col("version"), col("kind"),
+          col("n_generations").cast("long").as("n_generations"),
+          col("n_dvs").cast("long").as("n_dvs"))
+        .orderBy(col("version"))
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'create',     CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'append',     CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'rewrite',    CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(4 AS BIGINT), 'append',     CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(5 AS BIGINT), 'merge',      CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(6 AS BIGINT), 'delete',     CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(7 AS BIGINT), 'mor_delete', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(8 AS BIGINT), 'rewrite',    CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(9 AS BIGINT), 'restore',    CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(10 AS BIGINT), 'append+txn', CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(11 AS BIGINT), 'overwrite',  CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+      ) AS t(version, kind, n_generations, n_dvs)
+      ORDER BY version"""))
 }
