@@ -44,7 +44,8 @@ object VersionedTable {
     q112VersionedMerge, q113ExactlyOnceSink, q114SchemaEvolution,
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
-    q122SqlWrites, q123SqlDelete, q124TableHistory)
+    q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
+    q126SqlUpdate, q127SqlMaintenance)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,7 +126,20 @@ object VersionedTable {
   // write df as a new immutable generation dir; invisible until published
   private def writeGeneration(spark: SparkSession, root: String, df: DataFrame): String = {
     val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(new Path(root, gen).toString)
+    val p = new Path(root, gen)
+    df.write.mode("errorifexists").parquet(p.toString)
+    // a frame whose every partition is empty writes NO part files — only
+    // _SUCCESS — and a footer-less generation breaks every later read of
+    // the snapshot (parquet cannot infer its schema). A rewrite that
+    // deletes ALL rows of the touched generations hits exactly this, so
+    // re-write as one forced task: a 0-row single-partition write still
+    // lands one footer-bearing file (the CREATE TABLE device).
+    val hfs = fs(spark, root)
+    if (!hfs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))) {
+      hfs.delete(p, true)
+      df.limit(0).repartition(1).write.mode("errorifexists").parquet(p.toString)
+    }
     gen
   }
 
@@ -156,6 +170,44 @@ object VersionedTable {
 
   private def dvHeaders(spark: SparkSession, root: String, v: Long): Map[String, String] =
     dvHeadersOf(manifestMeta(spark, root, v))
+
+  // durable TABLE PROPERTIES: `prop:<k>=<v>` headers describe the TABLE,
+  // not one snapshot's content, so EVERY commit kind must carry them
+  // forward from the base manifest — append, overwrite, rewrite, merge,
+  // delete, restore, streaming. They exist so per-table contracts (e.g.
+  // the row-id column SQL row-level operations key on) live in the log
+  // itself, not in catalog-side configuration.
+  private def propHeadersOf(meta: Map[String, String]): Map[String, String] =
+    meta.filter { case (k, _) => k.startsWith("prop:") }
+
+  private def propHeaders(spark: SparkSession, root: String, v: Long): Map[String, String] =
+    propHeadersOf(manifestMeta(spark, root, v))
+
+  // a property rides one `#prop:k=v` manifest line: the line format is
+  // the only constraint (the value may contain '=' — parsing splits on
+  // the first one)
+  private def validateProps(props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
+          !v.contains("\n"),
+        s"VersionedTable: illegal property '$k' — keys must be non-empty " +
+          "with no '=' or newline, values must have no newline")
+    }
+
+  /** Table properties at version `v` (latest when None) — the `prop:`
+    * manifest headers, stamped at create time or by [[setProperties]]
+    * and carried by every commit kind since.
+    */
+  def tableProperties(spark: SparkSession, root: String,
+      v: Option[Long] = None): Map[String, String] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
+    propHeaders(spark, root, ver).map { case (k, value) =>
+      k.stripPrefix("prop:") -> value
+    }
+  }
 
   // merge-on-read: anti-join the snapshot frame against the outstanding
   // deletion vectors of an already-parsed manifest meta. DVs are key
@@ -199,7 +251,7 @@ object VersionedTable {
     val kept = prev.toSet
     val carried = meta.filter { case (k, _) =>
       (k.startsWith("stats:") && kept.contains(k.split(":", 3)(2))) ||
-        k.startsWith("dv:")
+        k.startsWith("dv:") || k.startsWith("prop:")
     }
     (prev, carried)
   }
@@ -244,7 +296,9 @@ object VersionedTable {
       val vs = versions(spark, root)
       val next = vs.lastOption.getOrElse(0L) + 1
       val (dirs, carried) =
-        if (overwrite || vs.isEmpty) (Seq(gen), Map.empty[String, String])
+        if (vs.isEmpty) (Seq(gen), Map.empty[String, String])
+        else if (overwrite) // replaces the DATA; table properties survive
+          (Seq(gen), propHeaders(spark, root, vs.last))
         else {
           val (prev, prevCarry) = appendCarry(spark, root, vs.last)
           (prev :+ gen, prevCarry)
@@ -325,7 +379,8 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, df)
     if (tryPublish(spark, root, baseV + 1, Seq(gen),
-        Map("rewrite" -> "true") ++ genStatsOf(spark, root, gen, statsCol)))
+        Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
+          ++ genStatsOf(spark, root, gen, statsCol)))
       Some(baseV + 1)
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -401,7 +456,8 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, clustered)
     if (tryPublish(spark, root, baseV + 1, Seq(gen),
-        Map("rewrite" -> "true") ++ genStatsOf(spark, root, gen, statsCol))) {
+        Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
+          ++ genStatsOf(spark, root, gen, statsCol))) {
       val filesAfter = hfs.listStatus(new Path(root, gen))
         .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
       Some((baseV + 1, Compaction.Stats(files.length, filesAfter, rows)))
@@ -477,6 +533,104 @@ object VersionedTable {
     val gen = writeGeneration(spark, root, merged)
     if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
         Map("merge" -> "true") ++ carriedStats(spark, root, baseV, untouched)
+          ++ propHeaders(spark, root, baseV)
+          ++ genStatsOf(spark, root, gen, statsCol)))
+      Some((baseV + 1, touched.size, untouched.size))
+    else {
+      fs(spark, root).delete(new Path(root, gen), true)
+      None
+    }
+  }
+
+  /** Apply an explicit ROW-LEVEL DELTA — row-id keys to delete plus rows
+    * to insert — as ONE copy-on-write commit at generation granularity.
+    * This is the commit primitive behind the SQL row-level statements
+    * (UPDATE / MERGE INTO / arbitrary-predicate DELETE): Spark's
+    * delta-based rewrite turns each statement into per-row delete/insert
+    * operations against the declared row-id column, the connector stages
+    * them, and this publishes the result. Same economics as
+    * [[mergeInto]]: only generations containing a deleted key rewrite
+    * (anti-join against the broadcast key set), untouched generations
+    * carry over verbatim, inserts land in the fresh generation — cost
+    * scales with the touched fraction, not the table.
+    *
+    * THE ROW-ID CONTRACT IS ENFORCED, NOT ASSUMED: the caller passes one
+    * key per delete OPERATION (`deleteKeys` keeps duplicates), and the
+    * number of snapshot rows carrying a deleted key must equal the
+    * operation count — otherwise the declared key does not uniquely
+    * identify the targeted rows (deleting by key would silently remove
+    * innocent same-key neighbors) and the commit ABORTS loudly. The
+    * check rides the same narrow key-column scan that detects touched
+    * generations, so it costs no extra pass. NULL keys abort for the
+    * [[deleteWhereMor]] reason: an equality anti-join can never remove
+    * them.
+    *
+    * Publishes only at base+1 (a retry past a concurrent commit would
+    * apply a delta computed against a stale snapshot); `kindHeader`
+    * stamps the originating statement (`merge` / `update` / `delete`)
+    * into the manifest for [[commitKind]]. Returns Some(new version,
+    * touched gens, carried gens) or None on a concurrency loss.
+    */
+  def applyRowDelta(spark: SparkSession, root: String, deleteKeys: DataFrame,
+      inserts: DataFrame, keyCol: String, kindHeader: String = "merge",
+      statsCol: Option[String] = None,
+      raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
+    require(Set("merge", "update", "delete").contains(kindHeader),
+      s"applyRowDelta: unknown kind '$kindHeader'")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to modify at $root")
+    val baseV = vs.last
+    require(dvHeaders(spark, root, baseV).isEmpty,
+      "applyRowDelta: outstanding deletion vectors — run compact() to " +
+        "materialize them before a copy-on-write row delta")
+    val delStats = deleteKeys.agg(
+      count(lit(1)), count(when(col(keyCol).isNull, 1))).head()
+    val (nOps, nNullKeys) = (delStats.getLong(0), delStats.getLong(1))
+    require(nNullKeys == 0,
+      s"applyRowDelta: delete operations carry NULL $keyCol — an equality " +
+        "anti-join cannot remove them; use deleteWhere (copy-on-write)")
+    val dirs = manifestDirs(spark, root, baseV)
+    val keys = deleteKeys.select(col(keyCol)).distinct()
+    // ONE narrow key-column scan answers both questions: which generations
+    // hold a deleted key (touch detection) and how many snapshot rows the
+    // keys match (the row-id cardinality guard)
+    val perFile =
+      if (nOps == 0) Array.empty[org.apache.spark.sql.Row]
+      else readDirs(spark, root, dirs)
+        .select(col(keyCol), input_file_name().as("_file"))
+        .join(broadcast(keys), Seq(keyCol), "left_semi")
+        .groupBy(col("_file")).agg(count(lit(1)).as("_n")).collect()
+    val matched = perFile.map(_.getLong(1)).sum
+    require(matched == nOps,
+      s"applyRowDelta: $nOps delete operation(s) matched $matched row(s) " +
+        s"by $keyCol — the declared row-id column does not uniquely " +
+        "identify the targeted rows; deleting by key would remove " +
+        "same-key neighbors the statement never touched")
+    val touchedGens = perFile
+      .map(r => new Path(r.getString(0)).getParent.getName).toSet
+    val touched = dirs.filter(d => touchedGens.contains(new Path(d).getName))
+    val untouched = dirs.filterNot(touched.contains)
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(readDirs(spark, root, touched)
+        .join(broadcast(keys), Seq(keyCol), "left_anti"))
+    // a pure DELETE stages no insert rows — its frame has no columns at
+    // all (the statement's write schema is just the row ids)
+    val hasInserts = inserts.schema.nonEmpty && !inserts.isEmpty
+    val newRows = (survivors, hasInserts) match {
+      case (Some(s), true) => s.unionByName(inserts, allowMissingColumns = false)
+      case (Some(s), false) => s
+      case (None, _) => inserts
+    }
+    // a statement that deleted nothing and inserted nothing changed
+    // nothing — report success without publishing an empty commit
+    if (touched.isEmpty && !hasInserts) return Some((baseV, 0, dirs.size))
+    raceHook()
+    val gen = writeGeneration(spark, root, newRows)
+    if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
+        Map(kindHeader -> "true")
+          ++ carriedStats(spark, root, baseV, untouched)
+          ++ propHeaders(spark, root, baseV)
           ++ genStatsOf(spark, root, gen, statsCol)))
       Some((baseV + 1, touched.size, untouched.size))
     else {
@@ -539,6 +693,7 @@ object VersionedTable {
     val gen = writeGeneration(spark, root, survivors)
     if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
         Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
+          ++ propHeaders(spark, root, baseV)
           ++ genStatsOf(spark, root, gen, statsCol)))
       Some((baseV + 1, deleted, touched.size, untouched.size))
     else {
@@ -551,8 +706,9 @@ object VersionedTable {
     * for the header-less kinds — the directory diff against the previous
     * manifest: the log IS the audit trail, so classification needs no
     * extra bookkeeping. Kinds: `create`, `append`, `overwrite`,
-    * `rewrite` (compact/optimize), `merge`, `delete`, `mor_delete`,
-    * `restore`, with `txn` suffixed for stamped streaming commits.
+    * `rewrite` (compact/optimize), `merge`, `update`, `delete`,
+    * `mor_delete`, `set_properties`, `restore`, with `txn` suffixed for
+    * stamped streaming commits.
     */
   def commitKind(spark: SparkSession, root: String, v: Long): String = {
     val vs = versions(spark, root)
@@ -560,8 +716,10 @@ object VersionedTable {
     val base =
       if (meta.get("rewrite").contains("true")) "rewrite"
       else if (meta.get("merge").contains("true")) "merge"
+      else if (meta.get("update").contains("true")) "update"
       else if (meta.get("delete").contains("true")) "delete"
       else if (meta.get("mor_delete").contains("true")) "mor_delete"
+      else if (meta.get("properties").contains("true")) "set_properties"
       else if (meta.contains("restore")) "restore"
       else vs.filter(_ < v).lastOption match {
         case None => "create"
@@ -602,14 +760,53 @@ object VersionedTable {
     * call created the table, false when it already existed (before or by
     * losing the race — the orphan generation is reclaimed either way).
     */
-  def createIfAbsent(spark: SparkSession, root: String, df: DataFrame): Boolean = {
+  def createIfAbsent(spark: SparkSession, root: String, df: DataFrame,
+      props: Map[String, String] = Map.empty): Boolean = {
+    validateProps(props)
     if (versions(spark, root).nonEmpty) return false
     val gen = writeGeneration(spark, root, df)
-    if (tryPublish(spark, root, 1L, Seq(gen), Map.empty)) true
+    if (tryPublish(spark, root, 1L, Seq(gen),
+        props.map { case (k, v) => s"prop:$k" -> v })) true
     else {
       fs(spark, root).delete(new Path(root, gen), true)
       false
     }
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES as a METADATA-ONLY commit: the
+    * new manifest keeps the base snapshot's directories and stats/dv
+    * headers verbatim and only edits the `prop:` headers — no data is
+    * written or moved, so altering a 100 TB table's properties costs one
+    * bytes-sized manifest publish. Safe to retry past a concurrent data
+    * commit (properties describe the table, not a snapshot), so like
+    * [[commit]] this retries at the next version on a publish loss,
+    * re-reading the new base each attempt. Stamped `#properties=true`;
+    * [[readChanges]] sees no added generations, so incremental consumers
+    * get an empty delta across it. Returns the committed version.
+    */
+  def setProperties(spark: SparkSession, root: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    validateProps(set)
+    require(unset.forall(k => !set.contains(k)),
+      "setProperties: a key cannot be both set and unset")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      val (dirs, meta) = manifestOf(spark, root, vs.last)
+      val kept = meta.filter { case (k, _) =>
+        (k.startsWith("stats:") || k.startsWith("dv:") ||
+          k.startsWith("prop:")) && !unset.contains(k.stripPrefix("prop:"))
+      }
+      val edited = kept ++ set.map { case (k, v) => s"prop:$k" -> v } +
+        ("properties" -> "true")
+      val next = vs.last + 1
+      if (tryPublish(spark, root, next, dirs, edited)) return next
+    }
+    -1L // unreachable
   }
 
   /** RESTORE (rollback) as a COMMIT: publish a NEW version whose manifest
@@ -644,8 +841,13 @@ object VersionedTable {
       k.startsWith("stats:") || k.startsWith("dv:")
     }
     raceHook()
+    // stats/dv headers describe toV's generations (restored verbatim);
+    // properties describe the TABLE, so the restore keeps the CURRENT
+    // tip's — rolling back a bad data load must not revert an unrelated
+    // property change
     if (tryPublish(spark, root, baseV + 1, dirs,
-        keepHeaders + ("restore" -> toV.toString)))
+        keepHeaders ++ propHeaders(spark, root, baseV)
+          + ("restore" -> toV.toString)))
       Some(baseV + 1)
     else None // no orphan to reclaim — restore writes no generation
   }
@@ -2050,4 +2252,283 @@ object VersionedTable {
         (CAST(11 AS BIGINT), 'overwrite',  CAST(1 AS BIGINT), CAST(0 AS BIGINT))
       ) AS t(version, kind, n_generations, n_dvs)
       ORDER BY version"""))
+
+  /** q125: SQL MERGE INTO — the full three-clause statement (matched
+    * UPDATE, matched DELETE, not-matched INSERT) running natively
+    * against the catalog through Spark's delta-based row-level contract
+    * ([[graft.sources.VTableRowOp]]): Catalyst joins the target's own
+    * pushdown scan against the source, executor tasks stage one
+    * delete/insert operation per affected row as parquet (no driver
+    * collection), and [[applyRowDelta]] publishes ONE copy-on-write
+    * commit at generation granularity. `merge_audit` pins the scale
+    * posture in-query: exactly one version advance, and the CTAS's empty
+    * v1 generation CARRIES (only the generation holding matched keys
+    * rewrites). Time travel pins the pre-merge snapshot intact. The
+    * oracle recomputes the post-merge state relationally from `orders` —
+    * the statement must leave exactly the state the algebra demands.
+    */
+  val q125SqlMerge: Q = Q(
+    "q125_sql_merge",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val tag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq125_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = s"q125_orders_$tag"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.main.orders_v " +
+        "TBLPROPERTIES ('key'='o_orderkey') AS " +
+        s"SELECT * FROM $view WHERE yr = 1995")
+      val table = s"$root/main/orders_v"
+      val vPre = versions(s, table).last
+      // disjoint custkey classes make the source's action sets disjoint
+      // by key: price bump for %7=0, erasure for %7=1, and 1996's %7=2
+      // rows as inserts (1996 keys never match 1995 rows)
+      s.sql(
+        s"""MERGE INTO $cat.main.orders_v AS tgt
+           |USING (
+           |  SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice,
+           |         yr, 'U' AS action
+           |  FROM $view WHERE yr = 1995 AND o_custkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_totalprice, yr, 'D'
+           |  FROM $view WHERE yr = 1995 AND o_custkey % 7 = 1
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_totalprice, yr, 'I'
+           |  FROM $view WHERE yr = 1996 AND o_custkey % 7 = 2
+           |) AS src ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.action = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice, yr)
+           |  VALUES (src.o_orderkey, src.o_custkey, src.o_totalprice, src.yr)
+           |""".stripMargin)
+      val vPost = versions(s, table).last
+      val carried = manifestDirs(s, table, vPre)
+        .count(manifestDirs(s, table, vPost).contains)
+      def summarize(step: String, suffix: String, where: String) = s.sql(
+        s"SELECT '$step' AS step, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          s"FROM $cat.main.orders_v $suffix $where")
+      val audit = s.range(1).select(
+        concat(lit("merge_audit_"),
+          lit(commitKind(s, table, vPost))).as("step"),
+        lit(vPost - vPre).as("n_rows"), lit(carried.toLong).as("n_cust"),
+        lit(null).cast("double").as("revenue"))
+      summarize("merged_updated", "", "WHERE o_custkey % 7 = 0")
+        .unionByName(summarize("merged_rest", "",
+          "WHERE yr = 1995 AND o_custkey % 7 >= 2"))
+        .unionByName(summarize("merged_inserted", "", "WHERE yr = 1996"))
+        .unionByName(summarize("time_travel_pre", s"VERSION AS OF $vPre", ""))
+        .unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'merge_audit_merge' AS step, CAST(1 AS BIGINT) AS n_rows,
+        CAST(1 AS BIGINT) AS n_cust, CAST(NULL AS DOUBLE) AS revenue
+      UNION ALL
+      SELECT 'merged_inserted', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1996 AND o_custkey % 7 = 2
+      UNION ALL
+      SELECT 'merged_rest', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1995 AND o_custkey % 7 >= 2
+      UNION ALL
+      SELECT 'merged_updated', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price + 100) AS DOUBLE)
+      FROM o WHERE yr = 1995 AND o_custkey % 7 = 0
+      UNION ALL
+      SELECT 'time_travel_pre', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1995
+      ORDER BY step"""))
+
+  /** q126: SQL UPDATE — a native UPDATE statement against the catalog,
+    * through the same delta-based row-level path as q125 (each affected
+    * row becomes a staged delete of its row id plus an insert of its new
+    * image; one copy-on-write commit). The cohort lives entirely in the
+    * 1996 generation, so `update_audit` pins that the OTHER three
+    * generations (the CTAS's empty v1, 1995, 1997) carry verbatim —
+    * UPDATE cost scales with the touched fraction of the table. The
+    * updated rows move to yr=2096, so the post-state groups are
+    * disjoint; the oracle recomputes each from `orders`.
+    */
+  val q126SqlUpdate: Q = Q(
+    "q126_sql_update",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val tag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq126_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = s"q126_orders_$tag"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.main.orders_v " +
+        "TBLPROPERTIES ('key'='o_orderkey') AS " +
+        s"SELECT * FROM $view WHERE yr = 1995")
+      s.sql(s"INSERT INTO $cat.main.orders_v SELECT * FROM $view WHERE yr = 1996")
+      s.sql(s"INSERT INTO $cat.main.orders_v SELECT * FROM $view WHERE yr = 1997")
+      val table = s"$root/main/orders_v"
+      val vPre = versions(s, table).last
+      s.sql(s"UPDATE $cat.main.orders_v " +
+        "SET o_totalprice = o_totalprice + 10, yr = yr + 100 " +
+        "WHERE yr = 1996 AND o_custkey % 3 = 0")
+      val vPost = versions(s, table).last
+      val carried = manifestDirs(s, table, vPre)
+        .count(manifestDirs(s, table, vPost).contains)
+      def summarize(step: String, suffix: String, where: String) = s.sql(
+        s"SELECT '$step' AS step, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          s"FROM $cat.main.orders_v $suffix $where")
+      val audit = s.range(1).select(
+        concat(lit("update_audit_"),
+          lit(commitKind(s, table, vPost))).as("step"),
+        lit(vPost - vPre).as("n_rows"), lit(carried.toLong).as("n_cust"),
+        lit(null).cast("double").as("revenue"))
+      summarize("updated_cohort", "", "WHERE yr = 2096")
+        .unionByName(summarize("remaining_1996", "", "WHERE yr = 1996"))
+        .unionByName(summarize("time_travel_pre", s"VERSION AS OF $vPre",
+          "WHERE yr = 1996"))
+        .unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'remaining_1996' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(price) AS DOUBLE) AS revenue
+      FROM o WHERE yr = 1996 AND o_custkey % 3 <> 0
+      UNION ALL
+      SELECT 'time_travel_pre', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1996
+      UNION ALL
+      SELECT 'update_audit_update', CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'updated_cohort', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price + 10) AS DOUBLE)
+      FROM o WHERE yr = 1996 AND o_custkey % 3 = 0
+      ORDER BY step"""))
+
+  /** q127: SQL MAINTENANCE via `CALL` — the full lifecycle a SQL-only
+    * operator runs, through [[graft.sources.VTableProcedures]] (Spark
+    * 4's DSv2 `ProcedureCatalog`): CTAS + INSERT build a 3-generation
+    * table, `CALL compact` rewrites it to one generation (v4, a
+    * `#rewrite=true` commit feeds skip), an INSERT lands on the
+    * compacted base (v5), `CALL restore` rolls back to the compacted
+    * snapshot as a bytes-sized commit (v6 — the 1997 load is undone but
+    * still time-travels), and `CALL vacuum(keep_versions=1)` reclaims
+    * everything unreferenced: exactly 4 generations (the CTAS's empty
+    * v1, 1995, 1996, the rolled-back 1997) and 5 manifests. Every CALL's
+    * result row is part of the output, so the oracle pins the whole
+    * ledger — version numbers, reclaim counts, and the post-vacuum
+    * history — plus the content before and after. Each step is manifest
+    * arithmetic; only compact touches data, once.
+    */
+  val q127SqlMaintenance: Q = Q(
+    "q127_sql_maintenance",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val tag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq127_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = s"q127_orders_$tag"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.main.orders_v AS " +
+        s"SELECT * FROM $view WHERE yr = 1995")               // v1 + v2
+      s.sql(s"INSERT INTO $cat.main.orders_v " +
+        s"SELECT * FROM $view WHERE yr = 1996")               // v3
+      val rCompact = s.sql(
+        s"CALL $cat.system.compact(table => 'main.orders_v')").head() // v4
+      s.sql(s"INSERT INTO $cat.main.orders_v " +
+        s"SELECT * FROM $view WHERE yr = 1997")               // v5
+      val rRestore = s.sql(
+        s"CALL $cat.system.restore('main.orders_v', ${rCompact.getLong(0)})")
+        .head()                                               // v6
+      val ttPre = s.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS a, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS b, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c " +
+          s"FROM $cat.main.orders_v VERSION AS OF 5").head()
+      val rVacuum = s.sql(
+        s"CALL $cat.system.vacuum('main.orders_v', " +
+          "keep_versions => 1, force => true)").head()
+      val hist = s.sql(s"CALL $cat.system.history('main.orders_v')")
+        .select(col("version"), col("kind")).collect().toSeq
+      def out(step: String, a: Long, b: Long, c: Option[Double]) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"),
+          c.map(lit(_)).getOrElse(lit(null)).cast("double").as("c"))
+      val content = s.sql(
+        "SELECT 'final_content' AS step, CAST(count(*) AS BIGINT) AS a, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS b, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c " +
+          s"FROM $cat.main.orders_v")
+      content
+        .unionByName(out("pre_vacuum_1997_tt", ttPre.getLong(0),
+          ttPre.getLong(1), Some(ttPre.getDouble(2))))
+        .unionByName(out("compact_call", rCompact.getLong(0),
+          if (rCompact.getBoolean(1)) 1L else 0L, None))
+        .unionByName(out("restore_call", rRestore.getLong(0),
+          rRestore.getLong(1), None))
+        .unionByName(out("vacuum_call", rVacuum.getInt(0).toLong,
+          rVacuum.getInt(1).toLong, None))
+        .unionByName(out(
+          s"post_vacuum_history_${hist.map(_.getString(1)).mkString(",")}",
+          hist.map(_.getLong(0)).max, hist.size.toLong, None))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'compact_call' AS step, CAST(4 AS BIGINT) AS a,
+        CAST(1 AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS c
+      UNION ALL
+      SELECT 'final_content', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996)
+      UNION ALL
+      SELECT 'post_vacuum_history_restore', CAST(6 AS BIGINT),
+        CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'pre_vacuum_1997_tt', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr IN (1995, 1996, 1997)
+      UNION ALL
+      SELECT 'restore_call', CAST(4 AS BIGINT), CAST(6 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'vacuum_call', CAST(4 AS BIGINT), CAST(5 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
 }

@@ -6,10 +6,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +55,7 @@ import graft.ops.VersionedTable
   * DROP deletes the table tree; RENAME is a directory move
   * (metadata-only, like the lakehouse formats).
   */
-class VTableCatalog extends TableCatalog {
+class VTableCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -98,7 +99,14 @@ class VTableCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    new VTableV2Table(p, None, pruneCol)
+    // a table that DECLARES a row-id column (the `key` property) gains
+    // the SQL row-level statements — UPDATE / MERGE INTO / row-level
+    // DELETE; without the declaration those statements stay refused at
+    // analysis (there is no sound per-row identity to key them on)
+    VersionedTable.tableProperties(spark, p).get("key") match {
+      case Some(k) => new VTableV2TableWithRowOps(p, pruneCol, k)
+      case None => new VTableV2Table(p, None, pruneCol)
+    }
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -134,19 +142,67 @@ class VTableCatalog extends TableCatalog {
     // both succeed — the loser gets TableAlreadyExists, never a clobber.
     val created = VersionedTable.createIfAbsent(spark, p,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        .repartition(1))
+        .repartition(1),
+      userProps(properties))
     if (!created) throw new TableAlreadyExistsException(ident)
     new VTableV2Table(p, None, pruneCol)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-vtable: schema evolves by committing widened generations, not ALTER")
+  // TBLPROPERTIES minus the entries Spark itself injects into the create
+  // call — those describe the catalog plumbing, not the user's table
+  private def userProps(properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL)
+    properties.asScala.toMap
+      .filter { case (k, _) =>
+        !reserved.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX)
+      }
+  }
+
+  // ALTER TABLE … SET/UNSET TBLPROPERTIES — a metadata-only commit (one
+  // manifest publish, no data movement). Schema changes stay refused:
+  // schema evolves by committing widened generations.
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val (props, other) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (other.nonEmpty) throw new UnsupportedOperationException(
+      "graft-vtable: only SET/UNSET TBLPROPERTIES is supported — schema " +
+        "evolves by committing widened generations, not ALTER")
+    val set = props.collect { case c: TableChange.SetProperty =>
+      c.property() -> c.value() }.toMap
+    val unset = props.collect { case c: TableChange.RemoveProperty =>
+      c.property() }
+    if (set.nonEmpty || unset.nonEmpty)
+      VersionedTable.setProperties(spark, p, set, unset)
+    new VTableV2Table(p, None, pruneCol)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
     hfs(p).exists(p) && hfs(p).delete(p, true)
   }
+
+  // SQL `CALL <cat>.system.<proc>(…)` — the maintenance procedures
+  // (compact / optimize / restore / vacuum / history), resolved against
+  // the fixed `system` namespace like the other lakehouse catalogs
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace().sameElements(Array("system"))
+    (if (known) VTableProcedures.load(ident.name(), root) else None)
+      .getOrElse(throw new NoSuchElementException(
+        s"graft-vtable: no procedure $ident — known: " +
+          VTableProcedures.names.map("system." + _).mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      VTableProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = new Path(pathOf(oldIdent))
@@ -170,6 +226,11 @@ class VTableV2Table(path: String, version: Option[Long],
 
   override lazy val schema: StructType =
     VersionedTable.readAt(SparkSession.active, path, version).schema
+
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    VersionedTable.tableProperties(SparkSession.active, path, version).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -225,6 +286,41 @@ class VTableV2Table(path: String, version: Option[Long],
       attempt += 1
       if (attempt > 5) throw new java.io.IOException(
         s"graft-vtable: DELETE lost the publish race $attempt times at $path")
+    }
+  }
+}
+
+/** A snapshot whose table declared a row-id column (`key` property):
+  * gains SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE through
+  * the delta-based row-level contract (see [[VTableRowOp]]). Kept as a
+  * subclass so KEYLESS tables never expose the interface — Spark's
+  * analysis rewrites every DELETE through it when present, and without
+  * a declared per-row identity the only sound behavior is the existing
+  * one (metadata-translatable deletes, loud refusal otherwise).
+  */
+class VTableV2TableWithRowOps(path: String, pruneCol: Option[String],
+    keyCol: String) extends VTableV2Table(path, None, pruneCol)
+    with SupportsRowLevelOperations {
+
+  // declaring `key` ASSERTS the column is a non-null unique row id —
+  // Spark refuses nullable row-id attributes outright, so the declared
+  // schema reflects the assertion. Uniqueness is enforced per statement
+  // by the commit's cardinality guard; a NULL key would abort there too.
+  override lazy val schema: StructType = {
+    val base = VersionedTable.readAt(SparkSession.active, path).schema
+    StructType(base.map(f =>
+      if (f.name == keyCol) f.copy(nullable = false) else f))
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(schema.fieldNames.contains(keyCol),
+      s"graft-vtable: table property key='$keyCol' names no column of " +
+        s"${schema.fieldNames.mkString("(", ", ", ")")}")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new VTableRowOp(path,
+        keyCol, pruneCol.filter(schema.fieldNames.contains(_)), schema,
+        info.command())
     }
   }
 }

@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.VersionedTable
+
+/** SQL `CALL` surface for the versioned table's MAINTENANCE operations —
+  * the statements every lakehouse ships as stored procedures because no
+  * standard SQL verb exists for them:
+  *
+  * {{{
+  *   CALL cat.system.compact(table => 'main.orders_v')
+  *   CALL cat.system.optimize('main.orders_v', 'o_custkey', 16)
+  *   CALL cat.system.restore('main.orders_v', 3)
+  *   CALL cat.system.vacuum('main.orders_v', keep_versions => 1, force => true)
+  *   CALL cat.system.history('main.orders_v')
+  * }}}
+  *
+  * Wired through Spark 4's DSv2 `ProcedureCatalog` contract: the catalog
+  * resolves `system.<name>`, Spark type-checks and coerces the arguments
+  * against the declared [[ProcedureParameter]]s (named or positional,
+  * with defaults), and each call returns its result rows through a
+  * [[LocalScan]] — maintenance results are bytes-sized ledgers (versions,
+  * file counts), never data. The procedures delegate to the same
+  * [[VersionedTable]] operations the API exposes, so SQL-only users get
+  * the full maintenance story: compaction/clustering as first-class
+  * `#rewrite=true` commits that change feeds skip, restore as a
+  * bytes-sized manifest commit, vacuum as the only data/ listing in the
+  * format. A maintenance race (concurrent writer won the publish) throws
+  * with a re-run instruction — losing maintenance is always safe.
+  */
+object VTableProcedures {
+
+  private def spark = SparkSession.active
+
+  /** `'ns.tbl'` (dots) relative to the catalog root → table root path,
+    * with the catalog's own traversal validation.
+    */
+  private def tableRoot(root: String, table: String): String = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(s =>
+        s.nonEmpty && !s.contains("/") && !s.contains("..")),
+      s"graft-vtable procedure: illegal table identifier '$table'")
+    val p = parts.foldLeft(new Path(root))((acc, s) => new Path(acc, s)).toString
+    require(VersionedTable.versions(spark, p).nonEmpty,
+      s"graft-vtable procedure: no table at '$table'")
+    p
+  }
+
+  private def utf8(s: String): AnyRef =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private case class ResultScan(out: Array[InternalRow],
+      schema: StructType) extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+    override def description(): String = "graft-vtable procedure result"
+  }
+
+  private def raceLost(what: String): Nothing =
+    throw new java.io.IOException(
+      s"graft-vtable: $what lost the publish race to a concurrent " +
+        "writer — maintenance losing is always safe; re-run the CALL")
+
+  /** One procedure: declared parameters, output schema, and a body from
+    * the coerced argument row to result rows.
+    */
+  private final case class Proc(name: String, description: String,
+      params: Seq[ProcedureParameter], out: StructType,
+      body: (String, InternalRow) => Seq[InternalRow]) {
+
+    def unbound(root: String): UnboundProcedure = new UnboundProcedure {
+      override def name(): String = Proc.this.name
+      override def description(): String = Proc.this.description
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = Proc.this.name
+          override def description(): String = Proc.this.description
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            java.util.List.of[Scan](
+              ResultScan(body(root, input).toArray, out)).iterator()
+        }
+    }
+  }
+
+  private def in(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDefault(name: String, dt: DataType, dflt: String) =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  private val procs: Seq[Proc] = Seq(
+    Proc("compact",
+      "rewrite the latest snapshot as one generation (materializes " +
+        "outstanding deletion vectors); a #rewrite=true commit change " +
+        "feeds skip",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("compacted", BooleanType, nullable = false))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        VersionedTable.compact(spark, p) match {
+          case Some(v) =>
+            Seq(new GenericInternalRow(Array[Any](v, true)))
+          case None =>
+            // compact() returns None both when already compact (one
+            // generation, no DVs) and on a publish loss — disambiguate
+            // by re-checking the precondition at the (new) tip
+            val tip = VersionedTable.history(spark, p)
+              .collect().maxBy(_.getLong(0))
+            if (tip.getInt(2) <= 1 && tip.getInt(3) == 0)
+              Seq(new GenericInternalRow(
+                Array[Any](tip.getLong(0), false)))
+            else raceLost("compact")
+        }
+      }),
+    Proc("optimize",
+      "cluster the latest snapshot (1 sort column or 2 z-order columns) " +
+        "into ~target_mb files as a #rewrite=true commit",
+      Seq(in("table", StringType), in("cluster_by", StringType),
+        inDefault("target_mb", LongType, "128")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType),
+        StructField("rows_rewritten", LongType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val cols = args.getUTF8String(1).toString.split(',').map(_.trim).toSeq
+        val bytes = args.getLong(2) * 1024L * 1024L
+        VersionedTable.optimize(spark, p, cols, bytes) match {
+          case Some((v, st)) => Seq(new GenericInternalRow(
+            Array[Any](v, st.filesBefore, st.filesAfter, st.rows)))
+          case None => raceLost("optimize")
+        }
+      }),
+    Proc("restore",
+      "make an old snapshot the table tip as a new bytes-sized commit; " +
+        "history is preserved and the restore is itself auditable",
+      Seq(in("table", StringType), in("version", LongType)),
+      StructType(Seq(StructField("restored_to", LongType),
+        StructField("committed_version", LongType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val toV = args.getLong(1)
+        VersionedTable.restore(spark, p, toV) match {
+          case Some(v) => Seq(new GenericInternalRow(Array[Any](toV, v)))
+          case None => raceLost("restore")
+        }
+      }),
+    Proc("vacuum",
+      "reclaim generations no retained snapshot references (trims time " +
+        "travel to keep_versions); force also reclaims unreferenced " +
+        "dirs younger than the newest manifest",
+      Seq(in("table", StringType),
+        inDefault("keep_versions", IntegerType, "2147483647"),
+        inDefault("force", BooleanType, "false")),
+      StructType(Seq(StructField("generations_deleted", IntegerType),
+        StructField("manifests_deleted", IntegerType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val (gens, manifests) = VersionedTable.vacuum(spark, p,
+          args.getInt(1), args.getBoolean(2))
+        Seq(new GenericInternalRow(Array[Any](gens, manifests)))
+      }),
+    Proc("history",
+      "DESCRIBE HISTORY: one row per commit (kind, generation/DV " +
+        "counts, txn stamp, publish time) from bytes-sized manifest " +
+        "reads alone",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("kind", StringType),
+        StructField("n_generations", IntegerType),
+        StructField("n_dvs", IntegerType),
+        StructField("txn_app", StringType),
+        StructField("txn_batch", LongType),
+        StructField("committed_at", TimestampType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        VersionedTable.history(spark, p).collect().toSeq.map { r =>
+          new GenericInternalRow(Array[Any](
+            r.getLong(0), utf8(r.getString(1)), r.getInt(2), r.getInt(3),
+            utf8(if (r.isNullAt(4)) null else r.getString(4)),
+            if (r.isNullAt(5)) null else r.getLong(5),
+            // java.sql.Timestamp → epoch micros (catalyst TimestampType)
+            r.getTimestamp(6).getTime * 1000L +
+              (r.getTimestamp(6).getNanos / 1000L) % 1000L))
+        }
+      }))
+
+  def names: Seq[String] = procs.map(_.name)
+
+  def load(name: String, root: String): Option[UnboundProcedure] =
+    procs.find(_.name == name).map(_.unbound(root))
+}

@@ -624,4 +624,43 @@ class VersionedTableSpec extends SparkSpec {
       assert(idsAt(root) == (1 to 6).map(100 + _).toSet)
     } finally pool.shutdownNow()
   }
+
+  test("table properties persist through every commit kind and edit as metadata-only commits") {
+    val root = freshRoot()
+    assert(VersionedTable.createIfAbsent(spark, root, df(1, 2),
+      Map("key" -> "id", "team" -> "graft")))
+    def props() = VersionedTable.tableProperties(spark, root)
+    assert(props() == Map("key" -> "id", "team" -> "graft"))
+    // the full tour: append, overwrite, rewrite, restore — properties
+    // describe the TABLE, so every commit kind must carry them
+    VersionedTable.commit(spark, root, df(3), overwrite = false)
+    assert(props() == Map("key" -> "id", "team" -> "graft"), "append carries")
+    VersionedTable.commit(spark, root, df(9), overwrite = true)
+    assert(props() == Map("key" -> "id", "team" -> "graft"), "overwrite carries")
+    VersionedTable.commit(spark, root, df(10), overwrite = false)
+    VersionedTable.compact(spark, root)
+      .getOrElse(fail("compact must publish"))
+    assert(props() == Map("key" -> "id", "team" -> "graft"), "rewrite carries")
+    val vRestore = VersionedTable.restore(spark, root, 1L)
+      .getOrElse(fail("restore must publish"))
+    assert(props() == Map("key" -> "id", "team" -> "graft"), "restore carries")
+    // SET/UNSET is a metadata-only commit: no generation written, kind
+    // classified, change feed across it is empty
+    val before = VersionedTable.manifestDirs(spark, root, vRestore)
+    val vProps = VersionedTable.setProperties(spark, root,
+      Map("team" -> "corpus"), unset = Seq("key"))
+    assert(props() == Map("team" -> "corpus"))
+    assert(VersionedTable.manifestDirs(spark, root, vProps) == before,
+      "metadata-only: directories unchanged")
+    assert(VersionedTable.commitKind(spark, root, vProps) == "set_properties")
+    assert(VersionedTable.readChanges(spark, root, vRestore, vProps).count() == 0)
+    // time travel sees the properties AS OF that version
+    assert(VersionedTable.tableProperties(spark, root, Some(vRestore)) ==
+      Map("key" -> "id", "team" -> "graft"))
+    // the manifest line format is the only constraint — enforce it loudly
+    intercept[IllegalArgumentException](
+      VersionedTable.setProperties(spark, root, Map("a=b" -> "x")))
+    intercept[IllegalArgumentException](
+      VersionedTable.setProperties(spark, root, Map("a" -> "x\ny")))
+  }
 }

@@ -116,4 +116,28 @@ class VTableCatalogSpec extends SparkSpec {
     assert(ids("SELECT id FROM vtcat.w.d") == Set.empty[Int])
     assert(ids(s"SELECT id FROM vtcat.w.d VERSION AS OF $vTrunc") == Set(1, 3, 5))
   }
+
+  test("TBLPROPERTIES live in the log: CREATE stores, SHOW reads, ALTER edits, writes carry") {
+    spark.sql("CREATE TABLE vtcat.p.t (id INT) TBLPROPERTIES " +
+      "('key'='id', 'team'='graft')")
+    def shown(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES vtcat.p.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown() == Map("key" -> "id", "team" -> "graft"))
+    // properties survive data writes (the carry contract)
+    spark.sql("INSERT INTO vtcat.p.t VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE vtcat.p.t VALUES (3)")
+    assert(shown() == Map("key" -> "id", "team" -> "graft"))
+    // ALTER SET/UNSET is a metadata-only commit in the table's own log
+    spark.sql("ALTER TABLE vtcat.p.t SET TBLPROPERTIES ('team'='corpus')")
+    spark.sql("ALTER TABLE vtcat.p.t UNSET TBLPROPERTIES ('key')")
+    assert(shown() == Map("team" -> "corpus"))
+    assert(VersionedTable.commitKind(spark, s"$root/p/t",
+      VersionedTable.versions(spark, s"$root/p/t").last) == "set_properties")
+    // data rows untouched by the metadata commits
+    assert(ids("SELECT id FROM vtcat.p.t") == Set(3))
+    // schema ALTER stays refused — evolution is by widened generations
+    intercept[Exception](
+      spark.sql("ALTER TABLE vtcat.p.t ADD COLUMN extra INT"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.VersionedTable
+
+class VTableProceduresSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("vtproc").toString
+    spark.conf.set("spark.sql.catalog.vtproc", classOf[VTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtproc.root", r)
+    r
+  }
+
+  private def df(ids: Int*) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  private def ids(sql: String): Set[Int] =
+    spark.sql(sql).collect().map(_.getInt(0)).toSet
+
+  test("CALL compact rewrites to one generation; a second call reports already-compact") {
+    VersionedTable.commit(spark, s"$root/m/t", df(1, 2), overwrite = true)
+    VersionedTable.commit(spark, s"$root/m/t", df(3), overwrite = false)
+    val r1 = spark.sql("CALL vtproc.system.compact(table => 'm.t')").head()
+    assert(r1.getLong(0) == 3L && r1.getBoolean(1))
+    assert(VersionedTable.commitKind(spark, s"$root/m/t", 3L) == "rewrite")
+    assert(ids("SELECT id FROM vtproc.m.t") == Set(1, 2, 3))
+    // already one generation, no DVs: reported, not re-published
+    val r2 = spark.sql("CALL vtproc.system.compact('m.t')").head()
+    assert(r2.getLong(0) == 3L && !r2.getBoolean(1))
+    assert(VersionedTable.versions(spark, s"$root/m/t").last == 3L)
+  }
+
+  test("CALL optimize clusters into the requested file budget as a rewrite commit") {
+    VersionedTable.commit(spark, s"$root/o/t",
+      df(1 to 100: _*).repartition(8), overwrite = true)
+    val r = spark.sql(
+      "CALL vtproc.system.optimize('o.t', 'id', target_mb => 1)").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getInt(1) == 8, "files before = the 8 written partitions")
+    assert(r.getInt(2) == 1, "100 small rows cluster into one file")
+    assert(r.getLong(3) == 100L)
+    assert(VersionedTable.commitKind(spark, s"$root/o/t", 2L) == "rewrite")
+    assert(ids("SELECT id FROM vtproc.o.t") == (1 to 100).toSet)
+  }
+
+  test("CALL restore + vacuum: rollback as a commit, then reclaim to the retained tip") {
+    VersionedTable.commit(spark, s"$root/v/t", df(1), overwrite = true)
+    VersionedTable.commit(spark, s"$root/v/t", df(2), overwrite = false)
+    VersionedTable.commit(spark, s"$root/v/t", df(3), overwrite = false)
+    val r = spark.sql("CALL vtproc.system.restore('v.t', 1)").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(ids("SELECT id FROM vtproc.v.t") == Set(1))
+    assert(ids("SELECT id FROM vtproc.v.t VERSION AS OF 3") == Set(1, 2, 3))
+    // keep only the restored tip: the v2/v3 generations die, manifests trim
+    val vac = spark.sql(
+      "CALL vtproc.system.vacuum('v.t', keep_versions => 1, force => true)")
+      .head()
+    assert(vac.getInt(0) == 2, "the two appended generations reclaim")
+    assert(vac.getInt(1) == 3, "manifests 1-3 trim")
+    assert(ids("SELECT id FROM vtproc.v.t") == Set(1), "tip survives vacuum")
+  }
+
+  test("CALL history returns the classified ledger; SHOW PROCEDURES lists the surface") {
+    VersionedTable.commit(spark, s"$root/h/t", df(1), overwrite = true)
+    VersionedTable.commit(spark, s"$root/h/t", df(2), overwrite = false)
+    val h = spark.sql("CALL vtproc.system.history('h.t')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(h == Seq((1L, "create"), (2L, "append")))
+    val listed = spark.sql("SHOW PROCEDURES IN vtproc.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(listed == Set("compact", "optimize", "restore", "vacuum", "history"))
+    intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
+    intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
+  }
+}
