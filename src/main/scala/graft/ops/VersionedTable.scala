@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
 import Q.t
 
 /** A minimal commit-log table format — numbered snapshots over plain
@@ -45,7 +46,7 @@ object VersionedTable {
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
-    q126SqlUpdate, q127SqlMaintenance)
+    q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -707,8 +708,8 @@ object VersionedTable {
     * manifest: the log IS the audit trail, so classification needs no
     * extra bookkeeping. Kinds: `create`, `append`, `overwrite`,
     * `rewrite` (compact/optimize), `merge`, `update`, `delete`,
-    * `mor_delete`, `set_properties`, `restore`, with `txn` suffixed for
-    * stamped streaming commits.
+    * `mor_delete`, `set_properties`, `add_columns`, `restore`, with
+    * `txn` suffixed for stamped streaming commits.
     */
   def commitKind(spark: SparkSession, root: String, v: Long): String = {
     val vs = versions(spark, root)
@@ -720,6 +721,7 @@ object VersionedTable {
       else if (meta.get("delete").contains("true")) "delete"
       else if (meta.get("mor_delete").contains("true")) "mor_delete"
       else if (meta.get("properties").contains("true")) "set_properties"
+      else if (meta.get("alter").contains("add_columns")) "add_columns"
       else if (meta.contains("restore")) "restore"
       else vs.filter(_ < v).lastOption match {
         case None => "create"
@@ -807,6 +809,45 @@ object VersionedTable {
       if (tryPublish(spark, root, next, dirs, edited)) return next
     }
     -1L // unreachable
+  }
+
+  /** ALTER TABLE ADD COLUMNS as a SCHEMA-EVOLUTION COMMIT: append an
+    * EMPTY generation carrying the widened schema — exactly the "schema
+    * evolves by committing widened generations" contract every read path
+    * already honors ([[readDirs]] aligns by name; generations without a
+    * column read as NULL), just driven by DDL instead of a data load. The
+    * new columns are NULL for every existing row, become writable on the
+    * next insert, and old snapshots keep their narrow schema (the ALTER
+    * is itself a version — time travel before it never sees the column).
+    * Cost at any table size: one empty footer-bearing parquet file + one
+    * manifest publish — no data movement.
+    *
+    * New columns must be nullable (every existing row has no value) and
+    * must not collide case-insensitively with a live column. Stamped
+    * `#alter=add_columns`; append-shaped (keeps every base generation),
+    * so change feeds deliver it as an empty delta and the streaming tail
+    * keeps flowing. Like [[setProperties]] the intent is
+    * state-independent, so a publish loss retries at the next version.
+    */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "addColumns: no columns to add")
+    require(cols.forall(_.nullable),
+      "addColumns: new columns must be nullable — existing rows have no " +
+        "value for them")
+    val dup = cols.groupBy(_.name.toLowerCase).collect {
+      case (_, g) if g.size > 1 => g.head.name }
+    require(dup.isEmpty, s"addColumns: duplicate new column ${dup.mkString(",")}")
+    val base = readAt(spark, root)
+    val clash = cols.map(_.name.toLowerCase)
+      .intersect(base.schema.fieldNames.map(_.toLowerCase).toSeq)
+    require(clash.isEmpty,
+      s"addColumns: column ${clash.mkString(",")} already exists")
+    val widened = cols.foldLeft(base.limit(0))((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+      .repartition(1)
+    commit(spark, root, widened, overwrite = false,
+      meta = Map("alter" -> "add_columns"))
   }
 
   /** RESTORE (rollback) as a COMMIT: publish a NEW version whose manifest
@@ -2530,5 +2571,91 @@ object VersionedTable {
       UNION ALL
       SELECT 'vacuum_call', CAST(4 AS BIGINT), CAST(5 AS BIGINT),
         CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q128: SQL SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMNS` as a
+    * widened empty-generation commit ([[addColumns]]), driven end to end
+    * through SQL. CTAS loads 1995 orders narrow (v1 create + v2 append),
+    * ALTER adds `o_priority` (v3 — one empty footer-bearing parquet file
+    * + one manifest publish, no data movement at any table size), INSERT
+    * lands 1996 orders WITH the new column (v4). The final snapshot
+    * groups by the evolved column — 1995 rows read NULL (no backfill),
+    * 1996 rows carry real values; time travel pins the narrow 4-column
+    * schema at v2 and the widened-but-all-NULL column at v3; the history
+    * row pins the `add_columns` commit kind in the ledger. The oracle
+    * replays the two loads as filters over the base table and never sees
+    * the format — the hash match proves evolution changed no committed
+    * row on either side of the ALTER.
+    */
+  val q128SqlEvolution: Q = Q(
+    "q128_sql_evolution",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val tag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq128_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val view = s"q128_orders_$tag"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.main.orders_v AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, yr " +
+        s"FROM $view WHERE yr = 1995")                          // v1 + v2
+      s.sql(s"ALTER TABLE $cat.main.orders_v " +
+        "ADD COLUMNS (o_priority STRING)")                      // v3
+      s.sql(s"INSERT INTO $cat.main.orders_v " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, yr, o_orderpriority " +
+        s"FROM $view WHERE yr = 1996")                          // v4
+      val byPrio = s.sql(
+        "SELECT concat('prio_', coalesce(o_priority, 'none')) AS step, " +
+          "CAST(count(*) AS BIGINT) AS a, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS b, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c " +
+          s"FROM $cat.main.orders_v GROUP BY 1")
+      val pre = s.sql(s"SELECT * FROM $cat.main.orders_v VERSION AS OF 2")
+      val post = s.sql(s"SELECT * FROM $cat.main.orders_v VERSION AS OF 3")
+      val postStat = post.agg(count(lit(1)), count(col("o_priority"))).head()
+      val table = s"$root/main/orders_v"
+      val kinds = versions(s, table).map(commitKind(s, table, _))
+      def out(step: String, a: Long, b: Long, c: Option[Double]) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"),
+          c.map(lit(_)).getOrElse(lit(null)).cast("double").as("c"))
+      byPrio
+        .unionByName(out("pre_alter_tt",
+          pre.count(), pre.columns.length.toLong, None))
+        .unionByName(out("post_alter_tt", postStat.getLong(0),
+          post.columns.length.toLong, Some(postStat.getLong(1).toDouble)))
+        .unionByName(out(s"history_${kinds.mkString(",")}",
+          kinds.size.toLong, kinds.count(_ == "add_columns").toLong, None))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr, o_orderpriority AS prio
+        FROM orders)
+      SELECT concat('prio_', prio) AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(price) AS DOUBLE) AS c
+      FROM o WHERE yr = 1996 GROUP BY prio
+      UNION ALL
+      SELECT 'prio_none', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'pre_alter_tt', CAST(count(*) AS BIGINT), CAST(4 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'post_alter_tt', CAST(count(*) AS BIGINT), CAST(5 AS BIGINT),
+        CAST(0 AS DOUBLE)
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'history_create,append,add_columns,append', CAST(4 AS BIGINT),
+        CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
       ORDER BY step"""))
 }

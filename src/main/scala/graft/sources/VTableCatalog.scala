@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.VersionedTable
@@ -161,25 +161,45 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   // ALTER TABLE … SET/UNSET TBLPROPERTIES — a metadata-only commit (one
-  // manifest publish, no data movement). Schema changes stay refused:
-  // schema evolves by committing widened generations.
+  // manifest publish, no data movement) — and ALTER TABLE … ADD COLUMNS —
+  // a widened-schema evolution commit (an empty generation carrying the
+  // new columns; old rows read NULL, old snapshots stay narrow). Every
+  // other schema change (DROP/RENAME/retype) stays refused: each would
+  // rewrite or reinterpret committed data.
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val (props, other) = changes.partition {
+    val (props, rest) = changes.partition {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
+    val (adds, other) = rest.partition(_.isInstanceOf[TableChange.AddColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      "graft-vtable: only SET/UNSET TBLPROPERTIES is supported — schema " +
-        "evolves by committing widened generations, not ALTER")
+      "graft-vtable: only SET/UNSET TBLPROPERTIES and ADD COLUMNS are " +
+        "supported — DROP/RENAME/retype would rewrite committed data")
+    val newCols = adds.collect { case c: TableChange.AddColumn =>
+      require(c.fieldNames().length == 1,
+        "graft-vtable: ADD COLUMNS supports top-level columns only, got " +
+          c.fieldNames().mkString("."))
+      require(c.position() == null,
+        "graft-vtable: ADD COLUMNS appends at the end — FIRST/AFTER is " +
+          "not supported (generation alignment is by name)")
+      require(c.defaultValue() == null,
+        "graft-vtable: ADD COLUMNS takes no DEFAULT — existing rows read " +
+          "the new column as NULL")
+      require(c.isNullable,
+        "graft-vtable: new columns must be nullable — existing rows have " +
+          "no value for them")
+      StructField(c.fieldNames()(0), c.dataType())
+    }
+    if (newCols.nonEmpty) VersionedTable.addColumns(spark, p, newCols)
     val set = props.collect { case c: TableChange.SetProperty =>
       c.property() -> c.value() }.toMap
     val unset = props.collect { case c: TableChange.RemoveProperty =>
       c.property() }
     if (set.nonEmpty || unset.nonEmpty)
       VersionedTable.setProperties(spark, p, set, unset)
-    new VTableV2Table(p, None, pruneCol)
+    loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

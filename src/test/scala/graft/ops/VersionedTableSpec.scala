@@ -663,4 +663,38 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VersionedTable.setProperties(spark, root, Map("a" -> "x\ny")))
   }
+
+  test("addColumns widens the schema; feeds deliver it as an empty delta") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1, 2), overwrite = true)
+    val vAlter = VersionedTable.addColumns(spark, root,
+      Seq(StructField("score", IntegerType)))
+    assert(vAlter == 2L)
+    assert(VersionedTable.commitKind(spark, root, vAlter) == "add_columns")
+    // widened read: old rows NULL, old snapshot narrow
+    val widened = VersionedTable.readAt(spark, root)
+    assert(widened.columns.toSeq == Seq("id", "score"))
+    assert(widened.filter(col("score").isNull).count() == 2)
+    assert(VersionedTable.readAt(spark, root, Some(1L)).columns.toSeq
+      == Seq("id"))
+    // append-shaped: the change feed crosses the ALTER as an EMPTY delta
+    // with the widened schema — incremental consumers keep flowing
+    val feed = VersionedTable.readChanges(spark, root, 1L, vAlter)
+    assert(feed.count() == 0 && feed.columns.toSeq == Seq("id", "score"))
+    // the column is writable by the next append, and feeds deliver it
+    import spark.implicits._
+    val vIns = VersionedTable.commit(spark, root,
+      Seq((3, 30)).toDF("id", "score"), overwrite = false)
+    val delta = VersionedTable.readChanges(spark, root, vAlter, vIns)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(delta == Set(3 -> 30))
+    // refusals: collision (case-insensitive), non-nullable, duplicates
+    intercept[IllegalArgumentException](VersionedTable.addColumns(spark,
+      root, Seq(StructField("SCORE", IntegerType))))
+    intercept[IllegalArgumentException](VersionedTable.addColumns(spark,
+      root, Seq(StructField("x", IntegerType, nullable = false))))
+    intercept[IllegalArgumentException](VersionedTable.addColumns(spark,
+      root, Seq(StructField("y", IntegerType), StructField("Y", IntegerType))))
+  }
 }

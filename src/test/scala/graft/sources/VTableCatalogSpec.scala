@@ -63,9 +63,10 @@ class VTableCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE vtcat.ns.b")
     assert(spark.sql("SHOW TABLES IN vtcat.ns")
       .collect().map(_.getString(1)).toSet == Set("c"))
-    // ALTER-schema is rejected loudly: schema evolves by widened commits
+    // destructive schema ALTER is rejected loudly — DROP would rewrite
+    // or reinterpret committed data (ADD COLUMNS is the supported path)
     intercept[Exception](
-      spark.sql("ALTER TABLE vtcat.ns.c ADD COLUMN tag STRING"))
+      spark.sql("ALTER TABLE vtcat.ns.c DROP COLUMN id"))
   }
 
   test("SQL writes land as commits: CTAS, INSERT INTO, INSERT OVERWRITE") {
@@ -136,8 +137,39 @@ class VTableCatalogSpec extends SparkSpec {
       VersionedTable.versions(spark, s"$root/p/t").last) == "set_properties")
     // data rows untouched by the metadata commits
     assert(ids("SELECT id FROM vtcat.p.t") == Set(3))
-    // schema ALTER stays refused — evolution is by widened generations
+    // destructive schema ALTER stays refused — only ADD COLUMNS evolves
     intercept[Exception](
-      spark.sql("ALTER TABLE vtcat.p.t ADD COLUMN extra INT"))
+      spark.sql("ALTER TABLE vtcat.p.t RENAME COLUMN id TO id2"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema as a widened commit") {
+    df(1, 2).createOrReplaceTempView("vtcat_evo_src")
+    spark.sql("CREATE TABLE vtcat.e.t AS SELECT id FROM vtcat_evo_src")
+    val vPre = VersionedTable.versions(spark, s"$root/e/t").last
+    spark.sql("ALTER TABLE vtcat.e.t ADD COLUMNS (tag STRING)")
+    val vAlter = VersionedTable.versions(spark, s"$root/e/t").last
+    assert(vAlter == vPre + 1, "ALTER is exactly one commit")
+    assert(VersionedTable.commitKind(spark, s"$root/e/t", vAlter)
+      == "add_columns")
+    // existing rows read the new column as NULL — no backfill, no rewrite
+    val rows = spark.sql("SELECT id, tag FROM vtcat.e.t")
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toSet
+    assert(rows == Set(1 -> None, 2 -> None))
+    // the column is writable on the next insert
+    spark.sql("INSERT INTO vtcat.e.t VALUES (3, 'new')")
+    assert(spark.sql("SELECT id FROM vtcat.e.t WHERE tag = 'new'")
+      .collect().map(_.getInt(0)).toSet == Set(3))
+    // time travel before the ALTER never sees the column
+    assert(spark.sql(s"SELECT * FROM vtcat.e.t VERSION AS OF $vPre")
+      .columns.toSeq == Seq("id"))
+    // refusals: non-nullable, positioned, and colliding columns
+    intercept[Exception](
+      spark.sql("ALTER TABLE vtcat.e.t ADD COLUMNS (x INT NOT NULL)"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE vtcat.e.t ADD COLUMNS (y INT FIRST)"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE vtcat.e.t ADD COLUMNS (TAG STRING)"))
+    assert(spark.sql("SELECT * FROM vtcat.e.t").columns.toSeq
+      == Seq("id", "tag"), "failed ALTERs must not commit")
   }
 }
