@@ -37,7 +37,11 @@ import graft.ops.VersionedTable
   *    fails the stream loudly rather than misreporting row changes —
   *    the Delta-source semantics without `skipChangeCommits`. Offsets
   *    are table versions, so a restart resumes exactly where the
-  *    checkpoint left off.
+  *    checkpoint left off. `option("startingVersion", n)` skips the
+  *    initial snapshot and tails changes after version n;
+  *    `option("maxVersionsPerBatch", m)` is admission control — each
+  *    trigger drains at most m commits, so a backlog is processed as
+  *    bounded micro-batches (see [[VTableCdcSource]]).
   *
   * This is a V1 source on purpose: its scan and feed are COMPOSITIONS of
   * existing parquet scans (the engine's own readAt/readChanges plans),
@@ -92,10 +96,16 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    require(maxVersions.forall(_ >= 1L),
+      "graft-vtable: maxVersionsPerBatch must be >= 1")
     new VTableCdcSource(sqlContext,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      pathOf(parameters))
+      pathOf(parameters),
+      parameters.get("startingVersion").map(_.toLong),
+      maxVersions)
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -238,26 +248,57 @@ case class VTableOffset(version: Long) extends Offset {
 
 /** The commit-log tail: first batch = full snapshot at the start
   * version, later batches = the O(delta) change feed between versions.
+  *
+  * `startingVersion` (Delta-source idiom) skips the initial snapshot:
+  * the tail starts as the change feed AFTER that committed version —
+  * the restart-a-consumer-mid-history device (the snapshot would
+  * re-deliver data the consumer already holds).
+  *
+  * `maxVersionsPerBatch` is ADMISSION CONTROL: each trigger offers at
+  * most that many commits past the last processed version, so a
+  * consumer catching up on a long backlog processes it as bounded
+  * micro-batches instead of one giant one — at 100 TB the difference
+  * between a checkpointable, spill-bounded recovery and a batch sized
+  * by however far the consumer fell behind. The cap applies to the
+  * tail, not the initial full snapshot (a snapshot is one atomic
+  * batch by construction — use `startingVersion` to avoid it); V1
+  * sources are rate-limited through `getOffset`, which AvailableNow's
+  * one-shot offset capture bypasses (use the default trigger for
+  * capped drains).
   */
 class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
-    path: String) extends Source {
+    path: String, startingVersion: Option[Long] = None,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
 
   private def spark = ctx.sparkSession
   private def ver(o: Offset): Long = o.json.trim.toLong
 
+  // last version this stream has offered/processed — seeded by recovery
+  // (getBatch runs first on restart) or startingVersion, None until the
+  // uncapped initial-snapshot batch resolves it
+  @volatile private var lastSeen: Option[Long] = startingVersion
+
   override def getOffset: Option[Offset] = {
     val vs = VersionedTable.versions(spark, path)
-    if (vs.isEmpty) None else Some(VTableOffset(vs.last))
+    if (vs.isEmpty) None
+    else Some(VTableOffset((lastSeen, maxVersionsPerBatch) match {
+      case (Some(l), Some(m)) =>
+        val pending = vs.filter(_ > l)
+          .take(math.min(m, Int.MaxValue.toLong).toInt)
+        if (pending.isEmpty) l else pending.last
+      case _ => vs.last
+    }))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
-    val batch = start.map(ver) match {
+    val batch = start.map(ver).orElse(startingVersion) match {
       case None => VersionedTable.readAt(spark, path, Some(endV))
       case Some(s) if s == endV => // offset-representation change only
         VersionedTable.readAt(spark, path, Some(endV)).limit(0)
       case Some(s) => VersionedTable.readChanges(spark, path, s, endV)
     }
+    lastSeen = Some(endV)
     // pin the declared schema: a generation widened mid-stream must not
     // change the streaming plan's shape
     StreamingFrame.asStreaming(spark,

@@ -77,6 +77,33 @@ class VTableRowLevelSpec extends SparkSpec {
       Set((1, 10), (2, 20), (3, 30)))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE reconciles the target to the source") {
+    val path = s"$root/s/t"
+    spark.sql("CREATE TABLE vtrl.s.t (id INT, v INT) TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO vtrl.s.t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    import spark.implicits._
+    Seq((3, 300), (4, 400), (5, 500)).toDF("id", "v")
+      .createOrReplaceTempView("mrg_sync_src")
+    val vPre = VersionedTable.versions(spark, path).last
+    // the full three-way reconciliation (Catalyst plans it as a full
+    // outer join over the same delta contract): source rows win, target
+    // rows absent from the source age out
+    spark.sql(
+      """MERGE INTO vtrl.s.t AS t USING mrg_sync_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND v < 15 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -v
+        |""".stripMargin)
+    assert(rows("SELECT id, v FROM vtrl.s.t") ==
+      Set((2, -20), (3, 300), (4, 400), (5, 500)))
+    assert(lastKind(path) == "merge")
+    assert(VersionedTable.versions(spark, path).last == vPre + 1,
+      "the whole reconciliation is ONE commit")
+    assert(rows(s"SELECT id, v FROM vtrl.s.t VERSION AS OF $vPre") ==
+      Set((1, 10), (2, 20), (3, 30), (4, 40)))
+  }
+
   test("DELETE with an untranslatable predicate runs row-level on a keyed table") {
     val path = s"$root/d/t"
     spark.sql("CREATE TABLE vtrl.d.t (id INT, v INT) TBLPROPERTIES ('key'='id')")
