@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructField
 import Q.t
@@ -46,7 +47,8 @@ object VersionedTable {
     q115DataSkipping, q116VersionedDelete, q117VTableConnector,
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
-    q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution)
+    q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
+    q129ChangeDataFeed)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1140,6 +1142,143 @@ object VersionedTable {
     // key is hidden from both — feed + base still reconstructs readAt
     else applyDvs(spark, root, manifestMeta(spark, root, vTo),
       readDirs(spark, root, added))
+  }
+
+  /** CHANGE DATA FEED — row-level changes across (vFrom, vTo] with
+    * `_change_type` (`insert` / `delete` / `update_preimage` /
+    * `update_postimage`) and `_commit_version` columns, the Delta CDF /
+    * Iceberg changelog surface. Where [[readChanges]] delivers appended
+    * GENERATIONS (and refuses data-changing commits), this reconstructs
+    * per-ROW changes for every commit kind the log can express:
+    *
+    *  - `create`/`append`/`add_columns`: added generations → `insert`
+    *    (the commit's outstanding tombstones applied — a row appended
+    *    already-deleted was never visible, so it never changed).
+    *  - `rewrite` (compact/optimize) and `set_properties`: no content
+    *    change → nothing.
+    *  - `merge`/`update`/`delete` (generation-granular copy-on-write):
+    *    the EXACT multiset row diff of the touched generations —
+    *    removed-side rows minus added-side rows are preimages, the
+    *    reverse are postimages (a rewritten-but-identical neighbor row
+    *    nets to zero and is correctly absent). Computed in ONE pass:
+    *    both sides tagged ±1 and net-counted per full row (one shuffle
+    *    on the changed rows only), then — with a declared row-id (`key`
+    *    table property) — paired by key into
+    *    `update_preimage`/`update_postimage` via a key-partitioned
+    *    window; unpaired (or NULL-key) rows classify as
+    *    `delete`/`insert`, and without row identity everything stays
+    *    `delete`+`insert` (the honest unkeyed semantics).
+    *  - `mor_delete`: the commit's NEW tombstone key lists, joined back
+    *    against the prior snapshot for full row images → `delete`.
+    *  - `overwrite`/`restore`: refused loudly — no row identity exists
+    *    across a wholesale replacement; consumers resync from a
+    *    snapshot (the [[readChanges]] rule).
+    *
+    * Cost is O(changed data), not O(table): appends read only their new
+    * generations, CoW diffs read only the touched+rewritten generations
+    * (untouched carries never enter the plan), and the only full-scan
+    * case is materializing MoR delete images (the tombstoned rows live
+    * in unknown generations — one semi-join scan per MoR commit).
+    * `vFrom = 0` means "since table creation". Mixed-schema histories
+    * align by name (missing columns read NULL, the [[readAt]] rule).
+    */
+  def tableChanges(spark: SparkSession, root: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    val vs = versions(spark, root)
+    require((vFrom == 0L || vs.contains(vFrom)) && vs.contains(vTo) &&
+        vFrom < vTo,
+      s"tableChanges: need committed (or 0) vFrom < vTo, got $vFrom, $vTo in $vs")
+    val keyCol = tableProperties(spark, root, Some(vTo)).get("key")
+    def tag(df: DataFrame, ct: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+    // align two touched-generation sides to one by-name schema (and one
+    // set of types) so the net-count diff groups across widened histories
+    def aligned(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+      val u = a.limit(0).unionByName(b.limit(0), allowMissingColumns = true)
+        .schema
+      def fit(df: DataFrame) = df.select(u.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+      (fit(a), fit(b))
+    }
+    val parts = vs.filter(v => v > vFrom && v <= vTo).flatMap { v =>
+      val kind = commitKind(spark, root, v).stripSuffix("+txn")
+      val (curDirs, curMeta) = manifestOf(spark, root, v)
+      lazy val prev = vs.filter(_ < v).last
+      lazy val prevDirs = manifestDirs(spark, root, prev)
+      kind match {
+        case "create" =>
+          Seq(tag(applyDvs(spark, root, curMeta,
+            readDirs(spark, root, curDirs)), "insert", v))
+        case "append" | "add_columns" =>
+          val added = curDirs.filterNot(prevDirs.contains)
+          if (added.isEmpty) Nil
+          else Seq(tag(applyDvs(spark, root, curMeta,
+            readDirs(spark, root, added)), "insert", v))
+        case "rewrite" | "set_properties" => Nil
+        case "mor_delete" =>
+          val prevDvs = dvHeadersOf(manifestMeta(spark, root, prev)).keySet
+          dvHeadersOf(curMeta).toSeq
+            .collect { case (k, kc) if !prevDvs.contains(k) =>
+              val keys = readDirs(spark, root, Seq(k.stripPrefix("dv:")))
+                .select(col(kc)).distinct()
+              tag(readAt(spark, root, Some(prev))
+                .join(broadcast(keys), Seq(kc), "left_semi"), "delete", v)
+            }
+        case "merge" | "update" | "delete" =>
+          val removed = prevDirs.filterNot(curDirs.contains)
+          val added = curDirs.filterNot(prevDirs.contains)
+          val addedRows = readDirs(spark, root, added)
+          val removedRows =
+            if (removed.isEmpty) addedRows.limit(0)
+            else readDirs(spark, root, removed)
+          val (rem, add) = aligned(removedRows, addedRows)
+          // ONE pass over the changed rows: net-count each full row
+          // across the two sides (negative net = preimage copies,
+          // positive = postimage copies; identical rewrites net to 0)
+          val dataCols = rem.columns.toIndexedSeq
+          val net = rem.withColumn("_side", lit(-1L))
+            .unionByName(add.withColumn("_side", lit(1L)))
+            .groupBy(dataCols.map(col): _*)
+            .agg(sum(col("_side")).as("_net"))
+            .filter(col("_net") =!= 0L)
+          val classified = keyCol.filter(dataCols.contains) match {
+            case Some(k) =>
+              // a key seen on both sides is an update pair; NULL keys
+              // carry no identity and never pair
+              val w = Window.partitionBy(col(k))
+              net
+                .withColumn("_pre",
+                  max(when(col("_net") < 0, 1).otherwise(0)).over(w))
+                .withColumn("_post",
+                  max(when(col("_net") > 0, 1).otherwise(0)).over(w))
+                .withColumn("_change_type",
+                  when(col("_net") < 0,
+                    when(col(k).isNotNull && col("_post") === 1,
+                      "update_preimage").otherwise("delete"))
+                  .otherwise(
+                    when(col(k).isNotNull && col("_pre") === 1,
+                      "update_postimage").otherwise("insert")))
+            case None =>
+              net.withColumn("_change_type",
+                when(col("_net") < 0, "delete").otherwise("insert"))
+          }
+          // restore multiset multiplicity (|net| copies of each row)
+          Seq(classified
+            .withColumn("_dup",
+              explode(sequence(lit(1L), abs(col("_net")))))
+            .withColumn("_commit_version", lit(v))
+            .select((dataCols :+ "_change_type" :+ "_commit_version")
+              .map(col): _*))
+        case other =>
+          throw new IllegalArgumentException(
+            s"tableChanges: commit v$v is a $other — row changes across " +
+              "it are not expressible; resync from a snapshot")
+      }
+    }
+    val base = tag(readAt(spark, root, Some(vTo)).limit(0), "", 0L).limit(0)
+    parts.foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
   }
 
   // per-invocation fresh root under one shutdown-hook-cleaned temp tree
@@ -2657,5 +2796,84 @@ object VersionedTable {
       UNION ALL
       SELECT 'history_create,append,add_columns,append', CAST(4 AS BIGINT),
         CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q129: CHANGE DATA FEED — [[tableChanges]] over a history exercising
+    * every row-changing commit kind: create (1995 load), append (1996),
+    * generation-granular MERGE (price bump for custkey%7=0), copy-on-
+    * write DELETE (custkey%7=1), merge-on-read DELETE (custkey%7=2).
+    * The feed's per-(change type, commit) aggregate must reproduce what
+    * the oracle computes from the base table alone: inserts are the two
+    * loads verbatim, the merge yields PAIRED update_preimage (old
+    * prices) / update_postimage (+100) rows for exactly the matched
+    * cohort — rewritten-but-unchanged generation neighbors cancel out of
+    * the EXCEPT ALL diff and appear nowhere — and both delete flavors
+    * surface full row images (the MoR images joined back from tombstone
+    * keys). Hash-exact means the log's row-level audit trail is
+    * faithful: nothing phantom, nothing lost, preimages exact.
+    */
+  val q129ChangeDataFeed: Q = Q(
+    "q129_change_data_feed",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      require(createIfAbsent(s, root, slice(1995),
+        Map("key" -> "o_orderkey")), "fresh root must create")     // v1
+      commit(s, root, slice(1996), overwrite = false)              // v2
+      val bumped = slice(1995).filter(col("o_custkey") % 7 === 0)
+        .withColumn("o_totalprice",
+          Q.dec2(col("o_totalprice") + 100))
+      require(mergeInto(s, root, bumped, "o_orderkey").isDefined)  // v3
+      require(deleteWhere(s, root,
+        col("o_custkey") % 7 === 1).isDefined)                     // v4
+      require(deleteWhereMor(s, root, col("o_custkey") % 7 === 2,
+        "o_orderkey").isDefined)                                   // v5
+      tableChanges(s, root, 0L, 5L)
+        .groupBy(concat(col("_change_type"), lit("_v"),
+          col("_commit_version")).as("step"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(col("o_totalprice")).cast("double").as("revenue"))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+      SELECT 'insert_v1' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        CAST(sum(price) AS DOUBLE) AS revenue
+      FROM o WHERE yr = 1995
+      UNION ALL
+      SELECT 'insert_v2', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1996
+      UNION ALL
+      SELECT 'update_preimage_v3', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = 1995 AND o_custkey % 7 = 0
+      UNION ALL
+      SELECT 'update_postimage_v3', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price + 100) AS DOUBLE)
+      FROM o WHERE yr = 1995 AND o_custkey % 7 = 0
+      UNION ALL
+      SELECT 'delete_v4', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE o_custkey % 7 = 1
+      UNION ALL
+      SELECT 'delete_v5', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE o_custkey % 7 = 2
       ORDER BY step"""))
 }

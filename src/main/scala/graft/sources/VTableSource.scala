@@ -60,7 +60,17 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    new VTableRelation(sqlContext, pathOf(parameters),
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      // CHANGE DATA FEED read (the Delta idiom): row-level changes with
+      // _change_type/_commit_version, versions inclusive on both ends —
+      // option("startingVersion", 1) reads since table creation
+      val path = pathOf(parameters)
+      val vs = VersionedTable.versions(sqlContext.sparkSession, path)
+      require(vs.nonEmpty, s"graft-vtable: no table at $path")
+      new VTableCdfRelation(sqlContext, path,
+        parameters.get("startingVersion").map(_.toLong - 1).getOrElse(0L),
+        parameters.get("endingVersion").map(_.toLong).getOrElse(vs.last))
+    } else new VTableRelation(sqlContext, pathOf(parameters),
       parameters.get("versionAsOf").map(_.toLong),
       parameters.get("pruneCol"))
 
@@ -237,6 +247,24 @@ class VTableRelation(ctx: SQLContext, path: String, version: Option[Long],
       filters: Array[Filter]): RDD[Row] =
     VTableScans.frame(ctx.sparkSession, path, version, pruneCol,
       requiredColumns.toIndexedSeq, filters.toIndexedSeq).rdd
+}
+
+/** The batch CHANGE-DATA-FEED relation: delegates row production to
+  * [[VersionedTable.tableChanges]] — the engine's own O(changed-data)
+  * diff plans — through the plain TableScan contract (the CDF's
+  * pseudo-columns make pushdown moot; Spark filters above).
+  */
+class VTableCdfRelation(ctx: SQLContext, path: String, vFrom: Long,
+    vTo: Long) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  private def frame =
+    VersionedTable.tableChanges(ctx.sparkSession, path, vFrom, vTo)
+
+  override val schema: StructType = frame.schema
+
+  override def buildScan(): RDD[Row] = frame.rdd
 }
 
 /** Version-number offset; `json` round-trips through checkpoint restarts

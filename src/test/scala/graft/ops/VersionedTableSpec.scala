@@ -664,6 +664,52 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.setProperties(spark, root, Map("a" -> "x\ny")))
   }
 
+  test("tableChanges reconstructs exact row-level history across commit kinds") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "v")
+    assert(VersionedTable.createIfAbsent(spark, root, kv(1 -> 10, 2 -> 20),
+      Map("key" -> "id")))                                         // v1
+    VersionedTable.commit(spark, root, kv(3 -> 30), overwrite = false) // v2
+    // generation-granular merge: id=2 updates, id=4 inserts; id=1 rides
+    // the rewritten generation UNCHANGED and must cancel out of the diff
+    assert(VersionedTable.mergeInto(spark, root,
+      kv(2 -> 200, 4 -> 40), "id").isDefined)                      // v3
+    assert(VersionedTable.compact(spark, root).isDefined)          // v4
+    assert(VersionedTable.deleteWhereMor(spark, root,
+      col("id") === 3, "id").isDefined)                            // v5
+    def cdf(vFrom: Long, vTo: Long): Set[(String, Long, Int, Int)] =
+      VersionedTable.tableChanges(spark, root, vFrom, vTo).collect()
+        .map(r => (r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"),
+          r.getAs[Int]("id"), r.getAs[Int]("v"))).toSet
+    assert(cdf(0L, 5L) == Set(
+      ("insert", 1L, 1, 10), ("insert", 1L, 2, 20),
+      ("insert", 2L, 3, 30),
+      ("update_preimage", 3L, 2, 20), ("update_postimage", 3L, 2, 200),
+      ("insert", 3L, 4, 40),
+      // v4 (compact) contributes nothing: layout only
+      ("delete", 5L, 3, 30)))
+    // windows slice exactly; a rewrite-only window is empty
+    assert(cdf(2L, 3L) == Set(("update_preimage", 3L, 2, 20),
+      ("update_postimage", 3L, 2, 200), ("insert", 3L, 4, 40)))
+    assert(cdf(3L, 4L).isEmpty)
+    // without a declared row id there is no sound pairing: the same
+    // merge reports honest delete+insert instead of update pairs
+    val root2 = freshRoot()
+    VersionedTable.commit(spark, root2, kv(2 -> 20), overwrite = true)
+    assert(VersionedTable.mergeInto(spark, root2, kv(2 -> 200), "id").isDefined)
+    val unkeyed = VersionedTable.tableChanges(spark, root2, 0L, 2L)
+      .collect().map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Int]("id"), r.getAs[Int]("v"))).toSet
+    assert(unkeyed == Set(("insert", 2, 20), ("delete", 2, 20),
+      ("insert", 2, 200)))
+    // no row identity across an overwrite: refuse, never fabricate
+    VersionedTable.commit(spark, root2, kv(9 -> 90), overwrite = true)
+    intercept[IllegalArgumentException](
+      VersionedTable.tableChanges(spark, root2, 0L, 3L))
+  }
+
   test("addColumns widens the schema; feeds deliver it as an empty delta") {
     import org.apache.spark.sql.types.{IntegerType, StructField}
     val root = freshRoot()

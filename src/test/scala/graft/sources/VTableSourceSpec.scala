@@ -164,6 +164,29 @@ class VTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed batch read returns the row-level CDF, versions inclusive") {
+    import spark.implicits._
+    val root = fresh("vtsrc_cdf")
+    assert(VersionedTable.createIfAbsent(spark, root,
+      Seq(1 -> 10, 2 -> 20).toDF("id", "v"), Map("key" -> "id")))
+    VersionedTable.commit(spark, root,
+      Seq(3 -> 30).toDF("id", "v"), overwrite = false)
+    assert(VersionedTable.mergeInto(spark, root,
+      Seq(2 -> 200).toDF("id", "v"), "id").isDefined)
+    def feed(opts: (String, String)*): Set[(String, Long, Int)] =
+      opts.foldLeft(spark.read.format("graft-vtable")
+          .option("path", root).option("readChangeFeed", "true")) {
+        case (r, (k, value)) => r.option(k, value)
+      }.load().collect()
+        .map(r => (r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"), r.getAs[Int]("id"))).toSet
+    assert(feed() == Set(("insert", 1L, 1), ("insert", 1L, 2),
+      ("insert", 2L, 3),
+      ("update_preimage", 3L, 2), ("update_postimage", 3L, 2)))
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "2")
+      == Set(("insert", 2L, 3)))
+  }
+
   test("CDC admission control: startingVersion skips the snapshot, maxVersionsPerBatch bounds each drain") {
     val root = fresh("vtsrc_adm")
     (1 to 5).foreach(i =>
