@@ -41,7 +41,13 @@ import graft.ops.VersionedTable
   *    initial snapshot and tails changes after version n;
   *    `option("maxVersionsPerBatch", m)` is admission control — each
   *    trigger drains at most m commits, so a backlog is processed as
-  *    bounded micro-batches (see [[VTableCdcSource]]).
+  *    bounded micro-batches (see [[VTableCdcSource]]). With
+  *    `option("readChangeFeed", "true")` the tail streams the ROW-LEVEL
+  *    CDF instead ([[graft.ops.VersionedTable.tableChanges]] schema:
+  *    +`_change_type`/`_commit_version`): merge/update/delete/MoR
+  *    commits flow as change rows instead of failing the stream — only
+  *    overwrite/restore still refuse. The same option on a BATCH read
+  *    returns the bounded CDF (inclusive startingVersion/endingVersion).
   *
   * This is a V1 source on purpose: its scan and feed are COMPOSITIONS of
   * existing parquet scans (the engine's own readAt/readChanges plans),
@@ -98,11 +104,22 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     createRelation(sqlContext, parameters)
   }
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      VersionedTable.readAt(sqlContext.sparkSession, pathOf(parameters)).schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      VersionedTable.readAt(sqlContext.sparkSession, pathOf(parameters)).schema)
+    (shortName(),
+      if (!cdfOf(parameters)) base
+      else StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -114,7 +131,8 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       pathOf(parameters),
       parameters.get("startingVersion").map(_.toLong),
-      maxVersions)
+      maxVersions,
+      cdf = cdfOf(parameters))
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -296,7 +314,8 @@ case class VTableOffset(version: Long) extends Offset {
   */
 class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
     path: String, startingVersion: Option[Long] = None,
-    maxVersionsPerBatch: Option[Long] = None) extends Source {
+    maxVersionsPerBatch: Option[Long] = None,
+    cdf: Boolean = false) extends Source {
 
   private def spark = ctx.sparkSession
   private def ver(o: Offset): Long = o.json.trim.toLong
@@ -321,9 +340,20 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
     val batch = start.map(ver).orElse(startingVersion) match {
+      case None if cdf => // initial snapshot AS the change feed's opening
+        VersionedTable.readAt(spark, path, Some(endV))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV))
       case None => VersionedTable.readAt(spark, path, Some(endV))
       case Some(s) if s == endV => // offset-representation change only
-        VersionedTable.readAt(spark, path, Some(endV)).limit(0)
+        val empty = VersionedTable.readAt(spark, path, Some(endV)).limit(0)
+        if (cdf) empty
+          .withColumn("_change_type", lit(null).cast("string"))
+          .withColumn("_commit_version", lit(null).cast("bigint"))
+        else empty
+      // CDF tail: row-level changes — merge/update/delete/MoR commits
+      // flow as _change_type rows instead of failing the stream
+      case Some(s) if cdf => VersionedTable.tableChanges(spark, path, s, endV)
       case Some(s) => VersionedTable.readChanges(spark, path, s, endV)
     }
     lastSeen = Some(endV)

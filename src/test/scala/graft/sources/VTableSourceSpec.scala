@@ -187,6 +187,51 @@ class VTableSourceSpec extends SparkSpec {
       == Set(("insert", 2L, 3)))
   }
 
+  test("streaming CDF tail survives row-level commits and delivers change rows") {
+    import spark.implicits._
+    val root = fresh("vtsrc_scdf")
+    assert(VersionedTable.createIfAbsent(spark, root,
+      Seq(1 -> 10, 2 -> 20).toDF("id", "v"), Map("key" -> "id")))   // v1
+    val changes =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int, Int)]()
+    val record: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => { b.collect().foreach(r => changes.add((
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"),
+        r.getAs[Int]("id"), r.getAs[Int]("v")))); () }
+    val q = spark.readStream.format("graft-vtable")
+      .option("path", root).option("readChangeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", fresh("vtsrc_scdf_ckpt"))
+      .foreachBatch(record)
+      .start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      assert(changes.asScala.toSet == Set(("insert", 1L, 1, 10),
+        ("insert", 1L, 2, 20)), "opening batch = snapshot as inserts")
+      changes.clear()
+      // a row-level MERGE fails the plain tail (readChanges refuses) —
+      // the CDF tail delivers it as paired update rows
+      assert(VersionedTable.mergeInto(spark, root,
+        Seq(2 -> 200, 3 -> 30).toDF("id", "v"), "id").isDefined)    // v2
+      q.processAllAvailable()
+      assert(changes.asScala.toSet == Set(
+        ("update_preimage", 2L, 2, 20), ("update_postimage", 2L, 2, 200),
+        ("insert", 2L, 3, 30)))
+      changes.clear()
+      // merge-on-read delete flows with full row images
+      assert(VersionedTable.deleteWhereMor(spark, root,
+        col("id") === 1, "id").isDefined)                           // v3
+      q.processAllAvailable()
+      assert(changes.asScala.toSet == Set(("delete", 3L, 1, 10)))
+      // an overwrite still has no row identity: the stream fails loudly
+      VersionedTable.commit(spark, root,
+        Seq(9 -> 90).toDF("id", "v"), overwrite = true)             // v4
+      intercept[Throwable] { q.processAllAvailable() }
+      assert(q.exception.isDefined)
+    } finally q.stop()
+  }
+
   test("CDC admission control: startingVersion skips the snapshot, maxVersionsPerBatch bounds each drain") {
     val root = fresh("vtsrc_adm")
     (1 to 5).foreach(i =>
