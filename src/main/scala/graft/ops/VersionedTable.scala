@@ -48,7 +48,7 @@ object VersionedTable {
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
-    q129ChangeDataFeed)
+    q129ChangeDataFeed, q130CheckConstraints)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -197,6 +197,68 @@ object VersionedTable {
           "with no '=' or newline, values must have no newline")
     }
 
+  // CHECK CONSTRAINTS ride ordinary table properties under the
+  // `constraint.<name>` key convention (the Delta idiom): the value is a
+  // SQL boolean expression over the table's columns. [[setProperties]]
+  // validates EXISTING data when one is added (a constraint is a promise
+  // about the whole table, not just future writes), and every
+  // content-adding commit path validates its freshly written generation
+  // before publishing — so a violating batch aborts loudly and the log
+  // never contains a row that breaks a declared constraint. SQL
+  // three-valued semantics: only rows where the expression is FALSE
+  // violate (NULL passes, as in standard CHECK).
+  private def constraintsOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("constraint.") =>
+      k.stripPrefix("constraint.") -> v
+    }
+
+  // abort (and reclaim `gen`, when given) if any row of `df` makes a
+  // constraint expression FALSE; one short-circuiting scan per constraint
+  private def enforceConstraints(spark: SparkSession, root: String,
+      constraints: Map[String, String], df: DataFrame,
+      gen: Option[String]): Unit =
+    constraints.foreach { case (name, exprStr) =>
+      val violated =
+        try !df.filter(!coalesce(expr(exprStr), lit(true))).limit(1).isEmpty
+        catch { case e: Throwable =>
+          gen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
+          throw new IllegalArgumentException(
+            s"VersionedTable: constraint '$name' ($exprStr) failed to " +
+              s"evaluate: ${e.getMessage}", e)
+        }
+      if (violated) {
+        gen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
+        throw new IllegalArgumentException(
+          s"VersionedTable: CHECK constraint '$name' violated — rows " +
+            s"where ($exprStr) is false exist; the operation was aborted " +
+            "and nothing was committed")
+      }
+    }
+
+  // constraints in force at the current tip (empty for a fresh table)
+  private def tipConstraints(spark: SparkSession,
+      root: String): Map[String, String] =
+    versions(spark, root).lastOption
+      .map(v => constraintsOf(tableProperties(spark, root, Some(v))))
+      .getOrElse(Map.empty)
+
+  // validate a freshly WRITTEN generation (reading back the files costs
+  // one scan of the new data only — never a re-run of the caller's
+  // upstream pipeline) against the tip's constraints plus any being
+  // stamped by this very commit
+  private def validateGeneration(spark: SparkSession, root: String,
+      gen: String, extraProps: Map[String, String] = Map.empty): Unit = {
+    val cs = tipConstraints(spark, root) ++ constraintsOf(extraProps)
+    if (cs.nonEmpty) {
+      val p = new Path(root, gen)
+      val hasParts = fs(spark, root).listStatus(p)
+        .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      if (hasParts)
+        enforceConstraints(spark, root, cs,
+          spark.read.parquet(p.toString), Some(gen))
+    }
+  }
+
   /** Table properties at version `v` (latest when None) — the `prop:`
     * manifest headers, stamped at create time or by [[setProperties]]
     * and carried by every commit kind since.
@@ -290,6 +352,7 @@ object VersionedTable {
       overwrite: Boolean, meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Long = {
     val gen = writeGeneration(spark, root, df)
+    validateGeneration(spark, root, gen)
     val genStats = genStatsOf(spark, root, gen, statsCol)
     var attempt = 0
     while (true) {
@@ -534,6 +597,7 @@ object VersionedTable {
         .unionByName(source)
     raceHook()
     val gen = writeGeneration(spark, root, merged)
+    validateGeneration(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
         Map("merge" -> "true") ++ carriedStats(spark, root, baseV, untouched)
           ++ propHeaders(spark, root, baseV)
@@ -630,6 +694,7 @@ object VersionedTable {
     if (touched.isEmpty && !hasInserts) return Some((baseV, 0, dirs.size))
     raceHook()
     val gen = writeGeneration(spark, root, newRows)
+    validateGeneration(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
         Map(kindHeader -> "true")
           ++ carriedStats(spark, root, baseV, untouched)
@@ -769,6 +834,7 @@ object VersionedTable {
     validateProps(props)
     if (versions(spark, root).nonEmpty) return false
     val gen = writeGeneration(spark, root, df)
+    validateGeneration(spark, root, gen, extraProps = props)
     if (tryPublish(spark, root, 1L, Seq(gen),
         props.map { case (k, v) => s"prop:$k" -> v })) true
     else {
@@ -793,6 +859,14 @@ object VersionedTable {
     validateProps(set)
     require(unset.forall(k => !set.contains(k)),
       "setProperties: a key cannot be both set and unset")
+    // adding a CHECK constraint is a promise about the WHOLE table, not
+    // just future writes: validate existing data first (one
+    // short-circuiting scan per added constraint), so a reader can trust
+    // any declared constraint unconditionally
+    val newConstraints = constraintsOf(set)
+    if (newConstraints.nonEmpty)
+      enforceConstraints(spark, root, newConstraints,
+        readAt(spark, root), gen = None)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1007,6 +1081,7 @@ object VersionedTable {
     if (absorbed(vs0)) return (vs0.last, false)
     raceHook()
     val gen = writeGeneration(spark, root, df)
+    validateGeneration(spark, root, gen)
     val meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)
     var attempt = 0
     while (true) {
@@ -2875,5 +2950,75 @@ object VersionedTable {
         CAST(count(DISTINCT o_custkey) AS BIGINT),
         CAST(sum(price) AS DOUBLE)
       FROM o WHERE o_custkey % 7 = 2
+      ORDER BY step"""))
+
+  /** q130: CHECK CONSTRAINTS — writer-side data-quality gates in the
+    * table's own log (`constraint.<name>` properties, the Delta idiom).
+    * The scenario proves all four behaviors: a violating batch ABORTS
+    * WHOLE (one negative price poisons the entire 1997 append — nothing
+    * partial lands, the version count is unchanged), adding a
+    * constraint validates EXISTING data (an `yr = 1995` constraint is
+    * refused because 1996 rows already violate it), conforming writes
+    * land under multiple active constraints, and the final state is
+    * exactly the conforming loads — which is what the oracle recomputes
+    * relationally. At 100 TB enforcement costs one short-circuiting
+    * scan of each NEW generation (never the table), and ADD costs one
+    * scan of the table at declaration time — the price of a constraint
+    * readers can then trust unconditionally.
+    */
+  val q130CheckConstraints: Q = Q(
+    "q130_check_constraints",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      def rejects(body: => Any): Long =
+        try { body; 0L } catch { case _: IllegalArgumentException => 1L }
+      require(createIfAbsent(s, root, slice(1995),
+        Map("constraint.positive_price" -> "o_totalprice > 0")))   // v1
+      commit(s, root, slice(1996), overwrite = false)              // v2
+      // one poisoned row per 100 customers fails the WHOLE 1997 batch
+      val badCommits = rejects(commit(s, root,
+        slice(1997).withColumn("o_totalprice",
+          Q.dec2(when(col("o_custkey") % 100 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))),
+        overwrite = false))
+      setProperties(s, root,                                       // v3
+        Map("constraint.known_years" -> "yr IN (1995, 1996, 1998)"))
+      val badAdds = rejects(setProperties(s, root,
+        Map("constraint.early" -> "yr = 1995")))
+      commit(s, root, slice(1998), overwrite = false)              // v4
+      val lateCommits = rejects(commit(s, root, slice(1997),
+        overwrite = false))
+      val tipV = versions(s, root).last
+      val nConstraints = tableProperties(s, root)
+        .count(_._1.startsWith("constraint."))
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(tipV).as("a"),
+        lit(badCommits + lateCommits).as("b"),
+        lit(badAdds + nConstraints).cast("double").as("c"))
+      readAt(s, root)
+        .groupBy(concat(lit("yr_"), col("yr")).as("step"))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("o_custkey")).as("b"),
+          sum(col("o_totalprice")).cast("double").as("c"))
+        .unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1998))
+      SELECT concat('yr_', yr) AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(price) AS DOUBLE) AS c
+      FROM o GROUP BY yr
+      UNION ALL
+      SELECT 'audit', CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+        CAST(3 AS DOUBLE)
       ORDER BY step"""))
 }

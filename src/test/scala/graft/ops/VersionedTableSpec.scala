@@ -664,6 +664,51 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.setProperties(spark, root, Map("a" -> "x\ny")))
   }
 
+  test("CHECK constraints gate every content-adding path; NULL passes; UNSET lifts") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, java.lang.Integer)*) = rows.toDF("id", "v")
+    // creation with a violating first load: nothing lands, orphan reclaimed
+    intercept[IllegalArgumentException](VersionedTable.createIfAbsent(spark,
+      root, kv(1 -> 10, 2 -> -5), Map("constraint.pos" -> "v > 0")))
+    assert(VersionedTable.versions(spark, root).isEmpty)
+    assert(VersionedTable.createIfAbsent(spark, root, kv(1 -> 10),
+      Map("constraint.pos" -> "v > 0", "key" -> "id")))            // v1
+    // append: one bad row aborts the whole batch, version unchanged
+    intercept[IllegalArgumentException](VersionedTable.commit(spark, root,
+      kv(2 -> 20, 3 -> -1), overwrite = false))
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    // SQL CHECK three-valued logic: NULL is not a violation
+    VersionedTable.commit(spark, root, kv(2 -> null), overwrite = false) // v2
+    // the streaming commit path enforces too
+    intercept[IllegalArgumentException](VersionedTable.idempotentCommit(
+      spark, root, kv(9 -> -9), "cons_app", 0L))
+    // ...and the row-level delta path (merge inserting a violating row)
+    intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, root, kv(4 -> -4), "id"))
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    // adding a constraint validates EXISTING data (id=2 has NULL v — it
+    // passes; a constraint the table violates is refused)
+    VersionedTable.setProperties(spark, root,
+      Map("constraint.small_id" -> "id < 100"))                    // v3
+    intercept[IllegalArgumentException](VersionedTable.setProperties(spark,
+      root, Map("constraint.no_nulls" -> "v IS NOT NULL")))
+    // a bad expression can never pass silently
+    intercept[IllegalArgumentException](VersionedTable.setProperties(spark,
+      root, Map("constraint.typo" -> "no_such_column > 0")))
+    // removal paths are untouched by constraints (the key-list
+    // generation is not table-shaped and must not be validated)
+    assert(VersionedTable.deleteWhereMor(spark, root,
+      col("id") === 2, "id").isDefined)                            // v4
+    // UNSET lifts enforcement
+    VersionedTable.setProperties(spark, root, Map.empty,
+      unset = Seq("constraint.pos"))                               // v5
+    VersionedTable.commit(spark, root, kv(5 -> -50), overwrite = false) // v6
+    assert(VersionedTable.readAt(spark, root).collect()
+      .map(r => (r.getInt(0), Option(r.get(1)))).toSet ==
+      Set(1 -> Some(10), 5 -> Some(-50)))
+  }
+
   test("tableChanges reconstructs exact row-level history across commit kinds") {
     import spark.implicits._
     val root = freshRoot()
