@@ -454,6 +454,55 @@ object VersionedTable {
     }
   }
 
+  /** INCREMENTAL small-file compaction — the everyday maintenance
+    * operation at scale, where [[compact]]'s full rewrite is the
+    * emergency tool: coalesce ONLY the generations smaller than
+    * `smallBytes` into one, carrying every large generation verbatim.
+    * A 100 TB table ingesting micro-batches accumulates a long tail of
+    * small generations; rewriting that tail costs O(small files) while
+    * the table's bulk never enters the plan — run it on a schedule and
+    * scan costs stay flat without ever paying an O(table) rewrite.
+    *
+    * Rewritten rows read THROUGH the outstanding deletion vectors (their
+    * tombstoned rows die physically), and the `dv:` headers are KEPT —
+    * they still apply to the untouched generations, and re-anti-joining
+    * already-removed keys is a no-op, so the key-wide tombstone
+    * semantics ([[deleteWhereMor]]) are preserved exactly; only a FULL
+    * [[compact]]/[[optimize]] clears them. Published `#rewrite=true`
+    * (content is unchanged, so change feeds skip it), stats headers of
+    * carried generations ride along, abort-on-loss under concurrency.
+    * Returns Some(version, rewritten, carried) — with fewer than two
+    * small generations there is nothing to gain and the call is a
+    * reported no-op at the current version.
+    */
+  def compactSmall(spark: SparkSession, root: String, smallBytes: Long,
+      statsCol: Option[String] = None,
+      raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
+    require(smallBytes > 0, "compactSmall: smallBytes must be positive")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to compact at $root")
+    val baseV = vs.last
+    val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
+    val hfs = fs(spark, root)
+    val small = baseDirs.filter(d =>
+      hfs.getContentSummary(new Path(root, d)).getLength < smallBytes)
+    if (small.size < 2) return Some((baseV, 0, baseDirs.size))
+    val kept = baseDirs.filterNot(small.contains)
+    val df = applyDvs(spark, root, baseMeta, readDirs(spark, root, small))
+    raceHook()
+    val gen = writeGeneration(spark, root, df)
+    if (tryPublish(spark, root, baseV + 1, kept :+ gen,
+        Map("rewrite" -> "true")
+          ++ carriedStats(spark, root, baseV, kept)
+          ++ dvHeadersOf(baseMeta) ++ propHeadersOf(baseMeta)
+          ++ genStatsOf(spark, root, gen, statsCol)))
+      Some((baseV + 1, small.size, kept.size))
+    else {
+      hfs.delete(new Path(root, gen), true)
+      None
+    }
+  }
+
   /** Read a set of generation dirs as ONE frame, aligning columns BY NAME
     * across schema drift: a table whose later commits added columns holds
     * generations with different (compatible) schemas, and a positional or

@@ -102,14 +102,25 @@ object VTableProcedures {
   private val procs: Seq[Proc] = Seq(
     Proc("compact",
       "rewrite the latest snapshot as one generation (materializes " +
-        "outstanding deletion vectors); a #rewrite=true commit change " +
+        "outstanding deletion vectors); small_mb > 0 switches to " +
+        "INCREMENTAL mode — coalesce only generations under that size, " +
+        "carrying the bulk verbatim; a #rewrite=true commit change " +
         "feeds skip",
-      Seq(in("table", StringType)),
+      Seq(in("table", StringType),
+        inDefault("small_mb", LongType, "0")),
       StructType(Seq(StructField("version", LongType),
         StructField("compacted", BooleanType, nullable = false))),
       (root, args) => {
         val p = tableRoot(root, args.getUTF8String(0).toString)
-        VersionedTable.compact(spark, p) match {
+        val smallMb = args.getLong(1)
+        if (smallMb > 0)
+          VersionedTable.compactSmall(spark, p,
+              smallMb * 1024L * 1024L) match {
+            case Some((v, rewritten, _)) =>
+              Seq(new GenericInternalRow(Array[Any](v, rewritten > 0)))
+            case None => raceLost("compact")
+          }
+        else VersionedTable.compact(spark, p) match {
           case Some(v) =>
             Seq(new GenericInternalRow(Array[Any](v, true)))
           case None =>

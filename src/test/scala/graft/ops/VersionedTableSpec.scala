@@ -664,6 +664,47 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.setProperties(spark, root, Map("a" -> "x\ny")))
   }
 
+  test("compactSmall coalesces only the small-generation tail; DV headers survive") {
+    import spark.implicits._
+    val root = freshRoot()
+    // one BULK generation (50k rows, well over the threshold) + a tail
+    // of three micro-batch generations
+    VersionedTable.commit(spark, root,
+      (1 to 50000).toDF("id").repartition(1), overwrite = true)
+    (100001 to 100003).foreach(i =>
+      VersionedTable.commit(spark, root, Seq(i).toDF("id"),
+        overwrite = false))
+    val all = (1 to 50000).toSet ++ (100001 to 100003)
+    val r = VersionedTable.compactSmall(spark, root, 20L * 1024)
+    assert(r.exists { case (v, rewritten, kept) =>
+      v == 5L && rewritten == 3 && kept == 1 })
+    assert(VersionedTable.commitKind(spark, root, 5L) == "rewrite")
+    assert(VersionedTable.manifestDirs(spark, root, 5L).size == 2,
+      "bulk generation + one coalesced tail generation")
+    // the bulk generation carried VERBATIM — same dir in both manifests
+    assert(VersionedTable.manifestDirs(spark, root, 4L)
+      .count(VersionedTable.manifestDirs(spark, root, 5L).contains) == 1)
+    assert(idsAt(root) == all, "content identical across the rewrite")
+    // a feed window across the rewrite delivers nothing for it
+    assert(VersionedTable.readChanges(spark, root, 4L, 5L).count() == 0)
+    // nothing left to coalesce: reported no-op at the tip
+    assert(VersionedTable.compactSmall(spark, root, 20L * 1024)
+      .contains((5L, 0, 2)))
+    // with an outstanding tombstone (one key in the tail): the rewrite
+    // materializes it physically but KEEPS the header — the key stays
+    // tombstoned table-wide (a re-appended copy remains hidden)
+    assert(VersionedTable.deleteWhereMor(spark, root,
+      col("id") === 100001, "id").isDefined)                     // v6
+    VersionedTable.commit(spark, root, Seq(100004).toDF("id"),
+      overwrite = false)                                         // v7
+    val r2 = VersionedTable.compactSmall(spark, root, 20L * 1024) // v8
+    assert(r2.exists(_._2 >= 2))
+    VersionedTable.commit(spark, root, Seq(100001).toDF("id"),
+      overwrite = false)                                         // v9
+    assert(idsAt(root) == all - 100001 + 100004,
+      "tombstone stays key-wide after the partial rewrite")
+  }
+
   test("CHECK constraints gate every content-adding path; NULL passes; UNSET lifts") {
     import spark.implicits._
     val root = freshRoot()

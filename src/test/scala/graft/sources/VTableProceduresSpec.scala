@@ -33,6 +33,22 @@ class VTableProceduresSpec extends SparkSpec {
     val r2 = spark.sql("CALL vtproc.system.compact('m.t')").head()
     assert(r2.getLong(0) == 3L && !r2.getBoolean(1))
     assert(VersionedTable.versions(spark, s"$root/m/t").last == 3L)
+    // INCREMENTAL mode: small_mb coalesces only the micro-batch tail,
+    // the bulk generation carries verbatim
+    // (the CALL takes whole MB, so the bulk generation must exceed 1 MB)
+    VersionedTable.commit(spark, s"$root/m/i",
+      spark.range(1500000).selectExpr("CAST(id AS INT) AS id")
+        .repartition(1), overwrite = true)
+    VersionedTable.commit(spark, s"$root/m/i", df(-1), overwrite = false)
+    VersionedTable.commit(spark, s"$root/m/i", df(-2), overwrite = false)
+    val r3 = spark.sql(
+      "CALL vtproc.system.compact('m.i', small_mb => 1)").head()
+    assert(r3.getLong(0) == 4L && r3.getBoolean(1))
+    assert(VersionedTable.history(spark, s"$root/m/i").collect()
+      .find(_.getLong(0) == 4L).get.getInt(2) == 2,
+      "bulk generation + one coalesced tail generation")
+    assert(spark.sql("SELECT count(*) FROM vtproc.m.i").head().getLong(0)
+      == 1500002L)
   }
 
   test("CALL optimize clusters into the requested file budget as a rewrite commit") {
