@@ -48,7 +48,7 @@ object VersionedTable {
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
-    q129ChangeDataFeed, q130CheckConstraints)
+    q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3069,5 +3069,101 @@ object VersionedTable {
       UNION ALL
       SELECT 'audit', CAST(4 AS BIGINT), CAST(2 AS BIGINT),
         CAST(3 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q131: CDF-DRIVEN INCREMENTAL VIEW MAINTENANCE — the canonical
+    * change-data-feed consumer: a gold aggregate (per customer-bucket
+    * order count + revenue) maintained purely from [[tableChanges]]
+    * windows as the source table evolves through append, MERGE,
+    * copy-on-write DELETE and merge-on-read DELETE. Each refresh costs
+    * O(that commit's changes): signed deltas (+1 for
+    * insert/update_postimage, -1 for delete/update_preimage) aggregate
+    * per bucket and fold into the running gold state with a full-outer
+    * merge — the source table is never rescanned after the bootstrap.
+    * The in-query audit compares the incrementally-maintained state
+    * against a from-scratch recompute of the final snapshot: zero
+    * mismatched buckets, pinned by the oracle alongside the bucket rows
+    * themselves. This is what the CDF is FOR — at 100 TB a nightly gold
+    * refresh reads the day's deltas, not the table.
+    */
+  val q131CdfIncrementalRefresh: Q = Q(
+    "q131_cdf_incremental_refresh",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      def slice(yr: Int) = orders.filter(col("yr") === yr)
+      require(createIfAbsent(s, root, slice(1995),
+        Map("key" -> "o_orderkey")), "fresh root must create")     // v1
+      // bootstrap: ONE full aggregate of the initial snapshot
+      def fullAgg(df: DataFrame) = df
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")).as("revenue"))
+      var gold = Q.materialized(fullAgg(readAt(s, root, Some(1L))))
+      // the source evolves through every row-changing commit kind
+      commit(s, root, slice(1996), overwrite = false)              // v2
+      require(mergeInto(s, root,
+        slice(1995).filter(col("o_custkey") % 7 === 0)
+          .withColumn("o_totalprice", Q.dec2(col("o_totalprice") + 100)),
+        "o_orderkey").isDefined)                                   // v3
+      require(deleteWhere(s, root,
+        col("o_custkey") % 7 === 1).isDefined)                     // v4
+      require(deleteWhereMor(s, root, col("o_custkey") % 7 === 2,
+        "o_orderkey").isDefined)                                   // v5
+      // incremental refreshes: each reads ONLY its commit's delta
+      (1L to 4L).foreach { v =>
+        val delta = tableChanges(s, root, v, v + 1)
+          .withColumn("sign",
+            when(col("_change_type").isin("insert", "update_postimage"),
+              lit(1L)).otherwise(lit(-1L)))
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(sum(col("sign")).as("dn"),
+            sum(Q.dec2(col("o_totalprice") * col("sign"))).as("drev"))
+        gold = Q.materialized(
+          gold.join(delta, Seq("bucket"), "full")
+            .select(col("bucket"),
+              (coalesce(col("n"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n"),
+              Q.dec2(coalesce(col("revenue"), lit(0)) +
+                coalesce(col("drev"), lit(0))).as("revenue"))
+            .filter(col("n") > 0),
+          gold)
+      }
+      // audit: the maintained state vs a from-scratch recompute — a
+      // bucket row matches iff (bucket, n, revenue) appears on BOTH sides
+      val recomputed = fullAgg(readAt(s, root, Some(5L)))
+      val mism = gold.withColumn("src", lit("inc"))
+        .unionByName(recomputed.withColumn("src", lit("full")))
+        .groupBy(col("bucket"), col("n"), col("revenue"))
+        .agg(countDistinct(col("src")).as("k"))
+        .filter(col("k") =!= 2).count()
+      val out = gold
+        .select(concat(lit("bucket_"), col("bucket")).as("step"),
+          col("n").as("a"),
+          col("revenue").cast("double").as("b"))
+        .unionByName(s.range(1).select(lit("audit_mismatches").as("step"),
+          lit(mism).as("a"), lit(null).cast("double").as("b")))
+        .orderBy(col("step"))
+      Q.materialized(out, gold)
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey % 10 AS bucket,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr, o_custkey % 7 AS c7
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+      survivors AS (
+        SELECT bucket,
+          CASE WHEN yr = 1995 AND c7 = 0 THEN price + 100 ELSE price END
+            AS price
+        FROM o WHERE c7 NOT IN (1, 2))
+      SELECT concat('bucket_', bucket) AS step,
+        CAST(count(*) AS BIGINT) AS a, CAST(sum(price) AS DOUBLE) AS b
+      FROM survivors GROUP BY bucket
+      UNION ALL
+      SELECT 'audit_mismatches', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
       ORDER BY step"""))
 }
