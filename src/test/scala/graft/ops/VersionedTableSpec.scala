@@ -750,6 +750,67 @@ class VersionedTableSpec extends SparkSpec {
       Set(1 -> Some(10), 5 -> Some(-50)))
   }
 
+  test("CDF replay invariant: folding tableChanges reconstructs every snapshot, random histories") {
+    import spark.implicits._
+    // fixed-seed randomized histories: the invariant must hold for ANY
+    // mix of append / merge / CoW delete / MoR delete / compact /
+    // property commits, not just the hand-picked scenarios
+    val rnd = new scala.util.Random(13)
+    def kv(rows: Seq[(Int, Int)]) = rows.toDF("id", "v")
+    (1 to 3).foreach { h =>
+      val root = freshRoot()
+      var nextId = 1
+      def freshRows(n: Int) = {
+        val rows = (nextId until nextId + n).map(i => i -> rnd.nextInt(1000))
+        nextId += n
+        rows
+      }
+      assert(VersionedTable.createIfAbsent(spark, root, kv(freshRows(5)),
+        Map("key" -> "id")))
+      (1 to 6).foreach { _ =>
+        def liveIds = VersionedTable.readAt(spark, root)
+          .select("id").collect().map(_.getInt(0)).toSeq
+        rnd.nextInt(5) match {
+          case 0 => VersionedTable.commit(spark, root,
+            kv(freshRows(1 + rnd.nextInt(4))), overwrite = false)
+          case 1 => // merge: update a random live subset + fresh inserts
+            val upd = rnd.shuffle(liveIds).take(2)
+              .map(i => i -> rnd.nextInt(1000))
+            assert(VersionedTable.mergeInto(spark, root,
+              kv(upd ++ freshRows(1)), "id").isDefined)
+          case 2 => assert(VersionedTable.deleteWhere(spark, root,
+            col("v") % 3 === rnd.nextInt(3)).isDefined)
+          case 3 =>
+            // MoR delete, then compact to materialize the tombstones —
+            // the CoW ops above refuse over outstanding DVs by design
+            val victims = rnd.shuffle(liveIds).take(1 + rnd.nextInt(2))
+            if (victims.nonEmpty)
+              VersionedTable.deleteWhereMor(spark, root,
+                col("id").isin(victims.map(Integer.valueOf): _*), "id")
+            VersionedTable.compact(spark, root) // None = already compact
+          case 4 => VersionedTable.setProperties(spark, root,
+            Map(s"note" -> s"r${rnd.nextInt(100)}"))
+        }
+      }
+      // the invariant: for EVERY version, base-less CDF replay (signed
+      // multiset fold) equals the snapshot read
+      val vs = VersionedTable.versions(spark, root)
+      vs.foreach { v =>
+        val snap = VersionedTable.readAt(spark, root, Some(v))
+          .groupBy("id", "v").count()
+        val replay = VersionedTable.tableChanges(spark, root, 0L, v)
+          .withColumn("sign", when(col("_change_type")
+            .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+          .groupBy("id", "v").agg(sum("sign").as("count"))
+          .filter(col("count") > 0)
+        assert(snap.exceptAll(replay).isEmpty &&
+            replay.exceptAll(snap).isEmpty,
+          s"history $h: CDF replay diverged from snapshot at v$v " +
+            s"(kinds: ${vs.map(VersionedTable.commitKind(spark, root, _))})")
+      }
+    }
+  }
+
   test("tableChanges reconstructs exact row-level history across commit kinds") {
     import spark.implicits._
     val root = freshRoot()
