@@ -48,7 +48,8 @@ object VersionedTable {
     q118SqlTimeTravel, q119Restore, q120DeletionVectors, q121StreamSink,
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
-    q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh)
+    q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
+    q132MultiSkipping)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -321,17 +322,28 @@ object VersionedTable {
     (prev, carried)
   }
 
-  // [min,max] header for a freshly written generation, computed from the
-  // written files (one narrow agg; a production writer would harvest the
-  // parquet footers it just wrote). None when unrequested or all-null.
+  // [min,max] headers for a freshly written generation, computed from the
+  // written files — ONE narrow agg regardless of how many columns are
+  // tracked (a production writer would harvest the parquet footers it
+  // just wrote). All-null columns record nothing (absence = "must scan").
+  private def genStatsMulti(spark: SparkSession, root: String, gen: String,
+      cols: Seq[String]): Map[String, String] =
+    if (cols.isEmpty) Map.empty
+    else {
+      val df = spark.read.parquet(new Path(root, gen).toString)
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 * i)) None
+        else Some(statsKey(c, gen) ->
+          s"${r.getLong(2 * i)},${r.getLong(2 * i + 1)}")
+      }.toMap
+    }
+
   private def genStatsOf(spark: SparkSession, root: String, gen: String,
       statsCol: Option[String]): Map[String, String] =
-    statsCol.flatMap { c =>
-      val r = spark.read.parquet(new Path(root, gen).toString)
-        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
-      if (r.isNullAt(0)) None
-      else Some(statsKey(c, gen) -> s"${r.getLong(0)},${r.getLong(1)}")
-    }.map(kv => Map(kv)).getOrElse(Map.empty)
+    genStatsMulti(spark, root, gen, statsCol.toSeq)
 
   /** One commit: write `df` as a new immutable generation, then publish a
     * manifest for version max+1 via atomic rename; on a concurrency loss
@@ -350,10 +362,12 @@ object VersionedTable {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       overwrite: Boolean, meta: Map[String, String] = Map.empty,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     val gen = writeGeneration(spark, root, df)
     validateGeneration(spark, root, gen)
-    val genStats = genStatsOf(spark, root, gen, statsCol)
+    val genStats = genStatsMulti(spark, root, gen,
+      (statsCol.toSeq ++ statsCols).distinct)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -390,18 +404,35 @@ object VersionedTable {
     * Returns (frame, generations read, generations total).
     */
   def readAtPruned(spark: SparkSession, root: String, v: Option[Long],
-      statsCol: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+      statsCol: String, lo: Long, hi: Long): (DataFrame, Int, Int) =
+    readAtPrunedMulti(spark, root, v, Seq((statsCol, lo, hi)))
+
+  /** CONJUNCTIVE multi-column data skipping: keep only the generations
+    * whose recorded range intersects EVERY `(col, lo, hi)` window — the
+    * two-dimensional prune a time-partitioned multi-tenant table lives
+    * on (`event_time` window × tenant range: each predicate alone keeps
+    * many generations, the conjunction keeps few). A generation with no
+    * recorded stats for some column always survives that column's test
+    * (absence = "must scan" — stats stay an optimization, never a
+    * correctness gate). Same cost model as [[readAtPruned]]: the whole
+    * decision reads ONE manifest.
+    */
+  def readAtPrunedMulti(spark: SparkSession, root: String, v: Option[Long],
+      windows: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    require(windows.nonEmpty, "readAtPrunedMulti: no prune windows")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
     val (dirs, meta) = manifestOf(spark, root, ver)
     val kept = dirs.filter { d =>
-      meta.get(statsKey(statsCol, d)) match {
-        case Some(s) =>
-          val parts = s.split(",")
-          parts(1).toLong >= lo && parts(0).toLong <= hi
-        case None => true
+      windows.forall { case (c, lo, hi) =>
+        meta.get(statsKey(c, d)) match {
+          case Some(s) =>
+            val parts = s.split(",")
+            parts(1).toLong >= lo && parts(0).toLong <= hi
+          case None => true
+        }
       }
     }
     val df =
@@ -3165,5 +3196,74 @@ object VersionedTable {
       FROM survivors GROUP BY bucket
       UNION ALL
       SELECT 'audit_mismatches', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q132: MULTI-COLUMN DATA SKIPPING — the two-dimensional prune a
+    * time-partitioned multi-tenant table lives on. Four generations land
+    * along a (year × customer-range) grid, each commit recording
+    * [min,max] stats for BOTH columns in one agg pass
+    * (`statsCols = Seq("yr","o_custkey")`). A conjunctive window
+    * (yr = 1996 AND custkey ≤ median) keeps exactly 1 of 4 generations
+    * where the year window alone keeps 2 — both ratios pinned as audit
+    * rows, and the pruned frame's filtered aggregate is hash-checked
+    * against the full-table oracle (pruning can never change results;
+    * it only skips data the predicate cannot touch). At 100 TB this is
+    * the difference between O(tenant-window) and O(time-window) scans —
+    * each predicate alone keeps many generations, the conjunction keeps
+    * few, and the whole decision still reads ONE manifest.
+    */
+  val q132MultiSkipping: Q = Q(
+    "q132_multi_skipping",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      val mid = orders.agg(max(col("o_custkey")).cast("long"))
+        .head().getLong(0) / 2
+      def part(y: Int, low: Boolean) = orders.filter(col("yr") === y &&
+        (if (low) col("o_custkey") <= mid else col("o_custkey") > mid))
+      Seq(1995 -> true, 1995 -> false, 1996 -> true, 1996 -> false)
+        .zipWithIndex.foreach { case ((y, low), i) =>
+          commit(s, root, part(y, low), overwrite = i == 0,
+            statsCols = Seq("yr", "o_custkey"))
+        }
+      val (multi, keptM, totM) = readAtPrunedMulti(s, root, None,
+        Seq(("yr", 1996L, 1996L), ("o_custkey", 1L, mid)))
+      val (_, keptS, totS) = readAtPrunedMulti(s, root, None,
+        Seq(("yr", 1996L, 1996L)))
+      def audit(step: String, a: Long, b: Long) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"), lit(null).cast("double").as("c"))
+      multi
+        .filter(col("yr") === 1996 && col("o_custkey") <= mid)
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("o_custkey")).as("b"),
+          sum(col("o_totalprice")).cast("double").as("c"))
+        .select(lit("pruned_content").as("step"), col("a"), col("b"),
+          col("c"))
+        .unionByName(audit("prune_multi", keptM.toLong, totM.toLong))
+        .unionByName(audit("prune_single", keptS.toLong, totS.toLong))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(CAST(max(o_custkey) AS BIGINT) // 2 AS BIGINT) AS mid
+        FROM orders),
+      o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders)
+      SELECT 'pruned_content' AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(price) AS DOUBLE) AS c
+      FROM o, m WHERE yr = 1996 AND o_custkey <= mid
+      UNION ALL
+      SELECT 'prune_multi', CAST(1 AS BIGINT), CAST(4 AS BIGINT),
+        CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'prune_single', CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        CAST(NULL AS DOUBLE)
       ORDER BY step"""))
 }

@@ -258,7 +258,8 @@ class VTableV2Table(path: String, version: Option[Long],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VTableScanBuilder(path, version,
-      pruneCol.filter(schema.fieldNames.contains(_)), schema)
+      VTableScans.existingPruneCols(pruneCol, schema.fieldNames.toSeq),
+      schema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
@@ -339,7 +340,9 @@ class VTableV2TableWithRowOps(path: String, pruneCol: Option[String],
         s"${schema.fieldNames.mkString("(", ", ", ")")}")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new VTableRowOp(path,
-        keyCol, pruneCol.filter(schema.fieldNames.contains(_)), schema,
+        keyCol,
+        VTableScans.existingPruneCols(pruneCol, schema.fieldNames.toSeq),
+        schema,
         info.command())
     }
   }
@@ -393,8 +396,9 @@ class VTableScanBuilder(path: String, version: Option[Long],
   // EXPLAIN honesty: report as pushed only the filters that actually
   // drive generation pruning
   override def pushedFilters(): Array[Filter] =
-    pruneCol.map(c => filters.filter(_.references.contains(c)))
-      .getOrElse(Array.empty)
+    { val cols = VTableScans.pruneColsOf(pruneCol).toSet
+      if (cols.isEmpty) Array.empty
+      else filters.filter(_.references.exists(cols.contains)) }
 
   override def build(): Scan =
     new VTableV1ScanImpl(path, version, pruneCol, required, filters)

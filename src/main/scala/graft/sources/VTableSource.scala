@@ -233,18 +233,33 @@ object VTableScans {
     case _ => None
   }
 
-  /** The pruned, filtered, projected snapshot frame. */
+  // `pruneCol` accepts a comma-separated LIST of stats columns; split and
+  // (optionally) keep only the ones the schema actually has
+  private[sources] def pruneColsOf(pruneCol: Option[String]): Seq[String] =
+    pruneCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  private[sources] def existingPruneCols(pruneCol: Option[String],
+      fields: Seq[String]): Option[String] = {
+    val kept = pruneColsOf(pruneCol).filter(fields.contains)
+    if (kept.isEmpty) None else Some(kept.mkString(","))
+  }
+
+  /** The pruned, filtered, projected snapshot frame. Multi-column
+    * `pruneCol` lists prune CONJUNCTIVELY: every listed column with a
+    * non-trivial filter window contributes, so a time×tenant predicate
+    * keeps only the generations inside BOTH ranges
+    * ([[VersionedTable.readAtPrunedMulti]]).
+    */
   def frame(spark: org.apache.spark.sql.SparkSession, path: String,
       version: Option[Long], pruneCol: Option[String],
       requiredColumns: Seq[String], filters: Seq[Filter]): DataFrame = {
-    val base = pruneCol match {
-      case Some(c) =>
-        val (lo, hi) = bounds(filters, c)
-        if (lo == Long.MinValue && hi == Long.MaxValue)
-          VersionedTable.readAt(spark, path, version)
-        else VersionedTable.readAtPruned(spark, path, version, c, lo, hi)._1
-      case None => VersionedTable.readAt(spark, path, version)
-    }
+    val windows = pruneColsOf(pruneCol)
+      .map(c => (c, bounds(filters, c)))
+      .collect { case (c, (lo, hi))
+          if lo != Long.MinValue || hi != Long.MaxValue => (c, lo, hi) }
+    val base =
+      if (windows.isEmpty) VersionedTable.readAt(spark, path, version)
+      else VersionedTable.readAtPrunedMulti(spark, path, version, windows)._1
     val filtered = filters.flatMap(toPredicate).foldLeft(base)(_.filter(_))
     filtered.select(requiredColumns.map(col): _*)
   }

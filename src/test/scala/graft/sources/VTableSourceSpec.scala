@@ -164,6 +164,37 @@ class VTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("multi-column pruneCol lists prune conjunctively through the reader") {
+    import spark.implicits._
+    val root = fresh("vtsrc_mprune")
+    def grid(ts: Range, tenant: Range) =
+      (for { t <- ts; n <- tenant } yield (t, n)).toDF("ts", "tenant")
+    // 2×2 (time × tenant) generation grid, both columns stats-tracked
+    VersionedTable.commit(spark, root, grid(0 to 9, 0 to 4),
+      overwrite = true, statsCols = Seq("ts", "tenant"))
+    VersionedTable.commit(spark, root, grid(0 to 9, 5 to 9),
+      overwrite = false, statsCols = Seq("ts", "tenant"))
+    VersionedTable.commit(spark, root, grid(10 to 19, 0 to 4),
+      overwrite = false, statsCols = Seq("ts", "tenant"))
+    VersionedTable.commit(spark, root, grid(10 to 19, 5 to 9),
+      overwrite = false, statsCols = Seq("ts", "tenant"))
+    // conjunctive windows keep exactly ONE generation...
+    val (_, kept, total) = VersionedTable.readAtPrunedMulti(spark, root,
+      None, Seq(("ts", 10L, 12L), ("tenant", 7L, 7L)))
+    assert((kept, total) == (1, 4))
+    // ...and the public reader drives the same prune from pushed filters
+    val got = spark.read.format("graft-vtable").option("path", root)
+      .option("pruneCol", "ts,tenant").load()
+      .filter(col("ts") >= 10 && col("ts") <= 12 && col("tenant") === 7)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == (10 to 12).map(_ -> 7).toSet,
+      "pruning never changes results")
+    // a filter on only one listed column still prunes on that dimension
+    val (_, keptS, _) = VersionedTable.readAtPrunedMulti(spark, root,
+      None, Seq(("ts", 10L, 12L)))
+    assert(keptS == 2)
+  }
+
   test("readChangeFeed batch read returns the row-level CDF, versions inclusive") {
     import spark.implicits._
     val root = fresh("vtsrc_cdf")
