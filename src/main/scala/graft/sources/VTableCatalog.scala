@@ -50,10 +50,14 @@ import graft.ops.VersionedTable
   * `CREATE TABLE … AS SELECT` first publishes version 1 as an EMPTY
   * generation carrying the declared schema (a table exists exactly when
   * it has a commit — non-atomic CTAS, Spark drops the table if the
-  * subsequent insert fails), then appends the query result. ALTER is
-  * rejected loudly — schema evolves by committing widened generations.
-  * DROP deletes the table tree; RENAME is a directory move
-  * (metadata-only, like the lakehouse formats).
+  * subsequent insert fails), then appends the query result. ALTER:
+  * `SET/UNSET TBLPROPERTIES` lands as a metadata-only commit,
+  * `ADD COLUMNS` as a widened-schema evolution commit; destructive
+  * schema changes (DROP/RENAME/retype) are rejected loudly. DROP TABLE
+  * deletes the table tree; RENAME TO is a directory move
+  * (metadata-only, like the lakehouse formats). The catalog's
+  * `pruneCol` option takes a comma LIST of stats columns — pushed
+  * filters on each prune their own generation dimension conjunctively.
   */
 class VTableCatalog extends TableCatalog with ProcedureCatalog {
 
