@@ -1299,6 +1299,37 @@ object VersionedTable {
       readDirs(spark, root, added))
   }
 
+  /** Appends-only lenient feed across (vFrom, vTo]: deliver the
+    * generations added by append-shaped commits and SILENTLY SKIP
+    * data-changing ones (merge/update/delete/MoR/overwrite/restore) —
+    * the Delta `skipChangeCommits` semantics, for consumers that only
+    * care about arrivals and accept missing the mutations (an
+    * append-only downstream index, a notification fan-out). Unlike
+    * [[readChanges]] this NEVER refuses; unlike [[tableChanges]] it
+    * reports no removals. vTo's outstanding tombstones still apply to
+    * what IS delivered.
+    */
+  def readAppends(spark: SparkSession, root: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.contains(vFrom) && vs.contains(vTo) && vFrom < vTo,
+      s"readAppends: need committed vFrom < vTo, got $vFrom, $vTo in $vs")
+    val steps = vs.filter(v => v > vFrom && v <= vTo)
+    val added = steps.flatMap { v =>
+      val prev = vs.filter(_ < v).last
+      val before = manifestDirs(spark, root, prev)
+      val after = manifestDirs(spark, root, v)
+      val kind = commitKind(spark, root, v).stripSuffix("+txn")
+      if ((kind == "append" || kind == "add_columns") &&
+          before.forall(after.contains))
+        after.filterNot(before.contains)
+      else Seq.empty // not an append: skipped by request
+    }
+    if (added.isEmpty) readAt(spark, root, Some(vTo)).limit(0)
+    else applyDvs(spark, root, manifestMeta(spark, root, vTo),
+      readDirs(spark, root, added))
+  }
+
   /** CHANGE DATA FEED — row-level changes across (vFrom, vTo] with
     * `_change_type` (`insert` / `delete` / `update_preimage` /
     * `update_postimage`) and `_commit_version` columns, the Delta CDF /

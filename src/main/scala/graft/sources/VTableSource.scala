@@ -35,7 +35,7 @@ import graft.ops.VersionedTable
   *    the new commits appended are read, compaction/optimize rewrites
   *    deliver nothing, and a non-append commit (overwrite/merge/delete)
   *    fails the stream loudly rather than misreporting row changes —
-  *    the Delta-source semantics without `skipChangeCommits`. Offsets
+  *    the Delta-source semantics. Offsets
   *    are table versions, so a restart resumes exactly where the
   *    checkpoint left off. `option("startingVersion", n)` skips the
   *    initial snapshot and tails changes after version n;
@@ -48,6 +48,10 @@ import graft.ops.VersionedTable
   *    commits flow as change rows instead of failing the stream — only
   *    overwrite/restore still refuse. The same option on a BATCH read
   *    returns the bounded CDF (inclusive startingVersion/endingVersion).
+  *    `option("skipChangeCommits", "true")` is the opposite trade (the
+  *    Delta option): deliver ONLY appended rows, silently skipping
+  *    data-changing commits — for consumers that care about arrivals
+  *    and accept missing mutations. Mutually exclusive with the CDF.
   *
   * This is a V1 source on purpose: its scan and feed are COMPOSITIONS of
   * existing parquet scans (the engine's own readAt/readChanges plans),
@@ -127,12 +131,18 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
     require(maxVersions.forall(_ >= 1L),
       "graft-vtable: maxVersionsPerBatch must be >= 1")
+    val skip = parameters.get("skipChangeCommits")
+      .exists(_.equalsIgnoreCase("true"))
+    require(!(skip && cdfOf(parameters)),
+      "graft-vtable: skipChangeCommits and readChangeFeed are opposites " +
+        "— one silently drops mutations, the other delivers them")
     new VTableCdcSource(sqlContext,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       pathOf(parameters),
       parameters.get("startingVersion").map(_.toLong),
       maxVersions,
-      cdf = cdfOf(parameters))
+      cdf = cdfOf(parameters),
+      skipChangeCommits = skip)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -330,7 +340,8 @@ case class VTableOffset(version: Long) extends Offset {
 class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
     path: String, startingVersion: Option[Long] = None,
     maxVersionsPerBatch: Option[Long] = None,
-    cdf: Boolean = false) extends Source {
+    cdf: Boolean = false,
+    skipChangeCommits: Boolean = false) extends Source {
 
   private def spark = ctx.sparkSession
   private def ver(o: Offset): Long = o.json.trim.toLong
@@ -369,6 +380,9 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
       // CDF tail: row-level changes — merge/update/delete/MoR commits
       // flow as _change_type rows instead of failing the stream
       case Some(s) if cdf => VersionedTable.tableChanges(spark, path, s, endV)
+      // appends-only lenient tail: data-changing commits silently skipped
+      case Some(s) if skipChangeCommits =>
+        VersionedTable.readAppends(spark, path, s, endV)
       case Some(s) => VersionedTable.readChanges(spark, path, s, endV)
     }
     lastSeen = Some(endV)

@@ -142,6 +142,30 @@ class VTableCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE vtcat.p.t RENAME COLUMN id TO id2"))
   }
 
+  test("CHECK constraints enforce through the SQL surface") {
+    spark.sql("CREATE TABLE vtcat.c.t (id INT, v INT) TBLPROPERTIES " +
+      "('constraint.pos'='v > 0')")
+    spark.sql("INSERT INTO vtcat.c.t VALUES (1, 10), (2, 20)")
+    // one bad row aborts the whole INSERT — nothing partial lands
+    intercept[Exception](
+      spark.sql("INSERT INTO vtcat.c.t VALUES (3, 30), (4, -1)"))
+    assert(spark.sql("SELECT id FROM vtcat.c.t").collect()
+      .map(_.getInt(0)).toSet == Set(1, 2))
+    // ALTER-time validation: a constraint existing rows violate refuses
+    intercept[Exception](spark.sql(
+      "ALTER TABLE vtcat.c.t SET TBLPROPERTIES ('constraint.big'='v > 15')"))
+    // a satisfiable one lands and then gates future writes
+    spark.sql(
+      "ALTER TABLE vtcat.c.t SET TBLPROPERTIES ('constraint.cap'='v < 100')")
+    intercept[Exception](
+      spark.sql("INSERT INTO vtcat.c.t VALUES (5, 500)"))
+    // UNSET lifts enforcement
+    spark.sql("ALTER TABLE vtcat.c.t UNSET TBLPROPERTIES ('constraint.cap')")
+    spark.sql("INSERT INTO vtcat.c.t VALUES (5, 500)")
+    assert(spark.sql("SELECT id FROM vtcat.c.t").collect()
+      .map(_.getInt(0)).toSet == Set(1, 2, 5))
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves the schema as a widened commit") {
     df(1, 2).createOrReplaceTempView("vtcat_evo_src")
     spark.sql("CREATE TABLE vtcat.e.t AS SELECT id FROM vtcat_evo_src")

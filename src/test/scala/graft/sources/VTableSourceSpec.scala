@@ -263,6 +263,45 @@ class VTableSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("skipChangeCommits tails appends only, silently passing mutations") {
+    import spark.implicits._
+    val root = fresh("vtsrc_skip")
+    assert(VersionedTable.createIfAbsent(spark, root,
+      Seq(1 -> 10).toDF("id", "v"), Map("key" -> "id")))            // v1
+    val out = fresh("vtsrc_skip_out")
+    val q = spark.readStream.format("graft-vtable")
+      .option("path", root).option("skipChangeCommits", "true").load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", fresh("vtsrc_skip_ckpt")).start()
+    def sunk() = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    try {
+      q.processAllAvailable()
+      assert(sunk() == Set(1 -> 10), "snapshot opening batch")
+      // a MERGE fails the strict tail; the lenient tail passes silently
+      assert(VersionedTable.mergeInto(spark, root,
+        Seq(1 -> 100, 2 -> 20).toDF("id", "v"), "id").isDefined)    // v2
+      VersionedTable.commit(spark, root,
+        Seq(3 -> 30).toDF("id", "v"), overwrite = false)            // v3
+      q.processAllAvailable()
+      assert(sunk() == Set(1 -> 10, 3 -> 30),
+        "append delivered; the merge (update + its insert) skipped, " +
+          "by request")
+    } finally q.stop()
+    // the two stream flavors are opposite trades: refuse the combination
+    // (source construction runs on the stream thread — fails the query)
+    val bad = spark.readStream.format("graft-vtable").option("path", root)
+      .option("skipChangeCommits", "true")
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", fresh("vtsrc_skip_ckpt2")).start()
+    try {
+      intercept[Throwable] { bad.processAllAvailable() }
+      assert(bad.exception.isDefined)
+    } finally bad.stop()
+  }
+
   test("CDC admission control: startingVersion skips the snapshot, maxVersionsPerBatch bounds each drain") {
     val root = fresh("vtsrc_adm")
     (1 to 5).foreach(i =>
