@@ -1204,7 +1204,7 @@ object VersionedTable {
     * deterministic).
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = Int.MaxValue,
-      force: Boolean = false): (Int, Int) = {
+      force: Boolean = false, dryRun: Boolean = false): (Int, Int) = {
     val hfs = fs(spark, root)
     val vs = versions(spark, root)
     val keep = vs.takeRight(math.max(1, keepVersions))
@@ -1227,6 +1227,10 @@ object VersionedTable {
     // might be a concurrent writer's not-yet-published generation
     val droppedRefs = dropVs.flatMap(refsOf).toSet
     val deletable = deadDirs.filter(d => force || droppedRefs.contains(d))
+    // DRY RUN: report what WOULD be reclaimed without touching anything —
+    // the look-before-you-leap every destructive maintenance verb owes
+    // (vacuum is the ONE operation here that destroys history)
+    if (dryRun) return (deletable.size, dropVs.size)
     deletable.foreach(d => hfs.delete(new Path(root, d), true))
     dropVs.foreach(v => hfs.delete(new Path(root, s"_log/$v.commit"), false))
     if (force && hfs.exists(new Path(root, "_log")))

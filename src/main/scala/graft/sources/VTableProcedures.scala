@@ -171,16 +171,18 @@ object VTableProcedures {
     Proc("vacuum",
       "reclaim generations no retained snapshot references (trims time " +
         "travel to keep_versions); force also reclaims unreferenced " +
-        "dirs younger than the newest manifest",
+        "dirs younger than the newest manifest; dry_run reports what " +
+        "WOULD be reclaimed without deleting anything",
       Seq(in("table", StringType),
         inDefault("keep_versions", IntegerType, "2147483647"),
-        inDefault("force", BooleanType, "false")),
+        inDefault("force", BooleanType, "false"),
+        inDefault("dry_run", BooleanType, "false")),
       StructType(Seq(StructField("generations_deleted", IntegerType),
         StructField("manifests_deleted", IntegerType))),
       (root, args) => {
         val p = tableRoot(root, args.getUTF8String(0).toString)
         val (gens, manifests) = VersionedTable.vacuum(spark, p,
-          args.getInt(1), args.getBoolean(2))
+          args.getInt(1), args.getBoolean(2), args.getBoolean(3))
         Seq(new GenericInternalRow(Array[Any](gens, manifests)))
       }),
     Proc("history",

@@ -72,6 +72,13 @@ class VTableProceduresSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
     assert(ids("SELECT id FROM vtproc.v.t") == Set(1))
     assert(ids("SELECT id FROM vtproc.v.t VERSION AS OF 3") == Set(1, 2, 3))
+    // DRY RUN first: same numbers, nothing touched — old snapshots
+    // still time-travel afterwards
+    val dry = spark.sql("CALL vtproc.system.vacuum('v.t', " +
+      "keep_versions => 1, force => true, dry_run => true)").head()
+    assert(dry.getInt(0) == 2 && dry.getInt(1) == 3)
+    assert(ids("SELECT id FROM vtproc.v.t VERSION AS OF 3") == Set(1, 2, 3),
+      "dry run must not destroy history")
     // keep only the restored tip: the v2/v3 generations die, manifests trim
     val vac = spark.sql(
       "CALL vtproc.system.vacuum('v.t', keep_versions => 1, force => true)")
