@@ -721,6 +721,7 @@ object VersionedTable {
   def applyRowDelta(spark: SparkSession, root: String, deleteKeys: DataFrame,
       inserts: DataFrame, keyCol: String, kindHeader: String = "merge",
       statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
       raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
     require(Set("merge", "update", "delete").contains(kindHeader),
       s"applyRowDelta: unknown kind '$kindHeader'")
@@ -779,7 +780,8 @@ object VersionedTable {
         Map(kindHeader -> "true")
           ++ carriedStats(spark, root, baseV, untouched)
           ++ propHeaders(spark, root, baseV)
-          ++ genStatsOf(spark, root, gen, statsCol)))
+          ++ genStatsMulti(spark, root, gen,
+            (statsCol.toSeq ++ statsCols).distinct)))
       Some((baseV + 1, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -935,18 +937,22 @@ object VersionedTable {
     * get an empty delta across it. Returns the committed version.
     */
   def setProperties(spark: SparkSession, root: String,
-      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+      set: Map[String, String], unset: Seq[String] = Nil,
+      raceHook: () => Unit = () => ()): Long = {
     validateProps(set)
     require(unset.forall(k => !set.contains(k)),
       "setProperties: a key cannot be both set and unset")
     // adding a CHECK constraint is a promise about the WHOLE table, not
     // just future writes: validate existing data first (one
     // short-circuiting scan per added constraint), so a reader can trust
-    // any declared constraint unconditionally
+    // any declared constraint unconditionally. The validation is keyed to
+    // the TIP VERSION it ran against and re-runs inside the retry loop
+    // whenever the tip moved — otherwise a concurrent data commit landing
+    // between validation and publish was only checked against the OLD tip
+    // constraints, and a violating row could slip under the just-declared
+    // constraint (TOCTOU on the whole-table check).
     val newConstraints = constraintsOf(set)
-    if (newConstraints.nonEmpty)
-      enforceConstraints(spark, root, newConstraints,
-        readAt(spark, root), gen = None)
+    var validatedAtV: Long = -1L
     var attempt = 0
     while (true) {
       attempt += 1
@@ -954,6 +960,11 @@ object VersionedTable {
         throw new java.io.IOException(s"VersionedTable: publish contention at $root")
       val vs = versions(spark, root)
       require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      if (newConstraints.nonEmpty && vs.last != validatedAtV) {
+        enforceConstraints(spark, root, newConstraints,
+          readAt(spark, root, Some(vs.last)), gen = None)
+        validatedAtV = vs.last
+      }
       val (dirs, meta) = manifestOf(spark, root, vs.last)
       val kept = meta.filter { case (k, _) =>
         (k.startsWith("stats:") || k.startsWith("dv:") ||
@@ -962,6 +973,7 @@ object VersionedTable {
       val edited = kept ++ set.map { case (k, v) => s"prop:$k" -> v } +
         ("properties" -> "true")
       val next = vs.last + 1
+      if (attempt == 1) raceHook() // test seam: commit-between-validate-and-publish
       if (tryPublish(spark, root, next, dirs, edited)) return next
     }
     -1L // unreachable
@@ -1037,13 +1049,25 @@ object VersionedTable {
     val keepHeaders = meta.filter { case (k, _) =>
       k.startsWith("stats:") || k.startsWith("dv:")
     }
-    raceHook()
     // stats/dv headers describe toV's generations (restored verbatim);
     // properties describe the TABLE, so the restore keeps the CURRENT
     // tip's — rolling back a bad data load must not revert an unrelated
-    // property change
+    // property change. That carry has a trap: a CHECK constraint added
+    // AFTER toV was never validated against toV's data (e.g. rows purged
+    // before the constraint existed would be resurrected under it),
+    // silently breaking the "a reader can trust any declared constraint
+    // unconditionally" invariant — so validate the restored snapshot
+    // against the carried constraints first and refuse on violation
+    // (UNSET the constraint to force the restore through).
+    val carriedProps = propHeaders(spark, root, baseV)
+    val carriedConstraints = constraintsOf(
+      carriedProps.map { case (k, v) => k.stripPrefix("prop:") -> v })
+    if (carriedConstraints.nonEmpty)
+      enforceConstraints(spark, root, carriedConstraints,
+        readAt(spark, root, Some(toV)), gen = None)
+    raceHook()
     if (tryPublish(spark, root, baseV + 1, dirs,
-        keepHeaders ++ propHeaders(spark, root, baseV)
+        keepHeaders ++ carriedProps
           + ("restore" -> toV.toString)))
       Some(baseV + 1)
     else None // no orphan to reclaim — restore writes no generation

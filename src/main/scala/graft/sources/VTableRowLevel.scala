@@ -133,9 +133,12 @@ class VTableDeltaBatchWrite(path: String, keyCol: String,
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         else spark.read.schema(schema).parquet(files: _*)
+      // `pruneCol` is the catalog's comma LIST of stats columns — split it
+      // (a single joined string would feed min(col("c1,c2")) and fail
+      // analysis AFTER the generation is written, leaking an orphan)
       val committed = VersionedTable.applyRowDelta(spark, path,
         staged(delFiles, keySchema), staged(insFiles, dataSchema),
-        keyCol, kind, statsCol = pruneCol)
+        keyCol, kind, statsCols = VTableScans.pruneColsOf(pruneCol))
       if (committed.isEmpty) throw new java.io.IOException(
         s"graft-vtable: $kind lost the publish race at $path — a " +
           "concurrent commit landed mid-statement; re-run the statement " +

@@ -38,7 +38,8 @@ import graft.ops.VersionedTable
   *    the Delta-source semantics. Offsets
   *    are table versions, so a restart resumes exactly where the
   *    checkpoint left off. `option("startingVersion", n)` skips the
-  *    initial snapshot and tails changes after version n;
+  *    initial snapshot and tails changes FROM version n (inclusive —
+  *    Delta semantics, same window as the batch CDF option);
   *    `option("maxVersionsPerBatch", m)` is admission control — each
   *    trigger drains at most m commits, so a backlog is processed as
   *    bounded micro-batches (see [[VTableCdcSource]]). With
@@ -321,9 +322,12 @@ case class VTableOffset(version: Long) extends Offset {
   * version, later batches = the O(delta) change feed between versions.
   *
   * `startingVersion` (Delta-source idiom) skips the initial snapshot:
-  * the tail starts as the change feed AFTER that committed version —
-  * the restart-a-consumer-mid-history device (the snapshot would
-  * re-deliver data the consumer already holds).
+  * the tail starts as the change feed FROM that committed version —
+  * INCLUSIVE, matching both Delta's option and this source's own batch
+  * `readChangeFeed` window (one option name, one meaning in both read
+  * modes). The restart-a-consumer-mid-history device: a consumer that
+  * already holds v n-1 passes startingVersion=n and receives v n's
+  * changes first (the snapshot would re-deliver data it already holds).
   *
   * `maxVersionsPerBatch` is ADMISSION CONTROL: each trigger offers at
   * most that many commits past the last processed version, so a
@@ -346,10 +350,15 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
   private def spark = ctx.sparkSession
   private def ver(o: Offset): Long = o.json.trim.toLong
 
+  // startingVersion is INCLUSIVE (Delta semantics, same as the batch CDF
+  // window): the first delivered delta is (startingVersion-1 →
+  // startingVersion], so the floor the tail resumes from is one below
+  private val startFloor: Option[Long] = startingVersion.map(_ - 1)
+
   // last version this stream has offered/processed — seeded by recovery
-  // (getBatch runs first on restart) or startingVersion, None until the
-  // uncapped initial-snapshot batch resolves it
-  @volatile private var lastSeen: Option[Long] = startingVersion
+  // (getBatch runs first on restart) or the startingVersion floor, None
+  // until the uncapped initial-snapshot batch resolves it
+  @volatile private var lastSeen: Option[Long] = startFloor
 
   override def getOffset: Option[Offset] = {
     val vs = VersionedTable.versions(spark, path)
@@ -365,7 +374,7 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
-    val batch = start.map(ver).orElse(startingVersion) match {
+    val batch = start.map(ver).orElse(startFloor) match {
       case None if cdf => // initial snapshot AS the change feed's opening
         VersionedTable.readAt(spark, path, Some(endV))
           .withColumn("_change_type", lit("insert"))

@@ -750,6 +750,72 @@ class VersionedTableSpec extends SparkSpec {
       Set(1 -> Some(10), 5 -> Some(-50)))
   }
 
+  test("restore refuses to resurrect data that violates a constraint added later") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "v")
+    VersionedTable.commit(spark, root, kv(1 -> 10, 2 -> -5),
+      overwrite = true)                                            // v1
+    // purge the violating row, THEN declare the constraint: the tip is
+    // clean, so the declaration validates
+    assert(VersionedTable.deleteWhere(spark, root,
+      col("v") < 0).isDefined)                                     // v2
+    VersionedTable.setProperties(spark, root,
+      Map("constraint.pos" -> "v > 0"))                            // v3
+    // restoring to v1 would resurrect id=2 (v=-5) UNDER the carried
+    // constraint — the "a reader can trust any declared constraint
+    // unconditionally" invariant breaks silently; refuse instead
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.restore(spark, root, 1L))
+    assert(e.getMessage.contains("pos"))
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L),
+      "a refused restore publishes nothing")
+    // UNSET forces it through (the user explicitly lifts the promise)
+    VersionedTable.setProperties(spark, root, Map.empty,
+      unset = Seq("constraint.pos"))                               // v4
+    assert(VersionedTable.restore(spark, root, 1L).contains(5L))
+    assert(VersionedTable.readAt(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet == Set(1 -> 10, 2 -> -5))
+    // restoring to a CLEAN snapshot under a live constraint still works
+    val root2 = freshRoot()
+    VersionedTable.commit(spark, root2, kv(1 -> 10), overwrite = true) // v1
+    VersionedTable.commit(spark, root2, kv(2 -> 20), overwrite = false) // v2
+    VersionedTable.setProperties(spark, root2,
+      Map("constraint.pos" -> "v > 0"))                            // v3
+    assert(VersionedTable.restore(spark, root2, 1L).contains(4L))
+  }
+
+  test("adding a constraint re-validates when a commit lands between check and publish") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "v")
+    VersionedTable.commit(spark, root, kv(1 -> 10), overwrite = true) // v1
+    // the seam fires after the whole-table validation (clean at v1) and
+    // before the publish: a concurrent append lands a VIOLATING row that
+    // the v1-scoped check never saw (the TOCTOU window)
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.setProperties(spark, root,
+        Map("constraint.pos" -> "v > 0"),
+        raceHook = () => { VersionedTable.commit(spark, root,
+          kv(2 -> -7), overwrite = false); () }))
+    assert(e.getMessage.contains("pos"))
+    // the racing append is the tip; the constraint was never declared
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    assert(!VersionedTable.tableProperties(spark, root)
+      .contains("constraint.pos"))
+    // the benign interleaving still lands: a CLEAN concurrent commit
+    // costs one re-validation, then the property publishes
+    val root2 = freshRoot()
+    VersionedTable.commit(spark, root2, kv(1 -> 10), overwrite = true) // v1
+    val v = VersionedTable.setProperties(spark, root2,
+      Map("constraint.pos" -> "v > 0"),
+      raceHook = () => { VersionedTable.commit(spark, root2,
+        kv(2 -> 20), overwrite = false); () })
+    assert(v == 3L, "retry past the clean concurrent commit")
+    assert(VersionedTable.tableProperties(spark, root2)
+      .get("constraint.pos").contains("v > 0"))
+  }
+
   test("CDF replay invariant: folding tableChanges reconstructs every snapshot, random histories") {
     import spark.implicits._
     // fixed-seed randomized histories: the invariant must hold for ANY

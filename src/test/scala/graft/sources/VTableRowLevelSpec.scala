@@ -158,4 +158,30 @@ class VTableRowLevelSpec extends SparkSpec {
     assert(rows("SELECT id, v FROM vtrl.g.t") ==
       Set((1, 11), (1, 100), (2, 20)))
   }
+
+  test("a comma-LIST pruneCol records per-column stats through SQL DML") {
+    // the catalog documents pruneCol as a comma list; the row-level write
+    // path must SPLIT it — a joined "id,v" fed to one min(col(...)) fails
+    // analysis AFTER the generation is written, aborting every
+    // UPDATE/MERGE/DELETE on the catalog and leaking the orphan
+    val r2 = Files.createTempDirectory("vtrl2").toString
+    spark.conf.set("spark.sql.catalog.vtrl2", classOf[VTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtrl2.root", r2)
+    spark.conf.set("spark.sql.catalog.vtrl2.pruneCol", "id,v")
+    val path = s"$r2/p/t"
+    spark.sql("CREATE TABLE vtrl2.p.t (id INT, v INT) TBLPROPERTIES ('key'='id')")
+    spark.sql("INSERT INTO vtrl2.p.t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("UPDATE vtrl2.p.t SET v = v + 5 WHERE id >= 2")
+    assert(rows("SELECT id, v FROM vtrl2.p.t") ==
+      Set((1, 10), (2, 25), (3, 35)))
+    assert(lastKind(path) == "update")
+    // the rewritten generation carries [min,max] headers for BOTH listed
+    // columns — data skipping stays live across SQL DML
+    val tipV = VersionedTable.versions(spark, path).last
+    val meta = VersionedTable.manifestMeta(spark, path, tipV)
+    Seq("id", "v").foreach { c =>
+      assert(meta.keys.exists(_.startsWith(s"stats:$c:")),
+        s"missing stats:$c header in ${meta.keys.toSeq.sorted}")
+    }
+  }
 }

@@ -311,8 +311,8 @@ class VTableSourceSpec extends SparkSpec {
       (b, _) => { batches.add(idsOf(b)); () }
     val q = spark.readStream.format("graft-vtable")
       .option("path", root)
-      .option("startingVersion", "1")     // consumer already holds v1:
-      .option("maxVersionsPerBatch", "2") // tail v2..v5, two commits/trigger
+      .option("startingVersion", "2")     // INCLUSIVE (Delta semantics):
+      .option("maxVersionsPerBatch", "2") // holds v1, tail v2..v5, 2/trigger
       .load()
       .writeStream
       .option("checkpointLocation", fresh("vtsrc_adm_ckpt"))
