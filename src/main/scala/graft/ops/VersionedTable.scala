@@ -49,7 +49,7 @@ object VersionedTable {
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
-    q132MultiSkipping)
+    q132MultiSkipping, q133PartitionedVtable)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -127,21 +127,141 @@ object VersionedTable {
   def isRewrite(spark: SparkSession, root: String, v: Long): Boolean =
     manifestMeta(spark, root, v).get("rewrite").contains("true")
 
-  // write df as a new immutable generation dir; invisible until published
-  private def writeGeneration(spark: SparkSession, root: String, df: DataFrame): String = {
+  // ---- TABLE PARTITIONING (`PARTITIONED BY`) ------------------------
+  // A table may declare IDENTITY PARTITION COLUMNS at creation (the
+  // `partition` table property, comma list — stamped by the catalog's
+  // PARTITIONED BY clause or createIfAbsent props). Partition-routed
+  // commits write each generation as hive-style `__p_<col>=<value>`
+  // subdirs in ONE pass (partitionBy on a DUPLICATED `__p_`-prefixed
+  // column, so the REAL column stays in the data files — readers never
+  // reconstruct values from paths, and unpartitioned vs partitioned
+  // generations still align by name), and the manifest lists the LEAF
+  // dirs. Partition pruning is therefore a pure manifest-LINE decision
+  // (no listing, no footer reads — the same economics as stats
+  // skipping, see readAtPrunedParts), it composes conjunctively with
+  // stats windows, and every kept leaf is a plain parquet dir, so the
+  // single multi-path scan fast path survives. At 100 TB: a categorical
+  // predicate (tenant, region, day) skips whole leaf dirs from ONE
+  // manifest read — the directory-partitioned layout the reference
+  // itself writes (spotifytransform.py:102-105), expressed as
+  // manifest-listed generations instead of a bare directory tree.
+  private[ops] val PartPrefix = "__p_"
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Declared identity partition columns from a table-properties map
+    * (the `partition` property, comma list); empty when unpartitioned.
+    */
+  def partitionColsOf(props: Map[String, String]): Seq[String] =
+    props.get("partition").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  // partition columns in force at the tip (empty for fresh/unpartitioned)
+  private def partitionColsAt(spark: SparkSession, root: String): Seq[String] =
+    versions(spark, root).lastOption.map { v =>
+      partitionColsOf(propHeaders(spark, root, v)
+        .map { case (k, value) => k.stripPrefix("prop:") -> value })
+    }.getOrElse(Nil)
+
+  // does `rel` (or any partition subdir of it) hold a footer-bearing file?
+  private def hasPartFiles(spark: SparkSession, root: String,
+      rel: String): Boolean = {
+    val hfs = fs(spark, root)
+    def any(dir: Path): Boolean = hfs.listStatus(dir).exists { st =>
+      (st.isFile && st.getPath.getName.startsWith("part-")) ||
+        (st.isDirectory && any(st.getPath))
+    }
+    any(new Path(root, rel))
+  }
+
+  /** The manifest LINES for a freshly written generation: its hive-style
+    * `__p_` leaf dirs when the write was partition-routed, else the dir
+    * itself. The cardinality guard refuses a commit that fans out into
+    * pathologically many partitions — partitioning is for CATEGORICAL
+    * columns; ranges belong to stats skipping.
+    */
+  private def genEntries(spark: SparkSession, root: String,
+      gen: String): Seq[String] = {
+    val hfs = fs(spark, root)
+    def walk(rel: String): Seq[String] = {
+      val subs = hfs.listStatus(new Path(root, rel)).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(PartPrefix))
+      if (subs.isEmpty) Seq(rel)
+      else subs.sortBy(_.getPath.getName)
+        .flatMap(st => walk(s"$rel/${st.getPath.getName}"))
+    }
+    val entries = walk(gen)
+    if (entries.size > 4096) {
+      hfs.delete(new Path(root, gen), true)
+      throw new IllegalArgumentException(
+        s"VersionedTable: one commit produced ${entries.size} partition " +
+          "dirs — the declared partition columns are too fine-grained " +
+          "(partition by low-cardinality columns; use stats skipping " +
+          "for ranged/high-cardinality dimensions)")
+    }
+    entries
+  }
+
+  // decode hive partition-path escaping (%XX) from a dir-name token
+  private def unescapePathToken(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  // the partition value a manifest entry's path encodes for column `c`:
+  // outer None when the entry has no such segment (unpartitioned
+  // generation — must always scan); Some(None) = the NULL partition;
+  // Some(Some(v)) = the unescaped rendered value
+  private def partValueOf(entry: String,
+      c: String): Option[Option[String]] =
+    entry.split('/').collectFirst {
+      case seg if seg.startsWith(s"$PartPrefix$c=") =>
+        val raw = seg.substring(PartPrefix.length + c.length + 1)
+        if (raw == HiveNullPart) None else Some(unescapePathToken(raw))
+    }
+
+  // write df as a new immutable generation dir; invisible until
+  // published. With `partCols` declared AND all present in the frame, the
+  // write routes hive-style into `__p_<col>=<value>` leaf subdirs (one
+  // partitionBy pass); frames missing a partition column (DV key lists,
+  // internal ledgers) write plain — a generation without partition
+  // subdirs is always legal and simply never prunes.
+  private def writeGeneration(spark: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String] = Nil): String = {
     val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
     val p = new Path(root, gen)
-    df.write.mode("errorifexists").parquet(p.toString)
+    val route = partCols.nonEmpty && partCols.forall(df.columns.contains)
+    if (route) {
+      // duplicate each partition column under the __p_ prefix:
+      // partitionBy consumes (and drops) the prefixed copy into the dir
+      // name while the real column stays in the files
+      val dup = partCols.foldLeft(df)((d, c) =>
+        d.withColumn(PartPrefix + c, col(c)))
+      dup.write.mode("errorifexists")
+        .partitionBy(partCols.map(PartPrefix + _): _*).parquet(p.toString)
+    } else df.write.mode("errorifexists").parquet(p.toString)
     // a frame whose every partition is empty writes NO part files — only
     // _SUCCESS — and a footer-less generation breaks every later read of
     // the snapshot (parquet cannot infer its schema). A rewrite that
     // deletes ALL rows of the touched generations hits exactly this, so
     // re-write as one forced task: a 0-row single-partition write still
-    // lands one footer-bearing file (the CREATE TABLE device).
-    val hfs = fs(spark, root)
-    if (!hfs.listStatus(p).exists(st =>
-        st.isFile && st.getPath.getName.startsWith("part-"))) {
-      hfs.delete(p, true)
+    // lands one footer-bearing file (the CREATE TABLE device). The empty
+    // rewrite is always PLAIN — there are no partition values to route.
+    if (!hasPartFiles(spark, root, gen)) {
+      fs(spark, root).delete(p, true)
       df.limit(0).repartition(1).write.mode("errorifexists").parquet(p.toString)
     }
     gen
@@ -161,8 +281,16 @@ object VersionedTable {
   }
 
   // manifest header key carrying one generation's [min,max] for one
-  // column — the generation dir name is unique, so the key is too
-  private def statsKey(colName: String, gen: String) = s"stats:$colName:$gen"
+  // column — the generation dir name is unique, so the key is too.
+  // Header lines parse on the FIRST '=', and a partition-routed leaf dir
+  // CONTAINS '=' (`__p_col=value`), so the dir rides in the key with '='
+  // (and '%', to keep decoding unambiguous) percent-escaped.
+  private def encDir(d: String): String =
+    d.replace("%", "%25").replace("=", "%3D")
+  private def decDir(d: String): String =
+    d.replace("%3D", "=").replace("%25", "%")
+  private def statsKey(colName: String, gen: String) =
+    s"stats:$colName:${encDir(gen)}"
 
   // deletion-vector headers: `dv:<dvGenDir>=<keyCol>` marks a small
   // key-list generation whose keys are LOGICALLY DELETED from every read
@@ -186,6 +314,38 @@ object VersionedTable {
 
   private def propHeaders(spark: SparkSession, root: String, v: Long): Map[String, String] =
     propHeadersOf(manifestMeta(spark, root, v))
+
+  // the user-facing table-properties view of one manifest's headers
+  private def tablePropsOf(meta: Map[String, String]): Map[String, String] =
+    propHeadersOf(meta).map { case (k, v) => k.stripPrefix("prop:") -> v }
+
+  // EXISTENCE DEFAULTS (the Delta/SQL-standard ADD COLUMN … DEFAULT
+  // semantics): `default.<col>` table properties hold a constant SQL
+  // expression (stored pre-cast to the declared type) that generations
+  // WITHOUT the column read instead of NULL — rows that physically carry
+  // the column (including explicit NULLs written after the ALTER) are
+  // untouched. Riding ordinary properties gives the carry-through-every-
+  // commit contract for free, SHOW TBLPROPERTIES visibility, and an
+  // escape hatch (UNSET reverts pre-evolution rows to NULL).
+  private def defaultsOf(meta: Map[String, String]): Map[String, String] =
+    tablePropsOf(meta).collect {
+      case (k, v) if k.startsWith("default.") =>
+        k.stripPrefix("default.") -> v
+    }
+
+  // the `data/v-xxxx` generation a scanned file belongs to, parsed from
+  // its RAW input_file_name string (no URI decoding — partition leaf
+  // names carry hive %XX escapes, and decode-then-compare is ambiguous;
+  // the UUID-named generation dir needs no decoding). Touch detection
+  // works at GENERATION granularity: an entry is touched when its
+  // generation is — matching the documented copy-on-write unit.
+  private def genOfFile(file: String): String = {
+    val i = file.lastIndexOf("/data/v-")
+    require(i >= 0, s"VersionedTable: unexpected scan file path $file")
+    file.substring(i + 1).split('/').take(2).mkString("/")
+  }
+  private def genPrefixOf(entry: String): String =
+    entry.split('/').take(2).mkString("/")
 
   // a property rides one `#prop:k=v` manifest line: the line format is
   // the only constraint (the value may contain '=' — parsing splits on
@@ -250,14 +410,12 @@ object VersionedTable {
   private def validateGeneration(spark: SparkSession, root: String,
       gen: String, extraProps: Map[String, String] = Map.empty): Unit = {
     val cs = tipConstraints(spark, root) ++ constraintsOf(extraProps)
-    if (cs.nonEmpty) {
-      val p = new Path(root, gen)
-      val hasParts = fs(spark, root).listStatus(p)
-        .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      if (hasParts)
-        enforceConstraints(spark, root, cs,
-          spark.read.parquet(p.toString), Some(gen))
-    }
+    if (cs.nonEmpty && hasPartFiles(spark, root, gen))
+      // read the LEAF entries (plain parquet), not the generation root —
+      // a partition-routed generation's root scan would partition-infer
+      // the __p_ dup columns, and constraints must see the real schema
+      enforceConstraints(spark, root, cs,
+        readDirs(spark, root, genEntries(spark, root, gen)), Some(gen))
   }
 
   /** Table properties at version `v` (latest when None) — the `prop:`
@@ -285,11 +443,65 @@ object VersionedTable {
       meta: Map[String, String], df: DataFrame): DataFrame = {
     val dvs = dvHeadersOf(meta).toSeq
       .map { case (k, keyCol) => (k.stripPrefix("dv:"), keyCol) }
-    dvs.groupBy(_._2).foldLeft(df) { case (acc, (keyCol, group)) =>
+    val applied = dvs.groupBy(_._2).foldLeft(df) { case (acc, (keyCol, group)) =>
       val keys = readDirs(spark, root, group.map(_._1))
         .select(col(keyCol)).distinct()
-      acc.join(broadcast(keys), Seq(keyCol), "left_anti")
+      // broadcast only while the tombstone lists are provably SMALL: the
+      // on-disk bytes of the key-list generations (known from metadata,
+      // no scan) gate against the session's broadcast threshold, so an
+      // unbounded tombstone backlog degrades to a shuffled anti-join
+      // instead of a driver/executor OOM. Maintenance (compact/optimize)
+      // is still the real fix — this keeps reads CORRECT until it runs.
+      val dvBytes = group.map { case (d, _) =>
+        fs(spark, root).getContentSummary(new Path(root, d)).getLength
+      }.sum
+      val thresh =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (thresh >= 0 && dvBytes <= thresh)
+        acc.join(broadcast(keys), Seq(keyCol), "left_anti")
+      else acc.join(keys.hint("shuffle_hash"), Seq(keyCol), "left_anti")
     }
+    // a USING join moves its key column first — restore the snapshot's
+    // declared column order (a DV keyed on a non-leading column must not
+    // change the table's schema)
+    if (dvs.isEmpty) df else applied.select(df.columns.map(col): _*)
+  }
+
+  /** FOLD outstanding deletion vectors into a copy-on-write rewrite, so
+    * [[mergeInto]]/[[applyRowDelta]] proceed over tombstones instead of
+    * demanding a full [[compact]] first: the caller rewrites its touched
+    * generations THROUGH the DVs (tombstoned rows die physically there)
+    * and re-inserts `clearKeys`; this rewrites the remaining tombstones
+    * (all outstanding DV keys minus clearKeys) as ONE fresh key-list
+    * generation, so re-inserted keys become visible while every other
+    * tombstone stays key-wide deleted. Cost O(DV bytes) — statement-
+    * scale, never table-scale. Requires every outstanding DV to
+    * tombstone the STATEMENT'S key column: mixed-column tombstones
+    * cannot be soundly subtracted (different key spaces), so those still
+    * refuse toward compaction. Returns (replacement `dv:` headers, the
+    * new dv dir for the caller's abort reclaim).
+    */
+  private def foldDvs(spark: SparkSession, root: String,
+      meta: Map[String, String], keyCol: String,
+      clearKeys: DataFrame): (Map[String, String], Option[String]) = {
+    val dvPairs = dvHeadersOf(meta).toSeq
+      .map { case (k, c) => (k.stripPrefix("dv:"), c) }
+    if (dvPairs.isEmpty) return (Map.empty, None)
+    require(dvPairs.forall(_._2 == keyCol),
+      "VersionedTable: outstanding deletion vectors tombstone " +
+        s"column(s) ${dvPairs.map(_._2).distinct.mkString(",")}, but the " +
+        s"statement keys on $keyCol — run compact() to materialize them " +
+        "before a row-level operation on a different key")
+    val remaining = readDirs(spark, root, dvPairs.map(_._1))
+      .select(col(keyCol)).distinct()
+      .join(broadcast(clearKeys.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
+    val gen = writeGeneration(spark, root, remaining)
+    val back = spark.read.parquet(new Path(root, gen).toString)
+    if (back.isEmpty) { // every tombstone cleared: no header needed
+      fs(spark, root).delete(new Path(root, gen), true)
+      (Map.empty, None)
+    } else (Map(s"dv:$gen" -> keyCol), Some(gen))
   }
 
   // stats headers of version `v` that still apply because their
@@ -300,7 +512,7 @@ object VersionedTable {
       keptDirs: Seq[String]): Map[String, String] = {
     val kept = keptDirs.toSet
     manifestMeta(spark, root, v).filter { case (k, _) =>
-      k.startsWith("stats:") && kept.contains(k.split(":", 3)(2))
+      k.startsWith("stats:") && kept.contains(decDir(k.split(":", 3)(2)))
     }
   }
 
@@ -316,7 +528,7 @@ object VersionedTable {
     val (prev, meta) = manifestOf(spark, root, lastV)
     val kept = prev.toSet
     val carried = meta.filter { case (k, _) =>
-      (k.startsWith("stats:") && kept.contains(k.split(":", 3)(2))) ||
+      (k.startsWith("stats:") && kept.contains(decDir(k.split(":", 3)(2)))) ||
         k.startsWith("dv:") || k.startsWith("prop:")
     }
     (prev, carried)
@@ -364,10 +576,12 @@ object VersionedTable {
       overwrite: Boolean, meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil): Long = {
-    val gen = writeGeneration(spark, root, df)
+    val gen = writeGeneration(spark, root, df,
+      partitionColsAt(spark, root))
+    val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen)
-    val genStats = genStatsMulti(spark, root, gen,
-      (statsCol.toSeq ++ statsCols).distinct)
+    val genStats = entries.flatMap(e => genStatsMulti(spark, root, e,
+      (statsCol.toSeq ++ statsCols).distinct)).toMap
     var attempt = 0
     while (true) {
       attempt += 1
@@ -376,12 +590,12 @@ object VersionedTable {
       val vs = versions(spark, root)
       val next = vs.lastOption.getOrElse(0L) + 1
       val (dirs, carried) =
-        if (vs.isEmpty) (Seq(gen), Map.empty[String, String])
+        if (vs.isEmpty) (entries, Map.empty[String, String])
         else if (overwrite) // replaces the DATA; table properties survive
-          (Seq(gen), propHeaders(spark, root, vs.last))
+          (entries, propHeaders(spark, root, vs.last))
         else {
           val (prev, prevCarry) = appendCarry(spark, root, vs.last)
-          (prev :+ gen, prevCarry)
+          (prev ++ entries, prevCarry)
         }
       // a publish loss means another writer took this version — retry on a
       // fresh read of the log (optimistic concurrency)
@@ -420,6 +634,27 @@ object VersionedTable {
   def readAtPrunedMulti(spark: SparkSession, root: String, v: Option[Long],
       windows: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
     require(windows.nonEmpty, "readAtPrunedMulti: no prune windows")
+    readAtPrunedParts(spark, root, v, windows, Nil)
+  }
+
+  /** PARTITION + STATS pruned snapshot read — the two manifest-level
+    * skipping dimensions composed conjunctively. `partKeep` gives, per
+    * declared partition column, the ALLOWED partition values (rendered
+    * as partition-path strings; None = the NULL partition) translated
+    * from a pushed equality/IN/IS NULL predicate; an entry is dropped
+    * only when its own `__p_col=value` path segment PROVES no row can
+    * match. Entries without the segment — unpartitioned generations,
+    * pre-partitioning history, DV-era plain rewrites — always scan:
+    * like stats, partition pruning is an optimization, never a
+    * correctness gate (callers re-apply every filter above the scan).
+    * The whole decision reads ONE manifest: no listing, no footers — at
+    * 100 TB a `tenant = 'x'` predicate keeps O(tenant) leaf dirs out of
+    * O(table) from a bytes-sized metadata read. Returns (frame, kept
+    * entries, total entries).
+    */
+  def readAtPrunedParts(spark: SparkSession, root: String, v: Option[Long],
+      windows: Seq[(String, Long, Long)],
+      partKeep: Seq[(String, Set[Option[String]])]): (DataFrame, Int, Int) = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
@@ -433,11 +668,14 @@ object VersionedTable {
             parts(1).toLong >= lo && parts(0).toLong <= hi
           case None => true
         }
+      } && partKeep.forall { case (c, allowed) =>
+        partValueOf(d, c).forall(allowed.contains)
       }
     }
     val df =
       if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
-      else applyDvs(spark, root, meta, readDirs(spark, root, kept))
+      else applyDvs(spark, root, meta,
+        readDirs(spark, root, kept, defaultsOf(meta)))
     (df, kept.size, dirs.size)
   }
 
@@ -472,12 +710,16 @@ object VersionedTable {
     // generation: it MATERIALIZES the deletes (reads through the DVs,
     // writes the survivors, publishes with no dv: headers)
     if (baseDirs.size <= 1 && dvHeadersOf(baseMeta).isEmpty) return None
-    val df = applyDvs(spark, root, baseMeta, readDirs(spark, root, baseDirs))
+    val df = applyDvs(spark, root, baseMeta,
+      readDirs(spark, root, baseDirs, defaultsOf(baseMeta)))
     raceHook()
-    val gen = writeGeneration(spark, root, df)
-    if (tryPublish(spark, root, baseV + 1, Seq(gen),
+    val gen = writeGeneration(spark, root, df,
+      partitionColsOf(tablePropsOf(baseMeta)))
+    val entries = genEntries(spark, root, gen)
+    if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
-          ++ genStatsOf(spark, root, gen, statsCol)))
+          ++ entries.flatMap(e =>
+            genStatsOf(spark, root, e, statsCol)).toMap))
       Some(baseV + 1)
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -519,14 +761,18 @@ object VersionedTable {
       hfs.getContentSummary(new Path(root, d)).getLength < smallBytes)
     if (small.size < 2) return Some((baseV, 0, baseDirs.size))
     val kept = baseDirs.filterNot(small.contains)
-    val df = applyDvs(spark, root, baseMeta, readDirs(spark, root, small))
+    val df = applyDvs(spark, root, baseMeta,
+      readDirs(spark, root, small, defaultsOf(baseMeta)))
     raceHook()
-    val gen = writeGeneration(spark, root, df)
-    if (tryPublish(spark, root, baseV + 1, kept :+ gen,
+    val gen = writeGeneration(spark, root, df,
+      partitionColsOf(tablePropsOf(baseMeta)))
+    val entries = genEntries(spark, root, gen)
+    if (tryPublish(spark, root, baseV + 1, kept ++ entries,
         Map("rewrite" -> "true")
           ++ carriedStats(spark, root, baseV, kept)
           ++ dvHeadersOf(baseMeta) ++ propHeadersOf(baseMeta)
-          ++ genStatsOf(spark, root, gen, statsCol)))
+          ++ entries.flatMap(e =>
+            genStatsOf(spark, root, e, statsCol)).toMap))
       Some((baseV + 1, small.size, kept.size))
     else {
       hfs.delete(new Path(root, gen), true)
@@ -547,11 +793,25 @@ object VersionedTable {
     * The per-dir schema probe reads parquet FOOTERS only, not data.
     */
   private def readDirs(spark: SparkSession, root: String,
-      dirs: Seq[String]): DataFrame = {
+      dirs: Seq[String],
+      defaults: Map[String, String] = Map.empty): DataFrame = {
     val paths = dirs.map(d => new Path(root, d).toString)
     val frames = paths.map(p => spark.read.parquet(p))
-    if (frames.map(_.schema).distinct.size <= 1) spark.read.parquet(paths: _*)
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val sameSchema = frames.map(_.schema).distinct.size <= 1
+    // existence defaults only matter for generations MISSING a defaulted
+    // column; when every generation carries them all, the single
+    // multi-path scan fast path stays intact
+    val needDefaults = defaults.nonEmpty && frames.exists(f =>
+      defaults.keys.exists(c => !f.columns.exists(_.equalsIgnoreCase(c))))
+    if (sameSchema && !needDefaults) spark.read.parquet(paths: _*)
+    else if (!needDefaults)
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else frames.map { f =>
+      defaults.foldLeft(f) { case (d, (c, e)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(c))) d
+        else d.withColumn(c, expr(e))
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** lakehouse `OPTIMIZE [ZORDER BY]` as a FIRST-CLASS REWRITE COMMIT:
@@ -586,7 +846,7 @@ object VersionedTable {
     // cluster and publish the DV-APPLIED content — OPTIMIZE, like
     // compact, materializes outstanding tombstones into the rewrite
     val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
-    val raw = readDirs(spark, root, baseDirs)
+    val raw = readDirs(spark, root, baseDirs, defaultsOf(baseMeta))
     val df = applyDvs(spark, root, baseMeta, raw)
     val files = raw.inputFiles
     val totalBytes = files.map(f =>
@@ -600,12 +860,16 @@ object VersionedTable {
     val clustered = Compaction.clusterLayout(df, withKey, nFiles)
     val rows = df.count() // pre-rewrite generation; same rows by construction
     raceHook()
-    val gen = writeGeneration(spark, root, clustered)
-    if (tryPublish(spark, root, baseV + 1, Seq(gen),
+    val gen = writeGeneration(spark, root, clustered,
+      partitionColsOf(tablePropsOf(baseMeta)))
+    val entries = genEntries(spark, root, gen)
+    if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
-          ++ genStatsOf(spark, root, gen, statsCol))) {
-      val filesAfter = hfs.listStatus(new Path(root, gen))
-        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          ++ entries.flatMap(e =>
+            genStatsOf(spark, root, e, statsCol)).toMap)) {
+      val filesAfter = entries.map(e =>
+        hfs.listStatus(new Path(root, e))
+          .count(st => st.isFile && st.getPath.getName.startsWith("part-"))).sum
       Some((baseV + 1, Compaction.Stats(files.length, filesAfter, rows)))
     } else {
       hfs.delete(new Path(root, gen), true)
@@ -649,42 +913,48 @@ object VersionedTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to merge into at $root")
     val baseV = vs.last
-    // copy-on-write over raw generation files is wrong while key
-    // tombstones are outstanding: carried DVs would delete a re-inserted
-    // key, dropped DVs would resurrect deleted rows. Materialize first.
-    require(dvHeaders(spark, root, baseV).isEmpty,
-      "mergeInto: outstanding deletion vectors — run compact() to " +
-        "materialize them before a copy-on-write merge")
-    val dirs = manifestDirs(spark, root, baseV)
+    val (dirs, baseMeta) = manifestOf(spark, root, baseV)
     val srcKeys = source.select(col(keyCol)).distinct()
-    // which generation dirs hold at least one matched key (file → its
-    // parent generation dir name, unique per generation by construction)
-    val touchedGens = readDirs(spark, root, dirs)
+    // which generation dirs hold at least one source key — over the RAW
+    // scan on purpose: a generation whose only copy of a source key is
+    // TOMBSTONED must still rewrite, or re-inserting that key (after the
+    // fold below clears its tombstone) would resurrect the stale row
+    // alongside the new one
+    val touchedGens = readDirs(spark, root, dirs, defaultsOf(baseMeta))
       .select(col(keyCol), input_file_name().as("_file"))
       .join(broadcast(srcKeys), Seq(keyCol), "left_semi")
       .select(col("_file")).distinct().collect()
-      .map(r => new Path(r.getString(0)).getParent.getName).toSet
-    val touched = dirs.filter(d => touchedGens.contains(new Path(d).getName))
+      .map(r => genOfFile(r.getString(0))).toSet
+    val touched = dirs.filter(d => touchedGens.contains(genPrefixOf(d)))
     val untouched = dirs.filterNot(touched.contains)
-    // survivors of the touched generations + the full source (updates
-    // land with their new values, inserts land as new keys) become ONE
-    // new generation; a pure-insert merge (no touched gens) is just the
-    // source itself
+    // survivors of the touched generations — read THROUGH the
+    // outstanding DVs, so their tombstoned rows die physically in the
+    // rewrite — plus the full source (updates land with their new
+    // values, inserts land as new keys) become ONE new generation; a
+    // pure-insert merge (no touched gens) is just the source itself
     val merged =
       if (touched.isEmpty) source
-      else readDirs(spark, root, touched)
+      else applyDvs(spark, root, baseMeta,
+          readDirs(spark, root, touched, defaultsOf(baseMeta)))
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(source)
+    // fold the tombstones: source keys become visible again (the merge
+    // writes their authoritative rows), every other key stays deleted
+    val (dvNew, dvGen) = foldDvs(spark, root, baseMeta, keyCol, srcKeys)
     raceHook()
-    val gen = writeGeneration(spark, root, merged)
+    val gen = writeGeneration(spark, root, merged,
+      partitionColsAt(spark, root))
+    val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen)
-    if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
+    if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map("merge" -> "true") ++ carriedStats(spark, root, baseV, untouched)
-          ++ propHeaders(spark, root, baseV)
-          ++ genStatsOf(spark, root, gen, statsCol)))
+          ++ propHeaders(spark, root, baseV) ++ dvNew
+          ++ entries.flatMap(e =>
+            genStatsOf(spark, root, e, statsCol)).toMap))
       Some((baseV + 1, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
+      dvGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
       None
     }
   }
@@ -728,43 +998,67 @@ object VersionedTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to modify at $root")
     val baseV = vs.last
-    require(dvHeaders(spark, root, baseV).isEmpty,
-      "applyRowDelta: outstanding deletion vectors — run compact() to " +
-        "materialize them before a copy-on-write row delta")
     val delStats = deleteKeys.agg(
       count(lit(1)), count(when(col(keyCol).isNull, 1))).head()
     val (nOps, nNullKeys) = (delStats.getLong(0), delStats.getLong(1))
     require(nNullKeys == 0,
       s"applyRowDelta: delete operations carry NULL $keyCol — an equality " +
         "anti-join cannot remove them; use deleteWhere (copy-on-write)")
-    val dirs = manifestDirs(spark, root, baseV)
+    val (dirs, baseMeta) = manifestOf(spark, root, baseV)
     val keys = deleteKeys.select(col(keyCol)).distinct()
-    // ONE narrow key-column scan answers both questions: which generations
-    // hold a deleted key (touch detection) and how many snapshot rows the
-    // keys match (the row-id cardinality guard)
-    val perFile =
-      if (nOps == 0) Array.empty[org.apache.spark.sql.Row]
-      else readDirs(spark, root, dirs)
-        .select(col(keyCol), input_file_name().as("_file"))
-        .join(broadcast(keys), Seq(keyCol), "left_semi")
-        .groupBy(col("_file")).agg(count(lit(1)).as("_n")).collect()
-    val matched = perFile.map(_.getLong(1)).sum
+    // a pure DELETE stages no insert rows — its frame has no columns at
+    // all (the statement's write schema is just the row ids)
+    val hasInserts = inserts.schema.nonEmpty && !inserts.isEmpty
+    val dvOut = dvHeadersOf(baseMeta).nonEmpty
+    val (matched, touchedGens) =
+      if (!dvOut) {
+        // ONE narrow key-column scan answers both questions: which
+        // generations hold a deleted key (touch detection) and how many
+        // snapshot rows the keys match (the row-id cardinality guard)
+        val perFile =
+          if (nOps == 0) Array.empty[org.apache.spark.sql.Row]
+          else readDirs(spark, root, dirs, defaultsOf(baseMeta))
+            .select(col(keyCol), input_file_name().as("_file"))
+            .join(broadcast(keys), Seq(keyCol), "left_semi")
+            .groupBy(col("_file")).agg(count(lit(1)).as("_n")).collect()
+        (perFile.map(_.getLong(1)).sum,
+          perFile.map(r => genOfFile(r.getString(0))).toSet)
+      } else {
+        // outstanding tombstones split the two questions: the guard runs
+        // over the VISIBLE snapshot (the statement's delta was planned
+        // against it), while touch detection must be RAW and include the
+        // INSERT keys — a generation whose only copy of an inserted key
+        // is tombstoned must rewrite, or clearing that tombstone below
+        // would resurrect the stale row alongside the new one
+        val m =
+          if (nOps == 0) 0L
+          else applyDvs(spark, root, baseMeta,
+              readDirs(spark, root, dirs, defaultsOf(baseMeta)))
+            .join(broadcast(keys), Seq(keyCol), "left_semi").count()
+        val allKeys =
+          if (!hasInserts) keys
+          else keys.unionByName(inserts.select(col(keyCol))).distinct()
+        val tg = readDirs(spark, root, dirs, defaultsOf(baseMeta))
+          .select(col(keyCol), input_file_name().as("_file"))
+          .join(broadcast(allKeys), Seq(keyCol), "left_semi")
+          .select(col("_file")).distinct().collect()
+          .map(r => genOfFile(r.getString(0))).toSet
+        (m, tg)
+      }
     require(matched == nOps,
       s"applyRowDelta: $nOps delete operation(s) matched $matched row(s) " +
         s"by $keyCol — the declared row-id column does not uniquely " +
         "identify the targeted rows; deleting by key would remove " +
         "same-key neighbors the statement never touched")
-    val touchedGens = perFile
-      .map(r => new Path(r.getString(0)).getParent.getName).toSet
-    val touched = dirs.filter(d => touchedGens.contains(new Path(d).getName))
+    val touched = dirs.filter(d => touchedGens.contains(genPrefixOf(d)))
     val untouched = dirs.filterNot(touched.contains)
+    // touched generations rewrite THROUGH the DVs (their tombstoned rows
+    // die physically in the rewrite)
     val survivors =
       if (touched.isEmpty) None
-      else Some(readDirs(spark, root, touched)
+      else Some(applyDvs(spark, root, baseMeta,
+          readDirs(spark, root, touched, defaultsOf(baseMeta)))
         .join(broadcast(keys), Seq(keyCol), "left_anti"))
-    // a pure DELETE stages no insert rows — its frame has no columns at
-    // all (the statement's write schema is just the row ids)
-    val hasInserts = inserts.schema.nonEmpty && !inserts.isEmpty
     val newRows = (survivors, hasInserts) match {
       case (Some(s), true) => s.unionByName(inserts, allowMissingColumns = false)
       case (Some(s), false) => s
@@ -773,18 +1067,29 @@ object VersionedTable {
     // a statement that deleted nothing and inserted nothing changed
     // nothing — report success without publishing an empty commit
     if (touched.isEmpty && !hasInserts) return Some((baseV, 0, dirs.size))
+    // fold the tombstones: inserted keys become visible again, every
+    // other tombstone stays key-wide deleted; a pure DELETE clears
+    // nothing, so the existing headers carry verbatim
+    val (dvNew, dvGen) =
+      if (!dvOut) (Map.empty[String, String], Option.empty[String])
+      else if (!hasInserts) (dvHeadersOf(baseMeta), None)
+      else foldDvs(spark, root, baseMeta, keyCol,
+        inserts.select(col(keyCol)).distinct())
     raceHook()
-    val gen = writeGeneration(spark, root, newRows)
+    val gen = writeGeneration(spark, root, newRows,
+      partitionColsAt(spark, root))
+    val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen)
-    if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
+    if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map(kindHeader -> "true")
           ++ carriedStats(spark, root, baseV, untouched)
-          ++ propHeaders(spark, root, baseV)
-          ++ genStatsMulti(spark, root, gen,
-            (statsCol.toSeq ++ statsCols).distinct)))
+          ++ propHeaders(spark, root, baseV) ++ dvNew
+          ++ entries.flatMap(e => genStatsMulti(spark, root, e,
+            (statsCol.toSeq ++ statsCols).distinct)).toMap))
       Some((baseV + 1, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
+      dvGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
       None
     }
   }
@@ -816,21 +1121,24 @@ object VersionedTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to delete from at $root")
     val baseV = vs.last
-    // same rule as mergeInto: materialize tombstones before rewriting
-    // raw generation files, or the carried/dropped dv: headers corrupt
-    require(dvHeaders(spark, root, baseV).isEmpty,
-      "deleteWhere: outstanding deletion vectors — run compact() to " +
-        "materialize them before a copy-on-write delete")
-    val dirs = manifestDirs(spark, root, baseV)
-    val touchedGens = readDirs(spark, root, dirs)
+    val (dirs, baseMeta) = manifestOf(spark, root, baseV)
+    // a delete composes with outstanding tombstones directly: detection
+    // and the rewrite both run over the DV-APPLIED view (already-hidden
+    // rows need no deleting and must not resurrect in the rewrite), and
+    // the dv: headers carry verbatim — they keep applying to the carried
+    // generations, and re-anti-joining materialized keys is a no-op
+    val touchedGens = applyDvs(spark, root, baseMeta,
+        readDirs(spark, root, dirs, defaultsOf(baseMeta))
+          .withColumn("_file", input_file_name()))
       .filter(pred)
-      .select(input_file_name().as("_file"))
+      .select(col("_file"))
       .distinct().collect()
-      .map(r => new Path(r.getString(0)).getParent.getName).toSet
-    val touched = dirs.filter(d => touchedGens.contains(new Path(d).getName))
+      .map(r => genOfFile(r.getString(0))).toSet
+    val touched = dirs.filter(d => touchedGens.contains(genPrefixOf(d)))
     val untouched = dirs.filterNot(touched.contains)
     if (touched.isEmpty) return Some((baseV, 0L, 0, dirs.size)) // no-op: nothing matches
-    val before = readDirs(spark, root, touched)
+    val before = applyDvs(spark, root, baseMeta,
+      readDirs(spark, root, touched, defaultsOf(baseMeta)))
     // SQL DELETE semantics: remove rows where pred IS TRUE; rows where it
     // evaluates FALSE *or NULL* survive. A plain `!pred` would drop
     // NULL-evaluating rows from the rewrite (filter discards non-true),
@@ -840,11 +1148,14 @@ object VersionedTable {
     val survivors = before.filter(!(pred <=> lit(true)))
     val deleted = before.count() - survivors.count()
     raceHook()
-    val gen = writeGeneration(spark, root, survivors)
-    if (tryPublish(spark, root, baseV + 1, untouched :+ gen,
+    val gen = writeGeneration(spark, root, survivors,
+      partitionColsAt(spark, root))
+    val entries = genEntries(spark, root, gen)
+    if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
-          ++ propHeaders(spark, root, baseV)
-          ++ genStatsOf(spark, root, gen, statsCol)))
+          ++ propHeaders(spark, root, baseV) ++ dvHeadersOf(baseMeta)
+          ++ entries.flatMap(e =>
+            genStatsOf(spark, root, e, statsCol)).toMap))
       Some((baseV + 1, deleted, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -915,9 +1226,10 @@ object VersionedTable {
       props: Map[String, String] = Map.empty): Boolean = {
     validateProps(props)
     if (versions(spark, root).nonEmpty) return false
-    val gen = writeGeneration(spark, root, df)
+    val gen = writeGeneration(spark, root, df, partitionColsOf(props))
+    val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, extraProps = props)
-    if (tryPublish(spark, root, 1L, Seq(gen),
+    if (tryPublish(spark, root, 1L, entries,
         props.map { case (k, v) => s"prop:$k" -> v })) true
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -942,6 +1254,13 @@ object VersionedTable {
     validateProps(set)
     require(unset.forall(k => !set.contains(k)),
       "setProperties: a key cannot be both set and unset")
+    // partitioning is declared at CREATION and fixed: committed
+    // generations are physically laid out by it — editing the property
+    // would desynchronize the manifest entries from the declaration
+    require(!set.contains("partition") && !unset.contains("partition"),
+      "setProperties: 'partition' is fixed at table creation (committed " +
+        "generations are laid out by it) — create a new table to " +
+        "repartition")
     // adding a CHECK constraint is a promise about the WHOLE table, not
     // just future writes: validate existing data first (one
     // short-circuiting scan per added constraint), so a reader can trust
@@ -998,7 +1317,8 @@ object VersionedTable {
     * state-independent, so a publish loss retries at the next version.
     */
   def addColumns(spark: SparkSession, root: String,
-      cols: Seq[StructField]): Long = {
+      cols: Seq[StructField],
+      defaults: Map[String, String] = Map.empty): Long = {
     require(cols.nonEmpty, "addColumns: no columns to add")
     require(cols.forall(_.nullable),
       "addColumns: new columns must be nullable — existing rows have no " +
@@ -1011,11 +1331,32 @@ object VersionedTable {
       .intersect(base.schema.fieldNames.map(_.toLowerCase).toSeq)
     require(clash.isEmpty,
       s"addColumns: column ${clash.mkString(",")} already exists")
+    // EXISTENCE DEFAULTS: each default must be a CONSTANT expression of
+    // the column's type — validated by evaluating the pre-cast form
+    // against a from-less SELECT, so a column reference, a typo, or an
+    // uncastable value refuses HERE, not on some later read. Stored as a
+    // `default.<col>` property; generations lacking the column read it
+    // instead of NULL (rows written after the ALTER are untouched).
+    val unknown = defaults.keySet -- cols.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"addColumns: DEFAULT for ${unknown.mkString(",")} — not among the " +
+        "added columns")
+    val defaultProps = defaults.map { case (c, sql) =>
+      val dt = cols.find(_.name == c).get.dataType
+      val rendered = s"CAST(($sql) AS ${dt.sql})"
+      try spark.sql(s"SELECT $rendered").head()
+      catch { case e: Throwable =>
+        throw new IllegalArgumentException(
+          s"addColumns: DEFAULT for $c ($sql) must be a constant " +
+            s"expression castable to ${dt.sql}: ${e.getMessage}", e)
+      }
+      s"prop:default.$c" -> rendered
+    }
     val widened = cols.foldLeft(base.limit(0))((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))
       .repartition(1)
     commit(spark, root, widened, overwrite = false,
-      meta = Map("alter" -> "add_columns"))
+      meta = Map("alter" -> "add_columns") ++ defaultProps)
   }
 
   /** RESTORE (rollback) as a COMMIT: publish a NEW version whose manifest
@@ -1093,10 +1434,13 @@ object VersionedTable {
     *
     * SEMANTICS: a deletion vector tombstones a KEY table-wide — the key
     * stays deleted (including rows for it appended LATER) until a
-    * compaction materializes the outstanding DVs. Re-inserting a
-    * tombstoned key therefore requires compacting first; [[mergeInto]]
-    * and [[deleteWhere]] refuse to run over outstanding tombstones for
-    * the same reason. Deletes are data changes: publishes only at
+    * compaction materializes the outstanding DVs, or until a same-key
+    * row-level operation re-asserts it: [[mergeInto]]/[[applyRowDelta]]
+    * FOLD outstanding same-column tombstones (see [[foldDvs]] — written
+    * keys become visible with their authoritative new rows, the rest
+    * stay deleted), and [[deleteWhere]] composes by reading through
+    * them; only mixed-key-column cases still refuse toward compaction.
+    * Deletes are data changes: publishes only at
     * base+1, returns None on a concurrency loss. Matching rows that are
     * ALREADY tombstoned add nothing (the predicate runs over the
     * DV-applied snapshot). Returns Some(new version, keys tombstoned).
@@ -1184,7 +1528,9 @@ object VersionedTable {
     val vs0 = versions(spark, root)
     if (absorbed(vs0)) return (vs0.last, false)
     raceHook()
-    val gen = writeGeneration(spark, root, df)
+    val gen = writeGeneration(spark, root, df,
+      partitionColsAt(spark, root))
+    val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen)
     val meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)
     var attempt = 0
@@ -1201,10 +1547,10 @@ object VersionedTable {
       // a streaming commit is an append: the shared appendCarry keeps the
       // prior generations and their stats:/dv: headers
       val (dirs, carried) =
-        if (vs.isEmpty) (Seq(gen), Map.empty[String, String])
+        if (vs.isEmpty) (entries, Map.empty[String, String])
         else {
           val (prev, prevCarry) = appendCarry(spark, root, vs.last)
-          (prev :+ gen, prevCarry)
+          (prev ++ entries, prevCarry)
         }
       if (tryPublish(spark, root, next, dirs, carried ++ meta)) return (next, true)
     }
@@ -1228,10 +1574,20 @@ object VersionedTable {
     * deterministic).
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = Int.MaxValue,
-      force: Boolean = false, dryRun: Boolean = false): (Int, Int) = {
+      force: Boolean = false, dryRun: Boolean = false,
+      olderThanMicros: Option[Long] = None): (Int, Int) = {
     val hfs = fs(spark, root)
     val vs = versions(spark, root)
-    val keep = vs.takeRight(math.max(1, keepVersions))
+    // two independent retention dimensions, both resolved from the
+    // manifests alone: COUNT (keep the newest `keepVersions`) and TIME
+    // (`olderThanMicros` — drop snapshots PUBLISHED at or before the
+    // cutoff, resolved through the same manifest mtimes TIMESTAMP AS OF
+    // uses). A version survives only if BOTH rules keep it; the tip
+    // always survives. Time-based retention is the production default
+    // (Delta's RETAIN n HOURS): age, not count, is what an SLA names.
+    val keep = vs.takeRight(math.max(1, keepVersions)).filter(v =>
+      v == vs.last || olderThanMicros.forall(cut =>
+        commitTimestamp(spark, root, v) > cut))
     val dropVs = vs.filterNot(keep.contains)
     // a snapshot references its data generations AND its deletion-vector
     // key lists (dv: headers) — reclaiming a live DV dir would resurrect
@@ -1241,10 +1597,22 @@ object VersionedTable {
         dvHeaders(spark, root, v).keys.map(_.stripPrefix("dv:"))
     val referenced = keep.flatMap(refsOf).toSet
     val dataRoot = new Path(root, "data")
+    // reclaim units are what manifests REFERENCE: plain generation dirs,
+    // or — for partition-routed generations — their `__p_` leaf dirs. A
+    // generation whose leaves are only partly referenced (an UPDATE
+    // rewrote one partition, siblings carried) keeps the live leaves and
+    // reclaims the dead ones.
+    def leavesOf(rel: String): Seq[String] = {
+      val subs = hfs.listStatus(new Path(root, rel)).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(PartPrefix))
+      if (subs.isEmpty) Seq(rel)
+      else subs.flatMap(st => leavesOf(s"$rel/${st.getPath.getName}"))
+    }
     val deadDirs =
       if (!hfs.exists(dataRoot)) Seq.empty
       else hfs.listStatus(dataRoot).toSeq
-        .map(st => s"data/${st.getPath.getName}")
+        .flatMap(st => leavesOf(s"data/${st.getPath.getName}"))
         .filterNot(referenced.contains)
     // in-flight protection (see Scaladoc): without force, only reclaim a
     // dir that a DROPPED manifest provably owned; never-referenced dirs
@@ -1256,6 +1624,17 @@ object VersionedTable {
     // (vacuum is the ONE operation here that destroys history)
     if (dryRun) return (deletable.size, dropVs.size)
     deletable.foreach(d => hfs.delete(new Path(root, d), true))
+    // deleting a routed generation's last leaf leaves its skeleton dir
+    // behind — reclaim parents THIS vacuum emptied itself (never a dir
+    // that still holds files or a referenced leaf)
+    deletable.map(genPrefixOf).distinct.filterNot(deletable.contains)
+      .foreach { g =>
+        val gp = new Path(root, g)
+        if (hfs.exists(gp) && !hasPartFiles(spark, root, g) &&
+            !referenced.contains(g) &&
+            !referenced.exists(_.startsWith(g + "/")))
+          hfs.delete(gp, true)
+      }
     dropVs.foreach(v => hfs.delete(new Path(root, s"_log/$v.commit"), false))
     if (force && hfs.exists(new Path(root, "_log")))
       hfs.listStatus(new Path(root, "_log")).toSeq
@@ -1273,7 +1652,8 @@ object VersionedTable {
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
     val (dirs, meta) = manifestOf(spark, root, ver)
-    applyDvs(spark, root, meta, readDirs(spark, root, dirs))
+    applyDvs(spark, root, meta,
+      readDirs(spark, root, dirs, defaultsOf(meta)))
   }
 
   /** CDC / incremental consumption: the rows ADDED between two committed
@@ -1323,8 +1703,11 @@ object VersionedTable {
     // they apply to snapshots: a key tombstoned before this window's
     // appends stays deleted, so an appended row carrying a tombstoned
     // key is hidden from both — feed + base still reconstructs readAt
-    else applyDvs(spark, root, manifestMeta(spark, root, vTo),
-      readDirs(spark, root, added))
+    else {
+      val toMeta = manifestMeta(spark, root, vTo)
+      applyDvs(spark, root, toMeta,
+        readDirs(spark, root, added, defaultsOf(toMeta)))
+    }
   }
 
   /** Appends-only lenient feed across (vFrom, vTo]: deliver the
@@ -1354,8 +1737,11 @@ object VersionedTable {
       else Seq.empty // not an append: skipped by request
     }
     if (added.isEmpty) readAt(spark, root, Some(vTo)).limit(0)
-    else applyDvs(spark, root, manifestMeta(spark, root, vTo),
-      readDirs(spark, root, added))
+    else {
+      val toMeta = manifestMeta(spark, root, vTo)
+      applyDvs(spark, root, toMeta,
+        readDirs(spark, root, added, defaultsOf(toMeta)))
+    }
   }
 
   /** CHANGE DATA FEED — row-level changes across (vFrom, vTo] with
@@ -1424,12 +1810,14 @@ object VersionedTable {
       kind match {
         case "create" =>
           Seq(tag(applyDvs(spark, root, curMeta,
-            readDirs(spark, root, curDirs)), "insert", v))
+            readDirs(spark, root, curDirs, defaultsOf(curMeta))),
+            "insert", v))
         case "append" | "add_columns" =>
           val added = curDirs.filterNot(prevDirs.contains)
           if (added.isEmpty) Nil
           else Seq(tag(applyDvs(spark, root, curMeta,
-            readDirs(spark, root, added)), "insert", v))
+            readDirs(spark, root, added, defaultsOf(curMeta))),
+            "insert", v))
         case "rewrite" | "set_properties" => Nil
         case "mor_delete" =>
           val prevDvs = dvHeadersOf(manifestMeta(spark, root, prev)).keySet
@@ -1443,10 +1831,11 @@ object VersionedTable {
         case "merge" | "update" | "delete" =>
           val removed = prevDirs.filterNot(curDirs.contains)
           val added = curDirs.filterNot(prevDirs.contains)
-          val addedRows = readDirs(spark, root, added)
+          val addedRows = readDirs(spark, root, added,
+            defaultsOf(curMeta))
           val removedRows =
             if (removed.isEmpty) addedRows.limit(0)
-            else readDirs(spark, root, removed)
+            else readDirs(spark, root, removed, defaultsOf(curMeta))
           val (rem, add) = aligned(removedRows, addedRows)
           // ONE pass over the changed rows: net-count each full row
           // across the two sides (negative net = preimage copies,
@@ -3324,5 +3713,104 @@ object VersionedTable {
       UNION ALL
       SELECT 'prune_single', CAST(2 AS BIGINT), CAST(4 AS BIGINT),
         CAST(NULL AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q133: PARTITIONED BY on the versioned table — the reference's own
+    * layout is directory-partitioned (spotifytransform.py:102-105 writes
+    * run-keyed CSV subtrees; Readme.MD:113-123 documents the landed
+    * tree), and this closes the categorical-pruning gap stats windows
+    * cannot express. The whole surface runs through SQL: CREATE TABLE …
+    * PARTITIONED BY (yr), two INSERT INTO … SELECT loads that each route
+    * into hive-style `__p_yr=<v>` LEAF dirs the manifest lists, then a
+    * `yr = 1996` read whose pushed equality prunes at the MANIFEST level
+    * (no listing, no footers — kept/total pinned by `prune_eq`, with an
+    * IN-list twin `prune_in`). The content row is the catalog read
+    * itself, so the hash gate proves pruning never changes results; the
+    * audits derive expected keep counts from the data's own distinct
+    * years (engine and oracle independently), so the pin holds at every
+    * scale factor. The audit rows' `c` pins that DESCRIBE surfaces
+    * the `# Partition Information` section (1 = shown).
+    * At 100 TB: a tenant/day/region predicate keeps
+    * O(partition) leaf dirs out of O(table) from one bytes-sized
+    * manifest read — the categorical complement of q115/q132's range
+    * skipping, composed with it by [[readAtPrunedParts]].
+    */
+  val q133PartitionedVtable: Q = Q(
+    "q133_partitioned_vtable",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val table = s"$root/main/orders_p"
+      val cat = "vtq133_" + new Path(root).getName.stripPrefix("run_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.pruneCol", "o_custkey")
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      src.createOrReplaceTempView("q133_orders_src")
+      // every literal derives from the data's own year range, so the
+      // pins hold at any scale factor (the synthetic orders span a
+      // different year window than canonical TPC-H)
+      val y1 = src.agg(min(col("yr"))).head().getInt(0) + 1
+      s.sql(s"CREATE TABLE $cat.main.orders_p (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DECIMAL(18,2), yr INT) " +
+        "PARTITIONED BY (yr)")
+      // a parity split keeps BOTH loads non-empty (an empty insert would
+      // land an extra plain always-scan generation and move the ratios)
+      s.sql(s"INSERT INTO $cat.main.orders_p " +
+        "SELECT * FROM q133_orders_src WHERE yr % 2 = 0")
+      s.sql(s"INSERT INTO $cat.main.orders_p " +
+        "SELECT * FROM q133_orders_src WHERE yr % 2 = 1")
+      // the content row IS the partition-pruned catalog read: the pushed
+      // yr equality prunes leaf entries at the manifest before the scan
+      val content = s.sql(s"SELECT 'content_y1' AS step, " +
+        "CAST(count(*) AS BIGINT) AS a, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS b, " +
+        "CAST(sum(o_totalprice) AS DOUBLE) AS c " +
+        s"FROM $cat.main.orders_p WHERE yr = $y1")
+      // audit the kept/total entry counts the reader's pruning used —
+      // expected values derive from the data's own year spread (create's
+      // plain empty generation always scans; each insert contributes one
+      // leaf per distinct year it loaded)
+      val (_, keptEq, total) = readAtPrunedParts(s, table, None, Nil,
+        Seq("yr" -> Set(Option(y1.toString))))
+      val (_, keptIn, _) = readAtPrunedParts(s, table, None, Nil,
+        Seq("yr" -> Set(Option((y1 - 1).toString), Option((y1 + 1).toString))))
+      val partitioned = s.sql(s"DESCRIBE TABLE $cat.main.orders_p")
+        .collect().map(_.getString(0))
+        .count(_ == "# Partition Information").toLong
+      def audit(step: String, a: Long, b: Long, c: Long) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"), lit(c).cast("double").as("c"))
+      content
+        .unionByName(audit("prune_eq", keptEq.toLong, total.toLong,
+          partitioned))
+        .unionByName(audit("prune_in", keptIn.toLong, total.toLong,
+          partitioned))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) + 1 AS y1 FROM o),
+      yrs AS (SELECT DISTINCT yr FROM o)
+      SELECT 'content_y1' AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(price) AS DOUBLE) AS c
+      FROM o, y WHERE yr = y1
+      UNION ALL
+      SELECT 'prune_eq',
+        CAST(1 + (SELECT count(*) FROM yrs, y WHERE yr = y1) AS BIGINT),
+        CAST(1 + (SELECT count(*) FROM yrs) AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'prune_in',
+        CAST(1 + (SELECT count(*) FROM yrs, y
+          WHERE yr IN (y1 - 1, y1 + 1)) AS BIGINT),
+        CAST(1 + (SELECT count(*) FROM yrs) AS BIGINT),
+        CAST(1 AS DOUBLE)
       ORDER BY step"""))
 }

@@ -132,11 +132,44 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
     new VTableV2Table(p, Some(v), pruneCol)
   }
 
+  // PARTITIONED BY accepts IDENTITY transforms over low-cardinality
+  // atomic columns — each commit routes into hive-style leaf dirs the
+  // manifest lists, so partition predicates prune at the manifest level
+  // (see VersionedTable's partitioning notes). Derived transforms
+  // (bucket/days/hours/truncate) are refused: stats skipping and
+  // OPTIMIZE clustering cover those layouts without a second codepath.
+  private def partitionColsFrom(schema: StructType,
+      partitions: Array[Transform]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val prunable: Set[DataType] = Set(StringType, IntegerType, LongType,
+      ShortType, ByteType, BooleanType, DateType)
+    partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"graft-vtable: unsupported partition transform '$t' — only " +
+          "PARTITIONED BY (col) identity partitioning is supported; use " +
+          "statsCol data skipping / OPTIMIZE clustering for derived " +
+          "layouts")
+      val c = t.references.head.fieldNames.head
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-vtable: partition column '$c' is not in the schema"))
+      require(prunable.contains(f.dataType),
+        s"graft-vtable: partition column '$c' has type ${f.dataType
+          .simpleString} — partition by a categorical atomic column " +
+          "(string/integral/boolean/date); use statsCol skipping for " +
+          "continuous dimensions")
+      f.name
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-vtable: PARTITIONED BY is not supported — use statsCol " +
-        "data skipping / OPTIMIZE clustering for layout")
+    val partCols = partitionColsFrom(schema, partitions)
+    val up = userProps(properties)
+    require(!up.contains("partition"),
+      "graft-vtable: declare partitioning with PARTITIONED BY, not the " +
+        "'partition' table property")
     val p = pathOf(ident)
     // a table exists exactly when it has a commit: version 1 is an empty
     // generation carrying the declared schema (what CTAS then appends to).
@@ -147,7 +180,8 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
     val created = VersionedTable.createIfAbsent(spark, p,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .repartition(1),
-      userProps(properties))
+      up ++ (if (partCols.nonEmpty)
+        Map("partition" -> partCols.mkString(",")) else Map.empty))
     if (!created) throw new TableAlreadyExistsException(ident)
     new VTableV2Table(p, None, pruneCol)
   }
@@ -188,15 +222,17 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
       require(c.position() == null,
         "graft-vtable: ADD COLUMNS appends at the end — FIRST/AFTER is " +
           "not supported (generation alignment is by name)")
-      require(c.defaultValue() == null,
-        "graft-vtable: ADD COLUMNS takes no DEFAULT — existing rows read " +
-          "the new column as NULL")
       require(c.isNullable,
         "graft-vtable: new columns must be nullable — existing rows have " +
           "no value for them")
-      StructField(c.fieldNames()(0), c.dataType())
+      (StructField(c.fieldNames()(0), c.dataType()),
+        // DEFAULT becomes an existence default: pre-ALTER rows read it,
+        // post-ALTER rows read what was written (SQL-standard; the
+        // constant-expression validation lives in addColumns)
+        Option(c.defaultValue()).map(d => c.fieldNames()(0) -> d.getSql))
     }
-    if (newCols.nonEmpty) VersionedTable.addColumns(spark, p, newCols)
+    if (newCols.nonEmpty) VersionedTable.addColumns(spark, p,
+      newCols.map(_._1), newCols.flatMap(_._2).toMap)
     val set = props.collect { case c: TableChange.SetProperty =>
       c.property() -> c.value() }.toMap
     val unset = props.collect { case c: TableChange.RemoveProperty =>
@@ -256,6 +292,15 @@ class VTableV2Table(path: String, version: Option[Long],
     VersionedTable.tableProperties(SparkSession.active, path, version).asJava
   }
 
+  // DESCRIBE TABLE's "# Partitioning" section — the declared identity
+  // partition columns, from the manifest-carried `partition` property
+  override def partitioning(): Array[Transform] =
+    VersionedTable.partitionColsOf(
+      VersionedTable.tableProperties(SparkSession.active, path, version))
+      .map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -269,7 +314,10 @@ class VTableV2Table(path: String, version: Option[Long],
     require(version.isEmpty,
       "graft-vtable: cannot write to a VERSION/TIMESTAMP AS OF snapshot — " +
         "writes commit to the table tip")
-    new VTableWriteBuilder(path)
+    // record [min,max] stats for the catalog's pruneCol list on every
+    // SQL INSERT, so data skipping stays live for SQL-loaded generations
+    new VTableWriteBuilder(path,
+      VTableScans.pruneColsOf(pruneCol).filter(schema.fieldNames.contains))
   }
 
   // SQL `TRUNCATE TABLE t` → an overwrite commit with an empty generation
@@ -358,7 +406,8 @@ class VTableV2TableWithRowOps(path: String, pruneCol: Option[String],
   * atomic manifest publish with the format's optimistic-concurrency
   * retry — concurrent SQL writers serialize exactly like API writers.
   */
-class VTableWriteBuilder(path: String) extends WriteBuilder with SupportsTruncate {
+class VTableWriteBuilder(path: String, statsCols: Seq[String] = Nil)
+    extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
 
@@ -370,7 +419,8 @@ class VTableWriteBuilder(path: String) extends WriteBuilder with SupportsTruncat
         override def insert(data: org.apache.spark.sql.DataFrame,
             legacyOverwrite: Boolean): Unit = {
           VersionedTable.commit(data.sparkSession, path, data,
-            overwrite = overwrite || legacyOverwrite)
+            overwrite = overwrite || legacyOverwrite,
+            statsCols = statsCols)
           ()
         }
       }

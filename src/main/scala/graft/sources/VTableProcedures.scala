@@ -170,19 +170,25 @@ object VTableProcedures {
       }),
     Proc("vacuum",
       "reclaim generations no retained snapshot references (trims time " +
-        "travel to keep_versions); force also reclaims unreferenced " +
-        "dirs younger than the newest manifest; dry_run reports what " +
-        "WOULD be reclaimed without deleting anything",
+        "travel to keep_versions AND, when older_than is given, to " +
+        "snapshots published after that timestamp — the tip always " +
+        "survives); force also reclaims unreferenced dirs younger than " +
+        "the newest manifest; dry_run reports what WOULD be reclaimed " +
+        "without deleting anything",
       Seq(in("table", StringType),
         inDefault("keep_versions", IntegerType, "2147483647"),
         inDefault("force", BooleanType, "false"),
-        inDefault("dry_run", BooleanType, "false")),
+        inDefault("dry_run", BooleanType, "false"),
+        inDefault("older_than", TimestampType, "NULL")),
       StructType(Seq(StructField("generations_deleted", IntegerType),
         StructField("manifests_deleted", IntegerType))),
       (root, args) => {
         val p = tableRoot(root, args.getUTF8String(0).toString)
+        val cutoff =
+          if (args.isNullAt(4)) None else Some(args.getLong(4))
         val (gens, manifests) = VersionedTable.vacuum(spark, p,
-          args.getInt(1), args.getBoolean(2), args.getBoolean(3))
+          args.getInt(1), args.getBoolean(2), args.getBoolean(3),
+          olderThanMicros = cutoff)
         Seq(new GenericInternalRow(Array[Any](gens, manifests)))
       }),
     Proc("history",

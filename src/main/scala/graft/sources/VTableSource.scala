@@ -115,6 +115,12 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    // checked here too so the contradiction fails at load()/analysis,
+    // not first on the stream thread
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-vtable: startingVersion and startingTimestamp are mutually " +
+        "exclusive — name the start one way")
     val base = schema.getOrElse(
       VersionedTable.readAt(sqlContext.sparkSession, pathOf(parameters)).schema)
     (shortName(),
@@ -137,10 +143,28 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     require(!(skip && cdfOf(parameters)),
       "graft-vtable: skipChangeCommits and readChangeFeed are opposites " +
         "— one silently drops mutations, the other delivers them")
+    val path = pathOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-vtable: startingVersion and startingTimestamp are mutually " +
+        "exclusive — name the start one way")
+    // startingTimestamp (Delta idiom): start the tail from the first
+    // commit PUBLISHED at or after the timestamp — resolved through the
+    // same manifest mtimes TIMESTAMP AS OF uses. A timestamp past the
+    // tip starts with whatever commits next (pure tail, no snapshot).
+    val startV = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map { s =>
+        val micros = VTableScans.parseTsMicros(s)
+        val spark = sqlContext.sparkSession
+        val vs = VersionedTable.versions(spark, path)
+        vs.find(v =>
+          VersionedTable.commitTimestamp(spark, path, v) >= micros)
+          .getOrElse(vs.lastOption.getOrElse(0L) + 1)
+      })
     new VTableCdcSource(sqlContext,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong),
+      path,
+      startV,
       maxVersions,
       cdf = cdfOf(parameters),
       skipChangeCommits = skip)
@@ -244,6 +268,17 @@ object VTableScans {
     case _ => None
   }
 
+  // accept both ISO-8601 instants and SQL timestamp literals for the
+  // startingTimestamp option; returns epoch MICROseconds (the
+  // commitTimestamp unit)
+  private[sources] def parseTsMicros(s: String): Long =
+    (try java.time.Instant.parse(s)
+    catch { case _: java.time.format.DateTimeParseException =>
+      java.sql.Timestamp.valueOf(s).toInstant
+    }) match {
+      case i => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
   // `pruneCol` accepts a comma-separated LIST of stats columns; split and
   // (optionally) keep only the ones the schema actually has
   private[sources] def pruneColsOf(pruneCol: Option[String]): Seq[String] =
@@ -255,11 +290,40 @@ object VTableScans {
     if (kept.isEmpty) None else Some(kept.mkString(","))
   }
 
+  // a pushed filter value rendered as the partition-path string
+  // partitionBy would have written for it; None = the NULL partition
+  private def renderPart(v: Any): Option[String] = Option(v).map {
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case other => other.toString
+  }
+
+  /** Per-partition-column ALLOWED VALUES translated from the pushed
+    * equality/IN/IS NULL filters — [[VersionedTable.readAtPrunedParts]]'s
+    * `partKeep` shape. Only predicates that PROVE a value set translate;
+    * ranges and disjunctions leave the column unconstrained (scan-safe).
+    */
+  private[sources] def partKeepOf(partCols: Set[String],
+      filters: Seq[Filter]): Seq[(String, Set[Option[String]])] =
+    filters.flatMap {
+      case EqualTo(a, v) if partCols(a) => Some(a -> Set(renderPart(v)))
+      case EqualNullSafe(a, v) if partCols(a) => Some(a -> Set(renderPart(v)))
+      case In(a, vs) if partCols(a) =>
+        Some(a -> vs.toIndexedSeq.map(renderPart).toSet)
+      case IsNull(a) if partCols(a) => Some(a -> Set(Option.empty[String]))
+      case _ => None
+    }.groupBy(_._1).map { case (c, cs) => // ANDed filters: intersect
+      c -> cs.map(_._2).reduce(_ intersect _)
+    }.toSeq
+
   /** The pruned, filtered, projected snapshot frame. Multi-column
     * `pruneCol` lists prune CONJUNCTIVELY: every listed column with a
     * non-trivial filter window contributes, so a time×tenant predicate
     * keeps only the generations inside BOTH ranges
-    * ([[VersionedTable.readAtPrunedMulti]]).
+    * ([[VersionedTable.readAtPrunedMulti]]). Declared PARTITION columns
+    * prune the same way from equality/IN/IS NULL predicates
+    * ([[VersionedTable.readAtPrunedParts]]) — both decisions from the
+    * one manifest read, every filter re-applied above the scan.
     */
   def frame(spark: org.apache.spark.sql.SparkSession, path: String,
       version: Option[Long], pruneCol: Option[String],
@@ -268,9 +332,13 @@ object VTableScans {
       .map(c => (c, bounds(filters, c)))
       .collect { case (c, (lo, hi))
           if lo != Long.MinValue || hi != Long.MaxValue => (c, lo, hi) }
+    val partKeep = partKeepOf(VersionedTable.partitionColsOf(
+      VersionedTable.tableProperties(spark, path, version)).toSet, filters)
     val base =
-      if (windows.isEmpty) VersionedTable.readAt(spark, path, version)
-      else VersionedTable.readAtPrunedMulti(spark, path, version, windows)._1
+      if (windows.isEmpty && partKeep.isEmpty)
+        VersionedTable.readAt(spark, path, version)
+      else VersionedTable.readAtPrunedParts(spark, path, version,
+        windows, partKeep)._1
     val filtered = filters.flatMap(toPredicate).foldLeft(base)(_.filter(_))
     filtered.select(requiredColumns.map(col): _*)
   }

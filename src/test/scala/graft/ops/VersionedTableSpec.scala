@@ -504,11 +504,8 @@ class VersionedTableSpec extends SparkSpec {
     // snapshot — feed + base must reconstruct readAt
     assert(VersionedTable.readChanges(spark, root, v4, v5)
       .collect().map(_.getInt(0)).toSet == Set(6))
-    // copy-on-write ops refuse to run over outstanding tombstones
-    intercept[IllegalArgumentException](
-      VersionedTable.mergeInto(spark, root, df(3), "id"))
-    intercept[IllegalArgumentException](
-      VersionedTable.deleteWhere(spark, root, col("id") === 2))
+    // copy-on-write ops over outstanding tombstones FOLD them instead of
+    // refusing — pinned by the dedicated fold-in test below
     // a predicate matching nothing — including only already-tombstoned
     // rows — is a no-op at the SAME version
     assert(VersionedTable.deleteWhereMor(spark, root, col("id") === 3, "id")
@@ -622,6 +619,56 @@ class VersionedTableSpec extends SparkSpec {
       val last = VersionedTable.readAt(spark, root)
       assert(last.groupBy(col("id")).count().filter(col("count") > 1).count() == 0)
       assert(idsAt(root) == (1 to 6).map(100 + _).toSet)
+    } finally pool.shutdownNow()
+  }
+
+  test("appends racing merges on two real threads: dense history, no lost commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "v")
+    VersionedTable.commit(spark, root, kv(1 -> 0, 2 -> 0),
+      overwrite = true)                                            // v1
+    val rounds = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // writer A: appends retry past contention internally (append
+      // intent is state-independent); writer B: merges ABORT on loss by
+      // design, so the caller re-runs against the new snapshot — exactly
+      // the documented production loop, here under genuine interleaving
+      val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to rounds).foreach(i =>
+          VersionedTable.commit(spark, root, kv((10 + i) -> i),
+            overwrite = false))
+      })
+      val merger = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          var losses = 0
+          (1 to rounds).foreach { i =>
+            var done = false
+            while (!done) {
+              if (VersionedTable.mergeInto(spark, root,
+                  kv(1 -> i), "id").isDefined) done = true
+              else losses += 1
+            }
+          }
+          losses
+        }
+      })
+      appender.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      val losses = merger.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      // dense linear history: every SUCCESSFUL commit took exactly one
+      // version — losses published nothing
+      val vs = VersionedTable.versions(spark, root)
+      assert(vs == (1L to (1 + 2 * rounds)),
+        s"history must be dense 1..11 (merge losses: $losses): $vs")
+      // no lost commit: every append's row survived the racing merges,
+      // and the merge key holds the LAST merge's value
+      val rows = VersionedTable.readAt(spark, root).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(rows == Map(1 -> rounds, 2 -> 0) ++
+        (1 to rounds).map(i => (10 + i) -> i).toMap, s"losses=$losses")
+      // every aborted merge reclaimed its orphan generation
+      assertNoOrphans(root)
     } finally pool.shutdownNow()
   }
 
@@ -955,5 +1002,151 @@ class VersionedTableSpec extends SparkSpec {
       root, Seq(StructField("x", IntegerType, nullable = false))))
     intercept[IllegalArgumentException](VersionedTable.addColumns(spark,
       root, Seq(StructField("y", IntegerType), StructField("Y", IntegerType))))
+  }
+
+  test("row-level ops fold outstanding deletion vectors; large tombstone sets skip the broadcast") {
+    import spark.implicits._
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "v")
+    def visible(root: String): Set[(Int, Int)] =
+      VersionedTable.readAt(spark, root).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+    def dvCount(root: String): Int =
+      VersionedTable.manifestMeta(spark, root,
+        VersionedTable.versions(spark, root).last)
+        .keys.count(_.startsWith("dv:"))
+    def build(): String = {
+      val root = freshRoot()
+      VersionedTable.commit(spark, root, kv(1 -> 10, 2 -> 20, 3 -> 30),
+        overwrite = true)
+      VersionedTable.commit(spark, root, kv(4 -> 40, 5 -> 50),
+        overwrite = false)
+      assert(VersionedTable.deleteWhereMor(spark, root,
+        col("id").isin(2, 4), "id").exists(_._2 == 2L))
+      root
+    }
+    val root = build()
+    assert(visible(root) == Set(1 -> 10, 3 -> 30, 5 -> 50))
+    // MERGE over outstanding tombstones: source keys (2 re-asserted, 6
+    // new) become visible, key 4 stays deleted — the fold rewrites the
+    // remaining tombstones as one fresh key list
+    assert(VersionedTable.mergeInto(spark, root,
+      kv(2 -> 22, 6 -> 60), "id").isDefined)
+    assert(visible(root) ==
+      Set(1 -> 10, 2 -> 22, 3 -> 30, 5 -> 50, 6 -> 60))
+    assert(dvCount(root) == 1, "tombstones folded into one remainder list")
+    // the surviving tombstone is still KEY-WIDE: a later append of key 4
+    // stays hidden
+    VersionedTable.commit(spark, root, kv(4 -> 44), overwrite = false)
+    assert(!visible(root).exists(_._1 == 4))
+    // equivalence: merge-over-DVs ≡ compact-then-merge (content-wise)
+    val twin = build()
+    assert(VersionedTable.compact(spark, twin).isDefined)
+    assert(VersionedTable.mergeInto(spark, twin,
+      kv(2 -> 22, 6 -> 60), "id").isDefined)
+    VersionedTable.commit(spark, twin, kv(4 -> 44), overwrite = false)
+    // identical content except the append: compaction materialized the
+    // twin's key-4 tombstone, so ITS re-append is visible — exactly the
+    // documented difference between folding and materializing
+    assert(visible(twin) - (4 -> 44) == visible(root))
+    // deleteWhere composes with outstanding DVs: detection and rewrite
+    // run over the visible view; headers carry
+    val Some((_, nDel, _, _)) =
+      VersionedTable.deleteWhere(spark, root, col("v") === 50)
+    assert(nDel == 1L && dvCount(root) == 1)
+    assert(visible(root) == Set(1 -> 10, 2 -> 22, 3 -> 30, 6 -> 60))
+    // applyRowDelta folds too: re-inserting the tombstoned key 4 clears
+    // the last tombstone (empty remainder → no headers), and the stale
+    // physical rows for key 4 died in the rewrite
+    assert(VersionedTable.applyRowDelta(spark, root,
+      kv(1 -> 10).select(col("id")), kv(4 -> 45), "id",
+      kindHeader = "merge").isDefined)
+    assert(dvCount(root) == 0, "all tombstones cleared or materialized")
+    assert(visible(root) == Set(2 -> 22, 3 -> 30, 4 -> 45, 6 -> 60))
+    // mixed key columns cannot be soundly subtracted — refuse loudly
+    assert(VersionedTable.deleteWhereMor(spark, root,
+      col("v") === 60, "v").isDefined)
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, root, kv(9 -> 90), "id"))
+    assert(e.getMessage.contains("compact"))
+    // broadcast gate: with the threshold at 0 every tombstone set is
+    // "too big" — the read plan anti-joins without a broadcast exchange
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+      val plan = VersionedTable.readAt(spark, root)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"oversized DV list must not broadcast:\n$plan")
+      assert(visible(root) == Set(2 -> 22, 3 -> 30, 4 -> 45))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("partitioned tables: routed commits survive merge, delete, compact, MoR and vacuum") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, String, Int)*) = rows.toDF("id", "grp", "v")
+    def entriesAt(v: Long): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_log", s"$v.commit")), "UTF-8")
+        .split("\n").map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    def rows(): Set[(Int, String, Int)] =
+      VersionedTable.readAt(spark, root).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(VersionedTable.createIfAbsent(spark, root,
+      kv((1, "a", 10), (2, "b", 20)),
+      Map("partition" -> "grp", "key" -> "id")))                   // v1
+    VersionedTable.commit(spark, root,
+      kv((3, "b", 30), (4, "c", 40)), overwrite = false,
+      statsCol = Some("v"))                                        // v2
+    // routing: v2's manifest lists leaf entries; per-LEAF stats recorded
+    val e2 = entriesAt(2L)
+    assert(e2.count(_.contains("__p_grp=")) == 4, e2.mkString("|"))
+    val m2 = VersionedTable.manifestMeta(spark, root, 2L)
+    assert(m2.keys.count(_.startsWith("stats:v:")) == 2,
+      s"one stats:v header per v2 leaf, got ${m2.keys.toSeq.sorted}")
+    // partition + stats pruning compose; full content preserved
+    assert(rows() == Set((1, "a", 10), (2, "b", 20), (3, "b", 30),
+      (4, "c", 40)))
+    val (pb, keptB, totB) = VersionedTable.readAtPrunedParts(spark, root,
+      None, Seq(("v", 25L, 45L)), Seq("grp" -> Set(Option("b"))))
+    // v2's b-leaf passes both dimensions; v1's b-leaf has NO stats (v1
+    // committed without statsCol) so the window cannot exclude it —
+    // stats absence means "must scan", never "prune"
+    assert(totB == 4 && keptB == 2, s"kept $keptB of $totB")
+    assert(pb.filter(col("grp") === "b" && col("v") >= 25).count() == 1)
+    // merge rewrites at generation granularity, re-routed
+    assert(VersionedTable.mergeInto(spark, root,
+      kv((3, "b", 33), (5, "a", 50)), "id").isDefined)             // v3
+    assert(rows() == Set((1, "a", 10), (2, "b", 20), (3, "b", 33),
+      (4, "c", 40), (5, "a", 50)))
+    // copy-on-write delete by a PARTITION predicate
+    val Some((_, nDel, _, _)) =
+      VersionedTable.deleteWhere(spark, root, col("grp") === "c")  // v4
+    assert(nDel == 1L && rows().forall(_._2 != "c"))
+    // MoR delete writes a PLAIN key list (never partition-routed: a dv:
+    // header's dir must stay '='-free for the header line format)
+    assert(VersionedTable.deleteWhereMor(spark, root,
+      col("id") === 2, "id").isDefined)                            // v5
+    val dvDirs = VersionedTable.manifestMeta(spark, root, 5L)
+      .keys.filter(_.startsWith("dv:")).map(_.stripPrefix("dv:"))
+    assert(dvDirs.nonEmpty && dvDirs.forall(!_.contains("=")), dvDirs)
+    assert(!rows().exists(_._1 == 2))
+    // compact materializes the DV and re-routes the survivors
+    assert(VersionedTable.compact(spark, root).isDefined)          // v6
+    val e6 = entriesAt(6L)
+    assert(e6.nonEmpty && e6.forall(_.contains("__p_grp=")),
+      s"compacted snapshot re-partitioned: $e6")
+    assert(rows() == Set((1, "a", 10), (3, "b", 33), (5, "a", 50)))
+    // vacuum reclaims dead LEAF dirs and the emptied generation skeletons
+    val (gens, mans) = VersionedTable.vacuum(spark, root,
+      keepVersions = 1, force = true)
+    assert(mans == 5 && gens > 0)
+    assert(rows() == Set((1, "a", 10), (3, "b", 33), (5, "a", 50)))
+    val dataDirs = new java.io.File(s"$root/data").listFiles().toSeq
+      .filter(_.isDirectory)
+    assert(dataDirs.size == 1,
+      s"only the live generation survives: ${dataDirs.map(_.getName)}")
   }
 }

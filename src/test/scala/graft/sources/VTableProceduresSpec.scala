@@ -100,4 +100,34 @@ class VTableProceduresSpec extends SparkSpec {
     intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
     intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
   }
+
+  test("CALL vacuum older_than trims history by publish TIME; the tip always survives") {
+    val p = s"$root/ts/t"
+    VersionedTable.commit(spark, p, df(1), overwrite = true)
+    Thread.sleep(60) // distinguishable manifest mtimes
+    VersionedTable.commit(spark, p, df(2), overwrite = false)
+    Thread.sleep(60)
+    VersionedTable.commit(spark, p, df(3), overwrite = false)
+    val t2 = VersionedTable.commitTimestamp(spark, p, 2L)
+    val t3 = VersionedTable.commitTimestamp(spark, p, 3L)
+    require(t3 > t2, "publish times must be distinguishable")
+    val midMicros = t2 + (t3 - t2) / 2
+    val mid = java.time.Instant.ofEpochSecond(midMicros / 1000000L,
+      (midMicros % 1000000L) * 1000L).toString
+    // dry run first: 2 manifests (v1, v2) are older than the cutoff
+    val dry = spark.sql("CALL vtproc.system.vacuum('ts.t', force => true," +
+      s" dry_run => true, older_than => TIMESTAMP '$mid')").head()
+    assert(dry.getInt(1) == 2, s"dry run reports v1+v2: $dry")
+    val r = spark.sql("CALL vtproc.system.vacuum('ts.t', force => true," +
+      s" older_than => TIMESTAMP '$mid')").head()
+    assert(r.getInt(1) == 2)
+    assert(VersionedTable.versions(spark, p) == Seq(3L))
+    assert(ids("SELECT id FROM vtproc.ts.t") == Set(1, 2, 3))
+    // the tip survives ANY cutoff, even one in the future
+    val far = java.time.Instant.ofEpochMilli(System.currentTimeMillis()
+      + 3600000L).toString
+    val r2 = spark.sql("CALL vtproc.system.vacuum('ts.t', force => true," +
+      s" older_than => TIMESTAMP '$far')").head()
+    assert(r2.getInt(1) == 0 && VersionedTable.versions(spark, p) == Seq(3L))
+  }
 }
