@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * sf0.1; the rehearsal answers the "measured point beyond the curve"
   * question, not any oracle.
   *
-  * Key columns shift by copy·10^12 (far above any generator key; sums
-  * and key arithmetic stay in Long). Dimension keys that queries treat
+  * Key columns shift by copy·10^8 (above every generator key — sf0.1
+  * maxima are ≤1.5·10^5 — while keeping shifted ids under 2^31 so the
+  * graph queries' packed-id orientation guards stay within budget). Dimension keys that queries treat
   * as CATEGORIES (nationkey, regionkey, mktsegment …) are left alone —
   * dimensions don't grow with fact data. `documents.text` gets a short
   * per-copy suffix so cross-copy texts are near- (not exact-) duplicates:
@@ -27,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
 
-  private val Shift = 1000000000000L // 10^12: above every generator key
+  private val Shift = 100000000L // 10^8: above every key, under 2^31·copies
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sfx1")
