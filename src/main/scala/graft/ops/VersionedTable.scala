@@ -49,7 +49,7 @@ object VersionedTable {
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
-    q132MultiSkipping, q133PartitionedVtable)
+    q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1180,6 +1180,7 @@ object VersionedTable {
       else if (meta.get("update").contains("true")) "update"
       else if (meta.get("delete").contains("true")) "delete"
       else if (meta.get("mor_delete").contains("true")) "mor_delete"
+      else if (meta.get("replace_partitions").contains("true")) "replace_partitions"
       else if (meta.get("properties").contains("true")) "set_properties"
       else if (meta.get("alter").contains("add_columns")) "add_columns"
       else if (meta.contains("restore")) "restore"
@@ -1412,6 +1413,122 @@ object VersionedTable {
           + ("restore" -> toV.toString)))
       Some(baseV + 1)
     else None // no orphan to reclaim — restore writes no generation
+  }
+
+  // external-type partition value → the partition-path string the
+  // routed write renders for it (mirrors VTableScans.renderPart)
+  private def renderPartVal(v: Any): Option[String] = Option(v).map {
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case other => other.toString
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (Spark's `partitionOverwriteMode=
+    * dynamic`, Iceberg's ReplacePartitions): atomically replace exactly
+    * the partitions PRESENT in `df`, carrying every other partition
+    * verbatim — the everyday production write for a partitioned table
+    * (re-load today's partition, backfill one tenant) without the
+    * O(table) full overwrite or a non-atomic delete+append pair. The
+    * batch routes into leaf dirs as usual; base LEAF entries whose
+    * partition tuple appears in the batch are DROPPED from the new
+    * manifest; plain entries (the schema-carrier create generation,
+    * pre-partitioning history) are rewritten through a null-safe
+    * anti-join so their rows in replaced partitions die too — cost
+    * O(batch + plain generations), never O(table).
+    *
+    * Data-changing replacement of a subset: publishes only at base+1
+    * and returns None on a concurrency loss ([[compact]]'s rule — a
+    * retry could silently drop a concurrent append to a carried
+    * partition). Refuses on unpartitioned tables (use
+    * `commit(overwrite = true)`) and over outstanding deletion vectors
+    * (a key-wide tombstone spans replaced AND carried partitions —
+    * materialize first). Stamped `#replace_partitions=true`:
+    * [[readChanges]] refuses across it (dropped dirs), [[tableChanges]]
+    * diffs it row-level like merge/delete. Returns Some(version,
+    * replaced leaf count, carried entry count).
+    */
+  def overwritePartitions(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil,
+      raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to overwrite at $root")
+    val baseV = vs.last
+    val (dirs, baseMeta) = manifestOf(spark, root, baseV)
+    val partCols = partitionColsOf(tablePropsOf(baseMeta))
+    require(partCols.nonEmpty,
+      "overwritePartitions: the table declares no partition columns — " +
+        "use commit(overwrite = true) for a full replacement")
+    require(partCols.forall(df.columns.contains),
+      s"overwritePartitions: batch is missing partition column(s) " +
+        s"${partCols.filterNot(df.columns.contains).mkString(",")}")
+    require(dvHeadersOf(baseMeta).isEmpty,
+      "overwritePartitions: outstanding deletion vectors span replaced " +
+        "and carried partitions — run compact() to materialize them first")
+    val batchParts = df.select(partCols.map(col): _*).distinct()
+    val tuples = batchParts.collect()
+    require(tuples.nonEmpty,
+      "overwritePartitions: the batch holds no rows — nothing to replace")
+    require(tuples.length <= 4096,
+      s"overwritePartitions: batch spans ${tuples.length} partitions — " +
+        "too fine-grained for a partition-replacing write")
+    val tupleSet: Set[Seq[Option[String]]] = tuples.map(r =>
+      partCols.indices.map(i => renderPartVal(r.get(i))).toSeq).toSet
+    // a base entry's partition tuple, when FULLY encoded in its path
+    def entryTuple(e: String): Option[Seq[Option[String]]] = {
+      val vals = partCols.map(c => partValueOf(e, c))
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+    }
+    val (replaced, rest) = dirs.partition(e =>
+      entryTuple(e).exists(tupleSet.contains))
+    val (plain, carriedLeaves) = rest.partition(e => entryTuple(e).isEmpty)
+    // plain entries can hide rows of replaced partitions; rewrite them
+    // (null-safe anti-join — a NULL-partition batch must replace the
+    // NULL-partition rows) unless they are row-free schema carriers
+    val plainRows =
+      if (plain.isEmpty) None
+      else {
+        val p0 = readDirs(spark, root, plain, defaultsOf(baseMeta))
+        if (p0.isEmpty) None
+        else {
+          // a plain generation may predate a partition column entirely
+          // (narrow pre-evolution history): its rows' partition value is
+          // NULL, so fill before the null-safe match
+          val p = partCols.foldLeft(p0)((d, c) =>
+            if (d.columns.contains(c)) d
+            else d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
+          Some(p.join(broadcast(batchParts),
+            partCols.map(c => p(c) <=> batchParts(c)).reduce(_ && _),
+            "left_anti"))
+        }
+      }
+    val carried = carriedLeaves ++ (if (plainRows.isEmpty) plain else Nil)
+    raceHook()
+    val gen = writeGeneration(spark, root, df, partCols)
+    val entries = genEntries(spark, root, gen)
+    validateGeneration(spark, root, gen)
+    val plainGen = plainRows.map { r =>
+      // align surviving pre-partitioning rows to the batch schema (an
+      // evolved table's old plain generation may be narrower)
+      val aligned = r.select(df.schema.map(f =>
+        (if (r.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+      writeGeneration(spark, root, aligned, partCols)
+    }
+    val plainEntries = plainGen.toSeq.flatMap(g =>
+      genEntries(spark, root, g))
+    val newEntries = entries ++ plainEntries
+    if (tryPublish(spark, root, baseV + 1, carried ++ newEntries,
+        Map("replace_partitions" -> "true")
+          ++ carriedStats(spark, root, baseV, carried)
+          ++ propHeaders(spark, root, baseV)
+          ++ newEntries.flatMap(e =>
+            genStatsMulti(spark, root, e, statsCols)).toMap))
+      Some((baseV + 1, replaced.size, carried.size))
+    else {
+      fs(spark, root).delete(new Path(root, gen), true)
+      plainGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
+      None
+    }
   }
 
   /** DELETE WHERE as MERGE-ON-READ (deletion vectors): instead of
@@ -1828,7 +1945,7 @@ object VersionedTable {
               tag(readAt(spark, root, Some(prev))
                 .join(broadcast(keys), Seq(kc), "left_semi"), "delete", v)
             }
-        case "merge" | "update" | "delete" =>
+        case "merge" | "update" | "delete" | "replace_partitions" =>
           val removed = prevDirs.filterNot(curDirs.contains)
           val added = curDirs.filterNot(prevDirs.contains)
           val addedRows = readDirs(spark, root, added,
@@ -3812,5 +3929,78 @@ object VersionedTable {
           WHERE yr IN (y1 - 1, y1 + 1)) AS BIGINT),
         CAST(1 + (SELECT count(*) FROM yrs) AS BIGINT),
         CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q134: DYNAMIC PARTITION OVERWRITE — the everyday production write
+    * for a partitioned table: re-load ONE year's orders with corrected
+    * prices (+5.00 each) in a single atomic commit that replaces exactly
+    * that year's leaf and carries every other partition verbatim
+    * ([[overwritePartitions]] — Spark's `partitionOverwriteMode=dynamic`
+    * / Iceberg ReplacePartitions semantics, vs the two-commit
+    * delete+append with its non-atomic window, or the O(table) full
+    * overwrite). The per-year aggregate over the post-replace snapshot
+    * is the hash gate (only the re-loaded year's revenue moves);
+    * `replace_audit` pins the 1-replaced / (years−1)-carried mechanics
+    * plus the `replace_partitions` history kind, and `time_travel` pins
+    * the pre-replace snapshot intact — counts derived from the data's
+    * own year spread in both engines, so the pin holds at every scale
+    * factor. At 100 TB: the nightly partition re-load costs O(that
+    * partition), the other ~365 days of leaves never enter the commit.
+    */
+  val q134PartitionOverwrite: Q = Q(
+    "q134_partition_overwrite",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      val y1 = src.agg(min(col("yr"))).head().getInt(0) + 1
+      require(createIfAbsent(s, root, src, Map("partition" -> "yr")),
+        "q134: private table must create")                         // v1
+      val reload = src.filter(col("yr") === y1)
+        .withColumn("o_totalprice",
+          Q.dec2(col("o_totalprice") + lit(5)))
+      val (v2, replaced, carried) = overwritePartitions(s, root, reload)
+        .getOrElse(sys.error("q134: replace lost a race on a private table"))
+      val kindOk =
+        if (commitKind(s, root, v2) == "replace_partitions") 1L else 0L
+      def agg(step: Column, df: DataFrame) = df
+        .groupBy(step.as("step"))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("o_custkey")).as("b"),
+          sum(col("o_totalprice")).cast("double").as("c"))
+      agg(concat(lit("yr_"), col("yr")), readAt(s, root))
+        .unionByName(s.range(1).select(lit("replace_audit").as("step"),
+          lit(replaced.toLong).as("a"), lit(carried.toLong).as("b"),
+          lit(kindOk.toDouble).as("c")))
+        .unionByName(agg(lit("time_travel"),
+          readAt(s, root, Some(1L)).filter(col("yr") === y1)))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) + 1 AS y1 FROM o),
+      adj AS (
+        SELECT o_custkey, yr,
+          CASE WHEN yr = (SELECT y1 FROM y)
+            THEN CAST(price + 5 AS DECIMAL(18,2)) ELSE price END AS price
+        FROM o)
+      SELECT concat('yr_', yr) AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(price) AS DOUBLE) AS c
+      FROM adj GROUP BY yr
+      UNION ALL
+      SELECT 'replace_audit', CAST(1 AS BIGINT),
+        CAST((SELECT count(DISTINCT yr) FROM o) - 1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'time_travel', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM o WHERE yr = (SELECT y1 FROM y)
       ORDER BY step"""))
 }

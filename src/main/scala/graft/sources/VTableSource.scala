@@ -95,6 +95,15 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Append =>
         VersionedTable.commit(spark, path, data, overwrite = false,
           statsCol = statsCol)
+      // DYNAMIC partition overwrite (the Spark conf's option spelling):
+      // replace only the partitions present in the batch, atomically
+      case SaveMode.Overwrite if parameters.get("partitionOverwriteMode")
+          .exists(_.equalsIgnoreCase("dynamic")) =>
+        if (VersionedTable.overwritePartitions(spark, path, data,
+            statsCols = statsCol.toSeq).isEmpty)
+          throw new java.io.IOException(
+            s"graft-vtable: dynamic partition overwrite lost the publish " +
+              s"race at $path — a concurrent commit landed; re-run the write")
       case SaveMode.Overwrite =>
         VersionedTable.commit(spark, path, data, overwrite = true,
           statsCol = statsCol)

@@ -1082,6 +1082,99 @@ class VersionedTableSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("dynamic partition overwrite replaces exactly the batch's partitions") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, String, Int)*) = rows.toDF("id", "grp", "v")
+    def kvN(rows: (Int, Option[String], Int)*) = rows.toDF("id", "grp", "v")
+    def rows(v: Option[Long] = None): Set[(Int, Option[String], Int)] =
+      VersionedTable.readAt(spark, root, v).collect()
+        .map(r => (r.getInt(0), Option(r.getString(1)), r.getInt(2))).toSet
+    def entriesAt(v: Long): Set[String] =
+      VersionedTable.manifestDirs(spark, root, v).toSet
+    assert(VersionedTable.createIfAbsent(spark, root,
+      kv((1, "a", 10), (2, "b", 20), (3, "c", 30)),
+      Map("partition" -> "grp")))                                  // v1
+    VersionedTable.commit(spark, root, kv((4, "b", 40)),
+      overwrite = false)                                           // v2
+    // replace partition b, introduce partition d; a and c carried
+    val Some((v3, replaced, carried)) = VersionedTable.overwritePartitions(
+      spark, root, kv((9, "b", 90), (10, "d", 100)))
+    assert(v3 == 3L && replaced == 2 && carried == 2,
+      "two b-leaves replaced; the a and c leaves carried")
+    assert(rows() == Set((1, Some("a"), 10), (3, Some("c"), 30),
+      (9, Some("b"), 90), (10, Some("d"), 100)))
+    // carried partitions are the SAME entries (no rewrite, no data move)
+    val sameLeaves = entriesAt(2L).intersect(entriesAt(3L))
+    assert(sameLeaves.exists(_.contains("__p_grp=a")) &&
+      sameLeaves.exists(_.contains("__p_grp=c")), sameLeaves)
+    // pre-replace snapshot intact; history classifies the commit
+    assert(rows(Some(2L)) == Set((1, Some("a"), 10), (2, Some("b"), 20),
+      (3, Some("c"), 30), (4, Some("b"), 40)))
+    assert(VersionedTable.commitKind(spark, root, 3L) == "replace_partitions")
+    // generation feeds refuse (dropped dirs); the row-level CDF diffs it
+    intercept[Exception](VersionedTable.readChanges(spark, root, 2L, 3L))
+    val changes = VersionedTable.tableChanges(spark, root, 2L, 3L)
+      .collect().map(r => (r.getAs[Int]("id"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(changes == Set(2 -> "delete", 4 -> "delete",
+      9 -> "insert", 10 -> "insert"))
+    // NULL partition replaces null-safely
+    VersionedTable.commit(spark, root, kvN((5, None, 50)),
+      overwrite = false)                                           // v4
+    assert(VersionedTable.overwritePartitions(spark, root,
+      kvN((6, None, 60))).exists(_._1 == 5L))                      // v5
+    assert(rows().filter(_._2.isEmpty) == Set((6, None, 60)))
+    // a batch missing the partition column, an empty batch, and an
+    // unpartitioned table all refuse loudly
+    intercept[IllegalArgumentException](VersionedTable.overwritePartitions(
+      spark, root, Seq((7, 70)).toDF("id", "v")))
+    intercept[IllegalArgumentException](VersionedTable.overwritePartitions(
+      spark, root, kv()))
+    val flat = freshRoot()
+    VersionedTable.commit(spark, flat, kv((1, "a", 1)), overwrite = true)
+    intercept[IllegalArgumentException](
+      VersionedTable.overwritePartitions(spark, flat, kv((2, "b", 2))))
+    // plain pre-partitioning rows die too: a narrow frame (no grp) lands
+    // a PLAIN generation whose rows read grp = NULL — replacing the NULL
+    // partition must kill them while the batch's rows land routed
+    VersionedTable.commit(spark, root, Seq((7, 70)).toDF("id", "v"),
+      overwrite = false)                                           // v6
+    assert(rows().filter(_._2.isEmpty) ==
+      Set((6, None, 60), (7, None, 70)))
+    assert(VersionedTable.overwritePartitions(spark, root,
+      kvN((8, None, 80))).isDefined)                               // v7
+    assert(rows().filter(_._2.isEmpty) == Set((8, None, 80)))
+    // abort-on-loss reclaims both staged generations
+    val lost = VersionedTable.overwritePartitions(spark, root,
+      kv((11, "a", 110)),
+      raceHook = () => { VersionedTable.commit(spark, root,
+        kv((12, "e", 120)), overwrite = false); () })
+    assert(lost.isEmpty, "publish loss must abort, not retry")
+    assert(rows().exists(_._1 == 12) && !rows().exists(_._1 == 11))
+    assertNoOrphansDeep(root)
+  }
+
+  // leaf-aware orphan audit (partitioned tables reference LEAF dirs)
+  private def assertNoOrphansDeep(root: String): Unit = {
+    def leaves(f: java.io.File): Seq[java.io.File] = {
+      val subs = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(s => s.isDirectory && s.getName.startsWith("__p_"))
+      if (subs.isEmpty) Seq(f) else subs.toSeq.flatMap(leaves)
+    }
+    val referenced = VersionedTable.versions(spark, root)
+      .flatMap(v => VersionedTable.manifestDirs(spark, root, v) ++
+        VersionedTable.manifestMeta(spark, root, v).keys
+          .filter(_.startsWith("dv:")).map(_.stripPrefix("dv:"))).toSet
+    val onDisk = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .flatMap(leaves)
+      .map(_.getPath.stripPrefix(s"$root/").stripPrefix("/"))
+      .toSet
+    assert(onDisk == referenced,
+      s"orphaned generations: ${onDisk diff referenced}")
+  }
+
   test("partitioned tables: routed commits survive merge, delete, compact, MoR and vacuum") {
     import spark.implicits._
     val root = freshRoot()
