@@ -1948,11 +1948,17 @@ object VersionedTable {
         case "merge" | "update" | "delete" | "replace_partitions" =>
           val removed = prevDirs.filterNot(curDirs.contains)
           val added = curDirs.filterNot(prevDirs.contains)
-          val addedRows = readDirs(spark, root, added,
-            defaultsOf(curMeta))
+          // each side through ITS OWN version's tombstones: a fold-over-DV
+          // merge rewrites generations whose only copy of a key was
+          // hidden — the raw removed rows include rows that were never
+          // VISIBLE at prev, and a diff without the DV view would emit
+          // phantom deletes for them (symmetrically for added)
+          val addedRows = applyDvs(spark, root, curMeta,
+            readDirs(spark, root, added, defaultsOf(curMeta)))
           val removedRows =
             if (removed.isEmpty) addedRows.limit(0)
-            else readDirs(spark, root, removed, defaultsOf(curMeta))
+            else applyDvs(spark, root, manifestMeta(spark, root, prev),
+              readDirs(spark, root, removed, defaultsOf(curMeta)))
           val (rem, add) = aligned(removedRows, addedRows)
           // ONE pass over the changed rows: net-count each full row
           // across the two sides (negative net = preimage copies,

@@ -302,8 +302,13 @@ class VTableV2Table(path: String, version: Option[Long],
       .toArray
 
   override def capabilities(): util.Set[TableCapability] =
+    // BATCH_WRITE + OVERWRITE_DYNAMIC advertise the pure-V2 dynamic
+    // INSERT OVERWRITE path (TableCapabilityCheck requires both);
+    // V1_BATCH_WRITE keeps plain INSERT/OVERWRITE on the V1 bridge —
+    // Spark routes by the Write instance the builder returns
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VTableScanBuilder(path, version,
@@ -317,7 +322,8 @@ class VTableV2Table(path: String, version: Option[Long],
     // record [min,max] stats for the catalog's pruneCol list on every
     // SQL INSERT, so data skipping stays live for SQL-loaded generations
     new VTableWriteBuilder(path,
-      VTableScans.pruneColsOf(pruneCol).filter(schema.fieldNames.contains))
+      VTableScans.pruneColsOf(pruneCol).filter(schema.fieldNames.contains),
+      info.schema())
   }
 
   // SQL `TRUNCATE TABLE t` → an overwrite commit with an empty generation
@@ -406,25 +412,50 @@ class VTableV2TableWithRowOps(path: String, pruneCol: Option[String],
   * atomic manifest publish with the format's optimistic-concurrency
   * retry — concurrent SQL writers serialize exactly like API writers.
   */
-class VTableWriteBuilder(path: String, statsCols: Seq[String] = Nil)
-    extends WriteBuilder with SupportsTruncate {
+class VTableWriteBuilder(path: String, statsCols: Seq[String] = Nil,
+    writeSchema: StructType = StructType(Nil))
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var overwrite = false
+  private var dynamic = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): V1Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: org.apache.spark.sql.DataFrame,
-            legacyOverwrite: Boolean): Unit = {
-          VersionedTable.commit(data.sparkSession, path, data,
-            overwrite = overwrite || legacyOverwrite,
-            statsCols = statsCols)
-          ()
-        }
-      }
+  // INSERT OVERWRITE under spark.sql.sources.partitionOverwriteMode=
+  // dynamic on a partitioned table: Spark requests this instead of
+  // truncate — replace only the partitions present in the query result
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
   }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    if (dynamic)
+      // dynamic overwrite has no V1 fallback exec: ship the query result
+      // through the generic staged V2 write, commit via the engine's
+      // atomic partition-replacing primitive
+      new org.apache.spark.sql.connector.write.Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new VTableStagedBatchWrite(SparkSession.active, path,
+            writeSchema, (s, staged) =>
+              if (VersionedTable.overwritePartitions(s, path, staged,
+                  statsCols = statsCols).isEmpty)
+                throw new java.io.IOException(
+                  s"graft-vtable: dynamic INSERT OVERWRITE lost the " +
+                    s"publish race at $path — re-run the statement"))
+      }
+    else new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              legacyOverwrite: Boolean): Unit = {
+            VersionedTable.commit(data.sparkSession, path, data,
+              overwrite = overwrite || legacyOverwrite,
+              statsCols = statsCols)
+            ()
+          }
+        }
+    }
 }
 
 /** DSv2 pushdown surface: Spark prunes columns and pushes filters here;

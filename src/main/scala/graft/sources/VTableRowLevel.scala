@@ -101,27 +101,9 @@ class VTableDeltaBatchWrite(path: String, keyCol: String,
   }
 
   override def createBatchWriterFactory(
-      pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
-    // the task-side parquet encoder reads its dialect from the Hadoop
-    // conf; resolve the session's EFFECTIVE values (set or default) on
-    // the driver so every task writes exactly what the session's own
-    // parquet writers would
-    val conf = spark.sessionState.newHadoopConf()
-    val sqlc = org.apache.spark.sql.internal.SQLConf.get
-    Seq(
-      org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
-      org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
-      org.apache.spark.sql.internal.SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
-      org.apache.spark.sql.internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
-      org.apache.spark.sql.internal.SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
-      org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE,
-      org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE,
-      org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE)
-      .foreach(e =>
-        conf.set(e.key, sqlc.getConfString(e.key, e.defaultValueString)))
+      pinfo: PhysicalWriteInfo): DeltaWriterFactory =
     new VTableDeltaWriterFactory(stagingDir, dataSchema, keySchema,
-      new SerializableHadoopConf(conf))
-  }
+      new SerializableHadoopConf(VTableTaskConf.resolved(spark)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: VTableDeltaTaskResult => m }
@@ -263,4 +245,125 @@ class SerializableHadoopConf(@transient var value: Configuration)
     value = new Configuration(false)
     value.readFields(in)
   }
+}
+
+/** Task-side parquet encoder configuration: resolve the session's
+  * EFFECTIVE parquet-dialect values (set or default) on the driver so
+  * every task writes exactly what the session's own parquet writers
+  * would. Shared by the row-level delta staging and the generic staged
+  * batch write.
+  */
+private[sources] object VTableTaskConf {
+  def resolved(spark: SparkSession): Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sqlc = org.apache.spark.sql.internal.SQLConf.get
+    Seq(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      org.apache.spark.sql.internal.SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      org.apache.spark.sql.internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+      org.apache.spark.sql.internal.SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
+      org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE,
+      org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE,
+      org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE)
+      .foreach(e =>
+        conf.set(e.key, sqlc.getConfString(e.key, e.defaultValueString)))
+    conf
+  }
+}
+
+/** GENERIC STAGED V2 BATCH WRITE: executor tasks stage the query result
+  * as parquet under the table's `_staging/`, the driver commit reads
+  * the staged files back as ONE frame and applies `commitFn` — the
+  * bridge that puts whole-frame commit primitives (dynamic partition
+  * overwrite) behind Spark's PURE-V2 write plans, which have no V1
+  * fallback exec. Same exactly-once file discipline as the row-level
+  * staging: only files named by committed task messages are read, so a
+  * speculative or crashed attempt can never double-apply.
+  */
+class VTableStagedBatchWrite(spark: SparkSession, path: String,
+    schema: StructType,
+    commitFn: (SparkSession, org.apache.spark.sql.DataFrame) => Unit)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val stagingDir =
+    s"$path/_staging/v2w_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new VTableStagedWriterFactory(stagingDir, schema,
+      new SerializableHadoopConf(VTableTaskConf.resolved(spark)))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages
+      .collect { case VTableStagedFile(Some(f)) => f }.toSeq
+    try {
+      val staged =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      commitFn(spark, staged)
+    } finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val p = new Path(stagingDir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p)) hfs.delete(p, true)
+    ()
+  }
+}
+
+case class VTableStagedFile(file: Option[String]) extends WriterCommitMessage
+
+class VTableStagedWriterFactory(stagingDir: String, schema: StructType,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new VTableStagedWriter(stagingDir, schema, conf.value, partitionId,
+      taskId)
+}
+
+/** Per-task staging writer: rows land in one lazily-opened parquet file
+  * named by (partition, task) — unique per attempt.
+  */
+class VTableStagedWriter(stagingDir: String, schema: StructType,
+    conf: Configuration, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private var writer: ParquetWriter[InternalRow] = _
+  private var path: Path = _
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      path = new Path(s"$stagingDir/part-$partitionId-$taskId.parquet")
+      val c = new Configuration(conf)
+      ParquetWriteSupport.setSchema(schema, c)
+      writer = new RowParquetBuilder(HadoopOutputFile.fromPath(path, c))
+        .withConf(c)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    writer.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null }
+    VTableStagedFile(Option(path).map(_.toString))
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    if (path != null) {
+      val hfs = path.getFileSystem(conf)
+      if (hfs.exists(path)) hfs.delete(path, false)
+    }
+  }
+
+  override def close(): Unit =
+    if (writer != null) { writer.close(); writer = null }
 }

@@ -869,8 +869,13 @@ class VersionedTableSpec extends SparkSpec {
     // mix of append / merge / CoW delete / MoR delete / compact /
     // property commits, not just the hand-picked scenarios
     val rnd = new scala.util.Random(13)
-    def kv(rows: Seq[(Int, Int)]) = rows.toDF("id", "v")
-    (1 to 3).foreach { h =>
+    // partitioned histories route every commit into __p_ leaf entries
+    // and mix in dynamic partition overwrites; fold-over-DV merges and
+    // deletes run WITHOUT the old forced compact, so the replay also
+    // pins the tombstone-fold CDF semantics
+    def kv(rows: Seq[(Int, Int)]) =
+      rows.map { case (i, v) => (i, v, i % 3) }.toDF("id", "v", "grp")
+    Seq(false, true, false, true).zipWithIndex.foreach { case (parted, h) =>
       val root = freshRoot()
       var nextId = 1
       def freshRows(n: Int) = {
@@ -879,14 +884,16 @@ class VersionedTableSpec extends SparkSpec {
         rows
       }
       assert(VersionedTable.createIfAbsent(spark, root, kv(freshRows(5)),
-        Map("key" -> "id")))
-      (1 to 6).foreach { _ =>
+        Map("key" -> "id") ++
+          (if (parted) Map("partition" -> "grp") else Map.empty)))
+      (1 to 7).foreach { _ =>
         def liveIds = VersionedTable.readAt(spark, root)
           .select("id").collect().map(_.getInt(0)).toSeq
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => VersionedTable.commit(spark, root,
             kv(freshRows(1 + rnd.nextInt(4))), overwrite = false)
           case 1 => // merge: update a random live subset + fresh inserts
+            // (FOLDS outstanding same-key tombstones when present)
             val upd = rnd.shuffle(liveIds).take(2)
               .map(i => i -> rnd.nextInt(1000))
             assert(VersionedTable.mergeInto(spark, root,
@@ -894,15 +901,23 @@ class VersionedTableSpec extends SparkSpec {
           case 2 => assert(VersionedTable.deleteWhere(spark, root,
             col("v") % 3 === rnd.nextInt(3)).isDefined)
           case 3 =>
-            // MoR delete, then compact to materialize the tombstones —
-            // the CoW ops above refuse over outstanding DVs by design
+            // MoR delete; compact only SOMETIMES — later CoW ops must
+            // handle the outstanding tombstones by folding
             val victims = rnd.shuffle(liveIds).take(1 + rnd.nextInt(2))
             if (victims.nonEmpty)
               VersionedTable.deleteWhereMor(spark, root,
                 col("id").isin(victims.map(Integer.valueOf): _*), "id")
-            VersionedTable.compact(spark, root) // None = already compact
+            if (rnd.nextBoolean())
+              VersionedTable.compact(spark, root) // None = already compact
           case 4 => VersionedTable.setProperties(spark, root,
             Map(s"note" -> s"r${rnd.nextInt(100)}"))
+          case 5 if parted =>
+            // dynamic partition overwrite needs a DV-free base
+            VersionedTable.compact(spark, root)
+            assert(VersionedTable.overwritePartitions(spark, root,
+              kv(freshRows(1 + rnd.nextInt(3)))).isDefined)
+          case _ => VersionedTable.commit(spark, root,
+            kv(freshRows(1)), overwrite = false)
         }
       }
       // the invariant: for EVERY version, base-less CDF replay (signed
@@ -918,7 +933,8 @@ class VersionedTableSpec extends SparkSpec {
           .filter(col("count") > 0)
         assert(snap.exceptAll(replay).isEmpty &&
             replay.exceptAll(snap).isEmpty,
-          s"history $h: CDF replay diverged from snapshot at v$v " +
+          s"history $h (partitioned=$parted): CDF replay diverged from " +
+            s"snapshot at v$v " +
             s"(kinds: ${vs.map(VersionedTable.commitKind(spark, root, _))})")
       }
     }

@@ -143,6 +143,31 @@ class VTableCatalogSpec extends SparkSpec {
       "ALTER TABLE vtcat.pby.t UNSET TBLPROPERTIES ('partition')"))
   }
 
+  test("INSERT OVERWRITE honors partitionOverwriteMode=dynamic on partitioned tables") {
+    require(root.nonEmpty) // touch the lazy catalog registration
+    spark.sql("CREATE TABLE vtcat.po.t (id INT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO vtcat.po.t VALUES (1, 'a'), (2, 'b')")
+    def rows(): Set[(Int, String)] =
+      spark.sql("SELECT id, grp FROM vtcat.po.t").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+    val path = s"$root/po/t"
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "dynamic")
+      // replaces partition b, adds c; partition a carried verbatim
+      spark.sql("INSERT OVERWRITE vtcat.po.t VALUES (9, 'b'), (10, 'c')")
+      assert(rows() == Set(1 -> "a", 9 -> "b", 10 -> "c"))
+      assert(VersionedTable.commitKind(spark, path,
+        VersionedTable.versions(spark, path).last) == "replace_partitions")
+    } finally spark.conf.set(conf, old)
+    // static mode (the default) keeps full-overwrite semantics
+    spark.sql("INSERT OVERWRITE vtcat.po.t VALUES (7, 'z')")
+    assert(rows() == Set(7 -> "z"))
+    assert(VersionedTable.commitKind(spark, path,
+      VersionedTable.versions(spark, path).last) == "overwrite")
+  }
+
   test("SQL DELETE lands as a copy-on-write delete commit") {
     df(1, 2, 3, 4, 5).createOrReplaceTempView("vtcat_del_src")
     spark.sql("CREATE TABLE vtcat.w.d AS SELECT id FROM vtcat_del_src")

@@ -336,6 +336,40 @@ class VTableSourceSpec extends SparkSpec {
     } finally bad.stop()
   }
 
+  test("the streaming sink routes micro-batches into a partitioned table's leaves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = fresh("vtsink_part")
+    // the table (and its partitioning) exists before the stream writes
+    assert(VersionedTable.createIfAbsent(spark, root,
+      Seq.empty[(Int, String)].toDF("id", "grp"),
+      Map("partition" -> "grp")))
+    val in = MemoryStream[Int]
+    val q = in.toDF()
+      .select(col("value").as("id"),
+        when(col("value") % 2 === 0, "even").otherwise("odd").as("grp"))
+      .writeStream.format("graft-vtable")
+      .option("path", root).option("txnAppId", "part_sink")
+      .option("checkpointLocation", fresh("vtsink_part_ckpt"))
+      .start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the micro-batch commit landed as hive-style leaf entries
+    val tip = VersionedTable.versions(spark, root).last
+    val entries = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", s"$tip.commit")), "UTF-8")
+      .split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    assert(entries.count(_.contains("__p_grp=")) == 2,
+      s"one leaf per streamed partition value: $entries")
+    assert(VersionedTable.readAt(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(1 -> "odd", 2 -> "even", 3 -> "odd"))
+  }
+
   test("startingTimestamp tails from the first commit published at or after it") {
     val root = fresh("vtsrc_ts")
     VersionedTable.commit(spark, root, df(1), overwrite = true)
