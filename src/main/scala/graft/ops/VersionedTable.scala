@@ -408,14 +408,15 @@ object VersionedTable {
   // upstream pipeline) against the tip's constraints plus any being
   // stamped by this very commit
   private def validateGeneration(spark: SparkSession, root: String,
-      gen: String, extraProps: Map[String, String] = Map.empty): Unit = {
+      gen: String, entries: Seq[String],
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val cs = tipConstraints(spark, root) ++ constraintsOf(extraProps)
     if (cs.nonEmpty && hasPartFiles(spark, root, gen))
       // read the LEAF entries (plain parquet), not the generation root —
       // a partition-routed generation's root scan would partition-infer
       // the __p_ dup columns, and constraints must see the real schema
       enforceConstraints(spark, root, cs,
-        readDirs(spark, root, genEntries(spark, root, gen)), Some(gen))
+        readDirs(spark, root, entries), Some(gen))
   }
 
   /** Table properties at version `v` (latest when None) — the `prop:`
@@ -481,17 +482,25 @@ object VersionedTable {
     * refuse toward compaction. Returns (replacement `dv:` headers, the
     * new dv dir for the caller's abort reclaim).
     */
+  // the fold precondition, CHECKED EARLY by callers (before anything is
+  // written) so a mixed-key refusal can never leak a staged generation
+  private def requireFoldableDvs(meta: Map[String, String],
+      keyCol: String): Unit = {
+    val cols = dvHeadersOf(meta).values.toSeq.distinct
+    require(cols.forall(_ == keyCol),
+      "VersionedTable: outstanding deletion vectors tombstone " +
+        s"column(s) ${cols.mkString(",")}, but the " +
+        s"statement keys on $keyCol — run compact() to materialize them " +
+        "before a row-level operation on a different key")
+  }
+
   private def foldDvs(spark: SparkSession, root: String,
       meta: Map[String, String], keyCol: String,
       clearKeys: DataFrame): (Map[String, String], Option[String]) = {
     val dvPairs = dvHeadersOf(meta).toSeq
       .map { case (k, c) => (k.stripPrefix("dv:"), c) }
     if (dvPairs.isEmpty) return (Map.empty, None)
-    require(dvPairs.forall(_._2 == keyCol),
-      "VersionedTable: outstanding deletion vectors tombstone " +
-        s"column(s) ${dvPairs.map(_._2).distinct.mkString(",")}, but the " +
-        s"statement keys on $keyCol — run compact() to materialize them " +
-        "before a row-level operation on a different key")
+    requireFoldableDvs(meta, keyCol)
     val remaining = readDirs(spark, root, dvPairs.map(_._1))
       .select(col(keyCol)).distinct()
       .join(broadcast(clearKeys.select(col(keyCol)).distinct()),
@@ -557,6 +566,42 @@ object VersionedTable {
       statsCol: Option[String]): Map[String, String] =
     genStatsMulti(spark, root, gen, statsCol.toSeq)
 
+  // [min,max] headers for a commit's manifest ENTRIES — ONE Spark job
+  // regardless of partition fan-out (per-leaf genStatsMulti calls would
+  // schedule N sequential jobs for an N-partition batch): scan every
+  // entry once, aggregate per FILE, fold per entry on the driver. File →
+  // entry resolution is raw-path suffix matching (the escape-proof
+  // genOfFile rationale); the fold is O(files), metadata-sized.
+  private def genStatsForEntries(spark: SparkSession, root: String,
+      entries: Seq[String], cols: Seq[String]): Map[String, String] =
+    if (cols.isEmpty || entries.isEmpty) Map.empty
+    else if (entries.size == 1)
+      genStatsMulti(spark, root, entries.head, cols)
+    else {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val perFile = readDirs(spark, root, entries)
+        .withColumn("_file", input_file_name())
+        .groupBy(col("_file"))
+        .agg(aggs.head, aggs.drop(1): _*)
+        .collect()
+      perFile.groupBy { r =>
+        val f = r.getString(0)
+        val dir = f.substring(0, f.lastIndexOf('/'))
+        entries.find(e => dir.endsWith("/" + e)).getOrElse(
+          sys.error(s"VersionedTable: scanned file $f matches no entry"))
+      }.flatMap { case (e, rs) =>
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          val mins = rs.toSeq.filterNot(_.isNullAt(1 + 2 * i))
+            .map(_.getLong(1 + 2 * i))
+          val maxs = rs.toSeq.filterNot(_.isNullAt(2 + 2 * i))
+            .map(_.getLong(2 + 2 * i))
+          if (mins.isEmpty) None
+          else Some(statsKey(c, e) -> s"${mins.min},${maxs.max}")
+        }
+      }.toMap
+    }
+
   /** One commit: write `df` as a new immutable generation, then publish a
     * manifest for version max+1 via atomic rename; on a concurrency loss
     * the publish retries at the next version. `overwrite=false` keeps the
@@ -579,9 +624,9 @@ object VersionedTable {
     val gen = writeGeneration(spark, root, df,
       partitionColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
-    validateGeneration(spark, root, gen)
-    val genStats = entries.flatMap(e => genStatsMulti(spark, root, e,
-      (statsCol.toSeq ++ statsCols).distinct)).toMap
+    validateGeneration(spark, root, gen, entries)
+    val genStats = genStatsForEntries(spark, root, entries,
+      (statsCol.toSeq ++ statsCols).distinct)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -718,8 +763,7 @@ object VersionedTable {
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
-          ++ entries.flatMap(e =>
-            genStatsOf(spark, root, e, statsCol)).toMap))
+          ++ genStatsForEntries(spark, root, entries, statsCol.toSeq)))
       Some(baseV + 1)
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -771,8 +815,7 @@ object VersionedTable {
         Map("rewrite" -> "true")
           ++ carriedStats(spark, root, baseV, kept)
           ++ dvHeadersOf(baseMeta) ++ propHeadersOf(baseMeta)
-          ++ entries.flatMap(e =>
-            genStatsOf(spark, root, e, statsCol)).toMap))
+          ++ genStatsForEntries(spark, root, entries, statsCol.toSeq)))
       Some((baseV + 1, small.size, kept.size))
     else {
       hfs.delete(new Path(root, gen), true)
@@ -865,8 +908,7 @@ object VersionedTable {
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
-          ++ entries.flatMap(e =>
-            genStatsOf(spark, root, e, statsCol)).toMap)) {
+          ++ genStatsForEntries(spark, root, entries, statsCol.toSeq))) {
       val filesAfter = entries.map(e =>
         hfs.listStatus(new Path(root, e))
           .count(st => st.isFile && st.getPath.getName.startsWith("part-"))).sum
@@ -914,6 +956,7 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: nothing to merge into at $root")
     val baseV = vs.last
     val (dirs, baseMeta) = manifestOf(spark, root, baseV)
+    requireFoldableDvs(baseMeta, keyCol) // refuse mixed-key DVs up front
     val srcKeys = source.select(col(keyCol)).distinct()
     // which generation dirs hold at least one source key — over the RAW
     // scan on purpose: a generation whose only copy of a source key is
@@ -938,19 +981,21 @@ object VersionedTable {
           readDirs(spark, root, touched, defaultsOf(baseMeta)))
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(source)
-    // fold the tombstones: source keys become visible again (the merge
-    // writes their authoritative rows), every other key stays deleted
-    val (dvNew, dvGen) = foldDvs(spark, root, baseMeta, keyCol, srcKeys)
     raceHook()
     val gen = writeGeneration(spark, root, merged,
       partitionColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
-    validateGeneration(spark, root, gen)
+    validateGeneration(spark, root, gen, entries)
+    // fold the tombstones AFTER the aborting validations (they reclaim
+    // only `gen` — a pre-written fold generation would leak): source
+    // keys become visible again (the merge writes their authoritative
+    // rows), every other key stays deleted. The mixed-key precondition
+    // was checked before anything was written.
+    val (dvNew, dvGen) = foldDvs(spark, root, baseMeta, keyCol, srcKeys)
     if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map("merge" -> "true") ++ carriedStats(spark, root, baseV, untouched)
           ++ propHeaders(spark, root, baseV) ++ dvNew
-          ++ entries.flatMap(e =>
-            genStatsOf(spark, root, e, statsCol)).toMap))
+          ++ genStatsForEntries(spark, root, entries, statsCol.toSeq)))
       Some((baseV + 1, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -1010,6 +1055,8 @@ object VersionedTable {
     // all (the statement's write schema is just the row ids)
     val hasInserts = inserts.schema.nonEmpty && !inserts.isEmpty
     val dvOut = dvHeadersOf(baseMeta).nonEmpty
+    if (dvOut && hasInserts) // refuse mixed-key DVs before ANY write
+      requireFoldableDvs(baseMeta, keyCol)
     val (matched, touchedGens) =
       if (!dvOut) {
         // ONE narrow key-column scan answers both questions: which
@@ -1067,25 +1114,27 @@ object VersionedTable {
     // a statement that deleted nothing and inserted nothing changed
     // nothing — report success without publishing an empty commit
     if (touched.isEmpty && !hasInserts) return Some((baseV, 0, dirs.size))
-    // fold the tombstones: inserted keys become visible again, every
-    // other tombstone stays key-wide deleted; a pure DELETE clears
-    // nothing, so the existing headers carry verbatim
+    raceHook()
+    val gen = writeGeneration(spark, root, newRows,
+      partitionColsAt(spark, root))
+    val entries = genEntries(spark, root, gen)
+    validateGeneration(spark, root, gen, entries)
+    // fold the tombstones AFTER the aborting validations (they reclaim
+    // only `gen`): inserted keys become visible again, every other
+    // tombstone stays key-wide deleted; a pure DELETE clears nothing,
+    // so the existing headers carry verbatim. The mixed-key
+    // precondition was checked before anything was written.
     val (dvNew, dvGen) =
       if (!dvOut) (Map.empty[String, String], Option.empty[String])
       else if (!hasInserts) (dvHeadersOf(baseMeta), None)
       else foldDvs(spark, root, baseMeta, keyCol,
         inserts.select(col(keyCol)).distinct())
-    raceHook()
-    val gen = writeGeneration(spark, root, newRows,
-      partitionColsAt(spark, root))
-    val entries = genEntries(spark, root, gen)
-    validateGeneration(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map(kindHeader -> "true")
           ++ carriedStats(spark, root, baseV, untouched)
           ++ propHeaders(spark, root, baseV) ++ dvNew
-          ++ entries.flatMap(e => genStatsMulti(spark, root, e,
-            (statsCol.toSeq ++ statsCols).distinct)).toMap))
+          ++ genStatsForEntries(spark, root, entries,
+            (statsCol.toSeq ++ statsCols).distinct)))
       Some((baseV + 1, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -1154,8 +1203,7 @@ object VersionedTable {
     if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
           ++ propHeaders(spark, root, baseV) ++ dvHeadersOf(baseMeta)
-          ++ entries.flatMap(e =>
-            genStatsOf(spark, root, e, statsCol)).toMap))
+          ++ genStatsForEntries(spark, root, entries, statsCol.toSeq)))
       Some((baseV + 1, deleted, touched.size, untouched.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -1229,7 +1277,7 @@ object VersionedTable {
     if (versions(spark, root).nonEmpty) return false
     val gen = writeGeneration(spark, root, df, partitionColsOf(props))
     val entries = genEntries(spark, root, gen)
-    validateGeneration(spark, root, gen, extraProps = props)
+    validateGeneration(spark, root, gen, entries, extraProps = props)
     if (tryPublish(spark, root, 1L, entries,
         props.map { case (k, v) => s"prop:$k" -> v })) true
     else {
@@ -1351,13 +1399,19 @@ object VersionedTable {
           s"addColumns: DEFAULT for $c ($sql) must be a constant " +
             s"expression castable to ${dt.sql}: ${e.getMessage}", e)
       }
-      s"prop:default.$c" -> rendered
+      s"default.$c" -> rendered
     }
+    // defaults ride the property header lines: the same key/value
+    // hygiene as setProperties (a NEWLINE inside the default's SQL text
+    // would tear the manifest line format; '=' in a backticked column
+    // name would mis-key the header)
+    validateProps(defaultProps)
     val widened = cols.foldLeft(base.limit(0))((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))
       .repartition(1)
     commit(spark, root, widened, overwrite = false,
-      meta = Map("alter" -> "add_columns") ++ defaultProps)
+      meta = Map("alter" -> "add_columns")
+        ++ defaultProps.map { case (k, v) => s"prop:$k" -> v })
   }
 
   /** RESTORE (rollback) as a COMMIT: publish a NEW version whose manifest
@@ -1415,12 +1469,22 @@ object VersionedTable {
     else None // no orphan to reclaim — restore writes no generation
   }
 
-  // external-type partition value → the partition-path string the
-  // routed write renders for it (mirrors VTableScans.renderPart)
-  private def renderPartVal(v: Any): Option[String] = Option(v).map {
-    case d: java.sql.Date => d.toString
-    case d: java.time.LocalDate => d.toString
-    case other => other.toString
+  /** External partition value → the partition-path token the routed
+    * write renders for it; None = the hive DEFAULT partition. THE single
+    * source of truth for this contract (scan-side pruning and
+    * write-side replacement must agree on which leaf a value lives in).
+    * Spark's partitionBy writes null AND the EMPTY STRING into
+    * `__HIVE_DEFAULT_PARTITION__` (ExternalCatalogUtils conflates them,
+    * as do Hive and Delta), so both render as the default leaf — a
+    * pruner that mapped '' to its own token would silently drop the
+    * leaf holding empty-string rows.
+    */
+  def renderPartitionValue(v: Any): Option[String] = v match {
+    case null => None
+    case s: String if s.isEmpty => None
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case other => Some(other.toString)
   }
 
   /** DYNAMIC PARTITION OVERWRITE (Spark's `partitionOverwriteMode=
@@ -1466,13 +1530,15 @@ object VersionedTable {
         "and carried partitions — run compact() to materialize them first")
     val batchParts = df.select(partCols.map(col): _*).distinct()
     val tuples = batchParts.collect()
-    require(tuples.nonEmpty,
-      "overwritePartitions: the batch holds no rows — nothing to replace")
+    // an empty batch replaces NOTHING — the no-op Spark's own dynamic
+    // overwrite (and Delta/Iceberg) performs when the query result is
+    // empty; a nightly re-load job must not crash on an empty day
+    if (tuples.isEmpty) return Some((baseV, 0, dirs.size))
     require(tuples.length <= 4096,
       s"overwritePartitions: batch spans ${tuples.length} partitions — " +
         "too fine-grained for a partition-replacing write")
     val tupleSet: Set[Seq[Option[String]]] = tuples.map(r =>
-      partCols.indices.map(i => renderPartVal(r.get(i))).toSeq).toSet
+      partCols.indices.map(i => renderPartitionValue(r.get(i))).toSeq).toSet
     // a base entry's partition tuple, when FULLY encoded in its path
     def entryTuple(e: String): Option[Seq[Option[String]]] = {
       val vals = partCols.map(c => partValueOf(e, c))
@@ -1492,12 +1558,21 @@ object VersionedTable {
         else {
           // a plain generation may predate a partition column entirely
           // (narrow pre-evolution history): its rows' partition value is
-          // NULL, so fill before the null-safe match
+          // NULL, so fill before the null-safe match. String partition
+          // values normalize '' → NULL on BOTH sides — the routed write
+          // conflates them into the hive default leaf
+          // (renderPartitionValue), and the row-level match must agree
           val p = partCols.foldLeft(p0)((d, c) =>
             if (d.columns.contains(c)) d
             else d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
+          def norm(c: String, side: DataFrame): Column =
+            if (df.schema(c).dataType ==
+                org.apache.spark.sql.types.StringType)
+              when(side(c) === lit(""), lit(null)).otherwise(side(c))
+            else side(c)
           Some(p.join(broadcast(batchParts),
-            partCols.map(c => p(c) <=> batchParts(c)).reduce(_ && _),
+            partCols.map(c => norm(c, p) <=> norm(c, batchParts))
+              .reduce(_ && _),
             "left_anti"))
         }
       }
@@ -1505,14 +1580,17 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, df, partCols)
     val entries = genEntries(spark, root, gen)
-    validateGeneration(spark, root, gen)
-    val plainGen = plainRows.map { r =>
+    validateGeneration(spark, root, gen, entries)
+    val plainGen = plainRows.flatMap { r =>
       // align surviving pre-partitioning rows to the batch schema (an
-      // evolved table's old plain generation may be narrower)
+      // evolved table's old plain generation may be narrower); when the
+      // anti-join leaves NO survivors, write nothing — a permanent
+      // zero-row always-scan entry would tax every later read
       val aligned = r.select(df.schema.map(f =>
         (if (r.columns.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)): _*)
-      writeGeneration(spark, root, aligned, partCols)
+      if (aligned.isEmpty) None
+      else Some(writeGeneration(spark, root, aligned, partCols))
     }
     val plainEntries = plainGen.toSeq.flatMap(g =>
       genEntries(spark, root, g))
@@ -1521,8 +1599,7 @@ object VersionedTable {
         Map("replace_partitions" -> "true")
           ++ carriedStats(spark, root, baseV, carried)
           ++ propHeaders(spark, root, baseV)
-          ++ newEntries.flatMap(e =>
-            genStatsMulti(spark, root, e, statsCols)).toMap))
+          ++ genStatsForEntries(spark, root, newEntries, statsCols)))
       Some((baseV + 1, replaced.size, carried.size))
     else {
       fs(spark, root).delete(new Path(root, gen), true)
@@ -1648,7 +1725,7 @@ object VersionedTable {
     val gen = writeGeneration(spark, root, df,
       partitionColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
-    validateGeneration(spark, root, gen)
+    validateGeneration(spark, root, gen, entries)
     val meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)
     var attempt = 0
     while (true) {

@@ -279,14 +279,20 @@ object VTableScans {
 
   // accept both ISO-8601 instants and SQL timestamp literals for the
   // startingTimestamp option; returns epoch MICROseconds (the
-  // commitTimestamp unit)
-  private[sources] def parseTsMicros(s: String): Long =
-    (try java.time.Instant.parse(s)
-    catch { case _: java.time.format.DateTimeParseException =>
-      java.sql.Timestamp.valueOf(s).toInstant
-    }) match {
-      case i => i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+  // commitTimestamp unit). Zone-less literals resolve in the SESSION
+  // timezone — the same rule TIMESTAMP AS OF applies — never the JVM
+  // default (which would shift the start point by the host's offset)
+  private[sources] def parseTsMicros(s: String): Long = {
+    val i =
+      try java.time.Instant.parse(s)
+      catch { case _: java.time.format.DateTimeParseException =>
+        val zone = java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          .atZone(zone).toInstant
+      }
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   // `pruneCol` accepts a comma-separated LIST of stats columns; split and
   // (optionally) keep only the ones the schema actually has
@@ -299,13 +305,12 @@ object VTableScans {
     if (kept.isEmpty) None else Some(kept.mkString(","))
   }
 
-  // a pushed filter value rendered as the partition-path string
-  // partitionBy would have written for it; None = the NULL partition
-  private def renderPart(v: Any): Option[String] = Option(v).map {
-    case d: java.sql.Date => d.toString
-    case d: java.time.LocalDate => d.toString
-    case other => other.toString
-  }
+  // a pushed filter value rendered as the partition-path token the
+  // routed write produced for it — delegates to the ONE canonical
+  // renderer (None = the hive default leaf, which also holds
+  // empty-string rows; see VersionedTable.renderPartitionValue)
+  private def renderPart(v: Any): Option[String] =
+    VersionedTable.renderPartitionValue(v)
 
   /** Per-partition-column ALLOWED VALUES translated from the pushed
     * equality/IN/IS NULL filters — [[VersionedTable.readAtPrunedParts]]'s
@@ -451,7 +456,14 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
-    val batch = start.map(ver).orElse(startFloor) match {
+    // startingVersion=1 (or a startingTimestamp at/before the first
+    // commit) means "everything from the beginning". The CDF tail can
+    // express that exactly (tableChanges accepts vFrom=0, delivering
+    // per-commit change rows from v1); the plain/lenient tails cannot
+    // (no version-0 manifest to diff against), so they deliver the
+    // initial snapshot — the fold of all changes since version 0.
+    val eff = start.map(ver).orElse(startFloor)
+    val batch = (if (cdf) eff else eff.filter(_ > 0)) match {
       case None if cdf => // initial snapshot AS the change feed's opening
         VersionedTable.readAt(spark, path, Some(endV))
           .withColumn("_change_type", lit("insert"))

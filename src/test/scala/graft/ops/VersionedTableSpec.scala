@@ -1078,12 +1078,31 @@ class VersionedTableSpec extends SparkSpec {
       kindHeader = "merge").isDefined)
     assert(dvCount(root) == 0, "all tombstones cleared or materialized")
     assert(visible(root) == Set(2 -> 22, 3 -> 30, 4 -> 45, 6 -> 60))
-    // mixed key columns cannot be soundly subtracted — refuse loudly
+    // an aborting validation mid-statement must not leak the fold's
+    // tombstone-remainder generation: declare a constraint, tombstone a
+    // key, then merge a VIOLATING batch over the outstanding DV
+    VersionedTable.setProperties(spark, root,
+      Map("constraint.vpos" -> "v >= 0"))
+    assert(VersionedTable.deleteWhereMor(spark, root,
+      col("id") === 4, "id").isDefined)
+    intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, root, kv(4 -> -1), "id"))
+    assertNoOrphans(root)
+    VersionedTable.setProperties(spark, root, Map.empty,
+      unset = Seq("constraint.vpos"))
+    // a clean re-merge folds the tombstone away and restores the row
+    assert(VersionedTable.mergeInto(spark, root, kv(4 -> 45), "id")
+      .isDefined)
+    assert(dvCount(root) == 0 &&
+      visible(root) == Set(2 -> 22, 3 -> 30, 4 -> 45, 6 -> 60))
+    // mixed key columns cannot be soundly subtracted — refuse loudly,
+    // BEFORE anything is staged
     assert(VersionedTable.deleteWhereMor(spark, root,
       col("v") === 60, "v").isDefined)
     val e = intercept[IllegalArgumentException](
       VersionedTable.mergeInto(spark, root, kv(9 -> 90), "id"))
     assert(e.getMessage.contains("compact"))
+    assertNoOrphans(root)
     // broadcast gate: with the threshold at 0 every tombstone set is
     // "too big" — the read plan anti-joins without a broadcast exchange
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1141,12 +1160,14 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.overwritePartitions(spark, root,
       kvN((6, None, 60))).exists(_._1 == 5L))                      // v5
     assert(rows().filter(_._2.isEmpty) == Set((6, None, 60)))
-    // a batch missing the partition column, an empty batch, and an
-    // unpartitioned table all refuse loudly
+    // a batch missing the partition column and an unpartitioned table
+    // refuse loudly; an EMPTY batch replaces nothing (the Spark/Delta
+    // no-op — a re-load whose source is empty must not crash)
     intercept[IllegalArgumentException](VersionedTable.overwritePartitions(
       spark, root, Seq((7, 70)).toDF("id", "v")))
-    intercept[IllegalArgumentException](VersionedTable.overwritePartitions(
-      spark, root, kv()))
+    val vNow = VersionedTable.versions(spark, root).last
+    assert(VersionedTable.overwritePartitions(spark, root, kv())
+      .exists(_._1 == vNow), "empty batch: no-op at the same version")
     val flat = freshRoot()
     VersionedTable.commit(spark, flat, kv((1, "a", 1)), overwrite = true)
     intercept[IllegalArgumentException](

@@ -129,6 +129,13 @@ class VTableCatalogSpec extends SparkSpec {
     val desc = spark.sql("DESCRIBE TABLE vtcat.pby.t").collect()
       .map(_.getString(0))
     assert(desc.contains("# Partition Information"), desc.mkString("|"))
+    // EMPTY-STRING partition values share the hive default leaf with
+    // NULL (partitionBy conflates them on disk) — equality on '' must
+    // KEEP that leaf, or the rows silently vanish from filtered reads
+    spark.sql("INSERT INTO vtcat.pby.t VALUES (7, '')")
+    assert(spark.sql("SELECT id FROM vtcat.pby.t WHERE grp = ''")
+      .collect().map(_.getInt(0)).toSet == Set(7))
+    assert(ids("SELECT id FROM vtcat.pby.t WHERE grp IS NULL") == Set(6))
     // refusals: derived transforms, continuous types, property spelling,
     // post-hoc repartitioning
     intercept[Exception](spark.sql(
@@ -301,10 +308,15 @@ class VTableCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TBLPROPERTIES vtcat.ed.t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
       .get("default.score").exists(_.contains("7")))
-    // non-constant defaults refuse loudly, committing nothing
+    // non-constant defaults refuse loudly, committing nothing; so does
+    // a default whose SQL text would tear the manifest line format
     val vNow = VersionedTable.versions(spark, s"$root/ed/t").last
     intercept[Exception](spark.sql(
       "ALTER TABLE vtcat.ed.t ADD COLUMNS (bad INT DEFAULT id + 1)"))
+    intercept[Exception](VersionedTable.addColumns(spark, s"$root/ed/t",
+      Seq(org.apache.spark.sql.types.StructField("bad2",
+        org.apache.spark.sql.types.StringType)),
+      defaults = Map("bad2" -> "concat('a',\n'b')")))
     assert(VersionedTable.versions(spark, s"$root/ed/t").last == vNow)
   }
 }

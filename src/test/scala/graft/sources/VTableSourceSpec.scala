@@ -404,5 +404,18 @@ class VTableSourceSpec extends SparkSpec {
         .option("startingVersion", "2")
         .option("startingTimestamp", mid).load()
     }
+    // startingVersion=1 means "everything from the beginning" — the
+    // initial snapshot, not a crash (the generation feed cannot diff
+    // against a version-0 manifest)
+    val all = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q1 = spark.readStream.format("graft-vtable")
+      .option("path", root).option("startingVersion", "1").load()
+      .writeStream
+      .option("checkpointLocation", fresh("vtsrc_ts_ckpt1"))
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        { idsOf(b).foreach(all.add); () })
+      .start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(all.asScala.toSet == Set(1, 2, 3, 4))
   }
 }
