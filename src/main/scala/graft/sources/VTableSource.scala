@@ -74,13 +74,35 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       // CHANGE DATA FEED read (the Delta idiom): row-level changes with
       // _change_type/_commit_version, versions inclusive on both ends —
-      // option("startingVersion", 1) reads since table creation
+      // option("startingVersion", 1) reads since table creation. The
+      // timestamp twins resolve through manifest publish times (the
+      // TIMESTAMP AS OF rule): startingTimestamp = first commit
+      // published at/after it, endingTimestamp = last at/before it.
       val path = pathOf(parameters)
-      val vs = VersionedTable.versions(sqlContext.sparkSession, path)
+      val spark = sqlContext.sparkSession
+      val vs = VersionedTable.versions(spark, path)
       require(vs.nonEmpty, s"graft-vtable: no table at $path")
-      new VTableCdfRelation(sqlContext, path,
-        parameters.get("startingVersion").map(_.toLong - 1).getOrElse(0L),
-        parameters.get("endingVersion").map(_.toLong).getOrElse(vs.last))
+      require(!(parameters.contains("startingVersion") &&
+          parameters.contains("startingTimestamp")) &&
+        !(parameters.contains("endingVersion") &&
+          parameters.contains("endingTimestamp")),
+        "graft-vtable: name each CDF bound ONE way — version or timestamp")
+      def tsVersion(opt: String)(pick: Long => Option[Long]): Option[Long] =
+        parameters.get(opt).map { s =>
+          pick(VTableScans.parseTsMicros(s)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-vtable: $opt '$s' matches no committed version " +
+                s"(committed versions span ${vs.head}..${vs.last})"))
+        }
+      val from = parameters.get("startingVersion").map(_.toLong)
+        .orElse(tsVersion("startingTimestamp")(m =>
+          vs.find(v => VersionedTable.commitTimestamp(spark, path, v) >= m)))
+        .getOrElse(1L)
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .orElse(tsVersion("endingTimestamp")(m =>
+          VersionedTable.versionAsOfTimestamp(spark, path, m)))
+        .getOrElse(vs.last)
+      new VTableCdfRelation(sqlContext, path, from - 1, to)
     } else new VTableRelation(sqlContext, pathOf(parameters),
       parameters.get("versionAsOf").map(_.toLong),
       parameters.get("pruneCol"))

@@ -216,6 +216,22 @@ class VTableSourceSpec extends SparkSpec {
       ("update_preimage", 3L, 2), ("update_postimage", 3L, 2)))
     assert(feed("startingVersion" -> "2", "endingVersion" -> "2")
       == Set(("insert", 2L, 3)))
+    // TIMESTAMP bounds resolve through manifest publish times: a window
+    // straddling only v2's publish instant selects exactly v2's changes
+    val t1 = VersionedTable.commitTimestamp(spark, root, 1L)
+    val t2 = VersionedTable.commitTimestamp(spark, root, 2L)
+    val t3 = VersionedTable.commitTimestamp(spark, root, 3L)
+    if (t2 > t1 && t3 > t2) { // publish mtimes distinguishable (ms clock)
+      def iso(m: Long) = java.time.Instant.ofEpochSecond(m / 1000000L,
+        (m % 1000000L) * 1000L).toString
+      assert(feed("startingTimestamp" -> iso(t1 + (t2 - t1) / 2 + 1),
+        "endingTimestamp" -> iso(t2 + (t3 - t2) / 2))
+        == Set(("insert", 2L, 3)))
+    }
+    // contradictory and unresolvable bounds refuse loudly
+    intercept[Exception](feed("startingVersion" -> "2",
+      "startingTimestamp" -> "2026-01-01 00:00:00"))
+    intercept[Exception](feed("endingTimestamp" -> "1999-01-01 00:00:00"))
   }
 
   test("streaming CDF tail survives row-level commits and delivers change rows") {
