@@ -94,13 +94,28 @@ object VersionedTable {
     (lines.filterNot(_.startsWith("#")), meta)
   }
 
-  /** Commit (publish) time of version `v`, epoch MICROseconds. The
-    * atomic manifest rename IS the commit point, so the manifest file's
-    * modification time is the commit timestamp — no extra bookkeeping.
+  /** Commit (publish) time of version `v`, epoch MICROseconds.
+    * Resolution is IN-COMMIT first: every manifest published by this
+    * engine carries a `#ts=` header stamped at publish, so the commit
+    * time survives anything that rewrites file mtimes — object-store
+    * copy/restore, a backup rsync, a `touch` — which would silently
+    * shift `TIMESTAMP AS OF`, `startingTimestamp` and timestamp vacuum
+    * if they resolved through the filesystem (the Delta in-commit-
+    * timestamp rationale). Pre-header manifests (older tables) fall
+    * back to the manifest file's mtime — the atomic rename IS the
+    * commit point, so absent tampering the mtime is the publish time.
     */
   def commitTimestamp(spark: SparkSession, root: String, v: Long): Long =
-    fs(spark, root).getFileStatus(new Path(root, s"_log/$v.commit"))
-      .getModificationTime * 1000L
+    manifestMeta(spark, root, v).get("ts").map(_.toLong).getOrElse(
+      fs(spark, root).getFileStatus(new Path(root, s"_log/$v.commit"))
+        .getModificationTime * 1000L)
+
+  // commitTimestamp when the manifest may be absent (vacuum-trimmed
+  // predecessor) — the monotonicity floor lookup must not throw
+  private def commitTsOpt(spark: SparkSession, root: String,
+      v: Long): Option[Long] =
+    if (!fs(spark, root).exists(new Path(root, s"_log/$v.commit"))) None
+    else Some(commitTimestamp(spark, root, v))
 
   /** Newest committed version published at or before `tsMicros` (epoch
     * micros — the Spark `TIMESTAMP AS OF` contract). None when the
@@ -221,6 +236,37 @@ object VersionedTable {
       sb.toString
     }
 
+  // decode the URL-encoding `input_file_name()` applies to scan paths
+  // (space→%20, and a literal '%' in a hive-escaped leaf name →%25) so
+  // a scanned file's directory can be matched against the RAW on-disk
+  // entry names a manifest lists — without it, any string partition
+  // value containing a space or '%' makes the suffix match miss.
+  // %XX runs decode as UTF-8 byte sequences (non-ASCII leaf names).
+  private def uriDecodePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val out = new StringBuilder(s.length)
+      val buf = new java.io.ByteArrayOutputStream(8)
+      def flush(): Unit = if (buf.size > 0) {
+        out.append(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        buf.reset()
+      }
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          buf.write(Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16))
+          i += 3
+        } else { flush(); out.append(c); i += 1 }
+      }
+      flush()
+      out.toString
+    }
+
   // the partition value a manifest entry's path encodes for column `c`:
   // outer None when the entry has no such segment (unpartitioned
   // generation — must always scan); Some(None) = the NULL partition;
@@ -268,12 +314,21 @@ object VersionedTable {
   }
 
   // THE commit point: atomic publish of version v; false means another
-  // writer took v (optimistic-concurrency loss) and the temp was discarded
+  // writer took v (optimistic-concurrency loss) and the temp was
+  // discarded. Every publish stamps the IN-COMMIT timestamp (`#ts=`
+  // epoch micros) — clamped to strictly after the predecessor's so the
+  // version order and the timestamp order can never disagree even
+  // under clock skew (versionAsOfTimestamp's "newest at-or-before"
+  // scan assumes monotone stamps).
   private def tryPublish(spark: SparkSession, root: String, v: Long,
       dirs: Seq[String], meta: Map[String, String]): Boolean = {
     val hfs = fs(spark, root)
+    val now = System.currentTimeMillis() * 1000L
+    val ts = math.max(now,
+      commitTsOpt(spark, root, v - 1).map(_ + 1L).getOrElse(Long.MinValue))
+    val stamped = meta + ("ts" -> ts.toString)
     val tmp = new Path(root, s"_log/.tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    val lines = meta.toSeq.sortBy(_._1).map { case (k, value) => s"#$k=$value" } ++ dirs
+    val lines = stamped.toSeq.sortBy(_._1).map { case (k, value) => s"#$k=$value" } ++ dirs
     val out = hfs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (hfs.rename(tmp, new Path(root, s"_log/$v.commit"))) true
@@ -587,7 +642,9 @@ object VersionedTable {
         .collect()
       perFile.groupBy { r =>
         val f = r.getString(0)
-        val dir = f.substring(0, f.lastIndexOf('/'))
+        // input_file_name() is URL-encoded; entries are raw on-disk
+        // names (hive-escaped leaves) — decode before the suffix match
+        val dir = uriDecodePath(f.substring(0, f.lastIndexOf('/')))
         entries.find(e => dir.endsWith("/" + e)).getOrElse(
           sys.error(s"VersionedTable: scanned file $f matches no entry"))
       }.flatMap { case (e, rs) =>

@@ -299,19 +299,34 @@ object VTableScans {
     case _ => None
   }
 
-  // accept both ISO-8601 instants and SQL timestamp literals for the
-  // startingTimestamp option; returns epoch MICROseconds (the
-  // commitTimestamp unit). Zone-less literals resolve in the SESSION
-  // timezone — the same rule TIMESTAMP AS OF applies — never the JVM
-  // default (which would shift the start point by the host's offset)
+  // accept ISO-8601 instants, SQL timestamp literals AND date-only
+  // literals ('2026-08-15' — Delta's startingTimestamp and Spark's
+  // TIMESTAMP AS OF both take them, resolved to start-of-day) for the
+  // timestamp options; returns epoch MICROseconds (the commitTimestamp
+  // unit). Zone-less literals resolve in the SESSION timezone — the
+  // same rule TIMESTAMP AS OF applies — never the JVM default (which
+  // would shift the start point by the host's offset). Unparseable
+  // input fails as a graft-vtable error naming the accepted forms, not
+  // a raw DateTimeParseException from the last-attempted format.
   private[sources] def parseTsMicros(s: String): Long = {
+    import java.time.format.DateTimeParseException
+    val t = s.trim
+    lazy val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val i =
-      try java.time.Instant.parse(s)
-      catch { case _: java.time.format.DateTimeParseException =>
-        val zone = java.time.ZoneId.of(
-          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-        java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      try java.time.Instant.parse(t)
+      catch { case _: DateTimeParseException =>
+        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
           .atZone(zone).toInstant
+        catch { case _: DateTimeParseException =>
+          try java.time.LocalDate.parse(t).atStartOfDay(zone).toInstant
+          catch { case e: DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"graft-vtable: cannot parse timestamp '$s' — use an " +
+                "ISO-8601 instant, 'yyyy-MM-dd HH:mm:ss[.fff]', or a " +
+                "date 'yyyy-MM-dd'", e)
+          }
+        }
       }
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }

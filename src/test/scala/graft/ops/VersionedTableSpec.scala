@@ -391,8 +391,8 @@ class VersionedTableSpec extends SparkSpec {
   test("manifest parsing: headerless, foreign-comment, and malformed header lines") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
-    // headerless manifest (what a plain commit writes): no metadata
-    assert(VersionedTable.manifestMeta(spark, root, 1L).isEmpty)
+    // a plain commit's only metadata is the in-commit timestamp stamp
+    assert(VersionedTable.manifestMeta(spark, root, 1L).keySet == Set("ts"))
     assert(!VersionedTable.isRewrite(spark, root, 1L))
     // hand-write a v2 manifest the way a foreign tool or future writer
     // might: valid k=v headers mixed with bare comments and blank lines
@@ -1278,5 +1278,67 @@ class VersionedTableSpec extends SparkSpec {
       .filter(_.isDirectory)
     assert(dataDirs.size == 1,
       s"only the live generation survives: ${dataDirs.map(_.getName)}")
+  }
+
+  test("in-commit timestamps survive mtime tampering and stay monotone") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root, df(1), overwrite = true)
+    val v2 = VersionedTable.commit(spark, root, df(2), overwrite = false)
+    val ts1 = VersionedTable.commitTimestamp(spark, root, v1)
+    val ts2 = VersionedTable.commitTimestamp(spark, root, v2)
+    assert(ts1 < ts2, "publish stamps are strictly monotone")
+    // the manifest itself carries the stamp
+    assert(VersionedTable.manifestMeta(spark, root, v1).contains("ts"))
+    // an object-store copy/restore (or a plain touch) rewrites mtimes;
+    // resolution must NOT shift — TIMESTAMP AS OF, startingTimestamp and
+    // timestamp vacuum all resolve through commitTimestamp
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(v1, v2).foreach { v =>
+      hfs.setTimes(new org.apache.hadoop.fs.Path(root, s"_log/$v.commit"),
+        System.currentTimeMillis() + 86400000L, -1)
+    }
+    assert(VersionedTable.commitTimestamp(spark, root, v1) == ts1)
+    assert(VersionedTable.commitTimestamp(spark, root, v2) == ts2)
+    assert(VersionedTable.versionAsOfTimestamp(spark, root, ts1)
+      .contains(v1))
+    assert(VersionedTable.versionAsOfTimestamp(spark, root, ts2 - 1)
+      .contains(v1), "between the stamps resolves to the older commit")
+    assert(VersionedTable.versionAsOfTimestamp(spark, root, ts2)
+      .contains(v2))
+    assert(VersionedTable.versionAsOfTimestamp(spark, root, ts1 - 1)
+      .isEmpty, "before the first commit")
+    // timestamp vacuum resolves through the same stamps: a cutoff
+    // between the two commits drops only v1 (tip always survives)
+    val (_, mans) = VersionedTable.vacuum(spark, root,
+      olderThanMicros = Some(ts1), force = true)
+    assert(mans == 1 && VersionedTable.versions(spark, root) == Seq(v2))
+  }
+
+  test("per-leaf stats record for partition values with URL-hostile characters") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a space AND a literal '%' in string partition values: the leaf dir
+    // name is hive-escaped on disk, and input_file_name() URL-encodes it
+    // again — the stats harvest must decode before matching entries
+    val batch = Seq((1, "north america", 10), (2, "50% off", 20),
+      (3, "plain", 30)).toDF("id", "grp", "v")
+    assert(VersionedTable.createIfAbsent(spark, root, batch.limit(0),
+      Map("partition" -> "grp")))
+    val v2 = VersionedTable.commit(spark, root, batch, overwrite = false,
+      statsCols = Seq("v"))
+    val meta = VersionedTable.manifestMeta(spark, root, v2)
+    assert(meta.keys.count(_.startsWith("stats:v:")) == 3,
+      s"one stats:v header per leaf, got ${meta.keys.toSeq.sorted}")
+    // the recorded windows actually prune: v outside [25, 35] keeps one
+    // leaf (plus the stats-free create generation, which must scan)
+    val (pruned, kept, total) = VersionedTable.readAtPruned(spark, root,
+      None, "v", 25L, 35L)
+    assert(total == 4 && kept == 2, s"kept $kept of $total")
+    assert(pruned.filter(col("v") >= 25 && col("v") <= 35).count() == 1)
+    // equality pruning on the escaped values keeps exactly their leaf
+    val (_, keptEq, _) = VersionedTable.readAtPrunedParts(spark, root,
+      None, Nil, Seq("grp" -> Set(Option("50% off"))))
+    assert(keptEq == 2, s"the escaped leaf plus the create gen: $keptEq")
   }
 }

@@ -434,4 +434,29 @@ class VTableSourceSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     assert(all.asScala.toSet == Set(1, 2, 3, 4))
   }
+
+  test("timestamp options accept date-only literals and refuse junk loudly") {
+    // the three accepted forms agree: an ISO instant, the SQL literal,
+    // and the date-only form all name midnight UTC (session tz is UTC)
+    val midnight = VTableScans.parseTsMicros("2026-08-15T00:00:00Z")
+    assert(VTableScans.parseTsMicros("2026-08-15 00:00:00") == midnight)
+    assert(VTableScans.parseTsMicros("2026-08-15") == midnight,
+      "date-only resolves to start-of-day in the session timezone")
+    // junk fails as a graft-vtable error naming the accepted forms, not
+    // a raw DateTimeParseException from the last format attempted
+    val e = intercept[IllegalArgumentException] {
+      VTableScans.parseTsMicros("not-a-time")
+    }
+    assert(e.getMessage.contains("graft-vtable") &&
+      e.getMessage.contains("yyyy-MM-dd"))
+    // end-to-end: a date-only endingTimestamp bounds the batch CDF
+    val root = fresh("vtsrc_dateonly")
+    VersionedTable.commit(spark, root, df(1), overwrite = true)
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .plusDays(1).toString
+    val cdf = spark.read.format("graft-vtable").option("path", root)
+      .option("readChangeFeed", "true")
+      .option("endingTimestamp", tomorrow).load()
+    assert(idsOf(cdf.select(col("id"))) == Set(1))
+  }
 }
