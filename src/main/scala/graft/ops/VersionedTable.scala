@@ -49,7 +49,8 @@ object VersionedTable {
     q122SqlWrites, q123SqlDelete, q124TableHistory, q125SqlMerge,
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
-    q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite)
+    q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
+    q135HiddenPartitioning)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -163,17 +164,24 @@ object VersionedTable {
   private[ops] val PartPrefix = "__p_"
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
 
-  /** Declared identity partition columns from a table-properties map
-    * (the `partition` property, comma list); empty when unpartitioned.
+  /** Declared partition fields from a table-properties map (the
+    * `partition` property — a top-level-comma list of transform specs:
+    * bare identity columns, `days(c)`, `months(c)`, `truncate(n,c)`,
+    * `bucket(n,c)`; see [[PartField]]); empty when unpartitioned.
+    */
+  def partitionFieldsOf(props: Map[String, String]): Seq[PartField] =
+    props.get("partition").toSeq.flatMap(PartFields.parseList)
+
+  /** The SOURCE columns the declared partition transforms read (for
+    * identity partitioning these are the partition columns themselves).
     */
   def partitionColsOf(props: Map[String, String]): Seq[String] =
-    props.get("partition").toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    partitionFieldsOf(props).map(_.source)
 
-  // partition columns in force at the tip (empty for fresh/unpartitioned)
-  private def partitionColsAt(spark: SparkSession, root: String): Seq[String] =
+  // partition fields in force at the tip (empty for fresh/unpartitioned)
+  private def partitionFieldsAt(spark: SparkSession, root: String): Seq[PartField] =
     versions(spark, root).lastOption.map { v =>
-      partitionColsOf(propHeaders(spark, root, v)
+      partitionFieldsOf(propHeaders(spark, root, v)
         .map { case (k, value) => k.stripPrefix("prop:") -> value })
     }.getOrElse(Nil)
 
@@ -280,24 +288,31 @@ object VersionedTable {
     }
 
   // write df as a new immutable generation dir; invisible until
-  // published. With `partCols` declared AND all present in the frame, the
-  // write routes hive-style into `__p_<col>=<value>` leaf subdirs (one
-  // partitionBy pass); frames missing a partition column (DV key lists,
-  // internal ledgers) write plain — a generation without partition
-  // subdirs is always legal and simply never prunes.
+  // published. With `partFields` declared AND every SOURCE column
+  // present in the frame, the write routes hive-style into
+  // `__p_<field>=<token>` leaf subdirs — the token is the transform's
+  // COMPUTED value (identity, day, month, truncate, bucket), appended
+  // as a duplicated prefixed column in the same one partitionBy pass;
+  // frames missing a source column (DV key lists, internal ledgers)
+  // write plain — a generation without partition subdirs is always
+  // legal and simply never prunes.
   private def writeGeneration(spark: SparkSession, root: String,
-      df: DataFrame, partCols: Seq[String] = Nil): String = {
+      df: DataFrame, partFields: Seq[PartField] = Nil): String = {
     val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
     val p = new Path(root, gen)
-    val route = partCols.nonEmpty && partCols.forall(df.columns.contains)
+    val route = partFields.nonEmpty && partFields.forall(f =>
+      df.columns.exists(_.equalsIgnoreCase(f.source)))
     if (route) {
-      // duplicate each partition column under the __p_ prefix:
-      // partitionBy consumes (and drops) the prefixed copy into the dir
-      // name while the real column stays in the files
-      val dup = partCols.foldLeft(df)((d, c) =>
-        d.withColumn(PartPrefix + c, col(c)))
+      // compute each partition token under the __p_ prefix: partitionBy
+      // consumes (and drops) the prefixed copy into the dir name while
+      // the real source column stays in the files
+      val dup = partFields.foldLeft(df) { (d, f) =>
+        val src = d.columns.find(_.equalsIgnoreCase(f.source)).get
+        d.withColumn(PartPrefix + f.name,
+          f.valueOf(col(src), d.schema(src).dataType))
+      }
       dup.write.mode("errorifexists")
-        .partitionBy(partCols.map(PartPrefix + _): _*).parquet(p.toString)
+        .partitionBy(partFields.map(PartPrefix + _.name): _*).parquet(p.toString)
     } else df.write.mode("errorifexists").parquet(p.toString)
     // a frame whose every partition is empty writes NO part files — only
     // _SUCCESS — and a footer-less generation breaks every later read of
@@ -679,7 +694,7 @@ object VersionedTable {
       statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil): Long = {
     val gen = writeGeneration(spark, root, df,
-      partitionColsAt(spark, root))
+      partitionFieldsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     val genStats = genStatsForEntries(spark, root, entries,
@@ -756,7 +771,23 @@ object VersionedTable {
     */
   def readAtPrunedParts(spark: SparkSession, root: String, v: Option[Long],
       windows: Seq[(String, Long, Long)],
-      partKeep: Seq[(String, Set[Option[String]])]): (DataFrame, Int, Int) = {
+      partKeep: Seq[(String, Set[Option[String]])]): (DataFrame, Int, Int) =
+    readAtPrunedPreds(spark, root, v, windows,
+      partKeep.map { case (c, allowed) =>
+        c -> ((t: Option[String]) => allowed.contains(t)) })
+
+  /** [[readAtPrunedParts]] generalized to arbitrary per-field TOKEN
+    * TESTS — what derived partition transforms need: a pushed RANGE on
+    * a base column (`ts BETWEEN …` over `days(ts)`) translates to an
+    * ordered token window no value SET can express
+    * ([[PartFields.prunePredicates]] builds the tests from pushed
+    * filters). Same contract: an entry without the field's path
+    * segment always scans, the decision reads ONE manifest, and every
+    * filter is re-applied above the scan.
+    */
+  def readAtPrunedPreds(spark: SparkSession, root: String, v: Option[Long],
+      windows: Seq[(String, Long, Long)],
+      partPreds: Seq[(String, Option[String] => Boolean)]): (DataFrame, Int, Int) = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
@@ -770,8 +801,8 @@ object VersionedTable {
             parts(1).toLong >= lo && parts(0).toLong <= hi
           case None => true
         }
-      } && partKeep.forall { case (c, allowed) =>
-        partValueOf(d, c).forall(allowed.contains)
+      } && partPreds.forall { case (c, test) =>
+        partValueOf(d, c).forall(test)
       }
     }
     val df =
@@ -816,7 +847,7 @@ object VersionedTable {
       readDirs(spark, root, baseDirs, defaultsOf(baseMeta)))
     raceHook()
     val gen = writeGeneration(spark, root, df,
-      partitionColsOf(tablePropsOf(baseMeta)))
+      partitionFieldsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
@@ -866,7 +897,7 @@ object VersionedTable {
       readDirs(spark, root, small, defaultsOf(baseMeta)))
     raceHook()
     val gen = writeGeneration(spark, root, df,
-      partitionColsOf(tablePropsOf(baseMeta)))
+      partitionFieldsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, kept ++ entries,
         Map("rewrite" -> "true")
@@ -961,7 +992,7 @@ object VersionedTable {
     val rows = df.count() // pre-rewrite generation; same rows by construction
     raceHook()
     val gen = writeGeneration(spark, root, clustered,
-      partitionColsOf(tablePropsOf(baseMeta)))
+      partitionFieldsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
@@ -1040,7 +1071,7 @@ object VersionedTable {
         .unionByName(source)
     raceHook()
     val gen = writeGeneration(spark, root, merged,
-      partitionColsAt(spark, root))
+      partitionFieldsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     // fold the tombstones AFTER the aborting validations (they reclaim
@@ -1173,7 +1204,7 @@ object VersionedTable {
     if (touched.isEmpty && !hasInserts) return Some((baseV, 0, dirs.size))
     raceHook()
     val gen = writeGeneration(spark, root, newRows,
-      partitionColsAt(spark, root))
+      partitionFieldsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     // fold the tombstones AFTER the aborting validations (they reclaim
@@ -1255,7 +1286,7 @@ object VersionedTable {
     val deleted = before.count() - survivors.count()
     raceHook()
     val gen = writeGeneration(spark, root, survivors,
-      partitionColsAt(spark, root))
+      partitionFieldsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
@@ -1331,12 +1362,22 @@ object VersionedTable {
   def createIfAbsent(spark: SparkSession, root: String, df: DataFrame,
       props: Map[String, String] = Map.empty): Boolean = {
     validateProps(props)
+    // an API-declared layout runs the SAME transform/type gate the
+    // catalog's PARTITIONED BY enforces — an unvalidated timestamp or
+    // double identity column would write hive-escaped tokens the
+    // pruner's renderPartitionValue never produces, silently dropping
+    // matching leaves from pushed-equality reads. The stored property
+    // is normalized to the resolved canonical spec.
+    val fields = PartFields.validate(partitionFieldsOf(props), df.schema)
+    val normProps =
+      if (fields.isEmpty) props
+      else props + ("partition" -> fields.map(_.spec).mkString(","))
     if (versions(spark, root).nonEmpty) return false
-    val gen = writeGeneration(spark, root, df, partitionColsOf(props))
+    val gen = writeGeneration(spark, root, df, fields)
     val entries = genEntries(spark, root, gen)
-    validateGeneration(spark, root, gen, entries, extraProps = props)
+    validateGeneration(spark, root, gen, entries, extraProps = normProps)
     if (tryPublish(spark, root, 1L, entries,
-        props.map { case (k, v) => s"prop:$k" -> v })) true
+        normProps.map { case (k, v) => s"prop:$k" -> v })) true
     else {
       fs(spark, root).delete(new Path(root, gen), true)
       false
@@ -1557,16 +1598,28 @@ object VersionedTable {
     * anti-join so their rows in replaced partitions die too — cost
     * O(batch + plain generations), never O(table).
     *
-    * Data-changing replacement of a subset: publishes only at base+1
-    * and returns None on a concurrency loss ([[compact]]'s rule — a
-    * retry could silently drop a concurrent append to a carried
-    * partition). Refuses on unpartitioned tables (use
+    * Data-changing replacement of a subset. On a publish loss the
+    * writer does NOT blindly abort: it runs the Delta/Iceberg-style
+    * LOGICAL CONFLICT CHECK — when every intervening commit is
+    * append/replace-partitions-shaped and touched only leaves whose
+    * partition tuples are DISJOINT from this batch's, the write
+    * REBASES onto the new tip and retries (two nightly re-loads of
+    * different days both succeed; physical contention on the version
+    * number is not a logical conflict). Anything else — an overlapping
+    * tuple, a merge/delete/compact/overwrite, a new tombstone, a plain
+    * (tuple-less) generation — still returns None, the caller's signal
+    * to re-derive the batch. Refuses on unpartitioned tables (use
     * `commit(overwrite = true)`) and over outstanding deletion vectors
     * (a key-wide tombstone spans replaced AND carried partitions —
     * materialize first). Stamped `#replace_partitions=true`:
     * [[readChanges]] refuses across it (dropped dirs), [[tableChanges]]
     * diffs it row-level like merge/delete. Returns Some(version,
     * replaced leaf count, carried entry count).
+    *
+    * With DERIVED partition transforms the batch's partition tuples
+    * are the TRANSFORM values (hidden partitioning — the batch carries
+    * base columns, the layout computes `days(ts)` etc.), so "replace
+    * the partitions present in df" means "replace the days present".
     */
   def overwritePartitions(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String] = Nil,
@@ -1575,17 +1628,22 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: nothing to overwrite at $root")
     val baseV = vs.last
     val (dirs, baseMeta) = manifestOf(spark, root, baseV)
-    val partCols = partitionColsOf(tablePropsOf(baseMeta))
-    require(partCols.nonEmpty,
+    val partFields = partitionFieldsOf(tablePropsOf(baseMeta))
+    require(partFields.nonEmpty,
       "overwritePartitions: the table declares no partition columns — " +
         "use commit(overwrite = true) for a full replacement")
-    require(partCols.forall(df.columns.contains),
-      s"overwritePartitions: batch is missing partition column(s) " +
-        s"${partCols.filterNot(df.columns.contains).mkString(",")}")
+    def srcIn(d: DataFrame, f: PartField): String =
+      d.columns.find(_.equalsIgnoreCase(f.source)).getOrElse(
+        throw new IllegalArgumentException(
+          s"overwritePartitions: batch is missing partition source " +
+            s"column '${f.source}' (transform ${f.spec})"))
+    partFields.foreach(srcIn(df, _)) // fail fast, name them all
     require(dvHeadersOf(baseMeta).isEmpty,
       "overwritePartitions: outstanding deletion vectors span replaced " +
         "and carried partitions — run compact() to materialize them first")
-    val batchParts = df.select(partCols.map(col): _*).distinct()
+    val batchParts = df.select(partFields.map(f =>
+      f.valueOf(col(srcIn(df, f)), df.schema(srcIn(df, f)).dataType)
+        .as(f.name)): _*).distinct()
     val tuples = batchParts.collect()
     // an empty batch replaces NOTHING — the no-op Spark's own dynamic
     // overwrite (and Delta/Iceberg) performs when the query result is
@@ -1595,15 +1653,20 @@ object VersionedTable {
       s"overwritePartitions: batch spans ${tuples.length} partitions — " +
         "too fine-grained for a partition-replacing write")
     val tupleSet: Set[Seq[Option[String]]] = tuples.map(r =>
-      partCols.indices.map(i => renderPartitionValue(r.get(i))).toSeq).toSet
+      partFields.indices.map(i => renderPartitionValue(r.get(i))).toSeq).toSet
     // a base entry's partition tuple, when FULLY encoded in its path
     def entryTuple(e: String): Option[Seq[Option[String]]] = {
-      val vals = partCols.map(c => partValueOf(e, c))
+      val vals = partFields.map(f => partValueOf(e, f.name))
       if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
     }
-    val (replaced, rest) = dirs.partition(e =>
-      entryTuple(e).exists(tupleSet.contains))
-    val (plain, carriedLeaves) = rest.partition(e => entryTuple(e).isEmpty)
+    // replaced leaves / plain (tuple-less) entries / carried leaves
+    def splitDirs(ds: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+      val (repl, rest) = ds.partition(e =>
+        entryTuple(e).exists(tupleSet.contains))
+      val (pl, leaves) = rest.partition(e => entryTuple(e).isEmpty)
+      (repl, pl, leaves)
+    }
+    val (_, plain, _) = splitDirs(dirs)
     // plain entries can hide rows of replaced partitions; rewrite them
     // (null-safe anti-join — a NULL-partition batch must replace the
     // NULL-partition rows) unless they are row-free schema carriers
@@ -1613,29 +1676,32 @@ object VersionedTable {
         val p0 = readDirs(spark, root, plain, defaultsOf(baseMeta))
         if (p0.isEmpty) None
         else {
-          // a plain generation may predate a partition column entirely
-          // (narrow pre-evolution history): its rows' partition value is
-          // NULL, so fill before the null-safe match. String partition
-          // values normalize '' → NULL on BOTH sides — the routed write
-          // conflates them into the hive default leaf
-          // (renderPartitionValue), and the row-level match must agree
-          val p = partCols.foldLeft(p0)((d, c) =>
-            if (d.columns.contains(c)) d
-            else d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
-          def norm(c: String, side: DataFrame): Column =
-            if (df.schema(c).dataType ==
-                org.apache.spark.sql.types.StringType)
-              when(side(c) === lit(""), lit(null)).otherwise(side(c))
-            else side(c)
+          // a plain generation may predate a partition source column
+          // entirely (narrow pre-evolution history): its rows' value is
+          // NULL, so fill before the null-safe match. The comparison is
+          // TOKEN-LEVEL — both sides' transform values rendered to
+          // string with '' conflated to NULL, exactly the leaf-routing
+          // contract (renderPartitionValue), so the row-level match and
+          // the directory-level replacement can never disagree
+          val p = partFields.foldLeft(p0)((d, f) =>
+            if (d.columns.exists(_.equalsIgnoreCase(f.source))) d
+            else d.withColumn(f.source,
+              lit(null).cast(df.schema(srcIn(df, f)).dataType)))
+          def normTok(c: Column): Column = {
+            val s = c.cast("string")
+            when(s === lit(""), lit(null)).otherwise(s)
+          }
           Some(p.join(broadcast(batchParts),
-            partCols.map(c => norm(c, p) <=> norm(c, batchParts))
-              .reduce(_ && _),
+            partFields.map { f =>
+              val dt = df.schema(srcIn(df, f)).dataType
+              normTok(f.valueOf(p(srcIn(p, f)), dt)) <=>
+                normTok(batchParts(f.name))
+            }.reduce(_ && _),
             "left_anti"))
         }
       }
-    val carried = carriedLeaves ++ (if (plainRows.isEmpty) plain else Nil)
     raceHook()
-    val gen = writeGeneration(spark, root, df, partCols)
+    val gen = writeGeneration(spark, root, df, partFields)
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     val plainGen = plainRows.flatMap { r =>
@@ -1647,22 +1713,57 @@ object VersionedTable {
         (if (r.columns.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)): _*)
       if (aligned.isEmpty) None
-      else Some(writeGeneration(spark, root, aligned, partCols))
+      else Some(writeGeneration(spark, root, aligned, partFields))
     }
     val plainEntries = plainGen.toSeq.flatMap(g =>
       genEntries(spark, root, g))
     val newEntries = entries ++ plainEntries
-    if (tryPublish(spark, root, baseV + 1, carried ++ newEntries,
-        Map("replace_partitions" -> "true")
-          ++ carriedStats(spark, root, baseV, carried)
-          ++ propHeaders(spark, root, baseV)
-          ++ genStatsForEntries(spark, root, newEntries, statsCols)))
-      Some((baseV + 1, replaced.size, carried.size))
-    else {
+    val genStats = genStatsForEntries(spark, root, newEntries, statsCols)
+    def reclaim(): Unit = {
       fs(spark, root).delete(new Path(root, gen), true)
       plainGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
-      None
     }
+    // PUBLISH WITH PARTITION-DISJOINT REBASE: each attempt re-reads the
+    // tip; commits that landed since the last look must be append- or
+    // replace-partitions-shaped, tombstone-free, and touch only leaves
+    // whose tuples avoid this batch's — then the write rebases (carried
+    // set recomputed from the tip, which includes the interveners' new
+    // disjoint leaves). The conflict check itself is manifest-sized.
+    var checkedTo = baseV
+    var attempt = 0
+    while (attempt < 10) {
+      attempt += 1
+      val cur = versions(spark, root)
+      val tip = cur.last
+      val disjoint = cur.filter(v => v > checkedTo && v <= tip).forall { v =>
+        val kind = commitKind(spark, root, v).stripSuffix("+txn")
+        val prevV = cur.filter(_ < v).last
+        val before = manifestDirs(spark, root, prevV)
+        val after = manifestDirs(spark, root, v)
+        val delta = after.filterNot(before.contains) ++
+          before.filterNot(after.contains)
+        (kind == "append" || kind == "replace_partitions") &&
+          dvHeaders(spark, root, v).isEmpty &&
+          delta.forall(e => entryTuple(e).exists(t => !tupleSet.contains(t)))
+      }
+      if (!disjoint) { reclaim(); return None }
+      val (tipDirs, tipMeta) = manifestOf(spark, root, tip)
+      val (replacedNow, plainNow, leavesNow) = splitDirs(tipDirs)
+      // the plain set the anti-join was computed against must be intact
+      // (an intervening append of a tuple-less generation was already a
+      // conflict above; this guards the base-era plain carriers too)
+      if (plainNow.toSet != plain.toSet) { reclaim(); return None }
+      val carriedNow = leavesNow ++ (if (plainRows.isEmpty) plainNow else Nil)
+      checkedTo = tip
+      if (tryPublish(spark, root, tip + 1, carriedNow ++ newEntries,
+          Map("replace_partitions" -> "true")
+            ++ carriedStats(spark, root, tip, carriedNow)
+            ++ propHeadersOf(tipMeta)
+            ++ genStats))
+        return Some((tip + 1, replacedNow.size, carriedNow.size))
+    }
+    reclaim()
+    None
   }
 
   /** DELETE WHERE as MERGE-ON-READ (deletion vectors): instead of
@@ -1780,7 +1881,7 @@ object VersionedTable {
     if (absorbed(vs0)) return (vs0.last, false)
     raceHook()
     val gen = writeGeneration(spark, root, df,
-      partitionColsAt(spark, root))
+      partitionFieldsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     val meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)
@@ -4142,5 +4243,103 @@ object VersionedTable {
         CAST(count(DISTINCT o_custkey) AS BIGINT),
         CAST(sum(price) AS DOUBLE)
       FROM o WHERE yr = (SELECT y1 FROM y)
+      ORDER BY step"""))
+
+  /** q135: HIDDEN PARTITIONING — a DERIVED transform (`months(
+    * o_orderdate)`) declared in the partition property: every routed
+    * write COMPUTES the month inside the existing one-pass partitionBy
+    * (the user's frame carries only base columns), and a plain
+    * DATE-RANGE predicate on `o_orderdate` prunes month leaves at the
+    * manifest without the query ever naming the derived field — the
+    * Iceberg hidden-partitioning semantics ([[PartFields]]), closing
+    * the gap q133's identity layout left (a time-range layout needed a
+    * hand-materialized year column). The window is a 12-month span
+    * derived from the data's own min date, month-aligned so engine and
+    * oracle agree row-for-row at every scale factor. `prune_range`
+    * pins kept/total leaf counts (one leaf per distinct month — the
+    * create routed the whole load); `replace_audit` pins that a
+    * dynamic overwrite of ONE month's re-load (prices +5) replaced
+    * exactly one leaf and carried the rest; `content` reads the
+    * post-replace window THROUGH the relation's pushed filters, so the
+    * hash gate proves range pruning and derived-value routing never
+    * change results. At 100 TB: the production default layout —
+    * `days(ts)`/`months(ts)` — without asking every writer to
+    * materialize (and every query to remember) a derived column.
+    */
+  val q135HiddenPartitioning: Q = Q(
+    "q135_hidden_partitioning",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+      require(createIfAbsent(s, root, src,
+        Map("partition" -> "months(o_orderdate)")),
+        "q135: private table must create")                          // v1
+      // a month-aligned 12-month window derived from the data itself:
+      // [first-of-month(min)+6mo, first-of-month(min)+18mo)
+      val d0 = src.agg(min(col("o_orderdate"))).head()
+        .getDate(0).toLocalDate.withDayOfMonth(1)
+      val lo = java.sql.Date.valueOf(d0.plusMonths(6))
+      val hi = java.sql.Date.valueOf(d0.plusMonths(18).minusDays(1))
+      // re-load the window's FIRST month with corrected prices: the
+      // transform computes the replaced month from the batch's dates
+      val reload = src
+        .filter(col("o_orderdate").between(lo,
+          java.sql.Date.valueOf(d0.plusMonths(7).minusDays(1))))
+        .withColumn("price", Q.dec2(col("price") + lit(5)))
+      val (_, replaced, carried) = overwritePartitions(s, root, reload)
+        .getOrElse(sys.error("q135: replace lost a race on a private table"))
+      // the content read goes THROUGH the relation so the date range is
+      // pushed, translated to month-token pruning, and re-applied
+      val rel = s.read.format("graft-vtable").option("path", root).load()
+      val content = rel.filter(col("o_orderdate").between(lo, hi))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("o_custkey")).as("b"),
+          sum(col("price")).cast("double").as("c"))
+        .select(lit("content").as("step"), col("a"), col("b"), col("c"))
+      // audit the manifest-level decision the read used
+      val fields = partitionFieldsOf(tableProperties(s, root))
+      val (_, kept, total) = readAtPrunedPreds(s, root, None, Nil,
+        PartFields.prunePredicates(fields, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderdate", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("o_orderdate", hi))))
+      def audit(step: String, a: Long, b: Long, c: Double) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"), lit(c).cast("double").as("c"))
+      content
+        .unionByName(audit("prune_range", kept.toLong, total.toLong, 1.0))
+        .unionByName(audit("replace_audit", replaced.toLong,
+          carried.toLong, 1.0))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate,
+          year(o_orderdate) * 12 + month(o_orderdate) AS mi
+        FROM orders),
+      b AS (SELECT min(mi) AS mi0 FROM o),
+      w AS (SELECT o.*,
+              CASE WHEN mi = mi0 + 6
+                THEN CAST(price + 5 AS DECIMAL(18,2)) ELSE price END
+                AS adj
+            FROM o, b WHERE mi BETWEEN mi0 + 6 AND mi0 + 17),
+      m AS (SELECT DISTINCT mi FROM o)
+      SELECT 'content' AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(adj) AS DOUBLE) AS c
+      FROM w
+      UNION ALL
+      SELECT 'prune_range',
+        CAST((SELECT count(*) FROM m, b
+          WHERE mi BETWEEN mi0 + 6 AND mi0 + 17) AS BIGINT),
+        CAST((SELECT count(*) FROM m) AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'replace_audit', CAST(1 AS BIGINT),
+        CAST((SELECT count(*) FROM m) - 1 AS BIGINT),
+        CAST(1 AS DOUBLE)
       ORDER BY step"""))
 }

@@ -132,40 +132,62 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
     new VTableV2Table(p, Some(v), pruneCol)
   }
 
-  // PARTITIONED BY accepts IDENTITY transforms over low-cardinality
-  // atomic columns — each commit routes into hive-style leaf dirs the
-  // manifest lists, so partition predicates prune at the manifest level
-  // (see VersionedTable's partitioning notes). Derived transforms
-  // (bucket/days/hours/truncate) are refused: stats skipping and
-  // OPTIMIZE clustering cover those layouts without a second codepath.
-  private def partitionColsFrom(schema: StructType,
-      partitions: Array[Transform]): Seq[String] = {
-    import org.apache.spark.sql.types._
-    val prunable: Set[DataType] = Set(StringType, IntegerType, LongType,
-      ShortType, ByteType, BooleanType, DateType)
-    partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
+  // PARTITIONED BY accepts identity columns AND the derived transforms
+  // days(ts) / months(ts) / truncate(n, col) / bucket(n, col) — the
+  // Iceberg hidden-partitioning set: each commit computes the
+  // partition value inside the routed write, the manifest lists the
+  // leaf dirs, and predicates on the BASE column prune at the manifest
+  // level (see graft.ops.PartFields). The per-transform source-type
+  // gate is PartFields.validate — the same gate the API createIfAbsent
+  // path runs, so the two creation paths cannot diverge.
+  private def partitionFieldsFrom(schema: StructType,
+      partitions: Array[Transform]): Seq[graft.ops.PartField] = {
+    import graft.ops._
+    def colOf(t: Transform): String = {
+      require(t.references.length == 1 &&
           t.references.head.fieldNames.length == 1,
-        s"graft-vtable: unsupported partition transform '$t' — only " +
-          "PARTITIONED BY (col) identity partitioning is supported; use " +
-          "statsCol data skipping / OPTIMIZE clustering for derived " +
-          "layouts")
-      val c = t.references.head.fieldNames.head
-      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-vtable: partition column '$c' is not in the schema"))
-      require(prunable.contains(f.dataType),
-        s"graft-vtable: partition column '$c' has type ${f.dataType
-          .simpleString} — partition by a categorical atomic column " +
-          "(string/integral/boolean/date); use statsCol skipping for " +
-          "continuous dimensions")
-      f.name
+        s"graft-vtable: partition transform '$t' must reference exactly " +
+          "one top-level column")
+      t.references.head.fieldNames.head
     }
+    // the transform's int argument (bucket count / truncate width),
+    // whichever side of the column it was written on
+    def numOf(t: Transform): Int = {
+      val nums = t.arguments.toSeq.collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+            case i: java.lang.Integer => i.intValue
+            case l2: java.lang.Long => l2.intValue
+            case other => throw new IllegalArgumentException(
+              s"graft-vtable: partition transform '$t' takes an integer " +
+                s"argument, got '$other'")
+          }
+      }
+      require(nums.length == 1,
+        s"graft-vtable: partition transform '$t' takes exactly one " +
+          "integer argument")
+      nums.head
+    }
+    val fields = partitions.toSeq.map { t =>
+      t.name.toLowerCase match {
+        case "identity" => PartIdentity(colOf(t))
+        case "days" => PartDays(colOf(t))
+        case "months" => PartMonths(colOf(t))
+        case "truncate" => PartTruncate(numOf(t), colOf(t))
+        case "bucket" => PartBucket(numOf(t), colOf(t))
+        case other => throw new IllegalArgumentException(
+          s"graft-vtable: unsupported partition transform '$other' — " +
+            "supported: identity columns, days(ts), months(ts), " +
+            "truncate(n, col), bucket(n, col); use statsCol data " +
+            "skipping / OPTIMIZE clustering for other layouts")
+      }
+    }
+    PartFields.validate(fields, schema)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val partCols = partitionColsFrom(schema, partitions)
+    val partFields = partitionFieldsFrom(schema, partitions)
     val up = userProps(properties)
     require(!up.contains("partition"),
       "graft-vtable: declare partitioning with PARTITIONED BY, not the " +
@@ -180,8 +202,9 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
     val created = VersionedTable.createIfAbsent(spark, p,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .repartition(1),
-      up ++ (if (partCols.nonEmpty)
-        Map("partition" -> partCols.mkString(",")) else Map.empty))
+      up ++ (if (partFields.nonEmpty)
+        Map("partition" -> partFields.map(_.spec).mkString(","))
+      else Map.empty))
     if (!created) throw new TableAlreadyExistsException(ident)
     new VTableV2Table(p, None, pruneCol)
   }
@@ -292,14 +315,22 @@ class VTableV2Table(path: String, version: Option[Long],
     VersionedTable.tableProperties(SparkSession.active, path, version).asJava
   }
 
-  // DESCRIBE TABLE's "# Partitioning" section — the declared identity
-  // partition columns, from the manifest-carried `partition` property
-  override def partitioning(): Array[Transform] =
-    VersionedTable.partitionColsOf(
+  // DESCRIBE TABLE's "# Partitioning" section — the declared partition
+  // transforms, from the manifest-carried `partition` property
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import graft.ops._
+    VersionedTable.partitionFieldsOf(
       VersionedTable.tableProperties(SparkSession.active, path, version))
-      .map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+      .map {
+        case PartIdentity(c) => Expressions.identity(c)
+        case PartDays(c) => Expressions.days(c)
+        case PartMonths(c) => Expressions.months(c)
+        case PartBucket(n, c) => Expressions.bucket(n, c)
+        case PartTruncate(w, c) => Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(c))
+      }.toArray
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     // BATCH_WRITE + OVERWRITE_DYNAMIC advertise the pure-V2 dynamic
@@ -313,7 +344,10 @@ class VTableV2Table(path: String, version: Option[Long],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VTableScanBuilder(path, version,
       VTableScans.existingPruneCols(pruneCol, schema.fieldNames.toSeq),
-      schema)
+      schema,
+      VersionedTable.partitionColsOf(
+        VersionedTable.tableProperties(SparkSession.active, path, version))
+        .toSet)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
@@ -462,7 +496,8 @@ class VTableWriteBuilder(path: String, statsCols: Seq[String] = Nil,
   * both feed [[VTableScans.frame]] through the V1 fallback scan.
   */
 class VTableScanBuilder(path: String, version: Option[Long],
-    pruneCol: Option[String], fullSchema: StructType)
+    pruneCol: Option[String], fullSchema: StructType,
+    partSources: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -478,10 +513,11 @@ class VTableScanBuilder(path: String, version: Option[Long],
     filters = fs; fs
   }
 
-  // EXPLAIN honesty: report as pushed only the filters that actually
-  // drive generation pruning
+  // EXPLAIN honesty: report as pushed only the filters that can drive
+  // generation pruning — stats windows on pruneCol, and predicates on a
+  // partition transform's BASE column (hidden partitioning)
   override def pushedFilters(): Array[Filter] =
-    { val cols = VTableScans.pruneColsOf(pruneCol).toSet
+    { val cols = VTableScans.pruneColsOf(pruneCol).toSet ++ partSources
       if (cols.isEmpty) Array.empty
       else filters.filter(_.references.exists(cols.contains)) }
 

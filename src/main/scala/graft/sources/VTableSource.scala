@@ -342,39 +342,19 @@ object VTableScans {
     if (kept.isEmpty) None else Some(kept.mkString(","))
   }
 
-  // a pushed filter value rendered as the partition-path token the
-  // routed write produced for it — delegates to the ONE canonical
-  // renderer (None = the hive default leaf, which also holds
-  // empty-string rows; see VersionedTable.renderPartitionValue)
-  private def renderPart(v: Any): Option[String] =
-    VersionedTable.renderPartitionValue(v)
-
-  /** Per-partition-column ALLOWED VALUES translated from the pushed
-    * equality/IN/IS NULL filters — [[VersionedTable.readAtPrunedParts]]'s
-    * `partKeep` shape. Only predicates that PROVE a value set translate;
-    * ranges and disjunctions leave the column unconstrained (scan-safe).
-    */
-  private[sources] def partKeepOf(partCols: Set[String],
-      filters: Seq[Filter]): Seq[(String, Set[Option[String]])] =
-    filters.flatMap {
-      case EqualTo(a, v) if partCols(a) => Some(a -> Set(renderPart(v)))
-      case EqualNullSafe(a, v) if partCols(a) => Some(a -> Set(renderPart(v)))
-      case In(a, vs) if partCols(a) =>
-        Some(a -> vs.toIndexedSeq.map(renderPart).toSet)
-      case IsNull(a) if partCols(a) => Some(a -> Set(Option.empty[String]))
-      case _ => None
-    }.groupBy(_._1).map { case (c, cs) => // ANDed filters: intersect
-      c -> cs.map(_._2).reduce(_ intersect _)
-    }.toSeq
-
   /** The pruned, filtered, projected snapshot frame. Multi-column
     * `pruneCol` lists prune CONJUNCTIVELY: every listed column with a
     * non-trivial filter window contributes, so a time×tenant predicate
     * keeps only the generations inside BOTH ranges
-    * ([[VersionedTable.readAtPrunedMulti]]). Declared PARTITION columns
-    * prune the same way from equality/IN/IS NULL predicates
-    * ([[VersionedTable.readAtPrunedParts]]) — both decisions from the
-    * one manifest read, every filter re-applied above the scan.
+    * ([[VersionedTable.readAtPrunedMulti]]). Declared PARTITION fields
+    * prune the same way from pushed predicates on their BASE columns —
+    * equality/IN/IS NULL for every transform, ranges where the
+    * transform is order-preserving (days/months/truncate): the
+    * Iceberg hidden-partitioning contract, a `WHERE ts >= …` prunes
+    * `days(ts)` leaves without the query naming the derived field
+    * ([[graft.ops.PartFields.prunePredicates]]). Both decisions come
+    * from the one manifest read, every filter re-applied above the
+    * scan.
     */
   def frame(spark: org.apache.spark.sql.SparkSession, path: String,
       version: Option[Long], pruneCol: Option[String],
@@ -383,13 +363,14 @@ object VTableScans {
       .map(c => (c, bounds(filters, c)))
       .collect { case (c, (lo, hi))
           if lo != Long.MinValue || hi != Long.MaxValue => (c, lo, hi) }
-    val partKeep = partKeepOf(VersionedTable.partitionColsOf(
-      VersionedTable.tableProperties(spark, path, version)).toSet, filters)
+    val partPreds = graft.ops.PartFields.prunePredicates(
+      VersionedTable.partitionFieldsOf(
+        VersionedTable.tableProperties(spark, path, version)), filters)
     val base =
-      if (windows.isEmpty && partKeep.isEmpty)
+      if (windows.isEmpty && partPreds.isEmpty)
         VersionedTable.readAt(spark, path, version)
-      else VersionedTable.readAtPrunedParts(spark, path, version,
-        windows, partKeep)._1
+      else VersionedTable.readAtPrunedPreds(spark, path, version,
+        windows, partPreds)._1
     val filtered = filters.flatMap(toPredicate).foldLeft(base)(_.filter(_))
     filtered.select(requiredColumns.map(col): _*)
   }

@@ -1,0 +1,213 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+class PartFieldsSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("partfields_spec").toString
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  private def leafNames(root: String, v: Long): Seq[String] =
+    VersionedTable.manifestDirs(spark, root, v)
+      .flatMap(_.split('/').filter(_.startsWith("__p_")))
+
+  test("spec grammar: parse, canonical round-trip, unsupported refusals") {
+    assert(PartFields.parseList("days(ts),bucket(16,id)") ==
+      Seq(PartDays("ts"), PartBucket(16, "id")))
+    assert(PartFields.parse("months(d)") == PartMonths("d"))
+    // truncate/bucket accept both argument orders (Iceberg wrote both)
+    assert(PartFields.parse("truncate(4,code)") == PartTruncate(4, "code"))
+    assert(PartFields.parse("truncate(code,4)") == PartTruncate(4, "code"))
+    assert(PartFields.parse("bucket(id,8)") == PartBucket(8, "id"))
+    // bare identifiers stay identity (the pre-transform property format)
+    assert(PartFields.parse("yr") == PartIdentity("yr"))
+    // round-trip: spec text re-parses to the same field
+    Seq(PartDays("ts"), PartMonths("ts"), PartTruncate(3, "c"),
+      PartBucket(16, "k"), PartIdentity("yr")).foreach(f =>
+      assert(PartFields.parse(f.spec) == f, f.spec))
+    intercept[IllegalArgumentException](PartFields.parse("hours(ts)"))
+    intercept[IllegalArgumentException](PartFields.parse("years(ts)"))
+    intercept[IllegalArgumentException](PartFields.parseList("days((ts)"))
+  }
+
+  test("validation gates transform/source types on BOTH creation paths") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("d", DateType), StructField("s", StringType),
+      StructField("n", IntegerType), StructField("x", DoubleType)))
+    def v(spec: String) =
+      PartFields.validate(PartFields.parseList(spec), schema)
+    assert(v("days(ts),months(d),truncate(2,s),bucket(8,n),s")
+      .map(_.name) == Seq("ts_day", "d_month", "s_trunc", "n_bucket", "s"))
+    // identity on a timestamp/double would write tokens the pruner's
+    // renderPartitionValue never produces — refused (the ADVICE gate)
+    intercept[IllegalArgumentException](v("ts"))
+    intercept[IllegalArgumentException](v("x"))
+    intercept[IllegalArgumentException](v("days(n)"))   // days needs temporal
+    intercept[IllegalArgumentException](v("truncate(2,d)")) // trunc needs str/int
+    intercept[IllegalArgumentException](v("bucket(4,x)"))   // double unhashable here
+    intercept[IllegalArgumentException](v("days(nope)"))    // unknown column
+    intercept[IllegalArgumentException](v("days(ts),days(ts)")) // dup field
+    // API createIfAbsent runs the same gate — an unvalidated 'partition'
+    // property cannot smuggle in a non-prunable layout
+    val root = freshRoot()
+    val df = Seq((1, ts("2026-01-01T10:00:00Z"))).toDF("id", "ts")
+    intercept[IllegalArgumentException](
+      VersionedTable.createIfAbsent(spark, root, df,
+        Map("partition" -> "ts")))
+    // and the property normalizes to the canonical resolved spec
+    val root2 = freshRoot()
+    assert(VersionedTable.createIfAbsent(spark, root2, df,
+      Map("partition" -> "days(TS)")))
+    assert(VersionedTable.tableProperties(spark, root2)("partition") ==
+      "days(ts)")
+  }
+
+  test("days(ts): routed writes, hidden-partition range pruning, day replace") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq(
+      (1, ts("2026-01-01T10:00:00Z")), (2, ts("2026-01-01T23:59:59Z")),
+      (3, ts("2026-01-02T01:00:00Z")), (4, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "ts")
+    assert(VersionedTable.createIfAbsent(spark, root, df,
+      Map("partition" -> "days(ts)")))
+    val leaves = leafNames(root, 1L)
+    assert(leaves.toSet == Set("__p_ts_day=2026-01-01",
+      "__p_ts_day=2026-01-02", "__p_ts_day=__HIVE_DEFAULT_PARTITION__"),
+      leaves.mkString("|"))
+    // the data files keep the REAL column: reads never reconstruct it
+    assert(VersionedTable.readAt(spark, root).collect()
+      .map(r => (r.getInt(0), Option(r.getTimestamp(1)))).toSet ==
+      Set(1 -> Some(ts("2026-01-01T10:00:00Z")),
+        2 -> Some(ts("2026-01-01T23:59:59Z")),
+        3 -> Some(ts("2026-01-02T01:00:00Z")), 4 -> None))
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    // RANGE on the base timestamp prunes day leaves (drops the null leaf
+    // too — no NULL matches a range); equality keeps exactly one day
+    def kept(filters: Filter*): Int =
+      VersionedTable.readAtPrunedPreds(spark, root, None, Nil,
+        PartFields.prunePredicates(fields, filters.toIndexedSeq))._2
+    assert(kept(GreaterThanOrEqual("ts", ts("2026-01-02T00:00:00Z"))) == 1)
+    assert(kept(LessThan("ts", ts("2026-01-02T00:00:00Z"))) == 2,
+      "day granularity: LT keeps the bound's own day leaf (sound)")
+    assert(kept(EqualTo("ts", ts("2026-01-01T10:00:00Z"))) == 1)
+    assert(kept(IsNull("ts")) == 1)
+    assert(kept(GreaterThan("ts", ts("2027-01-01T00:00:00Z"))) == 0)
+    // the relation pushes the base-column predicate end-to-end
+    val rel = spark.read.format("graft-vtable").option("path", root).load()
+    assert(rel.filter(col("ts") >= lit(ts("2026-01-02T00:00:00Z")))
+      .count() == 1)
+    assert(rel.filter(col("ts").isNull).count() == 1)
+    // dynamic overwrite replaces exactly the day present in the batch
+    val reload = Seq((9, ts("2026-01-01T12:00:00Z"))).toDF("id", "ts")
+    val Some((v2, replaced, carried)) =
+      VersionedTable.overwritePartitions(spark, root, reload)
+    assert(replaced == 1 && carried == 2, s"replaced $replaced carried $carried")
+    assert(VersionedTable.readAt(spark, root, Some(v2)).collect()
+      .map(_.getInt(0)).toSet == Set(9, 3, 4))
+  }
+
+  test("months(d) and truncate: ordered tokens prune; '' and NULL conflate") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = java.sql.Date.valueOf(_: String)
+    val df = Seq(
+      (1, d("1995-01-15"), "alpha", 7), (2, d("1995-02-10"), "alps", 23),
+      (3, d("1995-03-05"), "beta", 57), (4, d("1996-01-01"), "", 99))
+      .toDF("id", "d", "code", "n")
+    assert(VersionedTable.createIfAbsent(spark, root, df,
+      Map("partition" -> "months(d),truncate(2,code),truncate(25,n)")))
+    val leaves = leafNames(root, 1L)
+    assert(leaves.contains("__p_d_month=1995-01") &&
+      leaves.contains("__p_code_trunc=al") &&
+      leaves.contains("__p_n_trunc=0") && leaves.contains("__p_n_trunc=50"),
+      leaves.mkString("|"))
+    // empty-string truncation shares the hive default leaf with NULL
+    assert(leaves.contains("__p_code_trunc=__HIVE_DEFAULT_PARTITION__"))
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    def kept(filters: Filter*): Int =
+      VersionedTable.readAtPrunedPreds(spark, root, None, Nil,
+        PartFields.prunePredicates(fields, filters.toIndexedSeq))._2
+    // month ranges: >= 1995-02-01 keeps feb, mar, 1996-jan (3 of 4)
+    assert(kept(GreaterThanOrEqual("d", d("1995-02-01"))) == 3)
+    assert(kept(LessThan("d", d("1995-02-01"))) == 2,
+      "month granularity keeps the bound's own month")
+    // string-prefix ranges (entries are FULL leaf paths, so the two
+    // 'al'-token rows live in two different month leaves): the
+    // conjunction keeps both 'al' entries, drops 'be' (prefix order:
+    // "be" > "b") and the default leaf ('' fails the lower bound)
+    assert(kept(GreaterThanOrEqual("code", "alp"),
+      LessThan("code", "b")) == 2)
+    assert(kept(LessThanOrEqual("code", "b")) == 3,
+      "the two 'al' entries plus the ''-holding default leaf; 'be' > 'b'")
+    assert(kept(GreaterThan("code", "b")) == 1,
+      "GT drops the default leaf: '' can never exceed the bound")
+    // integer floor ranges compare numerically, not lexicographically
+    assert(kept(GreaterThanOrEqual("n", 50)) == 2,
+      "keeps the 50-floor and 75-floor leaves, drops the two 0-floor")
+    assert(kept(EqualTo("n", 23)) == 2,
+      "both 0-floor entries hold candidate rows")
+    // equality on an empty string routes to the default leaf
+    assert(kept(EqualTo("code", "")) == 1)
+    // a query through the relation: correct rows under composed pruning
+    val rel = spark.read.format("graft-vtable").option("path", root).load()
+    assert(rel.filter(col("code") >= "alp" && col("code") < "b")
+      .collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
+  test("bucket(n, col): write-side hash and literal translation agree") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (1 to 50).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    assert(VersionedTable.createIfAbsent(spark, root, df,
+      Map("partition" -> "bucket(8,id),bucket(4,k)")))
+    val idLeaves = leafNames(root, 1L).filter(_.startsWith("__p_id_bucket="))
+    assert(idLeaves.distinct.size <= 8 && idLeaves.nonEmpty)
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    def keptOf(filters: Filter*): (Int, Int, Set[Long]) = {
+      val (got, kept, total) = VersionedTable.readAtPrunedPreds(spark, root,
+        None, Nil, PartFields.prunePredicates(fields, filters.toIndexedSeq))
+      (kept, total, got.collect().map(_.getLong(0)).toSet)
+    }
+    // every key's equality prunes to SOME leaf subset that still holds
+    // the key — the write/prune agreement that makes bucketing sound
+    (1L to 50L).foreach { i =>
+      val (kept, total, ids) = keptOf(EqualTo("id", i))
+      assert(kept < total, s"id=$i pruned nothing")
+      assert(ids.contains(i), s"id=$i pruned its own leaf away")
+    }
+    val (keptS, totalS, idsS) = keptOf(EqualTo("k", "k17"))
+    assert(keptS < totalS && idsS.contains(17L))
+    // IN prunes to the union of the members' buckets; ranges do not
+    // translate (hashing scrambles order) — everything scans
+    val (keptIn, _, idsIn) = keptOf(In("id", Array(3L, 9L)))
+    assert(keptIn < totalS + 1 && Set(3L, 9L).subsetOf(idsIn))
+    assert(PartFields.prunePredicates(fields,
+      Seq(GreaterThan("id", 10L))).isEmpty)
+    // NULL routes to the default leaf, never hash(NULL)=seed's bucket
+    val root2 = freshRoot()
+    val withNull = Seq(Some(1L), Some(2L), None)
+      .toDF("id")
+    assert(VersionedTable.createIfAbsent(spark, root2, withNull,
+      Map("partition" -> "bucket(8,id)")))
+    assert(leafNames(root2, 1L)
+      .contains("__p_id_bucket=__HIVE_DEFAULT_PARTITION__"))
+    val f2 = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root2))
+    val (got2, kept2, _) = VersionedTable.readAtPrunedPreds(spark, root2,
+      None, Nil, PartFields.prunePredicates(f2, Seq(IsNull("id"))))
+    assert(kept2 == 1 && got2.filter(col("id").isNull).count() == 1)
+  }
+}

@@ -1182,13 +1182,56 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.overwritePartitions(spark, root,
       kvN((8, None, 80))).isDefined)                               // v7
     assert(rows().filter(_._2.isEmpty) == Set((8, None, 80)))
-    // abort-on-loss reclaims both staged generations
-    val lost = VersionedTable.overwritePartitions(spark, root,
+    // a concurrent DISJOINT commit is not a logical conflict: the
+    // replace rebases onto it and BOTH land (the Delta/Iceberg
+    // partition-disjoint concurrency rule)
+    val rebased = VersionedTable.overwritePartitions(spark, root,
       kv((11, "a", 110)),
       raceHook = () => { VersionedTable.commit(spark, root,
         kv((12, "e", 120)), overwrite = false); () })
-    assert(lost.isEmpty, "publish loss must abort, not retry")
-    assert(rows().exists(_._1 == 12) && !rows().exists(_._1 == 11))
+    assert(rebased.isDefined, "disjoint interleaving commit: rebase, not abort")
+    assert(rows().exists(_._1 == 12) && rows().exists(_._1 == 11),
+      "neither writer's rows were lost")
+    assert(rows().filter(_._2.contains("a")) == Set((11, Some("a"), 110)),
+      "the rebased replace still replaced its partition")
+    // an OVERLAPPING concurrent commit (touches a replaced partition)
+    // is a real conflict: abort and reclaim both staged generations
+    val lost = VersionedTable.overwritePartitions(spark, root,
+      kv((13, "e", 130)),
+      raceHook = () => { VersionedTable.commit(spark, root,
+        kv((14, "e", 140)), overwrite = false); () })
+    assert(lost.isEmpty, "overlapping interleaving commit must abort")
+    assert(rows().exists(_._1 == 14) && !rows().exists(_._1 == 13))
+    assertNoOrphansDeep(root)
+  }
+
+  test("concurrent disjoint partition overwrites on two real threads both commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    def kv(rows: (Int, String, Int)*) = rows.toDF("id", "grp", "v")
+    assert(VersionedTable.createIfAbsent(spark, root,
+      kv((1, "a", 10), (2, "b", 20), (3, "c", 30)),
+      Map("partition" -> "grp")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def replace(g: String, id: Int) = scala.concurrent.Future {
+      gate.await()
+      VersionedTable.overwritePartitions(spark, root, kv((id, g, id * 10)))
+    }
+    import scala.concurrent.duration._
+    val (fa, fb) = (replace("a", 11), replace("b", 12))
+    val a = scala.concurrent.Await.result(fa, 120.seconds)
+    val b = scala.concurrent.Await.result(fb, 120.seconds)
+    pool.shutdown()
+    assert(a.isDefined && b.isDefined,
+      s"both disjoint replaces must commit, got $a / $b")
+    assert(a.get._1 != b.get._1, "linear history: distinct versions")
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    val rows = VersionedTable.readAt(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((11, "a", 110), (12, "b", 120), (3, "c", 30)))
     assertNoOrphansDeep(root)
   }
 

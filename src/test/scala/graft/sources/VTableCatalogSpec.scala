@@ -136,10 +136,16 @@ class VTableCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM vtcat.pby.t WHERE grp = ''")
       .collect().map(_.getInt(0)).toSet == Set(7))
     assert(ids("SELECT id FROM vtcat.pby.t WHERE grp IS NULL") == Set(6))
-    // refusals: derived transforms, continuous types, property spelling,
-    // post-hoc repartitioning
+    // bucket is a SUPPORTED derived transform (see PartFieldsSpec for
+    // the full transform surface): the create lands and records the spec
+    spark.sql(
+      "CREATE TABLE vtcat.pby.b (id INT, v INT) PARTITIONED BY (bucket(4, id))")
+    assert(VersionedTable.tableProperties(spark, s"$root/pby/b")("partition")
+      == "bucket(4,id)")
+    // refusals: unsupported transforms, continuous types, property
+    // spelling, post-hoc repartitioning
     intercept[Exception](spark.sql(
-      "CREATE TABLE vtcat.pby.b (id INT, v INT) PARTITIONED BY (bucket(4, id))"))
+      "CREATE TABLE vtcat.pby.h (id INT, ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
     intercept[Exception](spark.sql(
       "CREATE TABLE vtcat.pby.d (id INT, v DOUBLE) PARTITIONED BY (v)"))
     intercept[Exception](spark.sql(
@@ -148,6 +154,46 @@ class VTableCatalogSpec extends SparkSpec {
       "ALTER TABLE vtcat.pby.t SET TBLPROPERTIES ('partition'='id')"))
     intercept[Exception](spark.sql(
       "ALTER TABLE vtcat.pby.t UNSET TBLPROPERTIES ('partition')"))
+  }
+
+  test("hidden partitioning end-to-end in SQL: days(ts) prunes from a base-column range") {
+    require(root.nonEmpty)
+    spark.sql("CREATE TABLE vtcat.hp.t (id INT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO vtcat.hp.t VALUES " +
+      "(1, TIMESTAMP'2026-03-01 08:00:00'), " +
+      "(2, TIMESTAMP'2026-03-01 21:00:00'), " +
+      "(3, TIMESTAMP'2026-03-02 03:00:00'), " +
+      "(4, TIMESTAMP'2026-03-03 12:00:00')")
+    // the query names ONLY the base column; the layout is invisible
+    assert(ids("SELECT id FROM vtcat.hp.t " +
+      "WHERE ts >= TIMESTAMP'2026-03-02 00:00:00'") == Set(3, 4))
+    assert(ids("SELECT id FROM vtcat.hp.t " +
+      "WHERE ts BETWEEN TIMESTAMP'2026-03-01 12:00:00' " +
+      "AND TIMESTAMP'2026-03-02 12:00:00'") == Set(2, 3))
+    // the range really pruned at the manifest: of the 3 day leaves (+1
+    // create carrier), the >= predicate keeps the two later days
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, s"$root/hp/t"))
+    val (_, kept, total) = VersionedTable.readAtPrunedPreds(spark,
+      s"$root/hp/t", None, Nil,
+      graft.ops.PartFields.prunePredicates(fields,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+          java.sql.Timestamp.from(
+            java.time.Instant.parse("2026-03-02T00:00:00Z"))))))
+    assert(total == 4 && kept == 3,
+      s"two day leaves + the stats-free create carrier: kept $kept of $total")
+    // DESCRIBE surfaces the transform, not a phantom column
+    val desc = spark.sql("DESCRIBE TABLE vtcat.hp.t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.contains(("Part 0", "days(ts)")), desc.mkString("|"))
+    // dynamic INSERT OVERWRITE replaces exactly the days in the result
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE vtcat.hp.t VALUES " +
+      "(9, TIMESTAMP'2026-03-01 10:00:00')")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(ids("SELECT id FROM vtcat.hp.t") == Set(9, 3, 4),
+      "one day replaced, the other days carried")
   }
 
   test("INSERT OVERWRITE honors partitionOverwriteMode=dynamic on partitioned tables") {
