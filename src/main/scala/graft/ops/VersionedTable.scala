@@ -50,7 +50,7 @@ object VersionedTable {
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
-    q135HiddenPartitioning)
+    q135HiddenPartitioning, q136RenameColumn)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -401,6 +401,19 @@ object VersionedTable {
     tablePropsOf(meta).collect {
       case (k, v) if k.startsWith("default.") =>
         k.stripPrefix("default.") -> v
+    }
+
+  // COLUMN NAME MAPPING (`colmap.<physical>=<logical>` properties — the
+  // RENAME COLUMN device, Delta's column-mapping idea): a column's
+  // PHYSICAL name is frozen in the parquet files ever written under it;
+  // a rename only publishes a mapping, and reads alias physical →
+  // logical per generation (readDirs). Old snapshots predate the
+  // property and keep reading the old name — the rename is itself a
+  // version.
+  private def colmapOf(meta: Map[String, String]): Map[String, String] =
+    tablePropsOf(meta).collect {
+      case (k, v) if k.startsWith("colmap.") =>
+        k.stripPrefix("colmap.") -> v
     }
 
   // the `data/v-xxxx` generation a scanned file belongs to, parsed from
@@ -808,7 +821,7 @@ object VersionedTable {
     val df =
       if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
       else applyDvs(spark, root, meta,
-        readDirs(spark, root, kept, defaultsOf(meta)))
+        readDirs(spark, root, kept, meta))
     (df, kept.size, dirs.size)
   }
 
@@ -844,7 +857,7 @@ object VersionedTable {
     // writes the survivors, publishes with no dv: headers)
     if (baseDirs.size <= 1 && dvHeadersOf(baseMeta).isEmpty) return None
     val df = applyDvs(spark, root, baseMeta,
-      readDirs(spark, root, baseDirs, defaultsOf(baseMeta)))
+      readDirs(spark, root, baseDirs, baseMeta))
     raceHook()
     val gen = writeGeneration(spark, root, df,
       partitionFieldsOf(tablePropsOf(baseMeta)))
@@ -894,7 +907,7 @@ object VersionedTable {
     if (small.size < 2) return Some((baseV, 0, baseDirs.size))
     val kept = baseDirs.filterNot(small.contains)
     val df = applyDvs(spark, root, baseMeta,
-      readDirs(spark, root, small, defaultsOf(baseMeta)))
+      readDirs(spark, root, small, baseMeta))
     raceHook()
     val gen = writeGeneration(spark, root, df,
       partitionFieldsOf(tablePropsOf(baseMeta)))
@@ -915,26 +928,48 @@ object VersionedTable {
     * across schema drift: a table whose later commits added columns holds
     * generations with different (compatible) schemas, and a positional or
     * sampled-schema parquet read would silently drop or misassign the new
-    * columns. Fast path: when every generation has the same schema (the
+    * columns. `meta` is the owning snapshot's manifest headers — the two
+    * header-driven read adaptations derive from it:
+    *
+    *  - EXISTENCE DEFAULTS (`default.<col>` properties): generations
+    *    missing a defaulted column read the constant instead of NULL.
+    *  - COLUMN NAME MAPPING (`colmap.<physical>=<logical>` properties,
+    *    the RENAME COLUMN device): generations still carrying a
+    *    column's pre-rename PHYSICAL name read it under the logical
+    *    name — rename is a metadata-only commit, no file is rewritten.
+    *
+    * Fast path: when every generation has the same RAW schema (the
     * overwhelmingly common case), one multi-path scan — a single
     * FileSourceScan, so file coalescing and pushdown behave exactly as
-    * before. Drifted path: per-generation scans folded with
-    * `unionByName(allowMissingColumns)` — older generations read the
-    * missing columns as NULL (the q90 idiom applied to the table format).
-    * The per-dir schema probe reads parquet FOOTERS only, not data.
+    * before (the rename applies uniformly above it). Drifted path:
+    * per-generation scans folded with `unionByName(allowMissingColumns)`
+    * — older generations read the missing columns as NULL (the q90
+    * idiom applied to the table format). The per-dir schema probe reads
+    * parquet FOOTERS only, not data.
     */
   private def readDirs(spark: SparkSession, root: String,
       dirs: Seq[String],
-      defaults: Map[String, String] = Map.empty): DataFrame = {
+      meta: Map[String, String] = Map.empty): DataFrame = {
+    val defaults = defaultsOf(meta)
+    val colmap = colmapOf(meta)
+    def remap(f: DataFrame): DataFrame =
+      colmap.foldLeft(f) { case (d, (phys, logi)) =>
+        d.columns.find(_.equalsIgnoreCase(phys)) match {
+          case Some(raw) if !d.columns.exists(_.equalsIgnoreCase(logi)) =>
+            d.withColumnRenamed(raw, logi)
+          case _ => d
+        }
+      }
     val paths = dirs.map(d => new Path(root, d).toString)
-    val frames = paths.map(p => spark.read.parquet(p))
-    val sameSchema = frames.map(_.schema).distinct.size <= 1
+    val frames = paths.map(p => remap(spark.read.parquet(p)))
+    val rawSame = paths.map(p => spark.read.parquet(p).schema)
+      .distinct.size <= 1
     // existence defaults only matter for generations MISSING a defaulted
     // column; when every generation carries them all, the single
     // multi-path scan fast path stays intact
     val needDefaults = defaults.nonEmpty && frames.exists(f =>
       defaults.keys.exists(c => !f.columns.exists(_.equalsIgnoreCase(c))))
-    if (sameSchema && !needDefaults) spark.read.parquet(paths: _*)
+    if (rawSame && !needDefaults) remap(spark.read.parquet(paths: _*))
     else if (!needDefaults)
       frames.reduce(_.unionByName(_, allowMissingColumns = true))
     else frames.map { f =>
@@ -977,7 +1012,7 @@ object VersionedTable {
     // cluster and publish the DV-APPLIED content — OPTIMIZE, like
     // compact, materializes outstanding tombstones into the rewrite
     val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
-    val raw = readDirs(spark, root, baseDirs, defaultsOf(baseMeta))
+    val raw = readDirs(spark, root, baseDirs, baseMeta)
     val df = applyDvs(spark, root, baseMeta, raw)
     val files = raw.inputFiles
     val totalBytes = files.map(f =>
@@ -1051,7 +1086,7 @@ object VersionedTable {
     // TOMBSTONED must still rewrite, or re-inserting that key (after the
     // fold below clears its tombstone) would resurrect the stale row
     // alongside the new one
-    val touchedGens = readDirs(spark, root, dirs, defaultsOf(baseMeta))
+    val touchedGens = readDirs(spark, root, dirs, baseMeta)
       .select(col(keyCol), input_file_name().as("_file"))
       .join(broadcast(srcKeys), Seq(keyCol), "left_semi")
       .select(col("_file")).distinct().collect()
@@ -1066,7 +1101,7 @@ object VersionedTable {
     val merged =
       if (touched.isEmpty) source
       else applyDvs(spark, root, baseMeta,
-          readDirs(spark, root, touched, defaultsOf(baseMeta)))
+          readDirs(spark, root, touched, baseMeta))
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(source)
     raceHook()
@@ -1152,7 +1187,7 @@ object VersionedTable {
         // snapshot rows the keys match (the row-id cardinality guard)
         val perFile =
           if (nOps == 0) Array.empty[org.apache.spark.sql.Row]
-          else readDirs(spark, root, dirs, defaultsOf(baseMeta))
+          else readDirs(spark, root, dirs, baseMeta)
             .select(col(keyCol), input_file_name().as("_file"))
             .join(broadcast(keys), Seq(keyCol), "left_semi")
             .groupBy(col("_file")).agg(count(lit(1)).as("_n")).collect()
@@ -1168,12 +1203,12 @@ object VersionedTable {
         val m =
           if (nOps == 0) 0L
           else applyDvs(spark, root, baseMeta,
-              readDirs(spark, root, dirs, defaultsOf(baseMeta)))
+              readDirs(spark, root, dirs, baseMeta))
             .join(broadcast(keys), Seq(keyCol), "left_semi").count()
         val allKeys =
           if (!hasInserts) keys
           else keys.unionByName(inserts.select(col(keyCol))).distinct()
-        val tg = readDirs(spark, root, dirs, defaultsOf(baseMeta))
+        val tg = readDirs(spark, root, dirs, baseMeta)
           .select(col(keyCol), input_file_name().as("_file"))
           .join(broadcast(allKeys), Seq(keyCol), "left_semi")
           .select(col("_file")).distinct().collect()
@@ -1192,7 +1227,7 @@ object VersionedTable {
     val survivors =
       if (touched.isEmpty) None
       else Some(applyDvs(spark, root, baseMeta,
-          readDirs(spark, root, touched, defaultsOf(baseMeta)))
+          readDirs(spark, root, touched, baseMeta))
         .join(broadcast(keys), Seq(keyCol), "left_anti"))
     val newRows = (survivors, hasInserts) match {
       case (Some(s), true) => s.unionByName(inserts, allowMissingColumns = false)
@@ -1265,7 +1300,7 @@ object VersionedTable {
     // the dv: headers carry verbatim — they keep applying to the carried
     // generations, and re-anti-joining materialized keys is a no-op
     val touchedGens = applyDvs(spark, root, baseMeta,
-        readDirs(spark, root, dirs, defaultsOf(baseMeta))
+        readDirs(spark, root, dirs, baseMeta)
           .withColumn("_file", input_file_name()))
       .filter(pred)
       .select(col("_file"))
@@ -1275,7 +1310,7 @@ object VersionedTable {
     val untouched = dirs.filterNot(touched.contains)
     if (touched.isEmpty) return Some((baseV, 0L, 0, dirs.size)) // no-op: nothing matches
     val before = applyDvs(spark, root, baseMeta,
-      readDirs(spark, root, touched, defaultsOf(baseMeta)))
+      readDirs(spark, root, touched, baseMeta))
     // SQL DELETE semantics: remove rows where pred IS TRUE; rows where it
     // evaluates FALSE *or NULL* survive. A plain `!pred` would drop
     // NULL-evaluating rows from the rewrite (filter discards non-true),
@@ -1319,6 +1354,7 @@ object VersionedTable {
       else if (meta.get("replace_partitions").contains("true")) "replace_partitions"
       else if (meta.get("properties").contains("true")) "set_properties"
       else if (meta.get("alter").contains("add_columns")) "add_columns"
+      else if (meta.get("alter").contains("rename_column")) "rename_column"
       else if (meta.contains("restore")) "restore"
       else vs.filter(_ < v).lastOption match {
         case None => "create"
@@ -1478,6 +1514,16 @@ object VersionedTable {
       .intersect(base.schema.fieldNames.map(_.toLowerCase).toSeq)
     require(clash.isEmpty,
       s"addColumns: column ${clash.mkString(",")} already exists")
+    // a historical raw name (colmap key) still lives in old parquet
+    // files: a new column reusing it would be silently aliased away
+    val historic = versions(spark, root).lastOption.toSeq
+      .flatMap(v => colmapOf(manifestMeta(spark, root, v)).keys)
+    val shadow = cols.map(_.name).filter(c =>
+      historic.exists(_.equalsIgnoreCase(c)))
+    require(shadow.isEmpty,
+      s"addColumns: ${shadow.mkString(",")} is a historical physical " +
+        "name of a renamed column — generations still carry it; pick a " +
+        "fresh name")
     // EXISTENCE DEFAULTS: each default must be a CONSTANT expression of
     // the column's type — validated by evaluating the pre-cast form
     // against a from-less SELECT, so a column reference, a typo, or an
@@ -1510,6 +1556,114 @@ object VersionedTable {
     commit(spark, root, widened, overwrite = false,
       meta = Map("alter" -> "add_columns")
         ++ defaultProps.map { case (k, v) => s"prop:$k" -> v })
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
+    * column-mapping idea): the column's PHYSICAL name stays frozen in
+    * every parquet file ever written under it; this publishes a
+    * `colmap.<physical>=<logical>` table property and stamps
+    * `#alter=rename_column` — reads alias physical → logical per
+    * generation ([[readDirs]]), new writes land under the logical name
+    * directly (readDirs aligns the mixed history by name), and old
+    * snapshots keep the old name (the rename is itself a version; time
+    * travel before it never sees the new name). Cost at any table
+    * size: one bytes-sized manifest publish — no file is rewritten.
+    * Because appends and copy-on-write rewrites land under the
+    * then-current logical name, the mapping is a CHAIN: every
+    * historical raw name aliases to the current one, one entry per
+    * past rename (bounded by rename count, not data).
+    *
+    * REFUSED when the column is load-bearing for another contract —
+    * a partition transform source, the row-id `key` property, an
+    * outstanding deletion vector's key column, a CHECK constraint's
+    * expression, or an existence DEFAULT — because each records the
+    * name in the log and would silently desynchronize (UNSET / compact
+    * first, then rename). Data-skipping `stats:` headers recorded
+    * under the old name simply stop matching — absence means "must
+    * scan", so old generations lose the optimization, never
+    * correctness; new commits record stats under the new name.
+    *
+    * Change feeds across the rename version deliver each commit under
+    * its OWN version's schema (the add_columns rule): a CDF window
+    * spanning the rename shows both names, NULL-padded — the honest
+    * representation of a schema change mid-window.
+    *
+    * Like [[setProperties]] the intent is state-independent, so a
+    * publish loss retries at the next version. Returns the committed
+    * version.
+    */
+  def renameColumn(spark: SparkSession, root: String, oldName: String,
+      newName: String, raceHook: () => Unit = () => ()): Long = {
+    require(!oldName.equalsIgnoreCase(newName),
+      s"renameColumn: '$oldName' and '$newName' are the same name")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      val tipV = vs.last
+      val (dirs, meta) = manifestOf(spark, root, tipV)
+      val props = tablePropsOf(meta)
+      val schema = readAt(spark, root, Some(tipV)).schema // logical view
+      val old = schema.fieldNames.find(_.equalsIgnoreCase(oldName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"renameColumn: no column '$oldName' in " +
+            schema.fieldNames.mkString("(", ", ", ")")))
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"renameColumn: column '$newName' already exists")
+      validateProps(Map(s"colmap.$old" -> newName)) // header-line hygiene
+      val partSrcs = partitionFieldsOf(props).map(_.source)
+      require(!partSrcs.exists(_.equalsIgnoreCase(old)),
+        s"renameColumn: '$old' is a partition transform source — the " +
+          "layout contract records the name; create a new table to " +
+          "rename it")
+      require(!props.get("key").exists(_.equalsIgnoreCase(old)),
+        s"renameColumn: '$old' is the declared row-id key — unset the " +
+          "'key' property first")
+      require(!dvHeadersOf(meta).values.exists(_.equalsIgnoreCase(old)),
+        s"renameColumn: outstanding deletion vectors tombstone '$old' — " +
+          "run compact() to materialize them first")
+      props.foreach { case (k, v) =>
+        if (k.startsWith("constraint."))
+          require(!(s"(?i)\\b${java.util.regex.Pattern.quote(old)}\\b".r
+              .findFirstIn(v).isDefined),
+            s"renameColumn: CHECK constraint '${k.stripPrefix("constraint.")}'" +
+              s" references '$old' — UNSET it first, rename, re-add")
+        if (k == s"default.$old")
+          require(requirement = false,
+            s"renameColumn: '$old' carries an existence DEFAULT keyed by " +
+              "name — UNSET it first, rename, re-add under the new name")
+      }
+      // the mapping is a RENAME CHAIN: generations physically carry
+      // whatever the column's logical name was WHEN THEY WERE WRITTEN
+      // (appends and copy-on-write rewrites land under the then-current
+      // logical name), so every historical raw name must alias to the
+      // new one — update each entry whose logical side is the renamed
+      // column and add the current name as one more historical key.
+      // Entries that become identity (renamed back to a raw name no
+      // longer needing an alias for ITS OWN value) drop out.
+      val cm = colmapOf(meta)
+      require(!cm.exists { case (k, v) =>
+          k.equalsIgnoreCase(newName) && !v.equalsIgnoreCase(old) },
+        s"renameColumn: '$newName' is a historical physical name of " +
+          "another column — generations still carry it; pick a fresh name")
+      val chained = cm.map { case (k, v) =>
+        k -> (if (v.equalsIgnoreCase(old)) newName else v)
+      } + (old -> newName)
+      val finalMap = chained.filterNot { case (k, v) => k.equalsIgnoreCase(v) }
+      val kept = meta.filter { case (k, _) =>
+        (k.startsWith("stats:") || k.startsWith("dv:") ||
+          k.startsWith("prop:")) && !k.startsWith("prop:colmap.")
+      }
+      val mapped = kept ++ finalMap.map { case (k, v) =>
+        s"prop:colmap.$k" -> v }
+      if (attempt == 1) raceHook()
+      if (tryPublish(spark, root, tipV + 1, dirs,
+          mapped + ("alter" -> "rename_column"))) return tipV + 1
+    }
+    -1L // unreachable
   }
 
   /** RESTORE (rollback) as a COMMIT: publish a NEW version whose manifest
@@ -1673,7 +1827,7 @@ object VersionedTable {
     val plainRows =
       if (plain.isEmpty) None
       else {
-        val p0 = readDirs(spark, root, plain, defaultsOf(baseMeta))
+        val p0 = readDirs(spark, root, plain, baseMeta)
         if (p0.isEmpty) None
         else {
           // a plain generation may predate a partition source column
@@ -2005,7 +2159,7 @@ object VersionedTable {
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
     val (dirs, meta) = manifestOf(spark, root, ver)
     applyDvs(spark, root, meta,
-      readDirs(spark, root, dirs, defaultsOf(meta)))
+      readDirs(spark, root, dirs, meta))
   }
 
   /** CDC / incremental consumption: the rows ADDED between two committed
@@ -2058,7 +2212,7 @@ object VersionedTable {
     else {
       val toMeta = manifestMeta(spark, root, vTo)
       applyDvs(spark, root, toMeta,
-        readDirs(spark, root, added, defaultsOf(toMeta)))
+        readDirs(spark, root, added, toMeta))
     }
   }
 
@@ -2092,7 +2246,7 @@ object VersionedTable {
     else {
       val toMeta = manifestMeta(spark, root, vTo)
       applyDvs(spark, root, toMeta,
-        readDirs(spark, root, added, defaultsOf(toMeta)))
+        readDirs(spark, root, added, toMeta))
     }
   }
 
@@ -2162,15 +2316,15 @@ object VersionedTable {
       kind match {
         case "create" =>
           Seq(tag(applyDvs(spark, root, curMeta,
-            readDirs(spark, root, curDirs, defaultsOf(curMeta))),
+            readDirs(spark, root, curDirs, curMeta)),
             "insert", v))
         case "append" | "add_columns" =>
           val added = curDirs.filterNot(prevDirs.contains)
           if (added.isEmpty) Nil
           else Seq(tag(applyDvs(spark, root, curMeta,
-            readDirs(spark, root, added, defaultsOf(curMeta))),
+            readDirs(spark, root, added, curMeta)),
             "insert", v))
-        case "rewrite" | "set_properties" => Nil
+        case "rewrite" | "set_properties" | "rename_column" => Nil
         case "mor_delete" =>
           val prevDvs = dvHeadersOf(manifestMeta(spark, root, prev)).keySet
           dvHeadersOf(curMeta).toSeq
@@ -2189,11 +2343,11 @@ object VersionedTable {
           // VISIBLE at prev, and a diff without the DV view would emit
           // phantom deletes for them (symmetrically for added)
           val addedRows = applyDvs(spark, root, curMeta,
-            readDirs(spark, root, added, defaultsOf(curMeta)))
+            readDirs(spark, root, added, curMeta))
           val removedRows =
             if (removed.isEmpty) addedRows.limit(0)
             else applyDvs(spark, root, manifestMeta(spark, root, prev),
-              readDirs(spark, root, removed, defaultsOf(curMeta)))
+              readDirs(spark, root, removed, curMeta))
           val (rem, add) = aligned(removedRows, addedRows)
           // ONE pass over the changed rows: net-count each full row
           // across the two sides (negative net = preimage copies,
@@ -4340,6 +4494,81 @@ object VersionedTable {
       UNION ALL
       SELECT 'replace_audit', CAST(1 AS BIGINT),
         CAST((SELECT count(*) FROM m) - 1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q136: RENAME COLUMN — [[renameColumn]]'s name mapping driven
+    * end-to-end: v1 loads one year of orders under `o_totalprice`, v2
+    * renames it to `revenue` (a metadata-only commit — no file
+    * rewritten), v3 appends the NEXT year already under the new name,
+    * so the snapshot is a MIXED history (one generation physically
+    * carries the old name, one the new) that must read as ONE logical
+    * column. The per-year aggregate over `revenue` is the hash gate
+    * (old-name generations alias; new-name land verbatim);
+    * `time_travel` re-reads v1 under the OLD name — the rename is a
+    * version, pre-rename snapshots keep their schema; `audit` pins the
+    * `rename_column` history kind and that the rename added NO
+    * generations (metadata-only). The oracle replays the rename as
+    * column aliases over the base table and never sees the format. At
+    * 100 TB: renaming a column costs one bytes-sized manifest publish,
+    * not an O(table) rewrite — the Delta column-mapping economics.
+    */
+  val q136RenameColumn: Q = Q(
+    "q136_rename_column",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("o_totalprice"),
+          year(col("o_orderdate")).as("yr"))
+      val y0 = orders.agg(min(col("yr"))).head().getInt(0)
+      val v1 = commit(s, root, orders.filter(col("yr") === y0),
+        overwrite = true)
+      val v2 = renameColumn(s, root, "o_totalprice", "revenue")
+      val v3 = commit(s, root,
+        orders.filter(col("yr") === y0 + 1)
+          .withColumnRenamed("o_totalprice", "revenue"),
+        overwrite = false)
+      val post = readAt(s, root, Some(v3))
+      val perYear = post.groupBy(col("yr"))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("o_custkey")).as("b"),
+          sum(col("revenue")).cast("double").as("c"))
+        .select(concat(lit("yr_"), col("yr")).as("step"), col("a"),
+          col("b"), col("c"))
+      val tt = readAt(s, root, Some(v1))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("o_custkey")).as("b"),
+          sum(col("o_totalprice")).cast("double").as("c"))
+        .select(lit("time_travel").as("step"), col("a"), col("b"),
+          col("c"))
+      val kindOk = if (commitKind(s, root, v2) == "rename_column") 1L else 0L
+      val metadataOnly =
+        if (manifestDirs(s, root, v2) == manifestDirs(s, root, v1)) 1L
+        else 0L
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(kindOk).as("a"), lit(metadataOnly).as("b"),
+        lit(1.0).as("c"))
+      perYear.unionByName(tt).unionByName(audit).orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS revenue,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) AS y0 FROM o)
+      SELECT concat('yr_', yr) AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(revenue) AS DOUBLE) AS c
+      FROM o, y WHERE yr IN (y0, y0 + 1) GROUP BY yr
+      UNION ALL
+      SELECT 'time_travel', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(revenue) AS DOUBLE)
+      FROM o, y WHERE yr = y0
+      UNION ALL
+      SELECT 'audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 }

@@ -222,11 +222,13 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   // ALTER TABLE … SET/UNSET TBLPROPERTIES — a metadata-only commit (one
-  // manifest publish, no data movement) — and ALTER TABLE … ADD COLUMNS —
+  // manifest publish, no data movement) — ALTER TABLE … ADD COLUMNS —
   // a widened-schema evolution commit (an empty generation carrying the
-  // new columns; old rows read NULL, old snapshots stay narrow). Every
-  // other schema change (DROP/RENAME/retype) stays refused: each would
-  // rewrite or reinterpret committed data.
+  // new columns; old rows read NULL, old snapshots stay narrow) — and
+  // ALTER TABLE … RENAME COLUMN — a metadata-only name-mapping commit
+  // (the physical name stays frozen in the files; reads alias). DROP
+  // and retype stay refused: each would rewrite or reinterpret
+  // committed data.
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
@@ -234,10 +236,18 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
-    val (adds, other) = rest.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (adds, rest2) = rest.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (renames, other) = rest2.partition(_.isInstanceOf[TableChange.RenameColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      "graft-vtable: only SET/UNSET TBLPROPERTIES and ADD COLUMNS are " +
-        "supported — DROP/RENAME/retype would rewrite committed data")
+      "graft-vtable: only SET/UNSET TBLPROPERTIES, ADD COLUMNS and " +
+        "RENAME COLUMN are supported — DROP/retype would rewrite or " +
+        "reinterpret committed data")
+    renames.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames().length == 1,
+        "graft-vtable: RENAME COLUMN supports top-level columns only, " +
+          s"got ${r.fieldNames().mkString(".")}")
+      VersionedTable.renameColumn(spark, p, r.fieldNames()(0), r.newName())
+    }
     val newCols = adds.collect { case c: TableChange.AddColumn =>
       require(c.fieldNames().length == 1,
         "graft-vtable: ADD COLUMNS supports top-level columns only, got " +

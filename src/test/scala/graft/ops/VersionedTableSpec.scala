@@ -1323,6 +1323,84 @@ class VersionedTableSpec extends SparkSpec {
       s"only the live generation survives: ${dataDirs.map(_.getName)}")
   }
 
+  test("RENAME COLUMN is a metadata-only name mapping; history and feeds survive") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root,
+      Seq((1, 10), (2, 20)).toDF("id", "v"), overwrite = true)
+    val v2 = VersionedTable.renameColumn(spark, root, "v", "score")
+    assert(VersionedTable.commitKind(spark, root, v2) == "rename_column")
+    // reads alias the frozen physical name; old snapshots keep theirs
+    assert(VersionedTable.readAt(spark, root).columns.toSeq ==
+      Seq("id", "score"))
+    assert(VersionedTable.readAt(spark, root, Some(v1)).columns.toSeq ==
+      Seq("id", "v"), "time travel before the rename sees the old name")
+    // new writes land under the LOGICAL name; the mixed history unions
+    val v3 = VersionedTable.commit(spark, root,
+      Seq((3, 30)).toDF("id", "score"), overwrite = false)
+    assert(VersionedTable.readAt(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 10), (2, 20), (3, 30)))
+    // the rename contributes an empty delta; the append feeds normally
+    assert(VersionedTable.readChanges(spark, root, v1, v2).isEmpty)
+    assert(VersionedTable.readChanges(spark, root, v2, v3).collect()
+      .map(_.getInt(0)).toSet == Set(3))
+    // merge keyed on the renamed column's TABLE (key = id, untouched)
+    assert(VersionedTable.mergeInto(spark, root,
+      Seq((2, 99)).toDF("id", "score"), "id").isDefined)
+    assert(VersionedTable.readAt(spark, root)
+      .filter(col("id") === 2).head().getInt(1) == 99)
+    // rename BACK: the merge rewrote generations under 'score', so the
+    // chain must keep aliasing that raw name — identity entries drop,
+    // historical ones stay
+    val vBack = VersionedTable.renameColumn(spark, root, "score", "v")
+    assert(VersionedTable.tableProperties(spark, root)
+      .filter(_._1.startsWith("colmap.")) == Map("colmap.score" -> "v"))
+    assert(VersionedTable.readAt(spark, root, Some(vBack)).columns.toSeq ==
+      Seq("id", "v"))
+    assert(VersionedTable.readAt(spark, root, Some(vBack)).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 10), (2, 99), (3, 30)),
+      "rows from score-era generations alias back")
+    // chained renames: every historical raw name aliases to the current
+    VersionedTable.renameColumn(spark, root, "v", "a1")
+    VersionedTable.renameColumn(spark, root, "a1", "a2")
+    val cm = VersionedTable.tableProperties(spark, root)
+      .filter(_._1.startsWith("colmap."))
+    assert(cm == Map("colmap.score" -> "a2", "colmap.v" -> "a2",
+      "colmap.a1" -> "a2"), cm)
+    assert(VersionedTable.readAt(spark, root).columns.toSeq == Seq("id", "a2"))
+    // a new column may not shadow a historical raw name still on disk
+    intercept[IllegalArgumentException](VersionedTable.addColumns(spark,
+      root, Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.IntegerType))))
+    // refusals: collisions, unknown columns, load-bearing names
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "a2", "id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "nope", "x"))
+    val partRoot = freshRoot()
+    assert(VersionedTable.createIfAbsent(spark, partRoot,
+      Seq((1, "a")).toDF("id", "grp"), Map("partition" -> "grp",
+        "key" -> "id")))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, partRoot, "grp", "g2"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, partRoot, "id", "id2"))
+    val conRoot = freshRoot()
+    VersionedTable.commit(spark, conRoot, Seq((1, 10)).toDF("id", "v"),
+      overwrite = true)
+    VersionedTable.setProperties(spark, conRoot,
+      Map("constraint.pos" -> "v > 0"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, conRoot, "v", "w"))
+    VersionedTable.setProperties(spark, conRoot, Map.empty,
+      unset = Seq("constraint.pos"))
+    assert(VersionedTable.readAt(spark, conRoot,
+      Some(VersionedTable.renameColumn(spark, conRoot, "v", "w")))
+      .columns.toSeq == Seq("id", "w"), "rename lands once the ref lifts")
+  }
+
   test("in-commit timestamps survive mtime tampering and stay monotone") {
     val root = freshRoot()
     val v1 = VersionedTable.commit(spark, root, df(1), overwrite = true)

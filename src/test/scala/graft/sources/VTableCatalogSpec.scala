@@ -156,6 +156,27 @@ class VTableCatalogSpec extends SparkSpec {
       "ALTER TABLE vtcat.pby.t UNSET TBLPROPERTIES ('partition')"))
   }
 
+  test("ALTER TABLE RENAME COLUMN lands as a metadata-only mapping commit") {
+    require(root.nonEmpty)
+    spark.sql("CREATE TABLE vtcat.rn.t (id INT, v INT)")
+    spark.sql("INSERT INTO vtcat.rn.t VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE vtcat.rn.t RENAME COLUMN v TO score")
+    assert(spark.sql("SELECT id, score FROM vtcat.rn.t WHERE score > 15")
+      .collect().map(_.getInt(0)).toSet == Set(2))
+    // new inserts land under the new name; the mixed history unions
+    spark.sql("INSERT INTO vtcat.rn.t VALUES (3, 30)")
+    assert(spark.sql("SELECT sum(score) FROM vtcat.rn.t").head().getLong(0)
+      == 60L)
+    // the rename is a VERSION: time travel before it keeps the old name
+    assert(spark.sql("SELECT v FROM vtcat.rn.t VERSION AS OF 2")
+      .collect().map(_.getInt(0)).toSet == Set(10, 20))
+    assert(VersionedTable.commitKind(spark, s"$root/rn/t", 3L)
+      == "rename_column")
+    // DROP COLUMN stays refused
+    intercept[Exception](
+      spark.sql("ALTER TABLE vtcat.rn.t DROP COLUMN score"))
+  }
+
   test("hidden partitioning end-to-end in SQL: days(ts) prunes from a base-column range") {
     require(root.nonEmpty)
     spark.sql("CREATE TABLE vtcat.hp.t (id INT, ts TIMESTAMP) " +
