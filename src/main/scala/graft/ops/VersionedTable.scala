@@ -1074,12 +1074,38 @@ object VersionedTable {
     */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String, statsCol: Option[String] = None,
+      schemaEvolution: Boolean = false,
       raceHook: () => Unit = () => ()): Option[(Long, Int, Int)] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: nothing to merge into at $root")
     val baseV = vs.last
     val (dirs, baseMeta) = manifestOf(spark, root, baseV)
     requireFoldableDvs(baseMeta, keyCol) // refuse mixed-key DVs up front
+    // MERGE SCHEMA EVOLUTION (Delta's autoMerge, behind an explicit
+    // flag): source columns the table lacks fold the widen INTO the
+    // merge commit — the rewritten generation lands wide, untouched
+    // generations read the new columns as NULL (the readDirs by-name
+    // contract), and time travel before the merge keeps the narrow
+    // schema. Off by default: a silently widening typo'd column is the
+    // classic ingestion footgun, so extra columns refuse loudly unless
+    // the caller opted in.
+    val baseSchema = readAt(spark, root, Some(baseV)).schema
+    val extra = source.schema.filterNot(f =>
+      baseSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    require(schemaEvolution || extra.isEmpty,
+      s"mergeInto: source carries column(s) ${extra.map(_.name)
+        .mkString(",")} the table lacks — pass schemaEvolution = true " +
+        "to widen in the merge commit, or drop them")
+    if (extra.nonEmpty) {
+      // the addColumns hygiene applies to merge-evolved columns too
+      val historic = colmapOf(baseMeta).keys.toSeq
+      val shadow = extra.map(_.name).filter(c =>
+        historic.exists(_.equalsIgnoreCase(c)))
+      require(shadow.isEmpty,
+        s"mergeInto: ${shadow.mkString(",")} is a historical physical " +
+          "name of a renamed column — generations still carry it; pick " +
+          "a fresh name")
+    }
     val srcKeys = source.select(col(keyCol)).distinct()
     // which generation dirs hold at least one source key — over the RAW
     // scan on purpose: a generation whose only copy of a source key is
@@ -1103,7 +1129,10 @@ object VersionedTable {
       else applyDvs(spark, root, baseMeta,
           readDirs(spark, root, touched, baseMeta))
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
-        .unionByName(source)
+        // with evolution on, surviving rows read the source-only
+        // columns as NULL; without it the union stays strict (a
+        // width mismatch that survived the gate above is a bug)
+        .unionByName(source, allowMissingColumns = schemaEvolution)
     raceHook()
     val gen = writeGeneration(spark, root, merged,
       partitionFieldsAt(spark, root))
@@ -2214,6 +2243,115 @@ object VersionedTable {
       applyDvs(spark, root, toMeta,
         readDirs(spark, root, added, toMeta))
     }
+  }
+
+  /** PARTITION-SUBSCRIBED change feed across (vFrom, vTo]: the plain
+    * [[readChanges]] for a consumer that follows ONE partition.
+    * `partSpec` is `field=token` over a declared partition FIELD's
+    * rendered leaf token (`yr=1995`, `ts_day=2026-08-15`, a bucket
+    * number). Appends deliver their added generations RESTRICTED to
+    * the subscription (leaves of other partitions are skipped at the
+    * manifest — the feed inherits partition pruning's economics), and
+    * a `replace_partitions` commit whose touched leaves PROVABLY avoid
+    * the subscribed partition delivers nothing instead of failing the
+    * feed — a tenant-subscribed consumer doesn't care that another
+    * tenant's day was re-loaded. Everything that COULD have changed
+    * the subscribed partition still refuses loudly (the loud-by-default
+    * rule — a silently skipped mutation would corrupt the consumer's
+    * view): an overlapping or tuple-less replace, merge/update/delete,
+    * MoR tombstones, overwrite/restore. Appended rows are re-filtered
+    * by the transform value, so an unrouted (plain) appended
+    * generation still delivers exactly the subscribed rows.
+    */
+  // parse + bind a `field=token` subscription against a snapshot's
+  // declared partition fields
+  private def boundPartSpec(meta: Map[String, String],
+      partSpec: String): (PartField, String) = {
+    val (fname, token) = partSpec.split("=", 2) match {
+      case Array(f, t) if f.trim.nonEmpty && t.trim.nonEmpty =>
+        (f.trim, t.trim)
+      case _ => throw new IllegalArgumentException(
+        s"graft-vtable: partition filter must be 'field=token', got '$partSpec'")
+    }
+    val field = partitionFieldsOf(tablePropsOf(meta))
+      .find(_.name.equalsIgnoreCase(fname))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-vtable: '$fname' is not a declared partition field of " +
+          "this table"))
+    (field, token)
+  }
+
+  // the subscribed rows of a frame: re-apply the transform (pruning is
+  // generation-level; an unrouted generation still needs the row filter)
+  private def partitionRows(df: DataFrame, field: PartField,
+      token: String): DataFrame =
+    df.columns.find(_.equalsIgnoreCase(field.source)) match {
+      case None => df.limit(0) // generations predate the source column
+      case Some(src) =>
+        df.filter(field.valueOf(col(src), df.schema(src).dataType)
+          .cast("string") === lit(token))
+    }
+
+  /** The subscribed partition's rows of one snapshot — leaf entries of
+    * other partitions never enter the plan (one manifest read decides),
+    * and the rows are re-filtered by the transform value so unrouted
+    * generations stay correct. The initial-load twin of
+    * [[readChangesPartition]].
+    */
+  def readAtPartition(spark: SparkSession, root: String, v: Option[Long],
+      partSpec: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    val (field, token) = boundPartSpec(manifestMeta(spark, root, ver), partSpec)
+    val (df, _, _) = readAtPrunedPreds(spark, root, Some(ver), Nil,
+      Seq(field.name -> ((t: Option[String]) => t.contains(token))))
+    partitionRows(df, field, token)
+  }
+
+  def readChangesPartition(spark: SparkSession, root: String,
+      vFrom: Long, vTo: Long, partSpec: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.contains(vFrom) && vs.contains(vTo) && vFrom < vTo,
+      s"readChangesPartition: need committed vFrom < vTo, got $vFrom, $vTo in $vs")
+    val (_, toMeta) = manifestOf(spark, root, vTo)
+    val (field, token) = boundPartSpec(toMeta, partSpec)
+    val steps = vs.filter(v => v > vFrom && v <= vTo)
+    val added = steps.flatMap { v =>
+      if (isRewrite(spark, root, v)) Seq.empty
+      else {
+        val prev = vs.filter(_ < v).last
+        val before = manifestDirs(spark, root, prev)
+        val after = manifestDirs(spark, root, v)
+        val kind = commitKind(spark, root, v).stripSuffix("+txn")
+        if (kind == "replace_partitions") {
+          val delta = after.filterNot(before.contains) ++
+            before.filterNot(after.contains)
+          require(delta.forall(e =>
+              partValueOf(e, field.name).exists(_ != Some(token))),
+            s"readChangesPartition: commit v$v replaced partitions that " +
+              s"touch (or cannot be proven disjoint from) ${field.name}=$token " +
+              "— resync the subscribed partition from a snapshot")
+          Seq.empty // provably disjoint: nothing for this subscription
+        } else {
+          require(before.forall(after.contains),
+            s"readChangesPartition: commit v$v is an overwrite (dropped " +
+              "generations) — use snapshot diff for non-append histories")
+          require(dvHeaders(spark, root, v) == dvHeaders(spark, root, prev),
+            s"readChangesPartition: commit v$v changed deletion vectors " +
+              "(row removal) — use snapshot diff")
+          // keep only leaves of the subscribed partition; entries
+          // without the segment must be read (then row-filtered)
+          after.filterNot(before.contains)
+            .filter(e => partValueOf(e, field.name)
+              .forall(_ == Some(token)))
+        }
+      }
+    }
+    val base = readAt(spark, root, Some(vTo)).limit(0)
+    if (added.isEmpty) base
+    else partitionRows(applyDvs(spark, root, toMeta,
+      readDirs(spark, root, added, toMeta)), field, token)
   }
 
   /** Appends-only lenient feed across (vFrom, vTo]: deliver the

@@ -146,12 +146,17 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    // checked here too so the contradiction fails at load()/analysis,
+    // checked here too so the contradictions fail at load()/analysis,
     // not first on the stream thread
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "graft-vtable: startingVersion and startingTimestamp are mutually " +
         "exclusive — name the start one way")
+    require(!(parameters.contains("partitionFilter") &&
+        (cdfOf(parameters) || parameters.get("skipChangeCommits")
+          .exists(_.equalsIgnoreCase("true")))),
+      "graft-vtable: partitionFilter applies to the plain tail — not " +
+        "readChangeFeed or skipChangeCommits")
     val base = schema.getOrElse(
       VersionedTable.readAt(sqlContext.sparkSession, pathOf(parameters)).schema)
     (shortName(),
@@ -174,6 +179,15 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     require(!(skip && cdfOf(parameters)),
       "graft-vtable: skipChangeCommits and readChangeFeed are opposites " +
         "— one silently drops mutations, the other delivers them")
+    // partitionFilter=field=token subscribes the tail to ONE partition:
+    // appends deliver only that partition's rows, and replace_partitions
+    // commits provably disjoint from it pass instead of failing the
+    // stream (VersionedTable.readChangesPartition — loud-by-default for
+    // anything that could have touched the subscription)
+    val partFilter = parameters.get("partitionFilter").map(_.trim)
+    require(partFilter.isEmpty || !(skip || cdfOf(parameters)),
+      "graft-vtable: partitionFilter applies to the plain tail — not " +
+        "readChangeFeed or skipChangeCommits")
     val path = pathOf(parameters)
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
@@ -198,7 +212,8 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
       startV,
       maxVersions,
       cdf = cdfOf(parameters),
-      skipChangeCommits = skip)
+      skipChangeCommits = skip,
+      partitionFilter = partFilter)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -445,7 +460,8 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
     path: String, startingVersion: Option[Long] = None,
     maxVersionsPerBatch: Option[Long] = None,
     cdf: Boolean = false,
-    skipChangeCommits: Boolean = false) extends Source {
+    skipChangeCommits: Boolean = false,
+    partitionFilter: Option[String] = None) extends Source {
 
   private def spark = ctx.sparkSession
   private def ver(o: Offset): Long = o.json.trim.toLong
@@ -486,7 +502,12 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
         VersionedTable.readAt(spark, path, Some(endV))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV))
-      case None => VersionedTable.readAt(spark, path, Some(endV))
+      case None => partitionFilter match {
+        // subscribed tails open with the subscribed slice only
+        case Some(spec) =>
+          VersionedTable.readAtPartition(spark, path, Some(endV), spec)
+        case None => VersionedTable.readAt(spark, path, Some(endV))
+      }
       case Some(s) if s == endV => // offset-representation change only
         val empty = VersionedTable.readAt(spark, path, Some(endV)).limit(0)
         if (cdf) empty
@@ -499,6 +520,11 @@ class VTableCdcSource(ctx: SQLContext, override val schema: StructType,
       // appends-only lenient tail: data-changing commits silently skipped
       case Some(s) if skipChangeCommits =>
         VersionedTable.readAppends(spark, path, s, endV)
+      // partition-subscribed tail: disjoint replaces pass, overlapping
+      // (or unprovable) mutations still fail the stream loudly
+      case Some(s) if partitionFilter.isDefined =>
+        VersionedTable.readChangesPartition(spark, path, s, endV,
+          partitionFilter.get)
       case Some(s) => VersionedTable.readChanges(spark, path, s, endV)
     }
     lastSeen = Some(endV)

@@ -1323,6 +1323,43 @@ class VersionedTableSpec extends SparkSpec {
       s"only the live generation survives: ${dataDirs.map(_.getName)}")
   }
 
+  test("merge schema evolution widens in ONE commit behind an explicit flag") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root,
+      Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v"), overwrite = true)
+    val src = Seq((2, 22, "eu"), (4, 44, "us")).toDF("id", "v", "region")
+    // off by default: extra columns refuse loudly (the typo'd-column
+    // ingestion footgun), nothing is staged or committed
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, root, src, "id"))
+    assert(e.getMessage.contains("schemaEvolution"))
+    assert(VersionedTable.versions(spark, root) == Seq(v1))
+    // opted in: ONE commit both widens and lands the data
+    val Some((v2, touched, carried)) = VersionedTable.mergeInto(spark,
+      root, src, "id", schemaEvolution = true)
+    assert(touched == 1 && carried == 0)
+    assert(VersionedTable.readAt(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)))).toSet ==
+      Set((1, 10, None), (2, 22, Some("eu")), (3, 30, None),
+        (4, 44, Some("us"))),
+      "updated/inserted rows carry the new column; survivors read NULL")
+    // time travel before the merge keeps the narrow schema
+    assert(VersionedTable.readAt(spark, root, Some(v1)).columns.toSeq ==
+      Seq("id", "v"))
+    assert(VersionedTable.commitKind(spark, root, v2) == "merge")
+    // a later plain append of the NARROW shape still unions (by-name)
+    VersionedTable.commit(spark, root, Seq((5, 50)).toDF("id", "v"),
+      overwrite = false)
+    assert(VersionedTable.readAt(spark, root)
+      .filter(col("id") === 5).head().isNullAt(2))
+    // evolution cannot resurrect a renamed column's historical raw name
+    VersionedTable.renameColumn(spark, root, "region", "zone")
+    intercept[IllegalArgumentException](VersionedTable.mergeInto(spark,
+      root, Seq((6, 60, "x")).toDF("id", "v", "region"), "id",
+      schemaEvolution = true))
+  }
+
   test("RENAME COLUMN is a metadata-only name mapping; history and feeds survive") {
     import spark.implicits._
     val root = freshRoot()

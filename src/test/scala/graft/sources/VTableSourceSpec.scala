@@ -435,6 +435,62 @@ class VTableSourceSpec extends SparkSpec {
     assert(all.asScala.toSet == Set(1, 2, 3, 4))
   }
 
+  test("partition-subscribed tail: disjoint replaces pass, overlapping fail loudly") {
+    import spark.implicits._
+    val root = fresh("vtsrc_sub")
+    def kv(rows: (Int, String)*) = rows.toDF("id", "grp")
+    assert(VersionedTable.createIfAbsent(spark, root,
+      kv((1, "a"), (2, "b")), Map("partition" -> "grp")))           // v1
+    def drain(got: java.util.Queue[Int]): Unit = {
+      val q = spark.readStream.format("graft-vtable")
+        .option("path", root).option("partitionFilter", "grp=a").load()
+        .writeStream
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          { idsOf(b.select(col("id"))).foreach(got.add); () })
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    drain(got) // initial snapshot: only the subscribed partition
+    assert(got.asScala.toSet == Set(1), got.asScala.toSet)
+    // appends deliver only grp=a rows; a DISJOINT replace of grp=b
+    // passes silently (the consumer's view of a is unchanged)
+    VersionedTable.commit(spark, root, kv((3, "a"), (4, "b")),
+      overwrite = false)                                             // v2
+    assert(VersionedTable.overwritePartitions(spark, root,
+      kv((9, "b"))).isDefined)                                       // v3
+    drain(got) // resumes from the checkpoint
+    assert(got.asScala.toSet == Set(1, 3), got.asScala.toSet)
+    // an OVERLAPPING replace fails the subscribed stream loudly
+    assert(VersionedTable.overwritePartitions(spark, root,
+      kv((8, "a"))).isDefined)                                       // v4
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-vtable")
+        .option("path", root).option("partitionFilter", "grp=a").load()
+        .writeStream
+        .option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.contains("grp=a") ||
+      Option(err.getCause).exists(_.getMessage.contains("grp=a")), err.getMessage)
+    // contradictory option combinations refuse at load
+    intercept[Exception] {
+      spark.readStream.format("graft-vtable").option("path", root)
+        .option("partitionFilter", "grp=a")
+        .option("readChangeFeed", "true").load()
+    }
+    // batch twin: the subscribed snapshot and feed read correctly
+    assert(idsOf(VersionedTable.readAtPartition(spark, root, None, "grp=a")
+      .select(col("id"))) == Set(8))
+    assert(idsOf(VersionedTable.readChangesPartition(spark, root, 1L, 3L,
+      "grp=a").select(col("id"))) == Set(3),
+      "the window's appends restricted to the subscription; the b-replace skipped")
+  }
+
   test("timestamp options accept date-only literals and refuse junk loudly") {
     // the three accepted forms agree: an ISO instant, the SQL literal,
     // and the date-only form all name midnight UTC (session tz is UTC)
