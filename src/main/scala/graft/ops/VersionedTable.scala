@@ -311,7 +311,15 @@ object VersionedTable {
         d.withColumn(PartPrefix + f.name,
           f.valueOf(col(src), d.schema(src).dataType))
       }
-      dup.write.mode("errorifexists")
+      // OPTIMIZED WRITE (the Delta idea): cluster by the partition
+      // tokens before partitionBy, so each leaf is written by one task
+      // — without the shuffle every task writes every leaf it touches,
+      // and a wide-fan-out commit (a 365-day backfill) lands
+      // tasks×leaves small files. One keyed shuffle per routed commit
+      // buys a small-file-free layout; compaction stops being the
+      // every-batch tax and becomes occasional maintenance.
+      dup.repartition(partFields.map(f => col(PartPrefix + f.name)): _*)
+        .write.mode("errorifexists")
         .partitionBy(partFields.map(PartPrefix + _.name): _*).parquet(p.toString)
     } else df.write.mode("errorifexists").parquet(p.toString)
     // a frame whose every partition is empty writes NO part files — only

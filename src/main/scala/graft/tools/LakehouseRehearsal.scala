@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.VersionedTable
+
+/** Scale REHEARSAL for the versioned-table (lakehouse) surface — the
+  * r14 sf1 rehearsal covered the query families; this drives the TABLE
+  * FORMAT itself at derived-sf1 volume (SCALING.md "lakehouse
+  * rehearsal" section records the ratios):
+  *
+  *  1. a `days(o_orderdate)`-partitioned table — ~2,400 day leaves
+  *     (the 365+-leaf layout a year-partitioned production table
+  *     carries), loaded in ONE routed optimized-write commit;
+  *  2. a month-window pruned read (hidden partitioning: the predicate
+  *     names the base column, kept/total proves the manifest decision);
+  *  3. a one-day dynamic partition overwrite (the nightly re-load);
+  *  4. a ~10% merge-on-read delete — a deliberately LARGE tombstone
+  *     set — read back twice: once under the default broadcast
+  *     threshold, once with the threshold floored so the DV anti-join
+  *     exercises the shuffled degrade path on real volume;
+  *  5. a fold-merge ([[VersionedTable.mergeInto]] over the outstanding
+  *     tombstones — the O(DV bytes) fold-in path);
+  *  6. a full compact (materializes the remaining tombstones).
+  *
+  * Reads the derived fixture [[ScaleRehearsal]] builds (pass its
+  * outDir); falls back to any sf dir. Prints one `step=seconds` line
+  * per step plus the invariants it checked — run at sf0.1 and the
+  * derived sf1 to get the ratio column.
+  *
+  * Usage: `sbt "runMain graft.tools.LakehouseRehearsal [srcDir] [tableDir]"`
+  */
+object LakehouseRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/tmp/sfx1")
+    val table = args.drop(1).headOption.getOrElse("/tmp/lakehouse_rehearsal")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(table), true)
+
+    def timed[T](step: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[lakehouse-rehearsal] $step%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+
+    // 1. one routed optimized-write commit into ~2,400 day leaves
+    timed("load_day_partitioned") {
+      require(VersionedTable.createIfAbsent(spark, table, orders,
+        Map("partition" -> "days(o_orderdate)", "key" -> "o_orderkey")))
+    }
+    val leaves = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(table, "_log", "1.commit")), "UTF-8")
+      .split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    println(s"[lakehouse-rehearsal] day leaves: ${leaves.size}")
+    require(leaves.size > 365, s"expected 365+ leaves, got ${leaves.size}")
+    // optimized write: one task per leaf → leaf file counts stay flat
+    val filesPerLeaf = leaves.take(20).map(l =>
+      hfs.listStatus(new org.apache.hadoop.fs.Path(table, l))
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-")))
+    require(filesPerLeaf.forall(_ <= 2),
+      s"small-file explosion: $filesPerLeaf files in sampled leaves")
+
+    val d0 = orders.agg(min(col("o_orderdate"))).head()
+      .getDate(0).toLocalDate.withDayOfMonth(1)
+    val lo = java.sql.Date.valueOf(d0.plusMonths(12))
+    val hi = java.sql.Date.valueOf(d0.plusMonths(13).minusDays(1))
+
+    // 2. hidden-partition pruned month read
+    val windowRows = timed("pruned_month_read") {
+      val fields = VersionedTable.partitionFieldsOf(
+        VersionedTable.tableProperties(spark, table))
+      val (df, kept, total) = VersionedTable.readAtPrunedPreds(spark,
+        table, None, Nil, graft.ops.PartFields.prunePredicates(fields, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderdate", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("o_orderdate", hi))))
+      val n = df.filter(col("o_orderdate").between(lo, hi)).count()
+      println(s"[lakehouse-rehearsal] pruned read kept $kept of $total leaves, $n rows")
+      require(kept < total / 10, "month window must prune >90% of leaves")
+      n
+    }
+    require(windowRows > 0)
+
+    // 3. one-day dynamic overwrite (the nightly re-load)
+    timed("one_day_replace") {
+      val reload = orders.filter(col("o_orderdate") === lo)
+        .withColumn("price", (col("price") + lit(1))
+          .cast("decimal(18,2)"))
+      val (_, replaced, carried) =
+        VersionedTable.overwritePartitions(spark, table, reload).get
+      require(replaced == 1, s"replaced $replaced")
+      println(s"[lakehouse-rehearsal] replaced 1 day, carried $carried entries")
+    }
+
+    // 4. large MoR tombstone set (~10% of keys), then the two read paths
+    timed("mor_delete_10pct") {
+      val Some((_, nKeys)) = VersionedTable.deleteWhereMor(spark, table,
+        pmod(col("o_orderkey"), lit(10)) === 3, "o_orderkey")
+      println(s"[lakehouse-rehearsal] tombstoned $nKeys keys")
+    }
+    val afterDelete = timed("dv_read_broadcast") {
+      VersionedTable.readAt(spark, table).count()
+    }
+    val shuffled = timed("dv_read_shuffled_degrade") {
+      // floor the threshold: the DV byte gate must flip the anti-join
+      // to the shuffled path and produce the same count
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      try VersionedTable.readAt(spark, table).count()
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    require(afterDelete == shuffled,
+      s"degrade path disagreed: $afterDelete vs $shuffled")
+
+    // 5. fold-merge over the outstanding tombstones (O(DV bytes) fold-in)
+    timed("fold_merge") {
+      val sourceRows = orders
+        .filter(pmod(col("o_orderkey"), lit(100)) === 3) // 1/10 of tombstoned
+        .withColumn("price", (col("price") + lit(2)).cast("decimal(18,2)"))
+      require(VersionedTable.mergeInto(spark, table, sourceRows,
+        "o_orderkey").isDefined, "fold-merge lost a race on a private table")
+    }
+    val afterMerge = timed("post_merge_read") {
+      VersionedTable.readAt(spark, table).count()
+    }
+    println(s"[lakehouse-rehearsal] rows: afterDelete=$afterDelete afterMerge=$afterMerge")
+
+    // 6. compact materializes what's left
+    timed("compact_materialize") {
+      require(VersionedTable.compact(spark, table).isDefined)
+    }
+    val finalRows = VersionedTable.readAt(spark, table).count()
+    require(finalRows == afterMerge,
+      s"compaction changed content: $afterMerge -> $finalRows")
+    println(s"[lakehouse-rehearsal] done, final rows $finalRows")
+    spark.stop()
+  }
+}

@@ -287,9 +287,14 @@ class VTableCatalogSpec extends SparkSpec {
       VersionedTable.versions(spark, s"$root/p/t").last) == "set_properties")
     // data rows untouched by the metadata commits
     assert(ids("SELECT id FROM vtcat.p.t") == Set(3))
-    // destructive schema ALTER stays refused — only ADD COLUMNS evolves
+    // RENAME COLUMN is supported since r15 (the 'key' guard lifted when
+    // the property was UNSET above); truly destructive ALTERs stay refused
+    spark.sql("ALTER TABLE vtcat.p.t RENAME COLUMN id TO id2")
+    assert(ids("SELECT id2 FROM vtcat.p.t") == Set(3))
     intercept[Exception](
-      spark.sql("ALTER TABLE vtcat.p.t RENAME COLUMN id TO id2"))
+      spark.sql("ALTER TABLE vtcat.p.t DROP COLUMN id2"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE vtcat.p.t ALTER COLUMN id2 TYPE BIGINT"))
   }
 
   test("CHECK constraints enforce through the SQL surface") {
