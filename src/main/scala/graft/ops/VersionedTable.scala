@@ -297,7 +297,8 @@ object VersionedTable {
   // write plain — a generation without partition subdirs is always
   // legal and simply never prunes.
   private def writeGeneration(spark: SparkSession, root: String,
-      df: DataFrame, partFields: Seq[PartField] = Nil): String = {
+      df: DataFrame, partFields: Seq[PartField] = Nil,
+      preserveLayout: Boolean = false): String = {
     val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
     val p = new Path(root, gen)
     val route = partFields.nonEmpty && partFields.forall(f =>
@@ -317,9 +318,13 @@ object VersionedTable {
       // and a wide-fan-out commit (a 365-day backfill) lands
       // tasks×leaves small files. One keyed shuffle per routed commit
       // buys a small-file-free layout; compaction stops being the
-      // every-batch tax and becomes occasional maintenance.
-      dup.repartition(partFields.map(f => col(PartPrefix + f.name)): _*)
-        .write.mode("errorifexists")
+      // every-batch tax and becomes occasional maintenance. OPTIMIZE
+      // passes preserveLayout: its range+sort clustering IS the layout,
+      // and re-shuffling here would undo the z-order it just built.
+      val clustered =
+        if (preserveLayout) dup
+        else dup.repartition(partFields.map(f => col(PartPrefix + f.name)): _*)
+      clustered.write.mode("errorifexists")
         .partitionBy(partFields.map(PartPrefix + _.name): _*).parquet(p.toString)
     } else df.write.mode("errorifexists").parquet(p.toString)
     // a frame whose every partition is empty writes NO part files — only
@@ -969,18 +974,29 @@ object VersionedTable {
         }
       }
     val paths = dirs.map(d => new Path(root, d).toString)
-    val frames = paths.map(p => remap(spark.read.parquet(p)))
-    val rawSame = paths.map(p => spark.read.parquet(p).schema)
-      .distinct.size <= 1
+    // schema probing is per GENERATION, not per entry: every leaf of one
+    // generation shares the write schema by construction (one routed
+    // write), while a day-partitioned snapshot lists THOUSANDS of leaf
+    // entries — per-leaf probing made every read O(leaves) driver-side
+    // relation builds (measured: minutes against a 2,400-leaf table).
+    // One representative leaf per generation keeps the probe O(commits).
+    val genGroups: Seq[Seq[String]] = dirs.map(genPrefixOf).distinct
+      .map(g => dirs.filter(e => genPrefixOf(e) == g))
+    val reps = genGroups.map(g =>
+      spark.read.parquet(new Path(root, g.head).toString))
+    val rawSame = reps.map(_.schema).distinct.size <= 1
     // existence defaults only matter for generations MISSING a defaulted
     // column; when every generation carries them all, the single
     // multi-path scan fast path stays intact
-    val needDefaults = defaults.nonEmpty && frames.exists(f =>
+    val needDefaults = defaults.nonEmpty && reps.exists(f =>
       defaults.keys.exists(c => !f.columns.exists(_.equalsIgnoreCase(c))))
     if (rawSame && !needDefaults) remap(spark.read.parquet(paths: _*))
-    else if (!needDefaults)
-      frames.reduce(_.unionByName(_, allowMissingColumns = true))
-    else frames.map { f =>
+    else genGroups.map { g =>
+      // drifted path: one multi-path scan PER GENERATION (schemas are
+      // uniform within one), defaults filled where the generation lacks
+      // the column, then by-name union across generations
+      val f = remap(spark.read.parquet(
+        g.map(d => new Path(root, d).toString): _*))
       defaults.foldLeft(f) { case (d, (c, e)) =>
         if (d.columns.exists(_.equalsIgnoreCase(c))) d
         else d.withColumn(c, expr(e))
@@ -1035,7 +1051,7 @@ object VersionedTable {
     val rows = df.count() // pre-rewrite generation; same rows by construction
     raceHook()
     val gen = writeGeneration(spark, root, clustered,
-      partitionFieldsOf(tablePropsOf(baseMeta)))
+      partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true)
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
