@@ -85,21 +85,34 @@ final case class PartIdentity(source: String) extends PartField {
 }
 
 private[ops] object PartDates {
-  // the session zone resolves instants to local dates — the same rule
-  // the write-side to_date/date_format expressions apply, so the two
-  // sides of the contract can never disagree on a day boundary
-  private def zone = java.time.ZoneId.of(
-    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+  // day/month transforms over TIMESTAMP (an instant) are defined in
+  // UTC, ALWAYS — the Iceberg rule. Baking the writer session's zone
+  // into the leaf tokens would silently desynchronize pruning whenever
+  // a reader session runs under a different spark.sql.session.timeZone
+  // (the token says one day, the reader's translation computes
+  // another, and matching leaves get dropped). DATE and TIMESTAMP_NTZ
+  // are zone-free by construction; only instants need the pin.
   def dayOf(v: Any): Option[java.time.LocalDate] = v match {
     case d: java.sql.Date => Some(d.toLocalDate)
     case d: java.time.LocalDate => Some(d)
-    case t: java.sql.Timestamp => Some(t.toInstant.atZone(zone).toLocalDate)
-    case i: java.time.Instant => Some(i.atZone(zone).toLocalDate)
+    case t: java.sql.Timestamp =>
+      Some(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    case i: java.time.Instant =>
+      Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
     // TIMESTAMP_NTZ literals arrive as LocalDateTime — naive, so the
     // date part IS the day (no zone conversion, matching the write
     // side's to_date over an NTZ column)
     case n: java.time.LocalDateTime => Some(n.toLocalDate)
     case _ => None
+  }
+
+  // the UTC calendar day of an instant column, session-zone-proof:
+  // floored micros→days arithmetic (floor, not div — pre-epoch
+  // instants must round down), rendered back as a DateType
+  def utcDay(c: Column): Column = {
+    val us = unix_micros(c)
+    val day = 86400000000L
+    date_from_unix_date(((us - pmod(us, lit(day))) / lit(day)).cast("int"))
   }
 }
 
@@ -113,8 +126,12 @@ private[ops] object PartDates {
 final case class PartDays(source: String) extends PartField {
   def name: String = s"${source}_day"
   def spec: String = s"days($source)"
-  def valueOf(c: Column, dt: DataType): Column =
-    if (dt == DateType) c else to_date(c)
+  def valueOf(c: Column, dt: DataType): Column = dt match {
+    case DateType => c
+    // instants resolve in UTC, never the session zone (PartDates)
+    case TimestampType => PartDates.utcDay(c)
+    case _ => to_date(c) // NTZ: the naive date part, zone-free
+  }
   def eqToken(v: Any): Option[Option[String]] =
     if (v == null) Some(None)
     else PartDates.dayOf(v).map(d => Some(d.toString))
@@ -133,8 +150,12 @@ final case class PartDays(source: String) extends PartField {
 final case class PartMonths(source: String) extends PartField {
   def name: String = s"${source}_month"
   def spec: String = s"months($source)"
-  def valueOf(c: Column, dt: DataType): Column =
-    date_format(c, "yyyy-MM")
+  def valueOf(c: Column, dt: DataType): Column = dt match {
+    // instants resolve in UTC, never the session zone (PartDates);
+    // date_format over the UTC day is zone-free for date inputs
+    case TimestampType => date_format(PartDates.utcDay(c), "yyyy-MM")
+    case _ => date_format(c, "yyyy-MM")
+  }
   private def tok(v: Any): Option[String] =
     PartDates.dayOf(v).map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
   def eqToken(v: Any): Option[Option[String]] =
@@ -169,19 +190,38 @@ final case class PartTruncate(width: Int, source: String) extends PartField {
     case b: java.lang.Byte => Some(b.toLong - java.lang.Math.floorMod(b.toLong, width.toLong))
     case _ => None
   }
+  // the write side truncates by CODE POINT (Spark substring); a UTF-16
+  // `take` would split a surrogate pair and produce a token the leaf
+  // name never contains
+  private def cpTake(s: String): String = {
+    val n = s.codePointCount(0, s.length)
+    if (n <= width) s else s.substring(0, s.offsetByCodePoints(0, width))
+  }
+  // Java String order is UTF-16; Spark compares strings in UTF-8 byte
+  // order. The two agree strictly below the surrogate block (U+D800):
+  // UTF-16 sorts supplementary chars at their surrogate positions —
+  // BELOW U+E000..FFFF — while UTF-8 byte order sorts them above. At
+  // or past U+D800 (rare: private-use/supplementary text) range
+  // translation stands down and the leaf scans (correctness > pruning)
+  private def utf8OrderSafe(s: String): Boolean = s.forall(_ < '\uD800')
   def eqToken(v: Any): Option[Option[String]] = v match {
     case null => Some(None)
     case s: String =>
-      Some(VersionedTable.renderPartitionValue(s.take(width)))
+      Some(VersionedTable.renderPartitionValue(cpTake(s)))
     case _ => intTok(v).map(t => Some(t.toString))
   }
   def rangeTest(lower: Boolean, v: Any): Option[Option[String] => Boolean] =
     v match {
       case s: String =>
-        val tokV = s.take(width)
-        // the default leaf holds ''-valued rows: test it as ''
-        if (lower) Some(t => t.getOrElse("") >= tokV)
-        else Some(t => t.getOrElse("") <= tokV)
+        val tokV = cpTake(s)
+        if (!utf8OrderSafe(tokV)) None
+        else {
+          // the default leaf holds ''-valued rows: test it as ''; a
+          // token outside the order-safe range must scan, never prune
+          def test(t: String): Boolean =
+            !utf8OrderSafe(t) || (if (lower) t >= tokV else t <= tokV)
+          Some(t => test(t.getOrElse("")))
+        }
       case _ => intTok(v).map { tokV =>
         // a foreign/unparseable token must scan, never prune
         def asLong(t: String): Option[Long] = t.toLongOption

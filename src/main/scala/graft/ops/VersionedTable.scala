@@ -225,24 +225,11 @@ object VersionedTable {
     entries
   }
 
-  // decode hive partition-path escaping (%XX) from a dir-name token
-  private def unescapePathToken(s: String): String =
-    if (!s.contains('%')) s
-    else {
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length &&
-            Character.digit(s.charAt(i + 1), 16) >= 0 &&
-            Character.digit(s.charAt(i + 2), 16) >= 0) {
-          sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
-            Character.digit(s.charAt(i + 2), 16)).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
+  // decode hive partition-path escaping (%XX) from a dir-name token —
+  // hive escapes only ASCII specials, so the shared UTF-8-run decoder
+  // is byte-for-byte equivalent here (one decoder, one set of bounds
+  // rules, instead of two loops drifting apart)
+  private def unescapePathToken(s: String): String = uriDecodePath(s)
 
   // decode the URL-encoding `input_file_name()` applies to scan paths
   // (space→%20, and a literal '%' in a hive-escaped leaf name →%25) so
@@ -1112,10 +1099,11 @@ object VersionedTable {
     // contract), and time travel before the merge keeps the narrow
     // schema. Off by default: a silently widening typo'd column is the
     // classic ingestion footgun, so extra columns refuse loudly unless
-    // the caller opted in.
-    val baseSchema = readAt(spark, root, Some(baseV)).schema
+    // the caller opted in. The relation is built ONCE and reused for
+    // the gate's column list and the touch-detection scan below.
+    val rawAll = readDirs(spark, root, dirs, baseMeta)
     val extra = source.schema.filterNot(f =>
-      baseSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      rawAll.columns.exists(_.equalsIgnoreCase(f.name)))
     require(schemaEvolution || extra.isEmpty,
       s"mergeInto: source carries column(s) ${extra.map(_.name)
         .mkString(",")} the table lacks — pass schemaEvolution = true " +
@@ -1136,7 +1124,7 @@ object VersionedTable {
     // TOMBSTONED must still rewrite, or re-inserting that key (after the
     // fold below clears its tombstone) would resurrect the stale row
     // alongside the new one
-    val touchedGens = readDirs(spark, root, dirs, baseMeta)
+    val touchedGens = rawAll
       .select(col(keyCol), input_file_name().as("_file"))
       .join(broadcast(srcKeys), Seq(keyCol), "left_semi")
       .select(col("_file")).distinct().collect()
@@ -1497,6 +1485,15 @@ object VersionedTable {
       "setProperties: 'partition' is fixed at table creation (committed " +
         "generations are laid out by it) — create a new table to " +
         "repartition")
+    // the rename mappings are CORRECTNESS metadata with their own
+    // validated editor: a hand-UNSET colmap entry would stop aliasing a
+    // raw name generations still physically carry (pre-rename rows read
+    // NULL, a phantom old column reappears), and a hand-SET one skips
+    // every collision/load-bearing check renameColumn runs
+    val cmTouched = (set.keys ++ unset).filter(_.startsWith("colmap."))
+    require(cmTouched.isEmpty,
+      s"setProperties: ${cmTouched.mkString(",")} — rename mappings are " +
+        "managed by RENAME COLUMN, not raw property edits")
     // adding a CHECK constraint is a promise about the WHOLE table, not
     // just future writes: validate existing data first (one
     // short-circuiting scan per added constraint), so a reader can trust
@@ -2315,6 +2312,19 @@ object VersionedTable {
         df.filter(field.valueOf(col(src), df.schema(src).dataType)
           .cast("string") === lit(token))
     }
+
+  /** Validate a `field=token` subscription against the table tip —
+    * the option-parse-time check, so a typo'd field fails at
+    * load()/analysis instead of first on the stream thread.
+    */
+  def validatePartitionFilter(spark: SparkSession, root: String,
+      partSpec: String): Unit = {
+    val vs = versions(spark, root)
+    if (vs.nonEmpty) {
+      boundPartSpec(manifestMeta(spark, root, vs.last), partSpec)
+      ()
+    }
+  }
 
   /** The subscribed partition's rows of one snapshot — leaf entries of
     * other partitions never enter the plan (one manifest read decides),

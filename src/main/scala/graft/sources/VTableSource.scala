@@ -103,9 +103,20 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
           VersionedTable.versionAsOfTimestamp(spark, path, m)))
         .getOrElse(vs.last)
       new VTableCdfRelation(sqlContext, path, from - 1, to)
-    } else new VTableRelation(sqlContext, pathOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong),
-      parameters.get("pruneCol"))
+    } else {
+      // partitionFilter is a STREAMING-tail contract (what to do with
+      // replace_partitions commits); a batch read that silently ignored
+      // it would hand a full table to a consumer that believed it was
+      // reading one partition — refuse toward a WHERE filter, which the
+      // relation already prunes from
+      require(!parameters.contains("partitionFilter"),
+        "graft-vtable: partitionFilter is a streaming option — batch " +
+          "reads prune from a WHERE predicate on the partition's base " +
+          "column")
+      new VTableRelation(sqlContext, pathOf(parameters),
+        parameters.get("versionAsOf").map(_.toLong),
+        parameters.get("pruneCol"))
+    }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -157,6 +168,11 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
           .exists(_.equalsIgnoreCase("true")))),
       "graft-vtable: partitionFilter applies to the plain tail — not " +
         "readChangeFeed or skipChangeCommits")
+    // a typo'd subscription (bad spec shape, unknown partition field)
+    // fails HERE, at load()/analysis, not first on the stream thread
+    parameters.get("partitionFilter").foreach(spec =>
+      VersionedTable.validatePartitionFilter(sqlContext.sparkSession,
+        pathOf(parameters), spec))
     val base = schema.getOrElse(
       VersionedTable.readAt(sqlContext.sparkSession, pathOf(parameters)).schema)
     (shortName(),

@@ -166,6 +166,49 @@ class PartFieldsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 
+  test("days/months over TIMESTAMP are UTC-pinned: session zone cannot desync pruning") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 2026-03-02T01:00Z is 2026-03-01 in America/Los_Angeles — a
+    // session-zoned transform would route it into a different leaf than
+    // a UTC reader's translation computes, silently dropping the row
+    val df = Seq((1, ts("2026-03-02T01:00:00Z")),
+      (2, ts("2026-03-02T12:00:00Z")), (3, ts("2026-03-01T12:00:00Z")))
+      .toDF("id", "ts")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      assert(VersionedTable.createIfAbsent(spark, root, df,
+        Map("partition" -> "days(ts),months(ts)")))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // written under LA, read under UTC: tokens are UTC days either way
+    assert(leafNames(root, 1L).toSet ==
+      Set("__p_ts_day=2026-03-01", "__p_ts_day=2026-03-02",
+        "__p_ts_month=2026-03"),
+      leafNames(root, 1L).mkString("|"))
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    val preds = PartFields.prunePredicates(fields,
+      Seq(GreaterThanOrEqual("ts", ts("2026-03-02T00:00:00Z"))))
+    val (got, kept, total) = VersionedTable.readAtPrunedPreds(spark, root,
+      None, Nil, preds)
+    assert(total == 2 && kept == 1, s"kept $kept of $total")
+    assert(got.filter(col("ts") >= lit(ts("2026-03-02T00:00:00Z")))
+      .collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
+  test("truncate translation is code-point-safe and stands down outside UTF-8-safe order") {
+    // write side truncates by CODE POINT: a UTF-16 take would split the
+    // surrogate pair and compute a token no leaf name contains
+    val f = PartTruncate(1, "name")
+    val emoji = new String(Character.toChars(0x1F600)) // one code point
+    assert(f.eqToken(emoji + "abc") == Some(Some(emoji)))
+    // range translation refuses supplementary-char bounds (UTF-16 vs
+    // UTF-8 order diverge there) — scan-safe, never wrong
+    assert(f.rangeTest(lower = true, emoji + "a").isEmpty)
+    assert(f.rangeTest(lower = true, "abc").isDefined)
+  }
+
   test("bucket(n, col): write-side hash and literal translation agree") {
     import spark.implicits._
     val root = freshRoot()

@@ -1411,6 +1411,12 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.addColumns(spark,
       root, Seq(org.apache.spark.sql.types.StructField("score",
         org.apache.spark.sql.types.IntegerType))))
+    // the mappings are correctness metadata: raw property edits refuse
+    // (a hand-UNSET entry would stop aliasing names still on disk)
+    intercept[IllegalArgumentException](VersionedTable.setProperties(
+      spark, root, Map("colmap.v" -> "hijack")))
+    intercept[IllegalArgumentException](VersionedTable.setProperties(
+      spark, root, Map.empty, unset = Seq("colmap.v")))
     // refusals: collisions, unknown columns, load-bearing names
     intercept[IllegalArgumentException](
       VersionedTable.renameColumn(spark, root, "a2", "id"))

@@ -483,6 +483,17 @@ class VTableSourceSpec extends SparkSpec {
         .option("partitionFilter", "grp=a")
         .option("readChangeFeed", "true").load()
     }
+    // a typo'd subscription fails at load, not on the stream thread
+    intercept[Exception] {
+      spark.readStream.format("graft-vtable").option("path", root)
+        .option("partitionFilter", "gpr=a").load()
+    }
+    // and a BATCH read refuses the streaming option instead of silently
+    // returning the full table to a would-be single-partition consumer
+    intercept[Exception] {
+      spark.read.format("graft-vtable").option("path", root)
+        .option("partitionFilter", "grp=a").load()
+    }
     // batch twin: the subscribed snapshot and feed read correctly
     assert(idsOf(VersionedTable.readAtPartition(spark, root, None, "grp=a")
       .select(col("id"))) == Set(8))
