@@ -166,6 +166,28 @@ final case class PartMonths(source: String) extends PartField {
     }
 }
 
+/** `years(ts)` — one leaf per calendar year (decade-scale archives
+  * where even months over-fan). Tokens are the zero-padded year; the
+  * 4-digit pad keeps lexicographic order chronological for every AD
+  * year. Same UTC rule and ordering argument as [[PartDays]].
+  */
+final case class PartYears(source: String) extends PartField {
+  def name: String = s"${source}_year"
+  def spec: String = s"years($source)"
+  def valueOf(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => date_format(PartDates.utcDay(c), "yyyy")
+    case _ => date_format(c, "yyyy")
+  }
+  private def tok(v: Any): Option[String] =
+    PartDates.dayOf(v).map(d => f"${d.getYear}%04d")
+  def eqToken(v: Any): Option[Option[String]] =
+    if (v == null) Some(None) else tok(v).map(Some(_))
+  def rangeTest(lower: Boolean, v: Any): Option[Option[String] => Boolean] =
+    tok(v).map { y =>
+      if (lower) t => t.exists(_ >= y) else t => t.exists(_ <= y)
+    }
+}
+
 /** `truncate(width, col)` — Iceberg's truncate transform: strings keep
   * their first `width` characters (a prefix layout: tenant codes, ID
   * prefixes), integrals floor to the nearest multiple of `width`
@@ -271,20 +293,23 @@ object PartFields {
   private val TruncColNumRe = """(?i)truncate\s*\(\s*([^(),\s]+)\s*,\s*(\d+)\s*\)""".r
   private val BucketNumColRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
   private val BucketColNumRe = """(?i)bucket\s*\(\s*([^(),\s]+)\s*,\s*(\d+)\s*\)""".r
-  private val UnsupportedRe = """(?i)(years|hours)\s*\(.*""".r
+  private val YearsRe = """(?i)years\s*\(\s*([^(),\s]+)\s*\)""".r
+  private val UnsupportedRe = """(?i)(hours)\s*\(.*""".r
 
   def parse(spec: String): PartField = spec.trim match {
     case DaysRe(c) => PartDays(c)
     case MonthsRe(c) => PartMonths(c)
+    case YearsRe(c) => PartYears(c)
     case TruncNumColRe(w, c) => PartTruncate(w.toInt, c)
     case TruncColNumRe(c, w) => PartTruncate(w.toInt, c)
     case BucketNumColRe(n, c) => PartBucket(n.toInt, c)
     case BucketColNumRe(c, n) => PartBucket(n.toInt, c)
     case UnsupportedRe(fn) => throw new IllegalArgumentException(
       s"graft-vtable: unsupported partition transform '$fn' — supported: " +
-        "identity, days(col), months(col), truncate(n,col), bucket(n,col) " +
-        "(use days for sub-day layouts; an hourly fan-out is 8760 " +
-        "leaves/year — stats skipping covers it without the dir tax)")
+        "identity, years(col), months(col), days(col), truncate(n,col), " +
+        "bucket(n,col) (use days for sub-day layouts; an hourly fan-out " +
+        "is 8760 leaves/year — stats skipping covers it without the dir " +
+        "tax)")
     case s if s.nonEmpty => PartIdentity(s)
     case s => throw new IllegalArgumentException(
       s"graft-vtable: empty partition transform in '$spec'")
@@ -340,6 +365,7 @@ object PartFields {
         case PartIdentity(_) => PartIdentity(src)
         case PartDays(_) => PartDays(src)
         case PartMonths(_) => PartMonths(src)
+        case PartYears(_) => PartYears(src)
         case PartTruncate(w, _) => PartTruncate(w, src)
         case PartBucket(n, _) => PartBucket(n, src)
       }
@@ -351,7 +377,7 @@ object PartFields {
       f match {
         case _: PartIdentity if !identityOk.contains(sf.dataType) =>
           bad("categorical atomic (string/integral/boolean/date)")
-        case _: PartDays | _: PartMonths
+        case _: PartDays | _: PartMonths | _: PartYears
             if sf.dataType != DateType && sf.dataType != TimestampType &&
               sf.dataType != TimestampNTZType =>
           bad("date or timestamp")

@@ -2313,6 +2313,36 @@ object VersionedTable {
           .cast("string") === lit(token))
     }
 
+  /** SHOW PARTITIONS for the versioned table: one row per partition
+    * TUPLE present in snapshot `v` — manifest entries grouped by their
+    * rendered `field=token` path (unescaped), with entry counts and
+    * on-disk bytes. The grouping is manifest-driven (no data read, no
+    * listing); bytes cost one FS content summary per entry — a
+    * maintenance/inspection verb, not a hot path. Tuple-less (plain)
+    * entries report under the empty string — pre-partitioning history
+    * and schema carriers are part of the honest answer. Returns
+    * (partition, n_entries, bytes) sorted by partition.
+    */
+  def partitionSummary(spark: SparkSession, root: String,
+      v: Option[Long] = None): Seq[(String, Int, Long)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
+    val (dirs, meta) = manifestOf(spark, root, ver)
+    val fields = partitionFieldsOf(tablePropsOf(meta))
+    val hfs = fs(spark, root)
+    dirs.groupBy { e =>
+      fields.flatMap { f =>
+        e.split('/').find(_.startsWith(s"$PartPrefix${f.name}="))
+          .map(seg => unescapePathToken(seg.stripPrefix(PartPrefix)))
+      }.mkString("/")
+    }.toSeq.map { case (tok, es) =>
+      (tok, es.size,
+        es.map(e => hfs.getContentSummary(new Path(root, e)).getLength).sum)
+    }.sortBy(_._1)
+  }
+
   /** Validate a `field=token` subscription against the table tip —
     * the option-parse-time check, so a typo'd field fails at
     * load()/analysis instead of first on the stream thread.

@@ -52,8 +52,9 @@ import graft.ops.VersionedTable
   * it has a commit — non-atomic CTAS, Spark drops the table if the
   * subsequent insert fails), then appends the query result. ALTER:
   * `SET/UNSET TBLPROPERTIES` lands as a metadata-only commit,
-  * `ADD COLUMNS` as a widened-schema evolution commit; destructive
-  * schema changes (DROP/RENAME/retype) are rejected loudly. DROP TABLE
+  * `ADD COLUMNS` as a widened-schema evolution commit, `RENAME COLUMN`
+  * as a metadata-only name-mapping commit; destructive schema changes
+  * (DROP/retype) are rejected loudly. DROP TABLE
   * deletes the table tree; RENAME TO is a directory move
   * (metadata-only, like the lakehouse formats). The catalog's
   * `pruneCol` option takes a comma LIST of stats columns — pushed
@@ -173,6 +174,7 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
         case "identity" => PartIdentity(colOf(t))
         case "days" => PartDays(colOf(t))
         case "months" => PartMonths(colOf(t))
+        case "years" => PartYears(colOf(t))
         case "truncate" => PartTruncate(numOf(t), colOf(t))
         case "bucket" => PartBucket(numOf(t), colOf(t))
         case other => throw new IllegalArgumentException(
@@ -336,6 +338,7 @@ class VTableV2Table(path: String, version: Option[Long],
         case PartIdentity(c) => Expressions.identity(c)
         case PartDays(c) => Expressions.days(c)
         case PartMonths(c) => Expressions.months(c)
+        case PartYears(c) => Expressions.years(c)
         case PartBucket(n, c) => Expressions.bucket(n, c)
         case PartTruncate(w, c) => Expressions.apply("truncate",
           Expressions.literal(w), Expressions.column(c))

@@ -191,6 +191,24 @@ object VTableProcedures {
           olderThanMicros = cutoff)
         Seq(new GenericInternalRow(Array[Any](gens, manifests)))
       }),
+    Proc("partitions",
+      "SHOW PARTITIONS: one row per partition tuple in the snapshot " +
+        "(latest when version is omitted) — rendered field=token path, " +
+        "manifest entry count, on-disk bytes; tuple-less entries " +
+        "(pre-partitioning history, schema carriers) report under ''",
+      Seq(in("table", StringType),
+        inDefault("version", LongType, "NULL")),
+      StructType(Seq(StructField("partition", StringType),
+        StructField("n_entries", IntegerType),
+        StructField("bytes", LongType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val v = if (args.isNullAt(1)) None else Some(args.getLong(1))
+        VersionedTable.partitionSummary(spark, p, v).map {
+          case (tok, n, bytes) =>
+            new GenericInternalRow(Array[Any](utf8(tok), n, bytes))
+        }
+      }),
     Proc("history",
       "DESCRIBE HISTORY: one row per commit (kind, generation/DV " +
         "counts, txn stamp, publish time) from bytes-sized manifest " +

@@ -23,6 +23,7 @@ class PartFieldsSpec extends SparkSpec {
     assert(PartFields.parseList("days(ts),bucket(16,id)") ==
       Seq(PartDays("ts"), PartBucket(16, "id")))
     assert(PartFields.parse("months(d)") == PartMonths("d"))
+    assert(PartFields.parse("years(d)") == PartYears("d"))
     // truncate/bucket accept both argument orders (Iceberg wrote both)
     assert(PartFields.parse("truncate(4,code)") == PartTruncate(4, "code"))
     assert(PartFields.parse("truncate(code,4)") == PartTruncate(4, "code"))
@@ -34,7 +35,6 @@ class PartFieldsSpec extends SparkSpec {
       PartBucket(16, "k"), PartIdentity("yr")).foreach(f =>
       assert(PartFields.parse(f.spec) == f, f.spec))
     intercept[IllegalArgumentException](PartFields.parse("hours(ts)"))
-    intercept[IllegalArgumentException](PartFields.parse("years(ts)"))
     intercept[IllegalArgumentException](PartFields.parseList("days((ts)"))
   }
 
@@ -164,6 +164,30 @@ class PartFieldsSpec extends SparkSpec {
     val rel = spark.read.format("graft-vtable").option("path", root).load()
     assert(rel.filter(col("code") >= "alp" && col("code") < "b")
       .collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
+  test("years(d): one leaf per year, zero-padded tokens prune ranges") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = java.sql.Date.valueOf(_: String)
+    val df = Seq((1, d("1995-06-01")), (2, d("1996-01-15")),
+      (3, d("1997-12-31"))).toDF("id", "dt")
+    assert(VersionedTable.createIfAbsent(spark, root, df,
+      Map("partition" -> "years(dt)")))
+    assert(leafNames(root, 1L).toSet == Set("__p_dt_year=1995",
+      "__p_dt_year=1996", "__p_dt_year=1997"))
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    def kept(filters: Filter*): Int =
+      VersionedTable.readAtPrunedPreds(spark, root, None, Nil,
+        PartFields.prunePredicates(fields, filters.toIndexedSeq))._2
+    assert(kept(GreaterThanOrEqual("dt", d("1996-01-01"))) == 2)
+    assert(kept(LessThan("dt", d("1996-06-01"))) == 2,
+      "year granularity keeps the bound's own year")
+    assert(kept(EqualTo("dt", d("1996-03-03"))) == 1)
+    val rel = spark.read.format("graft-vtable").option("path", root).load()
+    assert(rel.filter(col("dt") >= lit(d("1996-01-01"))).collect()
+      .map(_.getInt(0)).toSet == Set(2, 3))
   }
 
   test("days/months over TIMESTAMP are UTC-pinned: session zone cannot desync pruning") {

@@ -874,8 +874,16 @@ class VersionedTableSpec extends SparkSpec {
     // deletes run WITHOUT the old forced compact, so the replay also
     // pins the tombstone-fold CDF semantics
     def kv(rows: Seq[(Int, Int)]) =
-      rows.map { case (i, v) => (i, v, i % 3) }.toDF("id", "v", "grp")
-    Seq(false, true, false, true).zipWithIndex.foreach { case (parted, h) =>
+      rows.map { case (i, v) => (i, v, i % 3,
+        java.sql.Date.valueOf(
+          java.time.LocalDate.of(1995, 1, 1).plusDays(i % 5))) }
+        .toDF("id", "v", "grp", "dt")
+    // layouts: plain, identity, and the DERIVED transforms — the replay
+    // invariant must hold when commits route through computed tokens
+    // (days/bucket/months) exactly as it does for identity leaves
+    Seq(None, Some("grp"), Some("days(dt)"), Some("bucket(4,id)"),
+      None, Some("months(dt),grp")).zipWithIndex.foreach { case (partSpec, h) =>
+      val parted = partSpec.isDefined
       val root = freshRoot()
       var nextId = 1
       def freshRows(n: Int) = {
@@ -885,7 +893,7 @@ class VersionedTableSpec extends SparkSpec {
       }
       assert(VersionedTable.createIfAbsent(spark, root, kv(freshRows(5)),
         Map("key" -> "id") ++
-          (if (parted) Map("partition" -> "grp") else Map.empty)))
+          partSpec.map(sp => Map("partition" -> sp)).getOrElse(Map.empty)))
       (1 to 7).foreach { _ =>
         def liveIds = VersionedTable.readAt(spark, root)
           .select("id").collect().map(_.getInt(0)).toSeq
@@ -933,7 +941,7 @@ class VersionedTableSpec extends SparkSpec {
           .filter(col("count") > 0)
         assert(snap.exceptAll(replay).isEmpty &&
             replay.exceptAll(snap).isEmpty,
-          s"history $h (partitioned=$parted): CDF replay diverged from " +
+          s"history $h (partition=$partSpec): CDF replay diverged from " +
             s"snapshot at v$v " +
             s"(kinds: ${vs.map(VersionedTable.commitKind(spark, root, _))})")
       }

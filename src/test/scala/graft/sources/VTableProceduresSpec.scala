@@ -96,7 +96,8 @@ class VTableProceduresSpec extends SparkSpec {
     assert(h == Seq((1L, "create"), (2L, "append")))
     val listed = spark.sql("SHOW PROCEDURES IN vtproc.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(listed == Set("compact", "optimize", "restore", "vacuum", "history"))
+    assert(listed == Set("compact", "optimize", "restore", "vacuum",
+      "partitions", "history"))
     intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
     intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
   }
@@ -129,5 +130,31 @@ class VTableProceduresSpec extends SparkSpec {
     val r2 = spark.sql("CALL vtproc.system.vacuum('ts.t', force => true," +
       s" older_than => TIMESTAMP '$far')").head()
     assert(r2.getInt(1) == 0 && VersionedTable.versions(spark, p) == Seq(3L))
+  }
+
+  test("CALL partitions lists the snapshot's tuple ledger from the manifest alone") {
+    import spark.implicits._
+    val p = s"$root/pp/t"
+    assert(VersionedTable.createIfAbsent(spark, p,
+      Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "grp"),
+      Map("partition" -> "grp")))
+    VersionedTable.commit(spark, p, Seq((4, "a")).toDF("id", "grp"),
+      overwrite = false)
+    // a plain (tuple-less) generation is part of the honest answer
+    VersionedTable.commit(spark, p, Seq(9).toDF("id"), overwrite = false)
+    val rows = spark.sql("CALL vtproc.system.partitions('pp.t')")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("", "grp=a", "grp=b"),
+      rows.mkString("|"))
+    val byTok = rows.map(r => r._1 -> r).toMap
+    assert(byTok("grp=a")._2 == 2, "two a-leaves: create + append")
+    assert(byTok("grp=b")._2 == 1)
+    assert(rows.forall(_._3 > 0L), "every entry reports on-disk bytes")
+    // version-pinned listing: before the plain append there were only
+    // the routed tuples
+    val atV1 = spark.sql(
+      "CALL vtproc.system.partitions('pp.t', version => 1)")
+      .collect().map(_.getString(0)).toSeq
+    assert(atV1 == Seq("grp=a", "grp=b"), atV1)
   }
 }
