@@ -384,6 +384,38 @@ class VTableSourceSpec extends SparkSpec {
     assert(VersionedTable.readAt(spark, root).collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet ==
       Set(1 -> "odd", 2 -> "even", 3 -> "odd"))
+    // DERIVED transforms route streamed micro-batches the same way: the
+    // sink's frame carries only the base timestamp column, the layout
+    // computes the day leaf (hidden partitioning under streaming)
+    val dRoot = fresh("vtsink_days")
+    assert(VersionedTable.createIfAbsent(spark, dRoot,
+      Seq.empty[(Int, java.sql.Timestamp)].toDF("id", "ts"),
+      Map("partition" -> "days(ts)")))
+    val in2 = MemoryStream[Int]
+    def tsOf(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2026-04-$day%02dT10:00:00Z"))
+    val q2 = in2.toDF()
+      .select(col("value").as("id"),
+        when(col("value") <= 2, lit(tsOf(1))).otherwise(lit(tsOf(2)))
+          .as("ts"))
+      .writeStream.format("graft-vtable")
+      .option("path", dRoot).option("txnAppId", "days_sink")
+      .option("checkpointLocation", fresh("vtsink_days_ckpt"))
+      .start()
+    try {
+      in2.addData(1, 2, 3)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val tip2 = VersionedTable.versions(spark, dRoot).last
+    val e2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dRoot, "_log", s"$tip2.commit")), "UTF-8")
+      .split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    assert(e2.count(_.contains("__p_ts_day=2026-04-01")) == 1 &&
+      e2.count(_.contains("__p_ts_day=2026-04-02")) == 1,
+      s"streamed rows routed into computed day leaves: $e2")
+    assert(idsOf(VersionedTable.readAtPartition(spark, dRoot, None,
+      "ts_day=2026-04-01").select(col("id"))) == Set(1, 2))
   }
 
   test("startingTimestamp tails from the first commit published at or after it") {
