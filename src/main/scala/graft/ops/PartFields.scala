@@ -108,11 +108,18 @@ private[ops] object PartDates {
 
   // the UTC calendar day of an instant column, session-zone-proof:
   // floored micros→days arithmetic (floor, not div — pre-epoch
-  // instants must round down), rendered back as a DateType
+  // instants must round down), rendered back as a DateType. The
+  // division is INTEGRAL (`div`, exact at every long): the floored
+  // numerator is a lossless multiple of `day`, but a double `/` casts
+  // it to IEEE754 first, which is not exact past ±2^53 µs from the
+  // epoch (~1685 / ~2255) — a one-day-off token there would
+  // desynchronize write-side leaves from dayOf's exact driver-side
+  // translation, and equality/range pruning would drop matching leaves
   def utcDay(c: Column): Column = {
     val us = unix_micros(c)
     val day = 86400000000L
-    date_from_unix_date(((us - pmod(us, lit(day))) / lit(day)).cast("int"))
+    date_from_unix_date(
+      call_function("div", us - pmod(us, lit(day)), lit(day)).cast("int"))
   }
 }
 
@@ -203,13 +210,31 @@ final case class PartTruncate(width: Int, source: String) extends PartField {
   def spec: String = s"truncate($width,$source)"
   def valueOf(c: Column, dt: DataType): Column = dt match {
     case StringType => substring(c, 1, width)
-    case _ => c - pmod(c, lit(width))
+    // integrals compute in LONG with the floor CLAMPED at Long.MinValue:
+    // plain `c - pmod(c, w)` overflows for values within `w` of the Long
+    // (or the column type's) minimum — ANSI mode throws the write, and
+    // legacy mode wraps to a huge positive token that breaks the
+    // monotone-token assumption rangeTest relies on (a range predicate
+    // could then wrongly prune the leaf holding those rows). The clamp
+    // keeps the token a true lower bound of every row in its leaf, so
+    // floor monotonicity — and with it range pruning — holds at the edge
+    case _ =>
+      val cl = c.cast("long")
+      when(c.isNull, lit(null).cast("long"))
+        .otherwise(coalesce(try_subtract(cl, pmod(cl, lit(width.toLong))),
+          lit(Long.MinValue)))
+  }
+  // driver-side twin of the write expression above — same clamp, so
+  // write tokens and eq/range translation can never disagree
+  private def intFloor(v: Long): Long = {
+    val r = java.lang.Math.floorMod(v, width.toLong)
+    if (v < Long.MinValue + r) Long.MinValue else v - r
   }
   private def intTok(v: Any): Option[Long] = v match {
-    case i: java.lang.Integer => Some(i.toLong - java.lang.Math.floorMod(i.toLong, width.toLong))
-    case l: java.lang.Long => Some(l - java.lang.Math.floorMod(l.longValue, width.toLong))
-    case s: java.lang.Short => Some(s.toLong - java.lang.Math.floorMod(s.toLong, width.toLong))
-    case b: java.lang.Byte => Some(b.toLong - java.lang.Math.floorMod(b.toLong, width.toLong))
+    case i: java.lang.Integer => Some(intFloor(i.toLong))
+    case l: java.lang.Long => Some(intFloor(l.longValue))
+    case s: java.lang.Short => Some(intFloor(s.toLong))
+    case b: java.lang.Byte => Some(intFloor(b.toLong))
     case _ => None
   }
   // the write side truncates by CODE POINT (Spark substring); a UTF-16

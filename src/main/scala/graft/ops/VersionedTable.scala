@@ -303,14 +303,23 @@ object VersionedTable {
       // tokens before partitionBy, so each leaf is written by one task
       // — without the shuffle every task writes every leaf it touches,
       // and a wide-fan-out commit (a 365-day backfill) lands
-      // tasks×leaves small files. One keyed shuffle per routed commit
-      // buys a small-file-free layout; compaction stops being the
-      // every-batch tax and becomes occasional maintenance. OPTIMIZE
-      // passes preserveLayout: its range+sort clustering IS the layout,
-      // and re-shuffling here would undo the z-order it just built.
+      // tasks×leaves small files. The shuffle is an AQE REBALANCE, not
+      // a plain repartition: a plain hash shuffle serializes a SKEWED
+      // leaf (one hot day/tenant) through a single task — a long-tail
+      // stall or an executor OOM at scale — while rebalance keeps the
+      // leaf-per-task clustering for small leaves (coalescing tiny ones
+      // together) and SPLITS a hot leaf across a few tasks, each
+      // writing one bounded file into the same leaf dir (Delta's
+      // optimizedWrite bin-packing). With AQE off it degrades to the
+      // plain keyed shuffle. One shuffle per routed commit buys a
+      // small-file-free layout; compaction stops being the every-batch
+      // tax and becomes occasional maintenance. OPTIMIZE passes
+      // preserveLayout: its range+sort clustering IS the layout, and
+      // re-shuffling here would undo the z-order it just built.
       val clustered =
         if (preserveLayout) dup
-        else dup.repartition(partFields.map(f => col(PartPrefix + f.name)): _*)
+        else dup.hint("rebalance",
+          partFields.map(f => col(PartPrefix + f.name)): _*)
       clustered.write.mode("errorifexists")
         .partitionBy(partFields.map(PartPrefix + _.name): _*).parquet(p.toString)
     } else df.write.mode("errorifexists").parquet(p.toString)

@@ -277,4 +277,78 @@ class PartFieldsSpec extends SparkSpec {
       None, Nil, PartFields.prunePredicates(f2, Seq(IsNull("id"))))
     assert(kept2 == 1 && got2.filter(col("id").isNull).count() == 1)
   }
+
+  test("utcDay tokens are exact past ±2^53 µs from the epoch (r15 ADVICE)") {
+    import spark.implicits._
+    // ±2^53 µs is ~±285 years: before ~1685 / after ~2255 the old double
+    // division could land one day off, desynchronizing write-side leaf
+    // tokens from the exact driver-side dayOf translation. Boundary
+    // instants (start/end of day) are where a ±1 µs rounding flips days.
+    // fixtures stay post-1582-10-15: earlier instants enter the
+    // Julian↔proleptic-Gregorian rebase Spark applies to java.sql
+    // externals — a different (documented) swamp than the rounding this
+    // pin guards. 1600 is ~370 years (> 2^53 µs) before the epoch.
+    val f = PartDays("ts")
+    val extremes = Seq(
+      "1600-03-01T00:00:00Z", "1600-03-01T23:59:59.999999Z",
+      "2400-01-31T00:00:00Z", "2400-01-31T23:59:59.999999Z",
+      "1969-12-31T23:59:59.999999Z", "1583-01-01T12:00:00Z",
+      "9999-12-31T23:59:59.999999Z")
+    val df = extremes
+      .map(e => Tuple1(java.sql.Timestamp.from(java.time.Instant.parse(e))))
+      .toDF("ts")
+    val rows = df.select(col("ts"),
+      f.valueOf(col("ts"), TimestampType).cast("string")).collect()
+    rows.foreach { r =>
+      val want = f.eqToken(r.getTimestamp(0)).get.get
+      assert(r.getString(1) == want,
+        s"write token ${r.getString(1)} != translated $want for ${r.get(0)}")
+    }
+  }
+
+  test("truncate integral floor clamps at the Long edge (r15 ADVICE)") {
+    import spark.implicits._
+    val f = PartTruncate(10, "v")
+    val edge = Long.MinValue
+    // driver-side floor clamps instead of wrapping to a huge positive
+    assert(f.eqToken(java.lang.Long.valueOf(edge)) ==
+      Some(Some(Long.MinValue.toString)))
+    // write expression produces the SAME clamped token — no ANSI
+    // overflow, no legacy wrap (pre-fix: `c - pmod` threw under ANSI)
+    val toks = Seq(edge, edge + 1, edge + 5, -25L, 17L).toDF("v")
+      .select(col("v"), f.valueOf(col("v"), LongType).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toks(edge) == Long.MinValue && toks(edge + 1) == Long.MinValue &&
+      toks(edge + 5) == Long.MinValue)
+    assert(toks(-25L) == -30L && toks(17L) == 10L)
+    // int columns compute in long too: Int.MinValue floors exactly where
+    // int arithmetic would overflow
+    val fi = PartTruncate(10, "n")
+    val ti = Seq(Int.MinValue, -25, 7).toDF("n")
+      .select(col("n"), fi.valueOf(col("n"), IntegerType).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ti(Int.MinValue) == Int.MinValue.toLong - 2 && ti(-25) == -30L)
+    assert(fi.eqToken(java.lang.Integer.valueOf(Int.MinValue)) ==
+      Some(Some((Int.MinValue.toLong - 2).toString)))
+    // monotone tokens at the edge: a lower bound whose own floor clamps
+    // keeps every leaf (sound — the clamped token orders below all)
+    val lo = f.rangeTest(lower = true, java.lang.Long.valueOf(edge + 3)).get
+    assert(lo(Some(Long.MinValue.toString)) && lo(Some("-30")))
+    val hi = f.rangeTest(lower = false, java.lang.Long.valueOf(-31L)).get
+    assert(!hi(Some("10")) && hi(Some(Long.MinValue.toString)) &&
+      hi(Some("-40")))
+    // end-to-end: edge values route, prune, and read back (the old write
+    // expression threw under ANSI before any manifest was published)
+    val root = freshRoot()
+    val data = Seq(edge, edge + 7, -5L, 1234L).toDF("v")
+    assert(VersionedTable.createIfAbsent(spark, root, data,
+      Map("partition" -> "truncate(10,v)")))
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    val (got, kept, total) = VersionedTable.readAtPrunedPreds(spark, root,
+      None, Nil, PartFields.prunePredicates(fields,
+        Seq(LessThanOrEqual("v", edge + 9))))
+    assert(kept < total, "upper-bound range should prune the high leaves")
+    assert(got.filter(col("v") <= edge + 9).count() == 2)
+  }
 }
