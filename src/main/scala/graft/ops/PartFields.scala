@@ -422,6 +422,66 @@ object PartFields {
     resolved
   }
 
+  /** TOKEN REFINEMENT across partition-spec eras: when `from` is
+    * provably FINER than `into` on the same source column — every
+    * `from` leaf maps into exactly one `into` leaf — translate a
+    * `from` leaf token to the `into` token its rows belong to. This is
+    * what lets a dynamic partition overwrite (and its disjointness
+    * conflict check) treat pre-evolution leaves as first-class
+    * partitions after `days(ts)` evolved to `months(ts)`: a day leaf
+    * belongs wholly to one month, so it drops or carries exactly like
+    * a month leaf, instead of the whole old era rewriting through the
+    * conservative plain-entry path. Refinable pairs: the temporal
+    * ladder (days→months/years, months→years) and identity→any
+    * transform on the same column (an identity token IS the rendered
+    * value). Inner None = the hive default leaf (NULL rows stay in the
+    * default leaf under every transform); outer None = not refinable —
+    * the old leaf spans several new leaves (months→days,
+    * bucket→anything) or the token doesn't parse — callers fall back
+    * to the conservative treatment (plain-entry rewrite / must-scan).
+    */
+  def refineToken(from: PartField, into: PartField, tok: Option[String],
+      srcType: DataType): Option[Option[String]] = {
+    if (!from.source.equalsIgnoreCase(into.source)) return None
+    tok match {
+      case None =>
+        // the default leaf holds NULL rows — which stay in the default
+        // leaf under every transform — EXCEPT that string identity/
+        // truncate leaves conflate '' with NULL, and '' bucket-routes
+        // to a real leaf: not provably one target, stand down
+        if (srcType == StringType && into.isInstanceOf[PartBucket]) None
+        else Some(None)
+      case Some(t) =>
+        lazy val date =
+          try Some(java.time.LocalDate.parse(t))
+          catch { case _: Exception => None }
+        (from, into) match {
+          case (_: PartDays, _: PartMonths) =>
+            date.map(d => Some(f"${d.getYear}%04d-${d.getMonthValue}%02d"))
+          case (_: PartDays, _: PartYears) =>
+            date.map(d => Some(f"${d.getYear}%04d"))
+          case (_: PartMonths, _: PartYears)
+              if t.matches("""\d{4}-\d{2}""") =>
+            Some(Some(t.take(4)))
+          case (_: PartIdentity, _) =>
+            // re-type the rendered value, then the target transform's
+            // own literal translation applies — one contract, not two
+            val v: Option[Any] = srcType match {
+              case StringType => Some(t)
+              case IntegerType => t.toIntOption.map(java.lang.Integer.valueOf)
+              case LongType => t.toLongOption.map(java.lang.Long.valueOf)
+              case ShortType => t.toShortOption.map(java.lang.Short.valueOf)
+              case ByteType => t.toByteOption.map(java.lang.Byte.valueOf)
+              case BooleanType => t.toBooleanOption.map(java.lang.Boolean.valueOf)
+              case DateType => date.map(java.sql.Date.valueOf)
+              case _ => None
+            }
+            v.flatMap(into.eqToken)
+          case _ => None
+        }
+    }
+  }
+
   /** Translate pushed source `Filter`s into per-field leaf-token tests
     * ([[VersionedTable.readAtPrunedPreds]]'s shape): only top-level
     * conjuncts on a transform's BASE column translate — that is the

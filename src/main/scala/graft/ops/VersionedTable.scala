@@ -50,7 +50,7 @@ object VersionedTable {
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
-    q135HiddenPartitioning, q136RenameColumn)
+    q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -177,6 +177,33 @@ object VersionedTable {
     */
   def partitionColsOf(props: Map[String, String]): Seq[String] =
     partitionFieldsOf(props).map(_.source)
+
+  /** EVERY partition field the table's spec history has declared — the
+    * CURRENT spec plus the `partition.history` ledger
+    * ([[evolvePartitionSpec]] appends each superseded spec, ';'-joined),
+    * name-deduped with the current spec winning. Pruning translates
+    * pushed predicates under ALL of them: each manifest entry carries
+    * the `__p_<field>=` path segments of the spec it was WRITTEN under,
+    * so a per-field token test evaluates every generation under its own
+    * era's transform, and entries lacking a field's segment always scan
+    * — Iceberg's per-spec-id pruning, expressed through the tokens the
+    * leaves already carry (the evolve gate keeps field names unique
+    * across eras, so a name can never mean two different transforms).
+    */
+  def allPartitionFieldsOf(props: Map[String, String]): Seq[PartField] = {
+    val cur = partitionFieldsOf(props)
+    val hist = props.get("partition.history").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .flatMap(PartFields.parseList)
+    val seen = scala.collection.mutable.Set[String]()
+    (cur ++ hist).filter(f => seen.add(f.name.toLowerCase))
+  }
+
+  /** [[allPartitionFieldsOf]]'s source columns — what pushed-filter
+    * reporting should treat as prune-effective.
+    */
+  def allPartitionColsOf(props: Map[String, String]): Seq[String] =
+    allPartitionFieldsOf(props).map(_.source).distinct
 
   // partition fields in force at the tip (empty for fresh/unpartitioned)
   private def partitionFieldsAt(spark: SparkSession, root: String): Seq[PartField] =
@@ -1405,6 +1432,8 @@ object VersionedTable {
       else if (meta.get("properties").contains("true")) "set_properties"
       else if (meta.get("alter").contains("add_columns")) "add_columns"
       else if (meta.get("alter").contains("rename_column")) "rename_column"
+      else if (meta.get("alter").contains("set_partition_spec")) "set_partition_spec"
+      else if (meta.get("alter").contains("drop_column")) "drop_column"
       else if (meta.contains("restore")) "restore"
       else vs.filter(_ < v).lastOption match {
         case None => "create"
@@ -1448,6 +1477,11 @@ object VersionedTable {
   def createIfAbsent(spark: SparkSession, root: String, df: DataFrame,
       props: Map[String, String] = Map.empty): Boolean = {
     validateProps(props)
+    // the spec-era ledger is written only by evolvePartitionSpec — a
+    // user-seeded history would smuggle un-gated transforms into pruning
+    require(!props.contains("partition.history"),
+      "createIfAbsent: 'partition.history' is managed by " +
+        "evolvePartitionSpec, not a creation property")
     // an API-declared layout runs the SAME transform/type gate the
     // catalog's PARTITIONED BY enforces — an unvalidated timestamp or
     // double identity column would write hive-escaped tokens the
@@ -1487,13 +1521,16 @@ object VersionedTable {
     validateProps(set)
     require(unset.forall(k => !set.contains(k)),
       "setProperties: a key cannot be both set and unset")
-    // partitioning is declared at CREATION and fixed: committed
-    // generations are physically laid out by it — editing the property
-    // would desynchronize the manifest entries from the declaration
-    require(!set.contains("partition") && !unset.contains("partition"),
-      "setProperties: 'partition' is fixed at table creation (committed " +
-        "generations are laid out by it) — create a new table to " +
-        "repartition")
+    // the partition layout has its own VALIDATED editor
+    // (evolvePartitionSpec — the ambiguity gate, the history ledger): a
+    // raw property edit would desynchronize the manifest entries from
+    // the declaration, or erase the era ledger pruning keys off
+    val layoutTouched = (set.keys ++ unset).filter(k =>
+      k == "partition" || k == "partition.history")
+    require(layoutTouched.isEmpty,
+      s"setProperties: ${layoutTouched.mkString(",")} — the partition " +
+        "layout is managed by evolvePartitionSpec (CALL " +
+        "evolve_partition_spec), not raw property edits")
     // the rename mappings are CORRECTNESS metadata with their own
     // validated editor: a hand-UNSET colmap entry would stop aliasing a
     // raw name generations still physically carry (pre-rename rows read
@@ -1673,11 +1710,15 @@ object VersionedTable {
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"renameColumn: column '$newName' already exists")
       validateProps(Map(s"colmap.$old" -> newName)) // header-line hygiene
-      val partSrcs = partitionFieldsOf(props).map(_.source)
+      // CURRENT and HISTORICAL spec sources both refuse: old-era leaves
+      // prune by translating predicates on the base name — renaming it
+      // would silently stop the old era's pruning (predicates arrive
+      // under the new name, the ledger records the old)
+      val partSrcs = allPartitionFieldsOf(props).map(_.source)
       require(!partSrcs.exists(_.equalsIgnoreCase(old)),
-        s"renameColumn: '$old' is a partition transform source — the " +
-          "layout contract records the name; create a new table to " +
-          "rename it")
+        s"renameColumn: '$old' is a partition transform source (current " +
+          "or historical spec) — the layout contract records the name; " +
+          "create a new table to rename it")
       require(!props.get("key").exists(_.equalsIgnoreCase(old)),
         s"renameColumn: '$old' is the declared row-id key — unset the " +
           "'key' property first")
@@ -1721,6 +1762,94 @@ object VersionedTable {
       if (attempt == 1) raceHook()
       if (tryPublish(spark, root, tipV + 1, dirs,
           mapped + ("alter" -> "rename_column"))) return tipV + 1
+    }
+    -1L // unreachable
+  }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg's `ALTER TABLE … ADD/DROP/
+    * REPLACE PARTITION FIELD`) as a METADATA-ONLY commit: the new
+    * manifest keeps the base snapshot's directories and stats/dv
+    * headers verbatim and only edits the layout properties — the
+    * `partition` property becomes `newSpec` (empty = drop partitioning)
+    * and the superseded spec is appended to the `partition.history`
+    * ledger. No file moves at any table size: committed generations
+    * keep the physical layout of the spec they were written under,
+    * FUTURE routed writes use the new spec, and pruning evaluates each
+    * generation under ITS OWN era's transform
+    * ([[allPartitionFieldsOf]] — a base-column predicate translates
+    * into token tests for every era's field, and an entry is tested by
+    * whichever `__p_` segments its path carries). Pre-evolution
+    * entries therefore KEEP pruning under the old transform — never
+    * degraded to must-scan while their tokens still translate — and
+    * [[overwritePartitions]] treats refinable old-era leaves
+    * (days→months, identity→any) as first-class partitions
+    * ([[PartFields.refineToken]]).
+    *
+    * The one structural refusal is the AMBIGUITY GATE: a new field may
+    * not reuse a historical field's NAME under a different transform
+    * (`truncate(4,c)` → `truncate(8,c)` collides on `c_trunc`) — token
+    * tests are keyed by the path segment's field name, and two eras'
+    * indistinguishable tokens would prune the old era wrongly. Such
+    * re-parameterizations need a fresh column or a new table; the
+    * canonical evolutions (days→months, add/drop a field,
+    * identity→days) all carry distinct names.
+    *
+    * SQL spelling: `CALL cat.system.evolve_partition_spec(table, spec)`
+    * — OSS Spark's parser has no ALTER PARTITION FIELD grammar (that is
+    * an Iceberg parser extension), so the validated editor rides the
+    * procedure surface like the other lakehouse maintenance verbs; raw
+    * `SET TBLPROPERTIES('partition'=…)` stays refused. Like
+    * [[setProperties]] the intent is state-independent, so a publish
+    * loss retries at the next version. Returns the committed version.
+    */
+  def evolvePartitionSpec(spark: SparkSession, root: String,
+      newSpec: String, raceHook: () => Unit = () => ()): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      val tipV = vs.last
+      val (dirs, meta) = manifestOf(spark, root, tipV)
+      val props = tablePropsOf(meta)
+      val schema = readAt(spark, root, Some(tipV)).schema // logical view
+      val fields = PartFields.validate(
+        if (newSpec.trim.isEmpty) Nil else PartFields.parseList(newSpec),
+        schema)
+      val cur = partitionFieldsOf(props)
+      val curSpec = cur.map(_.spec).mkString(",")
+      val newCanon = fields.map(_.spec).mkString(",")
+      require(newCanon != curSpec,
+        s"evolvePartitionSpec: '${if (newCanon.isEmpty) "<unpartitioned>" else newCanon}' " +
+          "is already the table's layout")
+      val histAll = allPartitionFieldsOf(props)
+      fields.foreach { f =>
+        histAll.find(h => h.name.equalsIgnoreCase(f.name) && h.spec != f.spec)
+          .foreach(h => throw new IllegalArgumentException(
+            s"evolvePartitionSpec: '${f.spec}' reuses leaf field " +
+              s"'${f.name}' that a past spec declared as '${h.spec}' — " +
+              "the eras' path tokens would be indistinguishable and the " +
+              "old era could prune wrongly; use a fresh column or a new " +
+              "table for re-parameterizations"))
+      }
+      val newHistory = (props.get("partition.history").toSeq
+        .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty) :+ curSpec)
+        .filter(_.nonEmpty).distinct
+      val kept = meta.filter { case (k, _) =>
+        (k.startsWith("stats:") || k.startsWith("dv:") ||
+          k.startsWith("prop:")) &&
+          k != "prop:partition" && k != "prop:partition.history"
+      }
+      val edited = kept ++
+        (if (fields.isEmpty) Map.empty
+         else Map("prop:partition" -> newCanon)) ++
+        (if (newHistory.isEmpty) Map.empty
+         else Map("prop:partition.history" -> newHistory.mkString(";"))) +
+        ("alter" -> "set_partition_spec")
+      if (attempt == 1) raceHook()
+      if (tryPublish(spark, root, tipV + 1, dirs, edited)) return tipV + 1
     }
     -1L // unreachable
   }
@@ -1867,9 +1996,25 @@ object VersionedTable {
         "too fine-grained for a partition-replacing write")
     val tupleSet: Set[Seq[Option[String]]] = tuples.map(r =>
       partFields.indices.map(i => renderPartitionValue(r.get(i))).toSeq).toSet
-    // a base entry's partition tuple, when FULLY encoded in its path
+    // a base entry's partition tuple, when FULLY encoded in its path —
+    // directly under the CURRENT spec's field segments, or REFINED from
+    // a pre-evolution era's segments when the old transform is provably
+    // finer (PartFields.refineToken: a day leaf belongs wholly to one
+    // month, so after days→months evolution it replaces/carries like a
+    // month leaf instead of dragging the whole old era through the
+    // plain-entry rewrite — O(batch), not O(pre-evolution history))
+    val histFields = allPartitionFieldsOf(tablePropsOf(baseMeta))
+      .filterNot(h => partFields.exists(_.name.equalsIgnoreCase(h.name)))
     def entryTuple(e: String): Option[Seq[Option[String]]] = {
-      val vals = partFields.map(f => partValueOf(e, f.name))
+      val vals = partFields.map { f =>
+        val dt = df.schema(srcIn(df, f)).dataType
+        partValueOf(e, f.name).orElse(
+          histFields.filter(_.source.equalsIgnoreCase(f.source)).iterator
+            .flatMap(h => partValueOf(e, h.name).iterator
+              .flatMap(tok =>
+                PartFields.refineToken(h, f, tok, dt).iterator))
+            .nextOption())
+      }
       if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
     }
     // replaced leaves / plain (tuple-less) entries / carried leaves
@@ -2303,11 +2448,14 @@ object VersionedTable {
       case _ => throw new IllegalArgumentException(
         s"graft-vtable: partition filter must be 'field=token', got '$partSpec'")
     }
-    val field = partitionFieldsOf(tablePropsOf(meta))
+    // current fields first, then historical eras — a consumer
+    // subscribed to a pre-evolution field keeps its feed (the transform
+    // still re-computes row membership; only the routing changed)
+    val field = allPartitionFieldsOf(tablePropsOf(meta))
       .find(_.name.equalsIgnoreCase(fname))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-vtable: '$fname' is not a declared partition field of " +
-          "this table"))
+          "this table (current or historical spec)"))
     (field, token)
   }
 
@@ -2339,7 +2487,9 @@ object VersionedTable {
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
     val (dirs, meta) = manifestOf(spark, root, ver)
-    val fields = partitionFieldsOf(tablePropsOf(meta))
+    // render under EVERY era's fields: after a spec evolution the
+    // pre-evolution leaves still report their own tuples, not ''
+    val fields = allPartitionFieldsOf(tablePropsOf(meta))
     val hfs = fs(spark, root)
     dirs.groupBy { e =>
       fields.flatMap { f =>
@@ -4780,6 +4930,144 @@ object VersionedTable {
       FROM o, y WHERE yr = y0
       UNION ALL
       SELECT 'audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q137: PARTITION SPEC EVOLUTION — [[evolvePartitionSpec]] driven
+    * end-to-end through the canonical days→months story: v1 loads three
+    * months of orders as a `days(o_orderdate)` layout (one leaf per
+    * day), v2 evolves the spec to `months(o_orderdate)` (a METADATA-ONLY
+    * commit — dirs identical, pinned), v3 appends the next three months
+    * routed under the NEW spec, so the snapshot is a mixed-era layout.
+    * One base-column date range then prunes BOTH eras, each under ITS
+    * OWN transform: day leaves by ISO day tokens, month leaves by
+    * `yyyy-MM` tokens — the per-era kept/total counts are re-derived
+    * independently from the partition ledger ([[partitionSummary]]) and
+    * oracle-pinned against the data's own day/month spread. Finally a
+    * dynamic overwrite re-loads one PRE-EVOLUTION month: its day leaves
+    * drop by days→months REFINEMENT ([[PartFields.refineToken]] — a day
+    * leaf belongs wholly to one month), so the replace stays O(batch)
+    * instead of rewriting the whole day era; replaced/carried counts
+    * are oracle-pinned, and the content read goes THROUGH the
+    * relation's pushed filters so the mixed-era prune path serves the
+    * rows. At 100 TB: changing a table's layout costs one bytes-sized
+    * manifest publish, historical data keeps its layout AND its
+    * pruning, and the everyday partition-replacing write keeps working
+    * across the era boundary — the Iceberg spec-evolution economics.
+    */
+  val q137SpecEvolution: Q = Q(
+    "q137_spec_evolution",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+      val d0 = src.agg(min(col("o_orderdate"))).head()
+        .getDate(0).toLocalDate.withDayOfMonth(1)
+      val mi0 = d0.getYear * 12 + d0.getMonthValue
+      def mStart(k: Int) = java.sql.Date.valueOf(d0.plusMonths(k))
+      def mEnd(k: Int) = java.sql.Date.valueOf(d0.plusMonths(k + 1).minusDays(1))
+      require(createIfAbsent(s, root,
+        src.filter(col("o_orderdate") < mStart(3)),
+        Map("partition" -> "days(o_orderdate)")),
+        "q137: private table must create")                          // v1
+      val v2 = evolvePartitionSpec(s, root, "months(o_orderdate)")
+      val v3 = commit(s, root,
+        src.filter(col("o_orderdate").between(mStart(3), mEnd(5))),
+        overwrite = false)
+      // one base-column range over both eras, translated per era
+      val loD = mStart(1); val hiD = mEnd(4)
+      val fields = allPartitionFieldsOf(tableProperties(s, root, Some(v3)))
+      val (_, kept, total) = readAtPrunedPreds(s, root, Some(v3), Nil,
+        PartFields.prunePredicates(fields, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderdate", loD),
+          org.apache.spark.sql.sources.LessThanOrEqual("o_orderdate", hiD))))
+      // independent per-era classification from the partition ledger
+      // (ISO tokens sort chronologically — string compares ARE the
+      // date compares); reconciled against the engine's own decision
+      val sum3 = partitionSummary(s, root, Some(v3))
+      val dayToks = sum3.map(_._1).filter(_.startsWith("o_orderdate_day="))
+        .map(_.stripPrefix("o_orderdate_day="))
+      val monToks = sum3.map(_._1).filter(_.startsWith("o_orderdate_month="))
+        .map(_.stripPrefix("o_orderdate_month="))
+      val dayKept = dayToks.count(t2 => t2 >= loD.toString && t2 <= hiD.toString)
+      val monKept = monToks.count(t2 =>
+        t2 >= loD.toString.take(7) && t2 <= hiD.toString.take(7))
+      require(kept == dayKept + monKept &&
+          total == dayToks.size + monToks.size,
+        s"q137: engine prune ($kept/$total) disagrees with the ledger " +
+          s"($dayKept+$monKept/${dayToks.size}+${monToks.size})")
+      // dynamic overwrite of one PRE-EVOLUTION month: day leaves drop
+      // by refinement, the batch lands as one month leaf
+      val reload = src
+        .filter(col("o_orderdate").between(mStart(1), mEnd(1)))
+        .withColumn("price", Q.dec2(col("price") + lit(5)))
+      val (_, replaced, carried) = overwritePartitions(s, root, reload)
+        .getOrElse(sys.error("q137: replace lost a race on a private table"))
+      val rel = s.read.format("graft-vtable").option("path", root).load()
+      val content = rel.filter(col("o_orderdate").between(loD, hiD))
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+          - lit(mi0)).as("k"))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("o_custkey")).as("b"),
+          sum(col("price")).cast("double").as("c"))
+        .select(concat(lit("m_"), col("k").cast("string")).as("step"),
+          col("a"), col("b"), col("c"))
+      def audit(step: String, a: Long, b: Long) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"), lit(1.0).cast("double").as("c"))
+      val evolveOk =
+        if (commitKind(s, root, v2) == "set_partition_spec" &&
+          manifestDirs(s, root, v2) == manifestDirs(s, root, 1L)) 1L else 0L
+      content
+        .unionByName(audit("prune_day_era", dayKept.toLong, dayToks.size.toLong))
+        .unionByName(audit("prune_month_era", monKept.toLong, monToks.size.toLong))
+        .unionByName(audit("evolve_audit", evolveOk, 1L))
+        .unionByName(audit("replace_audit", replaced.toLong, carried.toLong))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate,
+          year(o_orderdate) * 12 + month(o_orderdate) AS mi
+        FROM orders),
+      b AS (SELECT min(mi) AS mi0 FROM o),
+      w AS (SELECT o.*, mi - mi0 AS k,
+              CASE WHEN mi = mi0 + 1
+                THEN CAST(price + 5 AS DECIMAL(18,2)) ELSE price END AS adj
+            FROM o, b WHERE mi BETWEEN mi0 + 1 AND mi0 + 4)
+      SELECT concat('m_', CAST(k AS VARCHAR)) AS step,
+        CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(adj) AS DOUBLE) AS c
+      FROM w GROUP BY k
+      UNION ALL
+      SELECT 'prune_day_era',
+        CAST((SELECT count(DISTINCT o_orderdate) FROM o, b
+          WHERE mi BETWEEN mi0 + 1 AND mi0 + 2) AS BIGINT),
+        CAST((SELECT count(DISTINCT o_orderdate) FROM o, b
+          WHERE mi <= mi0 + 2) AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'prune_month_era',
+        CAST((SELECT count(DISTINCT mi) FROM o, b
+          WHERE mi BETWEEN mi0 + 3 AND mi0 + 4) AS BIGINT),
+        CAST((SELECT count(DISTINCT mi) FROM o, b
+          WHERE mi BETWEEN mi0 + 3 AND mi0 + 5) AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'evolve_audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'replace_audit',
+        CAST((SELECT count(DISTINCT o_orderdate) FROM o, b
+          WHERE mi = mi0 + 1) AS BIGINT),
+        CAST((SELECT count(DISTINCT o_orderdate) FROM o, b
+          WHERE mi <= mi0 + 2 AND mi <> mi0 + 1) AS BIGINT)
+          + CAST((SELECT count(DISTINCT mi) FROM o, b
+              WHERE mi BETWEEN mi0 + 3 AND mi0 + 5) AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 }

@@ -358,7 +358,7 @@ class VTableV2Table(path: String, version: Option[Long],
     new VTableScanBuilder(path, version,
       VTableScans.existingPruneCols(pruneCol, schema.fieldNames.toSeq),
       schema,
-      VersionedTable.partitionColsOf(
+      VersionedTable.allPartitionColsOf(
         VersionedTable.tableProperties(SparkSession.active, path, version))
         .toSet)
 

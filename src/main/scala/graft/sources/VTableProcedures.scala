@@ -209,6 +209,26 @@ object VTableProcedures {
             new GenericInternalRow(Array[Any](utf8(tok), n, bytes))
         }
       }),
+    Proc("evolve_partition_spec",
+      "ALTER the table's partition layout (Iceberg ADD/DROP/REPLACE " +
+        "PARTITION FIELD) as a metadata-only commit: future writes " +
+        "route under the new spec, committed generations keep their " +
+        "era's layout AND its pruning; spec is a comma list of " +
+        "transforms (identity col, years/months/days(ts), " +
+        "truncate(n,col), bucket(n,col)) or '' to drop partitioning",
+      Seq(in("table", StringType), in("spec", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("partition", StringType),
+        StructField("history", StringType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val v = VersionedTable.evolvePartitionSpec(spark, p,
+          args.getUTF8String(1).toString)
+        val props = VersionedTable.tableProperties(spark, p, Some(v))
+        Seq(new GenericInternalRow(Array[Any](v,
+          utf8(props.getOrElse("partition", "")),
+          utf8(props.getOrElse("partition.history", "")))))
+      }),
     Proc("history",
       "DESCRIBE HISTORY: one row per commit (kind, generation/DV " +
         "counts, txn stamp, publish time) from bytes-sized manifest " +

@@ -394,8 +394,12 @@ object VTableScans {
       .map(c => (c, bounds(filters, c)))
       .collect { case (c, (lo, hi))
           if lo != Long.MinValue || hi != Long.MaxValue => (c, lo, hi) }
+    // ALL spec eras translate (allPartitionFieldsOf): after a partition
+    // spec evolution, pre-evolution generations keep pruning under
+    // their own era's transform — each entry is tested by whichever
+    // __p_ segments its path carries
     val partPreds = graft.ops.PartFields.prunePredicates(
-      VersionedTable.partitionFieldsOf(
+      VersionedTable.allPartitionFieldsOf(
         VersionedTable.tableProperties(spark, path, version)), filters)
     val base =
       if (windows.isEmpty && partPreds.isEmpty)

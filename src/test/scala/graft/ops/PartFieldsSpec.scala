@@ -278,6 +278,96 @@ class PartFieldsSpec extends SparkSpec {
     assert(kept2 == 1 && got2.filter(col("id").isNull).count() == 1)
   }
 
+  test("partition spec evolution: per-era pruning, refinement replace, refusals") {
+    import spark.implicits._
+    val root = freshRoot()
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val era1 = Seq((1, day("2024-01-03"), 10), (2, day("2024-01-05"), 20),
+      (3, day("2024-02-10"), 30), (4, day("2024-03-07"), 40))
+      .toDF("id", "d", "v")
+    assert(VersionedTable.createIfAbsent(spark, root, era1,
+      Map("partition" -> "days(d)")))                    // v1: 4 day leaves
+    val v2 = VersionedTable.evolvePartitionSpec(spark, root, "months(d)")
+    assert(VersionedTable.commitKind(spark, root, v2) == "set_partition_spec")
+    assert(VersionedTable.manifestDirs(spark, root, v2) ==
+      VersionedTable.manifestDirs(spark, root, 1L))      // metadata-only
+    val era2 = Seq((5, day("2024-04-15"), 50), (6, day("2024-05-20"), 60))
+      .toDF("id", "d", "v")
+    val v3 = VersionedTable.commit(spark, root, era2, overwrite = false)
+    // new era routes as month leaves; the day era keeps its layout
+    val sum = VersionedTable.partitionSummary(spark, root, Some(v3)).map(_._1)
+    assert(sum.count(_.startsWith("d_day=")) == 4 &&
+      sum.count(_.startsWith("d_month=")) == 2, sum.mkString(","))
+    // ONE base-column range prunes BOTH eras, each under its own
+    // transform (day tokens by day, month tokens by month)
+    val fields = VersionedTable.allPartitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    assert(fields.map(_.spec) == Seq("months(d)", "days(d)"))
+    val (got, kept, total) = VersionedTable.readAtPrunedPreds(spark, root,
+      None, Nil, PartFields.prunePredicates(fields, Seq(
+        GreaterThanOrEqual("d", day("2024-02-01")),
+        LessThanOrEqual("d", day("2024-04-30")))))
+    assert(total == 6 && kept == 3, s"kept $kept of $total")
+    assert(got.filter(col("d").between(day("2024-02-01"), day("2024-04-30")))
+      .collect().map(_.getInt(0)).toSet == Set(3, 4, 5))
+    // old-spec TIME TRAVEL: pre-evolution snapshots keep their ledger
+    assert(VersionedTable.partitionSummary(spark, root, Some(1L)).map(_._1)
+      .forall(_.startsWith("d_day=")))
+    assert(VersionedTable.readAt(spark, root, Some(1L)).count() == 4)
+    // dynamic overwrite of a PRE-EVOLUTION month: days→months
+    // refinement drops exactly the two 2024-01 day leaves — never the
+    // whole old era through the plain-rewrite path
+    val reload = Seq((11, day("2024-01-04"), 11)).toDF("id", "d", "v")
+    val (v4, replaced, carried) = VersionedTable.overwritePartitions(
+      spark, root, reload).getOrElse(sys.error("replace lost a race"))
+    assert(replaced == 2 && carried == 4, s"replaced $replaced carried $carried")
+    assert(VersionedTable.readAt(spark, root, Some(v4))
+      .collect().map(_.getInt(0)).toSet == Set(11, 3, 4, 5, 6))
+    // a subscription on a HISTORICAL field keeps binding and serving
+    VersionedTable.validatePartitionFilter(spark, root, "d_day=2024-02-10")
+    assert(VersionedTable.readAtPartition(spark, root, None, "d_day=2024-02-10")
+      .collect().map(_.getInt(0)).toSet == Set(3))
+    // refusals: no-op spec, unknown column, type gate, raw property
+    // edits of the managed layout keys
+    intercept[IllegalArgumentException](
+      VersionedTable.evolvePartitionSpec(spark, root, "months(d)"))
+    intercept[IllegalArgumentException](
+      VersionedTable.evolvePartitionSpec(spark, root, "days(nope)"))
+    intercept[IllegalArgumentException](
+      VersionedTable.evolvePartitionSpec(spark, root, "days(v)"))
+    intercept[IllegalArgumentException](
+      VersionedTable.setProperties(spark, root, Map("partition" -> "days(d)")))
+    intercept[IllegalArgumentException](
+      VersionedTable.setProperties(spark, root, Map.empty,
+        unset = Seq("partition.history")))
+    // AMBIGUITY GATE: a re-parameterization reusing the leaf-field name
+    // (truncate width change collides on code_trunc) refuses — the two
+    // eras' path tokens would be indistinguishable
+    val root2 = freshRoot()
+    assert(VersionedTable.createIfAbsent(spark, root2,
+      Seq((1L, "ab"), (2L, "cd")).toDF("id", "code"),
+      Map("partition" -> "truncate(1,code)")))
+    intercept[IllegalArgumentException](
+      VersionedTable.evolvePartitionSpec(spark, root2, "truncate(2,code)"))
+    // widening with a DIFFERENT column is fine; dropping partitioning
+    // entirely routes future writes plain while old leaves keep pruning
+    VersionedTable.evolvePartitionSpec(spark, root2, "truncate(1,code),bucket(4,id)")
+    VersionedTable.evolvePartitionSpec(spark, root2, "")
+    // a historical spec source still refuses renames: old-era pruning
+    // translates predicates under the recorded base name
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root2, "code", "c2"))
+    val r2v4 = VersionedTable.commit(spark, root2,
+      Seq((9L, "zz")).toDF("id", "code"), overwrite = false)
+    val sum2 = VersionedTable.partitionSummary(spark, root2, Some(r2v4)).map(_._1)
+    assert(sum2.contains(""), sum2.mkString(","))        // plain new entry
+    val f2 = VersionedTable.allPartitionFieldsOf(
+      VersionedTable.tableProperties(spark, root2))
+    val (g2, k2, t2) = VersionedTable.readAtPrunedPreds(spark, root2, None,
+      Nil, PartFields.prunePredicates(f2, Seq(EqualTo("code", "ab"))))
+    assert(k2 < t2 && g2.filter(col("code") === "ab").count() == 1)
+  }
+
   test("utcDay tokens are exact past ±2^53 µs from the epoch (r15 ADVICE)") {
     import spark.implicits._
     // ±2^53 µs is ~±285 years: before ~1685 / after ~2255 the old double

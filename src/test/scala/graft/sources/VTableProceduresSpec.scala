@@ -97,7 +97,7 @@ class VTableProceduresSpec extends SparkSpec {
     val listed = spark.sql("SHOW PROCEDURES IN vtproc.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(listed == Set("compact", "optimize", "restore", "vacuum",
-      "partitions", "history"))
+      "partitions", "history", "evolve_partition_spec"))
     intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
     intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
   }
@@ -156,5 +156,40 @@ class VTableProceduresSpec extends SparkSpec {
       "CALL vtproc.system.partitions('pp.t', version => 1)")
       .collect().map(_.getString(0)).toSeq
     assert(atV1 == Seq("grp=a", "grp=b"), atV1)
+  }
+
+  test("CALL evolve_partition_spec changes the layout; DESCRIBE and SQL reads follow") {
+    import spark.implicits._
+    val p = s"$root/ev/t"
+    def day(s: String) = java.sql.Date.valueOf(s)
+    assert(VersionedTable.createIfAbsent(spark, p,
+      Seq((1, day("2024-01-03")), (2, day("2024-02-10")))
+        .toDF("id", "d"),
+      Map("partition" -> "days(d)")))
+    val r = spark.sql(
+      "CALL vtproc.system.evolve_partition_spec('ev.t', 'months(d)')")
+      .head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "months(d)" &&
+      r.getString(2) == "days(d)")
+    // DESCRIBE's partitioning section reflects the CURRENT spec
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED vtproc.ev.t").collect()
+      .map(x => s"${x.getString(0)}|${x.getString(1)}").mkString("\n")
+    assert(desc.contains("months(d)"), desc)
+    // SQL INSERT routes under the new spec; a base-column predicate
+    // reads across both eras through the catalog scan
+    spark.sql("INSERT INTO vtproc.ev.t VALUES (3, DATE'2024-03-15')")
+    assert(ids("SELECT id FROM vtproc.ev.t WHERE d >= DATE'2024-02-01'")
+      == Set(2, 3))
+    val sum = VersionedTable.partitionSummary(spark, p).map(_._1)
+    assert(sum.count(_.startsWith("d_day=")) == 2 &&
+      sum.count(_.startsWith("d_month=")) == 1, sum.mkString(","))
+    // the evolve commit is in the history ledger
+    assert(spark.sql("CALL vtproc.system.history('ev.t')").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap.apply(2L)
+      == "set_partition_spec")
+    // a bad spec refuses through the CALL too
+    intercept[Exception](spark.sql(
+      "CALL vtproc.system.evolve_partition_spec('ev.t', 'days(id)')")
+      .collect())
   }
 }
