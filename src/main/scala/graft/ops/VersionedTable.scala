@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.{StructField, StructType}
 import Q.t
 
 /** A minimal commit-log table format — numbered snapshots over plain
@@ -50,7 +50,8 @@ object VersionedTable {
     q126SqlUpdate, q127SqlMaintenance, q128SqlEvolution,
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
-    q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution)
+    q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution,
+    q138DropColumn)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -452,6 +453,29 @@ object VersionedTable {
         k.stripPrefix("colmap.") -> v
     }
 
+  // physical names retired by DROP COLUMN (`dropcol.<physical>`
+  // properties): reads project them away, and the names stay RESERVED —
+  // no write, add, rename target or merge-evolved column may reuse one
+  // while committed files still carry its bytes (a full compact/optimize
+  // purges the files and clears the property, freeing the name)
+  private def droppedNamesOf(props: Map[String, String]): Seq[String] =
+    props.keys.filter(_.startsWith("dropcol."))
+      .map(_.stripPrefix("dropcol.")).toSeq
+
+  // refuse a writer frame that carries a dropped physical name — reads
+  // project the column away, so the written values would silently vanish
+  private def requireNoDroppedNames(df: DataFrame,
+      props: Map[String, String], what: String): Unit = {
+    val dropped = droppedNamesOf(props)
+    val clash = df.columns.filter(c =>
+      dropped.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"VersionedTable: $what writes column ${clash.mkString(",")} " +
+        "whose name was DROPPED — reads project it away, so the values " +
+        "would silently vanish; the name stays reserved until a full " +
+        "compact/optimize purges the old files")
+  }
+
   // the `data/v-xxxx` generation a scanned file belongs to, parsed from
   // its RAW input_file_name string (no URI decoding — partition leaf
   // names carry hive %XX escapes, and decode-then-compare is ambiguous;
@@ -742,8 +766,12 @@ object VersionedTable {
       overwrite: Boolean, meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil): Long = {
+    val tipProps = versions(spark, root).lastOption
+      .map(v => tablePropsOf(manifestMeta(spark, root, v)))
+      .getOrElse(Map.empty[String, String])
+    requireNoDroppedNames(df, tipProps, "commit")
     val gen = writeGeneration(spark, root, df,
-      partitionFieldsAt(spark, root))
+      partitionFieldsOf(tipProps))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     val genStats = genStatsForEntries(spark, root, entries,
@@ -887,19 +915,26 @@ object VersionedTable {
     require(vs.nonEmpty, s"VersionedTable: nothing to compact at $root")
     val baseV = vs.last
     val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
-    // one generation and no tombstones — already compact; with outstanding
-    // deletion vectors compaction is still meaningful even at one
-    // generation: it MATERIALIZES the deletes (reads through the DVs,
-    // writes the survivors, publishes with no dv: headers)
-    if (baseDirs.size <= 1 && dvHeadersOf(baseMeta).isEmpty) return None
+    // one generation and no tombstones — already compact; with
+    // outstanding deletion vectors OR drop-column tombstones compaction
+    // is still meaningful even at one generation: it MATERIALIZES the
+    // deletes / PURGES the dropped column's bytes (the rewrite reads the
+    // logical view, so the new files carry neither)
+    if (baseDirs.size <= 1 && dvHeadersOf(baseMeta).isEmpty &&
+        droppedNamesOf(tablePropsOf(baseMeta)).isEmpty) return None
     val df = applyDvs(spark, root, baseMeta,
       readDirs(spark, root, baseDirs, baseMeta))
     raceHook()
     val gen = writeGeneration(spark, root, df,
       partitionFieldsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
+    // a FULL rewrite replaces every file, so no file carries a dropped
+    // column any more — clear the dropcol tombstones, freeing the names
+    // for re-ADD (the incremental compactSmall keeps them: its carried
+    // bulk generations may still hold the bytes)
     if (tryPublish(spark, root, baseV + 1, entries,
-        Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
+        Map("rewrite" -> "true")
+          ++ propHeadersOf(baseMeta).filterNot(_._1.startsWith("prop:dropcol."))
           ++ genStatsForEntries(spark, root, entries, statsCol.toSeq)))
       Some(baseV + 1)
     else {
@@ -988,6 +1023,19 @@ object VersionedTable {
       meta: Map[String, String] = Map.empty): DataFrame = {
     val defaults = defaultsOf(meta)
     val colmap = colmapOf(meta)
+    // DROPPED COLUMNS (`dropcol.<physical>` properties, the DROP COLUMN
+    // device): generations written before the drop still physically
+    // carry the column — reads PROJECT it away (a metadata-only drop, no
+    // file rewritten); pre-drop snapshots predate the property and keep
+    // reading it. The physical name stays reserved until a full
+    // compact/optimize purges the files and clears the property.
+    val dropped = tablePropsOf(meta).keys
+      .filter(_.startsWith("dropcol.")).map(_.stripPrefix("dropcol.")).toSeq
+    def strip(f: DataFrame): DataFrame =
+      dropped.foldLeft(f)((d, c) =>
+        d.columns.find(_.equalsIgnoreCase(c)).map(d.drop(_)).getOrElse(d))
+    def stripped(s: StructType): StructType = StructType(s.filterNot(f =>
+      dropped.exists(_.equalsIgnoreCase(f.name))))
     def remap(f: DataFrame): DataFrame =
       colmap.foldLeft(f) { case (d, (phys, logi)) =>
         d.columns.find(_.equalsIgnoreCase(phys)) match {
@@ -1007,19 +1055,23 @@ object VersionedTable {
       .map(g => dirs.filter(e => genPrefixOf(e) == g))
     val reps = genGroups.map(g =>
       spark.read.parquet(new Path(root, g.head).toString))
-    val rawSame = reps.map(_.schema).distinct.size <= 1
+    // schemas compare POST-drop: a pre-drop and a post-drop generation
+    // are byte-different but read identically, and falling to the
+    // drifted path for that would cost the single-scan fast path on
+    // every dropped-column table until compaction
+    val rawSame = reps.map(f => stripped(f.schema)).distinct.size <= 1
     // existence defaults only matter for generations MISSING a defaulted
     // column; when every generation carries them all, the single
     // multi-path scan fast path stays intact
     val needDefaults = defaults.nonEmpty && reps.exists(f =>
       defaults.keys.exists(c => !f.columns.exists(_.equalsIgnoreCase(c))))
-    if (rawSame && !needDefaults) remap(spark.read.parquet(paths: _*))
+    if (rawSame && !needDefaults) remap(strip(spark.read.parquet(paths: _*)))
     else genGroups.map { g =>
       // drifted path: one multi-path scan PER GENERATION (schemas are
       // uniform within one), defaults filled where the generation lacks
       // the column, then by-name union across generations
-      val f = remap(spark.read.parquet(
-        g.map(d => new Path(root, d).toString): _*))
+      val f = remap(strip(spark.read.parquet(
+        g.map(d => new Path(root, d).toString): _*)))
       defaults.foldLeft(f) { case (d, (c, e)) =>
         if (d.columns.exists(_.equalsIgnoreCase(c))) d
         else d.withColumn(c, expr(e))
@@ -1077,7 +1129,10 @@ object VersionedTable {
       partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true)
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
-        Map("rewrite" -> "true") ++ propHeadersOf(baseMeta)
+        Map("rewrite" -> "true")
+          // full rewrite: dropped columns' bytes are purged — clear the
+          // tombstones (the compact() rule)
+          ++ propHeadersOf(baseMeta).filterNot(_._1.startsWith("prop:dropcol."))
           ++ genStatsForEntries(spark, root, entries, statsCol.toSeq))) {
       val filesAfter = entries.map(e =>
         hfs.listStatus(new Path(root, e))
@@ -1146,13 +1201,14 @@ object VersionedTable {
         "to widen in the merge commit, or drop them")
     if (extra.nonEmpty) {
       // the addColumns hygiene applies to merge-evolved columns too
-      val historic = colmapOf(baseMeta).keys.toSeq
+      val historic = colmapOf(baseMeta).keys.toSeq ++
+        droppedNamesOf(tablePropsOf(baseMeta))
       val shadow = extra.map(_.name).filter(c =>
         historic.exists(_.equalsIgnoreCase(c)))
       require(shadow.isEmpty,
         s"mergeInto: ${shadow.mkString(",")} is a historical physical " +
-          "name of a renamed column — generations still carry it; pick " +
-          "a fresh name")
+          "name of a renamed or dropped column — generations still " +
+          "carry it; pick a fresh name")
     }
     val srcKeys = source.select(col(keyCol)).distinct()
     // which generation dirs hold at least one source key — over the RAW
@@ -1482,6 +1538,9 @@ object VersionedTable {
     require(!props.contains("partition.history"),
       "createIfAbsent: 'partition.history' is managed by " +
         "evolvePartitionSpec, not a creation property")
+    require(!props.keys.exists(_.startsWith("dropcol.")),
+      "createIfAbsent: 'dropcol.*' tombstones are managed by DROP " +
+        "COLUMN, not creation properties")
     // an API-declared layout runs the SAME transform/type gate the
     // catalog's PARTITIONED BY enforces — an unvalidated timestamp or
     // double identity column would write hive-escaped tokens the
@@ -1540,6 +1599,13 @@ object VersionedTable {
     require(cmTouched.isEmpty,
       s"setProperties: ${cmTouched.mkString(",")} — rename mappings are " +
         "managed by RENAME COLUMN, not raw property edits")
+    // drop tombstones are CORRECTNESS metadata too: a hand-UNSET one
+    // resurrects the dropped column's bytes on the next read
+    val dcTouched = (set.keys ++ unset).filter(_.startsWith("dropcol."))
+    require(dcTouched.isEmpty,
+      s"setProperties: ${dcTouched.mkString(",")} — drop tombstones are " +
+        "managed by DROP COLUMN and cleared by a full compact/optimize, " +
+        "not raw property edits")
     // adding a CHECK constraint is a promise about the WHOLE table, not
     // just future writes: validate existing data first (one
     // short-circuiting scan per added constraint), so a reader can trust
@@ -1611,15 +1677,26 @@ object VersionedTable {
     require(clash.isEmpty,
       s"addColumns: column ${clash.mkString(",")} already exists")
     // a historical raw name (colmap key) still lives in old parquet
-    // files: a new column reusing it would be silently aliased away
-    val historic = versions(spark, root).lastOption.toSeq
-      .flatMap(v => colmapOf(manifestMeta(spark, root, v)).keys)
+    // files: a new column reusing it would be silently aliased away.
+    // A DROPPED name is reserved the same way — re-adding it while old
+    // files still carry the bytes would RESURRECT the dropped values
+    // (Iceberg field-id semantics; a full compact frees the name)
+    val tipMeta = versions(spark, root).lastOption
+      .map(v => manifestMeta(spark, root, v)).getOrElse(Map.empty)
+    val historic = colmapOf(tipMeta).keys.toSeq
     val shadow = cols.map(_.name).filter(c =>
       historic.exists(_.equalsIgnoreCase(c)))
     require(shadow.isEmpty,
       s"addColumns: ${shadow.mkString(",")} is a historical physical " +
         "name of a renamed column — generations still carry it; pick a " +
         "fresh name")
+    val droppedShadow = cols.map(_.name).filter(c =>
+      droppedNamesOf(tablePropsOf(tipMeta)).exists(_.equalsIgnoreCase(c)))
+    require(droppedShadow.isEmpty,
+      s"addColumns: ${droppedShadow.mkString(",")} was DROPPED and old " +
+        "files still carry its bytes — re-adding it now would resurrect " +
+        "them; run a full compact/optimize first (it purges the files " +
+        "and frees the name)")
     // EXISTENCE DEFAULTS: each default must be a CONSTANT expression of
     // the column's type — validated by evaluating the pre-cast form
     // against a from-less SELECT, so a column reference, a typo, or an
@@ -1749,6 +1826,11 @@ object VersionedTable {
           k.equalsIgnoreCase(newName) && !v.equalsIgnoreCase(old) },
         s"renameColumn: '$newName' is a historical physical name of " +
           "another column — generations still carry it; pick a fresh name")
+      // a DROPPED name is reserved too: post-rename appends would land
+      // physically under it and be projected away by the drop property
+      require(!droppedNamesOf(props).exists(_.equalsIgnoreCase(newName)),
+        s"renameColumn: '$newName' was DROPPED and old files still " +
+          "carry its bytes — run a full compact/optimize first")
       val chained = cm.map { case (k, v) =>
         k -> (if (v.equalsIgnoreCase(old)) newName else v)
       } + (old -> newName)
@@ -1762,6 +1844,98 @@ object VersionedTable {
       if (attempt == 1) raceHook()
       if (tryPublish(spark, root, tipV + 1, dirs,
           mapped + ("alter" -> "rename_column"))) return tipV + 1
+    }
+    -1L // unreachable
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (the logical-drop
+    * half of Delta's column-mapping): committed generations keep the
+    * column's bytes, but this publishes a `dropcol.<physical>` table
+    * property for the column AND every historical raw name still
+    * aliasing to it (the rename chain is retired in the same commit),
+    * and every read PROJECTS those physical names away
+    * ([[readDirs]]). Old snapshots predate the property — time travel
+    * before the drop still sees the column (the drop is itself a
+    * version). Cost at any table size: one bytes-sized manifest
+    * publish, no file rewritten; the bytes are physically purged by the
+    * next full [[compact]]/[[optimize]] (which also CLEARS the
+    * `dropcol.` property — its files no longer carry the name).
+    *
+    * RE-ADD ISOLATION (Iceberg field-id semantics): while any committed
+    * file still physically carries the name, the name is RESERVED —
+    * [[addColumns]], merge schema evolution, [[renameColumn]] targets
+    * and writer frames all refuse it loudly, because a new column of
+    * that name would silently align with the dropped bytes and
+    * resurrect them. After a full rewrite clears the property, the name
+    * is free and a re-added column reads NULL for every pre-existing
+    * row — never the dropped values.
+    *
+    * REFUSED when the column is load-bearing for another contract (the
+    * [[renameColumn]] set): a partition transform source (current or
+    * historical spec), the row-id `key` property, an outstanding
+    * deletion vector's key column, a CHECK constraint reference, an
+    * existence DEFAULT — and when it is the table's last column.
+    * Stale `stats:` headers under the dropped name simply never match
+    * again. Like [[setProperties]] the intent is state-independent, so
+    * a publish loss retries at the next version. Returns the committed
+    * version.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+      raceHook: () => Unit = () => ()): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      val tipV = vs.last
+      val (dirs, meta) = manifestOf(spark, root, tipV)
+      val props = tablePropsOf(meta)
+      val schema = readAt(spark, root, Some(tipV)).schema // logical view
+      val old = schema.fieldNames.find(_.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dropColumn: no column '$name' in " +
+            schema.fieldNames.mkString("(", ", ", ")")))
+      require(schema.fieldNames.length > 1,
+        s"dropColumn: '$old' is the table's last column")
+      val partSrcs = allPartitionFieldsOf(props).map(_.source)
+      require(!partSrcs.exists(_.equalsIgnoreCase(old)),
+        s"dropColumn: '$old' is a partition transform source (current " +
+          "or historical spec) — the layout contract records the name")
+      require(!props.get("key").exists(_.equalsIgnoreCase(old)),
+        s"dropColumn: '$old' is the declared row-id key — unset the " +
+          "'key' property first")
+      require(!dvHeadersOf(meta).values.exists(_.equalsIgnoreCase(old)),
+        s"dropColumn: outstanding deletion vectors tombstone '$old' — " +
+          "run compact() to materialize them first")
+      props.foreach { case (k, v) =>
+        if (k.startsWith("constraint."))
+          require(!(s"(?i)\\b${java.util.regex.Pattern.quote(old)}\\b".r
+              .findFirstIn(v).isDefined),
+            s"dropColumn: CHECK constraint '${k.stripPrefix("constraint.")}'" +
+              s" references '$old' — UNSET it first")
+        if (k == s"default.$old")
+          require(requirement = false,
+            s"dropColumn: '$old' carries an existence DEFAULT — UNSET " +
+              "it first")
+      }
+      // the column's physical names: itself + every historical raw name
+      // still aliasing to it; their colmap entries retire with the drop
+      val cm = colmapOf(meta)
+      val phys = cm.collect {
+        case (k, v) if v.equalsIgnoreCase(old) => k }.toSeq :+ old
+      validateProps(phys.map(p => s"dropcol.$p" -> tipV.toString).toMap)
+      val kept = meta.filter { case (k, _) =>
+        (k.startsWith("stats:") || k.startsWith("dv:") ||
+          k.startsWith("prop:")) &&
+          !phys.exists(p => k.equalsIgnoreCase(s"prop:colmap.$p"))
+      }
+      val edited = kept ++
+        phys.map(p => s"prop:dropcol.$p" -> tipV.toString) +
+        ("alter" -> "drop_column")
+      if (attempt == 1) raceHook()
+      if (tryPublish(spark, root, tipV + 1, dirs, edited)) return tipV + 1
     }
     -1L // unreachable
   }
@@ -1980,6 +2154,7 @@ object VersionedTable {
           s"overwritePartitions: batch is missing partition source " +
             s"column '${f.source}' (transform ${f.spec})"))
     partFields.foreach(srcIn(df, _)) // fail fast, name them all
+    requireNoDroppedNames(df, tablePropsOf(baseMeta), "overwritePartitions")
     require(dvHeadersOf(baseMeta).isEmpty,
       "overwritePartitions: outstanding deletion vectors span replaced " +
         "and carried partitions — run compact() to materialize them first")
@@ -2238,6 +2413,8 @@ object VersionedTable {
     val vs0 = versions(spark, root)
     if (absorbed(vs0)) return (vs0.last, false)
     raceHook()
+    vs0.lastOption.foreach(v => requireNoDroppedNames(df,
+      tablePropsOf(manifestMeta(spark, root, v)), "idempotentCommit"))
     val gen = writeGeneration(spark, root, df,
       partitionFieldsAt(spark, root))
     val entries = genEntries(spark, root, gen)
@@ -4930,6 +5107,103 @@ object VersionedTable {
       FROM o, y WHERE yr = y0
       UNION ALL
       SELECT 'audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q138: DROP COLUMN — [[dropColumn]]'s metadata-only logical drop and
+    * the full re-ADD lifecycle, all oracle-pinned: v1 loads a year of
+    * orders WITH `price`, v2 drops it (dirs identical to v1 — pinned:
+    * no file rewritten at any table size), v3 appends the next year
+    * already narrow. Re-adding `price` immediately REFUSES (old files
+    * still carry the bytes — re-add would resurrect them; the refusal
+    * is the `audit_readd` pin), a full [[compact]] purges the bytes and
+    * CLEARS the tombstone, after which [[addColumns]] re-adds the name
+    * cleanly: the `yr_*` rows pin that pre-compact rows read NULL for
+    * the re-added column (b = non-null count = 0 — the NO-RESURRECTION
+    * pin) while the post-re-add year carries real values again.
+    * `time_travel` re-reads v1 WITH the column — the drop is a version.
+    * The oracle replays the lifecycle as CASE arithmetic over the base
+    * table and never sees the format. At 100 TB: dropping a column
+    * costs one bytes-sized manifest publish; the bytes leave at the
+    * next scheduled OPTIMIZE — the Delta column-mapping DROP economics.
+    */
+  val q138DropColumn: Q = Q(
+    "q138_drop_column",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"),
+          year(col("o_orderdate")).as("yr"))
+      val y0 = orders.agg(min(col("yr"))).head().getInt(0)
+      def slice(k: Int) = orders.filter(col("yr") === y0 + k)
+      val v1 = commit(s, root, slice(0), overwrite = true)
+      val v2 = dropColumn(s, root, "price")
+      val v3 = commit(s, root, slice(1).drop("price"), overwrite = false)
+      val narrowOk =
+        if (readAt(s, root, Some(v3)).columns
+          .forall(!_.equalsIgnoreCase("price"))) 1L else 0L
+      // re-add refused while committed files still carry the bytes
+      val refused =
+        try {
+          addColumns(s, root, Seq(StructField("price",
+            org.apache.spark.sql.types.DecimalType(18, 2))))
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      // full compact purges the bytes, clears the tombstone, frees the name
+      val v4 = compact(s, root).getOrElse(
+        sys.error("q138: compact lost a race on a private table"))
+      val v5 = addColumns(s, root, Seq(StructField("price",
+        org.apache.spark.sql.types.DecimalType(18, 2))))
+      val noResurrect =
+        if (readAt(s, root, Some(v5)).filter(col("price").isNotNull)
+          .isEmpty) 1L else 0L
+      val v6 = commit(s, root, slice(2), overwrite = false)
+      val perYear = readAt(s, root, Some(v6)).groupBy(col("yr"))
+        .agg(count(lit(1)).as("a"), count(col("price")).as("b"),
+          sum(coalesce(col("price"),
+            lit(0).cast("decimal(18,2)"))).cast("double").as("c"))
+        .select(concat(lit("yr_"),
+          (col("yr") - lit(y0)).cast("string")).as("step"),
+          col("a"), col("b"), col("c"))
+      val tt = readAt(s, root, Some(v1))
+        .agg(count(lit(1)).as("a"), count(col("price")).as("b"),
+          sum(col("price")).cast("double").as("c"))
+        .select(lit("time_travel").as("step"), col("a"), col("b"), col("c"))
+      def audit(step: String, a: Long, b: Long) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"), lit(1.0).cast("double").as("c"))
+      val dropKindOk =
+        if (commitKind(s, root, v2) == "drop_column" &&
+          manifestDirs(s, root, v2) == manifestDirs(s, root, v1)) 1L else 0L
+      perYear.unionByName(tt)
+        .unionByName(audit("audit_drop", dropKindOk, narrowOk))
+        .unionByName(audit("audit_readd", refused, noResurrect))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) AS y0 FROM o),
+      w AS (SELECT o.*, yr - y0 AS k FROM o, y WHERE yr BETWEEN y0 AND y0 + 2)
+      SELECT concat('yr_', CAST(k AS VARCHAR)) AS step,
+        CAST(count(*) AS BIGINT) AS a,
+        CAST(count(CASE WHEN k = 2 THEN price END) AS BIGINT) AS b,
+        CAST(sum(CASE WHEN k = 2 THEN price
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS c
+      FROM w GROUP BY k
+      UNION ALL
+      SELECT 'time_travel', CAST(count(*) AS BIGINT),
+        CAST(count(price) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      FROM w WHERE k = 0
+      UNION ALL
+      SELECT 'audit_drop', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'audit_readd', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 

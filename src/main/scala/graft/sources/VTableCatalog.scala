@@ -239,16 +239,23 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
       case _ => false
     }
     val (adds, rest2) = rest.partition(_.isInstanceOf[TableChange.AddColumn])
-    val (renames, other) = rest2.partition(_.isInstanceOf[TableChange.RenameColumn])
+    val (renames, rest3) = rest2.partition(_.isInstanceOf[TableChange.RenameColumn])
+    val (drops, other) = rest3.partition(_.isInstanceOf[TableChange.DeleteColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      "graft-vtable: only SET/UNSET TBLPROPERTIES, ADD COLUMNS and " +
-        "RENAME COLUMN are supported — DROP/retype would rewrite or " +
+      "graft-vtable: only SET/UNSET TBLPROPERTIES, ADD COLUMNS, " +
+        "RENAME COLUMN and DROP COLUMN are supported — retype would " +
         "reinterpret committed data")
     renames.collect { case r: TableChange.RenameColumn =>
       require(r.fieldNames().length == 1,
         "graft-vtable: RENAME COLUMN supports top-level columns only, " +
           s"got ${r.fieldNames().mkString(".")}")
       VersionedTable.renameColumn(spark, p, r.fieldNames()(0), r.newName())
+    }
+    drops.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1,
+        "graft-vtable: DROP COLUMN supports top-level columns only, " +
+          s"got ${d.fieldNames().mkString(".")}")
+      VersionedTable.dropColumn(spark, p, d.fieldNames()(0))
     }
     val newCols = adds.collect { case c: TableChange.AddColumn =>
       require(c.fieldNames().length == 1,

@@ -1513,4 +1513,85 @@ class VersionedTableSpec extends SparkSpec {
       None, Nil, Seq("grp" -> Set(Option("50% off"))))
     assert(keptEq == 2, s"the escaped leaf plus the create gen: $keptEq")
   }
+
+  test("DROP COLUMN: metadata-only logical drop; reserved name until a full compact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark, root,
+      Seq((1, "a", 10), (2, "b", 20)).toDF("id", "tag", "v"),
+      overwrite = true)
+    // rename first: the drop must retire the WHOLE alias chain
+    val v2 = VersionedTable.renameColumn(spark, root, "tag", "label")
+    val v3 = VersionedTable.dropColumn(spark, root, "label")
+    assert(VersionedTable.commitKind(spark, root, v3) == "drop_column")
+    assert(VersionedTable.manifestDirs(spark, root, v3) ==
+      VersionedTable.manifestDirs(spark, root, v1), "metadata-only")
+    val cur = VersionedTable.readAt(spark, root)
+    assert(cur.columns.toSeq == Seq("id", "v"))
+    assert(cur.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 10), (2, 20)))
+    val props3 = VersionedTable.tableProperties(spark, root, Some(v3))
+    assert(!props3.keys.exists(_.startsWith("colmap.")),
+      "the retired chain must not keep aliasing")
+    assert(props3.keys.count(_.startsWith("dropcol.")) == 2,
+      "both physical names (tag, label) tombstone")
+    // time travel: each era keeps its own schema
+    assert(VersionedTable.readAt(spark, root, Some(v1)).columns
+      .contains("tag"))
+    assert(VersionedTable.readAt(spark, root, Some(v2)).columns
+      .contains("label"))
+    // RESERVED NAMES: writer frames, re-add, rename targets and raw
+    // property edits all refuse while old files carry the bytes
+    intercept[IllegalArgumentException](VersionedTable.commit(spark, root,
+      Seq((3, "c", 30)).toDF("id", "tag", "v"), overwrite = false))
+    intercept[IllegalArgumentException](VersionedTable.commit(spark, root,
+      Seq((3, "c", 30)).toDF("id", "label", "v"), overwrite = false))
+    intercept[IllegalArgumentException](VersionedTable.addColumns(spark,
+      root, Seq(StructField("label", StringType))))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "v", "label"))
+    intercept[IllegalArgumentException](VersionedTable.setProperties(spark,
+      root, Map.empty, unset = Seq("dropcol.label")))
+    // the logical schema flows normally
+    val v4 = VersionedTable.commit(spark, root,
+      Seq((3, 30)).toDF("id", "v"), overwrite = false)
+    // INCREMENTAL compaction keeps the tombstones (its carried bulk may
+    // still hold the bytes elsewhere — conservative by design)
+    VersionedTable.compactSmall(spark, root, smallBytes = 1L << 30)
+    assert(VersionedTable.tableProperties(spark, root).keys
+      .exists(_.startsWith("dropcol.")))
+    // FULL compact purges the bytes and clears the tombstones; a
+    // re-added column reads NULL for every row — never the old values
+    val v6 = VersionedTable.compact(spark, root).getOrElse(
+      sys.error("compact lost a race"))
+    assert(!VersionedTable.tableProperties(spark, root, Some(v6)).keys
+      .exists(_.startsWith("dropcol.")))
+    VersionedTable.addColumns(spark, root,
+      Seq(StructField("label", StringType)))
+    val back = VersionedTable.readAt(spark, root)
+    assert(back.columns.contains("label") &&
+      back.filter(col("label").isNotNull).isEmpty,
+      "re-add must not resurrect dropped bytes")
+    assert(idsAt(root) == Set(1, 2, 3))
+    // LOAD-BEARING refusals: partition source, row-id key, constraint
+    // reference, existence default, last column
+    val root2 = freshRoot()
+    assert(VersionedTable.createIfAbsent(spark, root2,
+      Seq((1, "x", 5)).toDF("id", "grp", "v"),
+      Map("partition" -> "grp", "key" -> "id",
+        "constraint.pos" -> "v > 0")))
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root2, "grp"))
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root2, "id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root2, "v"))
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root2, "nope"))
+    val root3 = freshRoot()
+    VersionedTable.commit(spark, root3, df(1, 2), overwrite = true)
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root3, "id"))
+  }
 }

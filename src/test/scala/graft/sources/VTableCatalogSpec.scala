@@ -64,8 +64,7 @@ class VTableCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE vtcat.ns.b")
     assert(spark.sql("SHOW TABLES IN vtcat.ns")
       .collect().map(_.getString(1)).toSet == Set("c"))
-    // destructive schema ALTER is rejected loudly — DROP would rewrite
-    // or reinterpret committed data (ADD COLUMNS is the supported path)
+    // DROP COLUMN is supported (r16) but never on the LAST column
     intercept[Exception](
       spark.sql("ALTER TABLE vtcat.ns.c DROP COLUMN id"))
   }
@@ -172,9 +171,13 @@ class VTableCatalogSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet == Set(10, 20))
     assert(VersionedTable.commitKind(spark, s"$root/rn/t", 3L)
       == "rename_column")
-    // DROP COLUMN stays refused
-    intercept[Exception](
-      spark.sql("ALTER TABLE vtcat.rn.t DROP COLUMN score"))
+    // DROP COLUMN (supported since r16) retires the whole alias chain:
+    // the logical name and its historical physical name both tombstone
+    spark.sql("ALTER TABLE vtcat.rn.t DROP COLUMN score")
+    assert(spark.table("vtcat.rn.t").columns.toSeq == Seq("id"))
+    assert(spark.sql("SELECT v FROM vtcat.rn.t VERSION AS OF 2")
+      .collect().map(_.getInt(0)).toSet == Set(10, 20),
+      "pre-rename time travel keeps the original column")
   }
 
   test("hidden partitioning end-to-end in SQL: days(ts) prunes from a base-column range") {
@@ -288,7 +291,8 @@ class VTableCatalogSpec extends SparkSpec {
     // data rows untouched by the metadata commits
     assert(ids("SELECT id FROM vtcat.p.t") == Set(3))
     // RENAME COLUMN is supported since r15 (the 'key' guard lifted when
-    // the property was UNSET above); truly destructive ALTERs stay refused
+    // the property was UNSET above); DROP refuses on the last column,
+    // and retype stays refused outright
     spark.sql("ALTER TABLE vtcat.p.t RENAME COLUMN id TO id2")
     assert(ids("SELECT id2 FROM vtcat.p.t") == Set(3))
     intercept[Exception](
@@ -390,5 +394,33 @@ class VTableCatalogSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)),
       defaults = Map("bad2" -> "concat('a',\n'b')")))
     assert(VersionedTable.versions(spark, s"$root/ed/t").last == vNow)
+  }
+
+  test("ALTER TABLE DROP COLUMN drops logically; retype stays refused") {
+    spark.sql("CREATE TABLE vtcat.dc.t (id INT, note STRING, v INT)")
+    spark.sql("INSERT INTO vtcat.dc.t VALUES (1, 'keep', 10), (2, 'me', 20)")
+    spark.sql("ALTER TABLE vtcat.dc.t DROP COLUMN note")
+    // the logical schema narrowed; the data is intact
+    assert(spark.table("vtcat.dc.t").columns.toSeq == Seq("id", "v"))
+    assert(ids("SELECT id FROM vtcat.dc.t WHERE v > 0") == Set(1, 2))
+    // pre-drop TIME TRAVEL still reads the column and its values
+    val tt = spark.sql(
+      "SELECT note FROM vtcat.dc.t VERSION AS OF 2 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(tt == Seq("keep", "me"))
+    // the drop is in the ledger as a metadata-only commit
+    assert(VersionedTable.commitKind(spark, s"$root/dc/t", 3L)
+      == "drop_column")
+    // re-add refuses until a full compact purges the bytes (SQL path)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE vtcat.dc.t ADD COLUMNS (note STRING)"))
+    VersionedTable.compact(spark, s"$root/dc/t")
+    spark.sql("ALTER TABLE vtcat.dc.t ADD COLUMNS (note STRING)")
+    assert(spark.sql(
+      "SELECT count(*) FROM vtcat.dc.t WHERE note IS NOT NULL")
+      .head().getLong(0) == 0L, "re-add must not resurrect")
+    // retype is still refused
+    intercept[Exception](spark.sql(
+      "ALTER TABLE vtcat.dc.t ALTER COLUMN v TYPE BIGINT"))
   }
 }
