@@ -51,7 +51,7 @@ object VersionedTable {
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
     q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution,
-    q138DropColumn)
+    q138DropColumn, q139BranchWap)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,13 +70,17 @@ object VersionedTable {
       }).sorted
   }
 
-  private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  private def manifestLinesFile(spark: SparkSession, root: String,
+      file: String): Seq[String] = {
     val hfs = fs(spark, root)
-    val in = hfs.open(new Path(root, s"_log/$v.commit"))
+    val in = hfs.open(new Path(root, s"_log/$file"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLinesFile(spark, root, s"$v.commit")
 
   // a manifest is optional `#key=value` metadata headers, then one data
   // directory per line (headerless pre-metadata manifests parse the same)
@@ -373,17 +377,26 @@ object VersionedTable {
   // under clock skew (versionAsOfTimestamp's "newest at-or-before"
   // scan assumes monotone stamps).
   private def tryPublish(spark: SparkSession, root: String, v: Long,
+      dirs: Seq[String], meta: Map[String, String]): Boolean =
+    tryPublishAt(spark, root, s"$v.commit",
+      commitTsOpt(spark, root, v - 1), dirs, meta)
+
+  // the shared publish mechanism, parameterized by target manifest file —
+  // main-log commits and branch-log commits are the same atomic rename,
+  // just under different names (branch files never match CommitRe, so
+  // main readers cannot see them)
+  private def tryPublishAt(spark: SparkSession, root: String,
+      file: String, prevTs: Option[Long],
       dirs: Seq[String], meta: Map[String, String]): Boolean = {
     val hfs = fs(spark, root)
     val now = System.currentTimeMillis() * 1000L
-    val ts = math.max(now,
-      commitTsOpt(spark, root, v - 1).map(_ + 1L).getOrElse(Long.MinValue))
+    val ts = math.max(now, prevTs.map(_ + 1L).getOrElse(Long.MinValue))
     val stamped = meta + ("ts" -> ts.toString)
-    val tmp = new Path(root, s"_log/.tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    val tmp = new Path(root, s"_log/.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val lines = stamped.toSeq.sortBy(_._1).map { case (k, value) => s"#$k=$value" } ++ dirs
     val out = hfs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    if (hfs.rename(tmp, new Path(root, s"_log/$v.commit"))) true
+    if (hfs.rename(tmp, new Path(root, s"_log/$file"))) true
     else { hfs.delete(tmp, false); false }
   }
 
@@ -1490,6 +1503,8 @@ object VersionedTable {
       else if (meta.get("alter").contains("rename_column")) "rename_column"
       else if (meta.get("alter").contains("set_partition_spec")) "set_partition_spec"
       else if (meta.get("alter").contains("drop_column")) "drop_column"
+      else if (meta.contains("tag")) "tag"
+      else if (meta.contains("wap_publish")) "wap_publish"
       else if (meta.contains("restore")) "restore"
       else vs.filter(_ < v).lastOption match {
         case None => "create"
@@ -1606,6 +1621,13 @@ object VersionedTable {
       s"setProperties: ${dcTouched.mkString(",")} — drop tombstones are " +
         "managed by DROP COLUMN and cleared by a full compact/optimize, " +
         "not raw property edits")
+    // tag pointers have their own validated editor (tagVersion checks
+    // the target version EXISTS; a raw edit could point VERSION AS OF
+    // at nothing, or silently move a release tag)
+    val refTouched = (set.keys ++ unset).filter(_.startsWith("ref."))
+    require(refTouched.isEmpty,
+      s"setProperties: ${refTouched.mkString(",")} — refs are managed " +
+        "by tagVersion/deleteTag, not raw property edits")
     // adding a CHECK constraint is a promise about the WHOLE table, not
     // just future writes: validate existing data first (one
     // short-circuiting scan per added constraint), so a reader can trust
@@ -2083,6 +2105,274 @@ object VersionedTable {
     else None // no orphan to reclaim — restore writes no generation
   }
 
+  // ---- NAMED REFS: tags + branches (write-audit-publish) ------------
+  // A TAG is a durable name for a committed version — a `ref.<name>`
+  // table property published by a metadata-only commit (auditable,
+  // carried by every later commit, readable by `VERSION AS OF '<name>'`
+  // through the catalog; vacuum keeps tagged versions). A BRANCH is a
+  // FORK of the log: its manifests live beside main's as
+  // `_log/b.<name>.<v>.commit` — a file name CommitRe never matches, so
+  // main readers cannot see branch commits — sharing the same immutable
+  // data/ generations. Staged (branch) commits are therefore invisible
+  // to production readers until FAST-FORWARD atomically publishes the
+  // branch tip's manifest as main's next version: the write-audit-
+  // publish pattern (write to the branch, validate by reading the
+  // branch, publish with one rename). The branch's view of the data is
+  // the same readDirs/applyDvs machinery as main's.
+
+  private val BranchRe = """b\.([A-Za-z0-9_\-]+)\.(\d+)\.commit""".r
+
+  private def refName(name: String): String = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_\\-]+"),
+      s"VersionedTable: illegal ref name '$name' — use [A-Za-z0-9_-]+")
+    name
+  }
+
+  private def branchManifestOf(spark: SparkSession, root: String,
+      name: String, v: Long): (Seq[String], Map[String, String]) = {
+    val lines = manifestLinesFile(spark, root, s"b.$name.$v.commit")
+    val meta = lines.filter(_.startsWith("#"))
+      .map(_.drop(1).split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+    (lines.filterNot(_.startsWith("#")), meta)
+  }
+
+  /** Committed versions of branch `name`, ascending (empty = no branch).
+    * The first entry is the fork point (a copy of that main version's
+    * manifest); later entries are the branch's own append commits.
+    */
+  def branchVersions(spark: SparkSession, root: String,
+      name: String): Seq[Long] = {
+    val hfs = fs(spark, root)
+    val log = new Path(root, "_log")
+    if (!hfs.exists(log)) Seq.empty
+    else hfs.listStatus(log).toSeq.flatMap(_.getPath.getName match {
+      case BranchRe(n, v) if n == name => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Names of all live branches. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val hfs = fs(spark, root)
+    val log = new Path(root, "_log")
+    if (!hfs.exists(log)) Seq.empty
+    else hfs.listStatus(log).toSeq.flatMap(_.getPath.getName match {
+      case BranchRe(n, _) => Some(n)
+      case _ => None
+    }).distinct.sorted
+  }
+
+  /** TAG version `v` (the tip when None) under a durable name: a
+    * metadata-only commit (kind `tag`) publishing `ref.<name>=<v>` —
+    * the pointer rides the table's own log, carried by every later
+    * commit, resolvable by the catalog's `VERSION AS OF '<name>'`, and
+    * [[vacuum]] keeps tagged versions alive regardless of the count/
+    * time retention rules (the Iceberg tag-retention contract). Refuses
+    * an existing name ([[deleteTag]] first — a tag silently moving is
+    * how "the release snapshot" stops meaning anything).
+    */
+  def tagVersion(spark: SparkSession, root: String, name: String,
+      v: Option[Long] = None): Long = {
+    refName(name)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      val target = v.getOrElse(vs.last)
+      require(vs.contains(target),
+        s"tagVersion: version $target not in $vs")
+      val (dirs, meta) = manifestOf(spark, root, vs.last)
+      val kept = meta.filter { case (k, _) =>
+        k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+      }
+      require(!kept.contains(s"prop:ref.$name"),
+        s"tagVersion: tag '$name' already exists — deleteTag first " +
+          "(a silently moving tag is a correctness hazard)")
+      if (tryPublish(spark, root, vs.last + 1, dirs,
+          kept + (s"prop:ref.$name" -> target.toString) + ("tag" -> name)))
+        return vs.last + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Remove tag `name` (metadata-only commit, kind `tag`). */
+  def deleteTag(spark: SparkSession, root: String, name: String): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      val (dirs, meta) = manifestOf(spark, root, vs.last)
+      require(meta.contains(s"prop:ref.$name"),
+        s"deleteTag: no tag '$name'")
+      val kept = meta.filter { case (k, _) =>
+        (k.startsWith("stats:") || k.startsWith("dv:") ||
+          k.startsWith("prop:")) && k != s"prop:ref.$name"
+      }
+      if (tryPublish(spark, root, vs.last + 1, dirs,
+          kept + ("tag" -> name))) return vs.last + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Resolve a ref name to a main-log version via the tip's `ref.`
+    * properties (tags). None = no such ref.
+    */
+  def resolveRef(spark: SparkSession, root: String,
+      name: String): Option[Long] =
+    versions(spark, root).lastOption.flatMap { tip =>
+      tablePropsOf(manifestMeta(spark, root, tip))
+        .get(s"ref.$name").map(_.toLong)
+    }
+
+  /** Fork branch `name` from main version `fromV` (the tip when None):
+    * writes ONE branch manifest — a copy of the fork point's dirs and
+    * carried headers plus a `branch_base` marker. Bytes-sized at any
+    * table scale; no data is copied (generations are immutable and
+    * shared). Create-only: a racing createBranch loses loudly.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      fromV: Option[Long] = None): Long = {
+    refName(name)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val base = fromV.getOrElse(vs.last)
+    require(vs.contains(base), s"createBranch: version $base not in $vs")
+    require(branchVersions(spark, root, name).isEmpty,
+      s"createBranch: branch '$name' already exists")
+    val (dirs, meta) = manifestOf(spark, root, base)
+    val kept = meta.filter { case (k, _) =>
+      k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+    }
+    require(tryPublishAt(spark, root, s"b.$name.$base.commit",
+        commitTsOpt(spark, root, base),
+        dirs, kept + ("branch_base" -> base.toString)),
+      s"createBranch: branch '$name' lost a creation race")
+    base
+  }
+
+  /** Append `df` to branch `name` as a STAGED commit: the generation
+    * lands in the shared data/ tree and the branch manifest advances,
+    * but MAIN readers see nothing — this is the "write" of
+    * write-audit-publish. The branch tip's CHECK constraints still
+    * gate the write (staging is not a quality bypass; the publish is
+    * what it defers). Returns the branch version.
+    */
+  def commitToBranch(spark: SparkSession, root: String, name: String,
+      df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    val bvs = branchVersions(spark, root, name)
+    require(bvs.nonEmpty, s"commitToBranch: no branch '$name'")
+    val tipB = bvs.last
+    val (dirs, meta) = branchManifestOf(spark, root, name, tipB)
+    val props = tablePropsOf(meta)
+    requireNoDroppedNames(df, props, s"branch '$name' commit")
+    val gen = writeGeneration(spark, root, df, partitionFieldsOf(props))
+    val entries = genEntries(spark, root, gen)
+    val cs = constraintsOf(props)
+    if (cs.nonEmpty && hasPartFiles(spark, root, gen))
+      enforceConstraints(spark, root, cs,
+        readDirs(spark, root, entries), Some(gen))
+    val keptDirs = dirs.toSet
+    val carried = meta.filter { case (k, _) =>
+      (k.startsWith("stats:") && keptDirs.contains(decDir(k.split(":", 3)(2)))) ||
+        k.startsWith("dv:") || k.startsWith("prop:") || k == "branch_base"
+    }
+    val genStats = genStatsForEntries(spark, root, entries, statsCols)
+    require(tryPublishAt(spark, root, s"b.$name.${tipB + 1}.commit",
+        meta.get("ts").map(_.toLong), dirs ++ entries,
+        carried ++ genStats),
+      s"commitToBranch: branch '$name' version ${tipB + 1} already " +
+        "exists — branches are single-writer per commit")
+    tipB + 1
+  }
+
+  /** The branch's snapshot (its tip when `v` None) — the "audit" read
+    * of write-audit-publish: same readDirs/applyDvs machinery as main.
+    */
+  def readBranch(spark: SparkSession, root: String, name: String,
+      v: Option[Long] = None): DataFrame = {
+    val bvs = branchVersions(spark, root, name)
+    require(bvs.nonEmpty, s"readBranch: no branch '$name'")
+    val ver = v.getOrElse(bvs.last)
+    require(bvs.contains(ver), s"readBranch: version $ver not in $bvs")
+    val (dirs, meta) = branchManifestOf(spark, root, name, ver)
+    applyDvs(spark, root, meta, readDirs(spark, root, dirs, meta))
+  }
+
+  /** PUBLISH: fast-forward main to the branch tip — ONE atomic manifest
+    * rename makes every staged commit visible to production readers at
+    * once (kind `wap_publish`, the branch name in the header). When main
+    * hasn't moved past the fork point, the branch manifest publishes
+    * verbatim. When it HAS, the Delta/Iceberg-style logical conflict
+    * check runs: every intervening main commit must be append-shaped
+    * (append / tag / set_properties / add_columns) with unchanged
+    * deletion vectors — then the publish REBASES (main tip's dirs and
+    * headers win, the branch's ADDED generations and their stats land on
+    * top). Anything else — an overwrite, merge, delete, compaction, a DV
+    * change — returns None: the staged work must be re-validated against
+    * the new reality (the caller's loud abort). The branch itself is
+    * left intact either way; [[dropBranch]] retires it.
+    */
+  def fastForward(spark: SparkSession, root: String, name: String,
+      raceHook: () => Unit = () => ()): Option[Long] = {
+    val bvs = branchVersions(spark, root, name)
+    require(bvs.nonEmpty, s"fastForward: no branch '$name'")
+    val (bDirs, bMeta) = branchManifestOf(spark, root, name, bvs.last)
+    val base = bMeta.getOrElse("branch_base",
+      sys.error(s"fastForward: branch '$name' has no base marker")).toLong
+    val baseDirs = manifestDirs(spark, root, base).toSet
+    val added = bDirs.filterNot(baseDirs.contains)
+    val bHeaders = bMeta.filter { case (k, _) =>
+      k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+    }
+    raceHook()
+    var attempt = 0
+    while (attempt < 10) {
+      attempt += 1
+      val vs = versions(spark, root)
+      val tip = vs.last
+      if (tip == base) {
+        if (tryPublish(spark, root, tip + 1, bDirs,
+            bHeaders + ("wap_publish" -> name)))
+          return Some(tip + 1)
+      } else {
+        val clean = vs.filter(v => v > base && v <= tip).forall { v =>
+          val kind = commitKind(spark, root, v).stripSuffix("+txn")
+          (kind == "append" || kind == "tag" || kind == "set_properties" ||
+            kind == "add_columns") &&
+            dvHeaders(spark, root, v) == dvHeaders(spark, root, base)
+        }
+        if (!clean) return None
+        val (tipDirs, tipMeta) = manifestOf(spark, root, tip)
+        val tipHeaders = tipMeta.filter { case (k, _) =>
+          k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+        }
+        val addedStats = bMeta.filter { case (k, _) =>
+          k.startsWith("stats:") && added.contains(decDir(k.split(":", 3)(2)))
+        }
+        if (tryPublish(spark, root, tip + 1, tipDirs ++ added,
+            tipHeaders ++ addedStats + ("wap_publish" -> name)))
+          return Some(tip + 1)
+      }
+    }
+    None
+  }
+
+  /** Retire branch `name`: its manifests are removed; its generations
+    * stay until [[vacuum]] finds them unreferenced.
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val hfs = fs(spark, root)
+    branchVersions(spark, root, name).foreach(v =>
+      hfs.delete(new Path(root, s"_log/b.$name.$v.commit"), false))
+  }
+
   /** External partition value → the partition-path token the routed
     * write renders for it; None = the hive DEFAULT partition. THE single
     * source of truth for this contract (scan-side pruning and
@@ -2472,9 +2762,18 @@ object VersionedTable {
     // uses). A version survives only if BOTH rules keep it; the tip
     // always survives. Time-based retention is the production default
     // (Delta's RETAIN n HOURS): age, not count, is what an SLA names.
-    val keep = vs.takeRight(math.max(1, keepVersions)).filter(v =>
+    // TAGGED versions survive both retention rules (the Iceberg
+    // tag-retention contract): a tag exists to make "this exact
+    // snapshot" durable, and a vacuum that silently trimmed it would
+    // break every VERSION AS OF '<tag>' reader
+    val tagged = vs.lastOption.toSeq.flatMap(tip =>
+      tablePropsOf(manifestMeta(spark, root, tip)).collect {
+        case (k, v) if k.startsWith("ref.") => v.toLong
+      }).toSet
+    val keep = (vs.takeRight(math.max(1, keepVersions)).filter(v =>
       v == vs.last || olderThanMicros.forall(cut =>
-        commitTimestamp(spark, root, v) > cut))
+        commitTimestamp(spark, root, v) > cut)) ++
+      vs.filter(tagged.contains)).distinct.sorted
     val dropVs = vs.filterNot(keep.contains)
     // a snapshot references its data generations AND its deletion-vector
     // key lists (dv: headers) — reclaiming a live DV dir would resurrect
@@ -2482,7 +2781,14 @@ object VersionedTable {
     def refsOf(v: Long): Seq[String] =
       manifestDirs(spark, root, v) ++
         dvHeaders(spark, root, v).keys.map(_.stripPrefix("dv:"))
-    val referenced = keep.flatMap(refsOf).toSet
+    // BRANCH manifests reference generations too — staged data a
+    // fast-forward will publish must survive maintenance on main
+    val branchRefs = branches(spark, root).flatMap(b =>
+      branchVersions(spark, root, b).flatMap { bv =>
+        val (bDirs, bMeta) = branchManifestOf(spark, root, b, bv)
+        bDirs ++ dvHeadersOf(bMeta).keys.map(_.stripPrefix("dv:"))
+      })
+    val referenced = keep.flatMap(refsOf).toSet ++ branchRefs
     val dataRoot = new Path(root, "data")
     // reclaim units are what manifests REFERENCE: plain generation dirs,
     // or — for partition-routed generations — their `__p_` leaf dirs. A
@@ -5204,6 +5510,109 @@ object VersionedTable {
         CAST(1 AS DOUBLE)
       UNION ALL
       SELECT 'audit_readd', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q139: TAGS, BRANCHES + WRITE-AUDIT-PUBLISH — the named-ref surface
+    * driven end-to-end: v1 loads a year, `CALL system.tag('baseline')`
+    * names it (metadata-only commit), v3 appends the next year PAST the
+    * tag — reading the tip and `VERSION AS OF 'baseline'` side by side
+    * pins that the tag is a durable pointer, not a copy. Then the WAP
+    * flow: `CALL system.branch('audit')` forks the log, a staged commit
+    * lands the third year ON THE BRANCH (shared data tree, separate
+    * manifest file main readers cannot see — the `audit_staged` row
+    * pins main-invisible + branch-visible simultaneously), the audit
+    * read validates the staged rows, and `CALL system.fast_forward`
+    * publishes the branch tip as ONE atomic main commit (kind
+    * `wap_publish` — the `audit_publish` row pins the kind and that
+    * exactly one version landed). The oracle replays the lifecycle as
+    * year arithmetic over the base table. At 100 TB: tagging, branching
+    * and publishing are all bytes-sized manifest operations — staged
+    * data is written once and made visible by a rename, the
+    * Iceberg/Nessie WAP economics.
+    */
+  val q139BranchWap: Q = Q(
+    "q139_branch_wap",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val runTag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq139_$runTag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val tbl = s"$root/main/t"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"),
+          year(col("o_orderdate")).as("yr"))
+      val y0 = orders.agg(min(col("yr"))).head().getInt(0)
+      def slice(k: Int) = orders.filter(col("yr") === y0 + k)
+      commit(s, tbl, slice(0), overwrite = true)                   // v1
+      s.sql(s"CALL $cat.system.tag('main.t', 'baseline')")         // v2
+      commit(s, tbl, slice(1), overwrite = false)                  // v3
+      // WAP: fork, stage, audit, publish
+      s.sql(s"CALL $cat.system.branch('main.t', 'audit')")
+      commitToBranch(s, tbl, "audit", slice(2))
+      val mainBefore = readAt(s, tbl).count()
+      val branchView = s.read.format("graft-vtable")
+        .option("path", tbl).option("branch", "audit").load()
+      val stagedSeen = branchView.count()
+      val n01 = slice(0).count() + slice(1).count()
+      val n2 = slice(2).count()
+      val auditPass = branchView.filter(col("yr") === y0 + 2)
+        .agg(min(col("price"))).head().getDecimal(0)
+        .compareTo(java.math.BigDecimal.ZERO) > 0 // the "audit" gate
+      require(auditPass, "q139: staged rows failed the audit gate")
+      val vsBefore = versions(s, tbl).size
+      s.sql(s"CALL $cat.system.fast_forward('main.t', 'audit')")
+      val tip = versions(s, tbl).last
+      val publishOk =
+        if (commitKind(s, tbl, tip) == "wap_publish" &&
+          versions(s, tbl).size == vsBefore + 1 &&
+          branches(s, tbl).isEmpty) 1L else 0L
+      val perYear = s.sql(
+        s"""SELECT concat('yr_', CAST(yr - $y0 AS STRING)) AS step,
+            CAST(count(*) AS BIGINT) AS a,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+            CAST(sum(price) AS DOUBLE) AS c
+          FROM $cat.main.t GROUP BY yr""")
+      val tagRead = s.sql(
+        s"""SELECT 'tag_read' AS step, CAST(count(*) AS BIGINT) AS a,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+            CAST(sum(price) AS DOUBLE) AS c
+          FROM $cat.main.t VERSION AS OF 'baseline'""")
+      def audit(step: String, a: Long, b: Long) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"), lit(1.0).cast("double").as("c"))
+      perYear.unionByName(tagRead)
+        .unionByName(audit("audit_staged",
+          if (mainBefore == n01) 1L else 0L,
+          if (stagedSeen == n01 + n2) 1L else 0L))
+        .unionByName(audit("audit_publish", publishOk, 1L))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) AS y0 FROM o),
+      w AS (SELECT o.*, yr - y0 AS k FROM o, y WHERE yr BETWEEN y0 AND y0 + 2)
+      SELECT concat('yr_', CAST(k AS VARCHAR)) AS step,
+        CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+        CAST(sum(price) AS DOUBLE) AS c
+      FROM w GROUP BY k
+      UNION ALL
+      SELECT 'tag_read', CAST(count(*) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT),
+        CAST(sum(price) AS DOUBLE)
+      FROM w WHERE k = 0
+      UNION ALL
+      SELECT 'audit_staged', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'audit_publish', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 

@@ -116,11 +116,18 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = pathOf(ident)
-    val v = try version.toLong catch { case _: NumberFormatException =>
-      throw new IllegalArgumentException(
-        s"graft-vtable: VERSION AS OF takes a log version number, got '$version'")
-    }
-    if (!isTable(p) || !VersionedTable.versions(spark, p).contains(v))
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    // a non-numeric version string resolves through the table's named
+    // refs: VERSION AS OF 'release-2026q3' reads the tagged snapshot
+    val v = version.toLongOption
+      .orElse(VersionedTable.resolveRef(spark, p, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-vtable: VERSION AS OF takes a log version number or a " +
+          s"tag name, and '$version' is neither (tags: " +
+          VersionedTable.tableProperties(spark, p).keys
+            .filter(_.startsWith("ref.")).map(_.stripPrefix("ref."))
+            .mkString(", ") + ")"))
+    if (!VersionedTable.versions(spark, p).contains(v))
       throw new NoSuchTableException(ident)
     new VTableV2Table(p, Some(v), pruneCol)
   }

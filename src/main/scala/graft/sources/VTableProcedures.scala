@@ -209,6 +209,65 @@ object VTableProcedures {
             new GenericInternalRow(Array[Any](utf8(tok), n, bytes))
         }
       }),
+    Proc("tag",
+      "name a committed version durably (metadata-only commit; VERSION " +
+        "AS OF '<name>' reads it, vacuum keeps it); version defaults to " +
+        "the tip; a negative version DELETES the tag",
+      Seq(in("table", StringType), in("name", StringType),
+        inDefault("version", LongType, "NULL")),
+      StructType(Seq(StructField("tag", StringType),
+        StructField("tagged_version", LongType),
+        StructField("committed_version", LongType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val name = args.getUTF8String(1).toString
+        val v = if (args.isNullAt(2)) None else Some(args.getLong(2))
+        if (v.exists(_ < 0)) {
+          val cv = VersionedTable.deleteTag(spark, p, name)
+          Seq(new GenericInternalRow(Array[Any](utf8(name), null, cv)))
+        } else {
+          val cv = VersionedTable.tagVersion(spark, p, name, v)
+          val tagged = VersionedTable.resolveRef(spark, p, name).get
+          Seq(new GenericInternalRow(Array[Any](utf8(name), tagged, cv)))
+        }
+      }),
+    Proc("branch",
+      "fork a branch from a main version (default: the tip) — staged " +
+        "commits land on the branch, invisible to main readers, until " +
+        "fast_forward publishes them (write-audit-publish)",
+      Seq(in("table", StringType), in("name", StringType),
+        inDefault("from_version", LongType, "NULL")),
+      StructType(Seq(StructField("branch", StringType),
+        StructField("base_version", LongType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val name = args.getUTF8String(1).toString
+        val from = if (args.isNullAt(2)) None else Some(args.getLong(2))
+        val base = VersionedTable.createBranch(spark, p, name, from)
+        Seq(new GenericInternalRow(Array[Any](utf8(name), base)))
+      }),
+    Proc("fast_forward",
+      "publish a branch's staged commits to main as ONE atomic commit " +
+        "(kind wap_publish) — rebases over intervening appends, aborts " +
+        "loudly on a logical conflict (overwrite/merge/delete/DV change)",
+      Seq(in("table", StringType), in("branch", StringType),
+        inDefault("drop_branch", BooleanType, "true")),
+      StructType(Seq(StructField("published_version", LongType),
+        StructField("branch", StringType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val name = args.getUTF8String(1).toString
+        VersionedTable.fastForward(spark, p, name) match {
+          case Some(v) =>
+            if (args.getBoolean(2)) VersionedTable.dropBranch(spark, p, name)
+            Seq(new GenericInternalRow(Array[Any](v, utf8(name))))
+          case None => throw new java.io.IOException(
+            s"graft-vtable: fast_forward('$name') conflicts with commits " +
+              "published since the fork point (non-append or DV-changing)" +
+              " — re-validate the staged work against the new tip " +
+              "(re-branch, re-stage or re-audit), then publish again")
+        }
+      }),
     Proc("evolve_partition_spec",
       "ALTER the table's partition layout (Iceberg ADD/DROP/REPLACE " +
         "PARTITION FIELD) as a metadata-only commit: future writes " +

@@ -113,9 +113,19 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
         "graft-vtable: partitionFilter is a streaming option — batch " +
           "reads prune from a WHERE predicate on the partition's base " +
           "column")
-      new VTableRelation(sqlContext, pathOf(parameters),
-        parameters.get("versionAsOf").map(_.toLong),
-        parameters.get("pruneCol"))
+      parameters.get("branch") match {
+        case Some(b) =>
+          // a STAGED (write-audit-publish) snapshot: the branch's tip —
+          // what an audit job reads before fast_forward publishes it
+          require(!parameters.contains("versionAsOf"),
+            "graft-vtable: 'branch' and 'versionAsOf' are exclusive — " +
+              "a branch read is pinned to the branch tip")
+          new VTableBranchRelation(sqlContext, pathOf(parameters), b)
+        case None =>
+          new VTableRelation(sqlContext, pathOf(parameters),
+            parameters.get("versionAsOf").map(_.toLong),
+            parameters.get("pruneCol"))
+      }
     }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -409,6 +419,23 @@ object VTableScans {
     val filtered = filters.flatMap(toPredicate).foldLeft(base)(_.filter(_))
     filtered.select(requiredColumns.map(col): _*)
   }
+}
+
+/** A branch's staged snapshot (`option("branch", name)`): the branch
+  * TIP through the same readDirs/applyDvs machinery as main — the
+  * "audit" read of write-audit-publish. Plain TableScan: audit reads
+  * are validation passes, not production scans.
+  */
+class VTableBranchRelation(ctx: SQLContext, path: String, branch: String)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType =
+    VersionedTable.readBranch(ctx.sparkSession, path, branch).schema
+
+  override def buildScan(): RDD[Row] =
+    VersionedTable.readBranch(ctx.sparkSession, path, branch).rdd
 }
 
 /** Batch relation: a snapshot (latest or `versionAsOf`) of the versioned

@@ -1594,4 +1594,88 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VersionedTable.dropColumn(spark, root3, "id"))
   }
+
+  test("tags: durable pointers that survive vacuum; managed edits only") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1, 2), overwrite = true)  // v1
+    val v2 = VersionedTable.tagVersion(spark, root, "rel")          // tags v1
+    assert(VersionedTable.commitKind(spark, root, v2) == "tag")
+    assert(VersionedTable.manifestDirs(spark, root, v2) ==
+      VersionedTable.manifestDirs(spark, root, 1L), "metadata-only")
+    VersionedTable.commit(spark, root, df(9), overwrite = true)     // v3
+    VersionedTable.commit(spark, root, df(10), overwrite = true)    // v4
+    assert(VersionedTable.resolveRef(spark, root, "rel") == Some(1L))
+    // vacuum keeps the TAGGED version even under keep_versions = 1
+    VersionedTable.vacuum(spark, root, keepVersions = 1, force = true)
+    assert(VersionedTable.versions(spark, root).contains(1L))
+    assert(idsAt(root, Some(1L)) == Set(1, 2),
+      "tagged snapshot survives retention")
+    assert(!VersionedTable.versions(spark, root).contains(3L))
+    // double-tag refused (a silently moving tag is a hazard); raw
+    // property edits refused; deleting the tag releases the retention
+    intercept[IllegalArgumentException](
+      VersionedTable.tagVersion(spark, root, "rel"))
+    intercept[IllegalArgumentException](
+      VersionedTable.setProperties(spark, root, Map("ref.x" -> "1")))
+    intercept[IllegalArgumentException](
+      VersionedTable.tagVersion(spark, root, "bad name"))
+    VersionedTable.deleteTag(spark, root, "rel")
+    assert(VersionedTable.resolveRef(spark, root, "rel").isEmpty)
+    VersionedTable.vacuum(spark, root, keepVersions = 1, force = true)
+    assert(!VersionedTable.versions(spark, root).contains(1L),
+      "untagged snapshot reclaims normally")
+  }
+
+  test("branches + WAP: staged commits invisible on main; publish rebases or aborts") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, df(1), overwrite = true)     // v1
+    VersionedTable.createBranch(spark, root, "wap")
+    VersionedTable.commitToBranch(spark, root, "wap", df(7))
+    VersionedTable.commitToBranch(spark, root, "wap", df(8))
+    assert(idsAt(root) == Set(1), "staged commits invisible on main")
+    assert(VersionedTable.readBranch(spark, root, "wap").collect()
+      .map(_.getInt(0)).toSet == Set(1, 7, 8))
+    intercept[IllegalArgumentException](
+      VersionedTable.createBranch(spark, root, "wap")) // already exists
+    // CLEAN publish: main didn't move — the branch tip lands verbatim,
+    // atomically (one new version)
+    val v2 = VersionedTable.fastForward(spark, root, "wap")
+      .getOrElse(sys.error("clean fast-forward must publish"))
+    assert(idsAt(root) == Set(1, 7, 8))
+    assert(VersionedTable.commitKind(spark, root, v2) == "wap_publish")
+    VersionedTable.dropBranch(spark, root, "wap")
+    assert(VersionedTable.branches(spark, root).isEmpty)
+    // REBASE: an intervening APPEND is not a logical conflict — both
+    // writers' rows land
+    VersionedTable.createBranch(spark, root, "wap2")
+    VersionedTable.commitToBranch(spark, root, "wap2", df(20))
+    VersionedTable.commit(spark, root, df(30), overwrite = false)
+    val v3 = VersionedTable.fastForward(spark, root, "wap2")
+      .getOrElse(sys.error("append-rebased fast-forward must publish"))
+    assert(idsAt(root, Some(v3)) == Set(1, 7, 8, 20, 30))
+    VersionedTable.dropBranch(spark, root, "wap2")
+    // LOUD ABORT: an intervening overwrite IS a conflict — publish
+    // returns None and main is untouched
+    VersionedTable.createBranch(spark, root, "wap3")
+    VersionedTable.commitToBranch(spark, root, "wap3", df(40))
+    VersionedTable.commit(spark, root, df(99), overwrite = true)
+    assert(VersionedTable.fastForward(spark, root, "wap3").isEmpty)
+    assert(idsAt(root) == Set(99), "aborted publish changed nothing")
+    // vacuum never reclaims a live branch's staged generations
+    VersionedTable.vacuum(spark, root, keepVersions = 1, force = true)
+    val b3 = VersionedTable.readBranch(spark, root, "wap3").collect()
+      .map(_.getInt(0)).toSet
+    assert(b3 == Set(1, 7, 8, 20, 30, 40),
+      s"branch view survives main maintenance: $b3")
+    // CHECK constraints gate staged writes too — staging is not a
+    // quality bypass
+    val root2 = freshRoot()
+    import spark.implicits._
+    assert(VersionedTable.createIfAbsent(spark, root2,
+      Seq(1, 2).toDF("id"), Map("constraint.pos" -> "id > 0")))
+    VersionedTable.createBranch(spark, root2, "gate")
+    intercept[IllegalArgumentException](
+      VersionedTable.commitToBranch(spark, root2, "gate",
+        Seq(-5).toDF("id")))
+  }
 }

@@ -97,7 +97,8 @@ class VTableProceduresSpec extends SparkSpec {
     val listed = spark.sql("SHOW PROCEDURES IN vtproc.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(listed == Set("compact", "optimize", "restore", "vacuum",
-      "partitions", "history", "evolve_partition_spec"))
+      "partitions", "history", "evolve_partition_spec", "tag", "branch",
+      "fast_forward"))
     intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
     intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
   }
