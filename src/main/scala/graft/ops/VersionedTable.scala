@@ -51,7 +51,7 @@ object VersionedTable {
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
     q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution,
-    q138DropColumn, q139BranchWap)
+    q138DropColumn, q139BranchWap, q140CatalogView)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -5613,6 +5613,88 @@ object VersionedTable {
         CAST(1 AS DOUBLE)
       UNION ALL
       SELECT 'audit_publish', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q140: CATALOG VIEWS — SQL view definitions persisted beside the
+    * table roots and resolved at read ([[graft.sources.VTableViews]]):
+    * `CALL system.create_view` stores the SQL (analyzed at create — a
+    * typo refuses immediately), `SELECT … FROM cat.ns.view` is then
+    * native SQL through the catalog's loadTable resolution, and the
+    * schema derives at read so it can never go stale. Pinned here: an
+    * AGGREGATE view over the versioned table (yr rows), a view over
+    * TIME TRAVEL (`VERSION AS OF 1` frozen inside the definition — the
+    * `tt_` row keeps reading the first year after later appends),
+    * CREATE OR REPLACE re-definition (the `replaced` row shows the new
+    * definition serving), and the show_views/drop_view ledger (audit
+    * row). The oracle replays every definition as plain SQL over the
+    * base table. DDL rides the procedure surface because OSS Spark 4.1
+    * has no v2 CREATE VIEW execution path (nothing in the analyzer
+    * references ViewCatalog — verified against the shipped jars).
+    */
+  val q140CatalogView: Q = Q(
+    "q140_catalog_view",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val runTag = new Path(root).getName.stripPrefix("run_")
+      val cat = s"vtq140_$runTag"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val tbl = s"$root/main/t"
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Q.dec2(col("o_totalprice")).as("price"),
+          year(col("o_orderdate")).as("yr"))
+      val y0 = orders.agg(min(col("yr"))).head().getInt(0)
+      commit(s, tbl, orders.filter(col("yr") === y0), overwrite = true)
+      commit(s, tbl, orders.filter(col("yr") === y0 + 1), overwrite = false)
+      def esc(sql: String) = sql.replace("'", "''")
+      val aggSql = s"SELECT yr, CAST(count(*) AS BIGINT) AS a, " +
+        s"CAST(count(DISTINCT o_custkey) AS BIGINT) AS b, " +
+        s"CAST(sum(price) AS DOUBLE) AS c FROM $cat.main.t GROUP BY yr"
+      s.sql(s"CALL $cat.system.create_view('main.rev', '${esc(aggSql)}')")
+      val ttSql = s"SELECT yr, CAST(count(*) AS BIGINT) AS a, " +
+        s"CAST(count(DISTINCT o_custkey) AS BIGINT) AS b, " +
+        s"CAST(sum(price) AS DOUBLE) AS c " +
+        s"FROM $cat.main.t VERSION AS OF 1 GROUP BY yr"
+      s.sql(s"CALL $cat.system.create_view('main.first_year', '${esc(ttSql)}')")
+      val perYear = s.sql(s"SELECT concat('yr_', CAST(yr - $y0 AS STRING))" +
+        s" AS step, a, b, c FROM $cat.main.rev")
+      val tt = s.sql(s"SELECT concat('tt_yr_', CAST(yr - $y0 AS STRING))" +
+        s" AS step, a, b, c FROM $cat.main.first_year")
+      // CREATE OR REPLACE: the new definition serves immediately
+      s.sql(s"CALL $cat.system.create_view('main.rev', " +
+        s"'${esc(aggSql + s" HAVING yr = $y0 + 1")}', replace => true)")
+      val replaced = s.sql("SELECT 'replaced' AS step, a, b, c " +
+        s"FROM $cat.main.rev")
+      val listed = s.sql(s"CALL $cat.system.show_views('main')").count()
+      s.sql(s"CALL $cat.system.drop_view('main.first_year')")
+      val listedAfter = s.sql(s"CALL $cat.system.show_views('main')").count()
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(listed).as("a"), lit(listedAfter).as("b"),
+        lit(1.0).cast("double").as("c"))
+      perYear.unionByName(tt).unionByName(replaced).unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) AS y0 FROM o),
+      w AS (SELECT o.*, yr - y0 AS k FROM o, y WHERE yr BETWEEN y0 AND y0 + 1),
+      agg AS (SELECT k, CAST(count(*) AS BIGINT) AS a,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS b,
+          CAST(sum(price) AS DOUBLE) AS c
+        FROM w GROUP BY k)
+      SELECT concat('yr_', CAST(k AS VARCHAR)) AS step, a, b, c FROM agg
+      UNION ALL
+      SELECT 'tt_yr_0', a, b, c FROM agg WHERE k = 0
+      UNION ALL
+      SELECT 'replaced', a, b, c FROM agg WHERE k = 1
+      UNION ALL
+      SELECT 'audit', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 

@@ -91,19 +91,39 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
   private def isTable(path: String): Boolean =
     VersionedTable.versions(spark, path).nonEmpty
 
+  // a CATALOG VIEW is a SQL definition persisted as `<ident>.view`
+  // beside the table roots (see [[VTableViews]]); views resolve at READ
+  // through loadTable, so `SELECT … FROM cat.ns.v` is native SQL —
+  // the DDL rides the procedure surface (create_view / drop_view /
+  // show_views) because OSS Spark has no v2 CREATE VIEW execution
+  // (verified: nothing in the 4.1 analyzer/exec references ViewCatalog)
+  private def viewFileOf(ident: Identifier): String =
+    pathOf(ident) + ".view"
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsPath = namespace.foldLeft(new Path(root))((p, s) => new Path(p, s))
     val fs = hfs(nsPath)
     if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
-    fs.listStatus(nsPath).toSeq.filter(_.isDirectory)
+    val entries = fs.listStatus(nsPath).toSeq
+    val tables = entries.filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(n => isTable(new Path(nsPath, n).toString))
-      .map(n => Identifier.of(namespace, n)).toArray
+    // SHOW TABLES lists views too (the session-catalog convention)
+    val views = entries.filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".view"))
+      .map(_.getPath.getName.stripSuffix(".view"))
+    (tables ++ views).sorted.map(n => Identifier.of(namespace, n)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    if (!isTable(p)) {
+      // not a table — maybe a persisted view definition
+      VTableViews.readDefinition(spark, viewFileOf(ident)) match {
+        case Some(sql) => return new VTableViewTable(ident.toString, sql)
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
     // a table that DECLARES a row-id column (the `key` property) gains
     // the SQL row-level statements — UPDATE / MERGE INTO / row-level
     // DELETE; without the declaration those statements stay refused at
@@ -196,6 +216,9 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(!hfs(new Path(viewFileOf(ident)))
+        .exists(new Path(viewFileOf(ident))),
+      s"graft-vtable: a VIEW named $ident exists — drop_view it first")
     val partFields = partitionFieldsFrom(schema, partitions)
     val up = userProps(properties)
     require(!up.contains("partition"),
@@ -581,4 +604,108 @@ class VTableCatalogRelation(ctx: SQLContext, path: String,
   override def buildScan(): RDD[Row] =
     VTableScans.frame(ctx.sparkSession, path, version, pruneCol,
       projected.fieldNames.toIndexedSeq, filters.toIndexedSeq).rdd
+}
+
+/** CATALOG VIEW persistence + resolution guard. A view is its SQL text,
+  * stored verbatim as `<root>/<ns>/<name>.view` (inspectable with cat;
+  * published by tmp-write + atomic rename). The schema is derived at
+  * resolution time, never stored — a view can never serve a stale
+  * schema after its underlying table evolves. Views compose (a view
+  * over a view resolves through the catalog again); the recursion
+  * guard turns a definition cycle into a loud analysis error instead
+  * of a stack overflow.
+  */
+object VTableViews {
+
+  private val depth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  private[sources] def guarded[T](what: String)(body: => T): T = {
+    require(depth.get() < 12,
+      s"graft-vtable: view resolution depth exceeded at $what — " +
+        "view definitions form a cycle")
+    depth.set(depth.get() + 1)
+    try body finally depth.set(depth.get() - 1)
+  }
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def readDefinition(spark: SparkSession, file: String): Option[String] = {
+    val hfs = fs(spark, file)
+    val p = new Path(file)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Persist (or with `replace` re-persist) a view definition. The SQL
+    * is ANALYZED first, so a typo or a missing column refuses at create
+    * time, not at some later read.
+    */
+  def create(spark: SparkSession, file: String, sql: String,
+      replace: Boolean): Unit = {
+    guarded(file)(spark.sql(sql).schema) // must analyze
+    val hfs = fs(spark, file)
+    val p = new Path(file)
+    require(replace || !hfs.exists(p),
+      s"graft-vtable: view $file already exists — pass replace => true")
+    hfs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent,
+      s".tmp-view-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = hfs.create(tmp, false)
+    try out.write(sql.getBytes("UTF-8")) finally out.close()
+    if (hfs.exists(p)) hfs.delete(p, false) // replace: delete-then-rename
+    require(hfs.rename(tmp, p),
+      s"graft-vtable: view publish lost a race at $file — re-run")
+  }
+
+  def drop(spark: SparkSession, file: String): Boolean = {
+    val hfs = fs(spark, file)
+    hfs.exists(new Path(file)) && hfs.delete(new Path(file), false)
+  }
+}
+
+/** A catalog view resolved as a read-only DSv2 table: the stored SQL is
+  * analyzed for the schema and executed for the scan (through the
+  * documented V1Scan bridge — the engine's own plans serve the rows, so
+  * pruning/pushdown inside the view body still applies; the view
+  * BOUNDARY itself doesn't push, which is the standard v1-view posture).
+  */
+class VTableViewTable(viewName: String, sqlText: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = s"view $viewName"
+
+  override lazy val schema: StructType =
+    VTableViews.guarded(viewName)(spark.sql(sqlText).schema)
+
+  override def properties(): util.Map[String, String] =
+    util.Map.of("view.sql", sqlText)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+        override def description(): String = s"graft-vtable view $viewName"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override val schema: StructType = VTableViewTable.this.schema
+            override def buildScan(): RDD[Row] =
+              VTableViews.guarded(viewName)(
+                context.sparkSession.sql(sqlText).rdd)
+          }.asInstanceOf[T]
+      }
+    }
 }

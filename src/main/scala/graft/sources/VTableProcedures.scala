@@ -57,6 +57,16 @@ object VTableProcedures {
   private def utf8(s: String): AnyRef =
     if (s == null) null else UTF8String.fromString(s)
 
+  // identifier → path under the catalog root, WITHOUT requiring a table
+  // (views and namespaces use this)
+  private def identPath(root: String, ident: String): String = {
+    val parts = ident.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(s =>
+        s.nonEmpty && !s.contains("/") && !s.contains("..")),
+      s"graft-vtable procedure: illegal identifier '$ident'")
+    parts.foldLeft(new Path(root))((acc, s) => new Path(acc, s)).toString
+  }
+
   private case class ResultScan(out: Array[InternalRow],
       schema: StructType) extends LocalScan {
     override def rows(): Array[InternalRow] = out
@@ -208,6 +218,59 @@ object VTableProcedures {
           case (tok, n, bytes) =>
             new GenericInternalRow(Array[Any](utf8(tok), n, bytes))
         }
+      }),
+    Proc("create_view",
+      "persist a SQL view definition beside the table roots (resolved " +
+        "at read: SELECT ... FROM <cat>.<ns>.<view> is native SQL); the " +
+        "SQL is analyzed at create, so typos refuse here; replace => " +
+        "true re-defines (OSS Spark has no v2 CREATE VIEW execution, " +
+        "so the DDL rides this procedure)",
+      Seq(in("view", StringType), in("sql", StringType),
+        inDefault("replace", BooleanType, "false")),
+      StructType(Seq(StructField("view", StringType),
+        StructField("created", BooleanType, nullable = false))),
+      (root, args) => {
+        val ident = args.getUTF8String(0).toString
+        val p = identPath(root, ident)
+        require(VersionedTable.versions(spark, p).isEmpty,
+          s"graft-vtable: a TABLE named '$ident' exists — views and " +
+            "tables share the namespace")
+        VTableViews.create(spark, s"$p.view",
+          args.getUTF8String(1).toString, args.getBoolean(2))
+        Seq(new GenericInternalRow(Array[Any](utf8(ident), true)))
+      }),
+    Proc("drop_view",
+      "remove a persisted view definition",
+      Seq(in("view", StringType)),
+      StructType(Seq(StructField("view", StringType),
+        StructField("dropped", BooleanType, nullable = false))),
+      (root, args) => {
+        val ident = args.getUTF8String(0).toString
+        require(VTableViews.drop(spark,
+            s"${identPath(root, ident)}.view"),
+          s"graft-vtable: no view '$ident'")
+        Seq(new GenericInternalRow(Array[Any](utf8(ident), true)))
+      }),
+    Proc("show_views",
+      "list the persisted views of a namespace with their definitions",
+      Seq(in("namespace", StringType)),
+      StructType(Seq(StructField("view", StringType),
+        StructField("sql", StringType))),
+      (root, args) => {
+        val ns = args.getUTF8String(0).toString
+        val nsPath = new Path(identPath(root, ns))
+        val hfs = nsPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!hfs.exists(nsPath)) Seq.empty
+        else hfs.listStatus(nsPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".view"))
+          .sortBy(_.getPath.getName)
+          .map { st =>
+            val name = st.getPath.getName.stripSuffix(".view")
+            val sql = VTableViews.readDefinition(spark,
+              st.getPath.toString).getOrElse("")
+            new GenericInternalRow(Array[Any](utf8(s"$ns.$name"), utf8(sql)))
+          }
       }),
     Proc("tag",
       "name a committed version durably (metadata-only commit; VERSION " +

@@ -423,4 +423,48 @@ class VTableCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "ALTER TABLE vtcat.dc.t ALTER COLUMN v TYPE BIGINT"))
   }
+
+  test("catalog views: create/read/replace/drop, composition, cycle guard") {
+    spark.sql("CREATE TABLE vtcat.vw.t (id INT, v INT)")
+    spark.sql("INSERT INTO vtcat.vw.t VALUES (1, 10), (2, 20), (3, 30)")
+    // create analyzes the SQL — a typo refuses at definition time
+    intercept[Exception](spark.sql(
+      "CALL vtcat.system.create_view('vw.bad', " +
+        "'SELECT nope FROM vtcat.vw.t')"))
+    spark.sql("CALL vtcat.system.create_view('vw.big', " +
+      "'SELECT id, v FROM vtcat.vw.t WHERE v >= 20')")
+    assert(ids("SELECT id FROM vtcat.vw.big") == Set(2, 3))
+    // views COMPOSE: a view over a view resolves through the catalog
+    spark.sql("CALL vtcat.system.create_view('vw.bigger', " +
+      "'SELECT id FROM vtcat.vw.big WHERE v >= 30')")
+    assert(ids("SELECT id FROM vtcat.vw.bigger") == Set(3))
+    // the schema derives at READ: evolving the table flows through
+    spark.sql("INSERT INTO vtcat.vw.t VALUES (4, 40)")
+    assert(ids("SELECT id FROM vtcat.vw.bigger") == Set(3, 4))
+    // SHOW TABLES lists views beside tables
+    assert(spark.sql("SHOW TABLES IN vtcat.vw").collect()
+      .map(_.getString(1)).toSet == Set("t", "big", "bigger"))
+    // replace without the flag refuses; with it, the new definition
+    // serves immediately
+    intercept[Exception](spark.sql(
+      "CALL vtcat.system.create_view('vw.big', 'SELECT 1 AS x')"))
+    spark.sql("CALL vtcat.system.create_view('vw.big', " +
+      "'SELECT id, v FROM vtcat.vw.t WHERE v >= 40', replace => true)")
+    assert(ids("SELECT id FROM vtcat.vw.big") == Set(4))
+    // name collisions refuse in BOTH directions
+    intercept[Exception](spark.sql(
+      "CALL vtcat.system.create_view('vw.t', 'SELECT 1 AS x')"))
+    intercept[Exception](spark.sql("CREATE TABLE vtcat.vw.big (x INT)"))
+    // a definition CYCLE fails loudly instead of overflowing the stack
+    spark.sql("CALL vtcat.system.create_view('vw.big', " +
+      "'SELECT id, v FROM vtcat.vw.big', replace => true)")
+    intercept[Exception](spark.table("vtcat.vw.big").collect())
+    // drop: the view disappears from resolution and the listing
+    spark.sql("CALL vtcat.system.drop_view('vw.big')")
+    intercept[Exception](spark.sql(
+      "CALL vtcat.system.drop_view('vw.big')")) // already gone
+    assert(spark.sql("CALL vtcat.system.show_views('vw')").collect()
+      .map(_.getString(0)).toSeq == Seq("vw.bigger"))
+    intercept[Exception](ids("SELECT id FROM vtcat.vw.big"))
+  }
 }
