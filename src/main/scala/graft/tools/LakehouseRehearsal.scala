@@ -24,6 +24,15 @@ import graft.ops.VersionedTable
   *     tombstones — the O(DV bytes) fold-in path);
   *  6. a full compact (materializes the remaining tombstones).
   *
+  * r16 steps between (3) and (4), the round's surface at leaf scale:
+  * partition-subscribed batch reads (one day's snapshot + a feed
+  * subscribed to a day disjoint from the replace — silent pass), RENAME
+  * under load (metadata publish + a full mixed-name aggregate through
+  * the alias chain), SPEC EVOLUTION days→months (metadata publish, a
+  * whole-month replace dropping ~30 pre-evolution day leaves by token
+  * REFINEMENT, and a cross-era pruned read where both eras prune under
+  * their own transforms).
+  *
   * Reads the derived fixture [[ScaleRehearsal]] builds (pass its
   * outDir); falls back to any sf dir. Prints one `step=seconds` line
   * per step plus the invariants it checked — run at sf0.1 and the
@@ -110,6 +119,68 @@ object LakehouseRehearsal {
       println(s"[lakehouse-rehearsal] replaced 1 day, carried $carried entries")
     }
 
+    // 3b. partition-subscribed batch twins at 2,400-leaf scale: one
+    // day's snapshot (leaf-pruned at the manifest) and the change feed
+    // subscribed to a DISJOINT day across the replace commit — which
+    // must pass silently, not fail the feed
+    timed("subscribed_day_read") {
+      val other = java.sql.Date.valueOf(d0.plusMonths(6)).toString
+      val n = VersionedTable.readAtPartition(spark, table, None,
+        s"o_orderdate_day=$other").count()
+      require(n > 0, s"subscribed day $other served no rows")
+      val vs = VersionedTable.versions(spark, table)
+      val delta = VersionedTable.readChangesPartition(spark, table,
+        vs.head, vs.last, s"o_orderdate_day=$other").count()
+      require(delta == 0,
+        s"disjoint replace must deliver nothing to the subscription, got $delta")
+    }
+
+    // 3c. RENAME under load: metadata-only publish, then a full-scan
+    // aggregate where every one of the ~2,400 leaves reads the old
+    // physical name through the alias chain
+    timed("rename_column") {
+      VersionedTable.renameColumn(spark, table, "price", "amount")
+    }
+    timed("mixed_name_full_agg") {
+      val r = VersionedTable.readAt(spark, table)
+        .agg(count(lit(1)), sum(col("amount"))).head()
+      require(r.getLong(0) > 0 && r.getDecimal(1) != null)
+    }
+
+    // 3d. SPEC EVOLUTION: days→months as a metadata-only commit, then a
+    // whole-month dynamic overwrite where the ~30 replaced leaves are
+    // PRE-EVOLUTION day leaves dropped by token refinement — O(batch),
+    // never an old-era rewrite
+    timed("evolve_days_to_months") {
+      VersionedTable.evolvePartitionSpec(spark, table, "months(o_orderdate)")
+    }
+    timed("evolved_month_replace") {
+      val reload = VersionedTable.readAt(spark, table)
+        .filter(col("o_orderdate").between(lo, hi))
+        .withColumn("amount", (col("amount") + lit(1)).cast("decimal(18,2)"))
+      val (_, replaced, carried) =
+        VersionedTable.overwritePartitions(spark, table, reload).get
+      require(replaced >= 25 && replaced <= 32,
+        s"refinement should drop the month's day leaves, replaced=$replaced")
+      println(s"[lakehouse-rehearsal] evolved replace: $replaced day " +
+        s"leaves -> 1 month leaf, carried $carried")
+    }
+    timed("cross_era_pruned_read") {
+      val fields = VersionedTable.allPartitionFieldsOf(
+        VersionedTable.tableProperties(spark, table))
+      val (df, kept, total) = VersionedTable.readAtPrunedPreds(spark,
+        table, None, Nil, graft.ops.PartFields.prunePredicates(fields, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderdate", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("o_orderdate",
+            java.sql.Date.valueOf(d0.plusMonths(14).minusDays(1))))))
+      val n = df.count()
+      println(s"[lakehouse-rehearsal] cross-era prune kept $kept of " +
+        s"$total entries, $n rows")
+      require(kept < total / 10,
+        "the two-month window must prune >90% across BOTH eras")
+      require(n > 0)
+    }
+
     // 4. large MoR tombstone set (~10% of keys), then the two read paths
     timed("mor_delete_10pct") {
       val Some((_, nKeys)) = VersionedTable.deleteWhereMor(spark, table,
@@ -134,7 +205,8 @@ object LakehouseRehearsal {
     timed("fold_merge") {
       val sourceRows = orders
         .filter(pmod(col("o_orderkey"), lit(100)) === 3) // 1/10 of tombstoned
-        .withColumn("price", (col("price") + lit(2)).cast("decimal(18,2)"))
+        .withColumnRenamed("price", "amount") // the post-rename logical name
+        .withColumn("amount", (col("amount") + lit(2)).cast("decimal(18,2)"))
       require(VersionedTable.mergeInto(spark, table, sourceRows,
         "o_orderkey").isDefined, "fold-merge lost a race on a private table")
     }
