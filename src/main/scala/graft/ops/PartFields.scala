@@ -115,11 +115,18 @@ private[ops] object PartDates {
   // epoch (~1685 / ~2255) — a one-day-off token there would
   // desynchronize write-side leaves from dayOf's exact driver-side
   // translation, and equality/range pruning would drop matching leaves
+  // overflow-free floor division: `us - pmod(us, day)` underflows for
+  // instants within a remainder of Long.MinValue (the truncate-clamp
+  // bug class), so compute floorDiv as truncating `div` with a -1
+  // adjustment on inexact negative quotients — no subtraction on the
+  // full-range value anywhere
   def utcDay(c: Column): Column = {
     val us = unix_micros(c)
     val day = 86400000000L
-    date_from_unix_date(
-      call_function("div", us - pmod(us, lit(day)), lit(day)).cast("int"))
+    val q = call_function("div", us, lit(day))
+    val floorQ = q - when(us < 0 && pmod(us, lit(day)) =!= 0, lit(1L))
+      .otherwise(lit(0L))
+    date_from_unix_date(floorQ.cast("int"))
   }
 }
 

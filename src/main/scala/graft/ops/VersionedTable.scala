@@ -1042,8 +1042,7 @@ object VersionedTable {
     // file rewritten); pre-drop snapshots predate the property and keep
     // reading it. The physical name stays reserved until a full
     // compact/optimize purges the files and clears the property.
-    val dropped = tablePropsOf(meta).keys
-      .filter(_.startsWith("dropcol.")).map(_.stripPrefix("dropcol.")).toSeq
+    val dropped = droppedNamesOf(tablePropsOf(meta))
     def strip(f: DataFrame): DataFrame =
       dropped.foldLeft(f)((d, c) =>
         d.columns.find(_.equalsIgnoreCase(c)).map(d.drop(_)).getOrElse(d))
@@ -2125,6 +2124,11 @@ object VersionedTable {
   private def refName(name: String): String = {
     require(name.nonEmpty && name.matches("[A-Za-z0-9_\\-]+"),
       s"VersionedTable: illegal ref name '$name' — use [A-Za-z0-9_-]+")
+    // VERSION AS OF resolves digits as a LOG VERSION before trying refs
+    // — an all-digit tag would read the wrong snapshot (or nothing)
+    require(!name.forall(_.isDigit),
+      s"VersionedTable: ref name '$name' is all digits — VERSION AS OF " +
+        "would resolve it as a log version number; include a letter")
     name
   }
 
@@ -2326,7 +2330,10 @@ object VersionedTable {
     val (bDirs, bMeta) = branchManifestOf(spark, root, name, bvs.last)
     val base = bMeta.getOrElse("branch_base",
       sys.error(s"fastForward: branch '$name' has no base marker")).toLong
-    val baseDirs = manifestDirs(spark, root, base).toSet
+    // the fork point's dirs come from the BRANCH'S OWN first manifest
+    // (identical to main's by construction) — main's copy may have been
+    // legally vacuumed while the branch stayed alive
+    val baseDirs = branchManifestOf(spark, root, name, bvs.head)._1.toSet
     val added = bDirs.filterNot(baseDirs.contains)
     val bHeaders = bMeta.filter { case (k, _) =>
       k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
@@ -2342,17 +2349,34 @@ object VersionedTable {
             bHeaders + ("wap_publish" -> name)))
           return Some(tip + 1)
       } else {
-        val clean = vs.filter(v => v > base && v <= tip).forall { v =>
-          val kind = commitKind(spark, root, v).stripSuffix("+txn")
-          (kind == "append" || kind == "tag" || kind == "set_properties" ||
-            kind == "add_columns") &&
-            dvHeaders(spark, root, v) == dvHeaders(spark, root, base)
-        }
+        // the logical conflict check needs EVERY intervening commit:
+        // vacuumed gaps in (base, tip] mean unverifiable history (a
+        // reclaimed conflict would pass silently) — abort loudly
+        val contiguous = (base to tip).forall(vs.contains)
+        val clean = contiguous &&
+          vs.filter(v => v > base && v <= tip).forall { v =>
+            val kind = commitKind(spark, root, v).stripSuffix("+txn")
+            (kind == "append" || kind == "tag" || kind == "set_properties" ||
+              kind == "add_columns") &&
+              dvHeaders(spark, root, v) == dvHeaders(spark, root, base)
+          }
         if (!clean) return None
         val (tipDirs, tipMeta) = manifestOf(spark, root, tip)
         val tipHeaders = tipMeta.filter { case (k, _) =>
           k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
         }
+        // constraints ADDED on main since the fork were never enforced
+        // on the staged generations (commitToBranch gates against the
+        // fork-time set): validate the staged rows against the tip's
+        // new/changed constraints before they become visible — a
+        // declared CHECK must stay trustworthy unconditionally
+        val branchCs = constraintsOf(tablePropsOf(bMeta))
+        val newCs = constraintsOf(tablePropsOf(tipMeta)).filter {
+          case (n, e) => !branchCs.get(n).contains(e)
+        }
+        if (newCs.nonEmpty && added.nonEmpty)
+          enforceConstraints(spark, root, newCs,
+            readDirs(spark, root, added, tipMeta), gen = None)
         val addedStats = bMeta.filter { case (k, _) =>
           k.startsWith("stats:") && added.contains(decDir(k.split(":", 3)(2)))
         }
@@ -3081,7 +3105,11 @@ object VersionedTable {
       val before = manifestDirs(spark, root, prev)
       val after = manifestDirs(spark, root, v)
       val kind = commitKind(spark, root, v).stripSuffix("+txn")
-      if ((kind == "append" || kind == "add_columns") &&
+      // wap_publish is append-shaped by construction (fastForward only
+      // ADDS the branch's staged generations): the lenient appends feed
+      // must deliver WAP-published rows like any other arrival
+      if ((kind == "append" || kind == "add_columns" ||
+            kind == "wap_publish") &&
           before.forall(after.contains))
         after.filterNot(before.contains)
       else Seq.empty // not an append: skipped by request

@@ -659,9 +659,29 @@ object VTableViews {
       s".tmp-view-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = hfs.create(tmp, false)
     try out.write(sql.getBytes("UTF-8")) finally out.close()
-    if (hfs.exists(p)) hfs.delete(p, false) // replace: delete-then-rename
-    require(hfs.rename(tmp, p),
-      s"graft-vtable: view publish lost a race at $file — re-run")
+    // ATOMIC either way: create-only rename for a fresh view (a racing
+    // duplicate create loses loudly, never clobbers), FileContext's
+    // OVERWRITE rename for replace (a delete-then-rename pair would
+    // leave a window where the view doesn't resolve at all, and a crash
+    // inside it would lose the old definition without landing the new)
+    if (!replace) {
+      if (!hfs.rename(tmp, p)) {
+        hfs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"graft-vtable: view $file lost a creation race — re-run or " +
+            "pass replace => true")
+      }
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, p,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch { case e: java.io.IOException =>
+        hfs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"graft-vtable: view publish failed at $file — re-run", e)
+      }
+    }
   }
 
   def drop(spark: SparkSession, file: String): Boolean = {

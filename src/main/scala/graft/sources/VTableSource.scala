@@ -130,6 +130,14 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    // 'branch' is a READ option: a write that silently ignored it would
+    // publish un-audited data straight to main — the exact thing
+    // write-audit-publish exists to prevent. Staged writes go through
+    // VersionedTable.commitToBranch.
+    require(!parameters.contains("branch"),
+      "graft-vtable: 'branch' is a read option — stage writes with " +
+        "VersionedTable.commitToBranch(root, branch, df), then publish " +
+        "with CALL system.fast_forward")
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val statsCol = parameters.get("statsCol")
@@ -178,6 +186,12 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
           .exists(_.equalsIgnoreCase("true")))),
       "graft-vtable: partitionFilter applies to the plain tail — not " +
         "readChangeFeed or skipChangeCommits")
+    // the streaming tail follows MAIN's log; silently ignoring 'branch'
+    // would hand a consumer the wrong (unstaged) commit stream
+    require(!parameters.contains("branch"),
+      "graft-vtable: 'branch' is a batch read option — the streaming " +
+        "tail follows main's log (fast_forward publishes staged commits " +
+        "into it)")
     // a typo'd subscription (bad spec shape, unknown partition field)
     // fails HERE, at load()/analysis, not first on the stream thread
     parameters.get("partitionFilter").foreach(spec =>
@@ -248,6 +262,9 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     require(outputMode == OutputMode.Append(),
       s"graft-vtable sink: commits are appends — only Append output mode " +
         s"is supported, got $outputMode")
+    require(!parameters.contains("branch"),
+      "graft-vtable sink: 'branch' is a batch read option — a streaming " +
+        "sink commits to main (stage batch writes with commitToBranch)")
     // exactly-once needs a txn identity STABLE ACROSS RESTARTS: prefer an
     // explicit txnAppId (the Delta idiom); the checkpoint location — which
     // any restartable stream must pin anyway — is an equally stable default

@@ -394,6 +394,15 @@ class PartFieldsSpec extends SparkSpec {
       assert(r.getString(1) == want,
         s"write token ${r.getString(1)} != translated $want for ${r.get(0)}")
     }
+    // the micro floor is overflow-free at the Long edge too (review
+    // fix: the old `us - pmod` underflowed within a remainder of
+    // Long.MinValue — same class as the truncate clamp)
+    val edgeDay = spark.range(1)
+      .select(PartDates.utcDay(timestamp_micros(lit(Long.MinValue)))
+        .cast("string")).head().getString(0)
+    assert(edgeDay == java.time.LocalDate.ofEpochDay(
+      java.lang.Math.floorDiv(Long.MinValue, 86400000000L)).toString,
+      s"edge day $edgeDay")
   }
 
   test("truncate integral floor clamps at the Long edge (r15 ADVICE)") {

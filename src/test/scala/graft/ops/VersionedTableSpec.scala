@@ -1619,6 +1619,9 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.setProperties(spark, root, Map("ref.x" -> "1")))
     intercept[IllegalArgumentException](
       VersionedTable.tagVersion(spark, root, "bad name"))
+    // all-digit names would collide with VERSION AS OF's numeric parse
+    intercept[IllegalArgumentException](
+      VersionedTable.tagVersion(spark, root, "2024"))
     VersionedTable.deleteTag(spark, root, "rel")
     assert(VersionedTable.resolveRef(spark, root, "rel").isEmpty)
     VersionedTable.vacuum(spark, root, keepVersions = 1, force = true)
@@ -1643,6 +1646,15 @@ class VersionedTableSpec extends SparkSpec {
       .getOrElse(sys.error("clean fast-forward must publish"))
     assert(idsAt(root) == Set(1, 7, 8))
     assert(VersionedTable.commitKind(spark, root, v2) == "wap_publish")
+    // the lenient appends feed delivers WAP-published rows (a
+    // wap_publish is append-shaped — review fix)
+    assert(VersionedTable.readAppends(spark, root, 1L, v2).collect()
+      .map(_.getInt(0)).toSet == Set(7, 8))
+    // 'branch' is a read option: a write that silently ignored it would
+    // publish un-audited data straight to main
+    intercept[IllegalArgumentException](df(99).write
+      .format("graft-vtable").option("path", root)
+      .option("branch", "wap").mode("append").save())
     VersionedTable.dropBranch(spark, root, "wap")
     assert(VersionedTable.branches(spark, root).isEmpty)
     // REBASE: an intervening APPEND is not a logical conflict — both
@@ -1677,5 +1689,37 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VersionedTable.commitToBranch(spark, root2, "gate",
         Seq(-5).toDF("id")))
+    // a constraint added on MAIN after the fork re-validates the staged
+    // rows at publish (review fix: the rebase must not smuggle rows
+    // under a constraint readers are told to trust unconditionally)
+    val root3 = freshRoot()
+    VersionedTable.commit(spark, root3, Seq(5).toDF("id"), overwrite = true)
+    VersionedTable.createBranch(spark, root3, "w")
+    VersionedTable.commitToBranch(spark, root3, "w", Seq(-7).toDF("id"))
+    VersionedTable.setProperties(spark, root3,
+      Map("constraint.pos" -> "id > 0")) // validates main's data only
+    intercept[IllegalArgumentException](
+      VersionedTable.fastForward(spark, root3, "w"))
+    assert(idsAt(root3) == Set(5), "failed publish changed nothing")
+    // …while conforming staged rows rebase through the new constraint
+    VersionedTable.createBranch(spark, root3, "w2")
+    VersionedTable.commitToBranch(spark, root3, "w2", Seq(6).toDF("id"))
+    VersionedTable.commit(spark, root3, Seq(7).toDF("id"), overwrite = false)
+    assert(VersionedTable.fastForward(spark, root3, "w2").isDefined)
+    assert(idsAt(root3) == Set(5, 6, 7))
+    // vacuumed history in (base, tip] makes cleanliness unverifiable —
+    // publish aborts instead of trusting a gap (review fix), while the
+    // branch itself stays readable (its own base manifest survives)
+    val root4 = freshRoot()
+    VersionedTable.commit(spark, root4, Seq(1).toDF("id"), overwrite = true)
+    VersionedTable.createBranch(spark, root4, "g")
+    VersionedTable.commitToBranch(spark, root4, "g", Seq(50).toDF("id"))
+    VersionedTable.commit(spark, root4, Seq(2).toDF("id"), overwrite = false)
+    VersionedTable.commit(spark, root4, Seq(3).toDF("id"), overwrite = false)
+    VersionedTable.vacuum(spark, root4, keepVersions = 1, force = true)
+    assert(VersionedTable.readBranch(spark, root4, "g").collect()
+      .map(_.getInt(0)).toSet == Set(1, 50))
+    assert(VersionedTable.fastForward(spark, root4, "g").isEmpty,
+      "gapped history must abort the publish")
   }
 }

@@ -98,7 +98,7 @@ class VTableProceduresSpec extends SparkSpec {
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(listed == Set("compact", "optimize", "restore", "vacuum",
       "partitions", "history", "evolve_partition_spec", "tag", "branch",
-      "fast_forward"))
+      "fast_forward", "create_view", "drop_view", "show_views"))
     intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
     intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
   }
