@@ -51,7 +51,8 @@ object VersionedTable {
     q129ChangeDataFeed, q130CheckConstraints, q131CdfIncrementalRefresh,
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
     q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution,
-    q138DropColumn, q139BranchWap, q140CatalogView)
+    q138DropColumn, q139BranchWap, q140CatalogView, q141MaterializedView,
+    q142TypeWidening)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -464,6 +465,19 @@ object VersionedTable {
     tablePropsOf(meta).collect {
       case (k, v) if k.startsWith("colmap.") =>
         k.stripPrefix("colmap.") -> v
+    }
+
+  // TYPE-WIDENED columns (`widen.<logical>` = catalog type string, the
+  // ALTER COLUMN TYPE device): reads cast the column to the widened
+  // type per generation, so pre-widen (narrow) files and post-widen
+  // (wide) files serve one logical type with zero rewrites. A full
+  // compact/optimize materializes the wide type physically and clears
+  // the property.
+  private def widensOf(meta: Map[String, String]): Map[String, org.apache.spark.sql.types.DataType] =
+    tablePropsOf(meta).collect {
+      case (k, v) if k.startsWith("widen.") =>
+        k.stripPrefix("widen.") ->
+          org.apache.spark.sql.types.DataType.fromDDL(v)
     }
 
   // physical names retired by DROP COLUMN (`dropcol.<physical>`
@@ -929,12 +943,14 @@ object VersionedTable {
     val baseV = vs.last
     val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
     // one generation and no tombstones — already compact; with
-    // outstanding deletion vectors OR drop-column tombstones compaction
-    // is still meaningful even at one generation: it MATERIALIZES the
-    // deletes / PURGES the dropped column's bytes (the rewrite reads the
-    // logical view, so the new files carry neither)
+    // outstanding deletion vectors, drop-column tombstones or widen
+    // casts compaction is still meaningful even at one generation: it
+    // MATERIALIZES the deletes / PURGES the dropped column's bytes /
+    // makes the widened type physical (the rewrite reads the logical
+    // view, so the new files carry none of the three)
     if (baseDirs.size <= 1 && dvHeadersOf(baseMeta).isEmpty &&
-        droppedNamesOf(tablePropsOf(baseMeta)).isEmpty) return None
+        droppedNamesOf(tablePropsOf(baseMeta)).isEmpty &&
+        widensOf(baseMeta).isEmpty) return None
     val df = applyDvs(spark, root, baseMeta,
       readDirs(spark, root, baseDirs, baseMeta))
     raceHook()
@@ -944,10 +960,13 @@ object VersionedTable {
     // a FULL rewrite replaces every file, so no file carries a dropped
     // column any more — clear the dropcol tombstones, freeing the names
     // for re-ADD (the incremental compactSmall keeps them: its carried
-    // bulk generations may still hold the bytes)
+    // bulk generations may still hold the bytes). Widen casts clear the
+    // same way: the rewrite read the widened view, so the new files are
+    // physically wide and need no cast.
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true")
-          ++ propHeadersOf(baseMeta).filterNot(_._1.startsWith("prop:dropcol."))
+          ++ propHeadersOf(baseMeta).filterNot(h =>
+            h._1.startsWith("prop:dropcol.") || h._1.startsWith("prop:widen."))
           ++ genStatsForEntries(spark, root, entries, statsCol.toSeq)))
       Some(baseV + 1)
     else {
@@ -1077,8 +1096,23 @@ object VersionedTable {
     // multi-path scan fast path stays intact
     val needDefaults = defaults.nonEmpty && reps.exists(f =>
       defaults.keys.exists(c => !f.columns.exists(_.equalsIgnoreCase(c))))
-    if (rawSame && !needDefaults) remap(strip(spark.read.parquet(paths: _*)))
-    else genGroups.map { g =>
+    // TYPE WIDENING (`widen.<col>` properties): cast last, after
+    // remap/defaults, so every generation — narrow pre-widen files, wide
+    // post-widen files, defaulted absences — serves ONE logical type. A
+    // cast to the column's own type is a no-op Catalyst elides, so the
+    // fold costs nothing on unwidened tables. Note rawSame still compares
+    // PHYSICAL schemas: a mixed narrow/wide multi-path scan would feed
+    // the vectorized reader a footer type it cannot convert, so mixed
+    // eras take the per-generation path and unify through unionByName.
+    val widens = widensOf(meta)
+    def widen(f: DataFrame): DataFrame =
+      widens.foldLeft(f) { case (d, (c, t)) =>
+        d.columns.find(_.equalsIgnoreCase(c))
+          .map(cc => d.withColumn(cc, col(cc).cast(t))).getOrElse(d)
+      }
+    if (rawSame && !needDefaults)
+      widen(remap(strip(spark.read.parquet(paths: _*))))
+    else widen(genGroups.map { g =>
       // drifted path: one multi-path scan PER GENERATION (schemas are
       // uniform within one), defaults filled where the generation lacks
       // the column, then by-name union across generations
@@ -1088,7 +1122,7 @@ object VersionedTable {
         if (d.columns.exists(_.equalsIgnoreCase(c))) d
         else d.withColumn(c, expr(e))
       }
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** lakehouse `OPTIMIZE [ZORDER BY]` as a FIRST-CLASS REWRITE COMMIT:
@@ -1142,9 +1176,10 @@ object VersionedTable {
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true")
-          // full rewrite: dropped columns' bytes are purged — clear the
-          // tombstones (the compact() rule)
-          ++ propHeadersOf(baseMeta).filterNot(_._1.startsWith("prop:dropcol."))
+          // full rewrite: dropped columns' bytes are purged and widened
+          // columns are physically wide — clear both (the compact() rule)
+          ++ propHeadersOf(baseMeta).filterNot(h =>
+            h._1.startsWith("prop:dropcol.") || h._1.startsWith("prop:widen."))
           ++ genStatsForEntries(spark, root, entries, statsCol.toSeq))) {
       val filesAfter = entries.map(e =>
         hfs.listStatus(new Path(root, e))
@@ -1500,6 +1535,7 @@ object VersionedTable {
       else if (meta.get("properties").contains("true")) "set_properties"
       else if (meta.get("alter").contains("add_columns")) "add_columns"
       else if (meta.get("alter").contains("rename_column")) "rename_column"
+      else if (meta.get("alter").contains("widen_column")) "widen_column"
       else if (meta.get("alter").contains("set_partition_spec")) "set_partition_spec"
       else if (meta.get("alter").contains("drop_column")) "drop_column"
       else if (meta.contains("tag")) "tag"
@@ -1535,6 +1571,43 @@ object VersionedTable {
       "txn_app", "txn_batch", "committed_at")
   }
 
+  /** Metadata table `<t>.files`: one row per manifest entry of the
+    * snapshot (tip when `v` None) — entry path, parquet file count,
+    * on-disk bytes. One listing per entry, no data read; with
+    * [[history]]/[[partitionSummary]]/[[refsSummary]] this is the
+    * catalog's `SELECT * FROM cat.ns.t.files` surface (the
+    * Iceberg/Delta metadata-table idiom).
+    */
+  def filesSummary(spark: SparkSession, root: String,
+      v: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    val hfs = fs(spark, root)
+    val rows = manifestDirs(spark, root, ver).map { d =>
+      val sts = hfs.listStatus(new Path(root, d))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      (d, sts.length, sts.map(_.getLen).sum)
+    }
+    import spark.implicits._
+    rows.toDF("entry", "n_files", "bytes")
+  }
+
+  /** Metadata table `<t>.refs`: every named ref — tags (durable version
+    * pointers) and live branches (with their tip) — from the manifest
+    * properties and the branch ledger alone.
+    */
+  def refsSummary(spark: SparkSession, root: String): DataFrame = {
+    val tags = tableProperties(spark, root).collect {
+      case (k, v) if k.startsWith("ref.") =>
+        (k.stripPrefix("ref."), "tag", v.toLong)
+    }.toSeq
+    val brs = branches(spark, root).map(b =>
+      (b, "branch", branchVersions(spark, root, b).last))
+    import spark.implicits._
+    (tags ++ brs).sortBy(_._1).toDF("name", "type", "version")
+  }
+
   /** CREATE-IF-ABSENT: publish `df` as version 1 iff the table does not
     * exist, and NEVER retry past a concurrent writer — `commit(overwrite
     * = true)` would, on a publish loss, silently clobber the racing
@@ -1555,6 +1628,9 @@ object VersionedTable {
     require(!props.keys.exists(_.startsWith("dropcol.")),
       "createIfAbsent: 'dropcol.*' tombstones are managed by DROP " +
         "COLUMN, not creation properties")
+    require(!props.keys.exists(_.startsWith("widen.")),
+      "createIfAbsent: 'widen.*' casts are managed by ALTER COLUMN " +
+        "TYPE (widenColumnType), not creation properties")
     // an API-declared layout runs the SAME transform/type gate the
     // catalog's PARTITIONED BY enforces — an unvalidated timestamp or
     // double identity column would write hive-escaped tokens the
@@ -1620,6 +1696,15 @@ object VersionedTable {
       s"setProperties: ${dcTouched.mkString(",")} — drop tombstones are " +
         "managed by DROP COLUMN and cleared by a full compact/optimize, " +
         "not raw property edits")
+    // widen casts are CORRECTNESS metadata with a validated editor too:
+    // a hand-SET one skips the lossless-promotion gate (a "narrowing"
+    // would silently truncate committed values on every read), and a
+    // hand-UNSET one re-splits a mixed narrow/wide history's types
+    val wTouched = (set.keys ++ unset).filter(_.startsWith("widen."))
+    require(wTouched.isEmpty,
+      s"setProperties: ${wTouched.mkString(",")} — type widening is " +
+        "managed by ALTER COLUMN TYPE (widenColumnType) and cleared by " +
+        "a full compact/optimize, not raw property edits")
     // tag pointers have their own validated editor (tagVersion checks
     // the target version EXISTS; a raw edit could point VERSION AS OF
     // at nothing, or silently move a release tag)
@@ -1858,10 +1943,15 @@ object VersionedTable {
       val finalMap = chained.filterNot { case (k, v) => k.equalsIgnoreCase(v) }
       val kept = meta.filter { case (k, _) =>
         (k.startsWith("stats:") || k.startsWith("dv:") ||
-          k.startsWith("prop:")) && !k.startsWith("prop:colmap.")
+          k.startsWith("prop:")) && !k.startsWith("prop:colmap.") &&
+          // a widen follows its column across the rename (re-keyed below)
+          !k.equalsIgnoreCase(s"prop:widen.$old")
       }
       val mapped = kept ++ finalMap.map { case (k, v) =>
-        s"prop:colmap.$k" -> v }
+        s"prop:colmap.$k" -> v } ++
+        meta.collectFirst { case (k, v)
+            if k.equalsIgnoreCase(s"prop:widen.$old") =>
+          s"prop:widen.$newName" -> v }
       if (attempt == 1) raceHook()
       if (tryPublish(spark, root, tipV + 1, dirs,
           mapped + ("alter" -> "rename_column"))) return tipV + 1
@@ -1950,13 +2040,106 @@ object VersionedTable {
       val kept = meta.filter { case (k, _) =>
         (k.startsWith("stats:") || k.startsWith("dv:") ||
           k.startsWith("prop:")) &&
-          !phys.exists(p => k.equalsIgnoreCase(s"prop:colmap.$p"))
+          !phys.exists(p => k.equalsIgnoreCase(s"prop:colmap.$p")) &&
+          // a dropped column's widen cast retires with it
+          !k.equalsIgnoreCase(s"prop:widen.$old")
       }
       val edited = kept ++
         phys.map(p => s"prop:dropcol.$p" -> tipV.toString) +
         ("alter" -> "drop_column")
       if (attempt == 1) raceHook()
       if (tryPublish(spark, root, tipV + 1, dirs, edited)) return tipV + 1
+    }
+    -1L // unreachable
+  }
+
+  // lossless type promotions (the Iceberg evolution set): a widened
+  // read can never overflow, truncate or round a committed value
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE … ALTER COLUMN … TYPE as a METADATA-ONLY commit
+    * (Iceberg schema-evolution type promotion / Delta type widening):
+    * publish a `widen.<col>` property and every read CASTS the column
+    * to the widened type after remap/defaults ([[readDirs]]) — narrow
+    * pre-widen generations and wide post-widen generations serve one
+    * logical type with zero files rewritten, at any table size. Only
+    * LOSSLESS promotions are accepted (byte→short→int→long,
+    * float→double, decimal precision growth at fixed scale): a read
+    * must never overflow or round a committed value, and a NARROWING
+    * retype is refused outright — committed wide values may not fit.
+    * Old snapshots predate the property, so time travel before the
+    * ALTER serves the original type (the ALTER is itself a version).
+    * The next full [[compact]]/[[optimize]] materializes the wide type
+    * physically and CLEARS the property (its files no longer need the
+    * cast); incremental compaction keeps it (narrow generations may
+    * survive).
+    *
+    * REFUSED when the column sources a partition transform (current or
+    * historical spec — bucket/truncate tokens are computed from the
+    * PHYSICAL type, and Spark's Murmur3 hashes int 5 and long 5 to
+    * different buckets, so a widen would silently desynchronize
+    * pruning from the written leaves) and while deletion vectors
+    * tombstone the column (compact first — the rename/drop rule).
+    * Re-widening replaces the property with the wider target (casts
+    * compose; the read goes straight to the widest). Like
+    * [[setProperties]] the intent is state-independent, so a publish
+    * loss retries at the next version. Returns the committed version.
+    */
+  def widenColumnType(spark: SparkSession, root: String, name: String,
+      newType: org.apache.spark.sql.types.DataType,
+      raceHook: () => Unit = () => ()): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 20)
+        throw new java.io.IOException(s"VersionedTable: publish contention at $root")
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+      val tipV = vs.last
+      val (dirs, meta) = manifestOf(spark, root, tipV)
+      val props = tablePropsOf(meta)
+      val schema = readAt(spark, root, Some(tipV)).schema // logical view
+      val field = schema.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"widenColumnType: no column '$name' in " +
+            schema.fieldNames.mkString("(", ", ", ")")))
+      require(isWidening(field.dataType, newType),
+        s"widenColumnType: ${field.dataType.catalogString} → " +
+          s"${newType.catalogString} is not a lossless widening — " +
+          "accepted: byte→short→int→long, float→double, decimal " +
+          "precision growth at fixed scale (narrowing would overflow " +
+          "committed values; reinterpretations belong in a new column)")
+      val partSrcs = allPartitionFieldsOf(props).map(_.source)
+      require(!partSrcs.exists(_.equalsIgnoreCase(field.name)),
+        s"widenColumnType: '${field.name}' sources a partition " +
+          "transform (current or historical spec) — bucket/truncate " +
+          "tokens are computed from the physical type, so a widen " +
+          "would desynchronize pruning from the written leaves")
+      require(!dvHeadersOf(meta).values.exists(_.equalsIgnoreCase(field.name)),
+        s"widenColumnType: outstanding deletion vectors tombstone " +
+          s"'${field.name}' — run compact() to materialize them first")
+      validateProps(Map(s"widen.${field.name}" -> newType.catalogString))
+      val kept = meta.filter { case (k, _) =>
+        (k.startsWith("stats:") || k.startsWith("dv:") ||
+          k.startsWith("prop:")) &&
+          !k.equalsIgnoreCase(s"prop:widen.${field.name}")
+      }
+      if (attempt == 1) raceHook()
+      if (tryPublish(spark, root, tipV + 1, dirs,
+          kept + (s"prop:widen.${field.name}" -> newType.catalogString) +
+            ("alter" -> "widen_column"))) return tipV + 1
     }
     -1L // unreachable
   }
@@ -3132,8 +3315,11 @@ object VersionedTable {
     *  - `create`/`append`/`add_columns`: added generations → `insert`
     *    (the commit's outstanding tombstones applied — a row appended
     *    already-deleted was never visible, so it never changed).
-    *  - `rewrite` (compact/optimize) and `set_properties`: no content
-    *    change → nothing.
+    *  - `rewrite` (compact/optimize), `set_properties`, `tag`,
+    *    `set_partition_spec`, `rename_column`: no content change →
+    *    nothing. `wap_publish` is append-shaped by construction
+    *    (fastForward only adds staged generations; branch commits never
+    *    add DVs) → its added generations feed as `insert`.
     *  - `merge`/`update`/`delete` (generation-granular copy-on-write):
     *    the EXACT multiset row diff of the touched generations —
     *    removed-side rows minus added-side rows are preimages, the
@@ -3190,13 +3376,20 @@ object VersionedTable {
           Seq(tag(applyDvs(spark, root, curMeta,
             readDirs(spark, root, curDirs, curMeta)),
             "insert", v))
-        case "append" | "add_columns" =>
+        // wap_publish is append-shaped by construction (fastForward only
+        // adds the branch's staged generations to the tip's dirs)
+        case "append" | "add_columns" | "wap_publish" =>
           val added = curDirs.filterNot(prevDirs.contains)
           if (added.isEmpty) Nil
           else Seq(tag(applyDvs(spark, root, curMeta,
             readDirs(spark, root, added, curMeta)),
             "insert", v))
-        case "rewrite" | "set_properties" | "rename_column" => Nil
+        // tag/spec-evolution commits are pure metadata (dirs identical
+        // by construction) — an incremental consumer must see an empty
+        // delta, not a refusal, or tagging a release would force every
+        // downstream MV into a full recompute
+        case "rewrite" | "set_properties" | "rename_column" |
+            "widen_column" | "tag" | "set_partition_spec" => Nil
         case "mor_delete" =>
           val prevDvs = dvHeadersOf(manifestMeta(spark, root, prev)).keySet
           dvHeadersOf(curMeta).toSeq
@@ -5861,6 +6054,165 @@ object VersionedTable {
           WHERE mi <= mi0 + 2 AND mi <> mi0 + 1) AS BIGINT)
           + CAST((SELECT count(DISTINCT mi) FROM o, b
               WHERE mi BETWEEN mi0 + 3 AND mi0 + 5) AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q141: MATERIALIZED VIEW with INCREMENTAL REFRESH
+    * ([[graft.ops.MaterializedView]], surfaced as `CALL create_mview /
+    * refresh_mview / mview_status`): a grouped aggregate of the
+    * versioned table materialized as its own versioned table, kept
+    * fresh by folding the source's change feed — O(changes since last
+    * refresh), never O(source). Pinned here: create over the first
+    * year's orders; a second-year append, a mid-window release TAG
+    * (metadata-only — must NOT force a full recompute) and a
+    * copy-on-write DELETE that erases one whole group; ONE incremental
+    * refresh folds all of it (`changed_groups` oracle-pinned from the
+    * data's own group spread; the retracted-to-zero group vanishes from
+    * the content — hash-pinned by its absence); a second refresh is a
+    * `noop`; the staleness ledger flips across the refresh; and the
+    * final MV content hash-matches the oracle's full re-aggregate. Sums
+    * stage in DECIMAL so the incremental fold is bit-identical to the
+    * recompute. At 100 TB: the hourly dashboard aggregate costs the
+    * hour's changes plus the (aggregate-sized) fold — the reference's
+    * recompute-every-run extracts (`spotifytransform.py:96-143`) are
+    * exactly the cost shape this removes.
+    */
+  val q141MaterializedView: Q = Q(
+    "q141_materialized_view",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val src = s"$root/src"; val mv = s"$root/mv"
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_custkey"), lit(7L)).as("cgrp"),
+          Q.dec2(col("o_totalprice")).as("price"),
+          year(col("o_orderdate")).as("yr"))
+      val y0 = base.agg(min(col("yr"))).head().getInt(0)
+      commit(s, src, base.filter(col("yr") === y0), overwrite = true,
+        meta = Map("prop:key" -> "k"))                               // v1
+      require(MaterializedView.create(s, mv, src, Seq("cgrp"),
+        "cnt:count, rev:sum(price)"), "q141: private mv must create")
+      val (_, _, freshAtCreate) = MaterializedView.status(s, mv)
+      commit(s, src, base.filter(col("yr") === y0 + 1),
+        overwrite = false)                                           // v2
+      tagVersion(s, src, "rel1")                                     // v3
+      deleteWhere(s, src, col("cgrp") === 3L)                        // v4
+      val (_, _, staleBefore) = MaterializedView.status(s, mv)
+      val r1 = MaterializedView.refresh(s, mv)
+      val r2 = MaterializedView.refresh(s, mv)
+      val (_, _, staleAfter) = MaterializedView.status(s, mv)
+      val flags = (if (r1.mode == "incremental") 1L else 0L) +
+        (if (r2.mode == "noop") 2L else 0L) +
+        (if (staleBefore) 4L else 0L) +
+        (if (!staleAfter && !freshAtCreate) 8L else 0L)
+      val content = readAt(s, mv).select(
+        concat(lit("g_"), col("cgrp").cast("string")).as("step"),
+        col("cnt").as("a"), col("cgrp").cast("long").as("b"),
+        col("rev").cast("double").as("c"))
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(flags).as("a"), lit(r1.changedGroups).as("b"),
+        lit(1.0).cast("double").as("c"))
+      content.unionByName(audit).orderBy(col("step"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_custkey % 7 AS cgrp,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) AS y0 FROM base),
+      w AS (SELECT base.*, yr - y0 AS kk FROM base, y
+            WHERE yr BETWEEN y0 AND y0 + 1),
+      content AS (
+        SELECT cgrp, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(coalesce(price, 0)) AS DOUBLE) AS rev
+        FROM w WHERE cgrp <> 3 GROUP BY cgrp),
+      chg AS (
+        -- changed groups: every group the year-1 append touches, plus
+        -- group 3 iff it HAS year-0 rows — a group inserted and fully
+        -- deleted inside one window nets to exactly zero and folds as
+        -- a no-op (so 3 only counts via its retracted year-0 rows)
+        SELECT CAST(count(DISTINCT cgrp) AS BIGINT) AS n FROM w
+        WHERE (kk = 1 AND cgrp <> 3) OR (cgrp = 3 AND kk = 0))
+      SELECT concat('g_', CAST(cgrp AS VARCHAR)) AS step, cnt AS a,
+        CAST(cgrp AS BIGINT) AS b, rev AS c FROM content
+      UNION ALL
+      SELECT 'audit', CAST(15 AS BIGINT), (SELECT n FROM chg),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q142: TYPE WIDENING — [[widenColumnType]] (SQL `ALTER TABLE …
+    * ALTER COLUMN … TYPE`) driven through the canonical mixed-era
+    * story: v1 loads the first year with NARROW types (int customer
+    * key, decimal(10,2) price), two metadata-only ALTERs widen them
+    * (int→bigint, decimal(10,2)→(14,2) — dirs pinned identical, kind
+    * pinned `widen_column`, change feeds pinned empty across them), v2
+    * appends the second year PHYSICALLY WIDE — so the snapshot mixes
+    * narrow and wide parquet eras and every read serves ONE logical
+    * type via per-generation casts ([[readDirs]]). The per-year
+    * aggregate reads THROUGH the mixed eras and hash-matches the
+    * oracle's plain re-aggregate; time travel before the ALTER serves
+    * the original narrow type (flag-pinned). At 100 TB: outgrowing an
+    * int key costs one bytes-sized manifest publish instead of a
+    * table rewrite, and the history keeps reading — the Iceberg
+    * type-promotion economics.
+    */
+  val q142TypeWidening: Q = Q(
+    "q142_type_widening",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val narrow = t(s, dir, "orders")
+        .select(col("o_custkey").cast("int").as("cust"),
+          col("o_totalprice").cast("decimal(10,2)").as("price"),
+          year(col("o_orderdate")).as("yr"))
+      val y0 = narrow.agg(min(col("yr"))).head().getInt(0)
+      val v1 = commit(s, root, narrow.filter(col("yr") === y0),
+        overwrite = true)
+      val v2 = widenColumnType(s, root, "cust",
+        org.apache.spark.sql.types.LongType)
+      val v3 = widenColumnType(s, root, "price",
+        org.apache.spark.sql.types.DecimalType(14, 2))
+      commit(s, root, narrow.filter(col("yr") === y0 + 1)
+          .withColumn("cust", col("cust").cast("bigint"))
+          .withColumn("price", col("price").cast("decimal(14,2)")),
+        overwrite = false)                                 // wide era
+      val tipSchema = readAt(s, root).schema
+      val flags =
+        (if (commitKind(s, root, v2) == "widen_column") 1L else 0L) +
+        (if (manifestDirs(s, root, v2) == manifestDirs(s, root, v1)) 2L
+         else 0L) +
+        (if (readAt(s, root, Some(v1)).schema("cust").dataType ==
+            org.apache.spark.sql.types.IntegerType) 4L else 0L) +
+        (if (tipSchema("cust").dataType ==
+            org.apache.spark.sql.types.LongType &&
+            tipSchema("price").dataType ==
+              org.apache.spark.sql.types.DecimalType(14, 2)) 8L else 0L) +
+        (if (tableChanges(s, root, v1, v3).count() == 0L) 16L else 0L)
+      val perYear = readAt(s, root).groupBy(col("yr"))
+        .agg(count(lit(1)).as("a"), sum(col("cust")).as("b"),
+          sum(col("price")).cast("double").as("c"))
+        .select(concat(lit("yr_"), (col("yr") - y0).cast("string"))
+          .as("step"), col("a"), col("b"), col("c"))
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(flags).as("a"), lit(1L).as("b"), lit(1.0).cast("double").as("c"))
+      perYear.unionByName(audit).orderBy(col("step"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey AS cust,
+          CAST(o_totalprice AS DECIMAL(10,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) AS y0 FROM base),
+      w AS (SELECT base.*, yr - y0 AS k FROM base, y
+            WHERE yr BETWEEN y0 AND y0 + 1)
+      SELECT concat('yr_', CAST(k AS VARCHAR)) AS step,
+        CAST(count(*) AS BIGINT) AS a,
+        CAST(sum(cust) AS BIGINT) AS b,
+        CAST(sum(price) AS DOUBLE) AS c
+      FROM w GROUP BY k
+      UNION ALL
+      SELECT 'audit', CAST(31 AS BIGINT), CAST(1 AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 }

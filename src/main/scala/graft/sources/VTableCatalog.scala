@@ -53,8 +53,12 @@ import graft.ops.VersionedTable
   * subsequent insert fails), then appends the query result. ALTER:
   * `SET/UNSET TBLPROPERTIES` lands as a metadata-only commit,
   * `ADD COLUMNS` as a widened-schema evolution commit, `RENAME COLUMN`
-  * as a metadata-only name-mapping commit; destructive schema changes
-  * (DROP/retype) are rejected loudly. DROP TABLE
+  * as a metadata-only name-mapping commit, `DROP COLUMN` as a logical
+  * drop tombstone, `ALTER COLUMN … TYPE` as a lossless type-widening
+  * commit; narrowing/reinterpreting retypes are rejected loudly.
+  * Virtual metadata tables ride the identifier suffix: `SELECT * FROM
+  * cat.ns.t.history` (also `.files`, `.refs`, `.partitions`) serves
+  * the operational ledgers from manifests alone. DROP TABLE
   * deletes the table tree; RENAME TO is a directory move
   * (metadata-only, like the lakehouse formats). The catalog's
   * `pruneCol` option takes a comma LIST of stats columns — pushed
@@ -115,13 +119,39 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
     (tables ++ views).sorted.map(n => Identifier.of(namespace, n)).toArray
   }
 
+  // virtual METADATA TABLES (the Iceberg/Delta idiom): `cat.ns.t.history`
+  // resolves when `t` is a table and no real table/view shadows the
+  // suffix — each serves a bytes-sized operational ledger computed from
+  // the manifests (never data)
+  private val metaTables: Map[String, String => org.apache.spark.sql.DataFrame] =
+    Map(
+      "history" -> (p => VersionedTable.history(spark, p)),
+      "files" -> (p => VersionedTable.filesSummary(spark, p)),
+      "refs" -> (p => VersionedTable.refsSummary(spark, p)),
+      "partitions" -> { p =>
+        val s = spark
+        import s.implicits._
+        VersionedTable.partitionSummary(s, p, None)
+          .toDF("partition", "n_entries", "bytes")
+      })
+
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
     if (!isTable(p)) {
       // not a table — maybe a persisted view definition
       VTableViews.readDefinition(spark, viewFileOf(ident)) match {
         case Some(sql) => return new VTableViewTable(ident.toString, sql)
-        case None => throw new NoSuchTableException(ident)
+        case None =>
+          // ...or a metadata-table suffix of a table one level up
+          val ns = ident.namespace()
+          if (ns.nonEmpty && metaTables.contains(ident.name())) {
+            val parent = Identifier.of(ns.dropRight(1), ns.last)
+            val pp = pathOf(parent)
+            if (isTable(pp))
+              return new VTableMetaTable(ident.toString,
+                () => metaTables(ident.name())(pp))
+          }
+          throw new NoSuchTableException(ident)
       }
     }
     // a table that DECLARES a row-id column (the `key` property) gains
@@ -270,11 +300,20 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
     }
     val (adds, rest2) = rest.partition(_.isInstanceOf[TableChange.AddColumn])
     val (renames, rest3) = rest2.partition(_.isInstanceOf[TableChange.RenameColumn])
-    val (drops, other) = rest3.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    val (drops, rest4) = rest3.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    val (retypes, other) =
+      rest4.partition(_.isInstanceOf[TableChange.UpdateColumnType])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       "graft-vtable: only SET/UNSET TBLPROPERTIES, ADD COLUMNS, " +
-        "RENAME COLUMN and DROP COLUMN are supported — retype would " +
-        "reinterpret committed data")
+        "RENAME COLUMN, DROP COLUMN and ALTER COLUMN TYPE (lossless " +
+        "widening) are supported")
+    retypes.collect { case u: TableChange.UpdateColumnType =>
+      require(u.fieldNames().length == 1,
+        "graft-vtable: ALTER COLUMN TYPE supports top-level columns " +
+          s"only, got ${u.fieldNames().mkString(".")}")
+      VersionedTable.widenColumnType(spark, p, u.fieldNames()(0),
+        u.newDataType())
+    }
     renames.collect { case r: TableChange.RenameColumn =>
       require(r.fieldNames().length == 1,
         "graft-vtable: RENAME COLUMN supports top-level columns only, " +
@@ -725,6 +764,40 @@ class VTableViewTable(viewName: String, sqlText: String)
             override def buildScan(): RDD[Row] =
               VTableViews.guarded(viewName)(
                 context.sparkSession.sql(sqlText).rdd)
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+/** A virtual METADATA TABLE (`<t>.history` / `.files` / `.refs` /
+  * `.partitions`): read-only, schema and rows computed fresh at scan
+  * from the table's manifests — bytes-sized operational ledgers, never
+  * data, so serving them through the V1 bridge costs one driver-side
+  * computation per query.
+  */
+class VTableMetaTable(metaName: String,
+    frame: () => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"metadata $metaName"
+
+  override lazy val schema: StructType = frame().schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"graft-vtable metadata $metaName"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override val schema: StructType = VTableMetaTable.this.schema
+            override def buildScan(): RDD[Row] = frame().rdd
           }.asInstanceOf[T]
       }
     }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.ops.VersionedTable
+import graft.ops.{MaterializedView, VersionedTable}
 
 /** SQL `CALL` surface for the versioned table's MAINTENANCE operations —
   * the statements every lakehouse ships as stored procedures because no
@@ -374,6 +374,69 @@ object VTableProcedures {
             r.getTimestamp(6).getTime * 1000L +
               (r.getTimestamp(6).getNanos / 1000L) % 1000L))
         }
+      }),
+    Proc("create_mview",
+      "CREATE MATERIALIZED VIEW: materialize a grouped aggregate of a " +
+        "versioned table as its OWN versioned table, refreshed " +
+        "incrementally from the source change feed (refresh_mview); " +
+        "aggs grammar 'name:count, name:sum(col)' (exactly one count — " +
+        "it decides group liveness on retraction; sums fold over " +
+        "coalesce(col,0)); where is an optional row predicate",
+      Seq(in("mview", StringType), in("source", StringType),
+        in("group_by", StringType), in("aggs", StringType),
+        inDefault("where", StringType, "NULL")),
+      StructType(Seq(StructField("mview", StringType),
+        StructField("created", BooleanType, nullable = false),
+        StructField("source_version", LongType))),
+      (root, args) => {
+        val ident = args.getUTF8String(0).toString
+        val mvRoot = identPath(root, ident)
+        require(!new Path(s"$mvRoot.view").getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+            .exists(new Path(s"$mvRoot.view")),
+          s"graft-vtable: a VIEW named '$ident' exists — views, tables " +
+            "and mviews share the namespace")
+        val srcRoot = tableRoot(root, args.getUTF8String(1).toString)
+        val created = MaterializedView.create(spark, mvRoot, srcRoot,
+          args.getUTF8String(2).toString.split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty),
+          args.getUTF8String(3).toString,
+          if (args.isNullAt(4)) None
+          else Some(args.getUTF8String(4).toString))
+        require(created,
+          s"graft-vtable: a table named '$ident' already exists")
+        val sv = VersionedTable.tableProperties(spark, mvRoot)(
+          "mview.source_version").toLong
+        Seq(new GenericInternalRow(Array[Any](utf8(ident), true, sv)))
+      }),
+    Proc("refresh_mview",
+      "fold the source's change feed since the last refresh into the " +
+        "materialized view — O(changes), one atomic commit carries " +
+        "content + freshness marker; mode: noop (already fresh), " +
+        "incremental, or full (feed inexpressible across the window, " +
+        "e.g. RESTORE — recomputed from the snapshot)",
+      Seq(in("mview", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("source_version", LongType),
+        StructField("changed_groups", LongType),
+        StructField("mode", StringType))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val r = MaterializedView.refresh(spark, p)
+        Seq(new GenericInternalRow(Array[Any](
+          r.mvVersion, r.sourceVersion, r.changedGroups, utf8(r.mode))))
+      }),
+    Proc("mview_status",
+      "freshness ledger: the source version the content folds up to, " +
+        "the source tip, and whether a refresh is due",
+      Seq(in("mview", StringType)),
+      StructType(Seq(StructField("folded_source_version", LongType),
+        StructField("source_tip", LongType),
+        StructField("stale", BooleanType, nullable = false))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        val (folded, tip, stale) = MaterializedView.status(spark, p)
+        Seq(new GenericInternalRow(Array[Any](folded, tip, stale)))
       }))
 
   def names: Seq[String] = procs.map(_.name)

@@ -292,13 +292,14 @@ class VTableCatalogSpec extends SparkSpec {
     assert(ids("SELECT id FROM vtcat.p.t") == Set(3))
     // RENAME COLUMN is supported since r15 (the 'key' guard lifted when
     // the property was UNSET above); DROP refuses on the last column,
-    // and retype stays refused outright
+    // and a NARROWING retype refuses (widening is supported since r16 —
+    // WidenColumnSpec covers it end to end)
     spark.sql("ALTER TABLE vtcat.p.t RENAME COLUMN id TO id2")
     assert(ids("SELECT id2 FROM vtcat.p.t") == Set(3))
     intercept[Exception](
       spark.sql("ALTER TABLE vtcat.p.t DROP COLUMN id2"))
     intercept[Exception](
-      spark.sql("ALTER TABLE vtcat.p.t ALTER COLUMN id2 TYPE BIGINT"))
+      spark.sql("ALTER TABLE vtcat.p.t ALTER COLUMN id2 TYPE SMALLINT"))
   }
 
   test("CHECK constraints enforce through the SQL surface") {
@@ -419,9 +420,10 @@ class VTableCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM vtcat.dc.t WHERE note IS NOT NULL")
       .head().getLong(0) == 0L, "re-add must not resurrect")
-    // retype is still refused
+    // a reinterpreting retype is still refused (widening is its own
+    // lossless path since r16)
     intercept[Exception](spark.sql(
-      "ALTER TABLE vtcat.dc.t ALTER COLUMN v TYPE BIGINT"))
+      "ALTER TABLE vtcat.dc.t ALTER COLUMN v TYPE STRING"))
   }
 
   test("catalog views: create/read/replace/drop, composition, cycle guard") {
@@ -466,5 +468,36 @@ class VTableCatalogSpec extends SparkSpec {
     assert(spark.sql("CALL vtcat.system.show_views('vw')").collect()
       .map(_.getString(0)).toSeq == Seq("vw.bigger"))
     intercept[Exception](ids("SELECT id FROM vtcat.vw.big"))
+  }
+
+  test("metadata tables: history/files/refs/partitions ride the ident suffix") {
+    val t = s"$root/meta/t"
+    VersionedTable.commit(spark, t, df(1, 2), overwrite = true)
+    VersionedTable.commit(spark, t, df(3), overwrite = false)
+    VersionedTable.tagVersion(spark, t, "rel1", Some(1L))
+    // history: one row per commit, kinds in order
+    val hist = spark.sql(
+      "SELECT version, kind FROM vtcat.meta.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "tag")))
+    // files: one row per manifest entry, bytes > 0
+    val files = spark.sql("SELECT entry, n_files, bytes FROM vtcat.meta.t.files")
+      .collect()
+    assert(files.length == 2 && files.forall(_.getLong(2) > 0L))
+    // refs: the tag with its pinned version
+    val refs = spark.sql("SELECT name, type, version FROM vtcat.meta.t.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("rel1", "tag", 1L)))
+    // partitions: unpartitioned table reports its entries under ''
+    val parts = spark.sql("SELECT partition FROM vtcat.meta.t.partitions")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set(""))
+    // a REAL table named 'history' shadows the virtual one
+    VersionedTable.commit(spark, s"$root/meta/t/history", df(42),
+      overwrite = true)
+    assert(ids("SELECT id FROM vtcat.meta.t.history") == Set(42))
+    // no metadata suffix on a non-table parent
+    intercept[Exception](
+      spark.sql("SELECT * FROM vtcat.meta.nope.history").collect())
   }
 }

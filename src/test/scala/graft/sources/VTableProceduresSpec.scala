@@ -98,7 +98,8 @@ class VTableProceduresSpec extends SparkSpec {
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(listed == Set("compact", "optimize", "restore", "vacuum",
       "partitions", "history", "evolve_partition_spec", "tag", "branch",
-      "fast_forward", "create_view", "drop_view", "show_views"))
+      "fast_forward", "create_view", "drop_view", "show_views",
+      "create_mview", "refresh_mview", "mview_status"))
     intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
     intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
   }
