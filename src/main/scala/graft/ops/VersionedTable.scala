@@ -2435,7 +2435,10 @@ object VersionedTable {
       s"createBranch: branch '$name' already exists")
     val (dirs, meta) = manifestOf(spark, root, base)
     val kept = meta.filter { case (k, _) =>
-      k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+      k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:") ||
+        // main-tip txn stamps seed the fork, so a staged stream's replay
+        // dedup survives a publish → drop → re-branch cadence
+        k == "txnApp" || k == "txnBatch"
     }
     require(tryPublishAt(spark, root, s"b.$name.$base.commit",
         commitTsOpt(spark, root, base),
@@ -2452,12 +2455,13 @@ object VersionedTable {
     * what it defers). Returns the branch version.
     */
   def commitToBranch(spark: SparkSession, root: String, name: String,
-      df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+      df: DataFrame, statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
     val bvs = branchVersions(spark, root, name)
     require(bvs.nonEmpty, s"commitToBranch: no branch '$name'")
     val tipB = bvs.last
-    val (dirs, meta) = branchManifestOf(spark, root, name, tipB)
-    val props = tablePropsOf(meta)
+    val (dirs, bMeta) = branchManifestOf(spark, root, name, tipB)
+    val props = tablePropsOf(bMeta)
     requireNoDroppedNames(df, props, s"branch '$name' commit")
     val gen = writeGeneration(spark, root, df, partitionFieldsOf(props))
     val entries = genEntries(spark, root, gen)
@@ -2466,17 +2470,47 @@ object VersionedTable {
       enforceConstraints(spark, root, cs,
         readDirs(spark, root, entries), Some(gen))
     val keptDirs = dirs.toSet
-    val carried = meta.filter { case (k, _) =>
+    val carried = bMeta.filter { case (k, _) =>
       (k.startsWith("stats:") && keptDirs.contains(decDir(k.split(":", 3)(2)))) ||
         k.startsWith("dv:") || k.startsWith("prop:") || k == "branch_base"
     }
     val genStats = genStatsForEntries(spark, root, entries, statsCols)
     require(tryPublishAt(spark, root, s"b.$name.${tipB + 1}.commit",
-        meta.get("ts").map(_.toLong), dirs ++ entries,
-        carried ++ genStats),
+        bMeta.get("ts").map(_.toLong), dirs ++ entries,
+        carried ++ genStats ++ meta),
       s"commitToBranch: branch '$name' version ${tipB + 1} already " +
         "exists — branches are single-writer per commit")
     tipB + 1
+  }
+
+  /** Exactly-once STAGED commit — [[idempotentCommit]]'s contract on a
+    * BRANCH: the write is stamped `(txnApp, txnBatch)` in the branch
+    * manifest, and a replayed batch the branch has already absorbed is
+    * skipped, so a restarted stream can STAGE micro-batches
+    * write-audit-publish style (sink option `branch`) without
+    * duplicating rows. The absorbed check is the same newest-first O(1)
+    * stamp scan, over the branch's own manifests; batch ids from one
+    * app must be monotone (the streaming contract). Keep the branch
+    * alive for the stream's lifetime — [[fastForward]] publishes the
+    * audited window to main as ONE atomic `wap_publish` commit; replay
+    * dedup always resolves against the BRANCH manifests (a replay after
+    * the branch was dropped fails loudly — no duplicate can land).
+    * Returns (branch version, committed?).
+    */
+  def idempotentCommitToBranch(spark: SparkSession, root: String,
+      name: String, df: DataFrame, appId: String, batchId: Long): (Long, Boolean) = {
+    val bvs = branchVersions(spark, root, name)
+    require(bvs.nonEmpty,
+      s"idempotentCommitToBranch: no branch '$name' — createBranch " +
+        "before starting the stream (WAP staging is deliberate)")
+    def absorbed: Boolean = bvs.reverseIterator
+      .map(v => branchManifestOf(spark, root, name, v)._2)
+      .collectFirst { case m if m.get("txnApp").contains(appId) =>
+        m.get("txnBatch").exists(_.toLong >= batchId)
+      }.getOrElse(false)
+    if (absorbed) (bvs.last, false)
+    else (commitToBranch(spark, root, name, df,
+      meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)), true)
   }
 
   /** The branch's snapshot (its tip when `v` None) — the "audit" read
@@ -2518,9 +2552,16 @@ object VersionedTable {
     // legally vacuumed while the branch stayed alive
     val baseDirs = branchManifestOf(spark, root, name, bvs.head)._1.toSet
     val added = bDirs.filterNot(baseDirs.contains)
+    // the branch TIP's txn stamp rides into the published manifest (and
+    // createBranch copies main-tip stamps back into a fresh branch), so
+    // an exactly-once staged STREAM survives the publish → drop →
+    // re-branch cadence: a micro-batch replayed across it still finds
+    // its stamp and dedups (single app per branch — the single-writer
+    // branch contract)
+    val bTxn = bMeta.filter { case (k, _) => k == "txnApp" || k == "txnBatch" }
     val bHeaders = bMeta.filter { case (k, _) =>
       k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
-    }
+    } ++ bTxn
     raceHook()
     var attempt = 0
     while (attempt < 10) {
@@ -2564,7 +2605,7 @@ object VersionedTable {
           k.startsWith("stats:") && added.contains(decDir(k.split(":", 3)(2)))
         }
         if (tryPublish(spark, root, tip + 1, tipDirs ++ added,
-            tipHeaders ++ addedStats + ("wap_publish" -> name)))
+            tipHeaders ++ addedStats ++ bTxn + ("wap_publish" -> name)))
           return Some(tip + 1)
       }
     }

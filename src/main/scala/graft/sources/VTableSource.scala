@@ -262,9 +262,6 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
     require(outputMode == OutputMode.Append(),
       s"graft-vtable sink: commits are appends — only Append output mode " +
         s"is supported, got $outputMode")
-    require(!parameters.contains("branch"),
-      "graft-vtable sink: 'branch' is a batch read option — a streaming " +
-        "sink commits to main (stage batch writes with commitToBranch)")
     // exactly-once needs a txn identity STABLE ACROSS RESTARTS: prefer an
     // explicit txnAppId (the Delta idiom); the checkpoint location — which
     // any restartable stream must pin anyway — is an equally stable default
@@ -273,7 +270,18 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-vtable sink: set option(\"txnAppId\", ...) or a " +
           "checkpointLocation — exactly-once needs a stable app identity"))
-    new VTableSink(sqlContext.sparkSession, pathOf(parameters), appId)
+    // STREAMING WAP: option("branch", n) stages every micro-batch on the
+    // named branch — invisible to main readers until fastForward
+    // publishes the audited window. The branch must exist (createBranch
+    // first: staging is deliberate) and stay alive for the stream's
+    // lifetime; replays dedup against the branch's own txn stamps.
+    val branch = parameters.get("branch")
+    branch.foreach(b =>
+      require(VersionedTable.branchVersions(sqlContext.sparkSession,
+          pathOf(parameters), b).nonEmpty,
+        s"graft-vtable sink: no branch '$b' — createBranch before " +
+          "starting a staged (write-audit-publish) stream"))
+    new VTableSink(sqlContext.sparkSession, pathOf(parameters), appId, branch)
   }
 }
 
@@ -287,12 +295,22 @@ class VTableSource extends RelationProvider with CreatableRelationProvider
   * `streaming/StreamingUpsert` dataflow, promoted into the table format).
   * Each micro-batch costs one appended generation + one manifest rename;
   * the absorbed check reads O(1) manifests (newest-first stamp scan).
+  * With `option("branch", n)` the same exactly-once contract stages on
+  * the named branch instead (STREAMING write-audit-publish): main
+  * readers see nothing until `fastForward` publishes the audited window
+  * atomically.
   */
 class VTableSink(spark: org.apache.spark.sql.SparkSession, path: String,
-    appId: String) extends Sink {
+    appId: String, branch: Option[String] = None) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    VersionedTable.idempotentCommit(spark, path,
-      StreamingFrame.asBatch(spark, data), appId, batchId)
+    val df = StreamingFrame.asBatch(spark, data)
+    branch match {
+      case Some(b) => // staged (write-audit-publish) stream
+        VersionedTable.idempotentCommitToBranch(spark, path, b, df,
+          appId, batchId)
+      case None =>
+        VersionedTable.idempotentCommit(spark, path, df, appId, batchId)
+    }
     ()
   }
 }

@@ -181,6 +181,36 @@ object LakehouseRehearsal {
       require(n > 0)
     }
 
+    // 3e. MATERIALIZED VIEW over the wide table: create pays one full
+    // aggregate; a one-day append then refreshes by folding ONLY that
+    // day's change feed into the aggregate-sized state — the refresh
+    // must cost O(day + |MV|), never a rescan of the ~2,400-leaf table
+    val mvRoot = s"$table-mv"
+    hfs.delete(new org.apache.hadoop.fs.Path(mvRoot), true)
+    timed("mview_create_full") {
+      require(graft.ops.MaterializedView.create(spark, mvRoot, table,
+        Seq("o_custkey"), "cnt:count, rev:sum(amount)"),
+        "mview must create on a private root")
+    }
+    timed("mview_one_day_append") {
+      val day = java.sql.Date.valueOf(d0.plusMonths(18))
+      val extra = VersionedTable.readAt(spark, table)
+        .filter(col("o_orderdate") === day)
+        .withColumn("o_orderkey", -col("o_orderkey")) // fresh row ids
+      VersionedTable.commit(spark, table, extra, overwrite = false)
+    }
+    val refreshed = timed("mview_incremental_refresh") {
+      graft.ops.MaterializedView.refresh(spark, mvRoot)
+    }
+    require(refreshed.mode == "incremental",
+      s"one-day append must fold incrementally, got $refreshed")
+    println(s"[lakehouse-rehearsal] mview refresh folded " +
+      s"${refreshed.changedGroups} groups")
+    timed("mview_noop_refresh") {
+      require(graft.ops.MaterializedView.refresh(spark, mvRoot).mode
+        == "noop", "second refresh must be a noop")
+    }
+
     // 4. large MoR tombstone set (~10% of keys), then the two read paths
     timed("mor_delete_10pct") {
       val Some((_, nKeys)) = VersionedTable.deleteWhereMor(spark, table,

@@ -558,4 +558,55 @@ class VTableSourceSpec extends SparkSpec {
       .option("endingTimestamp", tomorrow).load()
     assert(idsOf(cdf.select(col("id"))) == Set(1))
   }
+
+  test("streaming WAP: the sink stages on a branch; publish is one atomic commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = fresh("vtwap_table")
+    val ckpt = fresh("vtwap_ckpt")
+    VersionedTable.commit(spark, root, Seq(1).toDF("id"), overwrite = true)
+    // the branch must exist before the stream starts (staging is
+    // deliberate, not a side effect)
+    val in0 = MemoryStream[Int]
+    intercept[Exception](in0.toDF().select(col("value").as("id"))
+      .writeStream.format("graft-vtable").option("path", root)
+      .option("branch", "ingest").option("txnAppId", "wap_stream")
+      .option("checkpointLocation", ckpt).start())
+    VersionedTable.createBranch(spark, root, "ingest")
+    val in = MemoryStream[Int]
+    val q = in.toDF().select(col("value").as("id"))
+      .writeStream.format("graft-vtable").option("path", root)
+      .option("branch", "ingest").option("txnAppId", "wap_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(7, 8)
+      q.processAllAvailable()
+      in.addData(9)
+      q.processAllAvailable()
+      // staged rows are INVISIBLE on main, visible on the branch read
+      assert(idsOf(VersionedTable.readAt(spark, root)) == Set(1))
+      assert(idsOf(spark.read.format("graft-vtable").option("path", root)
+        .option("branch", "ingest").load()) == Set(1, 7, 8, 9))
+    } finally q.stop()
+    // an at-least-once REDELIVERY of a staged batch dedups on the branch
+    val lastBatch = VersionedTable.branchVersions(spark, root, "ingest")
+      .size - 1L // batches 0,1 landed after the creation manifest
+    assert(!VersionedTable.idempotentCommitToBranch(spark, root, "ingest",
+      Seq(9).toDF("id"), "wap_stream", lastBatch - 1)._2,
+      "replayed staged batch must not land twice")
+    // audit the branch, then PUBLISH: one atomic main commit
+    val v = VersionedTable.fastForward(spark, root, "ingest")
+      .getOrElse(fail("clean publish must land"))
+    assert(idsOf(VersionedTable.readAt(spark, root)) == Set(1, 7, 8, 9))
+    // ... and the published manifest carries the stream's stamp, so the
+    // drop → re-branch cadence keeps replay dedup alive
+    assert(VersionedTable.manifestMeta(spark, root, v)
+      .get("txnApp").contains("wap_stream"))
+    VersionedTable.dropBranch(spark, root, "ingest")
+    VersionedTable.createBranch(spark, root, "ingest")
+    assert(!VersionedTable.idempotentCommitToBranch(spark, root, "ingest",
+      Seq(9).toDF("id"), "wap_stream", lastBatch - 1)._2,
+      "replay across publish + re-branch must still dedup")
+  }
 }
