@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectPlannerStrategy(graft.plans.TopKPerKeyStrategy.apply)
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // manifest-sized broadcast decisions for versioned-table joins
+    // (matches pre- AND post-pushdown relation shapes, so the batch this
+    // injection lands in does not matter)
+    e.injectOptimizerRule(_ => graft.sources.VTableBroadcastHints)
   }
 }
 
@@ -69,5 +73,13 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.WindowTopKRewrite
+    // manifest-sized broadcast decisions for versioned-table joins; the
+    // last optimizer batch runs AFTER scan pushdown, so the rule sees
+    // the V1ScanWrapper shape and can reuse the scan's pruned estimate
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.sources.VTableBroadcastHints))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.sources.VTableBroadcastHints
   }
 }

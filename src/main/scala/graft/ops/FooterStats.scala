@@ -1,0 +1,313 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, max, min}
+import org.apache.spark.sql.types._
+
+/** METADATA-ONLY AGGREGATES over a [[VersionedTable]] snapshot, served
+  * from parquet FOOTERS — the engine behind the catalog scan's
+  * `SupportsPushDownAggregates` (see [[graft.sources.VTableScanBuilder]]).
+  *
+  * `SELECT count(*) FROM t` on a 100 TB table should not read 100 TB:
+  * every parquet file already carries its row count and per-column
+  * [min, max, nullCount] statistics in the footer, so a global
+  * COUNT / MIN / MAX is answerable from O(files) footer reads — a
+  * metadata-sized job — instead of an O(data) scan. Iceberg serves the
+  * same aggregates from its manifests; this engine's manifests carry
+  * directory names only (bytes-sized by design), so the per-file half
+  * lives in the footers, harvested by a DISTRIBUTED job: the file list
+  * is parallelized and each task opens only footers (column metadata),
+  * never data pages.
+  *
+  * Correctness posture — exactness is never compromised:
+  *   - the caller (the scan builder) refuses pushdown entirely when the
+  *     snapshot has outstanding deletion vectors (footer counts include
+  *     logically-deleted rows) and refuses MIN/MAX/COUNT(col) on any
+  *     column touched by rename/widen/default metadata (per-generation
+  *     adaptations footers know nothing about);
+  *   - a column chunk with unusable statistics (missing, wrong physical
+  *     type, INT96 timestamps, truncated binary) marks its column
+  *     UNSERVED, and unserved columns fall back to an exact data scan
+  *     of the snapshot — slower, never wrong;
+  *   - a file that simply lacks the column (schema-evolution era, no
+  *     default declared) contributes NULLs by definition: nothing to
+  *     MIN/MAX, zero to COUNT(col) — served exactly without a scan.
+  *
+  * Only statistics-trustworthy shapes are served (the plan-time type
+  * gate in the builder mirrors this): integral/float/double columns,
+  * DATE (int32 days) and micros TIMESTAMP (int64). Parquet binary
+  * min/max may be truncated by writers, so strings/decimals are never
+  * pushed in the first place.
+  */
+object FooterStats {
+
+  /** One requested aggregate, in `Aggregation` order. */
+  sealed trait AggSpec
+  /** COUNT(*): total snapshot rows. */
+  case object RowCount extends AggSpec
+  /** COUNT(col): non-null values of a top-level column. */
+  final case class CountOf(colName: String) extends AggSpec
+  /** MIN(col) in the column's Spark type (internal representation). */
+  final case class MinOf(colName: String, dt: DataType) extends AggSpec
+  /** MAX(col), same contract as [[MinOf]]. */
+  final case class MaxOf(colName: String, dt: DataType) extends AggSpec
+
+  // the statistics-trustworthy Spark types (byte/short/int/date ride
+  // INT32, long/timestamp-micros ride INT64, float/double themselves)
+  private[graft] def servableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  // per-file, per-column partial: either clean footer evidence or a
+  // poison flag that forces the exact-scan fallback for that column
+  private final case class ColPartial(
+      unserved: Boolean, // stats unusable somewhere in this file
+      hasValues: Boolean, // at least one non-null value with min/max
+      minL: Long, maxL: Long, // INT32/INT64 channel
+      minD: Double, maxD: Double, // FLOAT/DOUBLE channel
+      nonNull: Long) { // non-null value count
+    def merge(o: ColPartial): ColPartial = ColPartial(
+      unserved || o.unserved,
+      hasValues || o.hasValues,
+      if (!o.hasValues) minL else if (!hasValues) o.minL else math.min(minL, o.minL),
+      if (!o.hasValues) maxL else if (!hasValues) o.maxL else math.max(maxL, o.maxL),
+      if (!o.hasValues) minD else if (!hasValues) o.minD else math.min(minD, o.minD),
+      if (!o.hasValues) maxD else if (!hasValues) o.maxD else math.max(maxD, o.maxD),
+      nonNull + o.nonNull)
+  }
+  private val emptyCol =
+    ColPartial(unserved = false, hasValues = false, 0L, 0L, 0d, 0d, 0L)
+
+  private final case class FilePartial(rows: Long, cols: Array[ColPartial]) {
+    def merge(o: FilePartial): FilePartial =
+      FilePartial(rows + o.rows,
+        cols.zip(o.cols).map { case (a, b) => a.merge(b) })
+  }
+
+  // expected parquet primitive per Spark type (the stats channel)
+  private def primOf(dt: DataType): org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    dt match {
+      case ByteType | ShortType | IntegerType | DateType => INT32
+      case LongType | TimestampType | TimestampNTZType => INT64
+      case FloatType => FLOAT
+      case DoubleType => DOUBLE
+      case _ => throw new IllegalArgumentException(s"unservable $dt")
+    }
+  }
+
+  /** Compute the requested aggregates over snapshot `v` (tip when None).
+    * Returns one value per spec in INTERNAL representation (Long for
+    * counts; the column's internal type — Int days for DATE, Long
+    * micros for TIMESTAMP — for min/max; null when no non-null values
+    * exist). Cost: one distributed footer-reading job over the
+    * snapshot's files, plus one exact fallback scan IF any column's
+    * footer statistics turn out unusable.
+    */
+  def aggregate(spark: SparkSession, root: String, v: Option[Long],
+      specs: Seq[AggSpec]): Array[Any] = {
+    require(specs.nonEmpty, "FooterStats: no aggregates requested")
+    val vs = VersionedTable.versions(spark, root)
+    require(vs.nonEmpty, s"FooterStats: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    require(vs.contains(ver), s"FooterStats: version $ver not in $vs")
+    val entries = VersionedTable.manifestDirs(spark, root, ver)
+
+    // the distinct columns the specs touch, with the channel type each
+    val colSpecs: Seq[(String, Option[DataType])] = specs.collect {
+      case CountOf(c) => (c, None)
+      case MinOf(c, dt) => (c, Some(dt))
+      case MaxOf(c, dt) => (c, Some(dt))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, ss) =>
+      (c, ss.flatMap(_._2).headOption)
+    }
+    colSpecs.foreach { case (c, dt) =>
+      dt.foreach(d => require(servableType(d),
+        s"FooterStats: $c: $d has no trustworthy footer statistics"))
+    }
+
+    val hfs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new Path(root)
+    val files: Seq[String] = entries.flatMap { e =>
+      val dir = new Path(rootPath, e)
+      if (!hfs.exists(dir)) Seq.empty
+      else hfs.listStatus(dir).toSeq
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.getPath.toString)
+    }
+
+    val folded: FilePartial =
+      if (files.isEmpty)
+        FilePartial(0L, Array.fill(colSpecs.size)(emptyCol))
+      else {
+        // footers only — column METADATA, never data pages. Distributed:
+        // at 100 TB the file list is large, the per-file work is one
+        // footer fetch; parallelize takes the file count off the driver.
+        val confBc = spark.sparkContext.broadcast(
+          new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+        val names = colSpecs.map(_._1).toArray
+        val prims = colSpecs.map(_._2.map(primOf)).toArray
+        val parts = math.max(1, math.min(files.size,
+          spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(files, parts).map { f =>
+          readFooter(f, confBc.value.value, names, prims)
+        }.reduce(_.merge(_))
+      }
+
+    // any column whose footer evidence is poisoned falls back to ONE
+    // exact scan computing all its aggregates — correctness over speed
+    val unservedCols = colSpecs.zipWithIndex.collect {
+      case ((c, _), i) if folded.cols(i).unserved => c
+    }.toSet
+    val fallback: Map[String, (Any, Any, Long)] =
+      if (unservedCols.isEmpty) Map.empty
+      else {
+        val df = VersionedTable.readAt(spark, root, Some(ver))
+        val cols = unservedCols.toSeq.sorted
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c)), max(col(c)), count(col(c))))
+        val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          c -> (toInternal(r.get(3 * i)), toInternal(r.get(3 * i + 1)),
+            r.getLong(3 * i + 2))
+        }.toMap
+      }
+
+    val idxOf = colSpecs.map(_._1).zipWithIndex.toMap
+    specs.map {
+      case RowCount => java.lang.Long.valueOf(folded.rows): Any
+      case CountOf(c) =>
+        java.lang.Long.valueOf(fallback.get(c).map(_._3)
+          .getOrElse(folded.cols(idxOf(c)).nonNull)): Any
+      case MinOf(c, dt) =>
+        fallback.get(c).map(_._1).getOrElse {
+          val p = folded.cols(idxOf(c))
+          if (!p.hasValues) null else channelValue(p.minL, p.minD, dt)
+        }: Any
+      case MaxOf(c, dt) =>
+        fallback.get(c).map(_._2).getOrElse {
+          val p = folded.cols(idxOf(c))
+          if (!p.hasValues) null else channelValue(p.maxL, p.maxD, dt)
+        }: Any
+    }.toArray
+  }
+
+  // external row value (from the fallback scan) → internal representation
+  private def toInternal(v: Any): Any = v match {
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case ldt: java.time.LocalDateTime =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(ldt)
+    case other => other
+  }
+
+  // fold the per-channel long/double back into the column's INTERNAL type
+  private def channelValue(l: Long, d: Double, dt: DataType): Any = dt match {
+    case ByteType => java.lang.Byte.valueOf(l.toByte)
+    case ShortType => java.lang.Short.valueOf(l.toShort)
+    case IntegerType | DateType => java.lang.Integer.valueOf(l.toInt)
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.valueOf(l)
+    case FloatType => java.lang.Float.valueOf(d.toFloat)
+    case DoubleType => java.lang.Double.valueOf(d)
+    case other => throw new IllegalArgumentException(s"unservable $other")
+  }
+
+  // the two stats channels: INT32/INT64 fold into longs, FLOAT/DOUBLE
+  // into doubles; anything else (binary, INT96, boolean) is unservable
+  private def decodeMinMax(
+      st: org.apache.parquet.column.statistics.Statistics[_])
+      : Option[(Long, Long, Double, Double)] = st.genericGetMin match {
+    case n: java.lang.Integer =>
+      Some((n.longValue,
+        st.genericGetMax.asInstanceOf[java.lang.Integer].longValue, 0d, 0d))
+    case n: java.lang.Long =>
+      Some((n.longValue,
+        st.genericGetMax.asInstanceOf[java.lang.Long].longValue, 0d, 0d))
+    case n: java.lang.Float =>
+      Some((0L, 0L, n.doubleValue,
+        st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue))
+    case n: java.lang.Double =>
+      Some((0L, 0L, n.doubleValue,
+        st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue))
+    case _ => None
+  }
+
+  // one footer → one FilePartial; runs inside tasks
+  private def readFooter(file: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      names: Array[String],
+      prims: Array[Option[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName]]): FilePartial = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val cols = names.indices.map { i =>
+        val name = names(i)
+        if (!schema.containsField(name)) emptyCol // all-null era: exact
+        else {
+          val field = schema.getType(Seq(name): _*)
+          val primOk = field.isPrimitive && prims(i).forall(p =>
+            field.asPrimitiveType.getPrimitiveTypeName == p)
+          if (!primOk) emptyCol.copy(unserved = true)
+          else {
+            val chunks = blocks.flatMap(_.getColumns.asScala
+              .filter(_.getPath.toDotString == name))
+            chunks.foldLeft(emptyCol) { (acc, cc) =>
+              if (acc.unserved) acc
+              else {
+                val st = cc.getStatistics
+                // min/max present but nullCount unset poisons too: a
+                // COUNT over the same column would silently undercount
+                // (the spec list can't be consulted per chunk; modern
+                // writers always set numNulls, so this never fires on
+                // this engine's own files)
+                if (st == null) acc.copy(unserved = true)
+                else if (prims(i).isEmpty) {
+                  // COUNT-only column (any type, strings included): the
+                  // null count is all that is needed — never decode
+                  // min/max, so binary stats truncation cannot poison it
+                  if (st.isNumNullsSet) acc.copy(nonNull =
+                    acc.nonNull + (cc.getValueCount - st.getNumNulls))
+                  else acc.copy(unserved = true)
+                } else if (st.hasNonNullValue) {
+                  if (!st.isNumNullsSet) acc.copy(unserved = true)
+                  else decodeMinMax(st) match {
+                    case None => acc.copy(unserved = true)
+                    case Some((lo, hi, loD, hiD)) =>
+                      ColPartial(unserved = false, hasValues = true,
+                        if (acc.hasValues) math.min(acc.minL, lo) else lo,
+                        if (acc.hasValues) math.max(acc.maxL, hi) else hi,
+                        if (acc.hasValues) math.min(acc.minD, loD) else loD,
+                        if (acc.hasValues) math.max(acc.maxD, hiD) else hiD,
+                        acc.nonNull + (cc.getValueCount - st.getNumNulls))
+                  }
+                } else if (st.isNumNullsSet &&
+                    st.getNumNulls == cc.getValueCount) {
+                  acc // provably all-null chunk: contributes nothing
+                } else acc.copy(unserved = true) // indistinguishable
+              }
+            }
+          }
+        }
+      }.toArray
+      FilePartial(rows, cols)
+    } finally reader.close()
+  }
+}

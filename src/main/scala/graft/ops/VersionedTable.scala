@@ -52,7 +52,7 @@ object VersionedTable {
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
     q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution,
     q138DropColumn, q139BranchWap, q140CatalogView, q141MaterializedView,
-    q142TypeWidening)
+    q142TypeWidening, q143AggPushdown, q144StatsBroadcast)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -423,6 +423,17 @@ object VersionedTable {
 
   private def dvHeaders(spark: SparkSession, root: String, v: Long): Map[String, String] =
     dvHeadersOf(manifestMeta(spark, root, v))
+
+  /** Outstanding merge-on-read deletion vectors at a snapshot? The
+    * metadata-aggregate gate: footer row counts include logically
+    * deleted rows, so a snapshot with live `dv:` tombstones must never
+    * serve aggregates from metadata ([[FooterStats]]).
+    */
+  def hasDeletionVectors(spark: SparkSession, root: String,
+      v: Option[Long] = None): Boolean = {
+    val vs = versions(spark, root)
+    vs.nonEmpty && dvHeaders(spark, root, v.getOrElse(vs.last)).nonEmpty
+  }
 
   // durable TABLE PROPERTIES: `prop:<k>=<v>` headers describe the TABLE,
   // not one snapshot's content, so EVERY commit kind must carry them
@@ -897,7 +908,21 @@ object VersionedTable {
     val ver = v.getOrElse(vs.last)
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
     val (dirs, meta) = manifestOf(spark, root, ver)
-    val kept = dirs.filter { d =>
+    val kept = keptEntries(dirs, meta, windows, partPreds)
+    val df =
+      if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
+      else applyDvs(spark, root, meta,
+        readDirs(spark, root, kept, meta))
+    (df, kept.size, dirs.size)
+  }
+
+  // the one generation-level skipping decision (stats windows ∧
+  // partition-token tests), shared by the pruned read and the scan-size
+  // estimate so the two can never disagree about what survives
+  private def keptEntries(dirs: Seq[String], meta: Map[String, String],
+      windows: Seq[(String, Long, Long)],
+      partPreds: Seq[(String, Option[String] => Boolean)]): Seq[String] =
+    dirs.filter { d =>
       windows.forall { case (c, lo, hi) =>
         meta.get(statsKey(c, d)) match {
           case Some(s) =>
@@ -909,11 +934,35 @@ object VersionedTable {
         partValueOf(d, c).forall(test)
       }
     }
-    val df =
-      if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
-      else applyDvs(spark, root, meta,
-        readDirs(spark, root, kept, meta))
-    (df, kept.size, dirs.size)
+
+  /** PLANNER STATISTICS for a (possibly pruned) snapshot scan: the
+    * on-disk bytes of exactly the generations the same skipping decision
+    * keeps ([[keptEntries]] — stats windows ∧ partition-token tests).
+    * Feeds the catalog scan's `SupportsReportStatistics`, which is what
+    * lets Catalyst SIZE a versioned-table scan instead of assuming the
+    * worst: a dimension table (or a pruned slice of a fact table) whose
+    * true bytes sit under the broadcast threshold plans as a broadcast
+    * join rather than a full shuffle — at 100 TB the difference between
+    * shuffling the fact table and shipping the dim. Cost: one manifest
+    * read + one file listing per kept generation (metadata-sized; a
+    * production manifest would carry per-file sizes and skip the
+    * listing). Returns (bytes, kept, total).
+    */
+  def scanSizeBytes(spark: SparkSession, root: String, v: Option[Long],
+      windows: Seq[(String, Long, Long)],
+      partPreds: Seq[(String, Option[String] => Boolean)]): (Long, Int, Int) = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
+    val (dirs, meta) = manifestOf(spark, root, ver)
+    val kept = keptEntries(dirs, meta, windows, partPreds)
+    val hfs = fs(spark, root)
+    val bytes = kept.map { d =>
+      val p = new Path(root, d)
+      if (hfs.exists(p)) hfs.getContentSummary(p).getLength else 0L
+    }.sum
+    (bytes, kept.size, dirs.size)
   }
 
   /** COMPACTION as a commit: rewrite the latest snapshot's generations
@@ -6256,4 +6305,142 @@ object VersionedTable {
       SELECT 'audit', CAST(31 AS BIGINT), CAST(1 AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
+
+  /** q143: METADATA-ONLY AGGREGATE PUSHDOWN — the catalog scan's
+    * `SupportsPushDownAggregates` ([[graft.sources.VTableScanBuilder]] →
+    * [[graft.sources.VTableAggScan]] → [[FooterStats]]): a global
+    * COUNT(*) / COUNT(col) / MIN / MAX over the versioned table is
+    * answered from parquet FOOTERS — O(files) column metadata, zero
+    * data pages — replacing scan+aggregate with a local one-row scan.
+    * Pinned here: a two-era lineitem table (append history, a nullable
+    * column with real nulls, long/int/date columns); the pushed query's
+    * physical plan carries NO aggregate exec and a LocalTableScan
+    * (flag-pinned); a WHERE'd twin must REFUSE pushdown (flag-pinned:
+    * its plan aggregates normally) and both hash-match the oracle's
+    * recompute from the base table. At 100 TB: `SELECT count(*)` costs
+    * a metadata job sized by the file count — the Iceberg
+    * manifests-answer-aggregates economics — instead of reading 100 TB.
+    */
+  val q143AggPushdown: Q = Q(
+    "q143_agg_pushdown",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val table = s"$root/main/li"
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        col("l_linenumber").cast("int").as("ln"),
+        col("l_shipdate").cast("date").as("sd"),
+        when(pmod(col("l_suppkey"), lit(7L)) === 0L, lit(null))
+          .otherwise(col("l_suppkey")).as("nk"))
+      commit(s, table, li.filter(year(col("sd")) <= 1994), overwrite = true)
+      commit(s, table, li.filter(year(col("sd")) > 1994), overwrite = false)
+      val cat = "vtq143_" + new Path(root).getName.stripPrefix("run_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val pushed = s.sql(
+        s"SELECT count(*) AS n, count(nk) AS nn, min(k) AS mnk, " +
+          s"max(k) AS mxk, min(ln) AS mnl, max(ln) AS mxl, " +
+          s"min(sd) AS mnd, max(sd) AS mxd FROM $cat.main.li")
+      val filtered = s.sql(
+        s"SELECT count(*) AS n FROM $cat.main.li WHERE ln <= 3")
+      val pPlan = pushed.queryExecution.executedPlan.toString
+      val fPlan = filtered.queryExecution.executedPlan.toString
+      val flags =
+        (if (!pPlan.contains("HashAggregate") &&
+            !pPlan.contains("SortAggregate")) 1L else 0L) +
+        (if (pPlan.contains("LocalTableScan")) 2L else 0L) +
+        (if (fPlan.contains("Aggregate")) 4L else 0L)
+      val p = pushed.head(); val f = filtered.head()
+      val rows = Seq(
+        ("counts", p.getLong(0), p.getLong(1), f.getLong(0).toDouble),
+        ("minmax_k", p.getLong(2), p.getLong(3),
+          (p.getInt(4) + p.getInt(5)).toDouble),
+        ("dates",
+          p.getDate(6).toLocalDate.toEpochDay,
+          p.getDate(7).toLocalDate.toEpochDay, 1.0),
+        ("audit", flags, 1L, 1.0))
+      import s.implicits._
+      rows.toDF("step", "a", "b", "c").orderBy(col("step"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS k, CAST(l_linenumber AS INT) AS ln,
+          CAST(l_shipdate AS DATE) AS sd,
+          CASE WHEN l_suppkey % 7 = 0 THEN NULL ELSE l_suppkey END AS nk
+        FROM lineitem)
+      SELECT 'counts' AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(nk) AS BIGINT) AS b,
+        CAST((SELECT count(*) FROM li WHERE ln <= 3) AS DOUBLE) AS c
+      FROM li
+      UNION ALL
+      SELECT 'minmax_k', CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT),
+        CAST(min(ln) + max(ln) AS DOUBLE) FROM li
+      UNION ALL
+      SELECT 'dates', CAST(min(sd) - DATE '1970-01-01' AS BIGINT),
+        CAST(max(sd) - DATE '1970-01-01' AS BIGINT), CAST(1 AS DOUBLE)
+      FROM li
+      UNION ALL
+      SELECT 'audit', CAST(7 AS BIGINT), CAST(1 AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q144: MANIFEST-SIZED BROADCAST PLANNING — the catalog scan
+    * measures its own bytes from the manifest ([[scanSizeBytes]],
+    * surfaced as `SupportsReportStatistics` on the scan and — because
+    * Spark's V1ScanWrapper hides that interface from the V1 bridge —
+    * delivered to JoinSelection by the
+    * [[graft.sources.VTableBroadcastHints]] optimizer rule, which
+    * attaches a broadcast JoinHint to join sides whose measured bytes
+    * clear the session threshold). Result: a small dimension table
+    * plans as a BROADCAST hash join against the fact (flag-pinned from
+    * the physical plan) instead of shuffling both sides, and the join
+    * result hash-matches the oracle's plain re-join. At 100 TB this is
+    * the difference between shipping a megabyte dim to every executor
+    * and shuffling the fact table across the cluster — and because the
+    * estimate reuses the scan's own pruning decision, a pruned slice of
+    * a big table earns the same treatment.
+    */
+  val q144StatsBroadcast: Q = Q(
+    "q144_stats_broadcast",
+    (s, dir) => {
+      graft.expr.GraftFunctions.register(s) // the broadcast-hint rule
+      val root = freshRunRoot()
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        pmod(col("l_partkey"), lit(97L)).as("d"),
+        Q.dec2(col("l_extendedprice")).as("price"))
+      commit(s, s"$root/main/fact", li, overwrite = true)
+      val dim = s.range(0, 97).select(col("id").as("d"),
+        concat(lit("seg_"), pmod(col("id"), lit(5L)).cast("string"))
+          .as("seg"))
+      commit(s, s"$root/main/dim", dim, overwrite = true)
+      val cat = "vtq144_" + new Path(root).getName.stripPrefix("run_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val joined = s.sql(
+        s"SELECT d.seg AS seg, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(f.price) AS DOUBLE) AS rev " +
+          s"FROM $cat.main.fact f JOIN $cat.main.dim d ON f.d = d.d " +
+          s"GROUP BY d.seg")
+      val flags =
+        if (joined.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")) 1L else 0L
+      val audit = s.range(1).select(lit("audit").as("seg"),
+        lit(flags).as("n"), lit(1.0).cast("double").as("rev"))
+      joined.unionByName(audit).orderBy(col("seg"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT l_orderkey AS k, l_partkey % 97 AS d,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem),
+      dim AS (
+        SELECT g AS d, concat('seg_', CAST(g % 5 AS VARCHAR)) AS seg
+        FROM generate_series(0, 96) AS t(g))
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(price) AS DOUBLE) AS rev
+      FROM f JOIN dim ON f.d = dim.d GROUP BY seg
+      UNION ALL
+      SELECT 'audit', CAST(1 AS BIGINT), CAST(1 AS DOUBLE)
+      ORDER BY seg"""))
 }

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V1ScanWrapper}
+
+import graft.ops.VersionedTable
+
+/** MANIFEST-SIZED BROADCAST DECISIONS for versioned-table joins.
+  *
+  * The catalog scan reports honest byte statistics
+  * ([[VTableV1ScanImpl.estimateStatistics]] → [[VersionedTable
+  * .scanSizeBytes]]), but Spark's V1Scan bridge wraps the scan in
+  * `V1ScanWrapper`, which does NOT forward `SupportsReportStatistics`
+  * (verified against the shipped 4.1 planner) — so a V1-bridged scan is
+  * sized at `defaultSizeInBytes` (effectively infinite) and a
+  * versioned-table dimension can never win a broadcast join on its own.
+  * This rule closes that gap at the JOIN: for each join side whose leaf
+  * (through Project/Filter) is a versioned-table scan, it measures the
+  * scan's manifest bytes — the SAME pruned-size estimate the scan
+  * itself reports, so plan-time size and runtime files agree — and
+  * attaches a broadcast `JoinHint` when the measured bytes clear the
+  * session's `autoBroadcastJoinThreshold`. JoinSelection then plans a
+  * broadcast hash join exactly as if the statistics had flowed
+  * natively; sides it cannot legally broadcast (outer-side builds,
+  * stream-stream joins) ignore the hint, and estimate failures degrade
+  * to "no hint" — never a broken query.
+  *
+  * Registered by [[graft.expr.GraftFunctions.register]] into the last
+  * optimizer batch (after scan pushdown, so the V1ScanWrapper shape is
+  * visible) and by the `spark.sql.extensions` path; matching both the
+  * pre- and post-pushdown relation shapes keeps the rule correct
+  * wherever the injection point lands. At 100 TB this is the difference
+  * between shipping a megabyte dim to every executor and shuffling the
+  * fact table across the cluster.
+  */
+object VTableBroadcastHints extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) plan // broadcasting disabled for the session
+    else plan.transform {
+      case j @ Join(l, r, _, _, hint)
+          if hint.leftHint.isEmpty || hint.rightHint.isEmpty =>
+        val nl = hint.leftHint.orElse(sideHint(l, threshold))
+        val nr = hint.rightHint.orElse(sideHint(r, threshold))
+        if (nl == hint.leftHint && nr == hint.rightHint) j
+        else j.copy(hint = JoinHint(nl, nr))
+    }
+  }
+
+  private def sideHint(side: LogicalPlan, threshold: Long): Option[HintInfo] =
+    measuredBytes(side).collect {
+      case b if b <= threshold => HintInfo(strategy = Some(BROADCAST))
+    }
+
+  // walk to the side's leaf through size-preserving unary nodes only:
+  // Project keeps row count (and this estimate is bytes-on-disk of the
+  // SOURCE columns — an upper bound for any projection of them), Filter
+  // only shrinks
+  private def measuredBytes(p: LogicalPlan): Option[Long] = p match {
+    case Project(_, child) => measuredBytes(child)
+    case Filter(_, child) => measuredBytes(child)
+    case s: DataSourceV2ScanRelation => scanBytes(s)
+    case rel: DataSourceV2Relation => tableBytes(rel)
+    case _ => None
+  }
+
+  // post-pushdown shape: the scan carries its own pruned-size estimate
+  private def scanBytes(s: DataSourceV2ScanRelation): Option[Long] = {
+    val v1 = s.scan match {
+      case w: V1ScanWrapper => Some(w.v1Scan)
+      case other => Some(other)
+    }
+    v1.collect { case impl: VTableV1ScanImpl =>
+      val est = impl.estimateStatistics().sizeInBytes()
+      if (est.isPresent) Some(est.getAsLong) else None
+    }.flatten
+  }
+
+  // pre-pushdown shape (extensions injected mid-optimization): whole
+  // snapshot size — no pushed filters yet, so no pruning to honor
+  private def tableBytes(rel: DataSourceV2Relation): Option[Long] =
+    rel.table match {
+      case t: VTableV2Table =>
+        try {
+          val (bytes, _, _) = VersionedTable.scanSizeBytes(
+            SparkSession.active, t.tablePath, t.tableVersion, Nil, Nil)
+          Some(bytes)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+}

@@ -9,10 +9,10 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.VersionedTable
@@ -392,6 +392,10 @@ class VTableV2Table(path: String, version: Option[Long],
     pruneCol: Option[String]) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete with TruncatableTable {
 
+  // exposed for [[VTableBroadcastHints]]' pre-pushdown size estimate
+  private[sources] def tablePath: String = path
+  private[sources] def tableVersion: Option[Long] = version
+
   override def name(): String =
     path + version.map(v => s"@v$v").getOrElse("")
 
@@ -430,13 +434,15 @@ class VTableV2Table(path: String, version: Option[Long],
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val props = VersionedTable.tableProperties(SparkSession.active, path,
+      version)
     new VTableScanBuilder(path, version,
       VTableScans.existingPruneCols(pruneCol, schema.fieldNames.toSeq),
       schema,
-      VersionedTable.allPartitionColsOf(
-        VersionedTable.tableProperties(SparkSession.active, path, version))
-        .toSet)
+      VersionedTable.allPartitionColsOf(props).toSet,
+      Some(VTableAggGuard.of(SparkSession.active, path, version, props)))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
@@ -581,17 +587,56 @@ class VTableWriteBuilder(path: String, statsCols: Seq[String] = Nil,
     }
 }
 
+/** Plan-time state the metadata-aggregate pushdown decision needs, from
+  * the ONE manifest read `newScanBuilder` already pays: outstanding
+  * deletion vectors block every aggregate (footer counts include
+  * logically-deleted rows); rename/widen/default metadata block MIN/
+  * MAX/COUNT(col) on the touched columns only (those reads adapt values
+  * per generation in ways footers cannot see). COUNT(*) survives all
+  * column-level metadata — row counts are invariant under rename, cast
+  * and defaulting.
+  */
+case class VTableAggGuard(hasDvs: Boolean, blockedCols: Set[String])
+
+object VTableAggGuard {
+  def of(spark: SparkSession, path: String, version: Option[Long],
+      props: Map[String, String]): VTableAggGuard = {
+    val blocked = props.keys.collect {
+      case k if k.startsWith("default.") => Seq(k.stripPrefix("default."))
+      case k if k.startsWith("widen.") => Seq(k.stripPrefix("widen."))
+      // colmap blocks the LOGICAL name (what a query references) and the
+      // physical one (paranoia — it should not be referenceable)
+      case k if k.startsWith("colmap.") =>
+        Seq(k.stripPrefix("colmap."), props(k))
+    }.flatten.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    VTableAggGuard(
+      VersionedTable.hasDeletionVectors(spark, path, version), blocked)
+  }
+}
+
 /** DSv2 pushdown surface: Spark prunes columns and pushes filters here;
-  * both feed [[VTableScans.frame]] through the V1 fallback scan.
+  * both feed [[VTableScans.frame]] through the V1 fallback scan. Global
+  * COUNT(*)/COUNT(col)/MIN/MAX additionally push into a METADATA-ONLY
+  * scan ([[VTableAggScan]] over [[graft.ops.FooterStats]]) when the
+  * snapshot state allows exact answers — Spark only offers an
+  * aggregation here when every filter was fully absorbed, and this
+  * builder absorbs none (all filters come back residual), so pushed
+  * aggregates are always over the whole snapshot.
   */
 class VTableScanBuilder(path: String, version: Option[Long],
     pruneCol: Option[String], fullSchema: StructType,
-    partSources: Set[String] = Set.empty)
+    partSources: Set[String] = Set.empty,
+    aggGuard: Option[VTableAggGuard] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+  import graft.ops.FooterStats
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Seq[FooterStats.AggSpec], StructType)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -610,21 +655,136 @@ class VTableScanBuilder(path: String, version: Option[Long],
       if (cols.isEmpty) Array.empty
       else filters.filter(_.references.exists(cols.contains)) }
 
-  override def build(): Scan =
-    new VTableV1ScanImpl(path, version, pruneCol, required, filters)
+  // a single top-level column reference, if that is what the expr is
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        fullSchema.fields.map(_.name)
+          .find(_.equalsIgnoreCase(n.fieldNames()(0)))
+      case _ => None
+    }
+
+  private def colOk(name: String): Boolean =
+    aggGuard.exists(g => !g.blockedCols.contains(
+      name.toLowerCase(java.util.Locale.ROOT)))
+
+  // one aggregate call → (footer spec, result field), or None = refuse
+  private def specOf(f: AggregateFunc): Option[(FooterStats.AggSpec, StructField)] =
+    f match {
+      case _: CountStar =>
+        Some((FooterStats.RowCount,
+          StructField("count_star", LongType, nullable = false)))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).filter(colOk).map(n =>
+          (FooterStats.CountOf(n),
+            StructField(s"count_$n", LongType, nullable = false)))
+      case m: Min =>
+        fieldOf(m.column).filter(colOk)
+          .filter(n => FooterStats.servableType(fullSchema(n).dataType))
+          .map(n => (FooterStats.MinOf(n, fullSchema(n).dataType),
+            StructField(s"min_$n", fullSchema(n).dataType)))
+      case m: Max =>
+        fieldOf(m.column).filter(colOk)
+          .filter(n => FooterStats.servableType(fullSchema(n).dataType))
+          .map(n => (FooterStats.MaxOf(n, fullSchema(n).dataType),
+            StructField(s"max_$n", fullSchema(n).dataType)))
+      case _ => None
+    }
+
+  private def plan(agg: Aggregation): Option[(Seq[FooterStats.AggSpec], StructType)] =
+    if (aggGuard.isEmpty || aggGuard.exists(_.hasDvs) ||
+        filters.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) None
+    else {
+      val specs = agg.aggregateExpressions.toSeq.map(specOf)
+      if (specs.forall(_.isDefined)) {
+        val resolved = specs.map(_.get)
+        Some((resolved.map(_._1), StructType(resolved.map(_._2))))
+      } else None
+    }
+
+  // complete-or-nothing: the footer engine computes FINAL values, so a
+  // partial-pushdown contract (Spark re-aggregating partials) is never
+  // needed — refuse anything not fully servable and Spark keeps its own
+  // aggregate over the ordinary scan
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    plan(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    plan(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((specs, aggSchema)) =>
+      new VTableAggScan(path, version, specs, aggSchema)
+    case None =>
+      new VTableV1ScanImpl(path, version, pruneCol, required, filters)
+  }
+}
+
+/** Completed metadata aggregate: one locally-produced row, computed by
+  * [[graft.ops.FooterStats]] from parquet footers (a distributed
+  * metadata job) — no data page is ever read. Plans as a local scan;
+  * EXPLAIN shows this description instead of a table scan + aggregate.
+  */
+class VTableAggScan(path: String, version: Option[Long],
+    specs: Seq[graft.ops.FooterStats.AggSpec], aggSchema: StructType)
+    extends LocalScan {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def description(): String =
+    s"graft-vtable metadata-agg $path" +
+      version.map(v => s" @v$v").getOrElse("") +
+      specs.mkString(" [", ", ", "]")
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val values = graft.ops.FooterStats.aggregate(SparkSession.active,
+      path, version, specs)
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+  }
 }
 
 /** The batch scan: delegates row production to the V1 relation (the
-  * engine's own parquet plans), the documented V1Scan bridge.
+  * engine's own parquet plans), the documented V1Scan bridge. Reports
+  * PLANNER STATISTICS — the on-disk bytes of exactly the generations
+  * that survive this scan's own pruning decision
+  * ([[VersionedTable.scanSizeBytes]]) — so Catalyst sizes a
+  * versioned-table scan from its manifest instead of assuming the
+  * worst: small dims (and pruned slices) become broadcast-join
+  * candidates.
   */
 class VTableV1ScanImpl(path: String, version: Option[Long],
     pruneCol: Option[String], required: StructType, filters: Array[Filter])
-    extends V1Scan {
+    extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-vtable $path${version.map(v => s" @v$v").getOrElse("")}"
+
+  override def estimateStatistics(): Statistics = {
+    // never let an estimate break a query (racing vacuum/drop): report
+    // "unknown" instead and Catalyst keeps its conservative default
+    val size: java.util.OptionalLong =
+      try {
+        val spark = SparkSession.active
+        val (windows, partPreds) = VTableScans.pruneState(spark, path,
+          version, pruneCol, filters.toIndexedSeq)
+        val (bytes, _, _) = VersionedTable.scanSizeBytes(spark, path,
+          version, windows, partPreds)
+        java.util.OptionalLong.of(bytes)
+      } catch {
+        case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty()
+      }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

@@ -432,9 +432,16 @@ object VTableScans {
     * from the one manifest read, every filter re-applied above the
     * scan.
     */
-  def frame(spark: org.apache.spark.sql.SparkSession, path: String,
-      version: Option[Long], pruneCol: Option[String],
-      requiredColumns: Seq[String], filters: Seq[Filter]): DataFrame = {
+  /** The generation-skipping inputs one scan derives from its pushed
+    * filters: stats [lo,hi] windows per pruneCol, and partition-token
+    * tests per transform era. Shared by [[frame]] (the actual pruned
+    * read) and the scan's `SupportsReportStatistics` estimate (the
+    * pruned SIZE), so the bytes Catalyst plans with always describe the
+    * same files the scan will read.
+    */
+  def pruneState(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Long], pruneCol: Option[String], filters: Seq[Filter])
+      : (Seq[(String, Long, Long)], Seq[(String, Option[String] => Boolean)]) = {
     val windows = pruneColsOf(pruneCol)
       .map(c => (c, bounds(filters, c)))
       .collect { case (c, (lo, hi))
@@ -446,6 +453,13 @@ object VTableScans {
     val partPreds = graft.ops.PartFields.prunePredicates(
       VersionedTable.allPartitionFieldsOf(
         VersionedTable.tableProperties(spark, path, version)), filters)
+    (windows, partPreds)
+  }
+
+  def frame(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Long], pruneCol: Option[String],
+      requiredColumns: Seq[String], filters: Seq[Filter]): DataFrame = {
+    val (windows, partPreds) = pruneState(spark, path, version, pruneCol, filters)
     val base =
       if (windows.isEmpty && partPreds.isEmpty)
         VersionedTable.readAt(spark, path, version)

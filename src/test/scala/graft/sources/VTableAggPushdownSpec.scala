@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import graft.SparkSpec
+import graft.ops.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Metadata-only aggregate pushdown (`SupportsPushDownAggregates` →
+  * [[VTableAggScan]] over [[graft.ops.FooterStats]]): global COUNT/
+  * MIN/MAX answered from parquet footers with NO data scan, refusals
+  * wherever exactness cannot be proven, and planner statistics
+  * (`SupportsReportStatistics`) sizing scans from the manifest.
+  */
+class VTableAggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("vtagg").toString
+    spark.conf.set("spark.sql.catalog.vtagg",
+      classOf[VTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtagg.root", r)
+    r
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // pushed = the aggregate vanished from the plan (a local one-row scan
+  // replaced scan+aggregate)
+  private def isPushed(df: DataFrame): Boolean = {
+    val p = planOf(df)
+    !p.contains("HashAggregate") && !p.contains("SortAggregate")
+  }
+
+  test("count/min/max/count(col) push to a footer scan and stay exact") {
+    val t = s"$root/ns/base"
+    // two generations (append era) + explicit nulls in nk
+    val g1 = (1 to 50).map(i =>
+      (i.toLong, i * 2, if (i % 5 == 0) None else Some(i * 10L), s"s$i"))
+      .toDF("k", "v", "nk", "s")
+    val g2 = (51 to 80).map(i =>
+      (i.toLong, i * 2, Some(i * 10L), s"s$i")).toDF("k", "v", "nk", "s")
+    VersionedTable.commit(spark, t, g1, overwrite = true)
+    VersionedTable.commit(spark, t, g2, overwrite = false)
+
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mnk, max(k) AS mxk, " +
+        "min(v) AS mnv, max(v) AS mxv, count(nk) AS nnk, count(s) AS ns " +
+        "FROM vtagg.ns.base")
+    assert(isPushed(q), s"expected metadata-agg plan, got:\n${planOf(q)}")
+    val r = q.head()
+    assert(r.getLong(0) == 80L)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 80L)
+    assert(r.getInt(3) == 2 && r.getInt(4) == 160)
+    assert(r.getLong(5) == 70L, "10 nulls in nk across era 1")
+    assert(r.getLong(6) == 80L, "count over a string column serves too")
+  }
+
+  test("WHERE, GROUP BY, AVG and DISTINCT refuse pushdown but stay correct") {
+    val t = s"$root/ns/refuse"
+    VersionedTable.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, i % 4)).toDF("k", "g"), overwrite = true)
+
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.refuse WHERE k > 10")
+    assert(!isPushed(filtered), "a filtered aggregate must scan")
+    assert(filtered.head().getLong(0) == 30L)
+
+    val grouped = spark.sql(
+      "SELECT g, count(*) AS n FROM vtagg.ns.refuse GROUP BY g")
+    assert(!isPushed(grouped), "grouped aggregates must scan")
+    assert(grouped.collect().map(_.getLong(1)).sum == 40L)
+
+    val avg = spark.sql("SELECT avg(k) AS a FROM vtagg.ns.refuse")
+    assert(!isPushed(avg), "avg has no footer answer")
+    assert(avg.head().getDouble(0) == 20.5)
+
+    val dist = spark.sql(
+      "SELECT count(DISTINCT g) AS n FROM vtagg.ns.refuse")
+    assert(dist.head().getLong(0) == 4L)
+  }
+
+  test("outstanding deletion vectors block pushdown; counts stay exact") {
+    val t = s"$root/ns/dv"
+    VersionedTable.commit(spark, t,
+      (1 to 30).map(i => (i.toLong, i)).toDF("k", "v"),
+      overwrite = true, meta = Map("prop:key" -> "k"))
+    VersionedTable.deleteWhereMor(spark, t, col("k") <= 10, "k")
+    assert(VersionedTable.hasDeletionVectors(spark, t))
+
+    val q = spark.sql("SELECT count(*) AS n, max(v) AS m FROM vtagg.ns.dv")
+    assert(!isPushed(q),
+      "footer counts include DV-deleted rows — pushdown must refuse")
+    val r = q.head()
+    assert(r.getLong(0) == 20L && r.getInt(1) == 30)
+  }
+
+  test("renamed columns block their own min/max; count(*) still pushes") {
+    val t = s"$root/ns/ren"
+    VersionedTable.commit(spark, t,
+      (1 to 25).map(i => (i.toLong, i)).toDF("k", "old"), overwrite = true)
+    VersionedTable.renameColumn(spark, t, "old", "fresh")
+
+    val cnt = spark.sql("SELECT count(*) AS n FROM vtagg.ns.ren")
+    assert(isPushed(cnt), "row counts are rename-invariant")
+    assert(cnt.head().getLong(0) == 25L)
+
+    val mm = spark.sql("SELECT min(fresh) AS mn FROM vtagg.ns.ren")
+    assert(!isPushed(mm),
+      "a colmap'd column reads adapted per generation — footers can't see it")
+    assert(mm.head().getInt(0) == 1)
+  }
+
+  test("date and timestamp min/max come back in the right type") {
+    val t = s"$root/ns/temporal"
+    val rows = (0 until 20).map { i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        Timestamp.from(java.time.Instant.parse("2024-06-01T00:00:00Z")
+          .plusSeconds(i * 3600L)))
+    }.toDF("d", "ts")
+    VersionedTable.commit(spark, t, rows, overwrite = true)
+
+    val q = spark.sql(
+      "SELECT min(d) AS mnd, max(d) AS mxd, min(ts) AS mnt, max(ts) AS mxt " +
+        "FROM vtagg.ns.temporal")
+    val r = q.head()
+    assert(r.getDate(0) == Date.valueOf("2024-01-01"))
+    assert(r.getDate(1) == Date.valueOf("2024-01-20"))
+    assert(r.getTimestamp(2).toInstant ==
+      java.time.Instant.parse("2024-06-01T00:00:00Z"))
+    assert(r.getTimestamp(3).toInstant ==
+      java.time.Instant.parse("2024-06-01T19:00:00Z"))
+  }
+
+  test("all-null and schema-evolved columns aggregate exactly") {
+    val t = s"$root/ns/nulls"
+    // era 1 lacks `extra` entirely; era 2 carries it with some nulls
+    VersionedTable.commit(spark, t,
+      (1 to 10).map(i => i.toLong).toDF("k"), overwrite = true)
+    VersionedTable.commit(spark, t,
+      (11 to 20).map(i =>
+        (i.toLong, if (i % 2 == 0) Some(i) else None)).toDF("k", "extra"),
+      overwrite = false)
+
+    val q = spark.sql(
+      "SELECT count(*) AS n, count(extra) AS ne, min(extra) AS mn, " +
+        "max(extra) AS mx FROM vtagg.ns.nulls")
+    assert(isPushed(q), s"evolved eras still serve:\n${planOf(q)}")
+    val r = q.head()
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 5L, "era-1 rows are all-null for extra")
+    assert(r.getInt(2) == 12 && r.getInt(3) == 20)
+
+    val allNull = s"$root/ns/allnull"
+    VersionedTable.commit(spark, allNull,
+      (1 to 5).map(i => (i.toLong, None: Option[Long])).toDF("k", "e"),
+      overwrite = true)
+    val q2 = spark.sql(
+      "SELECT min(e) AS mn, count(e) AS n FROM vtagg.ns.allnull")
+    val r2 = q2.head()
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+  }
+
+  test("time travel aggregates push against the pinned snapshot") {
+    val t = s"$root/ns/tt"
+    VersionedTable.commit(spark, t,
+      (1 to 10).map(_.toLong).toDF("k"), overwrite = true)
+    VersionedTable.commit(spark, t,
+      (11 to 30).map(_.toLong).toDF("k"), overwrite = false)
+
+    val q = spark.sql(
+      "SELECT count(*) AS n, max(k) AS m FROM vtagg.ns.tt VERSION AS OF 1")
+    assert(isPushed(q))
+    val r = q.head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(spark.sql("SELECT count(*) FROM vtagg.ns.tt").head().getLong(0)
+      == 30L)
+  }
+
+  test("reported statistics size the scan: a small dim broadcasts") {
+    graft.expr.GraftFunctions.register(spark)
+    val fact = s"$root/ns/fact"
+    val dim = s"$root/ns/dim"
+    VersionedTable.commit(spark, fact,
+      (1 to 5000).map(i => (i.toLong, i % 50)).toDF("k", "d"),
+      overwrite = true)
+    VersionedTable.commit(spark, dim,
+      (0 until 50).map(i => (i, s"name$i")).toDF("d", "nm"),
+      overwrite = true)
+
+    val joined = spark.sql(
+      "SELECT f.k, d.nm FROM vtagg.ns.fact f JOIN vtagg.ns.dim d " +
+        "ON f.d = d.d")
+    assert(planOf(joined).contains("BroadcastHashJoin"),
+      s"manifest-sized dim must broadcast:\n${planOf(joined)}")
+    assert(joined.count() == 5000L)
+  }
+}
