@@ -108,32 +108,29 @@ object FooterStats {
     * snapshot's files, plus one exact fallback scan IF any column's
     * footer statistics turn out unusable.
     */
-  def aggregate(spark: SparkSession, root: String, v: Option[Long],
-      specs: Seq[AggSpec]): Array[Any] = {
-    require(specs.nonEmpty, "FooterStats: no aggregates requested")
-    val vs = VersionedTable.versions(spark, root)
-    require(vs.nonEmpty, s"FooterStats: no committed snapshot at $root")
-    val ver = v.getOrElse(vs.last)
-    require(vs.contains(ver), s"FooterStats: version $ver not in $vs")
-    val entries = VersionedTable.manifestDirs(spark, root, ver)
-
-    // the distinct columns the specs touch, with the channel type each
-    val colSpecs: Seq[(String, Option[DataType])] = specs.collect {
+  // the distinct columns a spec list touches, with the channel type each
+  private def colSpecsOf(specs: Seq[AggSpec]): Seq[(String, Option[DataType])] = {
+    val cs = specs.collect {
       case CountOf(c) => (c, None)
       case MinOf(c, dt) => (c, Some(dt))
       case MaxOf(c, dt) => (c, Some(dt))
     }.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, ss) =>
       (c, ss.flatMap(_._2).headOption)
     }
-    colSpecs.foreach { case (c, dt) =>
+    cs.foreach { case (c, dt) =>
       dt.foreach(d => require(servableType(d),
         s"FooterStats: $c: $d has no trustworthy footer statistics"))
     }
+    cs
+  }
 
+  // (file path, owning entry index) for every data file of the snapshot
+  private def listFiles(spark: SparkSession, root: String,
+      entries: Seq[String]): Seq[(String, Int)] = {
     val hfs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val rootPath = new Path(root)
-    val files: Seq[String] = entries.flatMap { e =>
+    entries.zipWithIndex.flatMap { case (e, i) =>
       val dir = new Path(rootPath, e)
       if (!hfs.exists(dir)) Seq.empty
       else hfs.listStatus(dir).toSeq
@@ -141,26 +138,71 @@ object FooterStats {
           val n = st.getPath.getName
           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
         })
-        .map(_.getPath.toString)
+        .map(st => (st.getPath.toString, i))
+    }
+  }
+
+  // the distributed footer job: per-ENTRY folded partials (footers only —
+  // column METADATA, never data pages; at 100 TB the file list is large,
+  // the per-file work is one footer fetch, so parallelize takes the file
+  // count off the driver and reduceByKey folds per entry in tasks)
+  private def entryPartials(spark: SparkSession,
+      files: Seq[(String, Int)],
+      colSpecs: Seq[(String, Option[DataType])]): Map[Int, FilePartial] =
+    if (files.isEmpty) Map.empty
+    else {
+      val confBc = spark.sparkContext.broadcast(
+        new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+      val names = colSpecs.map(_._1).toArray
+      val prims = colSpecs.map(_._2.map(primOf)).toArray
+      val parts = math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, parts).map { case (f, e) =>
+        (e, readFooter(f, confBc.value.value, names, prims))
+      }.reduceByKey(_.merge(_)).collect().toMap
     }
 
-    val folded: FilePartial =
-      if (files.isEmpty)
-        FilePartial(0L, Array.fill(colSpecs.size)(emptyCol))
-      else {
-        // footers only — column METADATA, never data pages. Distributed:
-        // at 100 TB the file list is large, the per-file work is one
-        // footer fetch; parallelize takes the file count off the driver.
-        val confBc = spark.sparkContext.broadcast(
-          new SerializableWritable(spark.sparkContext.hadoopConfiguration))
-        val names = colSpecs.map(_._1).toArray
-        val prims = colSpecs.map(_._2.map(primOf)).toArray
-        val parts = math.max(1, math.min(files.size,
-          spark.sparkContext.defaultParallelism))
-        spark.sparkContext.parallelize(files, parts).map { f =>
-          readFooter(f, confBc.value.value, names, prims)
-        }.reduce(_.merge(_))
-      }
+  private def resolveVersion(spark: SparkSession, root: String,
+      v: Option[Long]): Long = {
+    val vs = VersionedTable.versions(spark, root)
+    require(vs.nonEmpty, s"FooterStats: no committed snapshot at $root")
+    val ver = v.getOrElse(vs.last)
+    require(vs.contains(ver), s"FooterStats: version $ver not in $vs")
+    ver
+  }
+
+  // finish one group's folded partial into spec-ordered output values;
+  // `fallback` carries exact (min, max, count) per unserved column
+  private def finishValues(specs: Seq[AggSpec],
+      idxOf: Map[String, Int], folded: FilePartial,
+      fallback: Map[String, (Any, Any, Long)]): Array[Any] =
+    specs.map {
+      case RowCount => java.lang.Long.valueOf(folded.rows): Any
+      case CountOf(c) =>
+        java.lang.Long.valueOf(fallback.get(c).map(_._3)
+          .getOrElse(folded.cols(idxOf(c)).nonNull)): Any
+      case MinOf(c, dt) =>
+        fallback.get(c).map(_._1).getOrElse {
+          val p = folded.cols(idxOf(c))
+          if (!p.hasValues) null else channelValue(p.minL, p.minD, dt)
+        }: Any
+      case MaxOf(c, dt) =>
+        fallback.get(c).map(_._2).getOrElse {
+          val p = folded.cols(idxOf(c))
+          if (!p.hasValues) null else channelValue(p.maxL, p.maxD, dt)
+        }: Any
+    }.toArray
+
+  def aggregate(spark: SparkSession, root: String, v: Option[Long],
+      specs: Seq[AggSpec]): Array[Any] = {
+    require(specs.nonEmpty, "FooterStats: no aggregates requested")
+    val ver = resolveVersion(spark, root, v)
+    val entries = VersionedTable.manifestDirs(spark, root, ver)
+    val colSpecs = colSpecsOf(specs)
+    val partials = entryPartials(spark,
+      listFiles(spark, root, entries), colSpecs)
+    val folded = partials.values.foldLeft(
+      FilePartial(0L, Array.fill(colSpecs.size)(emptyCol)))(_.merge(_))
 
     // any column whose footer evidence is poisoned falls back to ONE
     // exact scan computing all its aggregates — correctness over speed
@@ -181,23 +223,88 @@ object FooterStats {
         }.toMap
       }
 
+    finishValues(specs, colSpecs.map(_._1).zipWithIndex.toMap, folded,
+      fallback)
+  }
+
+  /** GROUPED metadata aggregates over IDENTITY partition columns: each
+    * manifest entry's `__p_<col>=<token>` path segments name its group,
+    * the per-entry footer partials fold per group, and the result is one
+    * row per partition tuple — `SELECT day, tenant, count(*) … GROUP BY
+    * day, tenant` over a 100 TB table from one footer job, never a data
+    * scan (the Iceberg partition-summary economics through SQL).
+    *
+    * Returns None — caller must run the exact data-scan group-by instead
+    * — whenever the tokens cannot PROVE the grouping:
+    *   - a file-bearing entry lacks some group column's segment
+    *     (pre-partitioning or other-spec-era generation);
+    *   - a STRING group column hits the hive null token (Spark renders
+    *     null AND the empty string identically, so the two groups are
+    *     indistinguishable in paths);
+    *   - a token fails to parse as the column's type;
+    *   - any group has a column with unusable footer statistics
+    *     (per-group data-scan patching would read the data anyway).
+    * Rows come back as (group values ++ agg values), internal
+    * representation, one array per group.
+    */
+  def aggregateByPartition(spark: SparkSession, root: String,
+      v: Option[Long], groupCols: Seq[(String, DataType)],
+      specs: Seq[AggSpec]): Option[Seq[Array[Any]]] = {
+    require(groupCols.nonEmpty, "FooterStats: no group columns")
+    val ver = resolveVersion(spark, root, v)
+    val entries = VersionedTable.manifestDirs(spark, root, ver)
+    val colSpecs = colSpecsOf(specs)
+    val files = listFiles(spark, root, entries)
+    // entries with no data files contribute nothing — the catalog's
+    // CREATE publishes an empty unpartitioned generation, which must
+    // not force the fallback
+    val live = files.map(_._2).toSet
+
+    def tokenValue(tok: Option[String], dt: DataType): Option[Any] =
+      tok match {
+        case None => // hive null token
+          if (dt == StringType) None // null vs "" ambiguity: fallback
+          else Some(null)
+        case Some(s) =>
+          try Some(dt match {
+            case ByteType => java.lang.Byte.valueOf(s.toByte)
+            case ShortType => java.lang.Short.valueOf(s.toShort)
+            case IntegerType => java.lang.Integer.valueOf(s.toInt)
+            case LongType => java.lang.Long.valueOf(s.toLong)
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case DateType => java.lang.Integer.valueOf(
+              java.time.LocalDate.parse(s).toEpochDay.toInt)
+            case other =>
+              throw new IllegalArgumentException(s"ungroupable $other")
+          }) catch {
+            case _: IllegalArgumentException | _: NumberFormatException |
+                 _: java.time.format.DateTimeParseException => None
+          }
+      }
+
+    val keys: Seq[Option[Seq[Any]]] = entries.zipWithIndex.map {
+      case (e, i) if live.contains(i) =>
+        val vals = groupCols.map { case (c, dt) =>
+          VersionedTable.partValueOf(e, c).flatMap(tokenValue(_, dt))
+        }
+        if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+      case _ => Some(Nil) // no files: group membership irrelevant
+    }
+    if (keys.exists(_.isEmpty)) return None // unprovable grouping
+
+    val partials = entryPartials(spark, files, colSpecs)
+    val groups: Map[Seq[Any], FilePartial] = partials.toSeq
+      .groupBy { case (i, _) => keys(i).get }
+      .map { case (k, ps) =>
+        k -> ps.map(_._2).reduce(_.merge(_))
+      }
+    if (groups.values.exists(_.cols.exists(_.unserved))) return None
+
     val idxOf = colSpecs.map(_._1).zipWithIndex.toMap
-    specs.map {
-      case RowCount => java.lang.Long.valueOf(folded.rows): Any
-      case CountOf(c) =>
-        java.lang.Long.valueOf(fallback.get(c).map(_._3)
-          .getOrElse(folded.cols(idxOf(c)).nonNull)): Any
-      case MinOf(c, dt) =>
-        fallback.get(c).map(_._1).getOrElse {
-          val p = folded.cols(idxOf(c))
-          if (!p.hasValues) null else channelValue(p.minL, p.minD, dt)
-        }: Any
-      case MaxOf(c, dt) =>
-        fallback.get(c).map(_._2).getOrElse {
-          val p = folded.cols(idxOf(c))
-          if (!p.hasValues) null else channelValue(p.maxL, p.maxD, dt)
-        }: Any
-    }.toArray
+    Some(groups.toSeq.map { case (k, folded) =>
+      (k ++ finishValues(specs, idxOf, folded, Map.empty)).toArray
+    })
   }
 
   // external row value (from the fallback scan) → internal representation

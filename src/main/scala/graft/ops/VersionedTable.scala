@@ -52,7 +52,8 @@ object VersionedTable {
     q132MultiSkipping, q133PartitionedVtable, q134PartitionOverwrite,
     q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution,
     q138DropColumn, q139BranchWap, q140CatalogView, q141MaterializedView,
-    q142TypeWidening, q143AggPushdown, q144StatsBroadcast)
+    q142TypeWidening, q143AggPushdown, q144StatsBroadcast,
+    q145PartitionAgg)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -299,7 +300,7 @@ object VersionedTable {
   // outer None when the entry has no such segment (unpartitioned
   // generation — must always scan); Some(None) = the NULL partition;
   // Some(Some(v)) = the unescaped rendered value
-  private def partValueOf(entry: String,
+  private[ops] def partValueOf(entry: String,
       c: String): Option[Option[String]] =
     entry.split('/').collectFirst {
       case seg if seg.startsWith(s"$PartPrefix$c=") =>
@@ -6443,4 +6444,76 @@ object VersionedTable {
       UNION ALL
       SELECT 'audit', CAST(1 AS BIGINT), CAST(1 AS DOUBLE)
       ORDER BY seg"""))
+
+  /** q145: GROUP-BY-PARTITION METADATA AGGREGATES — [[FooterStats
+    * .aggregateByPartition]] through the same `SupportsPushDownAggregates`
+    * surface: `SELECT yr, count(*), min(k), max(k), count(nk) … GROUP BY
+    * yr` over an identity-partitioned table is answered by grouping the
+    * manifest's leaf-dir tokens (`__p_yr=<v>` names the group) and
+    * folding per-entry FOOTER partials per group — one metadata job, one
+    * row per partition, zero data pages (the Iceberg partition-summary
+    * economics, reached through plain SQL). Plan flags pin the pushed
+    * query to a LocalTableScan with no aggregate exec, and a
+    * non-partition GROUP BY twin to the ordinary scan+aggregate. The
+    * oracle recomputes both groupings from the base table. At 100 TB:
+    * the per-day/per-tenant operational rollup every pipeline dashboard
+    * runs hourly costs manifest+footer metadata instead of a table scan.
+    */
+  val q145PartitionAgg: Q = Q(
+    "q145_partition_agg",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val table = s"$root/main/orders_pa"
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        year(col("o_orderdate")).as("yr"),
+        when(pmod(col("o_custkey"), lit(5L)) === 0L, lit(null))
+          .otherwise(col("o_custkey")).as("nk"))
+      // two partition-routed loads (append history) — each year lands as
+      // its own manifest leaf in both generations
+      commit(s, table, src.filter(pmod(col("k"), lit(2L)) === 0L),
+        overwrite = true, meta = Map("prop:partition" -> "yr"))
+      commit(s, table, src.filter(pmod(col("k"), lit(2L)) === 1L),
+        overwrite = false)
+      val cat = "vtq145_" + new Path(root).getName.stripPrefix("run_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val grouped = s.sql(
+        s"SELECT yr, count(*) AS n, min(k) AS mn, max(k) AS mx, " +
+          s"count(nk) AS nn FROM $cat.main.orders_pa GROUP BY yr")
+      val plain = s.sql(
+        s"SELECT pmod(nk, 3) AS g, count(*) AS n " +
+          s"FROM $cat.main.orders_pa GROUP BY pmod(nk, 3)")
+      val gPlan = grouped.queryExecution.executedPlan.toString
+      val pPlan = plain.queryExecution.executedPlan.toString
+      val flags =
+        (if (!gPlan.contains("HashAggregate") &&
+            !gPlan.contains("SortAggregate")) 1L else 0L) +
+        (if (gPlan.contains("LocalTableScan")) 2L else 0L) +
+        (if (pPlan.contains("Aggregate")) 4L else 0L)
+      val content = grouped.select(
+        concat(lit("yr_"), col("yr").cast("string")).as("step"),
+        col("n").as("a"), col("mn").as("b"),
+        (col("mx") + col("nn")).cast("double").as("c"))
+      val maxPlain = plain.agg(max(col("n"))).head().getLong(0)
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(flags).as("a"), lit(maxPlain).as("b"),
+        lit(1.0).cast("double").as("c"))
+      content.unionByName(audit).orderBy(col("step"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey AS k, year(o_orderdate) AS yr,
+          CASE WHEN o_custkey % 5 = 0 THEN NULL ELSE o_custkey END AS nk
+        FROM orders)
+      SELECT concat('yr_', CAST(yr AS VARCHAR)) AS step,
+        CAST(count(*) AS BIGINT) AS a, CAST(min(k) AS BIGINT) AS b,
+        CAST(max(k) + count(nk) AS DOUBLE) AS c
+      FROM src GROUP BY yr
+      UNION ALL
+      SELECT 'audit', CAST(7 AS BIGINT),
+        (SELECT CAST(max(n) AS BIGINT) FROM
+          (SELECT count(*) AS n FROM src GROUP BY nk % 3)),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
 }

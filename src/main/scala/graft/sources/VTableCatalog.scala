@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.VersionedTable
@@ -441,7 +441,9 @@ class VTableV2Table(path: String, version: Option[Long],
       VTableScans.existingPruneCols(pruneCol, schema.fieldNames.toSeq),
       schema,
       VersionedTable.allPartitionColsOf(props).toSet,
-      Some(VTableAggGuard.of(SparkSession.active, path, version, props)))
+      Some(VTableAggGuard.of(SparkSession.active, path, version, props)),
+      VersionedTable.partitionFieldsOf(props)
+        .collect { case graft.ops.PartIdentity(c) => c }.toSet)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -626,7 +628,8 @@ object VTableAggGuard {
 class VTableScanBuilder(path: String, version: Option[Long],
     pruneCol: Option[String], fullSchema: StructType,
     partSources: Set[String] = Set.empty,
-    aggGuard: Option[VTableAggGuard] = None)
+    aggGuard: Option[VTableAggGuard] = None,
+    identityParts: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -636,7 +639,8 @@ class VTableScanBuilder(path: String, version: Option[Long],
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(Seq[FooterStats.AggSpec], StructType)] = None
+  private var pushedAgg: Option[(Seq[(String, DataType)],
+    Seq[FooterStats.AggSpec], StructType)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -691,15 +695,35 @@ class VTableScanBuilder(path: String, version: Option[Long],
       case _ => None
     }
 
-  private def plan(agg: Aggregation): Option[(Seq[FooterStats.AggSpec], StructType)] =
+  // grouping is pushable only over IDENTITY partition columns whose
+  // values the leaf-dir tokens spell exactly (the token IS the value for
+  // identity; derived transforms would group by the TRANSFORMED value,
+  // which is not what GROUP BY <source> means)
+  private val groupableTypes: Set[DataType] = Set(ByteType, ShortType,
+    IntegerType, LongType, StringType, DateType)
+
+  private def groupColOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[(String, DataType)] =
+    fieldOf(e).filter(colOk)
+      .filter(n => identityParts.exists(_.equalsIgnoreCase(n)))
+      .filter(n => groupableTypes.contains(fullSchema(n).dataType))
+      .map(n => (n, fullSchema(n).dataType))
+
+  private def plan(agg: Aggregation)
+      : Option[(Seq[(String, DataType)], Seq[FooterStats.AggSpec], StructType)] =
     if (aggGuard.isEmpty || aggGuard.exists(_.hasDvs) ||
-        filters.nonEmpty || agg.groupByExpressions.nonEmpty ||
-        agg.aggregateExpressions.isEmpty) None
+        filters.nonEmpty || agg.aggregateExpressions.isEmpty) None
     else {
+      val groups = agg.groupByExpressions.toSeq.map(groupColOf)
       val specs = agg.aggregateExpressions.toSeq.map(specOf)
-      if (specs.forall(_.isDefined)) {
+      if (groups.forall(_.isDefined) && specs.forall(_.isDefined)) {
+        val g = groups.map(_.get)
         val resolved = specs.map(_.get)
-        Some((resolved.map(_._1), StructType(resolved.map(_._2))))
+        // Spark's pushed-aggregate contract: output = group columns in
+        // groupBy order, then aggregate values in aggregate order
+        Some((g, resolved.map(_._1), StructType(
+          g.map { case (n, dt) => StructField(n, dt) } ++
+            resolved.map(_._2))))
       } else None
     }
 
@@ -717,33 +741,69 @@ class VTableScanBuilder(path: String, version: Option[Long],
     }
 
   override def build(): Scan = pushedAgg match {
-    case Some((specs, aggSchema)) =>
-      new VTableAggScan(path, version, specs, aggSchema)
+    case Some((groupCols, specs, aggSchema)) =>
+      new VTableAggScan(path, version, groupCols, specs, aggSchema)
     case None =>
       new VTableV1ScanImpl(path, version, pruneCol, required, filters)
   }
 }
 
-/** Completed metadata aggregate: one locally-produced row, computed by
+/** Completed metadata aggregate: locally-produced rows, computed by
   * [[graft.ops.FooterStats]] from parquet footers (a distributed
-  * metadata job) — no data page is ever read. Plans as a local scan;
-  * EXPLAIN shows this description instead of a table scan + aggregate.
+  * metadata job) — no data page is ever read. Global aggregates are one
+  * row; `GROUP BY <identity partition cols>` returns one row per
+  * partition tuple, grouped by the leaf-dir tokens. When the tokens
+  * cannot PROVE the grouping (a pre-partitioning era, the hive
+  * null-token's ""-vs-null ambiguity on strings), the scan runs the
+  * exact data-scan group-by itself — the pushed plan never returns a
+  * wrong row, it just loses the metadata-only speedup. Plans as a local
+  * scan; EXPLAIN shows this description instead of scan + aggregate.
   */
 class VTableAggScan(path: String, version: Option[Long],
+    groupCols: Seq[(String, DataType)],
     specs: Seq[graft.ops.FooterStats.AggSpec], aggSchema: StructType)
     extends LocalScan {
+
+  import graft.ops.FooterStats
 
   override def readSchema(): StructType = aggSchema
 
   override def description(): String =
     s"graft-vtable metadata-agg $path" +
       version.map(v => s" @v$v").getOrElse("") +
+      groupCols.map(_._1).mkString(" groupBy(", ",", ")") +
       specs.mkString(" [", ", ", "]")
 
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
-    val values = graft.ops.FooterStats.aggregate(SparkSession.active,
-      path, version, specs)
-    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+    val spark = SparkSession.active
+    val arrays: Seq[Array[Any]] =
+      if (groupCols.isEmpty)
+        Seq(FooterStats.aggregate(spark, path, version, specs))
+      else FooterStats.aggregateByPartition(spark, path, version,
+        groupCols, specs).getOrElse(exactGroupBy(spark))
+    arrays.map(a =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a)
+        : org.apache.spark.sql.catalyst.InternalRow).toArray
+  }
+
+  // the exact fallback: the same grouped aggregate over the real
+  // snapshot scan, converted to internal rows — correctness over speed
+  private def exactGroupBy(spark: SparkSession): Seq[Array[Any]] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val aggs = specs.map {
+      case FooterStats.RowCount => count(lit(1))
+      case FooterStats.CountOf(c) => count(col(c))
+      case FooterStats.MinOf(c, _) => min(col(c))
+      case FooterStats.MaxOf(c, _) => max(col(c))
+    }
+    val df = VersionedTable.readAt(spark, path, version)
+      .groupBy(groupCols.map(g => col(g._1)): _*)
+      .agg(aggs.head, aggs.drop(1): _*)
+    val convs = aggSchema.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(f.dataType))
+    df.collect().map(r =>
+      Array.tabulate[Any](convs.length)(i => convs(i)(r.get(i)))).toSeq
   }
 }
 

@@ -180,6 +180,69 @@ class VTableAggPushdownSpec extends SparkSpec {
       == 30L)
   }
 
+  test("GROUP BY identity partition columns pushes to a token-grouped footer scan") {
+    val t = s"$root/ns/grouped"
+    VersionedTable.commit(spark, t,
+      (1 to 60).map(i => (i.toLong, i % 3, if (i % 10 == 0) None else Some(i)))
+        .toDF("k", "g", "nk"),
+      overwrite = true, meta = Map("prop:partition" -> "g"))
+    VersionedTable.commit(spark, t,
+      (61 to 90).map(i => (i.toLong, i % 3, Some(i))).toDF("k", "g", "nk"),
+      overwrite = false)
+
+    val q = spark.sql(
+      "SELECT g, count(*) AS n, min(k) AS mn, max(k) AS mx, " +
+        "count(nk) AS nn FROM vtagg.ns.grouped GROUP BY g")
+    assert(isPushed(q), s"expected token-grouped metadata plan:\n${planOf(q)}")
+    val rows = q.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    // direct recompute as the oracle
+    val expect = (1 to 90).groupBy(_ % 3).map { case (g, is) =>
+      g -> ((is.size.toLong, is.min.toLong, is.max.toLong,
+        is.count(i => i > 60 || i % 10 != 0).toLong))
+    }
+    assert(rows == expect)
+
+    // grouping by a NON-partition column must refuse (plan aggregates)
+    val byK = spark.sql(
+      "SELECT nk, count(*) AS n FROM vtagg.ns.grouped GROUP BY nk")
+    assert(!isPushed(byK), "non-partition group-by must scan")
+    assert(byK.collect().map(_.getLong(1)).sum == 90L)
+  }
+
+  test("grouped pushdown falls back exactly on unprovable tokens") {
+    // (a) a pre-partitioning era: entries without __p_ segments
+    val mixed = s"$root/ns/grouped_mixed"
+    VersionedTable.commit(spark, mixed,
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("k", "g"),
+      overwrite = true) // unpartitioned era
+    VersionedTable.evolvePartitionSpec(spark, mixed, "g")
+    VersionedTable.commit(spark, mixed,
+      (21 to 40).map(i => (i.toLong, i % 2)).toDF("k", "g"),
+      overwrite = false) // partitioned era
+    val q = spark.sql(
+      "SELECT g, count(*) AS n FROM vtagg.ns.grouped_mixed GROUP BY g")
+    val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m == Map(0 -> 20L, 1 -> 20L),
+      "mixed-era grouped aggregate must stay exact (internal fallback)")
+
+    // (b) string partition values where Spark's hive rendering collapses
+    // null and "" into one token — the two groups must stay distinct
+    val amb = s"$root/ns/grouped_amb"
+    VersionedTable.commit(spark, amb,
+      Seq((1L, "a"), (2L, "a"), (3L, null), (4L, ""), (5L, "b"))
+        .toDF("k", "g"),
+      overwrite = true, meta = Map("prop:partition" -> "g"))
+    val qa = spark.sql(
+      "SELECT g, count(*) AS n FROM vtagg.ns.grouped_amb GROUP BY g")
+    val ma = qa.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    assert(ma == Map("a" -> 2L, (null: String) -> 1L, "" -> 1L, "b" -> 1L),
+      "null and empty-string partitions are DIFFERENT groups")
+  }
+
   test("reported statistics size the scan: a small dim broadcasts") {
     graft.expr.GraftFunctions.register(spark)
     val fact = s"$root/ns/fact"
