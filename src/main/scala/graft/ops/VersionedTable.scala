@@ -960,11 +960,34 @@ object VersionedTable {
     val kept = keptEntries(dirs, meta, windows, partPreds)
     val hfs = fs(spark, root)
     val bytes = kept.map { d =>
-      val p = new Path(root, d)
-      if (hfs.exists(p)) hfs.getContentSummary(p).getLength else 0L
+      // a committed generation's files are immutable, so (root, dir)
+      // bytes are cacheable forever — planning the same table in a loop
+      // (optimizer fixed points, repeated queries) must not re-list the
+      // same directories against an object store every time
+      entryBytesCache.synchronized {
+        Option(entryBytesCache.get((root, d)))
+      }.map(_.longValue).getOrElse {
+        val p = new Path(root, d)
+        val b = if (hfs.exists(p)) hfs.getContentSummary(p).getLength else 0L
+        entryBytesCache.synchronized {
+          entryBytesCache.put((root, d), java.lang.Long.valueOf(b))
+        }
+        b
+      }
     }.sum
     (bytes, kept.size, dirs.size)
   }
+
+  // bounded LRU of per-generation on-disk bytes (metadata, ~bytes per
+  // entry). Keyed (root, entryDir): generations are immutable once
+  // committed — vacuum only ever deletes dirs that no current read keeps
+  private val entryBytesCache =
+    new java.util.LinkedHashMap[(String, String), java.lang.Long](
+        1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean =
+        size() > 4096
+    }
 
   /** COMPACTION as a commit: rewrite the latest snapshot's generations
     * into ONE new generation and publish it as a REWRITE commit
