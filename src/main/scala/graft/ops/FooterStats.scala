@@ -213,13 +213,24 @@ object FooterStats {
       if (unservedCols.isEmpty) Map.empty
       else {
         val df = VersionedTable.readAt(spark, root, Some(ver))
-        val cols = unservedCols.toSeq.sorted
-        val aggs = cols.flatMap(c =>
-          Seq(min(col(c)), max(col(c)), count(col(c))))
+        // compute ONLY what each column's specs need: COUNT-only columns
+        // (any type — maps/structs included) must not be fed through
+        // min/max, which Spark refuses for unorderable types
+        val cols = colSpecs.filter(cs => unservedCols.contains(cs._1))
+        val aggs = cols.flatMap {
+          case (c, Some(_)) => Seq(min(col(c)), max(col(c)), count(col(c)))
+          case (c, None) => Seq(count(col(c)))
+        }
         val r = df.agg(aggs.head, aggs.drop(1): _*).head()
-        cols.zipWithIndex.map { case (c, i) =>
-          c -> (toInternal(r.get(3 * i)), toInternal(r.get(3 * i + 1)),
-            r.getLong(3 * i + 2))
+        var i = 0
+        cols.map {
+          case (c, Some(_)) =>
+            val out = c -> ((toInternal(r.get(i)), toInternal(r.get(i + 1)),
+              r.getLong(i + 2)))
+            i += 3; out
+          case (c, None) =>
+            val out = c -> ((null: Any, null: Any, r.getLong(i)))
+            i += 1; out
         }.toMap
       }
 

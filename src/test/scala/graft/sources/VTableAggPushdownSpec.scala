@@ -164,6 +164,20 @@ class VTableAggPushdownSpec extends SparkSpec {
     assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
   }
 
+  test("count over complex-typed columns serves via the count-only fallback") {
+    val t = s"$root/ns/complex"
+    val rows = (1 to 12).map(i =>
+      (i.toLong, if (i % 4 == 0) None else Some(Map("a" -> i))))
+      .toDF("k", "m")
+    VersionedTable.commit(spark, t, rows, overwrite = true)
+    // maps are parquet GROUP types (no chunk stats) AND unorderable in
+    // Spark — the fallback must count them without ever min/max-ing
+    val q = spark.sql(
+      "SELECT count(*) AS n, count(m) AS nm FROM vtagg.ns.complex")
+    val r = q.head()
+    assert(r.getLong(0) == 12L && r.getLong(1) == 9L)
+  }
+
   test("time travel aggregates push against the pinned snapshot") {
     val t = s"$root/ns/tt"
     VersionedTable.commit(spark, t,
