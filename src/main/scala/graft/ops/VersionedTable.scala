@@ -1215,6 +1215,17 @@ object VersionedTable {
     * at base+1, and when a concurrent append wins, abort, reclaim the
     * orphan, return None; OPTIMIZE is maintenance and just runs again.
     */
+  // the OPTIMIZE cluster key: two columns → Morton z-order interleave,
+  // one → a plain sort key (shared by whole-table and partition-scoped)
+  private def clusterKeyFn(clusterCols: Seq[String])
+      : String => DataFrame => DataFrame = clusterCols match {
+    case Seq(x, y) => key => _.withColumn(key, ScalePatterns.mortonKey(
+      pmod(col(x), lit(65536L)), pmod(col(y), lit(65536L))))
+    case Seq(s) => key => _.withColumn(key, col(s))
+    case other => throw new IllegalArgumentException(
+      s"optimize: 1 sort column or 2 z-order columns, got $other")
+  }
+
   def optimize(spark: SparkSession, root: String, clusterCols: Seq[String],
       targetBytes: Long, statsCol: Option[String] = None,
       raceHook: () => Unit = () => ())
@@ -1236,11 +1247,7 @@ object VersionedTable {
     val totalBytes = files.map(f =>
       hfs.getFileStatus(new Path(f)).getLen).sum
     val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
-    val withKey: String => DataFrame => DataFrame = clusterCols match {
-      case Seq(x, y) => key => _.withColumn(key, ScalePatterns.mortonKey(
-        pmod(col(x), lit(65536L)), pmod(col(y), lit(65536L))))
-      case Seq(s) => key => _.withColumn(key, col(s))
-    }
+    val withKey = clusterKeyFn(clusterCols)
     val clustered = Compaction.clusterLayout(df, withKey, nFiles)
     val rows = df.count() // pre-rewrite generation; same rows by construction
     raceHook()
@@ -1258,6 +1265,81 @@ object VersionedTable {
         hfs.listStatus(new Path(root, e))
           .count(st => st.isFile && st.getPath.getName.startsWith("part-"))).sum
       Some((baseV + 1, Compaction.Stats(files.length, filesAfter, rows)))
+    } else {
+      hfs.delete(new Path(root, gen), true)
+      None
+    }
+  }
+
+  /** PARTITION-SCOPED OPTIMIZE — the production maintenance cadence at
+    * scale: a 100 TB table never runs a whole-table rewrite; it
+    * re-clusters YESTERDAY'S partition every night while the other
+    * partitions ride along untouched. `partSpec` is the subscription
+    * surface's `field=token` syntax ([[readAtPartition]]); only the
+    * manifest entries whose `__p_<field>=<token>` path segment PROVES
+    * membership rewrite — one [[Compaction.clusterLayout]] pass over
+    * the slice, sized from its real bytes — and every other entry
+    * carries verbatim with its stats headers. Cost: O(partition), never
+    * O(table).
+    *
+    * Carry discipline follows [[compactSmall]], not [[optimize]]:
+    * `dv:` headers are KEPT (they still apply to carried generations;
+    * the rewritten slice reads through them, and re-anti-joining
+    * removed keys is a no-op), and `dropcol.`/`widen.` properties are
+    * KEPT (carried generations still hold the old bytes — only a FULL
+    * rewrite may clear them). Generations WITHOUT the field's path
+    * segment (pre-partitioning eras, other-spec eras) are not provably
+    * in the partition and stay carried — re-clustering them needs the
+    * whole-table [[optimize]]. Published `#rewrite=true` (change feeds
+    * skip it), abort-on-loss under concurrency (publish only at
+    * base+1). Returns Some(version, rewritten entries, carried entries,
+    * slice file stats) — a no-op at the current version when nothing
+    * matches.
+    */
+  def optimizePartition(spark: SparkSession, root: String,
+      partSpec: String, clusterCols: Seq[String], targetBytes: Long,
+      statsCol: Option[String] = None,
+      raceHook: () => Unit = () => ())
+      : Option[(Long, Int, Int, Compaction.Stats)] = {
+    require(clusterCols.nonEmpty && clusterCols.size <= 2,
+      "optimizePartition: 1 sort column or 2 z-order columns")
+    require(targetBytes > 0, "optimizePartition: targetBytes must be positive")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedTable: nothing to optimize at $root")
+    val baseV = vs.last
+    val (baseDirs, baseMeta) = manifestOf(spark, root, baseV)
+    val (field, token) = boundPartSpec(baseMeta, partSpec)
+    val hit = baseDirs.filter(d =>
+      partValueOf(d, field.name).contains(Some(token)))
+    if (hit.isEmpty)
+      return Some((baseV, 0, baseDirs.size, Compaction.Stats(0, 0, 0L)))
+    val hitSet = hit.toSet
+    val kept = baseDirs.filterNot(hitSet)
+    val hfs = fs(spark, root)
+    val raw = readDirs(spark, root, hit, baseMeta)
+    val df = applyDvs(spark, root, baseMeta, raw)
+    val sliceFiles = raw.inputFiles
+    val sliceBytes = sliceFiles.map(f =>
+      hfs.getFileStatus(new Path(f)).getLen).sum
+    val nFiles = math.max(1,
+      ((sliceBytes + targetBytes - 1) / targetBytes).toInt)
+    val clustered = Compaction.clusterLayout(df, clusterKeyFn(clusterCols),
+      nFiles)
+    val rows = df.count()
+    raceHook()
+    val gen = writeGeneration(spark, root, clustered,
+      partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true)
+    val entries = genEntries(spark, root, gen)
+    if (tryPublish(spark, root, baseV + 1, kept ++ entries,
+        Map("rewrite" -> "true")
+          ++ carriedStats(spark, root, baseV, kept)
+          ++ dvHeadersOf(baseMeta) ++ propHeadersOf(baseMeta)
+          ++ genStatsForEntries(spark, root, entries, statsCol.toSeq))) {
+      val filesAfter = entries.map(e =>
+        hfs.listStatus(new Path(root, e))
+          .count(st => st.isFile && st.getPath.getName.startsWith("part-"))).sum
+      Some((baseV + 1, hit.size, kept.size,
+        Compaction.Stats(sliceFiles.length, filesAfter, rows)))
     } else {
       hfs.delete(new Path(root, gen), true)
       None

@@ -147,9 +147,12 @@ object VTableProcedures {
       }),
     Proc("optimize",
       "cluster the latest snapshot (1 sort column or 2 z-order columns) " +
-        "into ~target_mb files as a #rewrite=true commit",
+        "into ~target_mb files as a #rewrite=true commit; with " +
+        "partition => 'field=token' only that partition's leaves " +
+        "rewrite (O(partition), never O(table) — the nightly cadence)",
       Seq(in("table", StringType), in("cluster_by", StringType),
-        inDefault("target_mb", LongType, "128")),
+        inDefault("target_mb", LongType, "128"),
+        inDefault("partition", StringType, "NULL")),
       StructType(Seq(StructField("version", LongType),
         StructField("files_before", IntegerType),
         StructField("files_after", IntegerType),
@@ -158,11 +161,19 @@ object VTableProcedures {
         val p = tableRoot(root, args.getUTF8String(0).toString)
         val cols = args.getUTF8String(1).toString.split(',').map(_.trim).toSeq
         val bytes = args.getLong(2) * 1024L * 1024L
-        VersionedTable.optimize(spark, p, cols, bytes) match {
-          case Some((v, st)) => Seq(new GenericInternalRow(
-            Array[Any](v, st.filesBefore, st.filesAfter, st.rows)))
-          case None => raceLost("optimize")
-        }
+        if (args.isNullAt(3))
+          VersionedTable.optimize(spark, p, cols, bytes) match {
+            case Some((v, st)) => Seq(new GenericInternalRow(
+              Array[Any](v, st.filesBefore, st.filesAfter, st.rows)))
+            case None => raceLost("optimize")
+          }
+        else
+          VersionedTable.optimizePartition(spark, p,
+              args.getUTF8String(3).toString, cols, bytes) match {
+            case Some((v, _, _, st)) => Seq(new GenericInternalRow(
+              Array[Any](v, st.filesBefore, st.filesAfter, st.rows)))
+            case None => raceLost("optimize")
+          }
       }),
     Proc("restore",
       "make an old snapshot the table tip as a new bytes-sized commit; " +

@@ -26,12 +26,15 @@ import graft.ops.VersionedTable
   *
   * r16 steps between (3) and (4), the round's surface at leaf scale:
   * partition-subscribed batch reads (one day's snapshot + a feed
-  * subscribed to a day disjoint from the replace — silent pass), RENAME
-  * under load (metadata publish + a full mixed-name aggregate through
-  * the alias chain), SPEC EVOLUTION days→months (metadata publish, a
-  * whole-month replace dropping ~30 pre-evolution day leaves by token
-  * REFINEMENT, and a cross-era pruned read where both eras prune under
-  * their own transforms).
+  * subscribed to a day disjoint from the replace — silent pass),
+  * METADATA-ONLY AGGREGATES (COUNT/MIN/MAX from footers across every
+  * leaf, checked against a real count), PARTITION-SCOPED OPTIMIZE (one
+  * day re-clusters, ~2,400 entries carry), RENAME under load (metadata
+  * publish + a full mixed-name aggregate through the alias chain), SPEC
+  * EVOLUTION days→months (metadata publish, a whole-month replace
+  * dropping ~30 pre-evolution day leaves by token REFINEMENT, and a
+  * cross-era pruned read where both eras prune under their own
+  * transforms).
   *
   * Reads the derived fixture [[ScaleRehearsal]] builds (pass its
   * outDir); falls back to any sf dir. Prints one `step=seconds` line
@@ -133,6 +136,38 @@ object LakehouseRehearsal {
         vs.head, vs.last, s"o_orderdate_day=$other").count()
       require(delta == 0,
         s"disjoint replace must deliver nothing to the subscription, got $delta")
+    }
+
+    // 3b'. METADATA-ONLY AGGREGATES at 2,400-leaf scale: COUNT/MIN/MAX
+    // served from parquet footers across every leaf — the cost is ONE
+    // distributed footer job over the file list, compared against a
+    // real count of the same snapshot
+    timed("footer_metadata_agg") {
+      import graft.ops.FooterStats
+      val vals = FooterStats.aggregate(spark, table, None, Seq(
+        FooterStats.RowCount,
+        FooterStats.MinOf("o_custkey", org.apache.spark.sql.types.LongType),
+        FooterStats.MaxOf("o_custkey", org.apache.spark.sql.types.LongType)))
+      val n = vals(0).asInstanceOf[Long]
+      val scanned = VersionedTable.readAt(spark, table).count()
+      require(n == scanned,
+        s"footer count $n != scanned $scanned")
+      require(vals(1).asInstanceOf[Long] <= vals(2).asInstanceOf[Long])
+      println(s"[lakehouse-rehearsal] footer agg: $n rows, custkey in " +
+        s"[${vals(1)}, ${vals(2)}]")
+    }
+
+    // 3b''. PARTITION-SCOPED OPTIMIZE: re-cluster exactly one day's
+    // leaves while ~2,400 others carry verbatim — the nightly cadence;
+    // cost must track the slice, the carry is manifest-sized
+    timed("optimize_one_day") {
+      val (_, rewritten, carried, st) = VersionedTable.optimizePartition(
+        spark, table, s"o_orderdate_day=$lo", Seq("o_custkey"),
+        128L * 1024 * 1024).getOrElse(
+        sys.error("scoped optimize lost a race on a private table"))
+      require(rewritten >= 1, "the replaced day must rewrite")
+      println(s"[lakehouse-rehearsal] scoped optimize: $rewritten " +
+        s"leaves -> ${st.filesAfter} files, carried $carried entries")
     }
 
     // 3c. RENAME under load: metadata-only publish, then a full-scan

@@ -248,6 +248,64 @@ class VersionedTableSpec extends SparkSpec {
       Set((1, 4), (3, 2), (2, 9), (9, 1), (4, 4)))
   }
 
+  test("partition-scoped optimize rewrites one partition's leaves, carries the rest") {
+    import spark.implicits._
+    val root = freshRoot()
+    def batch(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, i % 3, i * 10L)).toDF("k", "g", "v")
+    // two partition-routed appends: each g lands one leaf per generation
+    // (createIfAbsent routes the FIRST commit too — a property set via
+    // commit meta only takes effect from the next commit on)
+    require(VersionedTable.createIfAbsent(spark, root, batch(1, 30),
+      Map("partition" -> "g", "key" -> "k")))
+    VersionedTable.commit(spark, root, batch(31, 60), overwrite = false)
+    // outstanding DV on keys spanning partitions — scoped optimize must
+    // keep the headers AND physically drop tombstoned rows it rewrites
+    VersionedTable.deleteWhereMor(spark, root, col("k") <= 4, "k")
+    val before = VersionedTable.readAt(spark, root)
+      .as[(Long, Int, Long)].collect().toSet
+    val dirsBefore = VersionedTable.manifestDirs(spark, root, 3L)
+    val carriedExpected = dirsBefore.filterNot(_.contains("__p_g=1"))
+
+    val (v, rewritten, carried, st) = VersionedTable
+      .optimizePartition(spark, root, "g=1", Seq("v"), 1L << 30)
+      .getOrElse(fail("quiet scoped optimize must publish"))
+    assert(rewritten == 2 && st.filesBefore >= 2,
+      "both generations' g=1 leaves rewrite")
+    assert(carried == carriedExpected.size)
+    val dirsAfter = VersionedTable.manifestDirs(spark, root, v)
+    assert(carriedExpected.forall(dirsAfter.contains),
+      "non-matching leaves carry verbatim")
+    assert(dirsAfter.count(_.contains("__p_g=1")) == 1,
+      "the partition's leaves collapse into one clustered leaf")
+    // content identical (DV semantics preserved: k<=4 stays deleted)
+    assert(VersionedTable.readAt(spark, root, Some(v))
+      .as[(Long, Int, Long)].collect().toSet == before)
+    // the rewritten slice materialized its tombstones physically
+    assert(VersionedTable.hasDeletionVectors(spark, root),
+      "dv headers still guard the carried generations")
+    // the feed skips the rewrite (content unchanged)
+    val later = VersionedTable.commit(spark, root,
+      Seq((100L, 1, 1000L)).toDF("k", "g", "v"), overwrite = false)
+    assert(VersionedTable.readChanges(spark, root, 3L, later)
+      .as[(Long, Int, Long)].collect().toSet == Set((100L, 1, 1000L)))
+    // unknown token: no-op at the current version
+    val noop = VersionedTable.optimizePartition(spark, root, "g=9",
+      Seq("v"), 1L << 30).get
+    assert(noop._1 == later && noop._2 == 0)
+    // refusal: not a partition field
+    intercept[IllegalArgumentException](VersionedTable.optimizePartition(
+      spark, root, "v=1", Seq("k"), 1L << 30))
+    // concurrency loss aborts and reclaims, like optimize/compact
+    val lost = VersionedTable.optimizePartition(spark, root, "g=1",
+      Seq("v"), 1L << 30, raceHook = () => {
+        VersionedTable.commit(spark, root,
+          Seq((101L, 2, 1010L)).toDF("k", "g", "v"), overwrite = false); ()
+      })
+    assert(lost.isEmpty, "losing scoped optimize must abort, not retry")
+    assertNoOrphansDeep(root)
+  }
+
   test("schema evolution: generations align by name, missing columns read as null") {
     import spark.implicits._
     val root = freshRoot()

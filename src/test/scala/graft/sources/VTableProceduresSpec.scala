@@ -64,6 +64,29 @@ class VTableProceduresSpec extends SparkSpec {
     assert(ids("SELECT id FROM vtproc.o.t") == (1 to 100).toSet)
   }
 
+  test("CALL optimize with partition => rewrites only that partition's leaves") {
+    import spark.implicits._
+    VersionedTable.createIfAbsent(spark, s"$root/o/p",
+      (1 to 40).map(i => (i, i % 2)).toDF("id", "g").repartition(4),
+      Map("partition" -> "g"))
+    VersionedTable.commit(spark, s"$root/o/p",
+      (41 to 60).map(i => (i, i % 2)).toDF("id", "g").repartition(4),
+      overwrite = false)
+    val r = spark.sql("CALL vtproc.system.optimize('o.p', 'id', " +
+      "target_mb => 1, partition => 'g=1')").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getInt(1) > 1 && r.getInt(2) == 1,
+      "the g=1 slice clusters into one file")
+    assert(r.getLong(3) == 30L, "half of 60 rows live in g=1")
+    assert(VersionedTable.commitKind(spark, s"$root/o/p", 3L) == "rewrite")
+    assert(ids("SELECT id FROM vtproc.o.p") == (1 to 60).toSet)
+    // the no-partition form still whole-table optimizes a routed table
+    val r2 = spark.sql(
+      "CALL vtproc.system.optimize('o.p', 'id', target_mb => 1)").head()
+    assert(r2.getLong(0) == 4L)
+    assert(ids("SELECT id FROM vtproc.o.p") == (1 to 60).toSet)
+  }
+
   test("CALL restore + vacuum: rollback as a commit, then reclaim to the retained tip") {
     VersionedTable.commit(spark, s"$root/v/t", df(1), overwrite = true)
     VersionedTable.commit(spark, s"$root/v/t", df(2), overwrite = false)
