@@ -100,14 +100,6 @@ object FooterStats {
     }
   }
 
-  /** Compute the requested aggregates over snapshot `v` (tip when None).
-    * Returns one value per spec in INTERNAL representation (Long for
-    * counts; the column's internal type — Int days for DATE, Long
-    * micros for TIMESTAMP — for min/max; null when no non-null values
-    * exist). Cost: one distributed footer-reading job over the
-    * snapshot's files, plus one exact fallback scan IF any column's
-    * footer statistics turn out unusable.
-    */
   // the distinct columns a spec list touches, with the channel type each
   private def colSpecsOf(specs: Seq[AggSpec]): Seq[(String, Option[DataType])] = {
     val cs = specs.collect {
@@ -193,6 +185,14 @@ object FooterStats {
         }: Any
     }.toArray
 
+  /** Compute the requested aggregates over snapshot `v` (tip when None).
+    * Returns one value per spec in INTERNAL representation (Long for
+    * counts; the column's internal type — Int days for DATE, Long
+    * micros for TIMESTAMP — for min/max; null when no non-null values
+    * exist). Cost: one distributed footer-reading job over the
+    * snapshot's files, plus one exact fallback scan IF any column's
+    * footer statistics turn out unusable.
+    */
   def aggregate(spark: SparkSession, root: String, v: Option[Long],
       specs: Seq[AggSpec]): Array[Any] = {
     require(specs.nonEmpty, "FooterStats: no aggregates requested")

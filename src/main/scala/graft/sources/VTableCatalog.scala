@@ -598,7 +598,11 @@ class VTableWriteBuilder(path: String, statsCols: Seq[String] = Nil,
   * column-level metadata — row counts are invariant under rename, cast
   * and defaulting.
   */
-case class VTableAggGuard(hasDvs: Boolean, blockedCols: Set[String])
+/** `hasDvs` is LAZY (a memoized thunk): it costs a manifest read, and
+  * the overwhelming majority of scans never see an aggregate offer —
+  * only `pushAggregation` should ever pay it.
+  */
+case class VTableAggGuard(hasDvs: () => Boolean, blockedCols: Set[String])
 
 object VTableAggGuard {
   def of(spark: SparkSession, path: String, version: Option[Long],
@@ -611,8 +615,8 @@ object VTableAggGuard {
       case k if k.startsWith("colmap.") =>
         Seq(k.stripPrefix("colmap."), props(k))
     }.flatten.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    VTableAggGuard(
-      VersionedTable.hasDeletionVectors(spark, path, version), blocked)
+    lazy val dvs = VersionedTable.hasDeletionVectors(spark, path, version)
+    VTableAggGuard(() => dvs, blocked)
   }
 }
 
@@ -711,8 +715,8 @@ class VTableScanBuilder(path: String, version: Option[Long],
 
   private def plan(agg: Aggregation)
       : Option[(Seq[(String, DataType)], Seq[FooterStats.AggSpec], StructType)] =
-    if (aggGuard.isEmpty || aggGuard.exists(_.hasDvs) ||
-        filters.nonEmpty || agg.aggregateExpressions.isEmpty) None
+    if (aggGuard.isEmpty || filters.nonEmpty ||
+        agg.aggregateExpressions.isEmpty || aggGuard.exists(_.hasDvs())) None
     else {
       val groups = agg.groupByExpressions.toSeq.map(groupColOf)
       val specs = agg.aggregateExpressions.toSeq.map(specOf)
@@ -825,25 +829,27 @@ class VTableV1ScanImpl(path: String, version: Option[Long],
   override def description(): String =
     s"graft-vtable $path${version.map(v => s" @v$v").getOrElse("")}"
 
-  override def estimateStatistics(): Statistics = {
+  // memoized per scan instance: Catalyst computes logical stats several
+  // times while planning one query (join reordering, strategy probes),
+  // and the manifest/listing work is identical each time
+  private lazy val measuredSize: java.util.OptionalLong =
     // never let an estimate break a query (racing vacuum/drop): report
     // "unknown" instead and Catalyst keeps its conservative default
-    val size: java.util.OptionalLong =
-      try {
-        val spark = SparkSession.active
-        val (windows, partPreds) = VTableScans.pruneState(spark, path,
-          version, pruneCol, filters.toIndexedSeq)
-        val (bytes, _, _) = VersionedTable.scanSizeBytes(spark, path,
-          version, windows, partPreds)
-        java.util.OptionalLong.of(bytes)
-      } catch {
-        case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty()
-      }
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = size
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+    try {
+      val spark = SparkSession.active
+      val (windows, partPreds) = VTableScans.pruneState(spark, path,
+        version, pruneCol, filters.toIndexedSeq)
+      val (bytes, _, _) = VersionedTable.scanSizeBytes(spark, path,
+        version, windows, partPreds)
+      java.util.OptionalLong.of(bytes)
+    } catch {
+      case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty()
     }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = measuredSize
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
