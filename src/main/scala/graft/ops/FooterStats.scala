@@ -88,18 +88,6 @@ object FooterStats {
         cols.zip(o.cols).map { case (a, b) => a.merge(b) })
   }
 
-  // expected parquet primitive per Spark type (the stats channel)
-  private def primOf(dt: DataType): org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    dt match {
-      case ByteType | ShortType | IntegerType | DateType => INT32
-      case LongType | TimestampType | TimestampNTZType => INT64
-      case FloatType => FLOAT
-      case DoubleType => DOUBLE
-      case _ => throw new IllegalArgumentException(s"unservable $dt")
-    }
-  }
-
   // the distinct columns a spec list touches, with the channel type each
   private def colSpecsOf(specs: Seq[AggSpec]): Seq[(String, Option[DataType])] = {
     val cs = specs.collect {
@@ -146,11 +134,11 @@ object FooterStats {
       val confBc = spark.sparkContext.broadcast(
         new SerializableWritable(spark.sparkContext.hadoopConfiguration))
       val names = colSpecs.map(_._1).toArray
-      val prims = colSpecs.map(_._2.map(primOf)).toArray
+      val dts = colSpecs.map(_._2).toArray
       val parts = math.max(1, math.min(files.size,
         spark.sparkContext.defaultParallelism))
       spark.sparkContext.parallelize(files, parts).map { case (f, e) =>
-        (e, readFooter(f, confBc.value.value, names, prims))
+        (e, readFooter(f, confBc.value.value, names, dts))
       }.reduceByKey(_.merge(_)).collect().toMap
     }
 
@@ -224,8 +212,14 @@ object FooterStats {
         val r = df.agg(aggs.head, aggs.drop(1): _*).head()
         var i = 0
         cols.map {
-          case (c, Some(_)) =>
-            val out = c -> ((toInternal(r.get(i)), toInternal(r.get(i + 1)),
+          case (c, Some(dt)) =>
+            // internal conversion must go through the catalyst converter
+            // — Row.get returns java.sql OR java.time values depending on
+            // spark.sql.datetime.java8API.enabled, and the converter
+            // handles both families
+            val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToCatalystConverter(dt)
+            val out = c -> ((conv(r.get(i)), conv(r.get(i + 1)),
               r.getLong(i + 2)))
             i += 3; out
           case (c, None) =>
@@ -318,17 +312,6 @@ object FooterStats {
     })
   }
 
-  // external row value (from the fallback scan) → internal representation
-  private def toInternal(v: Any): Any = v match {
-    case d: java.sql.Date =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
-    case t: java.sql.Timestamp =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
-    case ldt: java.time.LocalDateTime =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(ldt)
-    case other => other
-  }
-
   // fold the per-channel long/double back into the column's INTERNAL type
   private def channelValue(l: Long, d: Double, dt: DataType): Any = dt match {
     case ByteType => java.lang.Byte.valueOf(l.toByte)
@@ -361,11 +344,53 @@ object FooterStats {
     case _ => None
   }
 
+  // does this parquet primitive field carry EXACTLY the representation
+  // the Spark type's internal values use? Physical type alone is not
+  // enough — INT64 serves micros AND millis timestamps, and decoding
+  // millis stats as micros would be silently 1000x off — so the LOGICAL
+  // annotation is validated too; any mismatch (INT96 timestamps, MILLIS
+  // unit, wrong UTC adjustment, decimal-annotated ints) goes unserved
+  // and falls back to the exact scan.
+  private def statsTypeOk(field: org.apache.parquet.schema.Type,
+      dt: DataType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, IntLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (!field.isPrimitive) return false
+    val p = field.asPrimitiveType
+    val ann = p.getLogicalTypeAnnotation
+    def intSigned = ann match {
+      case null => true
+      case i: IntLogicalTypeAnnotation => i.isSigned
+      case _ => false
+    }
+    def tsMicros(adjustedToUtc: Boolean) = ann match {
+      case t: TimestampLogicalTypeAnnotation =>
+        t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+          t.isAdjustedToUTC == adjustedToUtc
+      case _ => false
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType =>
+        p.getPrimitiveTypeName == INT32 && intSigned
+      case DateType =>
+        p.getPrimitiveTypeName == INT32 &&
+          ann.isInstanceOf[DateLogicalTypeAnnotation]
+      case LongType => p.getPrimitiveTypeName == INT64 && intSigned
+      case TimestampType => p.getPrimitiveTypeName == INT64 && tsMicros(true)
+      case TimestampNTZType =>
+        p.getPrimitiveTypeName == INT64 && tsMicros(false)
+      case FloatType => p.getPrimitiveTypeName == FLOAT && ann == null
+      case DoubleType => p.getPrimitiveTypeName == DOUBLE && ann == null
+      case _ => false
+    }
+  }
+
   // one footer → one FilePartial; runs inside tasks
   private def readFooter(file: String,
       conf: org.apache.hadoop.conf.Configuration,
       names: Array[String],
-      prims: Array[Option[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName]]): FilePartial = {
+      dts: Array[Option[DataType]]): FilePartial = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -376,17 +401,29 @@ object FooterStats {
       val schema = footer.getFileMetaData.getSchema
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
+      // resolve requested names CASE-INSENSITIVELY against this file's
+      // schema (Spark analysis is case-insensitive, so an era written
+      // as "NK" must serve a query's "nk" — an exact match would treat
+      // the era as column-missing/all-null and silently drop its values)
+      val fileFields = schema.getFields.asScala.toSeq
       val cols = names.indices.map { i =>
         val name = names(i)
-        if (!schema.containsField(name)) emptyCol // all-null era: exact
-        else {
-          val field = schema.getType(Seq(name): _*)
-          val primOk = field.isPrimitive && prims(i).forall(p =>
-            field.asPrimitiveType.getPrimitiveTypeName == p)
-          if (!primOk) emptyCol.copy(unserved = true)
-          else {
+        fileFields.find(_.getName.equalsIgnoreCase(name)) match {
+          case None => emptyCol // genuinely absent era: all-null, exact
+          case Some(field) =>
+            val actual = field.getName
+            val ok = dts(i) match {
+              case Some(dt) => statsTypeOk(field, dt)
+              // COUNT-only: null counts serve any PRIMITIVE type; a
+              // complex column has no top-level chunk (its leaves do),
+              // so an empty chunk list would silently count 0 — route
+              // complex types to the exact fallback instead
+              case None => field.isPrimitive
+            }
+            if (!ok) emptyCol.copy(unserved = true)
+            else {
             val chunks = blocks.flatMap(_.getColumns.asScala
-              .filter(_.getPath.toDotString == name))
+              .filter(_.getPath.toDotString == actual))
             chunks.foldLeft(emptyCol) { (acc, cc) =>
               if (acc.unserved) acc
               else {
@@ -397,7 +434,7 @@ object FooterStats {
                 // writers always set numNulls, so this never fires on
                 // this engine's own files)
                 if (st == null) acc.copy(unserved = true)
-                else if (prims(i).isEmpty) {
+                else if (dts(i).isEmpty) {
                   // COUNT-only column (any type, strings included): the
                   // null count is all that is needed — never decode
                   // min/max, so binary stats truncation cannot poison it
@@ -422,7 +459,7 @@ object FooterStats {
                 } else acc.copy(unserved = true) // indistinguishable
               }
             }
-          }
+            }
         }
       }.toArray
       FilePartial(rows, cols)

@@ -6575,11 +6575,22 @@ object VersionedTable {
         when(pmod(col("o_custkey"), lit(5L)) === 0L, lit(null))
           .otherwise(col("o_custkey")).as("nk"))
       // two partition-routed loads (append history) — each year lands as
-      // its own manifest leaf in both generations
-      commit(s, table, src.filter(pmod(col("k"), lit(2L)) === 0L),
-        overwrite = true, meta = Map("prop:partition" -> "yr"))
+      // its own manifest leaf in both generations (createIfAbsent routes
+      // the FIRST commit too; a property passed via commit meta only
+      // takes effect from the NEXT commit, which would silently turn
+      // this whole query into the exact-scan fallback)
+      require(createIfAbsent(s, table,
+        src.filter(pmod(col("k"), lit(2L)) === 0L),
+        Map("partition" -> "yr")), "q145: fresh root must create")
       commit(s, table, src.filter(pmod(col("k"), lit(2L)) === 1L),
         overwrite = false)
+      // pin the metadata path itself: the token-grouped footer engine
+      // must PROVE this layout servable (None here = fallback = the
+      // query would still be right but the claim wrong)
+      require(FooterStats.aggregateByPartition(s, table, None,
+          Seq(("yr", org.apache.spark.sql.types.IntegerType)),
+          Seq(FooterStats.RowCount)).isDefined,
+        "q145: the grouped footer path must serve this layout")
       val cat = "vtq145_" + new Path(root).getName.stripPrefix("run_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root)

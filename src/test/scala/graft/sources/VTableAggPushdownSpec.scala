@@ -164,6 +164,51 @@ class VTableAggPushdownSpec extends SparkSpec {
     assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
   }
 
+  test("case-divergent eras serve exactly (footer matching is case-insensitive)") {
+    val t = s"$root/ns/casediv"
+    // era 1 writes "nk"; era 2 writes "NK" — Spark's case-insensitive
+    // analysis unions them as one logical column, and the footer engine
+    // must see BOTH eras' values (an exact-match lookup would treat one
+    // era as all-null and silently drop its values from MIN/MAX/COUNT)
+    VersionedTable.commit(spark, t,
+      (1 to 10).map(i => (i.toLong, i * 10)).toDF("k", "nk"),
+      overwrite = true)
+    VersionedTable.commit(spark, t,
+      (11 to 20).map(i => (i.toLong, i * 10)).toDF("k", "NK"),
+      overwrite = false)
+    val q = spark.sql(
+      "SELECT count(nk) AS n, min(nk) AS mn, max(nk) AS mx " +
+        "FROM vtagg.ns.casediv")
+    assert(isPushed(q))
+    val r = q.head()
+    assert(r.getLong(0) == 20L, "both casings' eras must count")
+    assert(r.getInt(1) == 10 && r.getInt(2) == 200,
+      "min/max must span both casings' eras")
+  }
+
+  test("non-micros timestamp files refuse footer stats toward the exact fallback") {
+    val t = s"$root/ns/millits"
+    val prevConf = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      val rows = (0 until 10).map(i =>
+        Tuple1(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-01T00:00:00Z")
+            .plusSeconds(i * 60L)))).toDF("ts")
+      VersionedTable.commit(spark, t, rows, overwrite = true)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevConf)
+    // physical INT64 but MILLIS-annotated: decoding those stats as
+    // micros would be 1000x off — the annotation gate must route this
+    // through the exact scan instead
+    val q = spark.sql(
+      "SELECT min(ts) AS mn, max(ts) AS mx FROM vtagg.ns.millits")
+    val r = q.head()
+    assert(r.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-03-01T00:00:00Z"))
+    assert(r.getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-03-01T00:09:00Z"))
+  }
+
   test("count over complex-typed columns serves via the count-only fallback") {
     val t = s"$root/ns/complex"
     val rows = (1 to 12).map(i =>
@@ -196,13 +241,23 @@ class VTableAggPushdownSpec extends SparkSpec {
 
   test("GROUP BY identity partition columns pushes to a token-grouped footer scan") {
     val t = s"$root/ns/grouped"
-    VersionedTable.commit(spark, t,
+    // createIfAbsent routes the FIRST commit (a property passed via
+    // commit meta only routes from the next commit on — using commit
+    // here would silently test the fallback instead of the token path)
+    require(VersionedTable.createIfAbsent(spark, t,
       (1 to 60).map(i => (i.toLong, i % 3, if (i % 10 == 0) None else Some(i)))
         .toDF("k", "g", "nk"),
-      overwrite = true, meta = Map("prop:partition" -> "g"))
+      Map("partition" -> "g")))
     VersionedTable.commit(spark, t,
       (61 to 90).map(i => (i.toLong, i % 3, Some(i))).toDF("k", "g", "nk"),
       overwrite = false)
+    // the layout must be PROVABLE by tokens — this pins the footer
+    // grouping itself, not just the (always-correct) fallback
+    import org.apache.spark.sql.types.IntegerType
+    assert(graft.ops.FooterStats.aggregateByPartition(spark, t, None,
+      Seq(("g", IntegerType)),
+      Seq(graft.ops.FooterStats.RowCount)).isDefined,
+      "token grouping must serve this layout without a fallback")
 
     val q = spark.sql(
       "SELECT g, count(*) AS n, min(k) AS mn, max(k) AS mx, " +
@@ -236,19 +291,28 @@ class VTableAggPushdownSpec extends SparkSpec {
     VersionedTable.commit(spark, mixed,
       (21 to 40).map(i => (i.toLong, i % 2)).toDF("k", "g"),
       overwrite = false) // partitioned era
+    import org.apache.spark.sql.types.{IntegerType, StringType}
     val q = spark.sql(
       "SELECT g, count(*) AS n FROM vtagg.ns.grouped_mixed GROUP BY g")
+    assert(graft.ops.FooterStats.aggregateByPartition(spark, mixed, None,
+      Seq(("g", IntegerType)), Seq(graft.ops.FooterStats.RowCount)).isEmpty,
+      "a file-bearing unrouted era must be unprovable by tokens")
     val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(m == Map(0 -> 20L, 1 -> 20L),
       "mixed-era grouped aggregate must stay exact (internal fallback)")
 
     // (b) string partition values where Spark's hive rendering collapses
-    // null and "" into one token — the two groups must stay distinct
+    // null and "" into one token — the two groups must stay distinct.
+    // The table IS routed (createIfAbsent), so the fallback trigger is
+    // specifically the null-token ambiguity, not missing segments
     val amb = s"$root/ns/grouped_amb"
-    VersionedTable.commit(spark, amb,
+    require(VersionedTable.createIfAbsent(spark, amb,
       Seq((1L, "a"), (2L, "a"), (3L, null), (4L, ""), (5L, "b"))
         .toDF("k", "g"),
-      overwrite = true, meta = Map("prop:partition" -> "g"))
+      Map("partition" -> "g")))
+    assert(graft.ops.FooterStats.aggregateByPartition(spark, amb, None,
+      Seq(("g", StringType)), Seq(graft.ops.FooterStats.RowCount)).isEmpty,
+      "the hive null token must refuse string grouping toward the fallback")
     val qa = spark.sql(
       "SELECT g, count(*) AS n FROM vtagg.ns.grouped_amb GROUP BY g")
     val ma = qa.collect().map(r =>
