@@ -104,21 +104,45 @@ object FooterStats {
     cs
   }
 
-  // (file path, owning entry index) for every data file of the snapshot
+  // list one entry dir's data files; a vanished dir (racing vacuum of an
+  // old snapshot) is empty, not an error — and NOT a separate exists()
+  // probe, which would double the metadata RPCs per entry
+  private def listEntry(hfs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path, e: String): Seq[String] =
+    (try hfs.listStatus(new Path(rootPath, e)).toSeq
+     catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString)
+
+  // (file path, owning entry index) for every data file of the snapshot.
+  // One listStatus per entry, issued CONCURRENTLY from a bounded pool —
+  // serial metadata RPCs against an object store would make the driver
+  // half of the footer job O(entries × RTT) at the thousands-of-leaves
+  // scale the partitioned layouts produce (the task half is already a
+  // distributed job).
   private def listFiles(spark: SparkSession, root: String,
       entries: Seq[String]): Seq[(String, Int)] = {
     val hfs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val rootPath = new Path(root)
-    entries.zipWithIndex.flatMap { case (e, i) =>
-      val dir = new Path(rootPath, e)
-      if (!hfs.exists(dir)) Seq.empty
-      else hfs.listStatus(dir).toSeq
-        .filter(st => st.isFile && {
-          val n = st.getPath.getName
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        })
-        .map(st => (st.getPath.toString, i))
+    if (entries.size <= 1)
+      entries.zipWithIndex.flatMap { case (e, i) =>
+        listEntry(hfs, rootPath, e).map((_, i)) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, entries.size))
+      try {
+        val futs = entries.zipWithIndex.map { case (e, i) =>
+          pool.submit(new java.util.concurrent.Callable[Seq[(String, Int)]] {
+            override def call(): Seq[(String, Int)] =
+              listEntry(hfs, rootPath, e).map((_, i))
+          })
+        }
+        futs.flatMap(_.get())
+      } finally pool.shutdown()
     }
   }
 
@@ -141,6 +165,64 @@ object FooterStats {
         (e, readFooter(f, confBc.value.value, names, dts))
       }.reduceByKey(_.merge(_)).collect().toMap
     }
+
+  // a leaf token as an INTERNAL group value of the declared type:
+  // None = the grouping is not provable from this token (the hive null
+  // token on strings — Spark renders null and '' identically — or a
+  // token that fails to parse as the column's type)
+  private def tokenValue(tok: Option[String], dt: DataType): Option[Any] =
+    tok match {
+      case None => // hive null token
+        if (dt == StringType) None // null vs "" ambiguity: fallback
+        else Some(null)
+      case Some(s) =>
+        try Some(dt match {
+          case ByteType => java.lang.Byte.valueOf(s.toByte)
+          case ShortType => java.lang.Short.valueOf(s.toShort)
+          case IntegerType => java.lang.Integer.valueOf(s.toInt)
+          case LongType => java.lang.Long.valueOf(s.toLong)
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case DateType => java.lang.Integer.valueOf(
+            java.time.LocalDate.parse(s).toEpochDay.toInt)
+          case other =>
+            throw new IllegalArgumentException(s"ungroupable $other")
+        }) catch {
+          case _: IllegalArgumentException | _: NumberFormatException |
+               _: java.time.format.DateTimeParseException => None
+        }
+    }
+
+  /** PLAN-TIME gate for GROUPED aggregate pushdown: true iff the
+    * manifest's leaf tokens at version `v` PROVE the grouping — every
+    * entry either carries a parseable `__p_<col>=<token>` segment for
+    * every group column, or provably holds no data files (the catalog
+    * CREATE's empty plain generation). The scan builder consults this
+    * BEFORE accepting the pushdown, so the pushed plan's exact-fallback
+    * group-by (a driver-side collect) can only ever be triggered by
+    * unusable footer statistics, whose group count is bounded by the
+    * manifest's leaf-dir count — never by data cardinality. Cost: one
+    * manifest read (already paid by the DV gate) + at most a handful of
+    * listings for token-less entries; more than 8 token-less entries
+    * refuses outright rather than listing a long tail at plan time.
+    */
+  def groupingProvable(spark: SparkSession, root: String, v: Long,
+      groupCols: Seq[(String, DataType)]): Boolean = {
+    val entries = VersionedTable.manifestDirs(spark, root, v)
+    val unproven = entries.filter { e =>
+      groupCols.exists { case (c, dt) =>
+        VersionedTable.partValueOf(e, c).flatMap(tokenValue(_, dt)).isEmpty
+      }
+    }
+    if (unproven.isEmpty) true
+    else if (unproven.size > 8) false
+    else {
+      val hfs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val rootPath = new Path(root)
+      unproven.forall(e => listEntry(hfs, rootPath, e).isEmpty)
+    }
+  }
 
   private def resolveVersion(spark: SparkSession, root: String,
       v: Option[Long]): Long = {
@@ -265,29 +347,6 @@ object FooterStats {
     // not force the fallback
     val live = files.map(_._2).toSet
 
-    def tokenValue(tok: Option[String], dt: DataType): Option[Any] =
-      tok match {
-        case None => // hive null token
-          if (dt == StringType) None // null vs "" ambiguity: fallback
-          else Some(null)
-        case Some(s) =>
-          try Some(dt match {
-            case ByteType => java.lang.Byte.valueOf(s.toByte)
-            case ShortType => java.lang.Short.valueOf(s.toShort)
-            case IntegerType => java.lang.Integer.valueOf(s.toInt)
-            case LongType => java.lang.Long.valueOf(s.toLong)
-            case StringType =>
-              org.apache.spark.unsafe.types.UTF8String.fromString(s)
-            case DateType => java.lang.Integer.valueOf(
-              java.time.LocalDate.parse(s).toEpochDay.toInt)
-            case other =>
-              throw new IllegalArgumentException(s"ungroupable $other")
-          }) catch {
-            case _: IllegalArgumentException | _: NumberFormatException |
-                 _: java.time.format.DateTimeParseException => None
-          }
-      }
-
     val keys: Seq[Option[Seq[Any]]] = entries.zipWithIndex.map {
       case (e, i) if live.contains(i) =>
         val vals = groupCols.map { case (c, dt) =>
@@ -408,9 +467,15 @@ object FooterStats {
       val fileFields = schema.getFields.asScala.toSeq
       val cols = names.indices.map { i =>
         val name = names(i)
-        fileFields.find(_.getName.equalsIgnoreCase(name)) match {
-          case None => emptyCol // genuinely absent era: all-null, exact
-          case Some(field) =>
+        // a file carrying SEVERAL case-variants of the name (possible
+        // only under spark.sql.caseSensitive=true histories) is
+        // ambiguous — serve nothing rather than risk the wrong column
+        // (the plan-time caseCollides gate refuses such tables up
+        // front; this is the per-file defense in depth)
+        fileFields.filter(_.getName.equalsIgnoreCase(name)) match {
+          case Seq() => emptyCol // genuinely absent era: all-null, exact
+          case ms if ms.size > 1 => emptyCol.copy(unserved = true)
+          case Seq(field) =>
             val actual = field.getName
             val ok = dts(i) match {
               case Some(dt) => statsTypeOk(field, dt)

@@ -959,22 +959,41 @@ object VersionedTable {
     val (dirs, meta) = manifestOf(spark, root, ver)
     val kept = keptEntries(dirs, meta, windows, partPreds)
     val hfs = fs(spark, root)
-    val bytes = kept.map { d =>
-      // a committed generation's files are immutable, so (root, dir)
-      // bytes are cacheable forever — planning the same table in a loop
-      // (optimizer fixed points, repeated queries) must not re-list the
-      // same directories against an object store every time
+    // a committed generation's files are immutable, so (root, dir)
+    // bytes are cacheable forever — planning the same table in a loop
+    // (optimizer fixed points, repeated queries) must not re-list the
+    // same directories against an object store every time. Misses are
+    // measured CONCURRENTLY (bounded pool): serial getContentSummary
+    // calls would cost O(entries × RTT) on an object store.
+    def measure(d: String): Long = {
+      val p = new Path(root, d)
+      // vanished dir (racing vacuum of an old snapshot) = zero bytes; a
+      // separate exists() probe would double the metadata RPCs
+      val b = try hfs.getContentSummary(p).getLength
+        catch { case _: java.io.FileNotFoundException => 0L }
       entryBytesCache.synchronized {
-        Option(entryBytesCache.get((root, d)))
-      }.map(_.longValue).getOrElse {
-        val p = new Path(root, d)
-        val b = if (hfs.exists(p)) hfs.getContentSummary(p).getLength else 0L
-        entryBytesCache.synchronized {
-          entryBytesCache.put((root, d), java.lang.Long.valueOf(b))
-        }
-        b
+        entryBytesCache.put((root, d), java.lang.Long.valueOf(b))
       }
-    }.sum
+      b
+    }
+    val (hits, misses) = kept.map { d =>
+      d -> entryBytesCache.synchronized {
+        Option(entryBytesCache.get((root, d))).map(_.longValue)
+      }
+    }.partition(_._2.isDefined)
+    val missBytes =
+      if (misses.size <= 1) misses.map { case (d, _) => measure(d) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, misses.size))
+        try misses.map { case (d, _) =>
+          pool.submit(new java.util.concurrent.Callable[java.lang.Long] {
+            override def call(): java.lang.Long = measure(d)
+          })
+        }.map(_.get().longValue)
+        finally pool.shutdown()
+      }
+    val bytes = hits.flatMap(_._2).sum + missBytes.sum
     (bytes, kept.size, dirs.size)
   }
 

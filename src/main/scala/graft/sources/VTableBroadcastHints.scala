@@ -56,11 +56,22 @@ object VTableBroadcastHints extends Rule[LogicalPlan] {
     }
 
   // walk to the side's leaf through size-preserving unary nodes only:
-  // Project keeps row count (and this estimate is bytes-on-disk of the
-  // SOURCE columns — an upper bound for any projection of them), Filter
-  // only shrinks
+  // Filter only shrinks, and a Project keeps row count — but ONLY an
+  // attribute-(or trivial-alias-)only projection is provably no wider
+  // than the on-disk bytes this estimate measures. A projectList with
+  // computed expressions (concat, array_repeat, …) can be arbitrarily
+  // LARGER in memory than the compressed source bytes, and a forced
+  // broadcast JoinHint cannot be demoted by AQE — an under-estimate
+  // there risks an executor OOM on the broadcast build, so expression
+  // projections stand down (no hint, never a broken query).
   private def measuredBytes(p: LogicalPlan): Option[Long] = p match {
-    case Project(_, child) => measuredBytes(child)
+    case Project(pl, child) if pl.forall {
+      case _: org.apache.spark.sql.catalyst.expressions.Attribute => true
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        a.child.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Attribute]
+      case _ => false
+    } => measuredBytes(child)
     case Filter(_, child) => measuredBytes(child)
     case s: DataSourceV2ScanRelation => scanBytes(s)
     case rel: DataSourceV2Relation => tableBytes(rel)

@@ -598,11 +598,20 @@ class VTableWriteBuilder(path: String, statsCols: Seq[String] = Nil,
   * column-level metadata — row counts are invariant under rename, cast
   * and defaulting.
   */
-/** `hasDvs` is LAZY (a memoized thunk): it costs a manifest read, and
-  * the overwhelming majority of scans never see an aggregate offer —
-  * only `pushAggregation` should ever pay it.
+/** `pinnedVersion` is LAZY (a memoized thunk): it costs a manifest
+  * read, and the overwhelming majority of scans never see an aggregate
+  * offer — only `pushAggregation` should ever pay it. It resolves the
+  * snapshot version ONCE (the given version, or the tip AT PLAN TIME)
+  * and checks the DV gate against that pinned version, returning the
+  * version the physical scan must serve — so a merge-on-read DELETE
+  * committed between `pushAggregation` and `rows()` can never make the
+  * footer job silently count logically-deleted rows (the plan answers
+  * for the snapshot it was planned against, the snapshot-isolation
+  * contract every other read path already honors). None = refuse
+  * pushdown (no snapshot, or outstanding DVs at the pinned version).
   */
-case class VTableAggGuard(hasDvs: () => Boolean, blockedCols: Set[String])
+case class VTableAggGuard(pinnedVersion: () => Option[Long],
+    blockedCols: Set[String])
 
 object VTableAggGuard {
   def of(spark: SparkSession, path: String, version: Option[Long],
@@ -615,8 +624,16 @@ object VTableAggGuard {
       case k if k.startsWith("colmap.") =>
         Seq(k.stripPrefix("colmap."), props(k))
     }.flatten.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    lazy val dvs = VersionedTable.hasDeletionVectors(spark, path, version)
-    VTableAggGuard(() => dvs, blocked)
+    lazy val pinned: Option[Long] = {
+      val vs = VersionedTable.versions(spark, path)
+      if (vs.isEmpty) None
+      else {
+        val ver = version.getOrElse(vs.last)
+        if (VersionedTable.hasDeletionVectors(spark, path, Some(ver))) None
+        else Some(ver)
+      }
+    }
+    VTableAggGuard(() => pinned, blocked)
   }
 }
 
@@ -643,8 +660,16 @@ class VTableScanBuilder(path: String, version: Option[Long],
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(Seq[(String, DataType)],
+  private var pushedAgg: Option[(Long, Seq[(String, DataType)],
     Seq[FooterStats.AggSpec], StructType)] = None
+
+  // a schema with case-colliding field names (legal under
+  // spark.sql.caseSensitive=true) makes footer-column resolution
+  // ambiguous — MIN/MAX/COUNT could silently serve the WRONG column's
+  // stats. Refuse aggregate pushdown outright for such tables.
+  private lazy val caseCollides: Boolean =
+    fullSchema.fieldNames
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT)).exists(_._2.length > 1)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -663,12 +688,20 @@ class VTableScanBuilder(path: String, version: Option[Long],
       if (cols.isEmpty) Array.empty
       else filters.filter(_.references.exists(cols.contains)) }
 
-  // a single top-level column reference, if that is what the expr is
+  // a single top-level column reference, if that is what the expr is.
+  // Resolution honors the SESSION's case-sensitivity setting: under
+  // spark.sql.caseSensitive=true the reference must match exactly
+  // (analysis already resolved it that way), otherwise the usual
+  // case-insensitive match applies (ambiguity is impossible here — the
+  // caseCollides gate already refused colliding schemas).
   private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
-        fullSchema.fields.map(_.name)
-          .find(_.equalsIgnoreCase(n.fieldNames()(0)))
+        val ref = n.fieldNames()(0)
+        val names = fullSchema.fields.map(_.name)
+        if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+          names.find(_ == ref)
+        else names.find(_.equalsIgnoreCase(ref))
       case _ => None
     }
 
@@ -714,20 +747,30 @@ class VTableScanBuilder(path: String, version: Option[Long],
       .map(n => (n, fullSchema(n).dataType))
 
   private def plan(agg: Aggregation)
-      : Option[(Seq[(String, DataType)], Seq[FooterStats.AggSpec], StructType)] =
+      : Option[(Long, Seq[(String, DataType)], Seq[FooterStats.AggSpec], StructType)] =
     if (aggGuard.isEmpty || filters.nonEmpty ||
-        agg.aggregateExpressions.isEmpty || aggGuard.exists(_.hasDvs())) None
-    else {
+        agg.aggregateExpressions.isEmpty || caseCollides) None
+    else aggGuard.flatMap(_.pinnedVersion()).flatMap { pinned =>
       val groups = agg.groupByExpressions.toSeq.map(groupColOf)
       val specs = agg.aggregateExpressions.toSeq.map(specOf)
       if (groups.forall(_.isDefined) && specs.forall(_.isDefined)) {
         val g = groups.map(_.get)
-        val resolved = specs.map(_.get)
-        // Spark's pushed-aggregate contract: output = group columns in
-        // groupBy order, then aggregate values in aggregate order
-        Some((g, resolved.map(_._1), StructType(
-          g.map { case (n, dt) => StructField(n, dt) } ++
-            resolved.map(_._2))))
+        // grouped pushdown additionally requires the manifest TOKENS to
+        // prove the grouping AT PLAN TIME (pre-partitioning eras, hive
+        // null-token ambiguity, unparseable tokens refuse here) — so the
+        // scan's rows()-time exact fallback can only ever be triggered
+        // by unusable footer stats, whose group count is bounded by the
+        // manifest's leaf-dir count, never by data cardinality
+        if (g.nonEmpty && !FooterStats.groupingProvable(
+            SparkSession.active, path, pinned, g)) None
+        else {
+          val resolved = specs.map(_.get)
+          // Spark's pushed-aggregate contract: output = group columns in
+          // groupBy order, then aggregate values in aggregate order
+          Some((pinned, g, resolved.map(_._1), StructType(
+            g.map { case (n, dt) => StructField(n, dt) } ++
+              resolved.map(_._2))))
+        }
       } else None
     }
 
@@ -745,8 +788,11 @@ class VTableScanBuilder(path: String, version: Option[Long],
     }
 
   override def build(): Scan = pushedAgg match {
-    case Some((groupCols, specs, aggSchema)) =>
-      new VTableAggScan(path, version, groupCols, specs, aggSchema)
+    case Some((pinned, groupCols, specs, aggSchema)) =>
+      // the PINNED version, never the raw `version` option: for tip
+      // tables (version=None) the scan must serve the snapshot the DV
+      // gate validated, not whatever the tip is by execution time
+      new VTableAggScan(path, Some(pinned), groupCols, specs, aggSchema)
     case None =>
       new VTableV1ScanImpl(path, version, pruneCol, required, filters)
   }
@@ -762,6 +808,17 @@ class VTableScanBuilder(path: String, version: Option[Long],
   * exact data-scan group-by itself — the pushed plan never returns a
   * wrong row, it just loses the metadata-only speedup. Plans as a local
   * scan; EXPLAIN shows this description instead of scan + aggregate.
+  *
+  * EAGER-EXECUTION property (inherent to `LocalScan`): Spark calls
+  * `rows()` while CONSTRUCTING the physical plan, so even `explain()`
+  * on a pushed aggregate runs the footer job. That is the design
+  * trade of serving the result as a `LocalTableScan` (no partitions to
+  * schedule for a one-row answer); the work is metadata-sized — a
+  * distributed footer job over O(files), plus, in the grouped exact
+  * fallback, a driver-side collect BOUNDED by the manifest's leaf-dir
+  * count (the planner's `groupingProvable` gate refuses pushdown
+  * whenever the group cardinality could exceed the manifest's tokens,
+  * so the fallback can never collect data-sized group sets).
   */
 class VTableAggScan(path: String, version: Option[Long],
     groupCols: Seq[(String, DataType)],

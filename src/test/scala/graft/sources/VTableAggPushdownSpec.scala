@@ -297,6 +297,12 @@ class VTableAggPushdownSpec extends SparkSpec {
     assert(graft.ops.FooterStats.aggregateByPartition(spark, mixed, None,
       Seq(("g", IntegerType)), Seq(graft.ops.FooterStats.RowCount)).isEmpty,
       "a file-bearing unrouted era must be unprovable by tokens")
+    assert(!graft.ops.FooterStats.groupingProvable(spark, mixed,
+      VersionedTable.versions(spark, mixed).last, Seq(("g", IntegerType))),
+      "the plan-time gate must see the unrouted era")
+    assert(!isPushed(q),
+      "unprovable groupings refuse at PLAN time — the exact aggregate " +
+        "runs as a normal distributed plan, never a driver-side collect")
     val m = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(m == Map(0 -> 20L, 1 -> 20L),
       "mixed-era grouped aggregate must stay exact (internal fallback)")
@@ -319,6 +325,56 @@ class VTableAggPushdownSpec extends SparkSpec {
       (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
     assert(ma == Map("a" -> 2L, (null: String) -> 1L, "" -> 1L, "b" -> 1L),
       "null and empty-string partitions are DIFFERENT groups")
+    assert(!isPushed(qa),
+      "the null-token ambiguity is manifest-visible — refuse at plan time")
+  }
+
+  test("pushed aggregates answer for the snapshot PINNED at plan time") {
+    val t = s"$root/ns/pinned"
+    VersionedTable.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, i)).toDF("k", "v"),
+      overwrite = true, meta = Map("prop:key" -> "k"))       // v1
+    VersionedTable.commit(spark, t,
+      (41 to 60).map(i => (i.toLong, i)).toDF("k", "v"),
+      overwrite = false)                                     // v2
+
+    val q = spark.sql(
+      "SELECT count(*) AS n, max(k) AS mx FROM vtagg.ns.pinned")
+    // force physical planning: the builder resolves the tip ONCE (v2),
+    // validates the DV gate against it, and the scan serves exactly
+    // that snapshot (the LocalTableScan rendering hides the scan
+    // description, so the pin is asserted behaviorally below)
+    planOf(q)
+    assert(isPushed(q))
+
+    // a merge-on-read DELETE lands AFTER planning: the PLANNED query
+    // (collect reuses the cached QueryExecution; head() would re-plan)
+    // still answers for v2 — snapshot isolation, the TOCTOU the guard
+    // closes — while a FRESH query sees the DVs and refuses pushdown
+    VersionedTable.deleteWhereMor(spark, t, col("k") > 50, "k")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 60L && r.getLong(1) == 60L,
+      "the planned scan serves its pinned snapshot")
+    val fresh = spark.sql("SELECT count(*) AS n FROM vtagg.ns.pinned")
+    assert(!isPushed(fresh), "outstanding DVs refuse a fresh pushdown")
+    assert(fresh.head().getLong(0) == 50L)
+  }
+
+  test("case-colliding schemas refuse aggregate pushdown outright") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val colliding = StructType(Seq(StructField("a", LongType),
+      StructField("A", LongType)))
+    val clean = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    def builder(schema: StructType) = new VTableScanBuilder(
+      "/nonexistent", Some(1L), None, schema,
+      aggGuard = Some(VTableAggGuard(() => Some(1L), Set.empty)))
+    val agg = new Aggregation(Array(new CountStar), Array.empty)
+    assert(!builder(colliding).pushAggregation(agg),
+      "colliding names make footer column resolution ambiguous")
+    assert(builder(clean).pushAggregation(agg),
+      "the same offer pushes on a collision-free schema")
   }
 
   test("reported statistics size the scan: a small dim broadcasts") {
