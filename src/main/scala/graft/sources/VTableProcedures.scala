@@ -388,14 +388,20 @@ object VTableProcedures {
       }),
     Proc("create_mview",
       "CREATE MATERIALIZED VIEW: materialize a grouped aggregate of a " +
-        "versioned table as its OWN versioned table, refreshed " +
-        "incrementally from the source change feed (refresh_mview); " +
-        "aggs grammar 'name:count, name:sum(col)' (exactly one count — " +
-        "it decides group liveness on retraction; sums fold over " +
-        "coalesce(col,0)); where is an optional row predicate",
+        "versioned table — or of a fact-join-dim over TWO versioned " +
+        "tables (source2 + join_on => 'leftCol=rightCol,…') — as its " +
+        "OWN versioned table, refreshed incrementally from the change " +
+        "feed(s) (refresh_mview); aggs grammar 'name:count, " +
+        "name:sum(col), name:min(col), name:max(col)' (exactly one " +
+        "count — it decides group liveness on retraction; sums fold " +
+        "over coalesce(col,0); min/max fold on inserts and recompute " +
+        "only retraction-touched groups); where is an optional row " +
+        "predicate",
       Seq(in("mview", StringType), in("source", StringType),
         in("group_by", StringType), in("aggs", StringType),
-        inDefault("where", StringType, "NULL")),
+        inDefault("where", StringType, "NULL"),
+        inDefault("source2", StringType, "NULL"),
+        inDefault("join_on", StringType, "NULL")),
       StructType(Seq(StructField("mview", StringType),
         StructField("created", BooleanType, nullable = false),
         StructField("source_version", LongType))),
@@ -408,12 +414,32 @@ object VTableProcedures {
           s"graft-vtable: a VIEW named '$ident' exists — views, tables " +
             "and mviews share the namespace")
         val srcRoot = tableRoot(root, args.getUTF8String(1).toString)
-        val created = MaterializedView.create(spark, mvRoot, srcRoot,
-          args.getUTF8String(2).toString.split(',').toSeq
-            .map(_.trim).filter(_.nonEmpty),
-          args.getUTF8String(3).toString,
-          if (args.isNullAt(4)) None
-          else Some(args.getUTF8String(4).toString))
+        val groupCols = args.getUTF8String(2).toString.split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val aggs = args.getUTF8String(3).toString
+        val where = if (args.isNullAt(4)) None
+          else Some(args.getUTF8String(4).toString)
+        val created = (args.isNullAt(5), args.isNullAt(6)) match {
+          case (true, true) =>
+            MaterializedView.create(spark, mvRoot, srcRoot, groupCols,
+              aggs, where)
+          case (false, false) =>
+            val src2 = tableRoot(root, args.getUTF8String(5).toString)
+            val joinOn = args.getUTF8String(6).toString.split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty).map { p =>
+                p.split('=') match {
+                  case Array(l, r) => (l.trim, r.trim)
+                  case _ => throw new IllegalArgumentException(
+                    s"graft-vtable: bad join_on entry '$p' — expected " +
+                      "'leftCol=rightCol'")
+                }
+              }
+            MaterializedView.createJoin(spark, mvRoot, srcRoot, src2,
+              joinOn, groupCols, aggs, where)
+          case _ => throw new IllegalArgumentException(
+            "graft-vtable: source2 and join_on come together — a join " +
+              "MV needs both, a single-table MV neither")
+        }
         require(created,
           s"graft-vtable: a table named '$ident' already exists")
         val sv = VersionedTable.tableProperties(spark, mvRoot)(
@@ -421,21 +447,25 @@ object VTableProcedures {
         Seq(new GenericInternalRow(Array[Any](utf8(ident), true, sv)))
       }),
     Proc("refresh_mview",
-      "fold the source's change feed since the last refresh into the " +
+      "fold the source change feed(s) since the last refresh into the " +
         "materialized view — O(changes), one atomic commit carries " +
-        "content + freshness marker; mode: noop (already fresh), " +
+        "content + freshness marker(s); mode: noop (already fresh), " +
         "incremental, or full (feed inexpressible across the window, " +
-        "e.g. RESTORE — recomputed from the snapshot)",
+        "e.g. RESTORE — recomputed from the snapshot); " +
+        "recomputed_groups counts the min/max retraction recomputes " +
+        "(0 for append-only windows)",
       Seq(in("mview", StringType)),
       StructType(Seq(StructField("version", LongType),
         StructField("source_version", LongType),
         StructField("changed_groups", LongType),
-        StructField("mode", StringType))),
+        StructField("mode", StringType),
+        StructField("recomputed_groups", LongType))),
       (root, args) => {
         val p = tableRoot(root, args.getUTF8String(0).toString)
         val r = MaterializedView.refresh(spark, p)
         Seq(new GenericInternalRow(Array[Any](
-          r.mvVersion, r.sourceVersion, r.changedGroups, utf8(r.mode))))
+          r.mvVersion, r.sourceVersion, r.changedGroups, utf8(r.mode),
+          r.recomputedGroups)))
       }),
     Proc("mview_status",
       "freshness ledger: the source version the content folds up to, " +

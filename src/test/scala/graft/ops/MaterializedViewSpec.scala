@@ -184,9 +184,11 @@ class MaterializedViewSpec extends SparkSpec {
       "decimal + would widen every refresh without the schema pin")
   }
 
-  test("grammar gates: min/max refused, count mandatory, collisions refused") {
+  test("grammar gates: count mandatory, collisions refused; min/max parse") {
+    assert(MaterializedView.parseAggs("m:min(x), c:count, x:max(y)")
+      .size == 3, "min/max are first-class aggregates since r17")
     intercept[IllegalArgumentException](
-      MaterializedView.parseAggs("m:min(x), c:count"))
+      MaterializedView.parseAggs("a:avg(x), c:count")) // avg derives at read
     intercept[IllegalArgumentException](
       MaterializedView.parseAggs("s:sum(x)")) // no count
     intercept[IllegalArgumentException](
@@ -201,5 +203,233 @@ class MaterializedViewSpec extends SparkSpec {
     intercept[Exception](MaterializedView.create(spark,
       freshRoot() + "/mv", src, Seq("grp"), "c:count",
       where = Some("no_such_col > 0")))
+  }
+
+  // ---- min/max hybrid fold -------------------------------------------
+
+  private def mmState(mv: String): Map[String, (Long, Double, Double)] =
+    VersionedTable.readAt(spark, mv).collect().map { r =>
+      val g = if (r.isNullAt(0)) "NULL" else r.getString(0)
+      def d(n: String): Double =
+        Option(r.getDecimal(r.fieldIndex(n)))
+          .map(_.doubleValue()).getOrElse(Double.NaN)
+      g -> (r.getLong(r.fieldIndex("cnt")), d("lo"), d("hi"))
+    }.toMap
+
+  private def mmFull(src: String): Map[String, (Long, Double, Double)] =
+    VersionedTable.readAt(spark, src)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), min(col("amt")).as("lo"),
+        max(col("amt")).as("hi"))
+      .collect().map { r =>
+        val g = if (r.isNullAt(0)) "NULL" else r.getString(0)
+        def d(i: Int): Double = Option(r.getDecimal(i))
+          .map(_.doubleValue()).getOrElse(Double.NaN)
+        g -> (r.getLong(1), d(2), d(3))
+      }.toMap
+
+  test("min/max: append-only windows fold without any rescan") {
+    val src = freshRoot(); val mv = freshRoot() + "/mv"
+    VersionedTable.commit(spark, src,
+      rows((1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)), overwrite = true)
+    assert(MaterializedView.create(spark, mv, src, Seq("grp"),
+      "cnt:count, lo:min(amt), hi:max(amt)"))
+    // appends: new extreme in a, new group c, null value in b
+    VersionedTable.commit(spark, src,
+      rows((4, "a", 2.0), (5, "c", 9.0), (6, "b", null)), overwrite = false)
+    val r = MaterializedView.refresh(spark, mv)
+    assert(r.mode == "incremental" && r.recomputedGroups == 0L,
+      "an insert-only window must never trigger a min/max recompute")
+    assert(mmState(mv) === mmFull(src))
+    // a non-extreme append leaves min/max alone (least/greatest fold)
+    VersionedTable.commit(spark, src,
+      rows((7, "a", 6.0)), overwrite = false)
+    val r2 = MaterializedView.refresh(spark, mv)
+    assert(r2.recomputedGroups == 0L)
+    assert(mmState(mv) === mmFull(src))
+  }
+
+  test("min/max: a delete recomputes exactly the touched groups") {
+    val src = freshRoot(); val mv = freshRoot() + "/mv"
+    VersionedTable.commit(spark, src,
+      rows((1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "b", 1.0),
+        (5, "c", 4.0)), overwrite = true,
+      meta = Map("prop:key" -> "k"))
+    assert(MaterializedView.create(spark, mv, src, Seq("grp"),
+      "cnt:count, lo:min(amt), hi:max(amt)"))
+    // delete a's CURRENT MIN (k=2, amt=5) — the fold cannot undo an
+    // extreme retraction, so group a must recompute; b and c must not
+    VersionedTable.deleteWhere(spark, src, col("k") === 2)
+    val r = MaterializedView.refresh(spark, mv)
+    assert(r.mode == "incremental")
+    assert(r.recomputedGroups == 1L,
+      s"only the retracted group recomputes, got ${r.recomputedGroups}")
+    assert(mmState(mv) === mmFull(src))
+    // an update (merge) is a retraction + insert: touched group recomputes
+    VersionedTable.mergeInto(spark, src,
+      rows((3, "b", 2.0)), "k")
+    val r2 = MaterializedView.refresh(spark, mv)
+    assert(r2.recomputedGroups == 1L)
+    assert(mmState(mv) === mmFull(src))
+    // retract a whole group: liveness removes it before min/max matter
+    VersionedTable.deleteWhere(spark, src, col("grp") === "c")
+    MaterializedView.refresh(spark, mv)
+    assert(mmState(mv) === mmFull(src))
+    assert(!mmState(mv).contains("c"))
+  }
+
+  // ---- join MVs ------------------------------------------------------
+
+  private def dims(t: (Int, String)*): DataFrame = {
+    import spark.implicits._
+    t.toDF("dk", "region")
+  }
+
+  private def facts(t: (Int, Int, java.lang.Double)*): DataFrame = {
+    import spark.implicits._
+    t.toDF("fk", "fdk", "famt")
+      .withColumn("famt", col("famt").cast("decimal(18,2)"))
+  }
+
+  private def joinFull(fact: String, dim: String): Map[String, (Long, Double)] =
+    VersionedTable.readAt(spark, fact)
+      .join(VersionedTable.readAt(spark, dim), col("fdk") === col("dk"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("cnt"),
+        sum(coalesce(col("famt"), lit(0))).as("rev"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+
+  private def joinState(mv: String): Map[String, (Long, Double)] =
+    VersionedTable.readAt(spark, mv).collect().map(r =>
+      r.getString(0) -> (r.getLong(r.fieldIndex("cnt")),
+        r.getDecimal(r.fieldIndex("rev")).doubleValue())).toMap
+
+  test("join MV: either-side deltas and the both-sides term fold exactly") {
+    val fact = freshRoot(); val dim = freshRoot(); val mv = freshRoot() + "/mv"
+    VersionedTable.commit(spark, fact,
+      facts((1, 10, 5.0), (2, 10, 3.0), (3, 20, 7.0)), overwrite = true,
+      meta = Map("prop:key" -> "fk"))
+    VersionedTable.commit(spark, dim,
+      dims((10, "EU"), (20, "US")), overwrite = true,
+      meta = Map("prop:key" -> "dk"))
+    assert(MaterializedView.createJoin(spark, mv, fact, dim,
+      Seq(("fdk", "dk")), Seq("region"), "cnt:count, rev:sum(famt)"))
+    assert(joinState(mv) === joinFull(fact, dim))
+
+    // fact-only delta (ΔA ⋈ B_old)
+    VersionedTable.commit(spark, fact, facts((4, 20, 11.0)),
+      overwrite = false)
+    val r1 = MaterializedView.refresh(spark, mv)
+    assert(r1.mode == "incremental" && r1.changedGroups == 1L)
+    assert(joinState(mv) === joinFull(fact, dim))
+
+    // dim-only delta (A_old ⋈ ΔB): a new dim key picks up facts...
+    VersionedTable.commit(spark, fact, facts((5, 30, 2.0)),
+      overwrite = false) // dangling fact — joins nothing yet
+    MaterializedView.refresh(spark, mv)
+    VersionedTable.commit(spark, dim, dims((30, "AP")), overwrite = false)
+    val r2 = MaterializedView.refresh(spark, mv)
+    assert(r2.mode == "incremental")
+    assert(joinState(mv) === joinFull(fact, dim),
+      "a dim insert must activate previously-dangling facts")
+
+    // BOTH sides move in one window: the ΔA⋈ΔB term is load-bearing —
+    // a fact AND its dim row arrive together
+    VersionedTable.commit(spark, fact, facts((6, 40, 13.0)),
+      overwrite = false)
+    VersionedTable.commit(spark, dim, dims((40, "SA")), overwrite = false)
+    val r3 = MaterializedView.refresh(spark, mv)
+    assert(r3.mode == "incremental")
+    assert(joinState(mv)("SA") === ((1L, 13.0)),
+      "ΔA⋈ΔB: a fact and its dim arriving in the same window must join")
+    assert(joinState(mv) === joinFull(fact, dim))
+
+    // dim-side CoW delete retracts that region's rows (sign product)
+    VersionedTable.deleteWhere(spark, dim, col("dk") === 10)
+    val r4 = MaterializedView.refresh(spark, mv)
+    assert(r4.mode == "incremental")
+    assert(!joinState(mv).contains("EU"), "retracted region vanishes")
+    assert(joinState(mv) === joinFull(fact, dim))
+
+    // a noop refresh reports both markers fresh
+    val r5 = MaterializedView.refresh(spark, mv)
+    assert(r5.mode == "noop" && r5.source2Version.isDefined)
+    val (_, _, stale) = MaterializedView.status(spark, mv)
+    assert(!stale)
+  }
+
+  test("join MV: dim-side staleness flips status; restore falls back to full") {
+    val fact = freshRoot(); val dim = freshRoot(); val mv = freshRoot() + "/mv"
+    VersionedTable.commit(spark, fact, facts((1, 10, 5.0)),
+      overwrite = true)
+    VersionedTable.commit(spark, dim, dims((10, "EU"), (20, "US")),
+      overwrite = true)
+    assert(MaterializedView.createJoin(spark, mv, fact, dim,
+      Seq(("fdk", "dk")), Seq("region"), "cnt:count, rev:sum(famt)"))
+    // dim-only commit: source1 is fresh, the view must still be stale
+    VersionedTable.commit(spark, dim, dims((30, "AP")), overwrite = false)
+    val (_, _, stale) = MaterializedView.status(spark, mv)
+    assert(stale, "a dim-side commit alone makes a join MV stale")
+    MaterializedView.refresh(spark, mv)
+    // RESTORE on the dim: its feed is inexpressible across the window
+    VersionedTable.commit(spark, dim, dims((40, "SA")), overwrite = false)
+    VersionedTable.restore(spark, dim,
+      VersionedTable.versions(spark, dim).head)
+    val r = MaterializedView.refresh(spark, mv)
+    assert(r.mode == "full", "feed-inexpressible window → honest recompute")
+    assert(joinState(mv) === joinFull(fact, dim))
+  }
+
+  test("join MV: create-time gates (overlap, keys, columns)") {
+    val fact = freshRoot(); val dim = freshRoot()
+    VersionedTable.commit(spark, fact, facts((1, 10, 5.0)), overwrite = true)
+    VersionedTable.commit(spark, dim, dims((10, "EU")), overwrite = true)
+    // overlapping column names refuse (ambiguous joined frame)
+    val dimClash = freshRoot()
+    VersionedTable.commit(spark, dimClash,
+      dims((10, "EU")).withColumnRenamed("region", "famt"), overwrite = true)
+    intercept[IllegalArgumentException](MaterializedView.createJoin(spark,
+      freshRoot() + "/mv", fact, dimClash, Seq(("fdk", "dk")),
+      Seq("dk"), "cnt:count"))
+    // unknown join key / group column refuse at create
+    intercept[IllegalArgumentException](MaterializedView.createJoin(spark,
+      freshRoot() + "/mv", fact, dim, Seq(("nope", "dk")),
+      Seq("region"), "cnt:count"))
+    intercept[IllegalArgumentException](MaterializedView.createJoin(spark,
+      freshRoot() + "/mv", fact, dim, Seq(("fdk", "dk")),
+      Seq("nope"), "cnt:count"))
+  }
+
+  test("streaming auto-refresh: appends converge, replays absorb, noops free") {
+    val src = freshRoot(); val mv = freshRoot() + "/mv"
+    val ckpt = freshRoot() + "/ckpt"
+    VersionedTable.commit(spark, src,
+      rows((1, "a", 10.0), (2, "b", 3.0)), overwrite = true)
+    assert(MaterializedView.create(spark, mv, src, Seq("grp"),
+      "cnt:count, rev:sum(amt)"))
+    VersionedTable.commit(spark, src, rows((3, "a", 4.0)), overwrite = false)
+    VersionedTable.commit(spark, src, rows((4, "c", 8.0)), overwrite = false)
+
+    val q1 = MaterializedView.autoRefresh(spark, mv, ckpt)
+    q1.awaitTermination()
+    assert(mvState(mv) === fullOf(src), "the stream drives the MV to the tip")
+    val (_, _, stale) = MaterializedView.status(spark, mv)
+    assert(!stale)
+    val vAfter = VersionedTable.versions(spark, mv).last
+
+    // restart with NO new source commits: the replayed/empty run must
+    // not commit anything (refresh answers noop off the marker)
+    val q2 = MaterializedView.autoRefresh(spark, mv, ckpt)
+    q2.awaitTermination()
+    assert(VersionedTable.versions(spark, mv).last == vAfter,
+      "an idle restart publishes nothing")
+
+    // a FRESH checkpoint replays the whole feed from scratch — the
+    // marker absorbs it: one refresh may fire, but content stays exact
+    VersionedTable.commit(spark, src, rows((5, "b", 1.0)), overwrite = false)
+    val q3 = MaterializedView.autoRefresh(spark, mv, freshRoot() + "/ckpt2")
+    q3.awaitTermination()
+    assert(mvState(mv) === fullOf(src))
   }
 }

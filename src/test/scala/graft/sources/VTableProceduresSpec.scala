@@ -217,4 +217,46 @@ class VTableProceduresSpec extends SparkSpec {
       "CALL vtproc.system.evolve_partition_spec('ev.t', 'days(id)')")
       .collect())
   }
+
+  test("CALL create_mview over a JOIN; refresh reports recomputed_groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fact = Seq((1, 10, 5.0), (2, 10, 3.0), (3, 20, 7.0))
+      .toDF("fk", "fdk", "famt")
+      .withColumn("famt", col("famt").cast("decimal(18,2)"))
+    val dim = Seq((10, "EU"), (20, "US")).toDF("dk", "region")
+    VersionedTable.commit(spark, s"$root/mv/fact", fact, overwrite = true)
+    VersionedTable.commit(spark, s"$root/mv/dim", dim, overwrite = true)
+    val c = spark.sql(
+      "CALL vtproc.system.create_mview('mv.rollup', 'mv.fact', 'region', " +
+        "'cnt:count, lo:min(famt), hi:max(famt)', " +
+        "source2 => 'mv.dim', join_on => 'fdk=dk')").head()
+    assert(c.getBoolean(1), "join MV must create")
+    assert(spark.sql("SELECT region, cnt FROM vtproc.mv.rollup").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("EU" -> 2L, "US" -> 1L))
+    // append-only fact delta: incremental, no min/max recompute
+    VersionedTable.commit(spark, s"$root/mv/fact",
+      Seq((4, 20, 11.0)).toDF("fk", "fdk", "famt")
+        .withColumn("famt", col("famt").cast("decimal(18,2)")),
+      overwrite = false)
+    val r1 = spark.sql("CALL vtproc.system.refresh_mview('mv.rollup')").head()
+    assert(r1.getString(3) == "incremental" && r1.getLong(4) == 0L,
+      "append-only window folds with recomputed_groups = 0")
+    // dim-side delete retracts a region; min/max recompute that group
+    VersionedTable.deleteWhere(spark, s"$root/mv/fact", col("fk") === 1)
+    val r2 = spark.sql("CALL vtproc.system.refresh_mview('mv.rollup')").head()
+    assert(r2.getString(3) == "incremental" && r2.getLong(4) == 1L,
+      "a retraction recomputes exactly the touched group")
+    assert(spark.sql(
+      "SELECT region, cnt, CAST(lo AS DOUBLE), CAST(hi AS DOUBLE) " +
+        "FROM vtproc.mv.rollup").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+      == Map("EU" -> ((1L, 3.0, 3.0)), "US" -> ((2L, 7.0, 11.0))))
+    // source2 without join_on (and vice versa) refuses
+    intercept[Exception](spark.sql(
+      "CALL vtproc.system.create_mview('mv.bad', 'mv.fact', 'region', " +
+        "'cnt:count', source2 => 'mv.dim')").collect())
+  }
 }
