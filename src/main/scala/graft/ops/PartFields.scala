@@ -128,6 +128,80 @@ private[ops] object PartDates {
       .otherwise(lit(0L))
     date_from_unix_date(floorQ.cast("int"))
   }
+
+  // overflow-free floored `div` over already-integral columns (the
+  // utcDay device generalized): truncating div with a -1 adjustment on
+  // inexact negative quotients
+  private def floorDivCol(c: Column, n: Long): Column = {
+    val q = call_function("div", c, lit(n))
+    q - when(c < 0 && pmod(c, lit(n)) =!= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  // the UTC hour token of an instant column (`yyyy-MM-dd-HH`), built
+  // from the same exact floored-micros arithmetic as utcDay: hour index
+  // since epoch → (day, hour-of-day), day rendered through DateType
+  // (date_format over a DATE round-trips the fields in any session
+  // zone), hour-of-day zero-padded so the token text sorts
+  // chronologically. NULL instants propagate to a NULL token (the hive
+  // default leaf).
+  def utcHourToken(c: Column): Column = {
+    val hourUs = 3600000000L
+    val hours = floorDivCol(unix_micros(c), hourUs)
+    val day = floorDivCol(hours, 24L)
+    val hod = pmod(hours, lit(24L)) // pmod is non-negative pre-epoch too
+    concat(
+      date_format(date_from_unix_date(day.cast("int")), "yyyy-MM-dd"),
+      lit("-"), lpad(hod.cast("string"), 2, "0"))
+  }
+
+  // driver-side twin of utcHourToken for literal translation — instants
+  // resolve in UTC, NTZ stays naive (matching the write expression)
+  def hourTokenOf(v: Any): Option[String] = {
+    val ldt: Option[java.time.LocalDateTime] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+      case i: java.time.Instant =>
+        Some(i.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+      case n: java.time.LocalDateTime => Some(n)
+      case _ => None // hours() is timestamp-only; dates have no hour
+    }
+    ldt.map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d-" +
+      f"${d.getDayOfMonth}%02d-${d.getHour}%02d")
+  }
+}
+
+/** `hours(ts)` — one leaf per UTC hour: the landing-zone layout for
+  * high-volume streaming ingest where even a day leaf is too coarse to
+  * replace (per-hour micro-batch reloads, hour-scoped OPTIMIZE).
+  * ~8760 leaves/year, so it pairs naturally with partition SPEC
+  * EVOLUTION: run hours() on the hot ingest window, then
+  * `REPLACE PARTITION FIELD` to days()/months() as the table ages —
+  * one metadata commit, old leaves keep pruning under their own era
+  * and refine into the coarser spec (pre-r16 this transform was
+  * refused precisely because the fan-out was forever; evolution
+  * removed that objection). Tokens are `yyyy-MM-dd-HH` (zero-padded
+  * ISO prefix + hour), which sorts chronologically, so timestamp
+  * RANGES prune; timestamps only (a date has no hour — Iceberg's rule).
+  */
+final case class PartHours(source: String) extends PartField {
+  def name: String = s"${source}_hour"
+  def spec: String = s"hours($source)"
+  def valueOf(c: Column, dt: DataType): Column = dt match {
+    // instants resolve in UTC, never the session zone (PartDates)
+    case TimestampType => PartDates.utcHourToken(c)
+    // NTZ: the naive fields, zone-free end to end (cast-to-instant and
+    // format both use the session zone, so the wall-clock fields
+    // round-trip — the PartMonths/PartYears device)
+    case _ => date_format(c, "yyyy-MM-dd-HH")
+  }
+  def eqToken(v: Any): Option[Option[String]] =
+    if (v == null) Some(None)
+    else PartDates.hourTokenOf(v).map(Some(_))
+  def rangeTest(lower: Boolean, v: Any): Option[Option[String] => Boolean] =
+    PartDates.hourTokenOf(v).map { h =>
+      // NULL-leaf rows have a NULL base value — no range matches them
+      if (lower) t => t.exists(_ >= h) else t => t.exists(_ <= h)
+    }
 }
 
 /** `days(ts)` — one leaf per calendar day (the nightly-reload layout:
@@ -326,9 +400,10 @@ object PartFields {
   private val BucketNumColRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
   private val BucketColNumRe = """(?i)bucket\s*\(\s*([^(),\s]+)\s*,\s*(\d+)\s*\)""".r
   private val YearsRe = """(?i)years\s*\(\s*([^(),\s]+)\s*\)""".r
-  private val UnsupportedRe = """(?i)(hours)\s*\(.*""".r
+  private val HoursRe = """(?i)hours\s*\(\s*([^(),\s]+)\s*\)""".r
 
   def parse(spec: String): PartField = spec.trim match {
+    case HoursRe(c) => PartHours(c)
     case DaysRe(c) => PartDays(c)
     case MonthsRe(c) => PartMonths(c)
     case YearsRe(c) => PartYears(c)
@@ -336,12 +411,6 @@ object PartFields {
     case TruncColNumRe(c, w) => PartTruncate(w.toInt, c)
     case BucketNumColRe(n, c) => PartBucket(n.toInt, c)
     case BucketColNumRe(c, n) => PartBucket(n.toInt, c)
-    case UnsupportedRe(fn) => throw new IllegalArgumentException(
-      s"graft-vtable: unsupported partition transform '$fn' — supported: " +
-        "identity, years(col), months(col), days(col), truncate(n,col), " +
-        "bucket(n,col) (use days for sub-day layouts; an hourly fan-out " +
-        "is 8760 leaves/year — stats skipping covers it without the dir " +
-        "tax)")
     case s if s.nonEmpty => PartIdentity(s)
     case s => throw new IllegalArgumentException(
       s"graft-vtable: empty partition transform in '$spec'")
@@ -395,6 +464,7 @@ object PartFields {
             schema.fieldNames.mkString("(", ", ", ")")))
       def retarget(field: PartField, src: String): PartField = field match {
         case PartIdentity(_) => PartIdentity(src)
+        case PartHours(_) => PartHours(src)
         case PartDays(_) => PartDays(src)
         case PartMonths(_) => PartMonths(src)
         case PartYears(_) => PartYears(src)
@@ -409,6 +479,10 @@ object PartFields {
       f match {
         case _: PartIdentity if !identityOk.contains(sf.dataType) =>
           bad("categorical atomic (string/integral/boolean/date)")
+        // a DATE has no hour to extract — the Iceberg rule
+        case _: PartHours if sf.dataType != TimestampType &&
+            sf.dataType != TimestampNTZType =>
+          bad("timestamp")
         case _: PartDays | _: PartMonths | _: PartYears
             if sf.dataType != DateType && sf.dataType != TimestampType &&
               sf.dataType != TimestampNTZType =>
@@ -462,7 +536,16 @@ object PartFields {
         lazy val date =
           try Some(java.time.LocalDate.parse(t))
           catch { case _: Exception => None }
+        lazy val hourTok = t.matches("""\d{4}-\d{2}-\d{2}-\d{2}""")
         (from, into) match {
+          // the temporal ladder: hours→days/months/years (an hour leaf
+          // belongs wholly to one day — the spec-evolution aging path)
+          case (_: PartHours, _: PartDays) if hourTok =>
+            Some(Some(t.take(10)))
+          case (_: PartHours, _: PartMonths) if hourTok =>
+            Some(Some(t.take(7)))
+          case (_: PartHours, _: PartYears) if hourTok =>
+            Some(Some(t.take(4)))
           case (_: PartDays, _: PartMonths) =>
             date.map(d => Some(f"${d.getYear}%04d-${d.getMonthValue}%02d"))
           case (_: PartDays, _: PartYears) =>

@@ -53,7 +53,8 @@ object VersionedTable {
     q135HiddenPartitioning, q136RenameColumn, q137SpecEvolution,
     q138DropColumn, q139BranchWap, q140CatalogView, q141MaterializedView,
     q142TypeWidening, q143AggPushdown, q144StatsBroadcast,
-    q145PartitionAgg)
+    q145PartitionAgg, q146JoinMview, q147MinmaxMview,
+    q148HourlyPartitioning)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -308,6 +309,28 @@ object VersionedTable {
         if (raw == HiveNullPart) None else Some(unescapePathToken(raw))
     }
 
+  /** Declared PARQUET BLOOM FILTER columns from `bloom.<col>` table
+    * properties (the Delta `delta.bloomFilter` idea as a plain property):
+    * the value is the expected distinct count the filter is sized for
+    * (non-numeric values take a 100k default). Every data-writing commit
+    * path threads these into the parquet writer, so point lookups on
+    * non-partition, non-stats columns (`WHERE id = x`) skip row groups
+    * INSIDE kept generations — the in-file half of data skipping that
+    * manifest pruning cannot provide (see [[Formats.bloomWrite]] for the
+    * standalone demonstration; parquet-mr applies blooms automatically
+    * to pushed equality predicates at read). Cost: one bitset per
+    * (row group, column) at write — bytes per thousand rows.
+    */
+  private[ops] def bloomColsOf(props: Map[String, String]): Seq[(String, Long)] =
+    props.toSeq.collect { case (k, v) if k.startsWith("bloom.") =>
+      k.stripPrefix("bloom.") -> v.trim.toLongOption.getOrElse(100000L)
+    }.sortBy(_._1)
+
+  private def bloomColsAt(spark: SparkSession, root: String): Seq[(String, Long)] =
+    versions(spark, root).lastOption
+      .map(v => bloomColsOf(tablePropsOf(manifestMeta(spark, root, v))))
+      .getOrElse(Nil)
+
   // write df as a new immutable generation dir; invisible until
   // published. With `partFields` declared AND every SOURCE column
   // present in the frame, the write routes hive-style into
@@ -316,12 +339,24 @@ object VersionedTable {
   // as a duplicated prefixed column in the same one partitionBy pass;
   // frames missing a source column (DV key lists, internal ledgers)
   // write plain — a generation without partition subdirs is always
-  // legal and simply never prunes.
+  // legal and simply never prunes. `bloomCols` adds parquet bloom
+  // filters for the declared columns present in the frame.
   private def writeGeneration(spark: SparkSession, root: String,
       df: DataFrame, partFields: Seq[PartField] = Nil,
-      preserveLayout: Boolean = false): String = {
+      preserveLayout: Boolean = false,
+      bloomCols: Seq[(String, Long)] = Nil): String = {
     val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
     val p = new Path(root, gen)
+    def blooming(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+        : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+      bloomCols.foldLeft(w) { case (wr, (c, ndv)) =>
+        df.columns.find(_.equalsIgnoreCase(c)) match {
+          case Some(actual) => wr
+            .option(s"parquet.bloom.filter.enabled#$actual", "true")
+            .option(s"parquet.bloom.filter.expected.ndv#$actual", ndv.toString)
+          case None => wr // frame lacks the column (ledgers, key lists)
+        }
+      }
     val route = partFields.nonEmpty && partFields.forall(f =>
       df.columns.exists(_.equalsIgnoreCase(f.source)))
     if (route) {
@@ -354,9 +389,9 @@ object VersionedTable {
         if (preserveLayout) dup
         else dup.hint("rebalance",
           partFields.map(f => col(PartPrefix + f.name)): _*)
-      clustered.write.mode("errorifexists")
+      blooming(clustered.write.mode("errorifexists"))
         .partitionBy(partFields.map(PartPrefix + _.name): _*).parquet(p.toString)
-    } else df.write.mode("errorifexists").parquet(p.toString)
+    } else blooming(df.write.mode("errorifexists")).parquet(p.toString)
     // a frame whose every partition is empty writes NO part files — only
     // _SUCCESS — and a footer-less generation breaks every later read of
     // the snapshot (parquet cannot infer its schema). A rewrite that
@@ -725,22 +760,31 @@ object VersionedTable {
     (prev, carried)
   }
 
-  // [min,max] headers for a freshly written generation, computed from the
-  // written files — ONE narrow agg regardless of how many columns are
-  // tracked (a production writer would harvest the parquet footers it
-  // just wrote). All-null columns record nothing (absence = "must scan").
+  // [min,max,ndv,rows] headers for a freshly written generation, computed
+  // from the written files — ONE narrow agg regardless of how many
+  // columns are tracked (a production writer would harvest the parquet
+  // footers it just wrote). All-null columns record nothing (absence =
+  // "must scan"). The value EXTENDS the original "min,max" format with
+  // two planner-statistics fields (r17): an approximate distinct count
+  // (HLL++, an upper-bound-leaning estimate the broadcast planner sizes
+  // grouped outputs with — see [[graft.sources.VTableBroadcastHints]])
+  // and the generation's exact row count; pre-r17 two-field headers
+  // parse unchanged (readers index fields 0/1 and treat 2/3 as absent).
   private def genStatsMulti(spark: SparkSession, root: String, gen: String,
       cols: Seq[String]): Map[String, String] =
     if (cols.isEmpty) Map.empty
     else {
       val df = spark.read.parquet(new Path(root, gen).toString)
       val aggs = cols.flatMap(c =>
-        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"),
+          approx_count_distinct(col(c)))) :+ count(lit(1))
       val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+      val rows = r.getLong(3 * cols.size)
       cols.zipWithIndex.flatMap { case (c, i) =>
-        if (r.isNullAt(2 * i)) None
+        if (r.isNullAt(3 * i)) None
         else Some(statsKey(c, gen) ->
-          s"${r.getLong(2 * i)},${r.getLong(2 * i + 1)}")
+          (s"${r.getLong(3 * i)},${r.getLong(3 * i + 1)}," +
+            s"${r.getLong(3 * i + 2)},$rows"))
       }.toMap
     }
 
@@ -748,12 +792,16 @@ object VersionedTable {
       statsCol: Option[String]): Map[String, String] =
     genStatsMulti(spark, root, gen, statsCol.toSeq)
 
-  // [min,max] headers for a commit's manifest ENTRIES — ONE Spark job
-  // regardless of partition fan-out (per-leaf genStatsMulti calls would
-  // schedule N sequential jobs for an N-partition batch): scan every
-  // entry once, aggregate per FILE, fold per entry on the driver. File →
-  // entry resolution is raw-path suffix matching (the escape-proof
-  // genOfFile rationale); the fold is O(files), metadata-sized.
+  // [min,max,ndv,rows] headers for a commit's manifest ENTRIES — ONE
+  // Spark job regardless of partition fan-out (per-leaf genStatsMulti
+  // calls would schedule N sequential jobs for an N-partition batch):
+  // scan every entry once, aggregate per FILE, fold per entry on the
+  // driver. File → entry resolution is raw-path suffix matching (the
+  // escape-proof genOfFile rationale); the fold is O(files),
+  // metadata-sized. Per-entry NDV folds as the SUM of per-file
+  // estimates — an upper bound (duplicates across files double-count),
+  // which is exactly the safe direction for the broadcast planner this
+  // field feeds; rows fold exactly.
   private def genStatsForEntries(spark: SparkSession, root: String,
       entries: Seq[String], cols: Seq[String]): Map[String, String] =
     if (cols.isEmpty || entries.isEmpty) Map.empty
@@ -761,7 +809,8 @@ object VersionedTable {
       genStatsMulti(spark, root, entries.head, cols)
     else {
       val aggs = cols.flatMap(c =>
-        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"),
+          approx_count_distinct(col(c)))) :+ count(lit(1))
       val perFile = readDirs(spark, root, entries)
         .withColumn("_file", input_file_name())
         .groupBy(col("_file"))
@@ -775,16 +824,97 @@ object VersionedTable {
         entries.find(e => dir.endsWith("/" + e)).getOrElse(
           sys.error(s"VersionedTable: scanned file $f matches no entry"))
       }.flatMap { case (e, rs) =>
+        val rows = rs.toSeq.map(_.getLong(1 + 3 * cols.size)).sum
         cols.zipWithIndex.flatMap { case (c, i) =>
-          val mins = rs.toSeq.filterNot(_.isNullAt(1 + 2 * i))
-            .map(_.getLong(1 + 2 * i))
-          val maxs = rs.toSeq.filterNot(_.isNullAt(2 + 2 * i))
-            .map(_.getLong(2 + 2 * i))
+          val mins = rs.toSeq.filterNot(_.isNullAt(1 + 3 * i))
+            .map(_.getLong(1 + 3 * i))
+          val maxs = rs.toSeq.filterNot(_.isNullAt(2 + 3 * i))
+            .map(_.getLong(2 + 3 * i))
+          val ndv = rs.toSeq.map(_.getLong(3 + 3 * i)).sum
           if (mins.isEmpty) None
-          else Some(statsKey(c, e) -> s"${mins.min},${maxs.max}")
+          else Some(statsKey(c, e) -> s"${mins.min},${maxs.max},$ndv,$rows")
         }
       }.toMap
     }
+
+  // planner-statistics readers over the extended stats header (fields 2
+  // and 3; absent on pre-r17 manifests and on never-tracked columns).
+  // Both return None unless EVERY manifest entry either carries the
+  // field or provably holds no data files (the catalog CREATE's empty
+  // generation — emptiness memoized; committed generations are
+  // immutable) — a partial answer would under-count and could OOM a
+  // forced broadcast.
+  private val entryEmptyCache =
+    new java.util.LinkedHashMap[(String, String), java.lang.Boolean](
+        1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Boolean]): Boolean =
+        size() > 4096
+    }
+
+  private def entryEmpty(spark: SparkSession, root: String, d: String): Boolean =
+    entryEmptyCache.synchronized {
+      Option(entryEmptyCache.get((root, d)))
+    }.map(_.booleanValue).getOrElse {
+      val hfs = fs(spark, root)
+      val empty = (try hfs.listStatus(new Path(root, d)).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty })
+        .forall(st => !st.isFile || {
+          val n = st.getPath.getName
+          !n.endsWith(".parquet") || n.startsWith("_") || n.startsWith(".")
+        })
+      entryEmptyCache.synchronized {
+        entryEmptyCache.put((root, d), java.lang.Boolean.valueOf(empty))
+      }
+      empty
+    }
+
+  private def statsField(meta: Map[String, String], c: String, d: String,
+      idx: Int): Option[Long] =
+    meta.get(statsKey(c, d)).flatMap { s =>
+      val parts = s.split(",")
+      if (parts.length > idx) parts(idx).toLongOption else None
+    }
+
+  /** Upper-bound distinct-value estimate for `col` over snapshot `v`:
+    * the per-generation NDV headers summed (duplicates across
+    * generations double-count — safe for broadcast sizing). None when
+    * any file-bearing generation lacks the header (untracked column,
+    * pre-r17 history). One manifest read; at most a few empty-dir
+    * listings (memoized).
+    */
+  def scanNdv(spark: SparkSession, root: String, v: Option[Long],
+      colName: String): Option[Long] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return None
+    val ver = v.getOrElse(vs.last)
+    if (!vs.contains(ver)) return None
+    val (dirs, meta) = manifestOf(spark, root, ver)
+    val per = dirs.map(d => statsField(meta, colName, d, 2) match {
+      case some @ Some(_) => some
+      case None => if (entryEmpty(spark, root, d)) Some(0L) else None
+    })
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** Exact row count of the generations `keptEntries` keeps, from the
+    * `rows` field any tracked column's header carries. None when a kept
+    * file-bearing generation has no header at all.
+    */
+  private[graft] def entriesRowCount(spark: SparkSession, root: String,
+      meta: Map[String, String], kept: Seq[String]): Option[Long] = {
+    val per = kept.map { d =>
+      meta.collectFirst {
+        case (k, s) if k.startsWith("stats:") &&
+            decDir(k.split(":", 3)(2)) == d && s.split(",").length > 3 =>
+          s.split(",")(3).toLongOption
+      }.flatten match {
+        case some @ Some(_) => some
+        case None => if (entryEmpty(spark, root, d)) Some(0L) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
 
   /** One commit: write `df` as a new immutable generation, then publish a
     * manifest for version max+1 via atomic rename; on a concurrency loss
@@ -810,7 +940,7 @@ object VersionedTable {
       .getOrElse(Map.empty[String, String])
     requireNoDroppedNames(df, tipProps, "commit")
     val gen = writeGeneration(spark, root, df,
-      partitionFieldsOf(tipProps))
+      partitionFieldsOf(tipProps), bloomCols = bloomColsOf(tipProps))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     val genStats = genStatsForEntries(spark, root, entries,
@@ -997,6 +1127,24 @@ object VersionedTable {
     (bytes, kept.size, dirs.size)
   }
 
+  /** Row count of the (possibly pruned) snapshot scan, from the `rows`
+    * field of the extended stats headers — the numRows half of the
+    * planner statistics ([[scanSizeBytes]] is the bytes half). None
+    * when any kept file-bearing generation carries no tracked header
+    * (no guess is better than a wrong row count). One manifest read.
+    */
+  def scanRowCount(spark: SparkSession, root: String, v: Option[Long],
+      windows: Seq[(String, Long, Long)],
+      partPreds: Seq[(String, Option[String] => Boolean)]): Option[Long] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return None
+    val ver = v.getOrElse(vs.last)
+    if (!vs.contains(ver)) return None
+    val (dirs, meta) = manifestOf(spark, root, ver)
+    entriesRowCount(spark, root, meta,
+      keptEntries(dirs, meta, windows, partPreds))
+  }
+
   // bounded LRU of per-generation on-disk bytes (metadata, ~bytes per
   // entry). Keyed (root, entryDir): generations are immutable once
   // committed — vacuum only ever deletes dirs that no current read keeps
@@ -1047,7 +1195,8 @@ object VersionedTable {
       readDirs(spark, root, baseDirs, baseMeta))
     raceHook()
     val gen = writeGeneration(spark, root, df,
-      partitionFieldsOf(tablePropsOf(baseMeta)))
+      partitionFieldsOf(tablePropsOf(baseMeta)),
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
     // a FULL rewrite replaces every file, so no file carries a dropped
     // column any more — clear the dropcol tombstones, freeing the names
@@ -1105,7 +1254,8 @@ object VersionedTable {
       readDirs(spark, root, small, baseMeta))
     raceHook()
     val gen = writeGeneration(spark, root, df,
-      partitionFieldsOf(tablePropsOf(baseMeta)))
+      partitionFieldsOf(tablePropsOf(baseMeta)),
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, kept ++ entries,
         Map("rewrite" -> "true")
@@ -1271,7 +1421,8 @@ object VersionedTable {
     val rows = df.count() // pre-rewrite generation; same rows by construction
     raceHook()
     val gen = writeGeneration(spark, root, clustered,
-      partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true)
+      partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true,
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true")
@@ -1347,7 +1498,8 @@ object VersionedTable {
     val rows = df.count()
     raceHook()
     val gen = writeGeneration(spark, root, clustered,
-      partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true)
+      partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true,
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, kept ++ entries,
         Map("rewrite" -> "true")
@@ -1460,7 +1612,7 @@ object VersionedTable {
         .unionByName(source, allowMissingColumns = schemaEvolution)
     raceHook()
     val gen = writeGeneration(spark, root, merged,
-      partitionFieldsAt(spark, root))
+      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     // fold the tombstones AFTER the aborting validations (they reclaim
@@ -1593,7 +1745,7 @@ object VersionedTable {
     if (touched.isEmpty && !hasInserts) return Some((baseV, 0, dirs.size))
     raceHook()
     val gen = writeGeneration(spark, root, newRows,
-      partitionFieldsAt(spark, root))
+      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     // fold the tombstones AFTER the aborting validations (they reclaim
@@ -1675,7 +1827,7 @@ object VersionedTable {
     val deleted = before.count() - survivors.count()
     raceHook()
     val gen = writeGeneration(spark, root, survivors,
-      partitionFieldsAt(spark, root))
+      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
@@ -1816,7 +1968,8 @@ object VersionedTable {
       if (fields.isEmpty) props
       else props + ("partition" -> fields.map(_.spec).mkString(","))
     if (versions(spark, root).nonEmpty) return false
-    val gen = writeGeneration(spark, root, df, fields)
+    val gen = writeGeneration(spark, root, df, fields,
+      bloomCols = bloomColsOf(normProps))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries, extraProps = normProps)
     if (tryPublish(spark, root, 1L, entries,
@@ -2637,7 +2790,8 @@ object VersionedTable {
     val (dirs, bMeta) = branchManifestOf(spark, root, name, tipB)
     val props = tablePropsOf(bMeta)
     requireNoDroppedNames(df, props, s"branch '$name' commit")
-    val gen = writeGeneration(spark, root, df, partitionFieldsOf(props))
+    val gen = writeGeneration(spark, root, df, partitionFieldsOf(props),
+      bloomCols = bloomColsOf(props))
     val entries = genEntries(spark, root, gen)
     val cs = constraintsOf(props)
     if (cs.nonEmpty && hasPartFiles(spark, root, gen))
@@ -2946,7 +3100,8 @@ object VersionedTable {
         }
       }
     raceHook()
-    val gen = writeGeneration(spark, root, df, partFields)
+    val gen = writeGeneration(spark, root, df, partFields,
+      bloomCols = bloomColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     val plainGen = plainRows.flatMap { r =>
@@ -2958,7 +3113,8 @@ object VersionedTable {
         (if (r.columns.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)): _*)
       if (aligned.isEmpty) None
-      else Some(writeGeneration(spark, root, aligned, partFields))
+      else Some(writeGeneration(spark, root, aligned, partFields,
+        bloomCols = bloomColsAt(spark, root)))
     }
     val plainEntries = plainGen.toSeq.flatMap(g =>
       genEntries(spark, root, g))
@@ -3128,7 +3284,7 @@ object VersionedTable {
     vs0.lastOption.foreach(v => requireNoDroppedNames(df,
       tablePropsOf(manifestMeta(spark, root, v)), "idempotentCommit"))
     val gen = writeGeneration(spark, root, df,
-      partitionFieldsAt(spark, root))
+      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     val meta = Map("txnApp" -> appId, "txnBatch" -> batchId.toString)
@@ -6649,6 +6805,268 @@ object VersionedTable {
       SELECT 'audit', CAST(7 AS BIGINT),
         (SELECT CAST(max(n) AS BIGINT) FROM
           (SELECT count(*) AS n FROM src GROUP BY nk % 3)),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q146: MATERIALIZED VIEW OVER A JOIN — [[MaterializedView.createJoin]]:
+    * the first MV a real dashboard writes is `fact ⋈ dim GROUP BY …`,
+    * and this engine maintains it incrementally from BOTH sources'
+    * change feeds via the bilinear delta identity Δ(A⋈B) = ΔA⋈B_old ∪
+    * A_old⋈ΔB ∪ ΔA⋈ΔB (the q71 algebra, `ops/Relational5.scala`), with
+    * joined-row signs the PRODUCT of input signs and BOTH freshness
+    * markers committing atomically with content in one manifest
+    * publish. Pinned here: a lineitem-year fact ⋈ orders-year dim MV
+    * (group by order priority); a fact-side append (ΔA⋈B), a dim-side
+    * append that ACTIVATES previously-dangling facts (A⋈ΔB), and a
+    * copy-on-write dim DELETE whose retraction erases one whole
+    * priority group (sign product −1; `changed_groups` for that window
+    * oracle-pinned from the data's own join spread); a final refresh is
+    * a `noop` and the content hash-matches the oracle's full re-join.
+    * At 100 TB: each refresh costs O(Δfact ⋈ dim) + O(fact ⋈ Δdim) —
+    * never a recompute of the join the dashboard sits on.
+    */
+  val q146JoinMview: Q = Q(
+    "q146_join_mview",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val fact = s"$root/fact"; val dim = s"$root/dim"
+      val mv = s"$root/mv"
+      val f = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("fk"), Q.dec2(col("l_quantity")).as("qty"),
+        year(col("l_shipdate")).as("fyr"))
+      val d = t(s, dir, "orders").select(
+        col("o_orderkey").as("dk"), col("o_orderpriority").as("prio"),
+        year(col("o_orderdate")).as("dyr"))
+      val fy0 = f.agg(min(col("fyr"))).head().getInt(0)
+      val dy0 = d.agg(min(col("dyr"))).head().getInt(0)
+      commit(s, fact, f.filter(col("fyr") === fy0), overwrite = true) // v1
+      commit(s, dim, d.filter(col("dyr") === dy0), overwrite = true)  // v1
+      require(MaterializedView.createJoin(s, mv, fact, dim,
+        Seq(("fk", "dk")), Seq("prio"), "cnt:count, sq:sum(qty)"),
+        "q146: fresh mv root must create")
+      commit(s, fact, f.filter(col("fyr") === fy0 + 1), overwrite = false)
+      val (_, _, staleBefore) = MaterializedView.status(s, mv)
+      val r1 = MaterializedView.refresh(s, mv)   // ΔA ⋈ B_old
+      commit(s, dim, d.filter(col("dyr") === dy0 + 1), overwrite = false)
+      val r2 = MaterializedView.refresh(s, mv)   // A_old ⋈ ΔB
+      deleteWhere(s, dim, col("prio") === "1-URGENT") // CoW retraction
+      val r3 = MaterializedView.refresh(s, mv)
+      val r4 = MaterializedView.refresh(s, mv)
+      val (_, _, staleAfter) = MaterializedView.status(s, mv)
+      val flags = (if (r1.mode == "incremental") 1L else 0L) +
+        (if (r2.mode == "incremental") 2L else 0L) +
+        (if (r3.mode == "incremental") 4L else 0L) +
+        (if (r4.mode == "noop") 8L else 0L) +
+        (if (staleBefore) 16L else 0L) +
+        (if (!staleAfter) 32L else 0L)
+      val content = readAt(s, mv).select(
+        concat(lit("g_"), col("prio")).as("step"), col("cnt").as("a"),
+        (col("sq") * lit(100)).cast("long").as("b"),
+        col("sq").cast("double").as("c"))
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(flags).as("a"), lit(r3.changedGroups).as("b"),
+        lit(1.0).cast("double").as("c"))
+      content.unionByName(audit).orderBy(col("step"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT l_orderkey AS fk, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+          year(l_shipdate) AS fyr
+        FROM lineitem),
+      fy AS (SELECT min(fyr) AS fy0 FROM f),
+      d AS (
+        SELECT o_orderkey AS dk, o_orderpriority AS prio,
+          year(o_orderdate) AS dyr
+        FROM orders),
+      dy AS (SELECT min(dyr) AS dy0 FROM d),
+      fw AS (SELECT f.* FROM f, fy WHERE fyr BETWEEN fy0 AND fy0 + 1),
+      dwall AS (SELECT d.* FROM d, dy WHERE dyr BETWEEN dy0 AND dy0 + 1),
+      content AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(coalesce(qty, 0)) * 100 AS BIGINT) AS sq100,
+          CAST(sum(coalesce(qty, 0)) AS DOUBLE) AS sq
+        FROM fw JOIN dwall ON fk = dk
+        WHERE prio <> '1-URGENT' GROUP BY prio),
+      touched AS (
+        -- groups the dim-delete window retracts: distinct priorities
+        -- among (full fact ⋈ deleted dim rows)
+        SELECT CAST(count(DISTINCT prio) AS BIGINT) AS n
+        FROM fw JOIN dwall ON fk = dk WHERE prio = '1-URGENT')
+      SELECT concat('g_', prio) AS step, cnt AS a, sq100 AS b, sq AS c
+      FROM content
+      UNION ALL
+      SELECT 'audit', CAST(63 AS BIGINT), (SELECT n FROM touched),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q147: MIN/MAX IN MATERIALIZED VIEWS — the HYBRID fold
+    * ([[MaterializedView]] r17): min/max are not retractable from a
+    * per-group scalar, so the engine folds them incrementally EXACTLY
+    * when that is sound (insert-only delta windows: least/greatest of
+    * current and inserted values — never a rescan) and recomputes ONLY
+    * the retraction-touched groups from the tip source otherwise
+    * (O(affected groups), honestly reported as `recomputed_groups`).
+    * Pinned here: an orders MV carrying count+min+max per priority; a
+    * year-append refresh folds with `recomputed_groups = 0`
+    * (flag-pinned); a copy-on-write DELETE of every third order key
+    * triggers per-group recomputes whose COUNT is oracle-pinned from
+    * the data's own group spread (and equals the window's
+    * changed-group count — delete-only window); a final refresh is a
+    * noop; the content (count, min·100 exact grid, max) hash-matches
+    * the oracle's recompute. At 100 TB: the nightly append keeps
+    * dashboard min/max at fold cost; the rare backfill delete pays one
+    * scan restricted to exactly its groups.
+    */
+  val q147MinmaxMview: Q = Q(
+    "q147_minmax_mview",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val src = s"$root/src"; val mv = s"$root/mv"
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("grp"),
+        Q.dec2(col("o_totalprice")).as("price"),
+        year(col("o_orderdate")).as("yr"))
+      val y0 = base.agg(min(col("yr"))).head().getInt(0)
+      commit(s, src, base.filter(col("yr") === y0), overwrite = true)
+      require(MaterializedView.create(s, mv, src, Seq("grp"),
+        "cnt:count, lo:min(price), hi:max(price)"),
+        "q147: fresh mv root must create")
+      commit(s, src, base.filter(col("yr") === y0 + 1), overwrite = false)
+      val r1 = MaterializedView.refresh(s, mv) // append-only: pure fold
+      deleteWhere(s, src, pmod(col("k"), lit(3L)) === 0L)
+      val r2 = MaterializedView.refresh(s, mv) // retractions: recompute
+      val r3 = MaterializedView.refresh(s, mv)
+      val flags = (if (r1.mode == "incremental") 1L else 0L) +
+        (if (r1.recomputedGroups == 0L) 2L else 0L) +
+        (if (r2.mode == "incremental") 4L else 0L) +
+        (if (r2.changedGroups == r2.recomputedGroups) 8L else 0L) +
+        (if (r3.mode == "noop") 16L else 0L)
+      val content = readAt(s, mv).select(
+        concat(lit("g_"), col("grp")).as("step"), col("cnt").as("a"),
+        (col("lo") * lit(100)).cast("long").as("b"),
+        col("hi").cast("double").as("c"))
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(flags).as("a"), lit(r2.recomputedGroups).as("b"),
+        lit(1.0).cast("double").as("c"))
+      content.unionByName(audit).orderBy(col("step"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS grp,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          year(o_orderdate) AS yr
+        FROM orders),
+      y AS (SELECT min(yr) AS y0 FROM base),
+      w AS (SELECT base.* FROM base, y WHERE yr BETWEEN y0 AND y0 + 1),
+      kept AS (SELECT * FROM w WHERE k % 3 <> 0),
+      content AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(min(price) * 100 AS BIGINT) AS lo100,
+          CAST(max(price) AS DOUBLE) AS hi
+        FROM kept GROUP BY grp),
+      recomputed AS (
+        -- the delete window's retraction-touched groups
+        SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n
+        FROM w WHERE k % 3 = 0)
+      SELECT concat('g_', grp) AS step, cnt AS a, lo100 AS b, hi AS c
+      FROM content
+      UNION ALL
+      SELECT 'audit', CAST(31 AS BIGINT), (SELECT n FROM recomputed),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q148: `hours(ts)` HIDDEN PARTITIONING — the r17 transform
+    * ([[PartHours]]) driven end-to-end over the events stream table:
+    * the landing-zone layout for high-volume ingest, where each hour is
+    * the replaced unit of the per-micro-batch reload. One routed load
+    * lands one leaf per UTC hour present in the data; a plain
+    * TIMESTAMP-RANGE predicate on `ts` prunes hour leaves at the
+    * manifest (zero-padded ISO-prefix tokens sort chronologically)
+    * without the query naming a derived column; a dynamic overwrite
+    * re-loads the window's FIRST DAY with corrected values and replaces
+    * exactly that day's hour leaves (`replace_audit` — count pinned
+    * from the data's own hour spread). `content` reads the post-replace
+    * 48-hour window THROUGH the relation's pushed filters, so the hash
+    * gate proves hour routing, range pruning and the replace never
+    * change results. At 100 TB: the hot ingest window runs hours();
+    * spec evolution (q137) ages it to days() in one metadata commit —
+    * the pairing that made the transform safe to offer.
+    */
+  val q148HourlyPartitioning: Q = Q(
+    "q148_hourly_partitioning",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val all = t(s, dir, "events").select(
+        col("event_id"), col("ts"), col("user_id"),
+        Q.dec2(col("value")).as("val"))
+      // hour-aligned windows from the data's own min: content window =
+      // [h0+24h, h0+72h), reload window = its first day [h0+24h, h0+48h)
+      val h0 = all.agg(min(col("ts"))).head().getTimestamp(0)
+        .toInstant.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+      def at(hours: Long, backOneMicro: Boolean = false) =
+        java.sql.Timestamp.from(
+          h0.plusSeconds(hours * 3600L)
+            .minusNanos(if (backOneMicro) 1000L else 0L))
+      // table = the data's first 10 days (~240 hour leaves) — enough to
+      // exercise routing/pruning/replace at every SF without paying the
+      // full month's dir fan-out on every bench run
+      val src = all.filter(col("ts") < at(240))
+      require(createIfAbsent(s, root, src,
+        Map("partition" -> "hours(ts)")), "q148: private table must create")
+      val lo = at(24); val rHi = at(48, backOneMicro = true)
+      val hi = at(72, backOneMicro = true)
+      val reload = src.filter(col("ts").between(lo, rHi))
+        .withColumn("val", Q.dec2(col("val") + lit(5)))
+      val (_, replaced, carried) = overwritePartitions(s, root, reload)
+        .getOrElse(sys.error("q148: replace lost a race on a private table"))
+      val rel = s.read.format("graft-vtable").option("path", root).load()
+      val content = rel.filter(col("ts").between(lo, hi))
+        .agg(count(lit(1)).as("a"),
+          countDistinct(col("user_id")).as("b"),
+          sum(col("val")).cast("double").as("c"))
+        .select(lit("content").as("step"), col("a"), col("b"), col("c"))
+      val fields = partitionFieldsOf(tableProperties(s, root))
+      val (_, kept, total) = readAtPrunedPreds(s, root, None, Nil,
+        PartFields.prunePredicates(fields, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("ts", hi))))
+      def audit(step: String, a: Long, b: Long, c: Double) =
+        s.range(1).select(lit(step).as("step"), lit(a).as("a"),
+          lit(b).as("b"), lit(c).cast("double").as("c"))
+      content
+        .unionByName(audit("prune_range", kept.toLong, total.toLong, 1.0))
+        .unionByName(audit("replace_audit", replaced.toLong,
+          carried.toLong, 1.0))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS val,
+          CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hi
+        FROM events),
+      b AS (SELECT min(hi) AS h0 FROM e0),
+      e AS (SELECT e0.* FROM e0, b WHERE hi < h0 + 240),
+      w AS (SELECT e.*,
+              CASE WHEN hi BETWEEN h0 + 24 AND h0 + 47
+                THEN CAST(val + 5 AS DECIMAL(18,2)) ELSE val END AS adj
+            FROM e, b WHERE hi BETWEEN h0 + 24 AND h0 + 71),
+      h AS (SELECT DISTINCT hi FROM e)
+      SELECT 'content' AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS b,
+        CAST(sum(adj) AS DOUBLE) AS c
+      FROM w
+      UNION ALL
+      SELECT 'prune_range',
+        CAST((SELECT count(*) FROM h, b
+          WHERE hi BETWEEN h0 + 24 AND h0 + 71) AS BIGINT),
+        CAST((SELECT count(*) FROM h) AS BIGINT),
+        CAST(1 AS DOUBLE)
+      UNION ALL
+      SELECT 'replace_audit',
+        CAST((SELECT count(*) FROM h, b
+          WHERE hi BETWEEN h0 + 24 AND h0 + 47) AS BIGINT),
+        CAST((SELECT count(*) FROM h, b
+          WHERE hi NOT BETWEEN h0 + 24 AND h0 + 47) AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 }

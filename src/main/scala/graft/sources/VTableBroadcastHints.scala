@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V1ScanWrapper}
 
@@ -51,8 +52,80 @@ object VTableBroadcastHints extends Rule[LogicalPlan] {
   }
 
   private def sideHint(side: LogicalPlan, threshold: Long): Option[HintInfo] =
-    measuredBytes(side).collect {
+    measuredBytes(side).orElse(aggregateBytes(side)).collect {
       case b if b <= threshold => HintInfo(strategy = Some(BROADCAST))
+    }
+
+  // NDV-BOUNDED AGGREGATE SIZING (r17): a grouped aggregate over a
+  // versioned-table scan outputs at most Π NDV(group column) rows, and
+  // the commit-time stats headers carry per-generation NDV estimates
+  // ([[VersionedTable.scanNdv]] — summed across generations, an upper
+  // bound). When that bound × the aggregate's output row width clears
+  // the broadcast threshold, the AGGREGATED side gets the hint — so
+  // `fact JOIN (SELECT k, sum(x) FROM big GROUP BY k)` broadcasts when
+  // k is low-cardinality and shuffles when it is not, a decision
+  // cardinality makes and bytes alone cannot (the grouped side's INPUT
+  // is huge either way). Conservative everywhere: grouping expressions
+  // must be bare table columns (an expression's NDV is unknowable from
+  // column headers), every generation must carry the column's header,
+  // and the width uses Catalyst's per-type defaults with 2× headroom
+  // for the HLL estimate and row overhead.
+  private def aggregateBytes(p: LogicalPlan): Option[Long] = p match {
+    case Project(pl, child) if pl.forall {
+      case _: Attribute => true
+      case a: Alias => a.child.isInstanceOf[Attribute]
+      case _ => false
+    } => aggregateBytes(child)
+    case a: Aggregate if a.groupingExpressions.nonEmpty =>
+      val groupCols = a.groupingExpressions.map {
+        case attr: Attribute => Some(attr.name)
+        case al: Alias => al.child match {
+          case attr: Attribute => Some(attr.name)
+          case _ => None
+        }
+        case _ => None
+      }
+      if (groupCols.exists(_.isEmpty)) None
+      else leafTable(a.child).flatMap { case (path, ver) =>
+        try {
+          val spark = SparkSession.active
+          val ndvs = groupCols.flatten.map(c =>
+            VersionedTable.scanNdv(spark, path, ver, c))
+          if (ndvs.exists(_.isEmpty)) None
+          else {
+            val bound = ndvs.flatten.map(BigInt(_)).product
+            val width = a.output.map(_.dataType.defaultSize).sum + 16
+            val bytes = bound * width * 2
+            if (bytes.isValidLong) Some(bytes.toLong) else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    case _ => None
+  }
+
+  // the (table path, pinned version) under an aggregate — Filters only
+  // shrink the group set and ANY Project is fine here (the bound comes
+  // from column NDV, not bytes), as long as grouping still names bare
+  // table columns (aliased computed columns fail the attr gate above)
+  private def leafTable(p: LogicalPlan): Option[(String, Option[Long])] =
+    p match {
+      case Project(_, child) => leafTable(child)
+      case Filter(_, child) => leafTable(child)
+      case s: DataSourceV2ScanRelation => s.scan match {
+        case w: V1ScanWrapper => w.v1Scan match {
+          case impl: VTableV1ScanImpl =>
+            Some((impl.tablePath, impl.tableVersion))
+          case _ => None
+        }
+        case impl: VTableV1ScanImpl =>
+          Some((impl.tablePath, impl.tableVersion))
+        case _ => None
+      }
+      case rel: DataSourceV2Relation => rel.table match {
+        case t: VTableV2Table => Some((t.tablePath, t.tableVersion))
+        case _ => None
+      }
+      case _ => None
     }
 
   // walk to the side's leaf through size-preserving unary nodes only:

@@ -229,6 +229,7 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
     val fields = partitions.toSeq.map { t =>
       t.name.toLowerCase match {
         case "identity" => PartIdentity(colOf(t))
+        case "hours" => PartHours(colOf(t))
         case "days" => PartDays(colOf(t))
         case "months" => PartMonths(colOf(t))
         case "years" => PartYears(colOf(t))
@@ -236,9 +237,10 @@ class VTableCatalog extends TableCatalog with ProcedureCatalog {
         case "bucket" => PartBucket(numOf(t), colOf(t))
         case other => throw new IllegalArgumentException(
           s"graft-vtable: unsupported partition transform '$other' — " +
-            "supported: identity columns, days(ts), months(ts), " +
-            "truncate(n, col), bucket(n, col); use statsCol data " +
-            "skipping / OPTIMIZE clustering for other layouts")
+            "supported: identity columns, hours(ts), days(ts), " +
+            "months(ts), years(ts), truncate(n, col), bucket(n, col); " +
+            "use statsCol data skipping / OPTIMIZE clustering for " +
+            "other layouts")
       }
     }
     PartFields.validate(fields, schema)
@@ -416,6 +418,7 @@ class VTableV2Table(path: String, version: Option[Long],
       VersionedTable.tableProperties(SparkSession.active, path, version))
       .map {
         case PartIdentity(c) => Expressions.identity(c)
+        case PartHours(c) => Expressions.hours(c)
         case PartDays(c) => Expressions.days(c)
         case PartMonths(c) => Expressions.months(c)
         case PartYears(c) => Expressions.years(c)
@@ -881,6 +884,10 @@ class VTableV1ScanImpl(path: String, version: Option[Long],
     pruneCol: Option[String], required: StructType, filters: Array[Filter])
     extends V1Scan with SupportsReportStatistics {
 
+  // exposed for [[VTableBroadcastHints]]' NDV-bounded aggregate sizing
+  private[sources] def tablePath: String = path
+  private[sources] def tableVersion: Option[Long] = version
+
   override def readSchema(): StructType = required
 
   override def description(): String =
@@ -903,10 +910,23 @@ class VTableV1ScanImpl(path: String, version: Option[Long],
       case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty()
     }
 
+  // the numRows half (r17): exact kept-generation row counts from the
+  // extended stats headers, when every kept generation carries one
+  private lazy val measuredRows: java.util.OptionalLong =
+    try {
+      val spark = SparkSession.active
+      val (windows, partPreds) = VTableScans.pruneState(spark, path,
+        version, pruneCol, filters.toIndexedSeq)
+      VersionedTable.scanRowCount(spark, path, version, windows, partPreds)
+        .map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
+    } catch {
+      case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty()
+    }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong = measuredSize
-    override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = measuredRows
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -63,6 +63,76 @@ class ParquetPruningSpec extends SparkSpec {
     assert(withBloom > 0)
   }
 
+  test("bloom.<col> table property wires blooms into versioned-table writes") {
+    import graft.sources.VTableCatalog
+    val root = Files.createTempDirectory("vt_bloom").toString
+    val t = s"$root/ns/pts"
+    val plain = s"$root/ns/plainpts"
+    // small row groups so a 200k-row generation has many groups to skip
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    try {
+      hconf.setInt("parquet.block.size", 1 << 16)
+      assert(VersionedTable.createIfAbsent(spark, t, scattered,
+        Map("bloom.k" -> N.toString)))
+      assert(VersionedTable.createIfAbsent(spark, plain, scattered))
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+    }
+
+    // the written files physically CARRY the bloom (footer pin) — the
+    // wiring proof independent of skip behavior
+    def bloomOffsets(table: String): Seq[Long] = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val dir = VersionedTable.readAt(spark, table).inputFiles.head
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir), hconf))
+      try r.getFooter.getBlocks.asScala.toSeq.flatMap(_.getColumns.asScala
+        .filter(_.getPath.toDotString == "k").map(_.getBloomFilterOffset))
+      finally r.close()
+    }
+    assert(bloomOffsets(t).forall(_ >= 0) && bloomOffsets(t).nonEmpty,
+      "declared column must carry a bloom in every row group")
+    assert(bloomOffsets(plain).forall(_ < 0),
+      "undeclared table must not pay for blooms")
+
+    val needle = (12345L * 2654435761L) % 999999937L
+    // correctness + result-identity through the SQL catalog path
+    spark.conf.set("spark.sql.catalog.vtbloom", classOf[VTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtbloom.root", root)
+    assert(spark.sql(s"SELECT v FROM vtbloom.ns.pts WHERE k = $needle")
+      .collect().map(_.getLong(0)).toSeq == Seq(12345L))
+    assert(spark.sql(s"SELECT v FROM vtbloom.ns.plainpts WHERE k = $needle")
+      .collect().map(_.getLong(0)).toSeq == Seq(12345L))
+
+    // decode metrics on the engine scan every catalog read routes
+    // through: bloom table decodes a fraction, plain table decodes all
+    val withBloom = scanRows(
+      VersionedTable.readAt(spark, t).filter(col("k") === needle))
+    val without = scanRows(
+      VersionedTable.readAt(spark, plain).filter(col("k") === needle))
+    assert(without == N, s"expected full decode without bloom, got $without")
+    assert(withBloom < N / 4,
+      s"bloom should skip most row groups: decoded $withBloom of $N")
+
+    // maintenance keeps the contract: a compaction rewrite re-carries
+    // the bloom into the files it writes
+    try {
+      hconf.setInt("parquet.block.size", 1 << 16)
+      VersionedTable.commit(spark, t,
+        scattered.withColumn("k", col("k") + 1), overwrite = false)
+      assert(VersionedTable.compact(spark, t).isDefined)
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+    }
+    assert(bloomOffsets(t).forall(_ >= 0) && bloomOffsets(t).nonEmpty,
+      "the compacted generation must carry the declared bloom")
+  }
+
   test("sorted row groups + min/max stats skip on a point predicate") {
     val dir = Files.createTempDirectory("pq_sorted").toString + "/t"
     spark.range(N).select(col("id").as("k"), (col("id") * 7).as("v"))

@@ -30,11 +30,13 @@ class PartFieldsSpec extends SparkSpec {
     assert(PartFields.parse("bucket(id,8)") == PartBucket(8, "id"))
     // bare identifiers stay identity (the pre-transform property format)
     assert(PartFields.parse("yr") == PartIdentity("yr"))
+    assert(PartFields.parse("hours(ts)") == PartHours("ts"),
+      "hours() is supported since r17 (spec evolution made the fan-out " +
+        "a correctable decision)")
     // round-trip: spec text re-parses to the same field
-    Seq(PartDays("ts"), PartMonths("ts"), PartTruncate(3, "c"),
-      PartBucket(16, "k"), PartIdentity("yr")).foreach(f =>
-      assert(PartFields.parse(f.spec) == f, f.spec))
-    intercept[IllegalArgumentException](PartFields.parse("hours(ts)"))
+    Seq(PartHours("ts"), PartDays("ts"), PartMonths("ts"),
+      PartTruncate(3, "c"), PartBucket(16, "k"), PartIdentity("yr"))
+      .foreach(f => assert(PartFields.parse(f.spec) == f, f.spec))
     intercept[IllegalArgumentException](PartFields.parseList("days((ts)"))
   }
 
@@ -115,6 +117,76 @@ class PartFieldsSpec extends SparkSpec {
     assert(replaced == 1 && carried == 2, s"replaced $replaced carried $carried")
     assert(VersionedTable.readAt(spark, root, Some(v2)).collect()
       .map(_.getInt(0)).toSet == Set(9, 3, 4))
+  }
+
+  test("hours(ts): routed writes, ordered hour tokens prune, UTC-pinned") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq(
+      (1, ts("2026-01-01T10:15:00Z")), (2, ts("2026-01-01T10:59:59Z")),
+      (3, ts("2026-01-01T11:00:00Z")), (4, ts("2026-01-02T00:30:00Z")),
+      (5, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "ts")
+    // write under a NON-UTC session zone: leaf tokens must stay UTC
+    val zone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      assert(VersionedTable.createIfAbsent(spark, root, df,
+        Map("partition" -> "hours(ts)")))
+    } finally spark.conf.set("spark.sql.session.timeZone", zone)
+    assert(leafNames(root, 1L).toSet == Set(
+      "__p_ts_hour=2026-01-01-10", "__p_ts_hour=2026-01-01-11",
+      "__p_ts_hour=2026-01-02-00",
+      "__p_ts_hour=__HIVE_DEFAULT_PARTITION__"))
+    val fields = VersionedTable.partitionFieldsOf(
+      VersionedTable.tableProperties(spark, root))
+    def kept(filters: Filter*): Int =
+      VersionedTable.readAtPrunedPreds(spark, root, None, Nil,
+        PartFields.prunePredicates(fields, filters.toIndexedSeq))._2
+    assert(kept(GreaterThanOrEqual("ts", ts("2026-01-01T11:00:00Z"))) == 2)
+    assert(kept(LessThan("ts", ts("2026-01-01T11:00:00Z"))) == 2,
+      "hour granularity: LT keeps the bound's own hour leaf (sound)")
+    assert(kept(EqualTo("ts", ts("2026-01-01T10:30:00Z"))) == 1)
+    assert(kept(IsNull("ts")) == 1)
+    assert(kept(GreaterThan("ts", ts("2027-01-01T00:00:00Z"))) == 0)
+    // end-to-end through the relation's pushed filters
+    val rel = spark.read.format("graft-vtable").option("path", root).load()
+    assert(rel.filter(col("ts") >= lit(ts("2026-01-01T11:00:00Z")))
+      .count() == 2)
+    // write/prune agreement per key: the Spark-side token equals the
+    // driver-side translation for every row (pre-epoch included)
+    val probe = Seq(ts("2026-01-01T10:15:00Z"), ts("1969-12-31T23:30:00Z"),
+      ts("1969-12-31T22:59:59Z")).toDF("ts")
+    val sparkToks = probe
+      .select(PartDates.utcHourToken(col("ts"))).collect().map(_.getString(0))
+    val driverToks = Seq("2026-01-01T10:15:00Z", "1969-12-31T23:30:00Z",
+      "1969-12-31T22:59:59Z")
+      .map(s => PartDates.hourTokenOf(ts(s)).get)
+    assert(sparkToks.toSeq == driverToks,
+      s"${sparkToks.mkString(",")} vs ${driverToks.mkString(",")}")
+    // a DATE column has no hour: refuse at validation (both paths)
+    intercept[IllegalArgumentException](PartFields.validate(
+      Seq(PartHours("d")), StructType(Seq(StructField("d", DateType)))))
+    // the aging path: hours refines into days/months/years
+    assert(PartFields.refineToken(PartHours("ts"), PartDays("ts"),
+      Some("2026-01-01-10"), TimestampType) == Some(Some("2026-01-01")))
+    assert(PartFields.refineToken(PartHours("ts"), PartMonths("ts"),
+      Some("2026-01-01-10"), TimestampType) == Some(Some("2026-01")))
+    assert(PartFields.refineToken(PartHours("ts"), PartYears("ts"),
+      Some("2026-01-01-10"), TimestampType) == Some(Some("2026")))
+    assert(PartFields.refineToken(PartDays("ts"), PartHours("ts"),
+      Some("2026-01-01"), TimestampType).isEmpty,
+      "a day spans many hours — not refinable")
+    // evolve hours→days: a reload of one hour's day drops exactly the
+    // old-era hour leaves of that day (token refinement)
+    VersionedTable.evolvePartitionSpec(spark, root, "days(ts)")
+    val reload = Seq((9, ts("2026-01-01T12:00:00Z"))).toDF("id", "ts")
+    val Some((v3, replaced, carried)) =
+      VersionedTable.overwritePartitions(spark, root, reload)
+    assert(replaced == 2 && carried == 2,
+      s"the two 2026-01-01 hour leaves replace; got $replaced/$carried")
+    assert(VersionedTable.readAt(spark, root, Some(v3)).collect()
+      .map(_.getInt(0)).toSet == Set(9, 4, 5))
   }
 
   test("months(d) and truncate: ordered tokens prune; '' and NULL conflate") {

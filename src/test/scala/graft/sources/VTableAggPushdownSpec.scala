@@ -360,6 +360,60 @@ class VTableAggPushdownSpec extends SparkSpec {
     assert(fresh.head().getLong(0) == 50L)
   }
 
+  test("NDV headers bound grouped outputs: low-NDV aggregate sides broadcast") {
+    graft.expr.GraftFunctions.register(spark) // the broadcast-hint rule
+    val t = s"$root/ns/ndv"
+    val big = spark.range(40000).select(
+      (col("id") % 7).as("g"), col("id").as("k"), (col("id") * 3).as("v"))
+    VersionedTable.commit(spark, t, big, overwrite = true,
+      statsCols = Seq("g", "k"))
+    VersionedTable.commit(spark, t,
+      big.withColumn("k", col("k") + 40000L), overwrite = false,
+      statsCols = Seq("g", "k"))
+    // the extended headers carry per-generation NDV (summed = upper bound)
+    assert(VersionedTable.scanNdv(spark, t, None, "g")
+      .exists(n => n >= 7 && n < 50))
+    assert(VersionedTable.scanNdv(spark, t, None, "k").exists(_ > 50000L))
+    assert(VersionedTable.scanNdv(spark, t, None, "v").isEmpty,
+      "untracked columns have no NDV")
+    // the rows field feeds numRows exactly
+    assert(VersionedTable.scanRowCount(spark, t, None, Nil, Nil)
+      .contains(80000L))
+
+    val fact = s"$root/ns/ndvfact"
+    VersionedTable.commit(spark, fact, spark.range(200000).select(
+      (col("id") % 7).as("fg"), (col("id") % 80000L).as("fk"),
+      col("id").as("fv")), overwrite = true)
+
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // small threshold isolates the NDV decision: both BASE scans are
+      // bigger than it, so only the aggregate bound can earn a hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024).toString)
+      val lo = spark.sql(
+        "SELECT fg, s FROM vtagg.ns.ndvfact JOIN " +
+          "(SELECT g, sum(v) AS s FROM vtagg.ns.ndv GROUP BY g) ON fg = g")
+      val hi = spark.sql(
+        "SELECT fk, s FROM vtagg.ns.ndvfact JOIN " +
+          "(SELECT k, sum(v) AS s FROM vtagg.ns.ndv GROUP BY k) ON fk = k")
+      assert(lo.queryExecution.optimizedPlan.toString.contains("broadcast"),
+        "7-group aggregate: NDV bound clears the threshold → hint")
+      assert(planOf(lo).contains("BroadcastHashJoin"))
+      assert(!hi.queryExecution.optimizedPlan.toString.contains("broadcast"),
+        "80k-group aggregate: NDV bound exceeds the threshold → no hint")
+      // results stay exact on the hinted path
+      val expect = spark.range(40000)
+        .select((col("id") % 7).as("g"), (col("id") * 3).as("v"))
+        .groupBy("g").agg(sum(col("v")).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1) * 2).toMap // two identical gens
+      val got = lo.groupBy("fg").agg(first(col("s"))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("case-colliding schemas refuse aggregate pushdown outright") {
     import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}

@@ -141,10 +141,16 @@ class VTableCatalogSpec extends SparkSpec {
       "CREATE TABLE vtcat.pby.b (id INT, v INT) PARTITIONED BY (bucket(4, id))")
     assert(VersionedTable.tableProperties(spark, s"$root/pby/b")("partition")
       == "bucket(4,id)")
-    // refusals: unsupported transforms, continuous types, property
-    // spelling, post-hoc repartitioning
+    // hours(ts) is SUPPORTED since r17 (PartFieldsSpec pins the full
+    // transform behavior); the SQL surface records the canonical spec
+    spark.sql(
+      "CREATE TABLE vtcat.pby.h (id INT, ts TIMESTAMP) PARTITIONED BY (hours(ts))")
+    assert(VersionedTable.tableProperties(spark, s"$root/pby/h")("partition")
+      == "hours(ts)")
+    // refusals: continuous types, property spelling, post-hoc
+    // repartitioning, transforms over typeless columns
     intercept[Exception](spark.sql(
-      "CREATE TABLE vtcat.pby.h (id INT, ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
+      "CREATE TABLE vtcat.pby.h2 (id INT, d DATE) PARTITIONED BY (hours(d))"))
     intercept[Exception](spark.sql(
       "CREATE TABLE vtcat.pby.d (id INT, v DOUBLE) PARTITIONED BY (v)"))
     intercept[Exception](spark.sql(
