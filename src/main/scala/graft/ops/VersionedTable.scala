@@ -1909,14 +1909,24 @@ object VersionedTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"VersionedTable: no committed snapshot at $root")
     val ver = v.getOrElse(vs.last)
+    val meta = manifestMeta(spark, root, ver)
     val hfs = fs(spark, root)
     val rows = manifestDirs(spark, root, ver).map { d =>
       val sts = hfs.listStatus(new Path(root, d))
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      (d, sts.length, sts.map(_.getLen).sum)
+      // the entry's recorded row count, from the extended stats header
+      // any tracked column carries (r17: "min,max,ndv,rows"); NULL when
+      // the generation predates tracking or tracks no column
+      val recRows: Option[Long] = meta.collectFirst {
+        case (k, s) if k.startsWith("stats:") &&
+            decDir(k.split(":", 3)(2)) == d && s.split(",").length > 3 =>
+          s.split(",")(3).toLongOption
+      }.flatten
+      (d, sts.length, sts.map(_.getLen).sum,
+        recRows.map(java.lang.Long.valueOf).orNull)
     }
     import spark.implicits._
-    rows.toDF("entry", "n_files", "bytes")
+    rows.toDF("entry", "n_files", "bytes", "rows")
   }
 
   /** Metadata table `<t>.refs`: every named ref — tags (durable version
