@@ -193,6 +193,94 @@ object FooterStats {
         }
     }
 
+  // binary comparison over INTERNAL token/literal values — the same
+  // total order Spark's default (UTF8_BINARY) string comparison and the
+  // numeric/date internal representations use, so a token-level keep
+  // decision agrees exactly with the row-level predicate
+  private def cmpInternal(a: Any, b: Any): Int = (a, b) match {
+    case (x: org.apache.spark.unsafe.types.UTF8String,
+          y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Long.compare(x.longValue, y.longValue)
+    case _ => throw new IllegalArgumentException(
+      s"FooterStats: incomparable token classes ${a.getClass}/${b.getClass}")
+  }
+
+  // evaluate one pushed source filter against an entry's INTERNAL token
+  // value (null = the hive null partition). Comparisons follow SQL
+  // three-valued logic collapsed to keep/drop: a null token satisfies
+  // no comparison (those rows are provably excluded by the predicate),
+  // only IS NULL. `conv` converts the filter's EXTERNAL literal to the
+  // internal representation once per (filter, entry) evaluation.
+  private def evalTokenFilter(f: org.apache.spark.sql.sources.Filter,
+      tok: Any, conv: Any => Any): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(_, v) => tok != null && cmpInternal(tok, conv(v)) == 0
+      case GreaterThan(_, v) => tok != null && cmpInternal(tok, conv(v)) > 0
+      case GreaterThanOrEqual(_, v) =>
+        tok != null && cmpInternal(tok, conv(v)) >= 0
+      case LessThan(_, v) => tok != null && cmpInternal(tok, conv(v)) < 0
+      case LessThanOrEqual(_, v) =>
+        tok != null && cmpInternal(tok, conv(v)) <= 0
+      case In(_, vs) => tok != null &&
+        vs.exists(v => v != null && cmpInternal(tok, conv(v)) == 0)
+      case IsNull(_) => tok == null
+      case IsNotNull(_) => tok != null
+      case other => throw new IllegalArgumentException(
+        s"FooterStats: unabsorbable filter shape $other")
+    }
+  }
+
+  /** PLAN-TIME translation of absorbed partition filters into the exact
+    * set of manifest entries they keep: Some(kept) iff the leaf tokens
+    * at version `v` PROVE every filter — each entry either carries a
+    * parseable `__p_<col>=<token>` segment for every filtered column
+    * (identity transform: the token IS the value of every row in the
+    * entry, so the token-level decision equals the row-level one), or
+    * provably holds no data files. None = unprovable (a pre-partitioning
+    * era, a string column's null-token ''-vs-null ambiguity, an
+    * unparseable token) — the caller must refuse metadata serving and
+    * let the exact data scan apply the filter. Same listing discipline
+    * as [[groupingProvable]]: >8 token-less entries refuse outright.
+    */
+  def provableKeptEntries(spark: SparkSession, root: String, v: Long,
+      preds: Seq[(String, DataType, org.apache.spark.sql.sources.Filter)])
+      : Option[Seq[String]] = {
+    val entries = VersionedTable.manifestDirs(spark, root, v)
+    val convs = preds.map { case (_, dt, _) =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)
+    }
+    // per entry: Some(keep?) when every pred's token proves; None when
+    // some token is missing/unparseable (entry must then be empty)
+    val decisions: Seq[Option[Boolean]] = entries.map { e =>
+      val toks = preds.map { case (c, dt, _) =>
+        VersionedTable.partValueOf(e, c).flatMap(tokenValue(_, dt))
+      }
+      if (toks.exists(_.isEmpty)) None
+      else Some(toks.zip(preds).zip(convs).forall {
+        case ((tok, (_, _, f)), conv) => evalTokenFilter(f, tok.get, conv)
+      })
+    }
+    val unproven = entries.zip(decisions).collect {
+      case (e, None) => e
+    }
+    val provable =
+      if (unproven.isEmpty) true
+      else if (unproven.size > 8) false
+      else {
+        val hfs = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val rootPath = new Path(root)
+        unproven.forall(e => listEntry(hfs, rootPath, e).isEmpty)
+      }
+    if (!provable) None
+    else Some(entries.zip(decisions).collect {
+      case (e, Some(true)) => e // provably-empty entries drop too
+    })
+  }
+
   /** PLAN-TIME gate for GROUPED aggregate pushdown: true iff the
     * manifest's leaf tokens at version `v` PROVE the grouping — every
     * entry either carries a parseable `__p_<col>=<token>` segment for
@@ -264,10 +352,16 @@ object FooterStats {
     * footer statistics turn out unusable.
     */
   def aggregate(spark: SparkSession, root: String, v: Option[Long],
-      specs: Seq[AggSpec]): Array[Any] = {
+      specs: Seq[AggSpec], kept: Option[Seq[String]] = None,
+      exactWhere: Option[org.apache.spark.sql.Column] = None): Array[Any] = {
     require(specs.nonEmpty, "FooterStats: no aggregates requested")
     val ver = resolveVersion(spark, root, v)
-    val entries = VersionedTable.manifestDirs(spark, root, ver)
+    // `kept` (from [[provableKeptEntries]]) restricts the footer job to
+    // exactly the entries an absorbed partition predicate keeps; the
+    // manifest at a pinned version is immutable, so a plan-time list
+    // stays valid at execution
+    val entries = kept.getOrElse(
+      VersionedTable.manifestDirs(spark, root, ver))
     val colSpecs = colSpecsOf(specs)
     val partials = entryPartials(spark,
       listFiles(spark, root, entries), colSpecs)
@@ -282,7 +376,11 @@ object FooterStats {
     val fallback: Map[String, (Any, Any, Long)] =
       if (unservedCols.isEmpty) Map.empty
       else {
-        val df = VersionedTable.readAt(spark, root, Some(ver))
+        // the exact fallback must honor the absorbed predicate — Spark
+        // dropped its own Filter when the scan claimed the pushdown, so
+        // re-applying it here is what keeps the fallback EXACT
+        val df = exactWhere.foldLeft(
+          VersionedTable.readAt(spark, root, Some(ver)))(_.where(_))
         // compute ONLY what each column's specs need: COUNT-only columns
         // (any type — maps/structs included) must not be fed through
         // min/max, which Spark refuses for unorderable types
@@ -336,10 +434,12 @@ object FooterStats {
     */
   def aggregateByPartition(spark: SparkSession, root: String,
       v: Option[Long], groupCols: Seq[(String, DataType)],
-      specs: Seq[AggSpec]): Option[Seq[Array[Any]]] = {
+      specs: Seq[AggSpec], kept: Option[Seq[String]] = None)
+      : Option[Seq[Array[Any]]] = {
     require(groupCols.nonEmpty, "FooterStats: no group columns")
     val ver = resolveVersion(spark, root, v)
-    val entries = VersionedTable.manifestDirs(spark, root, ver)
+    val entries = kept.getOrElse(
+      VersionedTable.manifestDirs(spark, root, ver))
     val colSpecs = colSpecsOf(specs)
     val files = listFiles(spark, root, entries)
     // entries with no data files contribute nothing — the catalog's
@@ -442,6 +542,39 @@ object FooterStats {
       case FloatType => p.getPrimitiveTypeName == FLOAT && ann == null
       case DoubleType => p.getPrimitiveTypeName == DOUBLE && ann == null
       case _ => false
+    }
+  }
+
+  /** COMMIT-TIME per-file statistics for a freshly written generation
+    * (the writer "harvests the footers it just wrote"): per file, its
+    * exact row count and — for each requested LONG-channel column — the
+    * footer [min, max] when every chunk's statistics are trustworthy
+    * ([[statsTypeOk]]) and the file has non-null values; None for
+    * all-null or unusable-stats files (readers must treat a missing
+    * record as "must scan"). Result aligns with `files` by index.
+    * Footer reads only — never a data page; concurrent over a bounded
+    * pool for wide commits.
+    */
+  private[ops] def fileStats(files: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[(String, DataType)])
+      : Seq[(Long, Seq[Option[(Long, Long)]])] = {
+    val names = cols.map(_._1).toArray
+    val dts = cols.map(c => Some(c._2): Option[DataType]).toArray
+    def one(f: String): (Long, Seq[Option[(Long, Long)]]) = {
+      val p = readFooter(f, conf, names, dts)
+      (p.rows, p.cols.toSeq.map(c =>
+        if (c.unserved || !c.hasValues) None else Some((c.minL, c.maxL))))
+    }
+    if (files.size <= 1) files.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try files.map(f => pool.submit(
+        new java.util.concurrent.Callable[(Long, Seq[Option[(Long, Long)]])] {
+          override def call(): (Long, Seq[Option[(Long, Long)]]) = one(f)
+        })).map(_.get())
+      finally pool.shutdown()
     }
   }
 

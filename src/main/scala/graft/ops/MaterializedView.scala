@@ -139,11 +139,18 @@ object MaterializedView {
       .agg(exprs.head, exprs.tail: _*)
   }
 
+  // one source of the MV's join chain: its table root, the equi-join
+  // keys attaching it to the ACCUMULATED join of all earlier sources
+  // (empty for the first source), and the folded freshness marker
+  private final case class MvSource(root: String,
+      joinKeys: Seq[(String, String)], folded: Long)
+
   // the complete MV definition as read back from TBLPROPERTIES
-  private final case class MvDef(source: String, source2: Option[String],
-      joinKeys: Seq[(String, String)], groupCols: Seq[String],
-      aggs: Seq[AggDef], where: Option[String],
-      folded: Long, folded2: Option[Long])
+  private final case class MvDef(sources: Seq[MvSource],
+      groupCols: Seq[String], aggs: Seq[AggDef], where: Option[String]) {
+    def source: String = sources.head.root
+    def folded: Long = sources.head.folded
+  }
 
   private def parseJoinKeys(spec: String): Seq[(String, String)] = {
     val ks = spec.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
@@ -158,19 +165,17 @@ object MaterializedView {
     ks
   }
 
-  // the MV's semantic source frame at the given version(s): the single
-  // table, or the inner equi-join of the two — WHERE is applied by the
-  // aggregate, not here (it may reference both sides' columns)
+  // the MV's semantic source frame at the given per-source versions:
+  // the single table, or the LEFT-DEEP chain of inner equi-joins —
+  // WHERE is applied by the aggregate, not here (it may reference any
+  // side's columns)
   private def sourceFrame(spark: SparkSession, d: MvDef,
-      vA: Option[Long], vB: Option[Long]): DataFrame = {
-    val a = VersionedTable.readAt(spark, d.source, vA)
-    d.source2 match {
-      case None => a
-      case Some(s2) =>
-        val b = VersionedTable.readAt(spark, s2, vB)
-        joinFrames(a, b, d.joinKeys)
-    }
-  }
+      vs: Seq[Option[Long]]): DataFrame =
+    d.sources.zip(vs).map { case (s, v) =>
+      (VersionedTable.readAt(spark, s.root, v), s.joinKeys)
+    }.reduceLeft[(DataFrame, Seq[(String, String)])] {
+      case ((acc, _), (next, keys)) => (joinFrames(acc, next, keys), Nil)
+    }._1
 
   // plain inner equi-join (SQL semantics: NULL keys never match) — the
   // full recompute and every delta term use the SAME join shape, so the
@@ -228,42 +233,85 @@ object MaterializedView {
   def createJoin(spark: SparkSession, mvRoot: String, leftRoot: String,
       rightRoot: String, joinOn: Seq[(String, String)],
       groupCols: Seq[String], aggSpec: String,
+      where: Option[String] = None): Boolean =
+    createJoinChain(spark, mvRoot, leftRoot, Seq((rightRoot, joinOn)),
+      groupCols, aggSpec, where)
+
+  /** Create an N-TABLE join MV — a grouped aggregate over a LEFT-DEEP
+    * chain of inner equi-joins (`fact ⋈ dim1 ⋈ dim2 ⋈ …` — the q03
+    * star as a view), maintained incrementally from EVERY source's
+    * change feed by folding the bilinear delta identity pairwise over
+    * the chain: with X = A⋈B already maintained, Δ(X⋈C) = ΔX⋈C_old ∪
+    * X_old⋈ΔC ∪ ΔX⋈ΔC, signs multiplying through. `chain` lists the
+    * sources joined onto `firstRoot` in order; each entry's key pairs
+    * are `(leftCol, rightCol)` where leftCol may come from ANY earlier
+    * source (the accumulated join) and rightCol from the entry's own
+    * table. All schemas must be pairwise column-disjoint. Returns false
+    * if a table already exists at `mvRoot`.
+    */
+  def createJoinChain(spark: SparkSession, mvRoot: String,
+      firstRoot: String, chain: Seq[(String, Seq[(String, String)])],
+      groupCols: Seq[String], aggSpec: String,
       where: Option[String] = None): Boolean = {
     require(groupCols.nonEmpty, "mview: need at least one GROUP BY column")
-    require(joinOn.nonEmpty, "mview: need at least one join key pair")
+    require(chain.nonEmpty, "mview: a join MV needs at least two sources")
+    chain.foreach { case (r, ks) =>
+      require(ks.nonEmpty, s"mview: no join keys attaching $r") }
     val aggs = parseAggs(aggSpec)
     requireNoClash(aggs, groupCols)
-    val lVs = VersionedTable.versions(spark, leftRoot)
-    val rVs = VersionedTable.versions(spark, rightRoot)
-    require(lVs.nonEmpty, s"mview: no source table at $leftRoot")
-    require(rVs.nonEmpty, s"mview: no source table at $rightRoot")
-    val (tipL, tipR) = (lVs.last, rVs.last)
-    val a = VersionedTable.readAt(spark, leftRoot, Some(tipL))
-    val b = VersionedTable.readAt(spark, rightRoot, Some(tipR))
-    val overlap = a.columns.map(_.toLowerCase).toSet
-      .intersect(b.columns.map(_.toLowerCase).toSet)
-    require(overlap.isEmpty,
-      s"mview: join sources share column name(s) ${overlap.mkString(",")}" +
-        " — the joined frame would be ambiguous; rename one side first")
-    joinOn.foreach { case (l, r) =>
-      require(a.columns.exists(_.equalsIgnoreCase(l)),
-        s"mview: left source has no join column $l")
-      require(b.columns.exists(_.equalsIgnoreCase(r)),
-        s"mview: right source has no join column $r")
+    val roots = firstRoot +: chain.map(_._1)
+    val tips = roots.map { r =>
+      val vs = VersionedTable.versions(spark, r)
+      require(vs.nonEmpty, s"mview: no source table at $r")
+      vs.last
     }
-    val joined = joinFrames(a, b, joinOn)
+    val frames = roots.zip(tips).map { case (r, t) =>
+      VersionedTable.readAt(spark, r, Some(t)) }
+    // pairwise column-disjoint, so the chained frame is unambiguous
+    frames.zip(roots).combinations(2).foreach {
+      case Seq((fa, ra), (fb, rb)) =>
+        val overlap = fa.columns.map(_.toLowerCase).toSet
+          .intersect(fb.columns.map(_.toLowerCase).toSet)
+        require(overlap.isEmpty,
+          s"mview: join sources $ra and $rb share column name(s) " +
+            s"${overlap.mkString(",")} — the joined frame would be " +
+            "ambiguous; rename one side first")
+      case _ => ()
+    }
+    // each step's left key must resolve in the ACCUMULATED columns,
+    // the right key in the step's own source
+    val joined = chain.zipWithIndex.foldLeft(frames.head) {
+      case (acc, ((_, keys), i)) =>
+        val b = frames(i + 1)
+        keys.foreach { case (l, r) =>
+          require(acc.columns.exists(_.equalsIgnoreCase(l)),
+            s"mview: no earlier source has join column $l")
+          require(b.columns.exists(_.equalsIgnoreCase(r)),
+            s"mview: source ${roots(i + 1)} has no join column $r")
+        }
+        joinFrames(acc, b, keys)
+    }
     validateDefinition(joined, groupCols, aggs, where)
+    // property layout: the 2-table names stay as r17 wrote them
+    // (source2/join/source2_version — existing MVs read back unchanged);
+    // sources 3+ ride mview.source<i>/mview.join<i>/mview.source<i>_version
+    val srcProps = chain.zipWithIndex.flatMap { case ((r, ks), i) =>
+      val n = i + 2
+      val (srcKey, joinKey) =
+        if (n == 2) ("mview.source2", "mview.join")
+        else (s"mview.source$n", s"mview.join$n")
+      Seq(srcKey -> r,
+        joinKey -> ks.map { case (l, rc) => s"$l=$rc" }.mkString(","),
+        s"mview.source${n}_version" -> tips(i + 1).toString)
+    }
     VersionedTable.createIfAbsent(spark, mvRoot,
       fullAggregate(joined, groupCols, aggs, where),
       Map(
-        "mview.source" -> leftRoot,
-        "mview.source2" -> rightRoot,
-        "mview.join" -> joinOn.map { case (l, r) => s"$l=$r" }.mkString(","),
+        "mview.source" -> firstRoot,
         "mview.group" -> groupCols.mkString(","),
         "mview.aggs" -> aggSpec,
-        "mview.source_version" -> tipL.toString,
-        "mview.source2_version" -> tipR.toString) ++
-        where.map("mview.where" -> _))
+        "mview.source_version" -> tips.head.toString) ++
+        srcProps ++ where.map("mview.where" -> _))
   }
 
   private def requireNoClash(aggs: Seq[AggDef], groupCols: Seq[String]): Unit = {
@@ -289,14 +337,20 @@ object MaterializedView {
       mvRoot: String): MvDef = {
     def need(k: String) = props.getOrElse(k, throw new IllegalArgumentException(
       s"mview: $mvRoot is not a materialized view — missing property $k"))
-    val source2 = props.get("mview.source2")
-    MvDef(need("mview.source"), source2,
-      source2.map(_ => parseJoinKeys(need("mview.join"))).getOrElse(Nil),
+    val first = MvSource(need("mview.source"), Nil,
+      need("mview.source_version").toLong)
+    // source 2 keeps the r17 property names; 3+ are numbered throughout
+    val rest = Iterator.from(2).map { n =>
+      val (srcKey, joinKey) =
+        if (n == 2) ("mview.source2", "mview.join")
+        else (s"mview.source$n", s"mview.join$n")
+      props.get(srcKey).map(r => MvSource(r, parseJoinKeys(need(joinKey)),
+        need(s"mview.source${n}_version").toLong))
+    }.takeWhile(_.isDefined).flatten.toSeq
+    MvDef(first +: rest,
       need("mview.group").split(',').toSeq.map(_.trim),
       parseAggs(need("mview.aggs")),
-      props.get("mview.where"),
-      need("mview.source_version").toLong,
-      source2.map(_ => need("mview.source2_version").toLong))
+      props.get("mview.where"))
   }
 
   // a signed change frame: +1 insert/update_postimage, -1 delete/
@@ -317,77 +371,132 @@ object MaterializedView {
   def refresh(spark: SparkSession, mvRoot: String): Refresh = {
     val props = VersionedTable.tableProperties(spark, mvRoot)
     val d = definitionOf(props, mvRoot)
-    val vsA = VersionedTable.versions(spark, d.source)
-    require(vsA.nonEmpty, s"mview: source table vanished at ${d.source}")
-    val tipA = vsA.last
-    val tipB = d.source2.map { s2 =>
-      val vs = VersionedTable.versions(spark, s2)
-      require(vs.nonEmpty, s"mview: source table vanished at $s2")
+    val tips = d.sources.map { s =>
+      val vs = VersionedTable.versions(spark, s.root)
+      require(vs.nonEmpty, s"mview: source table vanished at ${s.root}")
       vs.last
     }
-    if (tipA == d.folded && tipB == d.folded2)
+    val tipA = tips.head
+    val tipB = if (d.sources.size > 1) Some(tips(1)) else None
+    if (d.sources.map(_.folded) == tips)
       return Refresh(VersionedTable.versions(spark, mvRoot).last, tipA, 0L,
         "noop", 0L, tipB)
-    require(tipA >= d.folded && tipB.zip(d.folded2).forall(t => t._1 >= t._2),
-      s"mview: a source tip is BEHIND its folded marker " +
-        s"(source $tipA vs ${d.folded}" +
-        tipB.map(t => s", source2 $t vs ${d.folded2.get}").getOrElse("") +
-        ") — the source history was rewritten; drop and recreate the view")
+    d.sources.zip(tips).foreach { case (s, t) =>
+      require(t >= s.folded,
+        s"mview: source ${s.root} tip $t is BEHIND its folded marker " +
+          s"${s.folded} — the source history was rewritten; drop and " +
+          "recreate the view")
+    }
 
     val cur = VersionedTable.readAt(spark, mvRoot)
     val mvSchema = cur.schema
 
+    // CASCADING REFRESH: publish carries the refresh's own row-level
+    // delta as the commit's RECORDED CDF (old row → update_preimage /
+    // delete, new row → update_postimage / insert, per changed group),
+    // so an MV sourcing THIS MV — the bronze→silver→gold medallion
+    // chain — folds O(changed groups) from `tableChanges` instead of
+    // refusing on the overwrite shape and recomputing in full. `scope`
+    // bounds the diff to the fold's changed groups (incremental mode);
+    // None diffs old-vs-new content wholesale (full mode — the diff is
+    // MV-sized, the same order as writing the content, and it keeps the
+    // DOWNSTREAM tier incremental even when this tier had to recompute).
     def publish(content: DataFrame, changedGroups: Long, mode: String,
-        recomputed: Long): Refresh = {
+        recomputed: Long, scope: Option[DataFrame]): Refresh = {
       // cast back to the STORED schema: decimal `+` widens precision, and
-      // without this pin each refresh would widen the column types again
+      // without this pin each refresh would widen the column types again.
+      // Materialized once (MV-sized): the delta diff below and the
+      // commit's write both consume it — recomputing the fold twice
+      // would double the refresh, and diffing against a live plan that
+      // itself references `cur` invites self-join ambiguity
       val fitted = content.select(mvSchema.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
-      val markers = Map("prop:mview.source_version" -> tipA.toString) ++
-        tipB.map(t => "prop:mview.source2_version" -> t.toString)
-      val v = VersionedTable.commit(spark, mvRoot, fitted, overwrite = true,
-        meta = markers)
+        col(f.name).cast(f.dataType).as(f.name)): _*).localCheckpoint(true)
+      val markers = d.sources.indices.map { i =>
+        val key = if (i == 0) "prop:mview.source_version"
+          else s"prop:mview.source${i + 1}_version"
+        key -> tips(i).toString
+      }.toMap
+      // bounded: scope-restricted (touched groups) or MV-sized; consumed
+      // twice (emptiness probe + the commit's write)
+      val delta = refreshDelta(cur, fitted, d.groupCols,
+        d.aggs.map(_.name), scope).localCheckpoint(true)
+      val v =
+        if (delta.isEmpty)
+          VersionedTable.commit(spark, mvRoot, fitted, overwrite = true,
+            meta = markers + ("cdf_none" -> "true"))
+        else VersionedTable.commit(spark, mvRoot, fitted, overwrite = true,
+          meta = markers, cdf = Some(delta))
       Refresh(v, tipA, changedGroups, mode, recomputed, tipB)
     }
 
     def fullRecompute(): Refresh = {
-      val full = fullAggregate(sourceFrame(spark, d, Some(tipA), tipB),
+      val full = fullAggregate(sourceFrame(spark, d, tips.map(Some(_))),
         d.groupCols, d.aggs, d.where)
-      publish(full, full.count(), "full", 0L)
+      publish(full, full.count(), "full", 0L, None)
     }
 
     def changesOf(root: String, from: Long, to: Long): DataFrame =
       VersionedTable.tableChanges(spark, root, from, to)
 
     // the signed delta of the MV's SOURCE FRAME across the window —
-    // single table: the change feed; join: the bilinear identity
+    // single table: the change feed; joins: the bilinear identity
+    // Δ(X⋈Y) = ΔX⋈Y_old ∪ X_old⋈ΔY ∪ ΔX⋈ΔY folded PAIRWISE down the
+    // left-deep chain (X = the accumulated join of all earlier sources),
+    // joined-row signs the product of input signs. Per level the cost is
+    // O(ΔX⋈Y) + O(X_old⋈ΔY) + O(ΔX⋈ΔY) — an unchanged source
+    // contributes no terms (its delta is None), so a fact-only commit on
+    // an N-way star costs one Δfact⋈dims chain, never a join recompute.
     val signedDelta: DataFrame =
       try {
-        d.source2 match {
-          case None =>
-            signed(changesOf(d.source, d.folded, tipA), "__sign")
-          case Some(s2) =>
-            val keys = d.joinKeys
-            val dA =
-              if (tipA == d.folded) None
-              else Some(signed(changesOf(d.source, d.folded, tipA), "__sa")
-                .localCheckpoint(true)) // window-sized; joined twice below
-            val dB =
-              if (tipB.get == d.folded2.get) None
-              else Some(signed(changesOf(s2, d.folded2.get, tipB.get), "__sb")
-                .localCheckpoint(true))
-            val aOld = VersionedTable.readAt(spark, d.source, Some(d.folded))
-            val bOld = VersionedTable.readAt(spark, s2, d.folded2)
-            val outCols = (d.groupCols ++ aggInputCols(d.aggs)).distinct
-            def term(df: DataFrame, sign: Column): DataFrame =
-              df.select(outCols.map(col) :+ sign.as("__sign"): _*)
-            val terms = Seq(
-              dA.map(a => term(joinFrames(a, bOld, keys), col("__sa"))),
-              dB.map(b => term(joinFrames(aOld, b, keys), col("__sb"))),
-              dA.zip(dB).map { case (a, b) =>
-                term(joinFrames(a, b, keys), col("__sa") * col("__sb")) }
-            ).flatten
-            terms.reduce(_ unionByName _)
+        val perSource: Seq[Option[DataFrame]] =
+          d.sources.zip(tips).zipWithIndex.map { case ((s, t), i) =>
+            if (t == s.folded) None
+            else Some(signed(changesOf(s.root, s.folded, t), s"__s$i")
+              .localCheckpoint(true)) // window-sized; joined twice below
+          }
+        if (d.sources.size == 1)
+          perSource.head
+            .map(_.withColumnRenamed("__s0", "__sign"))
+            .getOrElse(sys.error(
+              "mview: no source moved yet the noop gate did not fire"))
+        else {
+          val olds = d.sources.map(s =>
+            VersionedTable.readAt(spark, s.root, Some(s.folded)))
+          // accumulated (old frame, signed delta); delta sign column is
+          // ALWAYS "__sacc" after each level
+          val init: (DataFrame, Option[DataFrame]) = (olds.head,
+            perSource.head.map(_.withColumnRenamed("__s0", "__sacc")))
+          val (_, accDelta) = d.sources.zipWithIndex.drop(1)
+            .foldLeft(init) { case ((xOld, dX), (s, i)) =>
+              val yOld = olds(i)
+              val dY = perSource(i)
+              val terms = Seq(
+                dX.map(x => joinFrames(x, yOld, s.joinKeys)),
+                dY.map(y => joinFrames(xOld, y, s.joinKeys)
+                  .withColumnRenamed(s"__s$i", "__sacc")),
+                dX.zip(dY).map { case (x, y) =>
+                  joinFrames(x, y, s.joinKeys)
+                    .withColumn("__sacc", col("__sacc") * col(s"__s$i"))
+                    .drop(s"__s$i")
+                }).flatten
+              val nextDelta = terms match {
+                case Nil => None
+                case ts =>
+                  // columns are the union of both sides; every term
+                  // carries the same set, __sacc included — checkpoint
+                  // per level so N-way plans don't nest exponentially
+                  Some(ts.map(_.select((xOld.columns ++ yOld.columns)
+                      .map(col) :+ col("__sacc"): _*))
+                    .reduce(_ unionByName _).localCheckpoint(true))
+              }
+              (joinFrames(xOld, yOld, s.joinKeys), nextDelta)
+            }
+          val outCols = (d.groupCols ++ aggInputCols(d.aggs)).distinct
+          accDelta
+            .map(_.select(outCols.map(col) :+
+              col("__sacc").as("__sign"): _*))
+            .getOrElse(sys.error(
+              "mview: no source moved yet the noop gate did not fire"))
         }
       } catch {
         case e: IllegalArgumentException
@@ -439,8 +548,10 @@ object MaterializedView {
     if (changed == 0L) {
       // content unchanged — still publish, to move the marker atomically
       // with (identical) content; a marker-only setProperties would be a
-      // second non-content commit shape readers must understand
-      return publish(cur, 0L, "incremental", 0L)
+      // second non-content commit shape readers must understand. The
+      // limit(0) scope makes the recorded delta provably empty without
+      // a diff pass — downstream consumers see `cdf_none`.
+      return publish(cur, 0L, "incremental", 0L, Some(deltas.limit(0)))
     }
 
     // min/max HYBRID: groups touched by a retraction recompute their
@@ -456,7 +567,7 @@ object MaterializedView {
         val g = recGroups.select(d.groupCols.map(c =>
           col(c).as(s"__g_$c")): _*)
         val srcNew = {
-          val f = sourceFrame(spark, d, Some(tipA), tipB)
+          val f = sourceFrame(spark, d, tips.map(Some(_)))
           d.where.map(w => f.filter(expr(w))).getOrElse(f)
         }
         // null-safe: GROUP BY treats NULL as one group
@@ -516,7 +627,55 @@ object MaterializedView {
             else ins).as(n)
         }: _*)
       .filter(col(cntName).cast(LongType) > 0L)
-    publish(foldedContent, changed, "incremental", recCount)
+    publish(foldedContent, changed, "incremental", recCount,
+      Some(deltas.select(d.groupCols.map(col): _*)))
+  }
+
+  // the refresh's OWN row-level delta: old content vs new content,
+  // restricted to `scope`'s group keys when given (null-safe semi-join —
+  // GROUP BY treats NULL as one group, so the diff must too). Emits MV
+  // rows + `_change_type`: a group present only in `old` is a `delete`,
+  // only in `neu` an `insert`, present in both with ANY agg value
+  // changed an `update_preimage`/`update_postimage` pair. This is the
+  // payload [[VersionedTable.commit]] records as the commit's CDF.
+  private def refreshDelta(old: DataFrame, neu: DataFrame,
+      groupCols: Seq[String], aggNames: Seq[String],
+      scope: Option[DataFrame]): DataFrame = {
+    def scoped(df: DataFrame): DataFrame = scope match {
+      case None => df
+      case Some(keys) =>
+        val k = keys.select(groupCols.map(c => col(c).as(s"__k_$c")): _*)
+          .dropDuplicates()
+        df.join(broadcast(k),
+          groupCols.map(c => df(c) <=> k(s"__k_$c")).reduce(_ && _),
+          "left_semi")
+    }
+    val o = scoped(old).select(
+      groupCols.map(c => col(c).as(s"__o_$c")) ++
+        aggNames.map(n => col(n).as(s"__o_$n")) :+
+        lit(1).as("__op"): _*)
+    val n = scoped(neu).select(
+      groupCols.map(c => col(c).as(s"__n_$c")) ++
+        aggNames.map(a => col(a).as(s"__n_$a")) :+
+        lit(1).as("__np"): _*)
+    val j = o.join(n,
+      groupCols.map(c => o(s"__o_$c") <=> n(s"__n_$c")).reduce(_ && _),
+      "full_outer")
+    val differ = aggNames.map(a =>
+      !(col(s"__o_$a") <=> col(s"__n_$a"))).reduce(_ || _)
+    def side(prefix: String, ct: String)(sel: DataFrame) =
+      sel.select(groupCols.map(c => col(s"${prefix}_$c").as(c)) ++
+        aggNames.map(a => col(s"${prefix}_$a").as(a)) :+
+        lit(ct).as("_change_type"): _*)
+    val deletes = side("__o", "delete")(
+      j.filter(col("__op") === 1 && col("__np").isNull))
+    val inserts = side("__n", "insert")(
+      j.filter(col("__np") === 1 && col("__op").isNull))
+    val changedBoth =
+      j.filter(col("__op") === 1 && col("__np") === 1 && differ)
+    val pre = side("__o", "update_preimage")(changedBoth)
+    val post = side("__n", "update_postimage")(changedBoth)
+    deletes.unionByName(inserts).unionByName(pre).unionByName(post)
   }
 
   /** Freshness ledger: (folded source version, source tip, stale?). For
@@ -527,9 +686,9 @@ object MaterializedView {
     val props = VersionedTable.tableProperties(spark, mvRoot)
     val d = definitionOf(props, mvRoot)
     val tip = VersionedTable.versions(spark, d.source).last
-    val stale2 = d.source2.exists(s2 =>
-      VersionedTable.versions(spark, s2).last != d.folded2.get)
-    (d.folded, tip, tip != d.folded || stale2)
+    val staleRest = d.sources.drop(1).exists(s =>
+      VersionedTable.versions(spark, s.root).last != s.folded)
+    (d.folded, tip, tip != d.folded || staleRest)
   }
 
   /** STREAMING-DRIVEN AUTO-REFRESH: the source's native CDC tail

@@ -54,7 +54,8 @@ object VersionedTable {
     q138DropColumn, q139BranchWap, q140CatalogView, q141MaterializedView,
     q142TypeWidening, q143AggPushdown, q144StatsBroadcast,
     q145PartitionAgg, q146JoinMview, q147MinmaxMview,
-    q148HourlyPartitioning)
+    q148HourlyPartitioning, q149FilteredAggPushdown, q150MviewChain,
+    q151StarMview)
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -448,6 +449,96 @@ object VersionedTable {
     d.replace("%3D", "=").replace("%25", "%")
   private def statsKey(colName: String, gen: String) =
     s"stats:$colName:${encDir(gen)}"
+
+  // PER-FILE manifest statistics (r18) — the per-file half of the
+  // statistics model (stats: is the per-generation half), recorded at
+  // commit from the footers the writer just wrote:
+  //   `files:<dir>`       = `name,bytes,rows;…` for every data file
+  //   `fstats:<col>:<dir>` = `name,min,max;…` (long channel, tracked
+  //                          integral columns; all-null/untrustworthy
+  //                          files are simply absent = "must scan")
+  // They turn the O(entries)-listing paths (scanSizeBytes, footer-job
+  // file discovery, .files) into pure manifest reads and let stats
+  // windows prune FILES inside a kept generation. Like stats: they are
+  // optimizations: histories without them keep the listing paths.
+  private def filesKey(gen: String) = s"files:${encDir(gen)}"
+  private def fstatsKey(colName: String, gen: String) =
+    s"fstats:$colName:${encDir(gen)}"
+
+  // the entry dir an entry-scoped header key describes — the one place
+  // carry decisions consult, so stats:/files:/fstats: can never diverge
+  // between commit paths
+  private def entryHeaderDir(k: String): Option[String] =
+    if (k.startsWith("stats:") || k.startsWith("fstats:"))
+      k.split(":", 3) match {
+        case Array(_, _, d) => Some(decDir(d))
+        case _ => None
+      }
+    else if (k.startsWith("files:")) Some(decDir(k.stripPrefix("files:")))
+    else None
+
+  /** The `files:` header decoded: Some(per-file (name, bytes, rows))
+    * when the manifest records this entry's files — Nil for a provably
+    * empty entry; None = pre-r18 history (callers keep the listing
+    * path).
+    */
+  private[ops] def recordedFiles(meta: Map[String, String],
+      entry: String): Option[Seq[(String, Long, Long)]] =
+    meta.get(filesKey(entry)).map { v =>
+      if (v.isEmpty) Nil
+      else v.split(';').toSeq.map { rec =>
+        val p = rec.split(',')
+        (p(0), p(1).toLong, p(2).toLong)
+      }
+    }
+
+  // the integral long-channel types per-file [min,max] records serve —
+  // the same family the stats windows compare against
+  private val fstatsTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.ByteType,
+    org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.LongType)
+
+  // per-file headers for freshly written entries: one listing per entry
+  // (names + bytes — the dirs were just written) plus footer reads for
+  // rows and tracked-column [min,max] ([[FooterStats.fileStats]]). A
+  // file name carrying the record separators refuses the whole entry's
+  // headers (fallback to listing) rather than writing an unparseable
+  // value — Spark part-file names never do.
+  private def fileHeadersForEntries(spark: SparkSession, root: String,
+      entries: Seq[String], cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    val hfs = fs(spark, root)
+    val colTypes = cols.flatMap(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).collect {
+        case f if fstatsTypes.contains(f.dataType) => (f.name, f.dataType)
+      })
+    entries.flatMap { e =>
+      val sts = hfs.listStatus(new Path(root, e)).toSeq
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }).sortBy(_.getPath.getName)
+      if (sts.exists(st => { val n = st.getPath.getName
+          n.contains(",") || n.contains(";") })) Nil
+      else {
+        val stats = FooterStats.fileStats(sts.map(_.getPath.toString),
+          spark.sparkContext.hadoopConfiguration, colTypes)
+        val filesVal = sts.zip(stats).map { case (st, (rows, _)) =>
+          s"${st.getPath.getName},${st.getLen},$rows"
+        }.mkString(";")
+        val fstats = colTypes.zipWithIndex.flatMap { case ((c, _), i) =>
+          val recs = sts.zip(stats).flatMap { case (st, (_, per)) =>
+            per(i).map { case (lo, hi) => s"${st.getPath.getName},$lo,$hi" }
+          }
+          if (recs.isEmpty) None
+          else Some(fstatsKey(c, e) -> recs.mkString(";"))
+        }
+        Seq(filesKey(e) -> filesVal) ++ fstats
+      }
+    }.toMap
+  }
 
   // deletion-vector headers: `dv:<dvGenDir>=<keyCol>` marks a small
   // key-list generation whose keys are LOGICALLY DELETED from every read
@@ -857,16 +948,27 @@ object VersionedTable {
       Option(entryEmptyCache.get((root, d)))
     }.map(_.booleanValue).getOrElse {
       val hfs = fs(spark, root)
-      val empty = (try hfs.listStatus(new Path(root, d)).toSeq
-        catch { case _: java.io.FileNotFoundException => Seq.empty })
-        .forall(st => !st.isFile || {
-          val n = st.getPath.getName
-          !n.endsWith(".parquet") || n.startsWith("_") || n.startsWith(".")
-        })
-      entryEmptyCache.synchronized {
-        entryEmptyCache.put((root, d), java.lang.Boolean.valueOf(empty))
+      // A VANISHED dir is "unknown", not "provably empty": a time-travel
+      // stats probe over a version whose kept dir was since vacuumed
+      // must decline the estimate (callers treat false as "has data I
+      // can't account for" → None), and the answer must NOT be cached —
+      // conflating it with the CREATE generation's genuinely-empty dir
+      // would poison every later lookup with 0 rows / 0 NDV.
+      val listed =
+        try Some(hfs.listStatus(new Path(root, d)).toSeq)
+        catch { case _: java.io.FileNotFoundException => None }
+      listed match {
+        case None => false
+        case Some(sts) =>
+          val empty = sts.forall(st => !st.isFile || {
+            val n = st.getPath.getName
+            !n.endsWith(".parquet") || n.startsWith("_") || n.startsWith(".")
+          })
+          entryEmptyCache.synchronized {
+            entryEmptyCache.put((root, d), java.lang.Boolean.valueOf(empty))
+          }
+          empty
       }
-      empty
     }
 
   private def statsField(meta: Map[String, String], c: String, d: String,
@@ -934,7 +1036,8 @@ object VersionedTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       overwrite: Boolean, meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      cdf: Option[DataFrame] = None): Long = {
     val tipProps = versions(spark, root).lastOption
       .map(v => tablePropsOf(manifestMeta(spark, root, v)))
       .getOrElse(Map.empty[String, String])
@@ -943,6 +1046,24 @@ object VersionedTable {
       partitionFieldsOf(tipProps), bloomCols = bloomColsOf(tipProps))
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
+    // RECORDED CDF (the Delta `_change_data` idea): the writer that
+    // already KNOWS this commit's row-level changes writes them as a
+    // side generation — schema = table columns + `_change_type` —
+    // referenced by `cdf:<dir>` headers. Normal reads never see the dir
+    // (it is not in the manifest's dirs list); [[tableChanges]] serves
+    // it VERBATIM instead of shape-diffing, which is what makes even an
+    // overwrite-shaped commit (an MV refresh) row-level expressible to
+    // downstream incremental consumers. The headers are per-commit
+    // facts: neither [[appendCarry]] nor the overwrite prop-carry
+    // forwards them, and [[vacuum]] retains the dirs like dv: lists.
+    val cdfHeaders: Map[String, String] = cdf match {
+      case None => Map.empty
+      case Some(cdfDf) =>
+        require(cdfDf.columns.contains("_change_type"),
+          "commit: a recorded CDF frame must carry _change_type")
+        val g = writeGeneration(spark, root, cdfDf)
+        genEntries(spark, root, g).map(e => s"cdf:$e" -> "true").toMap
+    }
     val genStats = genStatsForEntries(spark, root, entries,
       (statsCol.toSeq ++ statsCols).distinct)
     var attempt = 0
@@ -962,7 +1083,8 @@ object VersionedTable {
         }
       // a publish loss means another writer took this version — retry on a
       // fresh read of the log (optimistic concurrency)
-      if (tryPublish(spark, root, next, dirs, carried ++ genStats ++ meta))
+      if (tryPublish(spark, root, next, dirs,
+          carried ++ genStats ++ cdfHeaders ++ meta))
         return next
     }
     -1L // unreachable
@@ -3363,18 +3485,27 @@ object VersionedTable {
         commitTimestamp(spark, root, v) > cut)) ++
       vs.filter(tagged.contains)).distinct.sorted
     val dropVs = vs.filterNot(keep.contains)
-    // a snapshot references its data generations AND its deletion-vector
-    // key lists (dv: headers) — reclaiming a live DV dir would resurrect
-    // deleted rows on the next read
-    def refsOf(v: Long): Seq[String] =
+    // a snapshot references its data generations, its deletion-vector
+    // key lists (dv: headers — reclaiming a live DV dir would resurrect
+    // deleted rows) AND its recorded-CDF dirs (cdf: headers — reclaiming
+    // one would break every change-feed read across that commit)
+    def refsOf(v: Long): Seq[String] = {
+      val meta = manifestMeta(spark, root, v)
       manifestDirs(spark, root, v) ++
-        dvHeaders(spark, root, v).keys.map(_.stripPrefix("dv:"))
+        meta.keys.collect {
+          case k if k.startsWith("dv:") => k.stripPrefix("dv:")
+          case k if k.startsWith("cdf:") => k.stripPrefix("cdf:")
+        }
+    }
     // BRANCH manifests reference generations too — staged data a
     // fast-forward will publish must survive maintenance on main
     val branchRefs = branches(spark, root).flatMap(b =>
       branchVersions(spark, root, b).flatMap { bv =>
         val (bDirs, bMeta) = branchManifestOf(spark, root, b, bv)
-        bDirs ++ dvHeadersOf(bMeta).keys.map(_.stripPrefix("dv:"))
+        bDirs ++ bMeta.keys.collect {
+          case k if k.startsWith("dv:") => k.stripPrefix("dv:")
+          case k if k.startsWith("cdf:") => k.stripPrefix("cdf:")
+        }
       })
     val referenced = keep.flatMap(refsOf).toSet ++ branchRefs
     val dataRoot = new Path(root, "data")
@@ -3752,7 +3883,19 @@ object VersionedTable {
       val (curDirs, curMeta) = manifestOf(spark, root, v)
       lazy val prev = vs.filter(_ < v).last
       lazy val prevDirs = manifestDirs(spark, root, prev)
-      kind match {
+      // RECORDED CDF wins over shape-diffing: the writer that attached
+      // `cdf:` headers (or the `cdf_none` no-row-changes marker) knew
+      // its exact row-level delta at commit time — serve it verbatim.
+      // This is what makes an MV refresh (overwrite-shaped) expressible
+      // to a downstream MV at O(changed groups) instead of a refusal.
+      val recordedCdf = curMeta.keys
+        .collect { case k if k.startsWith("cdf:") => k.stripPrefix("cdf:") }
+        .toSeq.sorted
+      if (curMeta.get("cdf_none").contains("true")) Nil
+      else if (recordedCdf.nonEmpty)
+        Seq(readDirs(spark, root, recordedCdf, curMeta)
+          .withColumn("_commit_version", lit(v)))
+      else kind match {
         case "create" =>
           Seq(tag(applyDvs(spark, root, curMeta,
             readDirs(spark, root, curDirs, curMeta)),
@@ -7077,6 +7220,341 @@ object VersionedTable {
           WHERE hi BETWEEN h0 + 24 AND h0 + 47) AS BIGINT),
         CAST((SELECT count(*) FROM h, b
           WHERE hi NOT BETWEEN h0 + 24 AND h0 + 47) AS BIGINT),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q149: FILTERED METADATA AGGREGATES — `SELECT count(*)/MIN/MAX …
+    * WHERE <partition predicate>`, the most-typed query on any
+    * partitioned 100 TB table, served from parquet FOOTERS of exactly
+    * the kept manifest entries. The scan builder ABSORBS pushed filters
+    * whose shape is partition-exact (equality / range / IN / IS NULL
+    * over one IDENTITY partition column — [[graft.sources
+    * .VTableScanBuilder]]), which is what lets Spark offer the
+    * aggregate pushdown at all (aggregates are offered only when no
+    * residual filter remains); at plan time the manifest's leaf tokens
+    * must PROVE the filter decides every entry
+    * ([[FooterStats.provableKeptEntries]] — every file-bearing entry
+    * carries a parseable `__p_<col>=<token>`, so the token decision
+    * equals the row decision under identity partitioning), and the
+    * footer job then folds exactly the kept entries. Pinned here: an
+    * equality-WHERE and a range-WHERE over a year-partitioned orders
+    * table both plan as a LocalTableScan with NO aggregate exec
+    * (flag-pinned), while a WHERE on a NON-partition column refuses —
+    * its plan aggregates over the ordinary scan (flag-pinned) — and
+    * all three hash-match the oracle's recompute from the base table.
+    * At 100 TB: the dashboard's `COUNT(*) WHERE day = yesterday` costs
+    * one manifest read + footers of one partition instead of a scan.
+    */
+  val q149FilteredAggPushdown: Q = Q(
+    "q149_filtered_agg_pushdown",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val table = s"$root/main/orders_fa"
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        year(col("o_orderdate")).as("yr"),
+        when(pmod(col("o_custkey"), lit(5L)) === 0L, lit(null))
+          .otherwise(col("o_custkey")).as("nk"))
+      val y0 = src.agg(min(col("yr"))).head().getInt(0)
+      // partition-routed create + append: every year leaf appears in
+      // BOTH generations, so the kept-entry set spans generations
+      require(createIfAbsent(s, table,
+        src.filter(pmod(col("k"), lit(2L)) === 0L),
+        Map("partition" -> "yr")), "q149: fresh root must create")
+      commit(s, table, src.filter(pmod(col("k"), lit(2L)) === 1L),
+        overwrite = false)
+      val cat = "vtq149_" + new Path(root).getName.stripPrefix("run_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.VTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val eq = s.sql(
+        s"SELECT count(*) AS n, count(nk) AS nn, min(k) AS mn, " +
+          s"max(k) AS mx FROM $cat.main.orders_fa WHERE yr = ${y0 + 1}")
+      val rng = s.sql(
+        s"SELECT count(*) AS n, count(nk) AS nn, min(k) AS mn, " +
+          s"max(k) AS mx FROM $cat.main.orders_fa " +
+          s"WHERE yr >= ${y0 + 1} AND yr <= ${y0 + 3}")
+      val refused = s.sql(
+        s"SELECT count(*) AS n FROM $cat.main.orders_fa WHERE nk > 0")
+      val ePlan = eq.queryExecution.executedPlan.toString
+      val rPlan = rng.queryExecution.executedPlan.toString
+      val fPlan = refused.queryExecution.executedPlan.toString
+      def pushed(p: String): Boolean =
+        !p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+          p.contains("LocalTableScan")
+      val flags =
+        (if (pushed(ePlan)) 1L else 0L) +
+        (if (pushed(rPlan)) 2L else 0L) +
+        (if (fPlan.contains("Aggregate") &&
+            !fPlan.contains("LocalTableScan")) 4L else 0L)
+      val e = eq.head(); val r = rng.head(); val fr = refused.head()
+      val rows = Seq(
+        ("eq", e.getLong(0), e.getLong(1),
+          (e.getLong(2) + e.getLong(3)).toDouble),
+        ("range", r.getLong(0), r.getLong(1),
+          (r.getLong(2) + r.getLong(3)).toDouble),
+        ("audit", flags, fr.getLong(0), 1.0))
+      import s.implicits._
+      rows.toDF("step", "a", "b", "c").orderBy(col("step"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey AS k, year(o_orderdate) AS yr,
+          CASE WHEN o_custkey % 5 = 0 THEN NULL ELSE o_custkey END AS nk
+        FROM orders),
+      b AS (SELECT min(yr) AS y0 FROM src)
+      SELECT 'eq' AS step, CAST(count(*) AS BIGINT) AS a,
+        CAST(count(nk) AS BIGINT) AS b,
+        CAST(min(k) + max(k) AS DOUBLE) AS c
+      FROM src, b WHERE yr = y0 + 1
+      UNION ALL
+      SELECT 'range', CAST(count(*) AS BIGINT),
+        CAST(count(nk) AS BIGINT), CAST(min(k) + max(k) AS DOUBLE)
+      FROM src, b WHERE yr BETWEEN y0 + 1 AND y0 + 3
+      UNION ALL
+      SELECT 'audit', CAST(7 AS BIGINT),
+        (SELECT CAST(count(*) AS BIGINT) FROM src WHERE nk > 0),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q150: CASCADING MATERIALIZED VIEWS — the bronze→silver→gold
+    * medallion chain: an MV sourcing ANOTHER MV refreshes incrementally
+    * because every [[MaterializedView.refresh]] publish RECORDS its own
+    * row-level delta as the commit's CDF (`cdf:` manifest headers — the
+    * Delta `_change_data` idea; [[tableChanges]] serves recorded CDF
+    * verbatim instead of refusing the overwrite shape). Lifecycle
+    * pinned here: base append → both tiers refresh `incremental`; a
+    * copy-on-write DELETE (retractions) → both tiers `incremental`; a
+    * base RESTORE → tier 1 honestly recomputes (`full` — the source
+    * feed is inexpressible across a restore) while tier 2 STAYS
+    * `incremental`, because tier 1's full refresh still recorded its
+    * old-vs-new content diff. All three phases' tier-2 content
+    * hash-matches the oracle's two-level recompute from the base rows.
+    * At 100 TB: the gold rollup refreshes at O(changed silver groups)
+    * per cycle — never a recompute of the silver tier it reads.
+    */
+  val q150MviewChain: Q = Q(
+    "q150_mview_chain",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val base = s"$root/base"; val mv1 = s"$root/mv1"; val mv2 = s"$root/mv2"
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("prio"),
+        Q.dec2(col("o_totalprice")).as("val"))
+      val y0 = src.agg(min(col("yr"))).head().getInt(0)
+      commit(s, base, src.filter(col("yr") === y0), overwrite = true) // v1
+      require(MaterializedView.create(s, mv1, base, Seq("yr", "prio"),
+        "cnt:count, sv:sum(val)"), "q150: mv1 must create")
+      require(MaterializedView.create(s, mv2, mv1, Seq("prio"),
+        "cnt2:count, sc:sum(cnt), s2:sum(sv)"), "q150: mv2 must create")
+
+      def tier2Content(phase: String): DataFrame =
+        readAt(s, mv2).select(
+          concat(lit(s"${phase}_"), col("prio")).as("step"),
+          col("cnt2").as("a"), col("sc").as("b"),
+          col("s2").cast("double").as("c"))
+
+      commit(s, base, src.filter(col("yr") === y0 + 1), overwrite = false)
+      val r1a = MaterializedView.refresh(s, mv1)
+      val r1b = MaterializedView.refresh(s, mv2)
+      val p1 = tier2Content("p1").localCheckpoint(true)
+
+      require(deleteWhere(s, base, pmod(col("k"), lit(3L)) === 0L).isDefined,
+        "q150: CoW delete on a private table must not lose a race")
+      val r2a = MaterializedView.refresh(s, mv1)
+      val r2b = MaterializedView.refresh(s, mv2)
+      val p2 = tier2Content("p2").localCheckpoint(true)
+
+      require(restore(s, base, 1L).isDefined,
+        "q150: restore on a private table must not lose a race")
+      val r3a = MaterializedView.refresh(s, mv1)
+      val r3b = MaterializedView.refresh(s, mv2)
+      val p3 = tier2Content("p3").localCheckpoint(true)
+
+      val flags =
+        (if (r1a.mode == "incremental") 1L else 0L) +
+        (if (r1b.mode == "incremental") 2L else 0L) +
+        (if (r2a.mode == "incremental") 4L else 0L) +
+        (if (r2b.mode == "incremental") 8L else 0L) +
+        (if (r3a.mode == "full") 16L else 0L) +
+        (if (r3b.mode == "incremental") 32L else 0L)
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(flags).as("a"),
+        lit(r1b.changedGroups + r2b.changedGroups).as("b"),
+        lit(1.0).cast("double").as("c"))
+      p1.unionByName(p2).unionByName(p3).unionByName(audit)
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey AS k, year(o_orderdate) AS yr,
+          o_orderpriority AS prio,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS val
+        FROM orders),
+      b AS (SELECT min(yr) AS y0 FROM src),
+      p1 AS (SELECT src.* FROM src, b WHERE yr <= y0 + 1),
+      p2 AS (SELECT * FROM p1 WHERE k % 3 != 0),
+      p3 AS (SELECT src.* FROM src, b WHERE yr = y0),
+      t1 AS (SELECT yr, prio, count(*) AS cnt, sum(val) AS sv
+             FROM p1 GROUP BY yr, prio),
+      t2 AS (SELECT yr, prio, count(*) AS cnt, sum(val) AS sv
+             FROM p2 GROUP BY yr, prio),
+      t3 AS (SELECT yr, prio, count(*) AS cnt, sum(val) AS sv
+             FROM p3 GROUP BY yr, prio),
+      g1 AS (SELECT prio, count(*) AS cnt2, sum(cnt) AS sc,
+               sum(sv) AS s2 FROM t1 GROUP BY prio),
+      g2 AS (SELECT prio, count(*) AS cnt2, sum(cnt) AS sc,
+               sum(sv) AS s2 FROM t2 GROUP BY prio),
+      g3 AS (SELECT prio, count(*) AS cnt2, sum(cnt) AS sc,
+               sum(sv) AS s2 FROM t3 GROUP BY prio)
+      SELECT concat('p1_', prio) AS step, CAST(cnt2 AS BIGINT) AS a,
+        CAST(sc AS BIGINT) AS b, CAST(s2 AS DOUBLE) AS c FROM g1
+      UNION ALL
+      SELECT concat('p2_', prio), CAST(cnt2 AS BIGINT),
+        CAST(sc AS BIGINT), CAST(s2 AS DOUBLE) FROM g2
+      UNION ALL
+      SELECT concat('p3_', prio), CAST(cnt2 AS BIGINT),
+        CAST(sc AS BIGINT), CAST(s2 AS DOUBLE) FROM g3
+      UNION ALL
+      SELECT 'audit', CAST(63 AS BIGINT),
+        -- r1b folds the prios the append touched; r2b the prios the
+        -- delete touched (every touched group's sum strictly changes,
+        -- val being positive, so touched = changed)
+        (SELECT CAST(count(DISTINCT prio) AS BIGINT)
+           FROM p1, b WHERE yr = y0 + 1) +
+        (SELECT CAST(count(DISTINCT prio) AS BIGINT)
+           FROM p1 WHERE k % 3 = 0),
+        CAST(1 AS DOUBLE)
+      ORDER BY step"""))
+
+  /** q151: STAR-JOIN MATERIALIZED VIEW — the engine's own flagship
+    * query shape (q03: lineitem ⋈ orders ⋈ customer) as an MV,
+    * maintained by [[MaterializedView.createJoinChain]]: the bilinear
+    * delta identity folds PAIRWISE down the left-deep chain (Δ(X⋈C) =
+    * ΔX⋈C_old ∪ X_old⋈ΔC ∪ ΔX⋈ΔC with X = fact⋈orders), so a commit
+    * on ANY of the three sources refreshes at O(Δ⋈rest), never a
+    * recompute of the star. Lifecycle pinned here: a fact append
+    * (Δfact⋈dims), an orders append that ACTIVATES previously-dangling
+    * facts (fact⋈Δorders⋈cust), a customer append (two-deep
+    * activation), and a copy-on-write orders DELETE whose retractions
+    * erase matched rows (sign products through two joins); every
+    * phase's full content is hash-pinned against the oracle's three-way
+    * re-join and the final refresh is a `noop`. At 100 TB: the revenue
+    * dashboard over the star refreshes at delta cost per cycle on
+    * whichever side moved.
+    */
+  val q151StarMview: Q = Q(
+    "q151_star_mview",
+    (s, dir) => {
+      val root = freshRunRoot()
+      val fact = s"$root/fact"; val ord = s"$root/ord"
+      val cst = s"$root/cst"; val mv = s"$root/mv"
+      val f = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("lk"), Q.dec2(col("l_quantity")).as("qty"),
+        Q.dec2(col("l_extendedprice")).as("price"),
+        year(col("l_shipdate")).as("lyr"))
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("ok"), col("o_custkey").as("cust"),
+        col("o_orderpriority").as("prio"))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      val y0 = f.agg(min(col("lyr"))).head().getInt(0)
+      commit(s, fact, f.filter(col("lyr") === y0), overwrite = true)
+      commit(s, ord, o.filter(pmod(col("ok"), lit(2L)) === 0L),
+        overwrite = true)
+      commit(s, cst, c.filter(pmod(col("ck"), lit(2L)) === 0L),
+        overwrite = true)
+      require(MaterializedView.createJoinChain(s, mv, fact,
+        Seq((ord, Seq(("lk", "ok"))), (cst, Seq(("cust", "ck")))),
+        Seq("seg", "prio"), "cnt:count, sq:sum(qty), sp:sum(price)"),
+        "q151: fresh mv root must create")
+
+      def content(phase: String): DataFrame =
+        readAt(s, mv).select(
+          concat(lit(s"${phase}_"), col("seg"), lit("_"), col("prio"))
+            .as("step"),
+          col("cnt").as("a"),
+          (col("sq") * 100).cast("long").as("b"),
+          col("sp").cast("double").as("c"))
+
+      commit(s, fact, f.filter(col("lyr") === y0 + 1), overwrite = false)
+      val r1 = MaterializedView.refresh(s, mv)
+      val p1 = content("p1").localCheckpoint(true)
+      commit(s, ord, o.filter(pmod(col("ok"), lit(2L)) === 1L),
+        overwrite = false)
+      val r2 = MaterializedView.refresh(s, mv)
+      val p2 = content("p2").localCheckpoint(true)
+      commit(s, cst, c.filter(pmod(col("ck"), lit(2L)) === 1L),
+        overwrite = false)
+      val r3 = MaterializedView.refresh(s, mv)
+      val p3 = content("p3").localCheckpoint(true)
+      require(deleteWhere(s, ord, pmod(col("ok"), lit(5L)) === 0L).isDefined,
+        "q151: CoW delete on a private table must not lose a race")
+      val r4 = MaterializedView.refresh(s, mv)
+      val p4 = content("p4").localCheckpoint(true)
+      val r5 = MaterializedView.refresh(s, mv)
+
+      val flags =
+        (if (r1.mode == "incremental") 1L else 0L) +
+        (if (r2.mode == "incremental") 2L else 0L) +
+        (if (r3.mode == "incremental") 4L else 0L) +
+        (if (r4.mode == "incremental") 8L else 0L) +
+        (if (r5.mode == "noop") 16L else 0L)
+      val audit = s.range(1).select(lit("audit").as("step"),
+        lit(flags).as("a"), lit(1L).as("b"),
+        lit(1.0).cast("double").as("c"))
+      p1.unionByName(p2).unionByName(p3).unionByName(p4)
+        .unionByName(audit).orderBy(col("step"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT l_orderkey AS lk, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+          year(l_shipdate) AS lyr
+        FROM lineitem),
+      b AS (SELECT min(lyr) AS y0 FROM f),
+      o AS (SELECT o_orderkey AS ok, o_custkey AS cust,
+              o_orderpriority AS prio FROM orders),
+      c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+      f12 AS (SELECT f.* FROM f, b WHERE lyr <= y0 + 1),
+      o_even AS (SELECT * FROM o WHERE ok % 2 = 0),
+      c_even AS (SELECT * FROM c WHERE ck % 2 = 0),
+      o_del AS (SELECT * FROM o WHERE ok % 5 != 0),
+      g1 AS (SELECT seg, prio, count(*) AS cnt, sum(qty) AS sq,
+               sum(price) AS sp
+             FROM f12 JOIN o_even ON lk = ok JOIN c_even ON cust = ck
+             GROUP BY seg, prio),
+      g2 AS (SELECT seg, prio, count(*) AS cnt, sum(qty) AS sq,
+               sum(price) AS sp
+             FROM f12 JOIN o ON lk = ok JOIN c_even ON cust = ck
+             GROUP BY seg, prio),
+      g3 AS (SELECT seg, prio, count(*) AS cnt, sum(qty) AS sq,
+               sum(price) AS sp
+             FROM f12 JOIN o ON lk = ok JOIN c ON cust = ck
+             GROUP BY seg, prio),
+      g4 AS (SELECT seg, prio, count(*) AS cnt, sum(qty) AS sq,
+               sum(price) AS sp
+             FROM f12 JOIN o_del ON lk = ok JOIN c ON cust = ck
+             GROUP BY seg, prio)
+      SELECT concat('p1_', seg, '_', prio) AS step,
+        CAST(cnt AS BIGINT) AS a,
+        CAST(CAST(sq * 100 AS HUGEINT) AS BIGINT) AS b,
+        CAST(sp AS DOUBLE) AS c FROM g1
+      UNION ALL
+      SELECT concat('p2_', seg, '_', prio), CAST(cnt AS BIGINT),
+        CAST(CAST(sq * 100 AS HUGEINT) AS BIGINT), CAST(sp AS DOUBLE)
+      FROM g2
+      UNION ALL
+      SELECT concat('p3_', seg, '_', prio), CAST(cnt AS BIGINT),
+        CAST(CAST(sq * 100 AS HUGEINT) AS BIGINT), CAST(sp AS DOUBLE)
+      FROM g3
+      UNION ALL
+      SELECT concat('p4_', seg, '_', prio), CAST(cnt AS BIGINT),
+        CAST(CAST(sq * 100 AS HUGEINT) AS BIGINT), CAST(sp AS DOUBLE)
+      FROM g4
+      UNION ALL
+      SELECT 'audit', CAST(31 AS BIGINT), CAST(1 AS BIGINT),
         CAST(1 AS DOUBLE)
       ORDER BY step"""))
 }

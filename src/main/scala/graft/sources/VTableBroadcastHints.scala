@@ -77,19 +77,29 @@ object VTableBroadcastHints extends Rule[LogicalPlan] {
       case _ => false
     } => aggregateBytes(child)
     case a: Aggregate if a.groupingExpressions.nonEmpty =>
-      val groupCols = a.groupingExpressions.map {
-        case attr: Attribute => Some(attr.name)
+      val groupAttrs = a.groupingExpressions.map {
+        case attr: Attribute => Some(attr)
         case al: Alias => al.child match {
-          case attr: Attribute => Some(attr.name)
+          case attr: Attribute => Some(attr)
           case _ => None
         }
         case _ => None
       }
-      if (groupCols.exists(_.isEmpty)) None
-      else leafTable(a.child).flatMap { case (path, ver) =>
-        try {
+      if (groupAttrs.exists(_.isEmpty)) None
+      else leafTable(a.child).flatMap { case (path, ver, scanOut) =>
+        // Each grouping attribute must be the SCAN's own output column,
+        // matched by exprId — a name match alone would let a child
+        // Project's `concat(x,y) AS x` (or a trivial rename `y AS x`)
+        // resolve to the shadowed table column's NDV and under-bound
+        // the group count, forcing a broadcast AQE cannot demote. The
+        // scan-side attribute also supplies the header-cased column
+        // name for the NDV lookup.
+        val scanCols = groupAttrs.flatten.map(g =>
+          scanOut.find(_.exprId == g.exprId).map(_.name))
+        if (scanCols.exists(_.isEmpty)) None
+        else try {
           val spark = SparkSession.active
-          val ndvs = groupCols.flatten.map(c =>
+          val ndvs = scanCols.flatten.map(c =>
             VersionedTable.scanNdv(spark, path, ver, c))
           if (ndvs.exists(_.isEmpty)) None
           else {
@@ -103,26 +113,30 @@ object VTableBroadcastHints extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  // the (table path, pinned version) under an aggregate — Filters only
-  // shrink the group set and ANY Project is fine here (the bound comes
-  // from column NDV, not bytes), as long as grouping still names bare
-  // table columns (aliased computed columns fail the attr gate above)
-  private def leafTable(p: LogicalPlan): Option[(String, Option[Long])] =
+  // the (table path, pinned version, scan output attrs) under an
+  // aggregate — Filters only shrink the group set and ANY Project is
+  // fine here (the bound comes from column NDV, not bytes) BECAUSE the
+  // caller re-binds every grouping attribute to the scan's own output
+  // by exprId: an intermediate Project that computes or renames breaks
+  // the exprId chain and the estimate stands down.
+  private def leafTable(
+      p: LogicalPlan): Option[(String, Option[Long], Seq[Attribute])] =
     p match {
       case Project(_, child) => leafTable(child)
       case Filter(_, child) => leafTable(child)
       case s: DataSourceV2ScanRelation => s.scan match {
         case w: V1ScanWrapper => w.v1Scan match {
           case impl: VTableV1ScanImpl =>
-            Some((impl.tablePath, impl.tableVersion))
+            Some((impl.tablePath, impl.tableVersion, s.output))
           case _ => None
         }
         case impl: VTableV1ScanImpl =>
-          Some((impl.tablePath, impl.tableVersion))
+          Some((impl.tablePath, impl.tableVersion, s.output))
         case _ => None
       }
       case rel: DataSourceV2Relation => rel.table match {
-        case t: VTableV2Table => Some((t.tablePath, t.tableVersion))
+        case t: VTableV2Table =>
+          Some((t.tablePath, t.tableVersion, rel.output))
         case _ => None
       }
       case _ => None

@@ -663,8 +663,10 @@ class VTableScanBuilder(path: String, version: Option[Long],
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
+  private var absorbed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(Long, Seq[(String, DataType)],
-    Seq[FooterStats.AggSpec], StructType)] = None
+    Seq[FooterStats.AggSpec], StructType, Option[Seq[String]],
+    Option[org.apache.spark.sql.Column])] = None
 
   // a schema with case-colliding field names (legal under
   // spark.sql.caseSensitive=true) makes footer-column resolution
@@ -677,19 +679,59 @@ class VTableScanBuilder(path: String, version: Option[Long],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // everything comes back as residual (Spark re-evaluates all filters —
-  // generation pruning may only SKIP data the predicate cannot touch)
+  // Most filters come back as residual (Spark re-evaluates them —
+  // generation pruning may only SKIP data the predicate cannot touch).
+  // PARTITION-EXACT filters — a supported shape over one IDENTITY
+  // partition column — are ABSORBED instead: the V1 scan already
+  // re-applies every pushed filter row-exactly above the pruned read
+  // ([[VTableScans.frame]]), so dropping Spark's redundant Filter is
+  // safe, and it is what lets Spark OFFER aggregate pushdown on
+  // filtered queries at all (aggregates are only offered when no
+  // residual filter remains) — `COUNT(*) WHERE <partition predicate>`
+  // then serves from footers of exactly the kept entries. The gate here
+  // is CHEAP (schema + declared-spec facts only, no manifest read); the
+  // manifest-level proof that tokens decide the filter exactly happens
+  // at `plan(agg)` time, and an unprovable history refuses the
+  // aggregate while the absorbed filter still applies row-exactly.
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
-    filters = fs; fs
+    filters = fs
+    absorbed = fs.filter(partitionExact)
+    fs.filterNot(absorbed.contains)
   }
 
-  // EXPLAIN honesty: report as pushed only the filters that can drive
-  // generation pruning — stats windows on pruneCol, and predicates on a
-  // partition transform's BASE column (hidden partitioning)
+  // the shapes [[FooterStats.evalTokenFilter]] decides on tokens AND
+  // [[VTableScans.toPredicate]] re-applies row-exactly; null comparison
+  // literals stand down (three-valued logic never keeps them, but
+  // absorbing would have to prove that — not worth the cases)
+  private def partitionExact(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    val colRef = f match {
+      case EqualTo(a, v) if v != null => Some(a)
+      case GreaterThan(a, v) if v != null => Some(a)
+      case GreaterThanOrEqual(a, v) if v != null => Some(a)
+      case LessThan(a, v) if v != null => Some(a)
+      case LessThanOrEqual(a, v) if v != null => Some(a)
+      case In(a, vs) if vs != null => Some(a)
+      case IsNull(a) => Some(a)
+      case IsNotNull(a) => Some(a)
+      case _ => None
+    }
+    colRef.flatMap(resolveName).exists { n =>
+      aggGuard.isDefined && colOk(n) && !caseCollides &&
+        identityParts.exists(_.equalsIgnoreCase(n)) &&
+        groupableTypes.contains(fullSchema(n).dataType)
+    }
+  }
+
+  // EXPLAIN honesty: report as pushed the absorbed partition-exact
+  // filters plus the ones that can drive generation pruning — stats
+  // windows on pruneCol, and predicates on a partition transform's
+  // BASE column (hidden partitioning)
   override def pushedFilters(): Array[Filter] =
     { val cols = VTableScans.pruneColsOf(pruneCol).toSet ++ partSources
-      if (cols.isEmpty) Array.empty
-      else filters.filter(_.references.exists(cols.contains)) }
+      (absorbed ++ (if (cols.isEmpty) Array.empty[Filter]
+       else filters.filter(f => !absorbed.contains(f) &&
+         f.references.exists(cols.contains)))).distinct }
 
   // a single top-level column reference, if that is what the expr is.
   // Resolution honors the SESSION's case-sensitivity setting: under
@@ -700,13 +742,18 @@ class VTableScanBuilder(path: String, version: Option[Long],
   private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
-        val ref = n.fieldNames()(0)
-        val names = fullSchema.fields.map(_.name)
-        if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
-          names.find(_ == ref)
-        else names.find(_.equalsIgnoreCase(ref))
+        resolveName(n.fieldNames()(0))
       case _ => None
     }
+
+  // a filter's attribute string → the schema's canonical field name
+  // (None for nested references — "a.b" matches no top-level field)
+  private def resolveName(ref: String): Option[String] = {
+    val names = fullSchema.fields.map(_.name)
+    if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+      names.find(_ == ref)
+    else names.find(_.equalsIgnoreCase(ref))
+  }
 
   private def colOk(name: String): Boolean =
     aggGuard.exists(g => !g.blockedCols.contains(
@@ -750,8 +797,12 @@ class VTableScanBuilder(path: String, version: Option[Long],
       .map(n => (n, fullSchema(n).dataType))
 
   private def plan(agg: Aggregation)
-      : Option[(Long, Seq[(String, DataType)], Seq[FooterStats.AggSpec], StructType)] =
-    if (aggGuard.isEmpty || filters.nonEmpty ||
+      : Option[(Long, Seq[(String, DataType)], Seq[FooterStats.AggSpec],
+        StructType, Option[Seq[String]], Option[org.apache.spark.sql.Column])] =
+    // only ABSORBED filters may remain below a pushed aggregate: Spark
+    // offers aggregates only when no residual filter exists, so any
+    // other filter here would mean the contract was violated — refuse
+    if (aggGuard.isEmpty || filters.exists(f => !absorbed.contains(f)) ||
         agg.aggregateExpressions.isEmpty || caseCollides) None
     else aggGuard.flatMap(_.pinnedVersion()).flatMap { pinned =>
       val groups = agg.groupByExpressions.toSeq.map(groupColOf)
@@ -766,15 +817,37 @@ class VTableScanBuilder(path: String, version: Option[Long],
         // manifest's leaf-dir count, never by data cardinality
         if (g.nonEmpty && !FooterStats.groupingProvable(
             SparkSession.active, path, pinned, g)) None
-        else {
+        else keptByAbsorbed(pinned).map { case (kept, where) =>
           val resolved = specs.map(_.get)
           // Spark's pushed-aggregate contract: output = group columns in
           // groupBy order, then aggregate values in aggregate order
-          Some((pinned, g, resolved.map(_._1), StructType(
+          (pinned, g, resolved.map(_._1), StructType(
             g.map { case (n, dt) => StructField(n, dt) } ++
-              resolved.map(_._2))))
+              resolved.map(_._2)), kept, where)
         }
       } else None
+    }
+
+  // the absorbed filters' manifest-level proof at the PINNED version:
+  // Some((kept entries, row-exact re-check Column)) when the tokens
+  // decide every absorbed filter exactly ([[FooterStats
+  // .provableKeptEntries]]); None (refuse the aggregate, keep the
+  // row-exact data path) when the history can't prove it — a
+  // pre-partitioning era, a string null token, an unparseable token
+  private def keptByAbsorbed(pinned: Long)
+      : Option[(Option[Seq[String]], Option[org.apache.spark.sql.Column])] =
+    if (absorbed.isEmpty) Some((None, None))
+    else {
+      val preds = absorbed.toSeq.map { f =>
+        val n = resolveName(f.references.head).get
+        (n, fullSchema(n).dataType, f)
+      }
+      FooterStats.provableKeptEntries(
+          SparkSession.active, path, pinned, preds).map { kept =>
+        val where = absorbed.toSeq.flatMap(VTableScans.toPredicate)
+          .reduceOption(_ && _)
+        (Some(kept), where)
+      }
     }
 
   // complete-or-nothing: the footer engine computes FINAL values, so a
@@ -791,11 +864,12 @@ class VTableScanBuilder(path: String, version: Option[Long],
     }
 
   override def build(): Scan = pushedAgg match {
-    case Some((pinned, groupCols, specs, aggSchema)) =>
+    case Some((pinned, groupCols, specs, aggSchema, kept, where)) =>
       // the PINNED version, never the raw `version` option: for tip
       // tables (version=None) the scan must serve the snapshot the DV
       // gate validated, not whatever the tip is by execution time
-      new VTableAggScan(path, Some(pinned), groupCols, specs, aggSchema)
+      new VTableAggScan(path, Some(pinned), groupCols, specs, aggSchema,
+        kept, where)
     case None =>
       new VTableV1ScanImpl(path, version, pruneCol, required, filters)
   }
@@ -825,7 +899,9 @@ class VTableScanBuilder(path: String, version: Option[Long],
   */
 class VTableAggScan(path: String, version: Option[Long],
     groupCols: Seq[(String, DataType)],
-    specs: Seq[graft.ops.FooterStats.AggSpec], aggSchema: StructType)
+    specs: Seq[graft.ops.FooterStats.AggSpec], aggSchema: StructType,
+    kept: Option[Seq[String]] = None,
+    where: Option[org.apache.spark.sql.Column] = None)
     extends LocalScan {
 
   import graft.ops.FooterStats
@@ -836,15 +912,16 @@ class VTableAggScan(path: String, version: Option[Long],
     s"graft-vtable metadata-agg $path" +
       version.map(v => s" @v$v").getOrElse("") +
       groupCols.map(_._1).mkString(" groupBy(", ",", ")") +
-      specs.mkString(" [", ", ", "]")
+      specs.mkString(" [", ", ", "]") +
+      kept.map(k => s" filteredEntries=${k.size}").getOrElse("")
 
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     val spark = SparkSession.active
     val arrays: Seq[Array[Any]] =
       if (groupCols.isEmpty)
-        Seq(FooterStats.aggregate(spark, path, version, specs))
+        Seq(FooterStats.aggregate(spark, path, version, specs, kept, where))
       else FooterStats.aggregateByPartition(spark, path, version,
-        groupCols, specs).getOrElse(exactGroupBy(spark))
+        groupCols, specs, kept).getOrElse(exactGroupBy(spark))
     arrays.map(a =>
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a)
         : org.apache.spark.sql.catalyst.InternalRow).toArray
@@ -860,7 +937,10 @@ class VTableAggScan(path: String, version: Option[Long],
       case FooterStats.MinOf(c, _) => min(col(c))
       case FooterStats.MaxOf(c, _) => max(col(c))
     }
-    val df = VersionedTable.readAt(spark, path, version)
+    // the absorbed partition predicate re-applies row-exactly — Spark's
+    // own Filter was dropped when this pushdown was accepted
+    val df = where.foldLeft(VersionedTable.readAt(spark, path, version))(
+        _.where(_))
       .groupBy(groupCols.map(g => col(g._1)): _*)
       .agg(aggs.head, aggs.drop(1): _*)
     val convs = aggSchema.fields.map(f =>
@@ -911,15 +991,23 @@ class VTableV1ScanImpl(path: String, version: Option[Long],
     }
 
   // the numRows half (r17): exact kept-generation row counts from the
-  // extended stats headers, when every kept generation carries one
+  // extended stats headers, when every kept generation carries one.
+  // Outstanding `dv:` deletion vectors make the recorded PHYSICAL
+  // counts over-report what the scan returns (logically deleted rows
+  // are subtracted at read time), so a merge-on-read snapshot declines
+  // — the same guard the metadata-aggregate path applies.
   private lazy val measuredRows: java.util.OptionalLong =
     try {
       val spark = SparkSession.active
-      val (windows, partPreds) = VTableScans.pruneState(spark, path,
-        version, pruneCol, filters.toIndexedSeq)
-      VersionedTable.scanRowCount(spark, path, version, windows, partPreds)
-        .map(java.util.OptionalLong.of)
-        .getOrElse(java.util.OptionalLong.empty())
+      if (VersionedTable.hasDeletionVectors(spark, path, version))
+        java.util.OptionalLong.empty()
+      else {
+        val (windows, partPreds) = VTableScans.pruneState(spark, path,
+          version, pruneCol, filters.toIndexedSeq)
+        VersionedTable.scanRowCount(spark, path, version, windows, partPreds)
+          .map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      }
     } catch {
       case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty()
     }

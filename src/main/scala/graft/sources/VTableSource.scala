@@ -361,7 +361,7 @@ object VTableScans {
   // translates).
   private[sources] def predicateOf(f: Filter): Option[Column] = toPredicate(f)
 
-  private def toPredicate(f: Filter): Option[Column] = f match {
+  private[sources] def toPredicate(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))

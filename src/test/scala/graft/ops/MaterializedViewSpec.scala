@@ -401,6 +401,182 @@ class MaterializedViewSpec extends SparkSpec {
       Seq("nope"), "cnt:count"))
   }
 
+  test("3-way join MV: pairwise fold, cross terms, retractions, create gates") {
+    import spark.implicits._
+    val fact = freshRoot(); val d1 = freshRoot(); val d2 = freshRoot()
+    val mv = freshRoot() + "/mv"
+    def factRows(t: (Int, Int, java.lang.Double)*): DataFrame =
+      t.toDF("fk", "dk", "amt")
+        .withColumn("amt", col("amt").cast("decimal(18,2)"))
+    // fact(fk→d1.k1, dk→d2.k2), d1 carries band, d2 carries seg
+    VersionedTable.commit(spark, fact,
+      factRows((1, 10, 5.0), (2, 10, 3.0), (3, 20, 7.0)), overwrite = true)
+    VersionedTable.commit(spark, d1,
+      Seq((1, "lo"), (2, "lo"), (3, "hi")).toDF("k1", "band"),
+      overwrite = true)
+    VersionedTable.commit(spark, d2,
+      Seq((10, "A"), (20, "B")).toDF("k2", "seg"), overwrite = true)
+
+    // gates: overlapping columns anywhere in the chain refuse; a left
+    // key must resolve in the ACCUMULATED columns, not just source 1
+    intercept[IllegalArgumentException] {
+      MaterializedView.createJoinChain(spark, mv + "_x", fact,
+        Seq((d1, Seq(("fk", "k1"))), (d1, Seq(("fk", "k1")))),
+        Seq("band"), "cnt:count")
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView.createJoinChain(spark, mv + "_y", fact,
+        Seq((d1, Seq(("fk", "k1"))), (d2, Seq(("nope", "k2")))),
+        Seq("band"), "cnt:count")
+    }
+    // a key from the SECOND source resolves for the third join (the
+    // accumulated frame carries every earlier source's columns)
+    assert(MaterializedView.createJoinChain(spark, mv, fact,
+      Seq((d1, Seq(("fk", "k1"))), (d2, Seq(("dk", "k2")))),
+      Seq("band", "seg"), "cnt:count, tot:sum(amt)"))
+
+    def state: Map[(String, String), (Long, Double)] =
+      VersionedTable.readAt(spark, mv).collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDecimal(3).doubleValue()))).toMap
+    def expected: Map[(String, String), (Long, Double)] =
+      VersionedTable.readAt(spark, fact)
+        .join(VersionedTable.readAt(spark, d1), col("fk") === col("k1"))
+        .join(VersionedTable.readAt(spark, d2), col("dk") === col("k2"))
+        .groupBy("band", "seg")
+        .agg(count(lit(1)).as("cnt"), sum("amt").as("tot"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDecimal(3).doubleValue()))).toMap
+
+    assert(state == Map(("lo", "A") -> ((2L, 8.0)),
+      ("hi", "B") -> ((1L, 7.0))))
+
+    // TWO sources move in ONE window: Δfact activates against Δd2's new
+    // key 30 — only the ΔX⋈ΔY cross term at level 2 can produce that
+    // row, so this pins the term's existence and its sign product
+    VersionedTable.commit(spark, fact,
+      factRows((3, 30, 11.0)), overwrite = false)
+    VersionedTable.commit(spark, d2,
+      Seq((30, "C")).toDF("k2", "seg"), overwrite = false)
+    val r1 = MaterializedView.refresh(spark, mv)
+    assert(r1.mode == "incremental")
+    assert(state == expected)
+    assert(state.contains(("hi", "C")), "the cross-term row must appear")
+
+    // a dim-1 CoW delete retracts through BOTH joins (sign product -1)
+    assert(VersionedTable.deleteWhere(spark, d1,
+      col("k1") === 1).isDefined)
+    val r2 = MaterializedView.refresh(spark, mv)
+    assert(r2.mode == "incremental")
+    assert(state == expected)
+    assert(state(("lo", "A")) == ((1L, 3.0)),
+      "fk=1's contribution must retract")
+
+    // fact-only move on the 3-way chain stays incremental (Δfact⋈dims)
+    VersionedTable.commit(spark, fact,
+      factRows((5, 20, 2.0)), overwrite = false)
+    assert(MaterializedView.refresh(spark, mv).mode == "incremental")
+    assert(state == expected)
+    assert(MaterializedView.refresh(spark, mv).mode == "noop")
+  }
+
+  test("refresh publishes its delta as recorded CDF; tableChanges serves it") {
+    val src = freshRoot(); val mv = freshRoot() + "/mv"
+    VersionedTable.commit(spark, src,
+      rows((1, "a", 10.0), (2, "b", 5.0)), overwrite = true)
+    assert(MaterializedView.create(spark, mv, src, Seq("grp"),
+      "cnt:count, rev:sum(amt)"))
+    val v0 = VersionedTable.versions(spark, mv).last
+
+    // append: group a updates, group c appears — the refresh commit's
+    // recorded CDF must carry exactly that (overwrite shape notwithstanding)
+    VersionedTable.commit(spark, src,
+      rows((3, "a", 2.0), (4, "c", 7.0)), overwrite = false)
+    MaterializedView.refresh(spark, mv)
+    val v1 = VersionedTable.versions(spark, mv).last
+    val ch = VersionedTable.tableChanges(spark, mv, v0, v1)
+      .collect().map(r => (r.getString(r.fieldIndex("grp")),
+        r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("cnt")))).toSet
+    assert(ch == Set(("a", "update_preimage", 1L),
+      ("a", "update_postimage", 2L), ("c", "insert", 1L)),
+      s"recorded CDF must be the exact group delta, got $ch")
+
+    // noop refresh: marker moves, recorded CDF says "no row changes" —
+    // an incremental consumer sees an EMPTY window, not a refusal
+    val r = MaterializedView.refresh(spark, mv)
+    assert(r.mode == "noop" ||
+      VersionedTable.tableChanges(spark, mv, v1,
+        VersionedTable.versions(spark, mv).last).isEmpty)
+
+    // vacuum keeps the recorded-CDF dirs of surviving versions: the
+    // feed across the kept history must still read after maintenance
+    VersionedTable.vacuum(spark, mv, keepVersions = 10, force = true)
+    assert(VersionedTable.tableChanges(spark, mv, v0, v1).count() == 3L)
+  }
+
+  test("MV over MV: the second tier folds incrementally through every mode") {
+    val base = freshRoot(); val mv1 = freshRoot() + "/mv1"
+    val mv2 = freshRoot() + "/mv2"
+    // base rows: (k, grp, amt); tier 1 groups by grp; tier 2 rolls the
+    // tier-1 rows up to a single band by cnt parity — any tier-2
+    // definition over tier-1 OUTPUT columns exercises the chain
+    VersionedTable.commit(spark, base,
+      rows((1, "a", 10.0), (2, "a", 5.0), (3, "b", 1.0)), overwrite = true)
+    assert(MaterializedView.create(spark, mv1, base, Seq("grp"),
+      "cnt:count, rev:sum(amt)"))
+    assert(MaterializedView.create(spark, mv2, mv1, Seq("cnt"),
+      "n:count, tot:sum(rev)"))
+
+    def tier2: Map[Long, (Long, Double)] =
+      VersionedTable.readAt(spark, mv2).collect().map(r =>
+        r.getLong(r.fieldIndex("cnt")) ->
+          ((r.getLong(r.fieldIndex("n")),
+            r.getDecimal(r.fieldIndex("tot")).doubleValue()))).toMap
+    def expectTier2: Map[Long, (Long, Double)] =
+      VersionedTable.readAt(spark, base).groupBy("grp")
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(col("amt"), lit(0))).as("rev"))
+        .groupBy("cnt").agg(count(lit(1)).as("n"), sum("rev").as("tot"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+
+    assert(tier2 == Map(2L -> ((1L, 15.0)), 1L -> ((1L, 1.0))))
+
+    // append → both tiers incremental
+    VersionedTable.commit(spark, base,
+      rows((4, "b", 3.0), (5, "c", 8.0)), overwrite = false)
+    assert(MaterializedView.refresh(spark, mv1).mode == "incremental")
+    val r1 = MaterializedView.refresh(spark, mv2)
+    assert(r1.mode == "incremental",
+      "tier 2 must fold tier 1's recorded CDF, not recompute")
+    assert(tier2 == expectTier2)
+
+    // CoW delete (retraction) → still incremental end to end
+    assert(VersionedTable.deleteWhere(spark, base,
+      col("grp") === "a").isDefined)
+    assert(MaterializedView.refresh(spark, mv1).mode == "incremental")
+    assert(MaterializedView.refresh(spark, mv2).mode == "incremental")
+    assert(tier2 == expectTier2)
+
+    // base restore: tier 1 recomputes honestly (full) — but its publish
+    // still records the content diff, so tier 2 STAYS incremental
+    assert(VersionedTable.restore(spark, base, 1L).isDefined)
+    assert(MaterializedView.refresh(spark, mv1).mode == "full")
+    assert(MaterializedView.refresh(spark, mv2).mode == "incremental")
+    assert(tier2 == expectTier2)
+
+    // a restore of TIER 1 itself is inexpressible to tier 2 → honest full
+    VersionedTable.commit(spark, base,
+      rows((6, "d", 4.0)), overwrite = false)
+    assert(MaterializedView.refresh(spark, mv1).mode == "incremental")
+    assert(VersionedTable.restore(spark, mv1,
+      VersionedTable.versions(spark, mv1).init.last).isDefined)
+    val r2 = MaterializedView.refresh(spark, mv2)
+    assert(r2.mode == "full",
+      "a restored tier-1 history cannot feed row-level — recompute")
+  }
+
   test("streaming auto-refresh: appends converge, replays absorb, noops free") {
     val src = freshRoot(); val mv = freshRoot() + "/mv"
     val ckpt = freshRoot() + "/ckpt"

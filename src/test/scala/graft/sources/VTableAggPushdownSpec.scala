@@ -329,6 +329,125 @@ class VTableAggPushdownSpec extends SparkSpec {
       "the null-token ambiguity is manifest-visible — refuse at plan time")
   }
 
+  test("partition-exact WHERE pushes to footers of exactly the kept entries") {
+    val t = s"$root/ns/filtered"
+    // identity-partitioned on g, with a NULL partition leaf (int type:
+    // the hive null token is unambiguous for non-strings) and a second
+    // generation so kept-entry sets span generations
+    require(VersionedTable.createIfAbsent(spark, t,
+      (1 to 60).map(i => (i.toLong,
+        if (i % 10 == 0) None else Some(i % 3),
+        if (i % 7 == 0) None else Some(i * 2L))).toDF("k", "g", "nk"),
+      Map("partition" -> "g")))
+    VersionedTable.commit(spark, t,
+      (61 to 90).map(i => (i.toLong, Some(i % 3), Some(i * 2L)))
+        .toDF("k", "g", "nk"),
+      overwrite = false)
+    def expect(p: Int => Boolean, nullIn: Boolean = false): (Long, Long, Long) = {
+      val is = (1 to 90).filter(i =>
+        if (i <= 60 && i % 10 == 0) nullIn else p(i % 3))
+      (is.size.toLong, is.min.toLong, is.max.toLong)
+    }
+
+    val eq = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx " +
+        "FROM vtagg.ns.filtered WHERE g = 1")
+    assert(isPushed(eq), s"equality WHERE must serve from footers:\n${planOf(eq)}")
+    assert(planOf(eq).contains("LocalTableScan"))
+    val re = eq.head()
+    assert((re.getLong(0), re.getLong(1), re.getLong(2)) == expect(_ == 1))
+
+    val rng = spark.sql(
+      "SELECT count(*) AS n, count(nk) AS nn FROM vtagg.ns.filtered " +
+        "WHERE g >= 1 AND g < 3")
+    assert(isPushed(rng), "range WHERE over tokens must serve")
+    val rr = rng.head()
+    val rngIs = (1 to 90).filter(i => !(i <= 60 && i % 10 == 0) &&
+      (i % 3) >= 1)
+    assert(rr.getLong(0) == rngIs.size.toLong)
+    assert(rr.getLong(1) == rngIs.count(i => !(i <= 60 && i % 7 == 0)).toLong)
+
+    val in = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered WHERE g IN (0, 2)")
+    assert(isPushed(in), "IN over tokens must serve")
+    assert(in.head().getLong(0) == expect(g => g == 0 || g == 2)._1)
+
+    // the NULL leaf: IS NULL keeps exactly the hive-null entries; the
+    // comparison WHEREs above excluded them (SQL three-valued logic)
+    val nul = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered WHERE g IS NULL")
+    assert(isPushed(nul), "IS NULL on an int partition column must serve")
+    assert(nul.head().getLong(0) == 6L)
+
+    // filtered AND grouped together: both ride the same kept-entry set
+    val fg = spark.sql(
+      "SELECT g, count(*) AS n FROM vtagg.ns.filtered WHERE g >= 1 GROUP BY g")
+    assert(isPushed(fg), "filtered grouped aggregate must serve")
+    assert(fg.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(1 -> expect(_ == 1)._1, 2 -> expect(_ == 2)._1))
+
+    // a disjunction across DIFFERENT columns is not partition-exact
+    val or = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered WHERE g = 1 OR k = 5")
+    assert(!isPushed(or), "cross-column OR must refuse")
+    assert(or.head().getLong(0) == expect(_ == 1)._1 + 1L)
+  }
+
+  test("filtered pushdown falls back exactly on unprovable histories") {
+    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.sources.EqualTo
+    // (a) mixed era: an unrouted file-bearing generation has no tokens
+    val mixed = s"$root/ns/filtered_mixed"
+    VersionedTable.commit(spark, mixed,
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("k", "g"),
+      overwrite = true) // pre-partitioning era
+    VersionedTable.evolvePartitionSpec(spark, mixed, "g")
+    VersionedTable.commit(spark, mixed,
+      (21 to 40).map(i => (i.toLong, i % 2)).toDF("k", "g"),
+      overwrite = false)
+    assert(graft.ops.FooterStats.provableKeptEntries(spark, mixed,
+      VersionedTable.versions(spark, mixed).last,
+      Seq(("g", IntegerType, EqualTo("g", 1)))).isEmpty,
+      "a token-less file-bearing era must be unprovable")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered_mixed WHERE g = 1")
+    assert(!isPushed(q),
+      "mixed eras refuse the aggregate; the absorbed filter still " +
+        "applies row-exactly in the ordinary scan")
+    assert(q.head().getLong(0) == 20L)
+
+    // (b) string partition with a hive null token: null-vs-'' ambiguity
+    val amb = s"$root/ns/filtered_amb"
+    require(VersionedTable.createIfAbsent(spark, amb,
+      Seq((1L, "a"), (2L, "a"), (3L, null), (4L, ""), (5L, "b"))
+        .toDF("k", "s"),
+      Map("partition" -> "s")))
+    val qa = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered_amb WHERE s = 'a'")
+    assert(!isPushed(qa), "string null tokens refuse filtered pushdown")
+    assert(qa.head().getLong(0) == 2L)
+    // and the row-exact path keeps null ≠ '' distinct
+    val qe = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered_amb WHERE s = ''")
+    assert(qe.head().getLong(0) == 1L)
+
+    // (c) a clean string-partitioned table (no null leaf) DOES serve
+    val clean = s"$root/ns/filtered_str"
+    require(VersionedTable.createIfAbsent(spark, clean,
+      Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z=w/q"), (5L, "z=w/q"))
+        .toDF("k", "s"),
+      Map("partition" -> "s")))
+    val qs = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered_str WHERE s = 'x'")
+    assert(isPushed(qs), "clean string tokens serve filtered pushdown")
+    assert(qs.head().getLong(0) == 2L)
+    // hive-escaped tokens ('=', '/') compare against the UNESCAPED value
+    val qesc = spark.sql(
+      "SELECT count(*) AS n FROM vtagg.ns.filtered_str WHERE s = 'z=w/q'")
+    assert(isPushed(qesc), "escaped tokens must unescape before compare")
+    assert(qesc.head().getLong(0) == 2L)
+  }
+
   test("pushed aggregates answer for the snapshot PINNED at plan time") {
     val t = s"$root/ns/pinned"
     VersionedTable.commit(spark, t,
