@@ -118,32 +118,44 @@ object FooterStats {
       .map(_.getPath.toString)
 
   // (file path, owning entry index) for every data file of the snapshot.
-  // One listStatus per entry, issued CONCURRENTLY from a bounded pool —
-  // serial metadata RPCs against an object store would make the driver
-  // half of the footer job O(entries × RTT) at the thousands-of-leaves
-  // scale the partitioned layouts produce (the task half is already a
-  // distributed job).
+  // Entries with per-file manifest records (r18 `files:` headers) name
+  // their files from the manifest read already paid — zero RPCs; the
+  // rest pay one listStatus each, issued CONCURRENTLY from a bounded
+  // pool — serial metadata RPCs against an object store would make the
+  // driver half of the footer job O(entries × RTT) at the
+  // thousands-of-leaves scale the partitioned layouts produce (the task
+  // half is already a distributed job).
   private def listFiles(spark: SparkSession, root: String,
-      entries: Seq[String]): Seq[(String, Int)] = {
-    val hfs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+      entries: Seq[String],
+      meta: Map[String, String]): Seq[(String, Int)] = {
     val rootPath = new Path(root)
-    if (entries.size <= 1)
-      entries.zipWithIndex.flatMap { case (e, i) =>
-        listEntry(hfs, rootPath, e).map((_, i)) }
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, entries.size))
-      try {
-        val futs = entries.zipWithIndex.map { case (e, i) =>
-          pool.submit(new java.util.concurrent.Callable[Seq[(String, Int)]] {
-            override def call(): Seq[(String, Int)] =
-              listEntry(hfs, rootPath, e).map((_, i))
-          })
-        }
-        futs.flatMap(_.get())
-      } finally pool.shutdown()
+    val (recorded, listed) = entries.zipWithIndex.partition { case (e, _) =>
+      VersionedTable.recordedFiles(meta, e).isDefined }
+    val fromManifest = recorded.flatMap { case (e, i) =>
+      VersionedTable.recordedFiles(meta, e).get.map { case (n, _, _) =>
+        (new Path(rootPath, s"$e/$n").toString, i) }
     }
+    lazy val hfs = rootPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fromListing =
+      if (listed.isEmpty) Nil
+      else if (listed.size <= 1)
+        listed.flatMap { case (e, i) =>
+          listEntry(hfs, rootPath, e).map((_, i)) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, listed.size))
+        try {
+          val futs = listed.map { case (e, i) =>
+            pool.submit(new java.util.concurrent.Callable[Seq[(String, Int)]] {
+              override def call(): Seq[(String, Int)] =
+                listEntry(hfs, rootPath, e).map((_, i))
+            })
+          }
+          futs.flatMap(_.get())
+        } finally pool.shutdown()
+      }
+    fromManifest ++ fromListing
   }
 
   // the distributed footer job: per-ENTRY folded partials (footers only —
@@ -247,7 +259,7 @@ object FooterStats {
   def provableKeptEntries(spark: SparkSession, root: String, v: Long,
       preds: Seq[(String, DataType, org.apache.spark.sql.sources.Filter)])
       : Option[Seq[String]] = {
-    val entries = VersionedTable.manifestDirs(spark, root, v)
+    val (entries, meta) = VersionedTable.manifestOf(spark, root, v)
     val convs = preds.map { case (_, dt, _) =>
       org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToCatalystConverter(dt)
@@ -266,15 +278,7 @@ object FooterStats {
     val unproven = entries.zip(decisions).collect {
       case (e, None) => e
     }
-    val provable =
-      if (unproven.isEmpty) true
-      else if (unproven.size > 8) false
-      else {
-        val hfs = new Path(root).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val rootPath = new Path(root)
-        unproven.forall(e => listEntry(hfs, rootPath, e).isEmpty)
-      }
+    val provable = provablyEmpty(spark, root, meta, unproven)
     if (!provable) None
     else Some(entries.zip(decisions).collect {
       case (e, Some(true)) => e // provably-empty entries drop too
@@ -296,19 +300,31 @@ object FooterStats {
     */
   def groupingProvable(spark: SparkSession, root: String, v: Long,
       groupCols: Seq[(String, DataType)]): Boolean = {
-    val entries = VersionedTable.manifestDirs(spark, root, v)
+    val (entries, meta) = VersionedTable.manifestOf(spark, root, v)
     val unproven = entries.filter { e =>
       groupCols.exists { case (c, dt) =>
         VersionedTable.partValueOf(e, c).flatMap(tokenValue(_, dt)).isEmpty
       }
     }
-    if (unproven.isEmpty) true
-    else if (unproven.size > 8) false
+    provablyEmpty(spark, root, meta, unproven)
+  }
+
+  // are ALL of `unproven` provably file-free? Per-file manifest records
+  // answer for free; the rest pay a listing each, capped at 8 (a long
+  // token-less tail refuses rather than stalling plan time)
+  private def provablyEmpty(spark: SparkSession, root: String,
+      meta: Map[String, String], unproven: Seq[String]): Boolean = {
+    val (recorded, toList) = unproven.partition(e =>
+      VersionedTable.recordedFiles(meta, e).isDefined)
+    if (recorded.exists(e =>
+        VersionedTable.recordedFiles(meta, e).get.nonEmpty)) false
+    else if (toList.isEmpty) true
+    else if (toList.size > 8) false
     else {
       val hfs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       val rootPath = new Path(root)
-      unproven.forall(e => listEntry(hfs, rootPath, e).isEmpty)
+      toList.forall(e => listEntry(hfs, rootPath, e).isEmpty)
     }
   }
 
@@ -360,11 +376,12 @@ object FooterStats {
     // exactly the entries an absorbed partition predicate keeps; the
     // manifest at a pinned version is immutable, so a plan-time list
     // stays valid at execution
+    val meta = VersionedTable.manifestOf(spark, root, ver)._2
     val entries = kept.getOrElse(
       VersionedTable.manifestDirs(spark, root, ver))
     val colSpecs = colSpecsOf(specs)
     val partials = entryPartials(spark,
-      listFiles(spark, root, entries), colSpecs)
+      listFiles(spark, root, entries, meta), colSpecs)
     val folded = partials.values.foldLeft(
       FilePartial(0L, Array.fill(colSpecs.size)(emptyCol)))(_.merge(_))
 
@@ -438,10 +455,11 @@ object FooterStats {
       : Option[Seq[Array[Any]]] = {
     require(groupCols.nonEmpty, "FooterStats: no group columns")
     val ver = resolveVersion(spark, root, v)
+    val meta = VersionedTable.manifestOf(spark, root, ver)._2
     val entries = kept.getOrElse(
       VersionedTable.manifestDirs(spark, root, ver))
     val colSpecs = colSpecsOf(specs)
-    val files = listFiles(spark, root, entries)
+    val files = listFiles(spark, root, entries, meta)
     // entries with no data files contribute nothing — the catalog's
     // CREATE publishes an empty unpartitioned generation, which must
     // not force the fallback
@@ -557,14 +575,51 @@ object FooterStats {
     */
   private[ops] def fileStats(files: Seq[String],
       conf: org.apache.hadoop.conf.Configuration,
-      cols: Seq[(String, DataType)])
-      : Seq[(Long, Seq[Option[(Long, Long)]])] = {
-    val names = cols.map(_._1).toArray
-    val dts = cols.map(c => Some(c._2): Option[DataType]).toArray
+      cols: Seq[String]): Seq[(Long, Seq[Option[(Long, Long)]])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    import scala.jdk.CollectionConverters._
     def one(f: String): (Long, Seq[Option[(Long, Long)]]) = {
-      val p = readFooter(f, conf, names, dts)
-      (p.rows, p.cols.toSeq.map(c =>
-        if (c.unserved || !c.hasValues) None else Some((c.minL, c.maxL))))
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val fields = footer.getFileMetaData.getSchema.getFields.asScala.toSeq
+        val per = cols.map { c =>
+          fields.filter(_.getName.equalsIgnoreCase(c)) match {
+            case Seq(field) if field.isPrimitive && {
+              val p = field.asPrimitiveType
+              (p.getPrimitiveTypeName == INT32 ||
+                p.getPrimitiveTypeName == INT64) &&
+                (p.getLogicalTypeAnnotation match {
+                  case null => true
+                  case i: IntLogicalTypeAnnotation => i.isSigned
+                  case _ => false // date/decimal/unsigned: not the
+                                  // plain-integer channel stats windows use
+                })
+            } =>
+              val chunks = blocks.flatMap(_.getColumns.asScala
+                .filter(_.getPath.toDotString == field.getName))
+              val sts = chunks.map(_.getStatistics)
+              if (sts.exists(st => st == null || !st.hasNonNullValue))
+                None // all-null or untrustworthy somewhere: must-scan
+              else sts.map(_.genericGetMin).zip(sts.map(_.genericGetMax))
+                .foldLeft(Option.empty[(Long, Long)]) {
+                  case (acc, (mn: java.lang.Number, mx: java.lang.Number)) =>
+                    val (lo, hi) = (mn.longValue, mx.longValue)
+                    Some(acc.fold((lo, hi)) { case (alo, ahi) =>
+                      (math.min(alo, lo), math.max(ahi, hi)) })
+                  case _ => None
+                }
+            case _ => None // absent, ambiguous-case, or non-integral
+          }
+        }
+        (rows, per)
+      } finally reader.close()
     }
     if (files.size <= 1) files.map(one)
     else {

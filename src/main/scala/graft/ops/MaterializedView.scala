@@ -396,43 +396,45 @@ object MaterializedView {
     // delete, new row → update_postimage / insert, per changed group),
     // so an MV sourcing THIS MV — the bronze→silver→gold medallion
     // chain — folds O(changed groups) from `tableChanges` instead of
-    // refusing on the overwrite shape and recomputing in full. `scope`
-    // bounds the diff to the fold's changed groups (incremental mode);
-    // None diffs old-vs-new content wholesale (full mode — the diff is
-    // MV-sized, the same order as writing the content, and it keeps the
-    // DOWNSTREAM tier incremental even when this tier had to recompute).
+    // refusing on the overwrite shape and recomputing in full. The
+    // caller supplies the delta (the incremental fold derives it from
+    // the SAME join it already pays — no second pass; full mode diffs
+    // old-vs-new content); None = provably no row changes (`cdf_none`).
     def publish(content: DataFrame, changedGroups: Long, mode: String,
-        recomputed: Long, scope: Option[DataFrame]): Refresh = {
+        recomputed: Long, delta: Option[DataFrame]): Refresh = {
       // cast back to the STORED schema: decimal `+` widens precision, and
-      // without this pin each refresh would widen the column types again.
-      // Materialized once (MV-sized): the delta diff below and the
-      // commit's write both consume it — recomputing the fold twice
-      // would double the refresh, and diffing against a live plan that
-      // itself references `cur` invites self-join ambiguity
+      // without this pin each refresh would widen the column types again
       val fitted = content.select(mvSchema.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*).localCheckpoint(true)
+        col(f.name).cast(f.dataType).as(f.name)): _*)
       val markers = d.sources.indices.map { i =>
         val key = if (i == 0) "prop:mview.source_version"
           else s"prop:mview.source${i + 1}_version"
         key -> tips(i).toString
       }.toMap
-      // bounded: scope-restricted (touched groups) or MV-sized; consumed
-      // twice (emptiness probe + the commit's write)
-      val delta = refreshDelta(cur, fitted, d.groupCols,
-        d.aggs.map(_.name), scope).localCheckpoint(true)
-      val v =
-        if (delta.isEmpty)
+      val v = delta match {
+        case Some(df) if !df.isEmpty =>
+          VersionedTable.commit(spark, mvRoot, fitted, overwrite = true,
+            meta = markers, cdf = Some(df))
+        case _ =>
           VersionedTable.commit(spark, mvRoot, fitted, overwrite = true,
             meta = markers + ("cdf_none" -> "true"))
-        else VersionedTable.commit(spark, mvRoot, fitted, overwrite = true,
-          meta = markers, cdf = Some(delta))
+      }
       Refresh(v, tipA, changedGroups, mode, recomputed, tipB)
     }
 
     def fullRecompute(): Refresh = {
+      // materialized once: consumed by the content write, the count AND
+      // the old-vs-new diff that keeps the DOWNSTREAM tier incremental
+      // even though this tier recomputed
       val full = fullAggregate(sourceFrame(spark, d, tips.map(Some(_))),
-        d.groupCols, d.aggs, d.where)
-      publish(full, full.count(), "full", 0L, None)
+          d.groupCols, d.aggs, d.where)
+        .select(mvSchema.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        .localCheckpoint(true)
+      val delta = refreshDelta(cur, full, d.groupCols, d.aggs.map(_.name))
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+        .localCheckpoint(true)
+      publish(full, full.count(), "full", 0L, Some(delta))
     }
 
     def changesOf(root: String, from: Long, to: Long): DataFrame =
@@ -548,10 +550,9 @@ object MaterializedView {
     if (changed == 0L) {
       // content unchanged — still publish, to move the marker atomically
       // with (identical) content; a marker-only setProperties would be a
-      // second non-content commit shape readers must understand. The
-      // limit(0) scope makes the recorded delta provably empty without
-      // a diff pass — downstream consumers see `cdf_none`.
-      return publish(cur, 0L, "incremental", 0L, Some(deltas.limit(0)))
+      // second non-content commit shape readers must understand. No
+      // delta by construction — downstream consumers see `cdf_none`.
+      return publish(cur, 0L, "incremental", 0L, None)
     }
 
     // min/max HYBRID: groups touched by a retraction recompute their
@@ -604,7 +605,13 @@ object MaterializedView {
           .reduce(_ && _)
         merged.join(rr, rc, "left_outer")
     }
-    val foldedContent = withRec.select(
+    // ONE materialization serves both outputs: the folded row set
+    // (new values per group, old values passed through for unchanged
+    // groups via the coalesces) PLUS the old values and the two
+    // presence bits the recorded-CDF classification needs — so an
+    // incremental refresh derives content AND its row-level delta from
+    // the single join it already pays, never a second diff pass
+    val combined = withRec.select(
       d.groupCols.map(c => coalesce(cur(c), dcols(s"__d_$c")).as(c)) ++
         d.aggs.map {
           case CountAgg(n) =>
@@ -625,36 +632,59 @@ object MaterializedView {
               when(dcols("__d_retract") === 1, withRec(s"__r_$n"))
                 .otherwise(ins)
             else ins).as(n)
-        }: _*)
-      .filter(col(cntName).cast(LongType) > 0L)
-    publish(foldedContent, changed, "incremental", recCount,
-      Some(deltas.select(d.groupCols.map(col): _*)))
+        } ++
+        d.aggs.map(a => cur(a.name).as(s"__old_${a.name}")) ++
+        // the count column is non-null on every real row of either
+        // side, so nullness IS presence
+        Seq(cur(cntName).isNotNull.as("__was"),
+          dcols(s"__d_$cntName").isNotNull.as("__chg")): _*)
+      .localCheckpoint(true)
+
+    val live = col(cntName).cast(LongType) > 0L
+    // new-side values in the STORED types (the same cast publish pins)
+    def newSide(ct: String) = mvSchema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)) :+ lit(ct).as("_change_type")
+    def oldSide(ct: String) =
+      (d.groupCols.map(c => col(c)) ++
+        d.aggs.map(a => col(s"__old_${a.name}").as(a.name))).zip(mvSchema)
+        .map { case (c, f) => c.cast(f.dataType).as(f.name) } :+
+        lit(ct).as("_change_type")
+    val differ = d.aggs.zip(mvSchema.drop(d.groupCols.size)).map {
+      case (a, f) =>
+        !(col(s"__old_${a.name}") <=> col(a.name).cast(f.dataType))
+    }.reduce(_ || _)
+    val touchedRows = combined.filter(col("__chg"))
+    val updated = touchedRows.filter(col("__was") && live && differ)
+    // the 4-way union inherits 4× the checkpoint's partitions; coalesce
+    // before the commit writes it, or a delta-sized payload lands as a
+    // hundred near-empty parquet files (the recorded CDF is bounded by
+    // changed groups — a handful of files is always the right shape)
+    val delta = touchedRows.filter(!col("__was") && live)
+        .select(newSide("insert"): _*)
+      .unionByName(touchedRows.filter(col("__was") && !live)
+        .select(oldSide("delete"): _*))
+      .unionByName(updated.select(oldSide("update_preimage"): _*))
+      .unionByName(updated.select(newSide("update_postimage"): _*))
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+    publish(combined.filter(live), changed, "incremental", recCount,
+      Some(delta))
   }
 
-  // the refresh's OWN row-level delta: old content vs new content,
-  // restricted to `scope`'s group keys when given (null-safe semi-join —
-  // GROUP BY treats NULL as one group, so the diff must too). Emits MV
-  // rows + `_change_type`: a group present only in `old` is a `delete`,
+  // the refresh's OWN row-level delta for FULL recomputes: old content
+  // vs new content, wholesale (null-safe group join — GROUP BY treats
+  // NULL as one group, so the diff must too; the incremental fold
+  // derives its delta inline from its own join instead). Emits MV rows
+  // + `_change_type`: a group present only in `old` is a `delete`,
   // only in `neu` an `insert`, present in both with ANY agg value
   // changed an `update_preimage`/`update_postimage` pair. This is the
   // payload [[VersionedTable.commit]] records as the commit's CDF.
   private def refreshDelta(old: DataFrame, neu: DataFrame,
-      groupCols: Seq[String], aggNames: Seq[String],
-      scope: Option[DataFrame]): DataFrame = {
-    def scoped(df: DataFrame): DataFrame = scope match {
-      case None => df
-      case Some(keys) =>
-        val k = keys.select(groupCols.map(c => col(c).as(s"__k_$c")): _*)
-          .dropDuplicates()
-        df.join(broadcast(k),
-          groupCols.map(c => df(c) <=> k(s"__k_$c")).reduce(_ && _),
-          "left_semi")
-    }
-    val o = scoped(old).select(
+      groupCols: Seq[String], aggNames: Seq[String]): DataFrame = {
+    val o = old.select(
       groupCols.map(c => col(c).as(s"__o_$c")) ++
         aggNames.map(n => col(n).as(s"__o_$n")) :+
         lit(1).as("__op"): _*)
-    val n = scoped(neu).select(
+    val n = neu.select(
       groupCols.map(c => col(c).as(s"__n_$c")) ++
         aggNames.map(a => col(a).as(s"__n_$a")) :+
         lit(1).as("__np"): _*)

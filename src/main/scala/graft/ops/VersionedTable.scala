@@ -95,7 +95,7 @@ object VersionedTable {
   // snapshot read costs a single _log round-trip (separate manifestDirs +
   // manifestMeta calls would open the same file twice, which matters when
   // _log lives on an object store)
-  private def manifestOf(spark: SparkSession, root: String,
+  private[ops] def manifestOf(spark: SparkSession, root: String,
       v: Long): (Seq[String], Map[String, String]) = {
     val lines = manifestLines(spark, root, v)
     val meta = lines.filter(_.startsWith("#"))
@@ -492,48 +492,56 @@ object VersionedTable {
       }
     }
 
-  // the integral long-channel types per-file [min,max] records serve —
-  // the same family the stats windows compare against
-  private val fstatsTypes: Set[org.apache.spark.sql.types.DataType] = Set(
-    org.apache.spark.sql.types.ByteType,
-    org.apache.spark.sql.types.ShortType,
-    org.apache.spark.sql.types.IntegerType,
-    org.apache.spark.sql.types.LongType)
-
   // per-file headers for freshly written entries: one listing per entry
   // (names + bytes — the dirs were just written) plus footer reads for
-  // rows and tracked-column [min,max] ([[FooterStats.fileStats]]). A
-  // file name carrying the record separators refuses the whole entry's
-  // headers (fallback to listing) rather than writing an unparseable
-  // value — Spark part-file names never do.
+  // rows and tracked-column [min,max] ([[FooterStats.fileStats]], which
+  // types each column from the footer itself, so every commit path can
+  // record headers without threading its frame's schema). A file name
+  // carrying the record separators refuses the whole entry's headers
+  // (fallback to listing) rather than writing an unparseable value —
+  // Spark part-file names never do.
   private def fileHeadersForEntries(spark: SparkSession, root: String,
-      entries: Seq[String], cols: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+      entries: Seq[String], cols: Seq[String]): Map[String, String] = {
     val hfs = fs(spark, root)
-    val colTypes = cols.flatMap(c =>
-      schema.fields.find(_.name.equalsIgnoreCase(c)).collect {
-        case f if fstatsTypes.contains(f.dataType) => (f.name, f.dataType)
-      })
-    entries.flatMap { e =>
-      val sts = hfs.listStatus(new Path(root, e)).toSeq
-        .filter(st => st.isFile && {
-          val n = st.getPath.getName
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }).sortBy(_.getPath.getName)
+    def pooled[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+      if (xs.size <= 1) xs.map(f)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, xs.size))
+        try xs.map(x => pool.submit(
+          new java.util.concurrent.Callable[B] { override def call(): B = f(x) }))
+          .map(_.get())
+        finally pool.shutdown()
+      }
+    // ONE pooled listing pass across entries, then ONE pooled footer
+    // pass across every file — a wide routed commit (hundreds of hour
+    // leaves) must not pay serial per-entry or per-file RPCs
+    val listed: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] =
+      pooled(entries)(e =>
+        e -> hfs.listStatus(new Path(root, e)).toSeq
+          .filter(st => st.isFile && {
+            val n = st.getPath.getName
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }).sortBy(_.getPath.getName))
+    val flat = listed.flatMap { case (e, sts) => sts.map(st => (e, st)) }
+    val stats = FooterStats.fileStats(
+      flat.map(_._2.getPath.toString),
+      spark.sparkContext.hadoopConfiguration, cols)
+    val byEntry = flat.zip(stats).groupBy(_._1._1)
+    listed.flatMap { case (e, sts) =>
       if (sts.exists(st => { val n = st.getPath.getName
           n.contains(",") || n.contains(";") })) Nil
       else {
-        val stats = FooterStats.fileStats(sts.map(_.getPath.toString),
-          spark.sparkContext.hadoopConfiguration, colTypes)
-        val filesVal = sts.zip(stats).map { case (st, (rows, _)) =>
+        val recs = byEntry.getOrElse(e, Nil).map { case ((_, st), s) => (st, s) }
+        val filesVal = recs.map { case (st, (rows, _)) =>
           s"${st.getPath.getName},${st.getLen},$rows"
         }.mkString(";")
-        val fstats = colTypes.zipWithIndex.flatMap { case ((c, _), i) =>
-          val recs = sts.zip(stats).flatMap { case (st, (_, per)) =>
+        val fstats = cols.zipWithIndex.flatMap { case (c, i) =>
+          val frecs = recs.flatMap { case (st, (_, per)) =>
             per(i).map { case (lo, hi) => s"${st.getPath.getName},$lo,$hi" }
           }
-          if (recs.isEmpty) None
-          else Some(fstatsKey(c, e) -> recs.mkString(";"))
+          if (frecs.isEmpty) None
+          else Some(fstatsKey(c, e) -> frecs.mkString(";"))
         }
         Seq(filesKey(e) -> filesVal) ++ fstats
       }
@@ -829,7 +837,7 @@ object VersionedTable {
       keptDirs: Seq[String]): Map[String, String] = {
     val kept = keptDirs.toSet
     manifestMeta(spark, root, v).filter { case (k, _) =>
-      k.startsWith("stats:") && kept.contains(decDir(k.split(":", 3)(2)))
+      entryHeaderDir(k).exists(kept.contains)
     }
   }
 
@@ -845,7 +853,7 @@ object VersionedTable {
     val (prev, meta) = manifestOf(spark, root, lastV)
     val kept = prev.toSet
     val carried = meta.filter { case (k, _) =>
-      (k.startsWith("stats:") && kept.contains(decDir(k.split(":", 3)(2)))) ||
+      entryHeaderDir(k).exists(kept.contains) ||
         k.startsWith("dv:") || k.startsWith("prop:")
     }
     (prev, carried)
@@ -893,7 +901,16 @@ object VersionedTable {
   // estimates — an upper bound (duplicates across files double-count),
   // which is exactly the safe direction for the broadcast planner this
   // field feeds; rows fold exactly.
+  // per-generation stats: headers AND the per-file files:/fstats:
+  // headers for the same fresh entries, from one shared call site per
+  // commit path — so every generation-writing commit records both
+  // without per-path divergence
   private def genStatsForEntries(spark: SparkSession, root: String,
+      entries: Seq[String], cols: Seq[String]): Map[String, String] =
+    genOnlyStats(spark, root, entries, cols) ++
+      fileHeadersForEntries(spark, root, entries, cols)
+
+  private def genOnlyStats(spark: SparkSession, root: String,
       entries: Seq[String], cols: Seq[String]): Map[String, String] =
     if (cols.isEmpty || entries.isEmpty) Map.empty
     else if (entries.size == 1)
@@ -943,7 +960,11 @@ object VersionedTable {
         size() > 4096
     }
 
-  private def entryEmpty(spark: SparkSession, root: String, d: String): Boolean =
+  private def entryEmpty(spark: SparkSession, root: String, d: String,
+      meta: Map[String, String] = Map.empty): Boolean =
+    // the manifest's own per-file record answers without ANY listing —
+    // and is immune to the vanished-dir ambiguity below
+    recordedFiles(meta, d).map(_.isEmpty).getOrElse {
     entryEmptyCache.synchronized {
       Option(entryEmptyCache.get((root, d)))
     }.map(_.booleanValue).getOrElse {
@@ -970,6 +991,7 @@ object VersionedTable {
           empty
       }
     }
+    }
 
   private def statsField(meta: Map[String, String], c: String, d: String,
       idx: Int): Option[Long] =
@@ -994,7 +1016,7 @@ object VersionedTable {
     val (dirs, meta) = manifestOf(spark, root, ver)
     val per = dirs.map(d => statsField(meta, colName, d, 2) match {
       case some @ Some(_) => some
-      case None => if (entryEmpty(spark, root, d)) Some(0L) else None
+      case None => if (entryEmpty(spark, root, d, meta)) Some(0L) else None
     })
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
@@ -1010,9 +1032,12 @@ object VersionedTable {
         case (k, s) if k.startsWith("stats:") &&
             decDir(k.split(":", 3)(2)) == d && s.split(",").length > 3 =>
           s.split(",")(3).toLongOption
-      }.flatten match {
+      }.flatten
+        // per-file manifest rows (r18) serve even untracked-column
+        // generations — Σ recorded file rows, zero listings
+        .orElse(recordedFiles(meta, d).map(_.map(_._3).sum)) match {
         case some @ Some(_) => some
-        case None => if (entryEmpty(spark, root, d)) Some(0L) else None
+        case None => if (entryEmpty(spark, root, d, meta)) Some(0L) else None
       }
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
@@ -1162,12 +1187,53 @@ object VersionedTable {
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
     val (dirs, meta) = manifestOf(spark, root, ver)
     val kept = keptEntries(dirs, meta, windows, partPreds)
+    // FILE-level skipping inside kept generations (r18): a kept entry
+    // whose manifest records per-file [min,max] for every window column
+    // contributes only the files whose range intersects every window —
+    // the read plans exactly those file paths, no listing, no footer.
+    // Entries without records (or with any window column untracked)
+    // contribute whole dirs as before.
+    val units = kept.flatMap { d =>
+      prunedFilesOf(meta, d, windows) match {
+        case None => Seq(d)
+        case Some(names) => names.map(n => s"$d/$n")
+      }
+    }
     val df =
-      if (kept.isEmpty) readAt(spark, root, Some(ver)).limit(0)
+      if (units.isEmpty) readAt(spark, root, Some(ver)).limit(0)
       else applyDvs(spark, root, meta,
-        readDirs(spark, root, kept, meta))
+        readDirs(spark, root, units, meta))
     (df, kept.size, dirs.size)
   }
+
+  /** The file names of entry `d` a window set provably keeps, from the
+    * per-file `fstats:` records: Some(kept names) when the entry has
+    * per-file records AND every window column carries an `fstats:`
+    * header for it (a file with no record for a recorded column is
+    * all-null or stats-untrustworthy there — all-null satisfies no
+    * window, but untrustworthy must scan, so missing-record files are
+    * KEPT); None = no file-level decision (read the whole dir).
+    */
+  private[ops] def prunedFilesOf(meta: Map[String, String], d: String,
+      windows: Seq[(String, Long, Long)]): Option[Seq[String]] =
+    if (windows.isEmpty) None
+    else recordedFiles(meta, d).flatMap { files =>
+      val perCol: Seq[Option[Map[String, (Long, Long)]]] =
+        windows.map { case (c, _, _) =>
+          meta.get(fstatsKey(c, d)).map(_.split(';').toSeq.map { rec =>
+            val p = rec.split(',')
+            p(0) -> ((p(1).toLong, p(2).toLong))
+          }.toMap)
+        }
+      if (perCol.exists(_.isEmpty)) None
+      else Some(files.collect {
+        case (n, _, _) if perCol.zip(windows).forall {
+          case (m, (_, lo, hi)) => m.get.get(n).forall {
+            case (mn, mx) => mx >= lo && mn <= hi
+          }
+        } => n
+      })
+    }
 
   // the one generation-level skipping decision (stats windows ∧
   // partition-token tests), shared by the pruned read and the scan-size
@@ -1210,6 +1276,24 @@ object VersionedTable {
     require(vs.contains(ver), s"VersionedTable: version $ver not in $vs")
     val (dirs, meta) = manifestOf(spark, root, ver)
     val kept = keptEntries(dirs, meta, windows, partPreds)
+    // per-file manifest records (r18) answer the whole estimate from
+    // the manifest read already paid — ZERO listing RPCs — and apply
+    // the SAME file-level pruning decision the read will make
+    // ([[prunedFilesOf]]), so plan-time bytes and runtime files agree
+    // at file granularity. Entries without records (pre-r18 history)
+    // take the listing path below.
+    val (recorded, unrecorded) = kept.partition(d =>
+      recordedFiles(meta, d).isDefined)
+    val recordedBytes = recorded.map { d =>
+      val files = recordedFiles(meta, d).get
+      prunedFilesOf(meta, d, windows) match {
+        case Some(names) =>
+          val keep = names.toSet
+          files.collect { case (n, b, _) if keep.contains(n) => b }.sum
+        case None => files.map(_._2).sum
+      }
+    }.sum
+    if (unrecorded.isEmpty) return (recordedBytes, kept.size, dirs.size)
     val hfs = fs(spark, root)
     // a committed generation's files are immutable, so (root, dir)
     // bytes are cacheable forever — planning the same table in a loop
@@ -1228,7 +1312,7 @@ object VersionedTable {
       }
       b
     }
-    val (hits, misses) = kept.map { d =>
+    val (hits, misses) = unrecorded.map { d =>
       d -> entryBytesCache.synchronized {
         Option(entryBytesCache.get((root, d))).map(_.longValue)
       }
@@ -1245,7 +1329,7 @@ object VersionedTable {
         }.map(_.get().longValue)
         finally pool.shutdown()
       }
-    val bytes = hits.flatMap(_._2).sum + missBytes.sum
+    val bytes = recordedBytes + hits.flatMap(_._2).sum + missBytes.sum
     (bytes, kept.size, dirs.size)
   }
 
@@ -1743,16 +1827,89 @@ object VersionedTable {
     // rows), every other key stays deleted. The mixed-key precondition
     // was checked before anything was written.
     val (dvNew, dvGen) = foldDvs(spark, root, baseMeta, keyCol, srcKeys)
-    if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
-        Map("merge" -> "true") ++ carriedStats(spark, root, baseV, untouched)
-          ++ propHeaders(spark, root, baseV) ++ dvNew
-          ++ genStatsForEntries(spark, root, entries, statsCol.toSeq)))
-      Some((baseV + 1, touched.size, untouched.size))
-    else {
-      fs(spark, root).delete(new Path(root, gen), true)
-      dvGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
-      None
+    publishRowLevel(spark, root, baseV, baseMeta, touched,
+      untouched, entries, Map("merge" -> "true"), dvNew,
+      genStatsForEntries(spark, root, entries, statsCol.toSeq),
+      keyCol, srcKeys) match {
+      case Some((v, carried)) => Some((v, touched.size, carried))
+      case None =>
+        fs(spark, root).delete(new Path(root, gen), true)
+        dvGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
+        None
     }
+  }
+
+  /** Publish a copy-on-write row-level commit — first at base+1, and on
+    * a concurrency loss attempt a KEY-DISJOINT REBASE (r18, the
+    * Delta/Iceberg logical-conflict resolution): the commit may land at
+    * tip+1 instead of aborting when EVERY intervening commit is itself
+    * a row-level copy-on-write commit (merge/update/delete) that is
+    * provably disjoint from this statement —
+    *   - its rewritten (removed) dirs avoid OUR touched dirs (our
+    *     staged generation baked in the base content of exactly those
+    *     dirs, so a same-dir intervener would be silently undone), and
+    *   - its changed dirs (removed ∪ added) contain NONE of our row-id
+    *     keys (one narrow key-column scan of just the intervener's
+    *     delta — O(their touched data); an overlapping key means the
+    *     statements really do conflict), and
+    *   - no deletion vectors anywhere in the window (tombstone folds
+    *     compose by key-SET, not key-disjointness — abort as before).
+    * Anything else — appends (which may carry our keys), overwrites,
+    * restores, MoR deletes, metadata rewrites — aborts exactly as
+    * before: the caller re-runs against the new snapshot. On rebase the
+    * carried set is recomputed from the TIP (the interveners' rewrites
+    * survive), so history stays linear with both statements applied.
+    * Returns Some((version, carried count)) or None.
+    */
+  private def publishRowLevel(spark: SparkSession, root: String,
+      baseV: Long, baseMeta: Map[String, String], touched: Seq[String],
+      untouched: Seq[String], entries: Seq[String],
+      kindHeaders: Map[String, String], dvNew: Map[String, String],
+      genStats: Map[String, String], keyCol: String,
+      ourKeys: DataFrame): Option[(Long, Int)] = {
+    if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
+        kindHeaders ++ carriedStats(spark, root, baseV, untouched)
+          ++ propHeaders(spark, root, baseV) ++ dvNew ++ genStats))
+      return Some((baseV + 1, untouched.size))
+    if (dvHeadersOf(baseMeta).nonEmpty) return None
+    val ourTouched = touched.toSet
+    val keys = ourKeys.select(col(keyCol))
+    def interventionOk(vs: Seq[Long], v: Long): Boolean = {
+      val kind = commitKind(spark, root, v).stripSuffix("+txn")
+      Set("merge", "update", "delete").contains(kind) && {
+        val prev = vs.filter(_ < v).last
+        val (prevDirs, prevMeta) = manifestOf(spark, root, prev)
+        val (curDirs, curMeta) = manifestOf(spark, root, v)
+        dvHeadersOf(prevMeta).isEmpty && dvHeadersOf(curMeta).isEmpty && {
+          val removed = prevDirs.filterNot(curDirs.contains)
+          val added = curDirs.filterNot(prevDirs.contains)
+          removed.forall(d => !ourTouched.contains(d)) && {
+            val delta = (removed ++ added).distinct
+            delta.isEmpty || readDirs(spark, root, delta, curMeta)
+              .select(col(keyCol))
+              .join(broadcast(keys), Seq(keyCol), "left_semi")
+              .isEmpty
+          }
+        }
+      }
+    }
+    var checkedTo = baseV
+    var attempt = 0
+    while (attempt < 10) {
+      attempt += 1
+      val vs = versions(spark, root)
+      val tip = vs.last
+      if (!vs.filter(v => v > checkedTo && v <= tip)
+          .forall(v => interventionOk(vs, v))) return None
+      checkedTo = tip
+      val tipDirs = manifestDirs(spark, root, tip)
+      val carried = tipDirs.filterNot(ourTouched.contains)
+      if (tryPublish(spark, root, tip + 1, carried ++ entries,
+          kindHeaders ++ carriedStats(spark, root, tip, carried)
+            ++ propHeaders(spark, root, tip) ++ dvNew ++ genStats))
+        return Some((tip + 1, carried.size))
+    }
+    None
   }
 
   /** Apply an explicit ROW-LEVEL DELTA — row-id keys to delete plus rows
@@ -1880,17 +2037,22 @@ object VersionedTable {
       else if (!hasInserts) (dvHeadersOf(baseMeta), None)
       else foldDvs(spark, root, baseMeta, keyCol,
         inserts.select(col(keyCol)).distinct())
-    if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
-        Map(kindHeader -> "true")
-          ++ carriedStats(spark, root, baseV, untouched)
-          ++ propHeaders(spark, root, baseV) ++ dvNew
-          ++ genStatsForEntries(spark, root, entries,
-            (statsCol.toSeq ++ statsCols).distinct)))
-      Some((baseV + 1, touched.size, untouched.size))
-    else {
-      fs(spark, root).delete(new Path(root, gen), true)
-      dvGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
-      None
+    // the statement's full row-id footprint — deletes AND inserts (a
+    // concurrent insert of the SAME key must conflict, or two writers
+    // land duplicate row-ids)
+    val footprint =
+      if (!hasInserts) keys
+      else keys.unionByName(inserts.select(col(keyCol))).distinct()
+    publishRowLevel(spark, root, baseV, baseMeta, touched,
+      untouched, entries, Map(kindHeader -> "true"), dvNew,
+      genStatsForEntries(spark, root, entries,
+        (statsCol.toSeq ++ statsCols).distinct),
+      keyCol, footprint) match {
+      case Some((v, carried)) => Some((v, touched.size, carried))
+      case None =>
+        fs(spark, root).delete(new Path(root, gen), true)
+        dvGen.foreach(g => fs(spark, root).delete(new Path(root, g), true))
+        None
     }
   }
 
@@ -2034,18 +2196,25 @@ object VersionedTable {
     val meta = manifestMeta(spark, root, ver)
     val hfs = fs(spark, root)
     val rows = manifestDirs(spark, root, ver).map { d =>
-      val sts = hfs.listStatus(new Path(root, d))
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      // the entry's recorded row count, from the extended stats header
-      // any tracked column carries (r17: "min,max,ndv,rows"); NULL when
-      // the generation predates tracking or tracks no column
+      // per-file manifest records (r18): counts/bytes/rows from the one
+      // manifest read, no listing; pre-r18 entries list as before
+      val (nFiles, bytes) = recordedFiles(meta, d) match {
+        case Some(fsRec) => (fsRec.size, fsRec.map(_._2).sum)
+        case None =>
+          val sts = hfs.listStatus(new Path(root, d))
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          (sts.length, sts.map(_.getLen).sum)
+      }
+      // the entry's recorded row count: the extended stats header any
+      // tracked column carries (r17: "min,max,ndv,rows"), else the
+      // per-file records' sum; NULL when the generation predates both
       val recRows: Option[Long] = meta.collectFirst {
         case (k, s) if k.startsWith("stats:") &&
             decDir(k.split(":", 3)(2)) == d && s.split(",").length > 3 =>
           s.split(",")(3).toLongOption
       }.flatten
-      (d, sts.length, sts.map(_.getLen).sum,
-        recRows.map(java.lang.Long.valueOf).orNull)
+        .orElse(recordedFiles(meta, d).map(_.map(_._3).sum))
+      (d, nFiles, bytes, recRows.map(java.lang.Long.valueOf).orNull)
     }
     import spark.implicits._
     rows.toDF("entry", "n_files", "bytes", "rows")
@@ -2196,7 +2365,7 @@ object VersionedTable {
       }
       val (dirs, meta) = manifestOf(spark, root, vs.last)
       val kept = meta.filter { case (k, _) =>
-        (k.startsWith("stats:") || k.startsWith("dv:") ||
+        (entryHeaderDir(k).isDefined || k.startsWith("dv:") ||
           k.startsWith("prop:")) && !unset.contains(k.stripPrefix("prop:"))
       }
       val edited = kept ++ set.map { case (k, v) => s"prop:$k" -> v } +
@@ -2401,7 +2570,7 @@ object VersionedTable {
       } + (old -> newName)
       val finalMap = chained.filterNot { case (k, v) => k.equalsIgnoreCase(v) }
       val kept = meta.filter { case (k, _) =>
-        (k.startsWith("stats:") || k.startsWith("dv:") ||
+        (entryHeaderDir(k).isDefined || k.startsWith("dv:") ||
           k.startsWith("prop:")) && !k.startsWith("prop:colmap.") &&
           // a widen follows its column across the rename (re-keyed below)
           !k.equalsIgnoreCase(s"prop:widen.$old")
@@ -2497,7 +2666,7 @@ object VersionedTable {
         case (k, v) if v.equalsIgnoreCase(old) => k }.toSeq :+ old
       validateProps(phys.map(p => s"dropcol.$p" -> tipV.toString).toMap)
       val kept = meta.filter { case (k, _) =>
-        (k.startsWith("stats:") || k.startsWith("dv:") ||
+        (entryHeaderDir(k).isDefined || k.startsWith("dv:") ||
           k.startsWith("prop:")) &&
           !phys.exists(p => k.equalsIgnoreCase(s"prop:colmap.$p")) &&
           // a dropped column's widen cast retires with it
@@ -2591,7 +2760,7 @@ object VersionedTable {
           s"'${field.name}' — run compact() to materialize them first")
       validateProps(Map(s"widen.${field.name}" -> newType.catalogString))
       val kept = meta.filter { case (k, _) =>
-        (k.startsWith("stats:") || k.startsWith("dv:") ||
+        (entryHeaderDir(k).isDefined || k.startsWith("dv:") ||
           k.startsWith("prop:")) &&
           !k.equalsIgnoreCase(s"prop:widen.${field.name}")
       }
@@ -2675,7 +2844,7 @@ object VersionedTable {
         .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty) :+ curSpec)
         .filter(_.nonEmpty).distinct
       val kept = meta.filter { case (k, _) =>
-        (k.startsWith("stats:") || k.startsWith("dv:") ||
+        (entryHeaderDir(k).isDefined || k.startsWith("dv:") ||
           k.startsWith("prop:")) &&
           k != "prop:partition" && k != "prop:partition.history"
       }
@@ -2720,7 +2889,7 @@ object VersionedTable {
     val dirs = manifestDirs(spark, root, toV)
     val meta = manifestMeta(spark, root, toV)
     val keepHeaders = meta.filter { case (k, _) =>
-      k.startsWith("stats:") || k.startsWith("dv:")
+      entryHeaderDir(k).isDefined || k.startsWith("dv:")
     }
     // stats/dv headers describe toV's generations (restored verbatim);
     // properties describe the TABLE, so the restore keeps the CURRENT
@@ -2833,7 +3002,7 @@ object VersionedTable {
         s"tagVersion: version $target not in $vs")
       val (dirs, meta) = manifestOf(spark, root, vs.last)
       val kept = meta.filter { case (k, _) =>
-        k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+        entryHeaderDir(k).isDefined || k.startsWith("dv:") || k.startsWith("prop:")
       }
       require(!kept.contains(s"prop:ref.$name"),
         s"tagVersion: tag '$name' already exists — deleteTag first " +
@@ -2858,7 +3027,7 @@ object VersionedTable {
       require(meta.contains(s"prop:ref.$name"),
         s"deleteTag: no tag '$name'")
       val kept = meta.filter { case (k, _) =>
-        (k.startsWith("stats:") || k.startsWith("dv:") ||
+        (entryHeaderDir(k).isDefined || k.startsWith("dv:") ||
           k.startsWith("prop:")) && k != s"prop:ref.$name"
       }
       if (tryPublish(spark, root, vs.last + 1, dirs,
@@ -2894,7 +3063,7 @@ object VersionedTable {
       s"createBranch: branch '$name' already exists")
     val (dirs, meta) = manifestOf(spark, root, base)
     val kept = meta.filter { case (k, _) =>
-      k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:") ||
+      entryHeaderDir(k).isDefined || k.startsWith("dv:") || k.startsWith("prop:") ||
         // main-tip txn stamps seed the fork, so a staged stream's replay
         // dedup survives a publish → drop → re-branch cadence
         k == "txnApp" || k == "txnBatch"
@@ -2931,7 +3100,7 @@ object VersionedTable {
         readDirs(spark, root, entries), Some(gen))
     val keptDirs = dirs.toSet
     val carried = bMeta.filter { case (k, _) =>
-      (k.startsWith("stats:") && keptDirs.contains(decDir(k.split(":", 3)(2)))) ||
+      entryHeaderDir(k).exists(keptDirs.contains) ||
         k.startsWith("dv:") || k.startsWith("prop:") || k == "branch_base"
     }
     val genStats = genStatsForEntries(spark, root, entries, statsCols)
@@ -3020,7 +3189,8 @@ object VersionedTable {
     // branch contract)
     val bTxn = bMeta.filter { case (k, _) => k == "txnApp" || k == "txnBatch" }
     val bHeaders = bMeta.filter { case (k, _) =>
-      k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+      entryHeaderDir(k).isDefined || k.startsWith("dv:") ||
+        k.startsWith("prop:")
     } ++ bTxn
     raceHook()
     var attempt = 0
@@ -3047,7 +3217,7 @@ object VersionedTable {
         if (!clean) return None
         val (tipDirs, tipMeta) = manifestOf(spark, root, tip)
         val tipHeaders = tipMeta.filter { case (k, _) =>
-          k.startsWith("stats:") || k.startsWith("dv:") || k.startsWith("prop:")
+          entryHeaderDir(k).isDefined || k.startsWith("dv:") || k.startsWith("prop:")
         }
         // constraints ADDED on main since the fork were never enforced
         // on the staged generations (commitToBranch gates against the
@@ -3062,7 +3232,7 @@ object VersionedTable {
           enforceConstraints(spark, root, newCs,
             readDirs(spark, root, added, tipMeta), gen = None)
         val addedStats = bMeta.filter { case (k, _) =>
-          k.startsWith("stats:") && added.contains(decDir(k.split(":", 3)(2)))
+          entryHeaderDir(k).exists(added.contains)
         }
         if (tryPublish(spark, root, tip + 1, tipDirs ++ added,
             tipHeaders ++ addedStats ++ bTxn + ("wap_publish" -> name)))
@@ -3553,6 +3723,60 @@ object VersionedTable {
         .filter(_.getPath.getName.startsWith(".tmp-"))
         .foreach(st => hfs.delete(st.getPath, false))
     (deletable.size, dropVs.size)
+  }
+
+  /** ORPHAN-FILE GC (the Iceberg `remove_orphan_files` / Delta-VACUUM-
+    * untracked-side maintenance verb): reclaim GENERATION dirs under
+    * `data/` that NO manifest references — main log, every branch, dv:
+    * key lists and cdf: recorded-CDF dirs all count as references — and
+    * whose directory mtime is at or before `olderThanMicros` (epoch
+    * micros; the safety cutoff that protects a CONCURRENT writer's
+    * not-yet-published generation — pick an age comfortably above any
+    * plausible write duration, days not minutes). These dirs exist only
+    * when a writer died between writing its generation and its publish
+    * loop (the abort paths reclaim their own); `vacuum` can never touch
+    * them because it only reclaims what a DROPPED manifest provably
+    * owned. Granularity is the whole generation dir: a generation with
+    * ANY referenced leaf is never a candidate. `dryRun` lists without
+    * deleting. Returns (dir, bytes, deleted) per orphan.
+    */
+  def removeOrphans(spark: SparkSession, root: String,
+      olderThanMicros: Long,
+      dryRun: Boolean = false): Seq[(String, Long, Boolean)] = {
+    val hfs = fs(spark, root)
+    val refGens: Set[String] = (
+      versions(spark, root).flatMap { v =>
+        val (dirs, meta) = manifestOf(spark, root, v)
+        dirs ++ meta.keys.collect {
+          case k if k.startsWith("dv:") => k.stripPrefix("dv:")
+          case k if k.startsWith("cdf:") => k.stripPrefix("cdf:")
+        }
+      } ++
+      branches(spark, root).flatMap(b =>
+        branchVersions(spark, root, b).flatMap { bv =>
+          val (bDirs, bMeta) = branchManifestOf(spark, root, b, bv)
+          bDirs ++ bMeta.keys.collect {
+            case k if k.startsWith("dv:") => k.stripPrefix("dv:")
+            case k if k.startsWith("cdf:") => k.stripPrefix("cdf:")
+          }
+        })
+    ).map(genPrefixOf).toSet
+    val dataRoot = new Path(root, "data")
+    if (!hfs.exists(dataRoot)) return Nil
+    hfs.listStatus(dataRoot).toSeq
+      .filter(_.isDirectory)
+      .map(st => (s"data/${st.getPath.getName}", st))
+      .filter { case (g, st) =>
+        !refGens.contains(g) &&
+          st.getModificationTime * 1000L <= olderThanMicros
+      }
+      .map { case (g, _) =>
+        val bytes =
+          try hfs.getContentSummary(new Path(root, g)).getLength
+          catch { case _: java.io.FileNotFoundException => 0L }
+        val deleted = !dryRun && hfs.delete(new Path(root, g), true)
+        (g, bytes, deleted)
+      }
   }
 
   /** Snapshot-isolated read of version `v` (latest when None): loads

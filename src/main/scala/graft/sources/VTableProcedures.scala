@@ -212,6 +212,25 @@ object VTableProcedures {
           olderThanMicros = cutoff)
         Seq(new GenericInternalRow(Array[Any](gens, manifests)))
       }),
+    Proc("remove_orphans",
+      "reclaim generation dirs under data/ that NO manifest references " +
+        "(main log, branches, dv: key lists, cdf: recorded CDF) and " +
+        "older than the cutoff — the crashed-pre-publish-writer debris " +
+        "vacuum can never touch (it only reclaims what a dropped " +
+        "manifest owned); older_than is the in-flight-writer safety " +
+        "cutoff (pick days, not minutes); dry_run lists without deleting",
+      Seq(in("table", StringType), in("older_than", TimestampType),
+        inDefault("dry_run", BooleanType, "false")),
+      StructType(Seq(StructField("path", StringType),
+        StructField("bytes", LongType),
+        StructField("deleted", BooleanType, nullable = false))),
+      (root, args) => {
+        val p = tableRoot(root, args.getUTF8String(0).toString)
+        VersionedTable.removeOrphans(spark, p, args.getLong(1),
+            args.getBoolean(2)).map { case (g, bytes, deleted) =>
+          new GenericInternalRow(Array[Any](utf8(g), bytes, deleted))
+        }
+      }),
     Proc("partitions",
       "SHOW PARTITIONS: one row per partition tuple in the snapshot " +
         "(latest when version is omitted) — rendered field=token path, " +

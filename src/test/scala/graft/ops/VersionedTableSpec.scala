@@ -188,6 +188,98 @@ class VersionedTableSpec extends SparkSpec {
       "the re-run merge against the new snapshot publishes")
   }
 
+  test("key-disjoint row-level commits racing REBASE: both land, linear history") {
+    import spark.implicits._
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "v")
+    def state(root: String): Map[Int, Int] =
+      VersionedTable.readAt(spark, root).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+    // two generations, so disjoint-key merges touch DIFFERENT dirs
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, kv((1, 10), (2, 20), (3, 30)),
+      overwrite = true)
+    VersionedTable.commit(spark, root, kv((11, 110), (12, 120), (13, 130)),
+      overwrite = false)
+
+    // merge A (key 12) loses the rename to merge B (key 2) — the keys
+    // and the touched dirs are disjoint, so A REBASES onto B's commit
+    var innerV = -1L
+    val a = VersionedTable.mergeInto(spark, root, kv((12, 999)), "id",
+      raceHook = () => {
+        innerV = VersionedTable.mergeInto(spark, root, kv((2, 888)), "id")
+          .map(_._1).getOrElse(-1L)
+      })
+    assert(innerV == 3L, "the intervener lands first at base+1")
+    assert(a.map(_._1).contains(4L),
+      s"the loser must rebase to tip+1, got $a")
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L),
+      "linear history, both statements applied")
+    assert(state(root) == Map(1 -> 10, 2 -> 888, 3 -> 30,
+      11 -> 110, 12 -> 999, 13 -> 130))
+    assert(VersionedTable.commitKind(spark, root, 3L) == "merge")
+    assert(VersionedTable.commitKind(spark, root, 4L) == "merge")
+
+    // row-delta flavor: disjoint delete+insert pairs rebase too
+    var innerV2 = -1L
+    val b = VersionedTable.applyRowDelta(spark, root,
+      kv((13, 0)).select(col("id")), kv((23, 230)), "id",
+      kindHeader = "update",
+      raceHook = () => {
+        innerV2 = VersionedTable.applyRowDelta(spark, root,
+          kv((3, 0)).select(col("id")), kv((33, 330)), "id",
+          kindHeader = "update").map(_._1).getOrElse(-1L)
+      }).map(_._1).getOrElse(-1L)
+    assert(innerV2 == 5L && b == 6L,
+      s"disjoint row deltas must both land, got inner=$innerV2 outer=$b")
+    assert(state(root) == Map(1 -> 10, 2 -> 888, 11 -> 110, 12 -> 999,
+      23 -> 230, 33 -> 330))
+  }
+
+  test("overlapping keys, inserts of one key, DVs and appends still abort") {
+    import spark.implicits._
+    def kv(rows: (Int, Int)*) = rows.toDF("id", "v")
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, kv((1, 10), (2, 20)),
+      overwrite = true, meta = Map("prop:key" -> "id"))
+    VersionedTable.commit(spark, root, kv((11, 110)), overwrite = false)
+
+    // same key on both sides: a real conflict — the loser aborts
+    val sameKey = VersionedTable.mergeInto(spark, root, kv((2, 999)), "id",
+      raceHook = () => {
+        VersionedTable.mergeInto(spark, root, kv((2, 888)), "id"); ()
+      })
+    assert(sameKey.isEmpty, "overlapping keys must abort")
+    assert(VersionedTable.readAt(spark, root).filter(col("id") === 2)
+      .head().getInt(1) == 888, "the winner's value stands")
+
+    // two INSERTS of one fresh key: the intervener's added dir carries
+    // the key, so the loser aborts instead of landing a duplicate row-id
+    val dupIns = VersionedTable.mergeInto(spark, root, kv((42, 1)), "id",
+      raceHook = () => {
+        VersionedTable.mergeInto(spark, root, kv((42, 2)), "id"); ()
+      })
+    assert(dupIns.isEmpty, "concurrent same-key inserts must abort")
+    assert(VersionedTable.readAt(spark, root).filter(col("id") === 42)
+      .count() == 1L, "exactly one copy of the row-id")
+
+    // a merge-on-read DELETE intervener (tombstones) always aborts —
+    // key-set folds do not compose by disjointness
+    val dv = VersionedTable.mergeInto(spark, root, kv((1, 111)), "id",
+      raceHook = () => {
+        VersionedTable.deleteWhereMor(spark, root, col("id") === 11, "id"); ()
+      })
+    assert(dv.isEmpty, "a DV intervener must abort")
+
+    // an APPEND intervener may carry any keys — abort, as always
+    val ap = VersionedTable.mergeInto(spark, root, kv((2, 777)), "id",
+      raceHook = () => {
+        VersionedTable.commit(spark, root, kv((77, 770)),
+          overwrite = false); ()
+      })
+    assert(ap.isEmpty, "an append intervener must abort")
+  }
+
   test("racing replays of one micro-batch cannot both land (absorbed re-check)") {
     val root = freshRoot()
     VersionedTable.idempotentCommit(spark, root, df(1), "app", 0L)
@@ -385,7 +477,10 @@ class VersionedTableSpec extends SparkSpec {
     val (pruned, read, total) =
       VersionedTable.readAtPruned(spark, root, None, "id", 12L, 15L)
     assert(read == 2 && total == 3)
-    assert(pruned.collect().map(_.getInt(0)).toSet == Set(10, 19, 100))
+    // generation-level keeps gen2 ([10,19] intersects [12,15]), but the
+    // per-FILE records (r18) prove each of its one-row files is outside
+    // the window — the pruned frame carries only the no-stats gen's rows
+    assert(pruned.collect().map(_.getInt(0)).toSet == Set(100))
     // the skipped generation's files are genuinely not in the scan
     val allFiles = filesOf(VersionedTable.readAt(spark, root))
     assert(filesOf(pruned).subsetOf(allFiles) && filesOf(pruned) != allFiles)
@@ -449,8 +544,11 @@ class VersionedTableSpec extends SparkSpec {
   test("manifest parsing: headerless, foreign-comment, and malformed header lines") {
     val root = freshRoot()
     VersionedTable.commit(spark, root, df(1), overwrite = true)
-    // a plain commit's only metadata is the in-commit timestamp stamp
-    assert(VersionedTable.manifestMeta(spark, root, 1L).keySet == Set("ts"))
+    // a plain commit's metadata: the in-commit timestamp stamp plus the
+    // per-file record of its one generation (r18)
+    val m1 = VersionedTable.manifestMeta(spark, root, 1L).keySet
+    assert(m1.filterNot(_.startsWith("files:")) == Set("ts"))
+    assert(m1.exists(_.startsWith("files:")), "commits record their files")
     assert(!VersionedTable.isRewrite(spark, root, 1L))
     // hand-write a v2 manifest the way a foreign tool or future writer
     // might: valid k=v headers mixed with bare comments and blank lines

@@ -486,9 +486,9 @@ class VTableCatalogSpec extends SparkSpec {
       "SELECT version, kind FROM vtcat.meta.t.history ORDER BY version")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "tag")))
-    // files: one row per manifest entry, bytes > 0; `rows` (r17) serves
-    // the recorded row count for stats-tracked generations, NULL for
-    // untracked ones
+    // files: one row per manifest entry, bytes > 0; `rows` serves the
+    // recorded count — the r17 stats header for tracked generations,
+    // and since r18 the per-file `files:` records for EVERY generation
     val files = spark.sql("SELECT entry, n_files, bytes FROM vtcat.meta.t.files")
       .collect()
     assert(files.length == 2 && files.forall(_.getLong(2) > 0L))
@@ -496,8 +496,8 @@ class VTableCatalogSpec extends SparkSpec {
       statsCols = Seq("id"))
     val fRows = spark.sql("SELECT rows FROM vtcat.meta.t.files").collect()
       .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
-    assert(fRows == Seq(-1L, -1L, 2L),
-      s"tracked generation reports its recorded rows, got $fRows")
+    assert(fRows == Seq(1L, 2L, 2L),
+      s"every generation reports its recorded rows, got $fRows")
     // refs: the tag with its pinned version
     val refs = spark.sql("SELECT name, type, version FROM vtcat.meta.t.refs")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -122,7 +122,7 @@ class VTableProceduresSpec extends SparkSpec {
     assert(listed == Set("compact", "optimize", "restore", "vacuum",
       "partitions", "history", "evolve_partition_spec", "tag", "branch",
       "fast_forward", "create_view", "drop_view", "show_views",
-      "create_mview", "refresh_mview", "mview_status"))
+      "create_mview", "refresh_mview", "mview_status", "remove_orphans"))
     intercept[Exception](spark.sql("CALL vtproc.system.nope('h.t')"))
     intercept[Exception](spark.sql("CALL vtproc.system.history('no.table')"))
   }
@@ -155,6 +155,65 @@ class VTableProceduresSpec extends SparkSpec {
     val r2 = spark.sql("CALL vtproc.system.vacuum('ts.t', force => true," +
       s" older_than => TIMESTAMP '$far')").head()
     assert(r2.getInt(1) == 0 && VersionedTable.versions(spark, p) == Seq(3L))
+  }
+
+  test("CALL remove_orphans reclaims pre-publish debris and nothing else") {
+    import org.apache.hadoop.fs.Path
+    val t = s"$root/g/t"
+    val hfs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a live table with history, a branch, a MoR delete (dv: dir) and
+    // an MV-style recorded-CDF commit — every reference kind present
+    VersionedTable.commit(spark, t, df(1, 2, 3), overwrite = true,
+      meta = Map("prop:key" -> "id"))
+    VersionedTable.commit(spark, t, df(4), overwrite = false)
+    VersionedTable.createBranch(spark, t, "audit")
+    VersionedTable.commitToBranch(spark, t, "audit", df(9))
+    VersionedTable.deleteWhereMor(spark, t,
+      org.apache.spark.sql.functions.col("id") === 4, "id")
+    val before = hfs.listStatus(new Path(t, "data")).length
+
+    // the planted orphan: a writer that died BEFORE its publish loop —
+    // a fully written generation no manifest will ever reference
+    df(42, 43).write.parquet(s"$t/data/v-orphaned1")
+    df(44).write.parquet(s"$t/data/v-orphaned2")
+
+    // dry run lists both, deletes nothing
+    val dry = spark.sql(
+      "CALL vtproc.system.remove_orphans('g.t', " +
+        "older_than => TIMESTAMP '2099-01-01 00:00:00', " +
+        "dry_run => true)").collect()
+    assert(dry.map(_.getString(0)).toSet ==
+      Set("data/v-orphaned1", "data/v-orphaned2"))
+    assert(dry.forall(r => !r.getBoolean(2) && r.getLong(1) > 0L))
+    assert(hfs.exists(new Path(t, "data/v-orphaned1")))
+
+    // a cutoff BEFORE every write no-ops (the in-flight protection)
+    val early = spark.sql(
+      "CALL vtproc.system.remove_orphans('g.t', " +
+        "older_than => TIMESTAMP '2000-01-01 00:00:00')").collect()
+    assert(early.isEmpty, "nothing is older than a past cutoff")
+    assert(hfs.exists(new Path(t, "data/v-orphaned1")))
+
+    // the real run deletes exactly the two orphans; every referenced
+    // dir — history, branch staging, dv key lists — survives
+    val real = spark.sql(
+      "CALL vtproc.system.remove_orphans('g.t', " +
+        "older_than => TIMESTAMP '2099-01-01 00:00:00')").collect()
+    assert(real.map(_.getString(0)).toSet ==
+      Set("data/v-orphaned1", "data/v-orphaned2"))
+    assert(real.forall(_.getBoolean(2)))
+    assert(!hfs.exists(new Path(t, "data/v-orphaned1")))
+    assert(!hfs.exists(new Path(t, "data/v-orphaned2")))
+    assert(hfs.listStatus(new Path(t, "data")).length == before,
+      "no referenced generation was touched")
+    // every read surface still answers
+    assert(ids("SELECT id FROM vtproc.g.t") == Set(1, 2, 3))
+    assert(VersionedTable.readBranch(spark, t, "audit")
+      .collect().map(_.getInt(0)).toSet == Set(1, 2, 3, 4, 9))
+    // idempotent: a second call finds nothing
+    assert(spark.sql(
+      "CALL vtproc.system.remove_orphans('g.t', " +
+        "older_than => TIMESTAMP '2099-01-01 00:00:00')").collect().isEmpty)
   }
 
   test("CALL partitions lists the snapshot's tuple ledger from the manifest alone") {
