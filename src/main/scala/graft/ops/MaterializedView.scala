@@ -213,7 +213,7 @@ object MaterializedView {
     val src = VersionedTable.readAt(spark, sourceRoot, Some(srcTip))
     validateDefinition(src, groupCols, aggs, where)
     VersionedTable.createIfAbsent(spark, mvRoot,
-      fullAggregate(src, groupCols, aggs, where),
+      fullAggregate(src, groupCols, aggs, where).hint("rebalance"),
       Map(
         "mview.source" -> sourceRoot,
         "mview.group" -> groupCols.mkString(","),
@@ -305,7 +305,7 @@ object MaterializedView {
         s"mview.source${n}_version" -> tips(i + 1).toString)
     }
     VersionedTable.createIfAbsent(spark, mvRoot,
-      fullAggregate(joined, groupCols, aggs, where),
+      fullAggregate(joined, groupCols, aggs, where).hint("rebalance"),
       Map(
         "mview.source" -> firstRoot,
         "mview.group" -> groupCols.mkString(","),
@@ -403,9 +403,16 @@ object MaterializedView {
     def publish(content: DataFrame, changedGroups: Long, mode: String,
         recomputed: Long, delta: Option[DataFrame]): Refresh = {
       // cast back to the STORED schema: decimal `+` widens precision, and
-      // without this pin each refresh would widen the column types again
+      // without this pin each refresh would widen the column types again.
+      // REBALANCE before the write (AQE-adaptive file sizing): the folded
+      // content inherits the full_outer join's shuffle partitioning — at
+      // local[32] that is 32 near-empty parquet files per refresh, each a
+      // footer the commit harvest and every later read of the MV pays
+      // for; a grouped aggregate has no deliberate clustering to
+      // preserve, so the rebalance costs one bounded shuffle of the MV
+      // (O(groups)) and lands advisory-sized files at any scale.
       val fitted = content.select(mvSchema.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
+        col(f.name).cast(f.dataType).as(f.name)): _*).hint("rebalance")
       val markers = d.sources.indices.map { i =>
         val key = if (i == 0) "prop:mview.source_version"
           else s"prop:mview.source${i + 1}_version"
@@ -432,7 +439,7 @@ object MaterializedView {
           col(f.name).cast(f.dataType).as(f.name)): _*)
         .localCheckpoint(true)
       val delta = refreshDelta(cur, full, d.groupCols, d.aggs.map(_.name))
-        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+        .hint("rebalance")
         .localCheckpoint(true)
       publish(full, full.count(), "full", 0L, Some(delta))
     }
@@ -453,8 +460,14 @@ object MaterializedView {
         val perSource: Seq[Option[DataFrame]] =
           d.sources.zip(tips).zipWithIndex.map { case ((s, t), i) =>
             if (t == s.folded) None
+            // window-sized checkpoint because each side's delta is
+            // JOINED TWICE by the bilinear identity below — but a
+            // single-table MV consumes its one delta exactly once, so
+            // the checkpoint there was a pure extra job per refresh
+            else if (d.sources.size == 1)
+              Some(signed(changesOf(s.root, s.folded, t), s"__s$i"))
             else Some(signed(changesOf(s.root, s.folded, t), s"__s$i")
-              .localCheckpoint(true)) // window-sized; joined twice below
+              .localCheckpoint(true))
           }
         if (d.sources.size == 1)
           perSource.head
@@ -655,17 +668,19 @@ object MaterializedView {
     }.reduce(_ || _)
     val touchedRows = combined.filter(col("__chg"))
     val updated = touchedRows.filter(col("__was") && live && differ)
-    // the 4-way union inherits 4× the checkpoint's partitions; coalesce
+    // the 4-way union inherits 4× the checkpoint's partitions; rebalance
     // before the commit writes it, or a delta-sized payload lands as a
     // hundred near-empty parquet files (the recorded CDF is bounded by
-    // changed groups — a handful of files is always the right shape)
+    // changed groups — AQE's advisory sizing picks the file count at any
+    // scale, where the previous cores/8 coalesce was a local-mode
+    // constant)
     val delta = touchedRows.filter(!col("__was") && live)
         .select(newSide("insert"): _*)
       .unionByName(touchedRows.filter(col("__was") && !live)
         .select(oldSide("delete"): _*))
       .unionByName(updated.select(oldSide("update_preimage"): _*))
       .unionByName(updated.select(newSide("update_postimage"): _*))
-      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+      .hint("rebalance")
     publish(combined.filter(live), changed, "incremental", recCount,
       Some(delta))
   }

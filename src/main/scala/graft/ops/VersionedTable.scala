@@ -345,9 +345,48 @@ object VersionedTable {
   private def writeGeneration(spark: SparkSession, root: String,
       df: DataFrame, partFields: Seq[PartField] = Nil,
       preserveLayout: Boolean = false,
-      bloomCols: Seq[(String, Long)] = Nil): String = {
+      bloomCols: Seq[(String, Long)] = Nil,
+      obsCols: Seq[String] = Nil): String = {
     val gen = s"data/v-${java.util.UUID.randomUUID().toString.take(8)}"
     val p = new Path(root, gen)
+    // COMMIT-TIME WRITE OBSERVATION: the write job itself computes the
+    // row count and — for the caller's tracked stats columns — the
+    // [min, max, ndv] aggregates the manifest headers need, via
+    // `Dataset.observe` (accumulator-backed, no extra pass). When the
+    // write lands as a SINGLE entry, [[genStatsForEntries]] serves the
+    // per-generation `stats:` headers from this observation instead of
+    // scheduling a second Spark job that re-reads the generation; a
+    // single-FILE write additionally serves the per-file
+    // `files:`/`fstats:` records without opening any footer. The
+    // observed expressions are EXACTLY the ones the fallback agg job
+    // computes (min/max cast long, HLL++ NDV, count), over exactly the
+    // written rows — recorded header values are byte-identical either
+    // way. A requested column missing from the frame skips the
+    // observation (the fallback job refuses loudly, as before).
+    val present = obsCols.map(c => df.columns.find(_.equalsIgnoreCase(c)))
+    val df2 =
+      if (present.exists(_.isEmpty)) df
+      else {
+        val actual = present.flatten
+        val integral = actual.map(a => df.schema(a).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        })
+        val obs = org.apache.spark.sql.Observation(s"graft_commit_$gen")
+        val metrics = count(lit(1)).as("__rows") +:
+          actual.zipWithIndex.flatMap { case (a, i) => Seq(
+            min(col(a)).cast("long").as(s"__min_$i"),
+            max(col(a)).cast("long").as(s"__max_$i"),
+            approx_count_distinct(col(a)).as(s"__ndv_$i")) }
+        pendingWriteObs.synchronized {
+          pendingWriteObs.put((root, gen),
+            WriteObs(obsCols.map(_.toLowerCase).zip(integral), obs))
+        }
+        df.observe(obs, metrics.head, metrics.drop(1): _*)
+      }
     def blooming(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
         : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
       bloomCols.foldLeft(w) { case (wr, (c, ndv)) =>
@@ -364,7 +403,7 @@ object VersionedTable {
       // compute each partition token under the __p_ prefix: partitionBy
       // consumes (and drops) the prefixed copy into the dir name while
       // the real source column stays in the files
-      val dup = partFields.foldLeft(df) { (d, f) =>
+      val dup = partFields.foldLeft(df2) { (d, f) =>
         val src = d.columns.find(_.equalsIgnoreCase(f.source)).get
         d.withColumn(PartPrefix + f.name,
           f.valueOf(col(src), d.schema(src).dataType))
@@ -392,7 +431,7 @@ object VersionedTable {
           partFields.map(f => col(PartPrefix + f.name)): _*)
       blooming(clustered.write.mode("errorifexists"))
         .partitionBy(partFields.map(PartPrefix + _.name): _*).parquet(p.toString)
-    } else blooming(df.write.mode("errorifexists")).parquet(p.toString)
+    } else blooming(df2.write.mode("errorifexists")).parquet(p.toString)
     // a frame whose every partition is empty writes NO part files — only
     // _SUCCESS — and a footer-less generation breaks every later read of
     // the snapshot (parquet cannot infer its schema). A rewrite that
@@ -500,29 +539,36 @@ object VersionedTable {
   // carrying the record separators refuses the whole entry's headers
   // (fallback to listing) rather than writing an unparseable value —
   // Spark part-file names never do.
-  private def fileHeadersForEntries(spark: SparkSession, root: String,
-      entries: Seq[String], cols: Seq[String]): Map[String, String] = {
-    val hfs = fs(spark, root)
-    def pooled[A, B](xs: Seq[A])(f: A => B): Seq[B] =
-      if (xs.size <= 1) xs.map(f)
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, xs.size))
-        try xs.map(x => pool.submit(
-          new java.util.concurrent.Callable[B] { override def call(): B = f(x) }))
-          .map(_.get())
-        finally pool.shutdown()
-      }
-    // ONE pooled listing pass across entries, then ONE pooled footer
-    // pass across every file — a wide routed commit (hundreds of hour
-    // leaves) must not pay serial per-entry or per-file RPCs
-    val listed: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] =
-      pooled(entries)(e =>
-        e -> hfs.listStatus(new Path(root, e)).toSeq
-          .filter(st => st.isFile && {
-            val n = st.getPath.getName
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }).sortBy(_.getPath.getName))
+  private def pooled[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.size <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, xs.size))
+      try xs.map(x => pool.submit(
+        new java.util.concurrent.Callable[B] { override def call(): B = f(x) }))
+        .map(_.get())
+      finally pool.shutdown()
+    }
+
+  // [[writeGeneration]]'s pending write observations, consumed (once) by
+  // [[genStatsForEntries]]; bounded — an aborted commit's entry just
+  // ages out. Each value: the requested stats columns (lowercased,
+  // paired with "is a plain-integer column" for the fstats gate — the
+  // same columns the footer channel would record) and the observation.
+  private final case class WriteObs(cols: Seq[(String, Boolean)],
+      obs: org.apache.spark.sql.Observation)
+  private val pendingWriteObs =
+    new java.util.LinkedHashMap[(String, String), WriteObs](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), WriteObs]): Boolean =
+        size() > 1024
+    }
+
+  private def fileHeadersListed(spark: SparkSession,
+      listed: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])],
+      cols: Seq[String]): Map[String, String] = {
+    // ONE pooled footer pass across every file — a wide routed commit
+    // (hundreds of hour leaves) must not pay serial per-file RPCs
     val flat = listed.flatMap { case (e, sts) => sts.map(st => (e, st)) }
     val stats = FooterStats.fileStats(
       flat.map(_._2.getPath.toString),
@@ -821,6 +867,9 @@ object VersionedTable {
       .select(col(keyCol)).distinct()
       .join(broadcast(clearKeys.select(col(keyCol)).distinct()),
         Seq(keyCol), "left_anti")
+      // a key LIST inherits the distinct's shuffle partitioning — dozens
+      // of near-empty files per fold without this; AQE sizes the output
+      .hint("rebalance")
     val gen = writeGeneration(spark, root, remaining)
     val back = spark.read.parquet(new Path(root, gen).toString)
     if (back.isEmpty) { // every tombstone cleared: no header needed
@@ -906,9 +955,83 @@ object VersionedTable {
   // commit path — so every generation-writing commit records both
   // without per-path divergence
   private def genStatsForEntries(spark: SparkSession, root: String,
-      entries: Seq[String], cols: Seq[String]): Map[String, String] =
-    genOnlyStats(spark, root, entries, cols) ++
-      fileHeadersForEntries(spark, root, entries, cols)
+      entries: Seq[String], cols: Seq[String]): Map[String, String] = {
+    if (entries.isEmpty) return Map.empty
+    // the write observation recorded during this generation's own write
+    // job (usable only when every entry belongs to ONE generation —
+    // always true except overwritePartitions' two-generation publish)
+    val obsRec: Option[WriteObs] = {
+      val gens = entries.map(genPrefixOf).distinct
+      if (gens.size != 1) None
+      else pendingWriteObs.synchronized {
+        Option(pendingWriteObs.remove((root, gens.head)))
+      }
+    }
+    val covered = obsRec.filter(r =>
+      cols.forall(c => r.cols.exists(_._1 == c.toLowerCase)))
+    // Observation.get blocks until the write's listener fired — the
+    // write action completed before any caller reaches here
+    val vals: Map[String, Any] = covered.map(_.obs.get).getOrElse(Map.empty)
+    def lng(k: String): Option[Long] = vals.get(k) match {
+      case Some(v: java.lang.Number) => Some(v.longValue)
+      case _ => None
+    }
+    def obsCol(c: String): Option[(Long, Long, Long)] = {
+      val i = covered.get.cols.indexWhere(_._1 == c.toLowerCase)
+      (lng(s"__min_$i"), lng(s"__max_$i"), lng(s"__ndv_$i")) match {
+        case (Some(mn), Some(mx), Some(nd)) => Some((mn, mx, nd))
+        case _ => None // all-null column: absence = "must scan"
+      }
+    }
+    val obsRows: Option[Long] =
+      if (covered.isDefined) lng("__rows") else None
+
+    // ONE pooled listing pass across entries: file names + bytes — the
+    // only facts neither the observation nor the footers can replace
+    val hfs = fs(spark, root)
+    val listed: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] =
+      pooled(entries)(e =>
+        e -> hfs.listStatus(new Path(root, e)).toSeq
+          .filter(st => st.isFile && {
+            val n = st.getPath.getName
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }).sortBy(_.getPath.getName))
+    val flat = listed.flatMap { case (e, sts) => sts.map(st => (e, st)) }
+
+    // per-generation stats: headers — from the observation when the
+    // commit landed one entry (no second read of the fresh data), else
+    // the per-file agg job exactly as before
+    val entryStats: Map[String, String] =
+      if (cols.isEmpty) Map.empty
+      else if (entries.size == 1 && obsRows.isDefined) {
+        val rows = obsRows.get
+        cols.flatMap(c => obsCol(c).map { case (mn, mx, nd) =>
+          statsKey(c, entries.head) -> s"$mn,$mx,$nd,$rows"
+        }).toMap
+      } else genOnlyStats(spark, root, entries, cols)
+
+    // per-file files:/fstats: headers — a single-file write's per-file
+    // record IS the observation (no footer opened); anything wider
+    // takes the pooled footer pass
+    val fileHeaders: Map[String, String] =
+      if (entries.size == 1 && flat.size == 1 && obsRows.isDefined && {
+          val n = flat.head._2.getPath.getName
+          !n.contains(",") && !n.contains(";")
+        }) {
+        val (e, st) = flat.head
+        val name = st.getPath.getName
+        val fstats = cols.flatMap { c =>
+          val integral = covered.get.cols
+            .find(_._1 == c.toLowerCase).exists(_._2)
+          if (!integral) None // same gate as the footer channel
+          else obsCol(c).map { case (mn, mx, _) =>
+            fstatsKey(c, e) -> s"$name,$mn,$mx" }
+        }
+        (Seq(filesKey(e) -> s"$name,${st.getLen},${obsRows.get}") ++
+          fstats).toMap
+      } else fileHeadersListed(spark, listed, cols)
+    entryStats ++ fileHeaders
+  }
 
   private def genOnlyStats(spark: SparkSession, root: String,
       entries: Seq[String], cols: Seq[String]): Map[String, String] =
@@ -1067,8 +1190,10 @@ object VersionedTable {
       .map(v => tablePropsOf(manifestMeta(spark, root, v)))
       .getOrElse(Map.empty[String, String])
     requireNoDroppedNames(df, tipProps, "commit")
+    val trackedCols = (statsCol.toSeq ++ statsCols).distinct
     val gen = writeGeneration(spark, root, df,
-      partitionFieldsOf(tipProps), bloomCols = bloomColsOf(tipProps))
+      partitionFieldsOf(tipProps), bloomCols = bloomColsOf(tipProps),
+      obsCols = trackedCols)
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     // RECORDED CDF (the Delta `_change_data` idea): the writer that
@@ -1089,8 +1214,7 @@ object VersionedTable {
         val g = writeGeneration(spark, root, cdfDf)
         genEntries(spark, root, g).map(e => s"cdf:$e" -> "true").toMap
     }
-    val genStats = genStatsForEntries(spark, root, entries,
-      (statsCol.toSeq ++ statsCols).distinct)
+    val genStats = genStatsForEntries(spark, root, entries, trackedCols)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1402,7 +1526,8 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, df,
       partitionFieldsOf(tablePropsOf(baseMeta)),
-      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)),
+      obsCols = statsCol.toSeq)
     val entries = genEntries(spark, root, gen)
     // a FULL rewrite replaces every file, so no file carries a dropped
     // column any more — clear the dropcol tombstones, freeing the names
@@ -1461,7 +1586,8 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, df,
       partitionFieldsOf(tablePropsOf(baseMeta)),
-      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)),
+      obsCols = statsCol.toSeq)
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, kept ++ entries,
         Map("rewrite" -> "true")
@@ -1510,9 +1636,6 @@ object VersionedTable {
     // reading it. The physical name stays reserved until a full
     // compact/optimize purges the files and clears the property.
     val dropped = droppedNamesOf(tablePropsOf(meta))
-    def strip(f: DataFrame): DataFrame =
-      dropped.foldLeft(f)((d, c) =>
-        d.columns.find(_.equalsIgnoreCase(c)).map(d.drop(_)).getOrElse(d))
     def stripped(s: StructType): StructType = StructType(s.filterNot(f =>
       dropped.exists(_.equalsIgnoreCase(f.name))))
     def remap(f: DataFrame): DataFrame =
@@ -1529,21 +1652,29 @@ object VersionedTable {
     // write), while a day-partitioned snapshot lists THOUSANDS of leaf
     // entries — per-leaf probing made every read O(leaves) driver-side
     // relation builds (measured: minutes against a 2,400-leaf table).
-    // One representative leaf per generation keeps the probe O(commits).
+    // One representative leaf per generation keeps the probe O(commits),
+    // and the probe result is CACHED per (root, entry) — a committed
+    // generation is immutable, so its raw schema can never change, while
+    // a lifecycle (time travel, CDC, merge chains) re-reads the same
+    // generations dozens of times and each uncached probe costs a
+    // ~25 ms schema-inference job plus its scheduling gap (measured in
+    // this round's job profiles: ~30 probe jobs inside one SQL MERGE
+    // lifecycle). The probed schema also feeds the actual reads below as
+    // an EXPLICIT schema, so the data scan's relation build skips its
+    // own inference job too.
     val genGroups: Seq[Seq[String]] = dirs.map(genPrefixOf).distinct
       .map(g => dirs.filter(e => genPrefixOf(e) == g))
-    val reps = genGroups.map(g =>
-      spark.read.parquet(new Path(root, g.head).toString))
+    val repSchemas = genGroups.map(g => genSchemaCached(spark, root, g.head))
     // schemas compare POST-drop: a pre-drop and a post-drop generation
     // are byte-different but read identically, and falling to the
     // drifted path for that would cost the single-scan fast path on
     // every dropped-column table until compaction
-    val rawSame = reps.map(f => stripped(f.schema)).distinct.size <= 1
+    val rawSame = repSchemas.map(stripped).distinct.size <= 1
     // existence defaults only matter for generations MISSING a defaulted
     // column; when every generation carries them all, the single
     // multi-path scan fast path stays intact
-    val needDefaults = defaults.nonEmpty && reps.exists(f =>
-      defaults.keys.exists(c => !f.columns.exists(_.equalsIgnoreCase(c))))
+    val needDefaults = defaults.nonEmpty && repSchemas.exists(s =>
+      defaults.keys.exists(c => !s.exists(_.name.equalsIgnoreCase(c))))
     // TYPE WIDENING (`widen.<col>` properties): cast last, after
     // remap/defaults, so every generation — narrow pre-widen files, wide
     // post-widen files, defaulted absences — serves ONE logical type. A
@@ -1559,18 +1690,47 @@ object VersionedTable {
           .map(cc => d.withColumn(cc, col(cc).cast(t))).getOrElse(d)
       }
     if (rawSame && !needDefaults)
-      widen(remap(strip(spark.read.parquet(paths: _*))))
-    else widen(genGroups.map { g =>
+      // reading with the (stripped) probed schema IS the strip: files
+      // still carrying a dropped column simply never materialize it —
+      // and the explicit schema skips the scan's own inference pass
+      widen(remap(spark.read.schema(stripped(repSchemas.head))
+        .parquet(paths: _*)))
+    else widen(genGroups.zip(repSchemas).map { case (g, rs) =>
       // drifted path: one multi-path scan PER GENERATION (schemas are
       // uniform within one), defaults filled where the generation lacks
       // the column, then by-name union across generations
-      val f = remap(strip(spark.read.parquet(
-        g.map(d => new Path(root, d).toString): _*)))
+      val f = remap(spark.read.schema(stripped(rs)).parquet(
+        g.map(d => new Path(root, d).toString): _*))
       defaults.foldLeft(f) { case (d, (c, e)) =>
         if (d.columns.exists(_.equalsIgnoreCase(c))) d
         else d.withColumn(c, expr(e))
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  // immutable-generation schema cache: a published generation's files
+  // never change, so the raw schema probed once serves every later read
+  // of any snapshot that references it. Misses pay one spark.read
+  // inference; FileNotFound (vacuumed dir) propagates uncached, like the
+  // uncached probe did. Keyed by the ENTRY dir (leaf for routed
+  // generations) — callers always probe one representative entry.
+  private val genSchemaCache =
+    new java.util.LinkedHashMap[(String, String), StructType](
+        1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), StructType]): Boolean =
+        size() > 4096
+    }
+
+  private def genSchemaCached(spark: SparkSession, root: String,
+      entry: String): StructType = {
+    val k = (root, entry)
+    genSchemaCache.synchronized { Option(genSchemaCache.get(k)) }
+      .getOrElse {
+        val s = spark.read.parquet(new Path(root, entry).toString).schema
+        genSchemaCache.synchronized { genSchemaCache.put(k, s) }
+        s
+      }
   }
 
   /** lakehouse `OPTIMIZE [ZORDER BY]` as a FIRST-CLASS REWRITE COMMIT:
@@ -1628,7 +1788,8 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, clustered,
       partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true,
-      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)),
+      obsCols = statsCol.toSeq)
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, entries,
         Map("rewrite" -> "true")
@@ -1705,7 +1866,8 @@ object VersionedTable {
     raceHook()
     val gen = writeGeneration(spark, root, clustered,
       partitionFieldsOf(tablePropsOf(baseMeta)), preserveLayout = true,
-      bloomCols = bloomColsOf(tablePropsOf(baseMeta)))
+      bloomCols = bloomColsOf(tablePropsOf(baseMeta)),
+      obsCols = statsCol.toSeq)
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, kept ++ entries,
         Map("rewrite" -> "true")
@@ -1818,7 +1980,8 @@ object VersionedTable {
         .unionByName(source, allowMissingColumns = schemaEvolution)
     raceHook()
     val gen = writeGeneration(spark, root, merged,
-      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root))
+      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root),
+      obsCols = statsCol.toSeq)
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     // fold the tombstones AFTER the aborting validations (they reclaim
@@ -2024,7 +2187,8 @@ object VersionedTable {
     if (touched.isEmpty && !hasInserts) return Some((baseV, 0, dirs.size))
     raceHook()
     val gen = writeGeneration(spark, root, newRows,
-      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root))
+      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root),
+      obsCols = (statsCol.toSeq ++ statsCols).distinct)
     val entries = genEntries(spark, root, gen)
     validateGeneration(spark, root, gen, entries)
     // fold the tombstones AFTER the aborting validations (they reclaim
@@ -2111,7 +2275,8 @@ object VersionedTable {
     val deleted = before.count() - survivors.count()
     raceHook()
     val gen = writeGeneration(spark, root, survivors,
-      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root))
+      partitionFieldsAt(spark, root), bloomCols = bloomColsAt(spark, root),
+      obsCols = statsCol.toSeq)
     val entries = genEntries(spark, root, gen)
     if (tryPublish(spark, root, baseV + 1, untouched ++ entries,
         Map("delete" -> "true") ++ carriedStats(spark, root, baseV, untouched)
@@ -3092,7 +3257,7 @@ object VersionedTable {
     val props = tablePropsOf(bMeta)
     requireNoDroppedNames(df, props, s"branch '$name' commit")
     val gen = writeGeneration(spark, root, df, partitionFieldsOf(props),
-      bloomCols = bloomColsOf(props))
+      bloomCols = bloomColsOf(props), obsCols = statsCols)
     val entries = genEntries(spark, root, gen)
     val cs = constraintsOf(props)
     if (cs.nonEmpty && hasPartFiles(spark, root, gen))
@@ -3507,6 +3672,9 @@ object VersionedTable {
     val baseV = vs.last
     val keys = readAt(spark, root, Some(baseV))
       .filter(pred).select(col(keyCol)).distinct()
+      // key lists are tombstones EVERY read anti-joins against: land
+      // them advisory-sized, not one near-empty file per shuffle task
+      .hint("rebalance")
     // ONE table scan: write the key list first, then count from the
     // written kilobytes (a pre-count would scan the table a second time
     // — at 100 TB the difference between one pass and two)
