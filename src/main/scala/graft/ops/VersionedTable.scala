@@ -967,11 +967,20 @@ object VersionedTable {
         Option(pendingWriteObs.remove((root, gens.head)))
       }
     }
+    // the observation serves a column ONLY when it is plain-integral:
+    // for timestamps/dates/decimals the observed `cast(long)` reads the
+    // PRE-write logical value (e.g. seconds for a timestamp) while the
+    // replaced agg job read the parquet ROUND-TRIP value (nanos under
+    // nanosAsLong) — serving the former would silently change the
+    // recorded window channel. Non-integral tracked columns keep the
+    // read-back agg job exactly as before.
     val covered = obsRec.filter(r =>
-      cols.forall(c => r.cols.exists(_._1 == c.toLowerCase)))
-    // Observation.get blocks until the write's listener fired — the
-    // write action completed before any caller reaches here
-    val vals: Map[String, Any] = covered.map(_.obs.get).getOrElse(Map.empty)
+      cols.forall(c => r.cols.exists(p => p._1 == c.toLowerCase && p._2)))
+    // Observation.get blocks until the write's LISTENER fired — an
+    // asynchronous post-action hop — so fetch it lazily, only on the
+    // paths that will actually use the values (a routed multi-entry
+    // commit folds per file and can never use the global observation)
+    lazy val vals: Map[String, Any] = covered.map(_.obs.get).getOrElse(Map.empty)
     def lng(k: String): Option[Long] = vals.get(k) match {
       case Some(v: java.lang.Number) => Some(v.longValue)
       case _ => None
@@ -983,7 +992,7 @@ object VersionedTable {
         case _ => None // all-null column: absence = "must scan"
       }
     }
-    val obsRows: Option[Long] =
+    def obsRows: Option[Long] =
       if (covered.isDefined) lng("__rows") else None
 
     // ONE pooled listing pass across entries: file names + bytes — the
